@@ -1,0 +1,102 @@
+"""Pipeline configuration.
+
+Every tunable constant in the reference repo becomes a config field here
+(SURVEY.md §2 N: the reference's extension surface is per-carrier script
+copies differing only in constants — e.g. qc_head.py vs qc_head_0.py differ
+only in merge buffer 3→0).  Citations are into /root/reference/.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# Keyword page-predicate set (policy_filter.py:26-41; the extended 20-term
+# variant at policy_additional_interests.py:26-51 adds schedule-header terms).
+ADDITIONAL_INTEREST_KEYWORDS: tuple[str, ...] = (
+    "additional interest",
+    "additional interests",
+    "additional insured",
+    "additional insureds",
+    "mortgagee",
+    "mortgage holder",
+    "mortgage holders",
+    "mortgagees",
+    "loss payee",
+    "loss payable",
+    "lienholder",
+    "lien holder",
+    "secured party",
+    "secured parties",
+)
+
+# Page-level skip patterns for the dollar predicate (policy_filter.py:116).
+DOLLAR_SKIP_PATTERNS: tuple[str, ...] = (
+    "EXAMPLE",
+    "CALCULATION",
+    "HOW TO",
+    "SAMPLE",
+    "ILLUSTRATION",
+)
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """All thresholds of the extraction engine, with reference lineage."""
+
+    # ---- language gate (new: lang column allowlist; FIXTURES.md §1) ----
+    lang_allowlist: tuple[str, ...] = ("en", "de", "fr", "es")
+
+    # ---- gibberish / empty gate (policy_extract.py:123-153) ----
+    gate_min_text_length: int = 10          # len(text.strip()) < 10 → reject
+    gate_sample_chars: int = 500            # heuristics run on text[:500]
+    # ratios are expressed as integer percents; comparisons use integer
+    # cross-multiplication so the gate is float-free and deterministic
+    gate_min_non_ws_pct: int = 10           # <10% non-whitespace → reject
+    gate_max_nonprintable_pct: int = 30     # >30% control chars → reject
+    gate_min_ascii_letter_pct: int = 20     # <20% [A-Za-z] → reject
+    gate_max_weird_pct: int = 30            # >30% non-ASCII non-alnum → reject
+
+    # ---- markup-heaviness gate (new; analogue of the corruption vote
+    # policy_extract.py:384-443 — reject pages that are almost all markup)
+    # reject when text_len * markup_ratio_mult < html_len (text <5% of html)
+    markup_ratio_mult: int = 20
+
+    # ---- dollar page predicate (policy_filter.py:111-138) ----
+    dollar_min_amount: int = 200
+
+    # ---- filter buffer+merge (policy_filter.py:154-178; buffer=1 default,
+    # qc_head.py:268 uses 3, qc_head_0.py:268 uses 0) ----
+    page_buffer: int = 1
+    max_filtered_pages: int = 25            # policy_additional_interests.py:223
+
+    # ---- HTML main-content extraction (our DOM walker; semantics analogous
+    # to the density/fallback chain at policy_extract.py:330-388) ----
+    min_block_chars: int = 25               # content block minimum length
+    # keep block when link_chars * 100 <= block_chars * max_link_density_pct
+    max_link_density_pct: int = 50
+    block_join: str = "\n"                  # extracted_text = join of blocks
+
+    # ---- engine vote (policy_extract.py:384-443: corrupted-ratio>0.5 or
+    # chars<1000 switches engines; ours votes per row) ----
+    vote_min_chars: int = 1                 # engine1 empty → fall back
+    # engine1 also falls back when its output fails the gibberish gate
+
+    # ---- PDF layout clustering (pdfminer-style; SURVEY.md §7 M3) ----
+    pdf_line_tol: float = 2.0               # |y1-y2| <= tol → same line
+    pdf_block_gap: float = 18.0             # y gap > gap → new block
+    pdf_space_gap: float = 2.5              # x gap > gap → insert space
+    pdf_column_gap: float = 40.0            # x gap between column clusters
+
+    # ---- execution knobs ----
+    batch_size_gates: int = 1024            # vectorized stage, cheap per row
+    batch_size_extract: int = 64            # heavy per-doc stage, multi-KB html
+    extract_concurrency: tuple[int, int] = (2, 8)   # actor pool min/max
+    num_output_partitions: int = 16         # url-hash partitions (checkpoint unit)
+
+    # keyword / skip constants (tuples so the dataclass stays hashable)
+    keywords: tuple[str, ...] = ADDITIONAL_INTEREST_KEYWORDS
+    dollar_skip_patterns: tuple[str, ...] = DOLLAR_SKIP_PATTERNS
+
+
+DEFAULT_CONFIG = PipelineConfig()

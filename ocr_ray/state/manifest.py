@@ -1,0 +1,93 @@
+"""Partition-granular checkpoint layout + lineage manifests (SURVEY.md §4).
+
+The reference's checkpointing is implicit — every stage persists named
+files and reruns pick the best existing input (llm_pl.py:486-495).  Here it
+is explicit and atomic:
+
+    out_dir/
+      part=00042/data.parquet      # one url-hash partition of the output
+      part=00042/manifest.json     # lineage + metrics for that partition
+
+A partition directory is written under a temp name and ``os.rename``d into
+place (atomic on one filesystem), so a partition either fully exists with
+its manifest or not at all.  ``completed_parts`` lists finished partitions;
+a resumed run drops their rows before any heavy work.  At 100 TB scale the
+partition count is sized so one partition ≈ one object-store-friendly
+chunk (config.num_output_partitions; thousands of parts on a real cluster).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+
+def part_dir(out_dir: str, part_id: int) -> str:
+    return os.path.join(out_dir, f"part={part_id:05d}")
+
+
+def completed_parts(out_dir: str) -> set[int]:
+    """Partitions whose directory + manifest.json exist."""
+    done: set[int] = set()
+    if not os.path.isdir(out_dir):
+        return done
+    for name in os.listdir(out_dir):
+        if name.startswith("part="):
+            try:
+                pid = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if os.path.exists(os.path.join(out_dir, name, "manifest.json")):
+                done.add(pid)
+    return done
+
+
+def write_partition(out_dir: str, part_id: int, table, manifest: dict) -> bool:
+    """Atomically write one partition (data.parquet + manifest.json).
+
+    Returns False when the partition already exists (another task / a prior
+    run won the rename) — the duplicate work is discarded, which is the
+    idempotency story for task retries.
+    """
+    import pyarrow.parquet as pq
+
+    final = part_dir(out_dir, part_id)
+    if os.path.exists(os.path.join(final, "manifest.json")):
+        return False
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, f"_tmp-{part_id:05d}-{uuid.uuid4().hex}")
+    os.makedirs(tmp)
+    try:
+        pq.write_table(table, os.path.join(tmp, "data.parquet"))
+        with open(os.path.join(tmp, "manifest.json"), "w") as f:
+            json.dump(manifest, f, sort_keys=True)
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race — discard
+            return False
+        return True
+    except Exception:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+def load_manifests(out_dir: str) -> list[dict]:
+    """All partition manifests, ordered by part_id."""
+    out = []
+    for pid in sorted(completed_parts(out_dir)):
+        with open(os.path.join(part_dir(out_dir, pid), "manifest.json")) as f:
+            out.append(json.load(f))
+    return out
+
+
+def summarize(out_dir: str) -> dict:
+    """Aggregate lineage metrics across partitions (driver-side; tiny)."""
+    manifests = load_manifests(out_dir)
+    keys = ("rows_in", "rows_out", "rows_rejected", "parse_failures",
+            "bytes_in", "bytes_out", "bytes_stripped")
+    agg = {k: sum(m.get(k, 0) for m in manifests) for k in keys}
+    agg["partitions"] = len(manifests)
+    return agg
