@@ -1,0 +1,134 @@
+"""Pipeline-level invariants (FIXTURES.md §5): byte-identical output vs the
+single-process oracle under arbitrary partitioning, resume correctness, and
+full row accounting."""
+
+import glob
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from ocr_ray.config import PipelineConfig
+from ocr_ray.oracle import extract_single_process
+from ocr_ray.pipelines.extract import extraction_dataset, run_extraction
+from ocr_ray.sources.synth import fixture_pages, pages_from_documents
+from ocr_ray.state.manifest import completed_parts, load_manifests
+
+
+def _sorted(t: pa.Table) -> pa.Table:
+    idx = pc.sort_indices(t, sort_keys=[("url", "ascending"), ("warc_ts", "ascending")])
+    return t.take(idx).combine_chunks()
+
+
+def _read_out(out_dir: str) -> pa.Table:
+    files = sorted(glob.glob(os.path.join(out_dir, "part=*", "data.parquet")))
+    return _sorted(pa.concat_tables([pq.read_table(f) for f in files]))
+
+
+@pytest.fixture(scope="module")
+def oracle_fixture():
+    return _sorted(extract_single_process(fixture_pages()))
+
+
+def test_pipeline_equals_oracle_on_fixtures(ray_session, oracle_fixture, tmp_path_factory):
+    import ray.data as rd
+
+    out = str(tmp_path_factory.mktemp("out_fixtures"))
+    ds = rd.from_arrow(fixture_pages()).repartition(5)
+    run_extraction(ds, out, resume=False)
+    got = _read_out(out)
+    want = oracle_fixture
+    assert got.num_rows == want.num_rows
+    for col in ("url", "extracted_text", "spans", "n_blocks", "engine",
+                "parse_status", "reject_reason", "part_id"):
+        assert got[col].to_pylist() == want[col].to_pylist(), col
+
+
+def test_partitioning_invariance(ray_session, tmp_path_factory):
+    """Same bytes regardless of input block layout (1 block vs many)."""
+    import ray.data as rd
+
+    t = fixture_pages()
+    outs = []
+    for nparts in (1, 7):
+        out = str(tmp_path_factory.mktemp(f"out_inv{nparts}"))
+        run_extraction(rd.from_arrow(t).repartition(nparts), out, resume=False)
+        outs.append(_read_out(out))
+    assert outs[0].equals(outs[1])
+
+
+def test_resume_skips_done_and_completes(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    out = str(tmp_path_factory.mktemp("out_resume"))
+    ds = rd.from_arrow(fixture_pages())
+    run_extraction(ds, out, resume=False)
+    full = _read_out(out)
+    done_before = completed_parts(out)
+    # knock out two partitions, rerun with resume
+    victims = sorted(done_before)[:2]
+    for pid in victims:
+        shutil.rmtree(os.path.join(out, f"part={pid:05d}"))
+    summary = run_extraction(rd.from_arrow(fixture_pages()), out, resume=True)
+    assert completed_parts(out) == done_before
+    assert _read_out(out).equals(full)
+    assert summary["rows_in"] == full.num_rows
+
+
+def test_row_accounting_and_manifest_consistency(ray_session, tmp_path_factory):
+    """output ∪ rejects covers every input row exactly once; manifest
+    parse_failures == count of parse_status='error' rows (FIXTURES.md §5.2)."""
+    import ray.data as rd
+
+    t = pages_from_documents("/root/testdata/sf0.001")
+    out = str(tmp_path_factory.mktemp("out_acct"))
+    summary = run_extraction(rd.from_arrow(t), out, resume=False)
+    got = _read_out(out)
+    assert got.num_rows == t.num_rows == summary["rows_in"]
+    # key (url, warc_ts) appears exactly once
+    keys = list(zip(got["url"].to_pylist(), got["warc_ts"].to_pylist()))
+    assert len(set(keys)) == len(keys)
+    manifests = load_manifests(out)
+    n_err = sum(m["parse_failures"] for m in manifests)
+    assert n_err == got.filter(pc.equal(got["parse_status"], "error")).num_rows
+    # gate purity: re-running the gate on input rows reproduces verdicts
+    from ocr_ray.functions.gates import pre_classify
+    re_gate = pre_classify(_sorted(t))
+    rejected = pc.equal(got["parse_status"], "rejected").to_pylist()
+    assert [not c for c in re_gate["is_candidate"].to_pylist()] == rejected
+
+
+def test_documents_corpus_matches_oracle(ray_session, tmp_path_factory):
+    """The sf0.001-derived corpus: distributed == single-process, bytewise."""
+    import ray.data as rd
+
+    t = pages_from_documents("/root/testdata/sf0.001")
+    want = _sorted(extract_single_process(t))
+    out = str(tmp_path_factory.mktemp("out_docs"))
+    run_extraction(rd.from_arrow(t).repartition(9), out, resume=False)
+    got = _read_out(out)
+    assert got["extracted_text"].to_pylist() == want["extracted_text"].to_pylist()
+    assert got["spans"].to_pylist() == want["spans"].to_pylist()
+
+
+def test_span_offsets_roundtrip(ray_session):
+    """decoded[start:end] reproduces each block's text (FIXTURES.md §5.3)."""
+    t = extract_single_process(fixture_pages())
+    for i in range(t.num_rows):
+        txt = t["extracted_text"][i].as_py()
+        for s in t["spans"][i].as_py():
+            seg = txt[s["start"]:s["end"]]
+            assert len(seg) == s["end"] - s["start"]
+            assert seg == seg.strip()
+
+
+def test_custom_config_partitions(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    cfg = PipelineConfig(num_output_partitions=4)
+    out = str(tmp_path_factory.mktemp("out_cfg"))
+    run_extraction(rd.from_arrow(fixture_pages()), out, cfg=cfg, resume=False)
+    assert completed_parts(out) == {0, 1, 2, 3}
