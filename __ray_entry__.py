@@ -1,44 +1,406 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator family
+(SURVEY.md §2 + training-data ops); ``oracle_sql()`` gives the DuckDB
+equivalent for every SQL-expressible query — column names and integer
+scaling match exactly (see ocr_ray.pipelines.relational docstring).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in ocr_ray) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+_SF0001 = "/root/testdata/sf0.001"
+
+
+def _pages_dir(sf_dir: str) -> str:
+    """Deterministic derived pages corpus for sf_dir, cached under /tmp."""
+    from ocr_ray.sources.synth import materialize_pages_parquet
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return materialize_pages_parquet(sf_dir, f"/tmp/ocr_ray_pages_{tag}")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: gates → dual-engine extract over sf0.001-derived pages."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.extract import extraction_dataset
+
+    ds = rd.read_parquet(_pages_dir(_SF0001))
+    return extraction_dataset(ds).select_columns(
+        ["url", "lang", "part_id", "n_blocks", "engine", "parse_status",
+         "reject_reason", "bytes_in", "bytes_out"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_extract_stats(sf_dir: str):
+    """Flagship roll-up: rows/bytes per (engine, parse_status)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.pipelines.extract import extraction_dataset
+
+    ds = rd.read_parquet(_pages_dir(sf_dir))
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(["engine", "parse_status", "bytes_in", "bytes_out"]).to_pandas()
+        g = df.groupby(["engine", "parse_status"], as_index=False).agg(
+            n=("bytes_in", "size"), bytes_in=("bytes_in", "sum"), bytes_out=("bytes_out", "sum")
+        )
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        extraction_dataset(ds)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["engine", "parse_status"])
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("bytes_in", alias_name="bytes_in"),
+                   Sum("bytes_out", alias_name="bytes_out"))
+    )
+
+
+def _q_extract_pages(sf_dir: str):
+    """Flagship per-row output (minus the text payload — stable metadata)."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.extract import extraction_dataset
+
+    ds = rd.read_parquet(_pages_dir(sf_dir))
+    return extraction_dataset(ds).select_columns(
+        ["url", "lang", "part_id", "n_blocks", "engine", "parse_status",
+         "reject_reason", "bytes_in", "bytes_out"]
+    )
+
+
+def _q_minhash(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.pipelines.dedup import minhash_near_dup
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return minhash_near_dup(ds)
+
+
+def _q_simhash(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.pipelines.dedup import simhash_table
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return simhash_table(ds)
+
+
+def _q_simhash_near_dup(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.pipelines.dedup import simhash_near_dup
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return simhash_near_dup(ds)
+
+
+def _q_exact_dedup(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.pipelines.dedup import exact_dedup
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return exact_dedup(ds)
+
+
+def _query_vec(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    idx = t["vec_id"].to_pylist().index(0)
+    return t["embedding"][idx].as_py()
+
+
+def _q_knn_cosine(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.pipelines.simsearch import knn_cosine
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return knn_cosine(ds, _query_vec(sf_dir), k=10)
+
+
+def _q_knn_lsh(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.pipelines.simsearch import knn_lsh
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return knn_lsh(ds, _query_vec(sf_dir), k=10)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ocr_ray.pipelines import relational as rel
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # gates / classify / normalize (documents)
+        "lang_gate_counts": rel.lang_gate_counts,
+        "gate_verdicts": rel.gate_verdicts,
+        "dollar_filter": rel.dollar_filter,
+        "keyword_filter": rel.keyword_filter,
+        "money_normalize": rel.money_normalize,
+        "quality_scores": rel.quality_scores,
+        "langid": rel.langid,
+        "token_counts": rel.token_counts,
+        "fingerprints": rel.fingerprints,
+        "status_rollup": rel.status_rollup,
+        # events
+        "dedup_first_event": rel.dedup_first_event,
+        "event_counts": rel.event_counts,
+        # TPC-H-ish
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "topk_orders": rel.topk_orders,
+        "revenue_by_mktsegment": rel.revenue_by_mktsegment,
+        "customers_by_region": rel.customers_by_region,
+        "revenue_by_orderpriority": rel.revenue_by_orderpriority,
+        # dedup family
+        "exact_dedup": _q_exact_dedup,
+        "minhash_near_dup": _q_minhash,
+        "simhash_table": _q_simhash,
+        "simhash_near_dup": _q_simhash_near_dup,
+        # similarity search
+        "knn_cosine": _q_knn_cosine,
+        "knn_lsh": _q_knn_lsh,
+        # flagship extraction (pages corpus; no SQL oracle — rows-only)
+        "extract_stats": _q_extract_stats,
+        "extract_pages": _q_extract_pages,
+    }
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles — every SQL-expressible query above
+# ---------------------------------------------------------------------------
+
+_ALLOW = "('en','de','fr','es')"
+_DOLLAR_RE = r"\$\s*[0,]*([1-9](,?[0-9]){3,}|[2-9](,?[0-9]){2})"
+_KEYWORDS = (
+    "additional interest", "additional interests", "additional insured",
+    "additional insureds", "mortgagee", "mortgage holder", "mortgage holders",
+    "mortgagees", "loss payee", "loss payable", "lienholder", "lien holder",
+    "secured party", "secured parties",
+)
+_KW_PRED = " OR ".join(f"lower(t3) LIKE '%{k}%'" for k in _KEYWORDS)
+_SKIP_PRED = " OR ".join(
+    f"upper(t2) LIKE '%{p}%'"
+    for p in ("EXAMPLE", "CALCULATION", "HOW TO", "SAMPLE", "ILLUSTRATION")
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "lang_gate_counts": f"""
+            SELECT lang, COUNT(*) AS n_docs FROM documents
+            WHERE lang IN {_ALLOW} AND n_chars >= 10 GROUP BY lang
+        """,
+        "gate_verdicts": f"""
+            WITH s AS (
+              SELECT doc_id, lang, coalesce(text, '') AS t,
+                     substr(coalesce(text, ''), 1, 500) AS smp
+              FROM documents
+            ), c AS (
+              SELECT doc_id, lang,
+                length(regexp_replace(t, '^\\s+|\\s+$', '', 'g')) AS stripped_len,
+                greatest(length(smp), 1) AS n,
+                length(regexp_replace(smp, '\\s', '', 'g')) AS non_ws,
+                length(smp) - length(regexp_replace(smp, '[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')) AS nonprint,
+                length(smp) - length(regexp_replace(smp, '[A-Za-z]', '', 'g')) AS letters,
+                length(smp) - length(regexp_replace(smp, '[^\\x01-\\x7F\\p{{L}}\\p{{N}}]', '', 'g')) AS weird
+              FROM s
+            ), v AS (
+              SELECT doc_id,
+                CASE
+                  WHEN lang NOT IN {_ALLOW} THEN 'lang'
+                  WHEN stripped_len < 10 THEN 'too_short'
+                  WHEN non_ws * 100 < n * 10 THEN 'mostly_whitespace'
+                  WHEN nonprint * 100 > n * 30 THEN 'nonprintable'
+                  WHEN letters * 100 < n * 20 THEN 'low_ascii_letters'
+                  WHEN weird * 100 > n * 30 THEN 'weird_chars'
+                  ELSE ''
+                END AS reject_reason
+              FROM c
+            )
+            SELECT doc_id, (reject_reason = '') AS is_candidate, reject_reason FROM v
+        """,
+        "dollar_filter": f"""
+            WITH s AS (
+              SELECT doc_id, text || ' costs $' || CAST(n_chars AS VARCHAR) AS t2
+              FROM documents
+            )
+            SELECT doc_id,
+              (regexp_matches(t2, '{_DOLLAR_RE}') AND NOT ({_SKIP_PRED})) AS has_dollar
+            FROM s
+        """,
+        "keyword_filter": f"""
+            WITH s AS (
+              SELECT doc_id,
+                text || CASE WHEN doc_id % 5 = 0
+                             THEN ' the mortgage holder is listed' ELSE '' END AS t3
+              FROM documents
+            )
+            SELECT doc_id, ({_KW_PRED}) AS has_keyword FROM s
+        """,
+        "money_normalize": """
+            WITH r AS (
+              SELECT doc_id,
+                CASE doc_id % 7
+                  WHEN 0 THEN '$1,320,000'
+                  WHEN 1 THEN 'Included'
+                  WHEN 2 THEN '1%'
+                  WHEN 3 THEN 'Inside $10,000 / Outside $10,000'
+                  WHEN 4 THEN ''
+                  WHEN 5 THEN 'N/A'
+                  ELSE '$' || CAST(n_chars AS VARCHAR)
+                END AS raw
+              FROM documents
+            ), n AS (
+              SELECT doc_id, raw,
+                     regexp_replace(raw, '^\\s+|\\s+$', '', 'g') AS trimmed
+              FROM r
+            )
+            SELECT doc_id, raw,
+              CASE
+                WHEN trimmed = '' THEN NULL
+                WHEN lower(trimmed) = 'included' THEN 'Included'
+                WHEN right(trimmed, 1) = '%' THEN trimmed
+                WHEN lower(trimmed) LIKE '%inside%' OR lower(trimmed) LIKE '%outside%' THEN trimmed
+                ELSE nullif(regexp_replace(trimmed, '[^0-9]', '', 'g'), '')
+              END AS norm
+            FROM n
+        """,
+        "quality_scores": """
+            WITH s AS (SELECT doc_id, coalesce(text, '') AS t FROM documents)
+            SELECT doc_id,
+              length(t) AS n_chars,
+              len(regexp_extract_all(t, '\\S+')) AS n_tokens,
+              len(regexp_extract_all(t, '\\b(the|and|of|a|to)\\b')) AS stopword_hits,
+              len(regexp_extract_all(t, '[.,;:!?]')) AS n_punct,
+              (length(t) >= 50 AND len(regexp_extract_all(t, '\\S+')) >= 10
+               AND len(regexp_extract_all(t, '\\b(the|and|of|a|to)\\b')) >= 1) AS quality_ok
+            FROM s
+        """,
+        "langid": """
+            WITH c AS (
+              SELECT doc_id,
+                len(regexp_extract_all(coalesce(text,''), '\\b(the|and|of|to|is)\\b')) AS c_en,
+                len(regexp_extract_all(coalesce(text,''), '\\b(der|die|und|ist|nicht)\\b')) AS c_de,
+                len(regexp_extract_all(coalesce(text,''), '\\b(le|la|et|les|est)\\b')) AS c_fr,
+                len(regexp_extract_all(coalesce(text,''), '\\b(el|los|que|es|una)\\b')) AS c_es
+              FROM documents
+            )
+            SELECT doc_id,
+              CASE
+                WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+                WHEN c_de > 0 AND c_de >= c_fr AND c_de >= c_es THEN 'de'
+                WHEN c_fr > 0 AND c_fr >= c_es THEN 'fr'
+                WHEN c_es > 0 THEN 'es'
+                ELSE 'und'
+              END AS pred_lang
+            FROM c
+        """,
+        "token_counts": """
+            WITH s AS (SELECT doc_id, coalesce(text, '') AS t FROM documents)
+            SELECT doc_id,
+              len(regexp_extract_all(t, '\\S+')) AS n_ws_tokens,
+              len(regexp_extract_all(t, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+            FROM s
+        """,
+        "fingerprints": """
+            SELECT doc_id, md5(coalesce(text, '')) AS fingerprint FROM documents
+        """,
+        "status_rollup": """
+            SELECT CASE WHEN length(text) = n_chars THEN 'MATCH' ELSE 'MISMATCH' END AS status,
+                   COUNT(*) AS n
+            FROM documents GROUP BY 1
+        """,
+        "dedup_first_event": """
+            SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "event_counts": """
+            SELECT event_type,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_e4,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "revenue_by_mktsegment": """
+            SELECT c_mktsegment,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "customers_by_region": """
+            SELECT r_name, COUNT(*) AS n_customers,
+                   CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "revenue_by_orderpriority": """
+            SELECT o_orderpriority,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "exact_dedup": """
+            SELECT md5(coalesce(text, '')) AS fingerprint,
+                   MIN(doc_id) AS keep_doc_id,
+                   COUNT(*) AS n_copies
+            FROM documents GROUP BY md5(coalesce(text, ''))
+        """,
+        "knn_cosine": """
+            WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   ROUND(list_cosine_similarity(
+                     CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS sim
+            FROM embeddings e, q
+            ORDER BY sim DESC, e.vec_id
+            LIMIT 10
+        """,
+        # minhash_near_dup / simhash_table / simhash_near_dup / knn_lsh /
+        # extract_stats / extract_pages: not SQL-expressible (iterative /
+        # hash-algorithm-specific / pages corpus) → rows-only check.
+    }

@@ -1,0 +1,103 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID heuristic, quality scoring, token counting, fingerprinting.
+
+All vectorized over Arrow string columns (pyarrow.compute RE2 kernels);
+fingerprinting uses hashlib.md5 per row (a C call — the only per-row work,
+and deliberately the same algorithm as DuckDB's ``md5()`` so the driver's
+SQL oracle can verify it exactly).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# marker stop-words per language for the n-gram-free language-ID heuristic;
+# word-boundary regexes (RE2 \b — same semantics in DuckDB) so substrings
+# don't count.  Tie-break order = tuple order (en, de, fr, es).
+LANG_MARKERS: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("en", ("the", "and", "of", "to", "is")),
+    ("de", ("der", "die", "und", "ist", "nicht")),
+    ("fr", ("le", "la", "et", "les", "est")),
+    ("es", ("el", "los", "que", "es", "una")),
+)
+
+STOPWORDS_EN = ("the", "and", "of", "a", "to")
+
+WS_TOKEN_RE = r"\S+"
+# BPE-ish pre-tokenizer: letter runs | digit runs | single punctuation
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _marker_count(text, words: tuple[str, ...]):
+    total = None
+    for w in words:
+        c = pc.count_substring_regex(text, r"\b%s\b" % w)
+        total = c if total is None else pc.add(total, c)
+    return total
+
+
+def token_count_columns(text: pa.ChunkedArray | pa.Array) -> dict:
+    """n_ws_tokens (whitespace) and n_bpe_tokens (BPE-ish regex) columns."""
+    text = pc.coalesce(text, pa.scalar(""))
+    return {
+        "n_ws_tokens": pc.cast(pc.count_substring_regex(text, WS_TOKEN_RE), pa.int64()),
+        "n_bpe_tokens": pc.cast(pc.count_substring_regex(text, BPE_TOKEN_RE), pa.int64()),
+    }
+
+
+def quality_columns(text: pa.ChunkedArray | pa.Array) -> dict:
+    """Deterministic quality-scoring columns: length, token count, stopword
+    hits, punctuation count, and an integer quality flag.
+
+    quality_ok = len >= 50 AND n_tokens >= 10 AND stopword_hits >= 1
+    (cheap analogue of the reference's content_length>100 + expected-keyword
+    validation, qc_head.py:490-540).
+    """
+    text = pc.coalesce(text, pa.scalar(""))
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    n_tokens = pc.cast(pc.count_substring_regex(text, WS_TOKEN_RE), pa.int64())
+    stop_hits = pc.cast(_marker_count(text, STOPWORDS_EN), pa.int64())
+    n_punct = pc.cast(
+        pc.count_substring_regex(text, r"[.,;:!?]"), pa.int64()
+    )
+    ok = pc.and_(
+        pc.and_(pc.greater_equal(n_chars, 50), pc.greater_equal(n_tokens, 10)),
+        pc.greater_equal(stop_hits, 1),
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "stopword_hits": stop_hits,
+        "n_punct": n_punct,
+        "quality_ok": pc.cast(ok, pa.bool_()),
+    }
+
+
+def langid_column(text: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
+    """Predicted language by marker-word argmax; ties resolve in LANG_MARKERS
+    order; all-zero → 'und'.  Exactly expressible as a SQL CASE cascade."""
+    text = pc.coalesce(text, pa.scalar(""))
+    counts = [(lang, _marker_count(text, words)) for lang, words in LANG_MARKERS]
+    pred = pa.scalar("und")
+    # build the cascade back-to-front so earlier languages win ties
+    result = pc.if_else(pc.greater(counts[-1][1], 0), pa.scalar(counts[-1][0]), pred)
+    for i in range(len(counts) - 2, -1, -1):
+        lang, c = counts[i]
+        cond = pc.greater(c, 0)
+        for _, c2 in counts[i + 1:]:
+            cond = pc.and_(cond, pc.greater_equal(c, c2))
+        result = pc.if_else(cond, pa.scalar(lang), result)
+    return result
+
+
+def md5_fingerprint(text: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Hex MD5 per row — DuckDB ``md5(text)``-compatible content hash used
+    for exact dedup (J2 keep-first semantics at corpus scale)."""
+    vals = text.to_pylist() if not isinstance(text, list) else text
+    return pa.array(
+        [hashlib.md5((v or "").encode("utf-8")).hexdigest() for v in vals],
+        pa.string(),
+    )

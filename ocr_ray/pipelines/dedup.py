@@ -1,0 +1,310 @@
+"""Deduplication operators over a document corpus (training-data ops).
+
+All are Ray-Data-native restatements of the reference's keep-first dedup
+semantics (combine_extractions.py:45-53, SURVEY.md §2 J2) lifted to corpus
+scale:
+
+* exact dedup      — content-hash partition + per-group first
+* MinHash + LSH    — shingle → minhash sig → band/bucket groupby → verify
+* SimHash          — 64-bit weighted token hash + chunk-bucket candidates
+* n-gram Jaccard   — exact verification kernel used by both near-dup paths
+
+Shuffle story (100 TB): the ONLY wide ops are groupbys on short hash keys
+(content hash, (band, band_hash), simhash chunk) — never on raw text; text
+travels at most once per candidate *pair*, and signatures are computed
+embarrassingly parallel inside map_batches.  Partial aggregation (one
+signature row per doc) happens before any shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ocr_ray.functions.textstats import md5_fingerprint
+
+# MinHash parameters (fixed, seeded — deterministic across runs/processes)
+_MERSENNE = (1 << 61) - 1
+_N_PERM = 64
+_N_BANDS = 16          # 16 bands x 4 rows: ~0.8 jaccard threshold knee
+_ROWS_PER_BAND = _N_PERM // _N_BANDS
+_SHINGLE_W = 3         # word 3-grams
+
+_rng = np.random.RandomState(42)
+_A = _rng.randint(1, _MERSENNE, size=_N_PERM, dtype=np.uint64)
+_B = _rng.randint(0, _MERSENNE, size=_N_PERM, dtype=np.uint64)
+
+
+def shingle_hashes(text: str, w: int = _SHINGLE_W) -> np.ndarray:
+    """crc32 hashes of word w-grams (uint64, deduplicated)."""
+    words = text.lower().split()
+    if len(words) < w:
+        grams = [" ".join(words)] if words else []
+    else:
+        grams = [" ".join(words[i : i + w]) for i in range(len(words) - w + 1)]
+    if not grams:
+        return np.zeros(0, dtype=np.uint64)
+    return np.unique(
+        np.fromiter(
+            (zlib.crc32(g.encode("utf-8")) for g in grams), dtype=np.uint64, count=len(grams)
+        )
+    )
+
+
+def minhash_signature(text: str) -> np.ndarray:
+    """64-perm MinHash signature (uint64); empty text → all-max sentinel."""
+    h = shingle_hashes(text)
+    if h.size == 0:
+        return np.full(_N_PERM, np.uint64(_MERSENNE), dtype=np.uint64)
+    # (a*h + b) mod p for each permutation, vectorized: perms x shingles
+    vals = (_A[:, None] * h[None, :] + _B[:, None]) % np.uint64(_MERSENNE)
+    return vals.min(axis=1)
+
+
+def band_rows(doc_id: int, sig: np.ndarray) -> list[tuple[int, int, str]]:
+    """Explode one signature into (band_id, doc_id, band_hash) rows."""
+    out = []
+    for b in range(_N_BANDS):
+        chunk = sig[b * _ROWS_PER_BAND : (b + 1) * _ROWS_PER_BAND]
+        out.append((b, doc_id, hashlib.md5(chunk.tobytes()).hexdigest()[:16]))
+    return out
+
+
+def jaccard(text_a: str, text_b: str, w: int = _SHINGLE_W) -> float:
+    """Exact n-gram Jaccard (the verification kernel)."""
+    ha, hb = shingle_hashes(text_a, w), shingle_hashes(text_b, w)
+    if ha.size == 0 and hb.size == 0:
+        return 1.0
+    inter = np.intersect1d(ha, hb, assume_unique=True).size
+    union = ha.size + hb.size - inter
+    return inter / union if union else 0.0
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word tokens (md5-derived token hashes)."""
+    words = text.lower().split()
+    if not words:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for wd in set(words):
+        hv = int.from_bytes(hashlib.md5(wd.encode("utf-8")).digest()[:8], "little")
+        weight = words.count(wd)
+        bits = np.unpackbits(
+            np.frombuffer(hv.to_bytes(8, "little"), dtype=np.uint8), bitorder="little"
+        ).astype(np.int64)
+        acc += (bits * 2 - 1) * weight
+    out = np.packbits((acc > 0).astype(np.uint8), bitorder="little").tobytes()
+    return int.from_bytes(out, "little")
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+# ---------------------------------------------------------------------------
+# Dataset-level operators
+# ---------------------------------------------------------------------------
+
+def exact_dedup(ds, text_col: str = "text", key_col: str = "doc_id"):
+    """Hash-partition on content hash + per-group first (min key).
+
+    Returns one row per distinct content: (fingerprint, keep_<key>, n_copies).
+    The shuffle key is the 32-hex md5, never the text (J2 at scale).
+    """
+    def add_fp(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "fingerprint": md5_fingerprint(batch[text_col]),
+                key_col: batch[key_col],
+            }
+        )
+
+    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g[key_col].min()
+        return pd.DataFrame(
+            {
+                "fingerprint": [g["fingerprint"].iloc[0]],
+                "keep_" + key_col: [keep],
+                "n_copies": np.array([len(g)], dtype=np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(add_fp, batch_format="pyarrow")
+        .groupby("fingerprint")
+        .map_groups(first_per_group, batch_format="pandas")
+    )
+
+
+def minhash_near_dup(ds, text_col: str = "text", key_col: str = "doc_id",
+                     threshold: float = 0.8):
+    """MinHash+LSH near-duplicate detection.
+
+    map_batches (signatures, embarrassingly parallel)
+      → explode to (band_id, band_hash, doc_id) rows   [16 rows/doc]
+      → groupby (band_id, band_hash)                    [the only shuffle]
+      → candidate pairs within buckets
+      → exact Jaccard verify (broadcast text lookup — at 100 TB this
+        becomes a co-partitioned self-join on doc_id; the candidate set is
+        orders of magnitude smaller than the corpus)
+
+    Returns (doc_id, dup_of) rows: every doc that belongs to a verified
+    near-dup pair, pointing at the smallest doc_id of its group (keep-first).
+    """
+    import ray
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        bands: list[tuple[int, int, str]] = []
+        ids = batch[key_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        for did, txt in zip(ids, texts):
+            sig = minhash_signature(txt or "")
+            bands.extend(band_rows(did, sig))
+        return pa.table(
+            {
+                "band_id": pa.array([b[0] for b in bands], pa.int32()),
+                key_col: pa.array([b[1] for b in bands], pa.int64()),
+                "band_hash": pa.array([b[2] for b in bands], pa.string()),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g[key_col].tolist())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"id_a": np.array(a, dtype=np.int64),
+                             "id_b": np.array(b, dtype=np.int64)})
+
+    pairs = (
+        ds.map_batches(to_bands, batch_format="pyarrow")
+        .groupby(["band_id", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    pair_tbl = pairs.to_pandas()  # candidate pairs are small vs corpus
+    if len(pair_tbl) == 0:
+        return pa.table({key_col: pa.array([], pa.int64()),
+                         "dup_of": pa.array([], pa.int64())})
+    pair_tbl = pair_tbl.drop_duplicates(subset=["id_a", "id_b"])
+
+    # broadcast text lookup for the docs involved in any candidate pair
+    needed = sorted(set(pair_tbl["id_a"]).union(pair_tbl["id_b"]))
+    need_set = set(needed)
+
+    def keep_needed(batch: pa.Table) -> pa.Table:
+        mask = pa.array([i in need_set for i in batch[key_col].to_pylist()])
+        return batch.filter(mask).select([key_col, text_col])
+
+    texts = ds.map_batches(keep_needed, batch_format="pyarrow").to_pandas()
+    lookup = dict(zip(texts[key_col], texts[text_col]))
+
+    # verify + union-find on the (small) verified pair set
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for ia, ib in zip(pair_tbl["id_a"], pair_tbl["id_b"]):
+        if jaccard(lookup.get(ia, ""), lookup.get(ib, "")) >= threshold:
+            ra, rb = find(int(ia)), find(int(ib))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+    members = sorted(x for x in parent if find(x) != x or
+                     any(find(y) == x for y in parent if y != x))
+    rows = [(m, find(m)) for m in members]
+    return pa.table(
+        {
+            key_col: pa.array([r[0] for r in rows], pa.int64()),
+            "dup_of": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+def simhash_table(ds, text_col: str = "text", key_col: str = "doc_id"):
+    """(doc_id, simhash-hex) per row — per-batch stateless map."""
+    def add_sh(batch: pa.Table) -> pa.Table:
+        ids = batch[key_col]
+        hs = [format(simhash64(t or ""), "016x") for t in batch[text_col].to_pylist()]
+        return pa.table({key_col: ids, "simhash": pa.array(hs, pa.string())})
+
+    return ds.map_batches(add_sh, batch_format="pyarrow")
+
+
+def simhash_near_dup(ds, text_col: str = "text", key_col: str = "doc_id",
+                     max_hamming: int = 3):
+    """SimHash near-dup: bucket on each of four 16-bit chunks (a pair within
+    hamming<=3 of 64 bits shares at least one exact 16-bit chunk), verify
+    hamming distance within buckets.  Returns (doc_id, dup_of)."""
+    def to_chunks(batch: pa.Table) -> pa.Table:
+        ids, chunks, chunk_ids, sims = [], [], [], []
+        for did, txt in zip(batch[key_col].to_pylist(), batch[text_col].to_pylist()):
+            sh = simhash64(txt or "")
+            for c in range(4):
+                ids.append(did)
+                chunk_ids.append(c)
+                chunks.append((sh >> (16 * c)) & 0xFFFF)
+                sims.append(sh)
+        return pa.table({
+            key_col: pa.array(ids, pa.int64()),
+            "chunk_id": pa.array(chunk_ids, pa.int32()),
+            "chunk": pa.array(chunks, pa.int32()),
+            "sh": pa.array([format(s, "016x") for s in sims], pa.string()),
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = g.drop_duplicates(subset=[key_col]).sort_values(key_col)
+        ids = rows[key_col].tolist()
+        shs = [int(s, 16) for s in rows["sh"].tolist()]
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if hamming64(shs[i], shs[j]) <= max_hamming:
+                    a.append(ids[i]); b.append(ids[j])
+        return pd.DataFrame({"id_a": np.array(a, dtype=np.int64),
+                             "id_b": np.array(b, dtype=np.int64)})
+
+    pairs = (
+        ds.map_batches(to_chunks, batch_format="pyarrow")
+        .groupby(["chunk_id", "chunk"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(pairs) == 0:
+        return pa.table({key_col: pa.array([], pa.int64()),
+                         "dup_of": pa.array([], pa.int64())})
+    pairs = pairs.drop_duplicates(subset=["id_a", "id_b"])
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for ia, ib in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(int(ia)), find(int(ib))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members = sorted(parent)
+    rows = [(m, find(m)) for m in members if find(m) != m or
+            any(find(y) == m for y in parent if y != m)]
+    return pa.table(
+        {
+            key_col: pa.array([r[0] for r in rows], pa.int64()),
+            "dup_of": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )

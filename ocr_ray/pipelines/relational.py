@@ -1,0 +1,429 @@
+"""Driver-contract query implementations over /root/testdata tables.
+
+Each function takes ``sf_dir`` and returns a Dataset / pyarrow Table whose
+row set is verifiable against an ANSI-SQL oracle in DuckDB
+(__ray_entry__.oracle_sql).  Conventions for exact value-hash parity:
+
+* every double aggregate is integer-scaled (cents / 1e-4 units) BEFORE the
+  sum so distributed summation order cannot perturb low bits;
+* rounding uses half-away-from-zero to match DuckDB ``ROUND``;
+* computed columns share names between Ray and SQL.
+
+Scale discipline: ``columns=`` pushdown at every read; small sides are
+broadcast via ``ray.put`` (never shuffled); aggregations pre-combine inside
+``map_batches`` so the ``groupby`` only sees one row per key per batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from ocr_ray.config import DEFAULT_CONFIG
+from ocr_ray.functions import gates, textnorm, textstats
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _cents(x, scale: int = 100):
+    """double → integer units, half-away-from-zero like DuckDB ROUND
+    (Arrow calls this round mode 'half_towards_infinity')."""
+    return pc.cast(
+        pc.round(pc.multiply(x, scale), round_mode="half_towards_infinity"), pa.int64()
+    )
+
+
+# ---------------------------------------------------------------------------
+# gates / classify / normalize over documents
+# ---------------------------------------------------------------------------
+
+def lang_gate_counts(sf_dir: str):
+    """F-gate roll-up: candidate docs per allowed lang (lang, n_docs)."""
+    allow = pa.array(DEFAULT_CONFIG.lang_allowlist)
+
+    def gate(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_in(t["lang"], value_set=allow),
+            pc.greater_equal(t["n_chars"], DEFAULT_CONFIG.gate_min_text_length),
+        )
+        return t.filter(keep)
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"]).map_batches(
+        gate, batch_format="pyarrow"
+    )
+    from ray.data.aggregate import Count
+
+    return ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+
+def gate_verdicts(sf_dir: str):
+    """Full gibberish/lang gate verdict per document (E2 as data)."""
+
+    def verdict(t: pa.Table) -> pa.Table:
+        out = gates.pre_classify(t, DEFAULT_CONFIG)
+        return out.select(["doc_id", "is_candidate", "reject_reason"])
+
+    return _read(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
+        verdict, batch_format="pyarrow"
+    )
+
+
+def dollar_filter(sf_dir: str):
+    """Dollar-amount predicate (F1) with deterministic derived amounts:
+    text2 = text || ' costs $' || n_chars  → has_dollar per doc."""
+
+    def f(t: pa.Table) -> pa.Table:
+        text2 = pc.binary_join_element_wise(
+            t["text"],
+            pc.cast(t["n_chars"], pa.string()),
+            " costs $",
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "has_dollar": gates.dollar_page_mask(text2, DEFAULT_CONFIG),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text", "n_chars"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def keyword_filter(sf_dir: str):
+    """Keyword page predicate (F3) with deterministic injected keywords."""
+
+    def f(t: pa.Table) -> pa.Table:
+        # doc_id % 5 == 0 → append a keyword phrase (deterministic signal)
+        m5 = pc.equal(pc.subtract(t["doc_id"], pc.multiply(pc.divide(t["doc_id"], 5), 5)), 0)
+        suffix = pc.if_else(m5, pa.scalar(" the mortgage holder is listed"), pa.scalar(""))
+        text3 = pc.binary_join_element_wise(t["text"], suffix, "")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "has_keyword": gates.keyword_page_mask(text3, DEFAULT_CONFIG),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+_MONEY_FORMS = ("$1,320,000", "Included", "1%", "Inside $10,000 / Outside $10,000",
+                "", "N/A")
+
+
+def money_normalize(sf_dir: str):
+    """Money normalization (E4) over deterministic derived raw values:
+    raw = _MONEY_FORMS[doc_id % 7], or '$'||n_chars for doc_id%7==6."""
+
+    def f(t: pa.Table) -> pa.Table:
+        mod = pc.subtract(t["doc_id"], pc.multiply(pc.divide(t["doc_id"], 7), 7))
+        raw = pc.binary_join_element_wise("$", pc.cast(t["n_chars"], pa.string()), "")
+        for i in range(len(_MONEY_FORMS) - 1, -1, -1):
+            raw = pc.if_else(pc.equal(mod, i), pa.scalar(_MONEY_FORMS[i]), raw)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "raw": raw,
+                "norm": textnorm.normalize_money_array(raw),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def quality_scores(sf_dir: str):
+    def f(t: pa.Table) -> pa.Table:
+        cols = textstats.quality_columns(t["text"])
+        return pa.table({"doc_id": t["doc_id"], **cols})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def langid(sf_dir: str):
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"], "pred_lang": textstats.langid_column(t["text"])}
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def token_counts(sf_dir: str):
+    def f(t: pa.Table) -> pa.Table:
+        cols = textstats.token_count_columns(t["text"])
+        return pa.table({"doc_id": t["doc_id"], **cols})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def fingerprints(sf_dir: str):
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"], "fingerprint": textstats.md5_fingerprint(t["text"])}
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def status_rollup(sf_dir: str):
+    """H1/I2 analogue: MATCH/MISMATCH verdicts + groupby count."""
+
+    def f(t: pa.Table) -> pa.Table:
+        status = pc.if_else(
+            pc.equal(pc.cast(pc.utf8_length(t["text"]), pa.int64()), t["n_chars"]),
+            pa.scalar("MATCH"),
+            pa.scalar("MISMATCH"),
+        )
+        return pa.table({"status": status})
+
+    from ray.data.aggregate import Count
+
+    return (
+        _read(sf_dir, "documents", ["text", "n_chars"])
+        .map_batches(f, batch_format="pyarrow")
+        .groupby("status")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: keep-first dedup (J2), grouped counts (I2)
+# ---------------------------------------------------------------------------
+
+def dedup_first_event(sf_dir: str):
+    """Keep-first per (user_id, event_type) ordered by (ts, event_id)."""
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).head(1)
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(),
+                "event_type": g["event_type"].to_numpy(),
+                "first_event_id": g["event_id"].to_numpy(),
+                "first_ts": g["ts"].to_numpy(),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "event_type", "event_id", "ts"])
+        .groupby(["user_id", "event_type"])
+        .map_groups(first, batch_format="pandas")
+    )
+
+
+def event_counts(sf_dir: str):
+    """Grouped counts + integer-cent sums with per-batch pre-aggregation."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pa.table(
+            {"event_type": t["event_type"], "value_cents": _cents(t["value"])}
+        ).to_pandas()
+        g = df.groupby("event_type", as_index=False).agg(
+            value_cents=("value_cents", "sum"), n=("value_cents", "size")
+        )
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("value_cents", alias_name="value_cents"),
+                   Sum("n", alias_name="n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish: aggregate, top-k, broadcast joins
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape with integer-scaled measures and per-batch partials."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty = pc.cast(t["l_quantity"], pa.int64())
+        base = _cents(t["l_extendedprice"])
+        disc = _cents(
+            pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])), 10000
+        )
+        df = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": qty,
+                "sum_base_cents": base,
+                "sum_disc_e4": disc,
+            }
+        ).to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("sum_qty", "sum"),
+            sum_base_cents=("sum_base_cents", "sum"),
+            sum_disc_e4=("sum_disc_e4", "sum"),
+            n=("sum_qty", "size"),
+        )
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _read(sf_dir, "lineitem",
+              ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                   Sum("sum_base_cents", alias_name="sum_base_cents"),
+                   Sum("sum_disc_e4", alias_name="sum_disc_e4"),
+                   Sum("n", alias_name="n"))
+    )
+
+
+def topk_orders(sf_dir: str, k: int = 10):
+    """Top-k (J5 global analogue): sort + limit."""
+    return (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .sort(key=["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def revenue_by_mktsegment(sf_dir: str):
+    """Broadcast join (G2/G3 pattern): customer → segment shipped once via
+    ray.put; orders aggregated per segment with per-batch partials."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_map = dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
+    ref = ray.put(seg_map)
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        segs = [m.get(ck) for ck in t["o_custkey"].to_pylist()]
+        df = pa.table(
+            {
+                "c_mktsegment": pa.array(segs, pa.string()),
+                "revenue_cents": _cents(t["o_totalprice"]),
+            }
+        ).to_pandas()
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum"), n_orders=("revenue_cents", "size")
+        )
+        g["n_orders"] = g["n_orders"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"),
+                   Sum("n_orders", alias_name="n_orders"))
+    )
+
+
+def customers_by_region(sf_dir: str):
+    """Nested broadcast join chain (G4 analogue): nation→region dims
+    broadcast, customer fact aggregated per region name."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    rmap = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    nmap = {
+        nk: rmap[rk]
+        for nk, rk in zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist())
+    }
+    ref = ray.put(nmap)
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        names = [m.get(nk) for nk in t["c_nationkey"].to_pylist()]
+        df = pa.table(
+            {
+                "r_name": pa.array(names, pa.string()),
+                "acctbal_cents": _cents(t["c_acctbal"]),
+            }
+        ).to_pandas()
+        g = df.groupby("r_name", as_index=False).agg(
+            n_customers=("acctbal_cents", "size"), acctbal_cents=("acctbal_cents", "sum")
+        )
+        g["n_customers"] = g["n_customers"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Sum("n_customers", alias_name="n_customers"),
+                   Sum("acctbal_cents", alias_name="acctbal_cents"))
+    )
+
+
+def revenue_by_orderpriority(sf_dir: str):
+    """Fact-to-fact join restated as broadcast map (lineitem × orders):
+    the orders→priority map is broadcast (small at test scale; at corpus
+    scale this becomes a co-partitioned hash join on l_orderkey)."""
+    import pyarrow.parquet as pq
+
+    orders = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderpriority"]
+    )
+    omap = dict(zip(orders["o_orderkey"].to_pylist(), orders["o_orderpriority"].to_pylist()))
+    ref = ray.put(omap)
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        prio = [m.get(ok) for ok in t["l_orderkey"].to_pylist()]
+        df = pa.table(
+            {
+                "o_orderpriority": pa.array(prio, pa.string()),
+                "revenue_e4": _cents(
+                    pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])),
+                    10000,
+                ),
+            }
+        ).to_pandas()
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            revenue_e4=("revenue_e4", "sum"), n_items=("revenue_e4", "size")
+        )
+        g["n_items"] = g["n_items"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"),
+                   Sum("n_items", alias_name="n_items"))
+    )

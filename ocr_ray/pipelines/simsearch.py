@@ -1,0 +1,125 @@
+"""Similarity search over an embedding column (list<float>).
+
+* :func:`knn_cosine` — brute-force cosine top-k: numpy matmul per batch
+  against a broadcast query matrix (ray.put once, read per actor — never
+  re-shipped per batch), per-batch partial top-k, tiny final reduce.
+* :func:`knn_lsh`   — LSH-bucketed scale path: seeded random hyperplanes,
+  sign-bit bucket, search only the query's bucket (approximate).
+
+Float discipline: similarities are computed in float64 from the stored
+float32 values and rounded to 6 decimals so results are stable across
+summation orders / engines (the DuckDB oracle computes the same rounded
+value with list_cosine_similarity).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _to_matrix(col: pa.ChunkedArray) -> np.ndarray:
+    """list<float> column → (n, d) float64 matrix (zero-ish copy)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def _cosine(mat: np.ndarray, q: np.ndarray) -> np.ndarray:
+    qn = q / np.linalg.norm(q)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return (mat @ qn) / norms
+
+
+def knn_cosine(ds, query_vec, k: int = 10,
+               vec_col: str = "embedding", key_col: str = "vec_id"):
+    """Brute-force cosine top-k; returns a pyarrow Table
+    (key_col, sim) with sim rounded to 6 dp, ordered by (-sim, key)."""
+    import ray
+
+    q_ref = ray.put(np.asarray(query_vec, dtype=np.float64))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        mat = _to_matrix(batch[vec_col])
+        sims = np.round(_cosine(mat, q), 6)
+        ids = batch[key_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sims))[:k]
+        return pa.table(
+            {
+                key_col: pa.array(ids[order], pa.int64()),
+                "sim": pa.array(sims[order], pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    partials = partials.sort_values(["sim", key_col], ascending=[False, True]).head(k)
+    return pa.table(
+        {
+            key_col: pa.array(partials[key_col].to_numpy(), pa.int64()),
+            "sim": pa.array(partials["sim"].to_numpy(), pa.float64()),
+        }
+    )
+
+
+_LSH_BITS = 8
+_lsh_rng = np.random.RandomState(7)
+_LSH_PLANES: dict[int, np.ndarray] = {}
+
+
+def _planes(dim: int) -> np.ndarray:
+    if dim not in _LSH_PLANES:
+        _LSH_PLANES[dim] = np.random.RandomState(7).standard_normal((_LSH_BITS, dim))
+    return _LSH_PLANES[dim]
+
+
+def lsh_bucket(mat: np.ndarray) -> np.ndarray:
+    """Sign-bit bucket id per row (uint16)."""
+    planes = _planes(mat.shape[1])
+    bits = (mat @ planes.T) > 0
+    return (bits @ (1 << np.arange(_LSH_BITS))).astype(np.int32)
+
+
+def knn_lsh(ds, query_vec, k: int = 10,
+            vec_col: str = "embedding", key_col: str = "vec_id"):
+    """Approximate top-k: filter to the query's LSH bucket inside
+    map_batches (no shuffle at all), then brute-force within the bucket.
+    At 100 TB the bucket column becomes the partition key so only one
+    partition is read per query."""
+    import ray
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    q_bucket = int(lsh_bucket(q.reshape(1, -1))[0])
+    q_ref = ray.put(q)
+
+    def bucket_topk(batch: pa.Table) -> pa.Table:
+        mat = _to_matrix(batch[vec_col])
+        if mat.shape[0] == 0:
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        mask = lsh_bucket(mat) == q_bucket
+        if not mask.any():
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        sub = mat[mask]
+        ids = batch[key_col].to_numpy(zero_copy_only=False)[mask]
+        sims = np.round(_cosine(sub, ray.get(q_ref)), 6)
+        order = np.lexsort((ids, -sims))[:k]
+        return pa.table(
+            {
+                key_col: pa.array(ids[order], pa.int64()),
+                "sim": pa.array(sims[order], pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(bucket_topk, batch_format="pyarrow").to_pandas()
+    partials = partials.sort_values(["sim", key_col], ascending=[False, True]).head(k)
+    return pa.table(
+        {
+            key_col: pa.array(partials[key_col].to_numpy(), pa.int64()),
+            "sim": pa.array(partials["sim"].to_numpy(), pa.float64()),
+        }
+    )
