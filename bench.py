@@ -1,0 +1,116 @@
+"""Benchmark harness — prints ONE JSON line on stdout.
+
+Headline: the flagship extraction pipeline (gates → dual-engine extract →
+url-hash partitioned checkpoint write) over a deterministic pages corpus
+derived from $GRAFT_SF_DIR/documents.parquet (replicated GRAFT_BENCH_REPS
+times with distinct urls — default 8).  Also times a representative query
+per operator family.
+
+Env:
+  GRAFT_SF_DIR      input scale dir     (default /root/testdata/sf0.1)
+  RAY_GRAFT_CPUS    ray.init num_cpus   (default 32)
+  GRAFT_BENCH_REPS  corpus replication  (default 8)
+
+``bench.py --scaling`` runs the plain bench twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both throughputs
+plus scaling efficiency (the in-sandbox evidence for the N→4N cluster
+criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPS = int(os.environ.get("GRAFT_BENCH_REPS", "24"))
+
+
+def _scaling() -> None:
+    out = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                           capture_output=True, text=True, check=True)
+        res = json.loads(r.stdout.strip().splitlines()[-1])
+        out[f"sec_{ncpu}"] = res["value"]
+        out[f"docs_per_sec_{ncpu}"] = res["docs_per_sec"]
+        out[f"mb_per_sec_{ncpu}"] = res["mb_per_sec"]
+    # efficiency: fraction of the ideal 4x speedup achieved from 8→32 cpus
+    out["scaling_efficiency"] = round((out["sec_8"] / out["sec_32"]) / (32 / 8), 3)
+    out["sf_dir"] = SF_DIR
+    print(json.dumps(out))
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        _scaling()
+        return
+
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from ocr_ray.pipelines.extract import run_extraction_sharded
+    from ocr_ray.sources.synth import materialize_pages_parquet
+    import __ray_entry__ as entrymod
+
+    tag = os.path.basename(os.path.normpath(SF_DIR))
+    pages_dir = materialize_pages_parquet(
+        SF_DIR, f"/tmp/ocr_ray_bench_{tag}_r{REPS}", rows_per_file=512, reps=REPS
+    )
+    # warm-up (untimed): page cache + Ray worker pool + one full pipeline
+    # execution, so the timed run measures compute + I/O, not process spawn
+    rd.read_parquet(pages_dir).count()
+    out_dir = f"/tmp/ocr_ray_bench_out_{tag}_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    run_extraction_sharded(pages_dir, out_dir, resume=False)
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.monotonic()
+    summary = run_extraction_sharded(pages_dir, out_dir, resume=False)
+    headline = time.monotonic() - t0
+
+    queries = {}
+    q = entrymod.queries()
+    for name in ("q1_pricing_summary", "dedup_first_event", "event_counts",
+                 "exact_dedup", "minhash_near_dup", "knn_cosine",
+                 "gate_verdicts", "token_counts"):
+        t0 = time.monotonic()
+        res = q[name](SF_DIR)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        queries[name] = round(time.monotonic() - t0, 3)
+
+    ray.shutdown()
+
+    docs = summary["rows_in"]
+    mb = summary["bytes_in"] / 1e6
+    print(json.dumps({
+        "metric": "end_to_end_extraction_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "docs": docs,
+        "docs_per_sec": round(docs / headline, 1),
+        "mb_per_sec": round(mb / headline, 2),
+        "reps": REPS,
+    }))
+
+
+if __name__ == "__main__":
+    main()

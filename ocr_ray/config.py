@@ -89,9 +89,15 @@ class PipelineConfig:
     pdf_column_gap: float = 40.0            # x gap between column clusters
 
     # ---- execution knobs ----
-    batch_size_gates: int = 1024            # vectorized stage, cheap per row
-    batch_size_extract: int = 64            # heavy per-doc stage, multi-KB html
-    extract_concurrency: tuple[int, int] = (2, 8)   # actor pool min/max
+    # NOTE: gate and extract map_batches fuse into one actor-pool operator;
+    # the FIRST stage's batch_size sets the task granularity, so both are
+    # kept equal — small enough that tasks >> actors (no starvation), large
+    # enough that the vectorized kernels amortize their launch cost.
+    batch_size_gates: int = 256             # vectorized stage, cheap per row
+    batch_size_extract: int = 256           # heavy per-doc stage, multi-KB html
+    # actor pool min/max; None → size to the Ray cluster at pipeline build
+    # time ((2, num_cpus - 2), leaving headroom for read + write stages)
+    extract_concurrency: tuple[int, int] | None = None
     num_output_partitions: int = 16         # url-hash partitions (checkpoint unit)
 
     # keyword / skip constants (tuples so the dataclass stays hashable)

@@ -65,12 +65,18 @@ def extraction_dataset(
         batch_format="pyarrow",
         batch_size=cfg.batch_size_gates,
     )
+    concurrency = cfg.extract_concurrency
+    if concurrency is None:
+        # fixed-size pool: autoscaling from a small min ramps too slowly and
+        # starves the stage on short runs; leave 2 CPUs for read/write stages
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = max(2, ncpu - 2)
     return ds.map_batches(
         Extractor,
         fn_constructor_args=(cfg,),
         batch_format="pyarrow",
         batch_size=cfg.batch_size_extract,
-        concurrency=cfg.extract_concurrency,
+        concurrency=concurrency,
     )
 
 
@@ -136,4 +142,112 @@ def run_extraction(
         _part_writer(out_dir), batch_format="pyarrow"
     )
     manifests.materialize()  # manifests are tiny (one row per partition)
+    return mf.summarize(out_dir)
+
+
+# ---------------------------------------------------------------------------
+# Shard-aligned (shuffle-free) checkpointed runner — the 100 TB path
+# ---------------------------------------------------------------------------
+
+class _ShardProcessor:
+    """Actor: processes whole input shards (one parquet file → one output
+    partition), writing each atomically with its manifest.
+
+    This is the scale path prescribed by the design brief ("one output
+    directory per input shard"): output partitioning is ALIGNED WITH INPUT
+    SHARDS, so there is no all-to-all exchange anywhere — every byte moves
+    storage → worker → storage exactly once, and resume skips whole shards.
+    The url-hash groupby path (run_extraction) remains for downstream
+    consumers that need url co-location.
+    """
+
+    def __init__(self, cfg: PipelineConfig, out_dir: str) -> None:
+        self.cfg = cfg
+        self.out_dir = out_dir
+        self.extractor = Extractor(cfg)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        rows = []
+        for shard_id, path in zip(batch["shard_id"].to_pylist(),
+                                  batch["path"].to_pylist()):
+            rows.append(self._process_shard(int(shard_id), path))
+        return pa.table({k: [r[k] for r in rows] for k in rows[0]})
+
+    def _process_shard(self, shard_id: int, path: str) -> dict:
+        import pyarrow.parquet as pq
+
+        t0 = time.monotonic()
+        cfg = self.cfg
+        table = pq.read_table(path)
+        part = pa.array([shard_id] * len(table), pa.int32())
+        table = table.append_column("part_id", part)
+        outs = []
+        bs = cfg.batch_size_extract
+        for i in range(0, max(1, len(table)), bs):
+            sub = table.slice(i, bs)
+            if len(sub) == 0:
+                continue
+            outs.append(self.extractor(pre_classify(sub, cfg)))
+        group = pa.concat_tables(outs) if outs else self.extractor(
+            pre_classify(table.slice(0, 0), cfg))
+        idx = pc.sort_indices(
+            group, sort_keys=[("url", "ascending"), ("warc_ts", "ascending")]
+        )
+        group = group.take(idx)
+        status = group["parse_status"]
+        n_out = pc.sum(pc.cast(
+            pc.is_in(status, value_set=pa.array(["ok", "fallback"])), pa.int64()
+        )).as_py() or 0
+        n_rej = pc.sum(pc.cast(pc.equal(status, "rejected"), pa.int64())).as_py() or 0
+        n_err = pc.sum(pc.cast(pc.equal(status, "error"), pa.int64())).as_py() or 0
+        b_in = pc.sum(group["bytes_in"]).as_py() or 0
+        b_out = pc.sum(group["bytes_out"]).as_py() or 0
+        man = {
+            "part_id": shard_id,
+            "rows_in": len(group),
+            "rows_out": int(n_out),
+            "rows_rejected": int(n_rej),
+            "parse_failures": int(n_err),
+            "bytes_in": int(b_in),
+            "bytes_out": int(b_out),
+            "bytes_stripped": int(b_in - b_out),
+            "wall_ms": int((time.monotonic() - t0) * 1000),
+        }
+        mf.write_partition(self.out_dir, shard_id, group, man)
+        return man
+
+
+def run_extraction_sharded(
+    input_dir: str,
+    out_dir: str,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    resume: bool = True,
+) -> dict:
+    """Shuffle-free end-to-end run: shard-aligned partitions + manifests.
+
+    Input shards (parquet files, sorted lexicographically) map 1:1 to
+    output partitions; completed shards are skipped on resume.
+    """
+    import glob
+    import os
+
+    files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+    done = mf.completed_parts(out_dir) if resume else set()
+    todo = [(i, f) for i, f in enumerate(files) if i not in done]
+    if not todo:
+        return mf.summarize(out_dir)
+    work = ray.data.from_items(
+        [{"shard_id": i, "path": f} for i, f in todo]
+    )
+
+    # plain task pool, not actors: the processor's only state is the config
+    # (cheap to build per task), and stateless tasks reuse Ray's prestarted
+    # workers with elastic scheduling — no pool ramp-up on short runs.
+    def process(batch: pa.Table) -> pa.Table:
+        return _ShardProcessor(cfg, out_dir)(batch)
+
+    manifests = work.map_batches(process, batch_format="pyarrow", batch_size=1)
+    manifests.materialize()
     return mf.summarize(out_dir)

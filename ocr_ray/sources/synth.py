@@ -109,8 +109,11 @@ def _raw_text_layer(text: str, doc_id: int) -> str:
     return "".join(out).strip()
 
 
-def pages_from_documents(sf_dir: str) -> pa.Table:
-    """documents.parquet → pages table (url, warc_ts, html, text, lang)."""
+def pages_from_documents(sf_dir: str, reps: int = 1) -> pa.Table:
+    """documents.parquet → pages table (url, warc_ts, html, text, lang).
+
+    ``reps`` replicates the corpus with distinct urls (?rep=N) to scale the
+    benchmark load deterministically without external data."""
     docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
     doc_ids = docs["doc_id"].to_pylist()
     texts = docs["text"].to_pylist()
@@ -118,25 +121,28 @@ def pages_from_documents(sf_dir: str) -> pa.Table:
     sources = docs["source"].to_pylist()
 
     urls, tss, htmls, raws, out_langs = [], [], [], [], []
-    for doc_id, text, lang, source in zip(doc_ids, texts, langs, sources):
-        url = f"https://{source}.example.org/doc/{doc_id}"
-        ts = _EPOCH + _dt.timedelta(seconds=int(doc_id))
-        if doc_id % 10 == 0:
-            url += ".pdf"
-            html = make_charbox(doc_id, text, two_column=(doc_id % 20 == 0))
-        else:
-            html = make_html(doc_id, text)
-        urls.append(url)
-        tss.append(ts)
-        htmls.append(html)
-        raws.append(_raw_text_layer(text, doc_id))
-        out_langs.append(lang)
-        if doc_id % 23 == 0:  # duplicate url, later warc_ts (keep-first dedup)
+    for rep in range(reps):
+        suffix = "" if rep == 0 else f"?rep={rep}"
+        for doc_id, text, lang, source in zip(doc_ids, texts, langs, sources):
+            url = f"https://{source}.example.org/doc/{doc_id}"
+            ts = _EPOCH + _dt.timedelta(seconds=int(doc_id), days=rep)
+            if doc_id % 10 == 0:
+                url += ".pdf"
+                html = make_charbox(doc_id, text, two_column=(doc_id % 20 == 0))
+            else:
+                html = make_html(doc_id, text)
+            url += suffix
             urls.append(url)
-            tss.append(ts + _dt.timedelta(hours=1))
+            tss.append(ts)
             htmls.append(html)
             raws.append(_raw_text_layer(text, doc_id))
             out_langs.append(lang)
+            if doc_id % 23 == 0:  # duplicate url, later warc_ts (keep-first dedup)
+                urls.append(url)
+                tss.append(ts + _dt.timedelta(hours=1))
+                htmls.append(html)
+                raws.append(_raw_text_layer(text, doc_id))
+                out_langs.append(lang)
 
     return pa.table(
         {
@@ -150,7 +156,8 @@ def pages_from_documents(sf_dir: str) -> pa.Table:
     )
 
 
-def materialize_pages_parquet(sf_dir: str, out_dir: str, rows_per_file: int = 8192) -> str:
+def materialize_pages_parquet(sf_dir: str, out_dir: str, rows_per_file: int = 8192,
+                              reps: int = 1) -> str:
     """Write the derived pages table to ``out_dir`` (cached by marker file).
 
     Multiple files so ray.data can parallelize the read.  Returns out_dir.
@@ -159,7 +166,7 @@ def materialize_pages_parquet(sf_dir: str, out_dir: str, rows_per_file: int = 81
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
-    table = pages_from_documents(sf_dir)
+    table = pages_from_documents(sf_dir, reps=reps)
     nfiles = max(1, (len(table) + rows_per_file - 1) // rows_per_file)
     for i in range(nfiles):
         pq.write_table(

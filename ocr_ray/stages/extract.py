@@ -128,9 +128,6 @@ class Extractor:
         html_bin = batch["html"].combine_chunks() if isinstance(batch["html"], pa.ChunkedArray) else batch["html"]
         html_str = decode_html(html_bin)
 
-        # engine 2 for every row — vectorized, cheap
-        e2_text = tagstrip_array(html_str)
-
         # engine 1 per row (per-document parse)
         payloads = html_bin.to_pylist()
         strs = html_str.to_pylist()
@@ -143,10 +140,23 @@ class Extractor:
             e1_engine.append(eng)
             e1_ok.append(ok)
 
-        # vectorized gibberish verdicts for the vote
+        # vectorized gibberish verdict on engine-1 output (the vote)
         e1_text = pa.array([r["extracted_text"] for r in e1_results], pa.string())
         e1_bad = self._bad_mask(e1_text, pa.array(e1_ok, pa.bool_()))
-        e2_bad = self._bad_mask(e2_text, None)
+        e1_bad_l = e1_bad.to_pylist()
+
+        # engine 2 LAZILY: tag-strip only the rows engine 1 lost (usually a
+        # tiny fraction — the whole-column strip would dominate the stage)
+        fb_idx = [i for i in range(n)
+                  if e1_bad_l[i] and e1_engine[i] != "pdf"]
+        e2_l: dict[int, str] = {}
+        e2_bad_l: dict[int, bool] = {}
+        if fb_idx:
+            sub = tagstrip_array(pa.array([strs[i] or "" for i in fb_idx], pa.string()))
+            sub_bad = self._bad_mask(sub, None).to_pylist()
+            for j, i in enumerate(fb_idx):
+                e2_l[i] = sub[j].as_py()
+                e2_bad_l[i] = sub_bad[j]
 
         raw_text = batch["text"]
         out_text: list[str] = []
@@ -154,9 +164,6 @@ class Extractor:
         out_blocks: list[int] = []
         out_engine: list[str] = []
         out_status: list[str] = []
-        e1_bad_l = e1_bad.to_pylist()
-        e2_bad_l = e2_bad.to_pylist()
-        e2_l = e2_text.to_pylist()
         raw_l = raw_text.to_pylist()
         for i in range(n):
             if not e1_bad_l[i]:
@@ -166,7 +173,7 @@ class Extractor:
                 out_blocks.append(r["n_blocks"])
                 out_engine.append(e1_engine[i])
                 out_status.append("ok")
-            elif e1_engine[i] != "pdf" and not e2_bad_l[i]:
+            elif i in e2_l and not e2_bad_l[i]:
                 t = e2_l[i]
                 out_text.append(t)
                 out_spans.append([{"start": 0, "end": len(t), "kind": "text"}])
