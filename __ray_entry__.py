@@ -154,8 +154,83 @@ def _q_knn_lsh(sf_dir: str):
     return knn_lsh(ds, _query_vec(sf_dir), k=10)
 
 
+def _q_qc_rollup(sf_dir: str):
+    """QC verdicts (extracted vs raw text) + recomputed status counts."""
+    from ocr_ray.stages.qc import qc_pages_rollup
+
+    return qc_pages_rollup(_pages_dir(sf_dir))
+
+
+def _q_filter_stats(sf_dir: str):
+    from ocr_ray.pipelines.filter_blocks import filter_stats
+
+    return filter_stats(_pages_dir(sf_dir))
+
+
+def _q_section_windows(sf_dir: str):
+    from ocr_ray.pipelines.filter_blocks import section_windows
+
+    return section_windows(_pages_dir(sf_dir)).drop_columns(["window_blocks"])
+
+
+def _q_media_features(sf_dir: str):
+    """Multimodal plumbing demo: html payloads as the opaque media column."""
+    import ray.data as rd
+
+    from ocr_ray.stages.multimodal import media_features
+
+    ds = rd.read_parquet(_pages_dir(sf_dir), columns=["url", "html"])
+    return media_features(ds, media_col="html", id_col="url")
+
+
+def _q_embedding_near_dup(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.pipelines.simsearch import embedding_near_dup
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return embedding_near_dup(ds, threshold=0.35)
+
+
+def _q_entity_match(sf_dir: str):
+    """Fuzzy entity-name matching (H3) over deterministic derived pairs."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.functions.textnorm import is_name_variation
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        a, b, match = [], [], []
+        for did, txt in zip(ids, texts):
+            base = "".join(ch for ch in (txt or "")[:16].upper() if ch.isalpha())
+            n1 = f"{base} HOLDINGS LLC"
+            if did % 3 == 0:
+                n2 = n1.replace("O", "0") + ""          # OCR confusion variant
+            elif did % 3 == 1:
+                n2 = f"{base} HOLDINGS INC"             # suffix variation
+            else:
+                n2 = f"ZZQ {base[::-1]} GROUP"          # different entity
+            a.append(n1)
+            b.append(n2)
+            match.append(is_name_variation(n1, n2))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "name_a": pa.array(a, pa.string()),
+            "name_b": pa.array(b, pa.string()),
+            "is_variation": pa.array(match, pa.bool_()),
+        })
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ocr_ray.pipelines import relational as rel
+    from ocr_ray.pipelines import windows as win
 
     return {
         # gates / classify / normalize (documents)
@@ -169,9 +244,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": rel.token_counts,
         "fingerprints": rel.fingerprints,
         "status_rollup": rel.status_rollup,
-        # events
+        # events (incl. stream-shaped windows)
         "dedup_first_event": rel.dedup_first_event,
         "event_counts": rel.event_counts,
+        "tumbling_hour_counts": win.tumbling_hour_counts,
+        "session_windows": win.session_windows,
         # TPC-H-ish
         "q1_pricing_summary": rel.q1_pricing_summary,
         "topk_orders": rel.topk_orders,
@@ -186,9 +263,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_cosine": _q_knn_cosine,
         "knn_lsh": _q_knn_lsh,
+        "embedding_near_dup": _q_embedding_near_dup,
+        # entity matching (H3)
+        "entity_match": _q_entity_match,
         # flagship extraction (pages corpus; no SQL oracle — rows-only)
         "extract_stats": _q_extract_stats,
         "extract_pages": _q_extract_pages,
+        "qc_rollup": _q_qc_rollup,
+        "filter_stats": _q_filter_stats,
+        "section_windows": _q_section_windows,
+        "media_features": _q_media_features,
     }
 
 
@@ -390,6 +474,43 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id) AS keep_doc_id,
                    COUNT(*) AS n_copies
             FROM documents GROUP BY md5(coalesce(text, ''))
+        """,
+        "tumbling_hour_counts": """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "session_windows": """
+            WITH e AS (
+              SELECT user_id, event_id, ts,
+                     CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+                     CASE WHEN ts - lag(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+              FROM events
+            ), s AS (
+              SELECT user_id, ts, value_cents,
+                     CAST(SUM(brk) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM e
+            )
+            SELECT user_id, session_id,
+                   MIN(ts) AS session_start,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(value_cents) AS BIGINT) AS value_cents
+            FROM s GROUP BY user_id, session_id
+        """,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(
+                     CAST(a.embedding AS DOUBLE[]),
+                     CAST(b.embedding AS DOUBLE[])), 6) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE ROUND(list_cosine_similarity(
+                     CAST(a.embedding AS DOUBLE[]),
+                     CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
         """,
         "knn_cosine": """
             WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)

@@ -123,3 +123,44 @@ def knn_lsh(ds, query_vec, k: int = 10,
             "sim": pa.array(partials["sim"].to_numpy(), pa.float64()),
         }
     )
+
+
+def embedding_near_dup(ds, threshold: float = 0.35,
+                       vec_col: str = "embedding", key_col: str = "vec_id"):
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥
+    threshold, sim rounded to 6 dp).
+
+    The full (normalized) matrix is broadcast once via ray.put and each
+    batch matmuls against it — exact, SQL-verifiable.  At corpus scale the
+    broadcast side is replaced by LSH-bucket co-partitioning (knn_lsh's
+    bucket column as the groupby key); this exact path is the oracle-
+    checkable baseline.
+    """
+    import ray
+
+    full = ds.to_pandas()
+    ids_all = full[key_col].to_numpy().astype(np.int64)
+    mat_all = np.stack(full[vec_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat_all, axis=1)
+    norms[norms == 0] = 1.0
+    mat_all = mat_all / norms[:, None]
+    ref = ray.put((ids_all, mat_all))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_a, mat = ray.get(ref)
+        sub = _to_matrix(batch[vec_col])
+        n = np.linalg.norm(sub, axis=1)
+        n[n == 0] = 1.0
+        sub = sub / n[:, None]
+        ids_b = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = np.round(sub @ mat.T, 6)
+        bi, ai = np.nonzero((sims >= threshold) & (ids_b[:, None] < ids_a[None, :]))
+        return pa.table(
+            {
+                "id_a": pa.array(ids_b[bi], pa.int64()),
+                "id_b": pa.array(ids_a[ai], pa.int64()),
+                "sim": pa.array(sims[bi, ai], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow")

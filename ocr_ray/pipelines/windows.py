@@ -1,0 +1,109 @@
+"""Stream-shaped operators over the events log (TESTDATA events table).
+
+Ray Data has no event-time windowing; per the public guidance the input is
+treated as a partitioned ordered log: tumbling windows become a vectorized
+truncate + groupby, session windows become per-key ``map_groups`` over the
+ts-sorted group (ordering assumption: (ts, event_id) is a total order per
+key — stated here and used identically in the SQL oracle).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+
+def _cents(x):
+    return pc.cast(
+        pc.round(pc.multiply(x, 100), round_mode="half_towards_infinity"), pa.int64()
+    )
+
+
+def tumbling_hour_counts(sf_dir: str):
+    """Tumbling 1-hour windows per event_type: n + value_cents.
+
+    window_start = ts truncated to the hour (vectorized); aggregation is
+    pre-combined per batch before the (event_type, window_start) groupby.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pa.table(
+            {
+                "event_type": t["event_type"],
+                "window_start": pc.floor_temporal(t["ts"], unit="hour"),
+                "value_cents": _cents(t["value"]),
+            }
+        ).to_pandas()
+        g = df.groupby(["event_type", "window_start"], as_index=False).agg(
+            n=("value_cents", "size"), value_cents=("value_cents", "sum")
+        )
+        g["n"] = g["n"].astype("int64")
+        out = pa.Table.from_pandas(g, preserve_index=False)
+        # pin timestamp[us] (pandas round-trips can downcast to [s])
+        i = out.column_names.index("window_start")
+        return out.set_column(
+            i, "window_start", out["window_start"].cast(pa.timestamp("us"))
+        )
+
+    from ray.data.aggregate import Sum
+
+    def fix_ts(t: pa.Table) -> pa.Table:
+        # Ray's aggregate round-trips keys through pandas and can downcast
+        # timestamp[us] to [s]; pin the contract type on the way out
+        i = t.column_names.index("window_start")
+        return t.set_column(i, "window_start", t["window_start"].cast(pa.timestamp("us")))
+
+    return (
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                        columns=["event_type", "ts", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("n", alias_name="n"), Sum("value_cents", alias_name="value_cents"))
+        .map_batches(fix_ts, batch_format="pyarrow")
+    )
+
+
+SESSION_GAP_MIN = 30
+
+
+def session_windows(sf_dir: str):
+    """Session windows per user (gap > 30 min splits), sorted by
+    (ts, event_id) within each user — n_events + value_cents + session_start
+    per (user_id, session_id)."""
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
+        g = g.assign(session_id=gap.cumsum().astype("int64"))
+        out = g.groupby("session_id", as_index=False).agg(
+            session_start=("ts", "min"),
+            n_events=("event_id", "size"),
+            value_cents=("value_cents", "sum"),
+        )
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "value_cents": _cents(t["value"]),
+            }
+        )
+
+    return (
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                        columns=["user_id", "event_id", "ts", "value"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+    )

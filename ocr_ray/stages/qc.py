@@ -56,7 +56,9 @@ def qc_verdict_batch(batch: pa.Table) -> pa.Table:
 
 
 def qc_rollup(ds):
-    """Recomputed status counts (H4): groupby(qc_status).count()."""
+    """Recomputed status counts (H4): groupby(qc_status).count().
+
+    ``ds`` must carry both extracted_text and text columns."""
     from ray.data.aggregate import Count
 
     return (
@@ -64,3 +66,24 @@ def qc_rollup(ds):
         .groupby("qc_status")
         .aggregate(Count(alias_name="n"))
     )
+
+
+def qc_pages_rollup(pages_dir: str, cfg=None):
+    """End-to-end QC over a pages corpus: extract (order-preserving, no
+    gate split so rows stay aligned with the input batch), compare the
+    engine output against the raw ``text`` layer, recount statuses."""
+    import ray.data as rd
+
+    from ocr_ray.config import DEFAULT_CONFIG
+    from ocr_ray.stages.extract import Extractor
+
+    cfg = cfg or DEFAULT_CONFIG
+
+    def extract_with_raw(batch: pa.Table) -> pa.Table:
+        out = Extractor(cfg)(batch)  # no gate columns → order preserved
+        return out.append_column("text", batch["text"])
+
+    ds = rd.read_parquet(pages_dir).map_batches(
+        extract_with_raw, batch_format="pyarrow", batch_size=cfg.batch_size_extract
+    )
+    return qc_rollup(ds)

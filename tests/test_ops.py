@@ -1,0 +1,113 @@
+"""Tests for the wider operator surface: QC verdicts, windows, dedup
+kernels, similarity search, multimodal stub plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ocr_ray.pipelines.dedup import (
+    hamming64,
+    jaccard,
+    minhash_signature,
+    simhash64,
+)
+from ocr_ray.stages.multimodal import MEDIA_FEATURES_SCHEMA, MediaFeatureExtractor
+from ocr_ray.stages.qc import qc_verdict_batch
+
+
+def test_qc_verdicts():
+    t = pa.table({
+        "extracted_text": ["the quick brown fox", "alpha beta gamma", "", "words here"],
+        "text": ["the quick brown fox jumps", "unrelated totally different thing", "raw", ""],
+    })
+    out = qc_verdict_batch(t)
+    assert out["qc_status"].to_pylist() == ["MATCH", "MISMATCH", "NOT_FOUND", "NOT_FOUND"]
+    assert out["overlap_pct"].to_pylist()[0] == 100
+
+
+def test_minhash_similarity_monotone():
+    a = "the quick brown fox jumps over the lazy dog " * 10
+    b = a.replace("lazy", "sleepy")
+    c = "completely different words entirely unrelated content " * 10
+    sa, sb, sc = minhash_signature(a), minhash_signature(b), minhash_signature(c)
+    sim_ab = (sa == sb).mean()
+    sim_ac = (sa == sc).mean()
+    # true jaccard(a,b) ≈ 0.5 (one word changed in a repeated sentence);
+    # the 64-perm estimate should land near it and far above jaccard(a,c)=0
+    assert abs(sim_ab - jaccard(a, b)) < 0.2
+    assert sim_ab > 0.3 > sim_ac
+    # deterministic across calls
+    assert (minhash_signature(a) == sa).all()
+
+
+def test_jaccard_kernel():
+    assert jaccard("a b c d e", "a b c d e") == 1.0
+    assert jaccard("a b c d e", "v w x y z") == 0.0
+    assert jaccard("", "") == 1.0
+
+
+def test_simhash_locality():
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = a + " extra"
+    c = "totally different content with other words " * 5
+    ha, hb, hc = simhash64(a), simhash64(b), simhash64(c)
+    assert hamming64(ha, hb) < hamming64(ha, hc)
+    assert simhash64(a) == ha  # deterministic
+
+
+def test_media_stub_plumbing():
+    t = pa.table({
+        "media_id": ["a", "b", "c"],
+        "media": pa.array([b"payload-one", b"", None], pa.binary()),
+    })
+    out = MediaFeatureExtractor()(t)
+    assert out.schema.equals(MEDIA_FEATURES_SCHEMA)
+    assert out["decode_status"].to_pylist() == ["ok", "empty", "empty"]
+    assert out["n_bytes"].to_pylist()[0] == len(b"payload-one")
+    # deterministic fake dimensions
+    out2 = MediaFeatureExtractor()(t)
+    assert out["width"].to_pylist() == out2["width"].to_pylist()
+
+
+def test_media_real_codec_gated():
+    t = pa.table({"media_id": ["a"], "media": pa.array([b"x"], pa.binary())})
+    with pytest.raises(NotImplementedError):
+        MediaFeatureExtractor(use_real_codec=True)(t)
+
+
+def test_session_window_logic(ray_session):
+    from ocr_ray.pipelines.windows import session_windows
+
+    out = session_windows("/root/testdata/sf0.001").to_pandas()
+    assert (out["n_events"] >= 1).all()
+    # sessions of one user are disjoint and ordered
+    one = out[out["user_id"] == out["user_id"].iloc[0]].sort_values("session_id")
+    assert one["session_start"].is_monotonic_increasing
+
+
+def test_knn_contains_query_itself(ray_session):
+    import ray.data as rd
+
+    from ocr_ray.pipelines.simsearch import knn_cosine
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    q = t["embedding"][t["vec_id"].to_pylist().index(0)].as_py()
+    top = knn_cosine(ds, q, k=5)
+    assert top["vec_id"].to_pylist()[0] == 0
+    assert top["sim"].to_pylist()[0] == 1.0
+
+
+def test_filter_blocks_stats(ray_session):
+    from ocr_ray.pipelines.filter_blocks import filter_stats
+    from ocr_ray.sources.synth import materialize_pages_parquet
+
+    p = materialize_pages_parquet("/root/testdata/sf0.001", "/tmp/pages_ops_t", rows_per_file=256)
+    out = filter_stats(p).to_pandas()
+    assert len(out) == 522
+    hit = out[out["n_dollar_blocks"] > 0]
+    assert len(hit) > 0            # table rows with $ amounts exist (doc_id%7)
+    assert (out["n_kept_blocks"] <= out["n_blocks"]).all()
+    assert (out["reduction_pct"] >= 0).all()
