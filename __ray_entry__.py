@@ -255,6 +255,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_mktsegment": rel.revenue_by_mktsegment,
         "customers_by_region": rel.customers_by_region,
         "revenue_by_orderpriority": rel.revenue_by_orderpriority,
+        "hash_join_revenue": rel.hash_join_revenue,
+        "field_extraction": rel.field_extraction,
+        "dynamic_keyword_filter": rel.dynamic_keyword_filter,
         # dedup family
         "exact_dedup": _q_exact_dedup,
         "minhash_near_dup": _q_minhash,
@@ -468,6 +471,53 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
+        """,
+        "hash_join_revenue": """
+            SELECT o_orderpriority,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "field_extraction": r"""
+            WITH s AS (
+              SELECT doc_id, text || CASE doc_id % 4
+                  WHEN 0 THEN ' contact bob@example.com or (555) 123-4567 on 12/31/2024'
+                  WHEN 1 THEN ' see https://example.org/page?id=77 on 2024-01-15 [X] done'
+                  WHEN 2 THEN ' price $1,234.56 marked'
+                  ELSE '' END AS t4
+              FROM documents
+            ), e AS (
+              SELECT doc_id, t4,
+                nullif(regexp_extract(t4, '\$\s*[0-9][0-9,]*(?:\.[0-9]{2})?'), '') AS fd
+              FROM s
+            )
+            SELECT doc_id,
+              CASE WHEN fd IS NOT NULL AND
+                        regexp_replace(regexp_replace(fd, '[^0-9]', '', 'g'), '0', '', 'g') = ''
+                   THEN '$0' ELSE fd END AS first_dollar,
+              nullif(regexp_extract(t4, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'), '') AS first_email,
+              nullif(regexp_extract(t4, '\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}'), '') AS first_phone,
+              nullif(regexp_extract(t4, '[0-9]{1,2}/[0-9]{1,2}/[0-9]{4}'), '') AS first_date_us,
+              nullif(regexp_extract(t4, '[0-9]{4}-[0-9]{2}-[0-9]{2}'), '') AS first_date_iso,
+              nullif(regexp_extract(t4, 'https?://[^\s<>"]+'), '') AS first_url,
+              len(regexp_extract_all(t4, '\$\s*[0-9][0-9,]*(?:\.[0-9]{2})?')) AS n_dollars,
+              len(regexp_extract_all(t4, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+              len(regexp_extract_all(t4, '\[[Xx✓√]\]')) AS n_checkboxes
+            FROM e
+        """,
+        "dynamic_keyword_filter": """
+            WITH kws AS (
+              SELECT DISTINCT lower(u.w) AS w
+              FROM part, unnest(string_split(p_type, ' ')) AS u(w)
+              WHERE p_size > 40
+            ), s AS (
+              SELECT d.doc_id, lower(d.text) || ' ' || lower(p.p_type) AS t5
+              FROM documents d JOIN part p ON p.p_partkey = (d.doc_id % 200) + 1
+            )
+            SELECT doc_id,
+                   EXISTS (SELECT 1 FROM kws WHERE s.t5 LIKE '%' || kws.w || '%') AS has_keyword
+            FROM s
         """,
         "exact_dedup": """
             SELECT md5(coalesce(text, '')) AS fingerprint,

@@ -427,3 +427,101 @@ def revenue_by_orderpriority(sf_dir: str):
         .aggregate(Sum("revenue_e4", alias_name="revenue_e4"),
                    Sum("n_items", alias_name="n_items"))
     )
+
+
+_FIELD_SNIPPETS = (
+    " contact bob@example.com or (555) 123-4567 on 12/31/2024",
+    " see https://example.org/page?id=77 on 2024-01-15 [X] done",
+    " price $1,234.56 marked",
+    "",
+)
+
+
+def field_extraction(sf_dir: str):
+    """Structured-field regex extractor (B7 analogue) over deterministic
+    derived text: text4 = text || _FIELD_SNIPPETS[doc_id % 4]."""
+    from ocr_ray.functions.fields import extract_fields
+
+    def f(t: pa.Table) -> pa.Table:
+        mod = pc.subtract(t["doc_id"], pc.multiply(pc.divide(t["doc_id"], 4), 4))
+        suffix = pa.nulls(len(t), pa.string())
+        for i in range(3, -1, -1):
+            suffix = pc.if_else(pc.equal(mod, i), pa.scalar(_FIELD_SNIPPETS[i]), suffix)
+        text4 = pc.binary_join_element_wise(t["text"], suffix, "")
+        return extract_fields(
+            pa.table({"doc_id": t["doc_id"], "text": text4}))
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def dynamic_keyword_filter(sf_dir: str):
+    """F4 analogue — keywords DERIVED from an upstream table (p_type words
+    of small parts), broadcast once via ray.put, substring-matched against
+    text5 = text || ' ' || lower(p_type of part (doc_id % 200) + 1)."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_type", "p_size"])
+    kws = sorted({
+        w
+        for ptype, size in zip(part["p_type"].to_pylist(), part["p_size"].to_pylist())
+        if size > 40
+        for w in ptype.lower().split()
+    })
+    pmap = dict(zip(part["p_partkey"].to_pylist(),
+                    [s.lower() for s in part["p_type"].to_pylist()]))
+    ref = ray.put((kws, pmap))
+
+    def f(t: pa.Table) -> pa.Table:
+        keywords, m = ray.get(ref)
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        hits = []
+        for did, txt in zip(ids, texts):
+            t5 = (txt or "").lower() + " " + m[(did % 200) + 1]
+            hits.append(any(k in t5 for k in keywords))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "has_keyword": pa.array(hits, pa.bool_()),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def hash_join_revenue(sf_dir: str):
+    """Large-large shuffle join via Dataset.join (hash-partitioned on the
+    key — the non-broadcast path for when neither side fits in memory),
+    then the usual integer-scaled rollup per o_orderpriority."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = li.join(orders, join_type="inner", num_partitions=16,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "revenue_e4": _cents(
+                    pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])),
+                    10000,
+                ),
+            }
+        ).to_pandas()
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            revenue_e4=("revenue_e4", "sum"), n_items=("revenue_e4", "size")
+        )
+        g["n_items"] = g["n_items"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"),
+                   Sum("n_items", alias_name="n_items"))
+    )

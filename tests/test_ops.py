@@ -111,3 +111,26 @@ def test_filter_blocks_stats(ray_session):
     assert len(hit) > 0            # table rows with $ amounts exist (doc_id%7)
     assert (out["n_kept_blocks"] <= out["n_blocks"]).all()
     assert (out["reduction_pct"] >= 0).all()
+
+
+def test_field_extraction_kernel():
+    import pyarrow as pa
+
+    from ocr_ray.functions.fields import extract_fields
+
+    t = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "reach me at jo.doe@corp.io or (555) 123-4567 by 12/31/2024 for $1,234.56",
+            "checklist [X] then [x] see https://a.example/x?q=1 on 2024-02-29",
+            "nothing here but $0.00 and $",
+        ],
+    })
+    out = extract_fields(t)
+    assert out["first_email"].to_pylist() == ["jo.doe@corp.io", None, None]
+    assert out["first_phone"].to_pylist()[0] == "(555) 123-4567"
+    assert out["first_date_us"].to_pylist()[0] == "12/31/2024"
+    assert out["first_date_iso"].to_pylist()[1] == "2024-02-29"
+    assert out["first_url"].to_pylist()[1] == "https://a.example/x?q=1"
+    assert out["first_dollar"].to_pylist() == ["$1,234.56", None, "$0"]  # E8 cleanup
+    assert out["n_checkboxes"].to_pylist() == [0, 2, 0]
