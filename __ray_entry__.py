@@ -228,6 +228,47 @@ def _q_entity_match(sf_dir: str):
         f, batch_format="pyarrow")
 
 
+def _q_dual_engine_compare(sf_dir: str):
+    """G1 analogue — both engines run on every page, outputs compared
+    side-by-side (the page-aligned dual-source combine as columns)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.stages.extract import decode_html
+    from ocr_ray.stages.html_extract import extract_html
+    from ocr_ray.stages.pdf_layout import is_pdf_payload
+    from ocr_ray.stages.tagstrip import tagstrip_array
+
+    def f(t: pa.Table) -> pa.Table:
+        html_bin = t["html"].combine_chunks() if isinstance(t["html"], pa.ChunkedArray) else t["html"]
+        strs = decode_html(html_bin)
+        strip = tagstrip_array(strs).to_pylist()
+        payloads = html_bin.to_pylist()
+        strs_l = strs.to_pylist()
+        dom_len, strip_len, agree = [], [], []
+        for s, p, st in zip(strs_l, payloads, strip):
+            if p is not None and is_pdf_payload(p):
+                dom_text = ""  # pdf payloads have no DOM side
+            else:
+                try:
+                    dom_text = extract_html(s or "")["extracted_text"]
+                except Exception:
+                    dom_text = ""
+            dom_len.append(len(dom_text))
+            strip_len.append(len(st or ""))
+            td, ts_ = set(dom_text.lower().split()), set((st or "").lower().split())
+            agree.append(0 if not td else len(td & ts_) * 100 // len(td))
+        return pa.table({
+            "url": t["url"],
+            "dom_len": pa.array(dom_len, pa.int64()),
+            "strip_len": pa.array(strip_len, pa.int64()),
+            "token_agree_pct": pa.array(agree, pa.int64()),
+        })
+
+    return rd.read_parquet(_pages_dir(sf_dir), columns=["url", "html"]).map_batches(
+        f, batch_format="pyarrow", batch_size=256)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ocr_ray.pipelines import relational as rel
     from ocr_ray.pipelines import windows as win
@@ -258,6 +299,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join_revenue": rel.hash_join_revenue,
         "field_extraction": rel.field_extraction,
         "dynamic_keyword_filter": rel.dynamic_keyword_filter,
+        "coverage_classify": rel.coverage_classify,
+        "url_canonicalize": rel.url_canonicalize,
+        "dual_engine_compare": _q_dual_engine_compare,
         # dedup family
         "exact_dedup": _q_exact_dedup,
         "minhash_near_dup": _q_minhash,
@@ -296,6 +340,24 @@ _SKIP_PRED = " OR ".join(
     f"upper(t2) LIKE '%{p}%'"
     for p in ("EXAMPLE", "CALCULATION", "HOW TO", "SAMPLE", "ILLUSTRATION")
 )
+
+
+def _coverage_classify_sql() -> str:
+    from ocr_ray.functions.classify import classify_case_sql
+    from ocr_ray.pipelines.relational import _COVERAGE_NAME_POOL
+
+    arms = " ".join(
+        f"WHEN {i} THEN '{n}'" for i, n in enumerate(_COVERAGE_NAME_POOL)
+    )
+    return f"""
+        WITH s AS (
+          SELECT doc_id, CASE doc_id % 10 {arms} END AS coverage_name
+          FROM documents
+        ), n AS (
+          SELECT doc_id, coverage_name, lower(trim(coverage_name)) AS nm FROM s
+        )
+        SELECT doc_id, coverage_name, {classify_case_sql('nm')} AS family FROM n
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -518,6 +580,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    EXISTS (SELECT 1 FROM kws WHERE s.t5 LIKE '%' || kws.w || '%') AS has_keyword
             FROM s
+        """,
+        "coverage_classify": _coverage_classify_sql(),
+        "url_canonicalize": """
+            WITH s AS (
+              SELECT doc_id,
+                'HTTPS://Example.ORG/Path' || CAST(doc_id AS VARCHAR) ||
+                CASE doc_id % 3 WHEN 0 THEN '?id=7#frag'
+                                WHEN 1 THEN '/' ELSE '?id=7' END AS u
+              FROM documents
+            ), f AS (
+              SELECT doc_id, u, regexp_replace(u, '#.*', '') AS s1 FROM s
+            )
+            SELECT doc_id, u AS raw_url,
+              regexp_replace(
+                lower(coalesce(regexp_extract(s1, '^[^/]*//[^/]*'), '')) ||
+                regexp_replace(s1, '^[^/]*//[^/]*', ''),
+                '/$', '') AS canon_url
+            FROM f
         """,
         "exact_dedup": """
             SELECT md5(coalesce(text, '')) AS fingerprint,

@@ -525,3 +525,66 @@ def hash_join_revenue(sf_dir: str):
         .aggregate(Sum("revenue_e4", alias_name="revenue_e4"),
                    Sum("n_items", alias_name="n_items"))
     )
+
+
+_COVERAGE_NAME_POOL = (
+    "Building #1",
+    "Building incl Pumps and Canopy",
+    "Business Personal Property",
+    "BPP",
+    "BPP Off Premises Extension",
+    "Money & Securities",
+    "Money and Securities - Counterfeit",
+    "Business Income with Extra Expense",
+    "Wind & Hail Deductible",
+    "Employee Dishonesty",
+)
+
+
+def coverage_classify(sf_dir: str):
+    """E1 rule-table classifier over deterministic derived names:
+    name = _COVERAGE_NAME_POOL[doc_id % 10]."""
+    from ocr_ray.functions.classify import classify_name
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        names = [_COVERAGE_NAME_POOL[d % len(_COVERAGE_NAME_POOL)] for d in ids]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "coverage_name": pa.array(names, pa.string()),
+            "family": pa.array([classify_name(n) for n in names], pa.string()),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def url_canonicalize(sf_dir: str):
+    """E7 analogue — canonical url derivation: strip fragment, lowercase
+    scheme+host, strip one trailing slash; over deterministic derived urls."""
+
+    def f(t: pa.Table) -> pa.Table:
+        mod = pc.subtract(t["doc_id"], pc.multiply(pc.divide(t["doc_id"], 3), 3))
+        tail = pc.if_else(pc.equal(mod, 0), pa.scalar("?id=7#frag"),
+               pc.if_else(pc.equal(mod, 1), pa.scalar("/"), pa.scalar("?id=7")))
+        u = pc.binary_join_element_wise(
+            pc.binary_join_element_wise(
+                "HTTPS://Example.ORG/Path", pc.cast(t["doc_id"], pa.string()), ""),
+            tail, "")
+        s1 = pc.replace_substring_regex(u, r"#.*", "")
+        schemehost = pc.struct_field(
+            pc.extract_regex(s1, r"(?P<m>^[^/]*//[^/]*)"), "m")
+        rest = pc.replace_substring_regex(s1, r"^[^/]*//[^/]*", "")
+        s2 = pc.binary_join_element_wise(
+            pc.utf8_lower(pc.coalesce(schemehost, pa.scalar(""))), rest, "")
+        canon = pc.replace_substring_regex(s2, r"/$", "")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "raw_url": u,
+            "canon_url": canon,
+        })
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        f, batch_format="pyarrow"
+    )

@@ -134,3 +134,18 @@ def test_field_extraction_kernel():
     assert out["first_url"].to_pylist()[1] == "https://a.example/x?q=1"
     assert out["first_dollar"].to_pylist() == ["$1,234.56", None, "$0"]  # E8 cleanup
     assert out["n_checkboxes"].to_pylist() == [0, 2, 0]
+
+
+def test_coverage_classifier_rules():
+    from ocr_ray.functions.classify import classify_name
+
+    assert classify_name("Building #1") == "building"
+    assert classify_name("Building incl Pumps and Canopy") == "other"   # combined label excluded
+    assert classify_name("Business Personal Property") == "bpp"
+    assert classify_name("BPP") == "bpp"
+    assert classify_name("BPP Off Premises Extension") == "other"        # extension excluded
+    assert classify_name("Money & Securities") == "money_securities"
+    assert classify_name("Money and Securities - Counterfeit") == "other"
+    assert classify_name("Business Income with Extra Expense") == "business_income"
+    assert classify_name("Wind & Hail Deductible") == "other"
+    assert classify_name(None) == "other"
