@@ -33,8 +33,11 @@ REPS = int(os.environ.get("GRAFT_BENCH_REPS", "24"))
 
 def _scaling() -> None:
     out = {}
+    # a larger corpus for the scaling measurement so fixed per-run overhead
+    # (session + pipeline setup, ~1s) doesn't dominate the 32-cpu wall time
+    reps = os.environ.get("GRAFT_BENCH_REPS", "48")
     for ncpu in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_REPS=reps)
         r = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                            capture_output=True, text=True, check=True)
         res = json.loads(r.stdout.strip().splitlines()[-1])
