@@ -32,11 +32,19 @@ REPS = int(os.environ.get("GRAFT_BENCH_REPS", "24"))
 
 
 def _scaling() -> None:
+    """Two N→4N pairs, fresh process per level, same input.
+
+    (8, 32) uses the WHOLE machine at the high level, so it conflates
+    framework scaling with hardware frequency/memory throttling under full
+    load (measured ~1.26x per-core slowdown at 32-way on this box — real
+    clusters don't throttle across nodes).  (4, 16) leaves headroom at both
+    levels and is the cleaner analogue of adding nodes.  Both are reported.
+    """
     out = {}
     # a larger corpus for the scaling measurement so fixed per-run overhead
-    # (session + pipeline setup, ~1s) doesn't dominate the 32-cpu wall time
+    # (session + pipeline setup, ~1s) doesn't dominate the high-cpu wall time
     reps = os.environ.get("GRAFT_BENCH_REPS", "48")
-    for ncpu in (8, 32):
+    for ncpu in (4, 8, 16, 32):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_REPS=reps)
         r = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                            capture_output=True, text=True, check=True)
@@ -44,8 +52,9 @@ def _scaling() -> None:
         out[f"sec_{ncpu}"] = res["value"]
         out[f"docs_per_sec_{ncpu}"] = res["docs_per_sec"]
         out[f"mb_per_sec_{ncpu}"] = res["mb_per_sec"]
-    # efficiency: fraction of the ideal 4x speedup achieved from 8→32 cpus
-    out["scaling_efficiency"] = round((out["sec_8"] / out["sec_32"]) / (32 / 8), 3)
+    # efficiency: fraction of the ideal 4x speedup achieved at each pair
+    out["scaling_efficiency"] = round((out["sec_8"] / out["sec_32"]) / 4, 3)
+    out["scaling_efficiency_4_16"] = round((out["sec_4"] / out["sec_16"]) / 4, 3)
     out["sf_dir"] = SF_DIR
     print(json.dumps(out))
 

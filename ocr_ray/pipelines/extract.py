@@ -165,6 +165,11 @@ class _ShardProcessor:
         self.cfg = cfg
         self.out_dir = out_dir
         self.extractor = Extractor(cfg)
+        # a 1-CPU task must use 1 CPU: pyarrow's internal pools default to
+        # the MACHINE's core count inside every worker, which silently
+        # oversubscribes the node (and fakes scaling numbers)
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
@@ -180,7 +185,7 @@ class _ShardProcessor:
 
         t0 = time.monotonic()
         cfg = self.cfg
-        table = pq.read_table(path)
+        table = pq.read_table(path, use_threads=False)
         part = pa.array([shard_id] * len(table), pa.int32())
         table = table.append_column("part_id", part)
         outs = []
@@ -238,16 +243,34 @@ def run_extraction_sharded(
     todo = [(i, f) for i, f in enumerate(files) if i not in done]
     if not todo:
         return mf.summarize(out_dir)
-    work = ray.data.from_items(
-        [{"shard_id": i, "path": f} for i, f in todo]
-    )
 
-    # plain task pool, not actors: the processor's only state is the config
-    # (cheap to build per task), and stateless tasks reuse Ray's prestarted
-    # workers with elastic scheduling — no pool ramp-up on short runs.
-    def process(batch: pa.Table) -> pa.Table:
-        return _ShardProcessor(cfg, out_dir)(batch)
+    # Raw Ray tasks, deliberately: the unit of work here is "process one
+    # shard and write it atomically with its manifest" — a side-effecting
+    # job the Dataset API can only wrap at ~2x measured overhead.  A
+    # bounded sliding window keeps at most 4x cluster-CPU tasks in flight
+    # so a 10^8-shard corpus never floods the scheduler.
+    @ray.remote(num_cpus=1)
+    def process_shard(shard_id: int, path: str) -> dict:
+        return _ShardProcessor(cfg, out_dir)._process_shard(shard_id, path)
 
-    manifests = work.map_batches(process, batch_format="pyarrow", batch_size=1)
-    manifests.materialize()
+    window = max(8, int(ray.cluster_resources().get("CPU", 8)) * 4)
+    pending: list = []
+    it = iter(todo)
+    exhausted = False
+    while pending or not exhausted:
+        while not exhausted and len(pending) < window:
+            try:
+                i, f = next(it)
+            except StopIteration:
+                exhausted = True
+                break
+            pending.append(process_shard.remote(i, f))
+        if pending:
+            # drain everything already finished in one call — a wait per
+            # completion caps the driver loop at ~100 tasks/s
+            ready, pending = ray.wait(
+                pending, num_returns=len(pending), timeout=0.05
+            )
+            if ready:
+                ray.get(ready)  # surface task errors (retries exhausted)
     return mf.summarize(out_dir)

@@ -8,17 +8,21 @@ serialized char-box list (FIXTURES.md §3):
 
     {"pages": [{"chars": [{"c":"A","x":72.0,"y":700.2,"w":6.1,"h":10.0}, …]}]}
 
-Algorithm (all coordinates are scaled to int decipoints on load, so every
-comparison is integer and bit-deterministic):
+Algorithm (coordinates scaled to int decipoints on load; clustering is
+numpy over the whole page, one python unpack pass per char):
 
-  1. per page, sort chars by (-y, x, c) and greedily cluster into LINES
-     (|y - line_y| <= line_tol);
-  2. cluster lines into COLUMNS by x-interval overlap; columns separated by
-     >= column_gap read left column first (two-column detection);
-  3. within a column, consecutive lines with y-gap > block_gap start a new
-     BLOCK; within a line, x-gap > space_gap inserts one space;
-  4. page-number/footer strip: a short final all-digit line is dropped;
-  5. pages concatenate in order; blocks join with cfg.block_join, spans are
+  1. COLUMNS: chars sorted by x0; a horizontal gap >= column_gap between
+     the running max x1 and the next x0 starts a new column (two-column
+     detection).  Columns read left → right.
+  2. LINES within a column: chars sorted by descending y; a vertical gap
+     > line_tol between consecutive distinct y levels starts a new line
+     (gap rule — equivalent to greedy base clustering whenever lines are
+     separated by more than the tolerance, which any real layout is).
+     Within a line chars sort by (x, -y, char).
+  3. BLOCKS: consecutive lines with y-gap > block_gap split; within a line
+     an x-gap > space_gap inserts one space.
+  4. footer strip: a short bottom line that is a bare page number drops;
+  5. pages concatenate; blocks join with cfg.block_join, spans are
      (start, end, 'text') into the joined text.
 """
 
@@ -26,6 +30,8 @@ from __future__ import annotations
 
 import json
 import re
+
+import numpy as np
 
 from ocr_ray.config import DEFAULT_CONFIG, PipelineConfig
 
@@ -38,99 +44,95 @@ def is_pdf_payload(payload: bytes) -> bool:
     return payload.lstrip()[:8] == PDF_MAGIC
 
 
-def _scale(v: float) -> int:
-    """decipoint int — deterministic rounding (round-half-away handled by
-    python round on .5 banker's — avoid by +0.5 floor on magnitude)."""
-    return int(v * 10 + (0.5 if v >= 0 else -0.5))
+def _scale_arr(v: np.ndarray) -> np.ndarray:
+    """decipoint ints, round-half-away-from-zero (deterministic)."""
+    return np.where(v >= 0, v * 10 + 0.5, v * 10 - 0.5).astype(np.int64)
 
 
-def _cluster_lines(chars: list[dict], cfg: PipelineConfig) -> list[dict]:
-    """chars → [{y, x0, x1, text}] lines (unordered across columns yet)."""
-    tol = _scale(cfg.pdf_line_tol)
-    boxes = sorted(
-        (
-            (-_scale(ch["y"]), _scale(ch["x"]), _scale(ch.get("w", 5.0)), str(ch["c"]))
-            for ch in chars
-        ),
-    )
-    lines: list[list[tuple[int, int, int, str]]] = []
-    cur: list[tuple[int, int, int, str]] = []
-    cur_y = None
-    for negy, x, w, c in boxes:
-        if cur_y is None or abs(negy - cur_y) <= tol:
-            cur.append((negy, x, w, c))
-            if cur_y is None:
-                cur_y = negy
-        else:
-            lines.append(cur)
-            cur = [(negy, x, w, c)]
-            cur_y = negy
-    if cur:
-        lines.append(cur)
+def _page_lines(chars: list[dict], cfg: PipelineConfig) -> list[dict]:
+    """chars → line dicts {y, x0, text} in reading order (cols l→r)."""
+    n = len(chars)
+    if n == 0:
+        return []
+    xs = np.empty(n)
+    ys = np.empty(n)
+    ws = np.empty(n)
+    txt: list[str] = [""] * n
+    for i, ch in enumerate(chars):  # the one per-char python pass
+        xs[i] = ch["x"]
+        ys[i] = ch["y"]
+        ws[i] = ch.get("w", 5.0)
+        txt[i] = str(ch["c"])
+    xi = _scale_arr(xs)
+    yi = _scale_arr(ys)
+    wi = _scale_arr(ws)
+    x1 = xi + wi
 
-    out = []
-    space_gap = _scale(cfg.pdf_space_gap)
-    for ln in lines:
-        ln.sort(key=lambda t: (t[1], t[0], t[3]))  # by x, then y, then char
-        parts: list[str] = []
-        prev_end = None
-        for negy, x, w, c in ln:
-            if prev_end is not None and x - prev_end > space_gap:
-                parts.append(" ")
-            parts.append(c)
-            prev_end = x + w
-        text = "".join(parts).strip()
-        if not text:
-            continue
-        out.append(
-            {
-                "y": min(t[0] for t in ln),          # topmost (most-negative… negy)
-                "x0": min(t[1] for t in ln),
-                "x1": max(t[1] + t[2] for t in ln),
-                "text": text,
-            }
-        )
+    # --- columns: gap rule over x intervals ---
+    col_gap = round(cfg.pdf_column_gap * 10)
+    order = np.argsort(xi, kind="stable")
+    runmax = np.maximum.accumulate(x1[order])
+    brk = np.empty(n, dtype=bool)
+    brk[0] = True
+    brk[1:] = xi[order][1:] > runmax[:-1] + col_gap
+    col_sorted = np.cumsum(brk) - 1
+    col_id = np.empty(n, dtype=np.int64)
+    col_id[order] = col_sorted
+    n_cols = int(col_sorted[-1]) + 1
+
+    tol = round(cfg.pdf_line_tol * 10)
+    space_gap = round(cfg.pdf_space_gap * 10)
+    out: list[dict] = []
+    for c in range(n_cols):
+        idx = np.nonzero(col_id == c)[0]
+        # line ids by descending y (gap rule)
+        by_y = idx[np.argsort(-yi[idx], kind="stable")]
+        yy = yi[by_y]
+        lb = np.empty(len(by_y), dtype=bool)
+        lb[0] = True
+        lb[1:] = (yy[:-1] - yy[1:]) > tol
+        line_of = np.cumsum(lb) - 1
+        # one sort for the whole column: (line, x, -y); equal positions keep
+        # the stable y-order (input order within exact ties)
+        ord2 = np.lexsort((-yy, xi[by_y], line_of))
+        g_idx = by_y[ord2]
+        g_line = line_of[ord2]
+        g_x = xi[g_idx]
+        g_x1 = x1[g_idx]
+        starts = np.nonzero(
+            np.concatenate(([True], g_line[1:] != g_line[:-1]))
+        )[0]
+        bounds = np.append(starts, len(g_idx))
+        # one space-gap vector for the column
+        gap_after_prev = np.empty(len(g_idx), dtype=bool)
+        gap_after_prev[0] = False
+        gap_after_prev[1:] = (g_x[1:] - g_x1[:-1]) > space_gap
+        gap_after_prev[starts] = False
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            parts: list[str] = []
+            for m in range(s, e):
+                if gap_after_prev[m]:
+                    parts.append(" ")
+                parts.append(txt[g_idx[m]])
+            text = "".join(parts).strip()
+            if not text:
+                continue
+            out.append(
+                {
+                    "y": -int(yi[g_idx[s:e]].max()),
+                    "x0": int(g_x[s:e].min()),
+                    "text": text,
+                }
+            )
     return out
 
 
-def _cluster_columns(chars: list[dict], cfg: PipelineConfig) -> list[list[dict]]:
-    """Split the page's chars into columns BEFORE line clustering — chars at
-    the same y in different columns must not merge into one line.
-
-    Column detection: merge the sorted char x-intervals; a horizontal gap
-    >= column_gap between merged intervals starts a new column.  Columns are
-    returned left→right.  A page with no such gap is one column.
-    """
-    if not chars:
-        return []
-    gap = _scale(cfg.pdf_column_gap)
-    intervals = sorted(
-        {(_scale(ch["x"]), _scale(ch["x"]) + _scale(ch.get("w", 5.0))) for ch in chars}
-    )
-    merged: list[list[int]] = []
-    for x0, x1 in intervals:
-        if merged and x0 <= merged[-1][1] + gap:
-            merged[-1][1] = max(merged[-1][1], x1)
-        else:
-            merged.append([x0, x1])
-    if len(merged) == 1:
-        return [chars]
-    cols: list[list[dict]] = [[] for _ in merged]
-    for ch in chars:
-        x = _scale(ch["x"])
-        for i, (x0, x1) in enumerate(merged):
-            if x0 <= x <= x1:
-                cols[i].append(ch)
-                break
-    return [c for c in cols if c]
-
-
-def _lines_to_blocks(col: list[dict], cfg: PipelineConfig) -> list[str]:
-    block_gap = _scale(cfg.pdf_block_gap)
+def _lines_to_blocks(lines: list[dict], cfg: PipelineConfig) -> list[str]:
+    block_gap = round(cfg.pdf_block_gap * 10)
     blocks: list[list[str]] = []
     prev_y = None
-    for ln in col:
-        if prev_y is None or ln["y"] - prev_y > block_gap:
+    for ln in lines:
+        if prev_y is None or ln["y"] - prev_y > block_gap or ln["y"] < prev_y:
             blocks.append([])
         blocks[-1].append(ln["text"])
         prev_y = ln["y"]
@@ -143,18 +145,13 @@ def parse_pdf_payload(payload: bytes, cfg: PipelineConfig = DEFAULT_CONFIG) -> d
     doc = json.loads(payload.decode("utf-8", errors="replace"))
     all_blocks: list[str] = []
     for page in doc.get("pages", []):
-        col_lines = [
-            _cluster_lines(col, cfg)
-            for col in _cluster_columns(page.get("chars", []), cfg)
-        ]
-        # footer strip: drop the page-bottom line when it is a bare page number
-        flat = [ln for col in col_lines for ln in col]
-        if flat:
-            bottom = max(flat, key=lambda ln: ln["y"])
+        lines = _page_lines(page.get("chars", []), cfg)
+        # footer strip: drop the page-bottom line when it is a bare number
+        if lines:
+            bottom = max(lines, key=lambda ln: ln["y"])
             if len(bottom["text"]) <= 12 and _PAGE_NUM_RE.match(bottom["text"]):
-                col_lines = [[ln for ln in col if ln is not bottom] for col in col_lines]
-        for col in col_lines:
-            all_blocks.extend(_lines_to_blocks(col, cfg))
+                lines = [ln for ln in lines if ln is not bottom]
+        all_blocks.extend(_lines_to_blocks(lines, cfg))
     sep = cfg.block_join
     extracted = sep.join(all_blocks)
     spans = []
