@@ -173,16 +173,26 @@ def minhash_near_dup(ds, text_col: str = "text", key_col: str = "doc_id",
             }
         )
 
+    MAX_BUCKET = 512  # a degenerate bucket (boilerplate-identical docs)
+    # would emit O(k^2) pairs; cap and pair against the bucket minimum
+    # instead — keep-first semantics still links every member to one group
+
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(g[key_col].tolist())
         if len(ids) < 2:
             return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                                  "id_b": pd.Series([], dtype="int64")})
         a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
+        if len(ids) > MAX_BUCKET:
+            head = ids[0]
+            for j in ids[1:]:
+                a.append(head)
+                b.append(j)
+        else:
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a.append(ids[i])
+                    b.append(ids[j])
         return pd.DataFrame({"id_a": np.array(a, dtype=np.int64),
                              "id_b": np.array(b, dtype=np.int64)})
 

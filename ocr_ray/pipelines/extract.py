@@ -254,7 +254,8 @@ def run_extraction_sharded(
         return _ShardProcessor(cfg, out_dir)._process_shard(shard_id, path)
 
     window = max(8, int(ray.cluster_resources().get("CPU", 8)) * 4)
-    pending: list = []
+    pending: dict = {}
+    failed: list[int] = []
     it = iter(todo)
     exhausted = False
     while pending or not exhausted:
@@ -264,13 +265,23 @@ def run_extraction_sharded(
             except StopIteration:
                 exhausted = True
                 break
-            pending.append(process_shard.remote(i, f))
+            pending[process_shard.remote(i, f)] = i
         if pending:
             # drain everything already finished in one call — a wait per
             # completion caps the driver loop at ~100 tasks/s
-            ready, pending = ray.wait(
-                pending, num_returns=len(pending), timeout=0.05
+            ready, _ = ray.wait(
+                list(pending), num_returns=len(pending), timeout=0.05
             )
-            if ready:
-                ray.get(ready)  # surface task errors (retries exhausted)
-    return mf.summarize(out_dir)
+            for ref in ready:
+                shard_id = pending.pop(ref)
+                try:
+                    ray.get(ref)
+                except ray.exceptions.RayError:
+                    # a shard that fails after Ray's retries (corrupt file,
+                    # OOM) is recorded, not fatal: no manifest is written,
+                    # so the next resume retries exactly this shard
+                    failed.append(shard_id)
+    summary = mf.summarize(out_dir)
+    if failed:
+        summary["failed_shards"] = sorted(failed)
+    return summary

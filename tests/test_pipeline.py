@@ -132,3 +132,34 @@ def test_custom_config_partitions(ray_session, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("out_cfg"))
     run_extraction(rd.from_arrow(fixture_pages()), out, cfg=cfg, resume=False)
     assert completed_parts(out) == {0, 1, 2, 3}
+
+
+def test_sharded_corrupt_shard_recorded_not_fatal(ray_session, tmp_path_factory):
+    """A corrupt input shard fails after retries but the run completes,
+    reports the shard, and leaves it resumable."""
+    import shutil
+
+    from ocr_ray.pipelines.extract import run_extraction_sharded
+    from ocr_ray.sources.synth import materialize_pages_parquet
+    from ocr_ray.state.manifest import completed_parts
+
+    src = materialize_pages_parquet(
+        "/root/testdata/sf0.001", "/tmp/pages_corrupt_t", rows_per_file=128)
+    work = str(tmp_path_factory.mktemp("corrupt_in"))
+    for f in sorted(os.listdir(src)):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(src, f), os.path.join(work, f))
+    files = sorted(f for f in os.listdir(work) if f.endswith(".parquet"))
+    with open(os.path.join(work, files[1]), "wb") as fh:
+        fh.write(b"not a parquet file at all")
+
+    out = str(tmp_path_factory.mktemp("corrupt_out"))
+    summary = run_extraction_sharded(work, out, resume=False)
+    assert summary.get("failed_shards") == [1]
+    assert 1 not in completed_parts(out)
+    assert summary["partitions"] == len(files) - 1
+    # repair the shard; resume completes just the missing partition
+    shutil.copy(os.path.join(src, files[1]), os.path.join(work, files[1]))
+    summary2 = run_extraction_sharded(work, out, resume=True)
+    assert "failed_shards" not in summary2
+    assert summary2["partitions"] == len(files)
