@@ -290,6 +290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_counts": rel.event_counts,
         "tumbling_hour_counts": win.tumbling_hour_counts,
         "session_windows": win.session_windows,
+        "asof_purchase_click": win.asof_purchase_click,
         # TPC-H-ish
         "q1_pricing_summary": rel.q1_pricing_summary,
         "topk_orders": rel.topk_orders,
@@ -631,6 +632,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_events,
                    CAST(SUM(value_cents) AS BIGINT) AS value_cents
             FROM s GROUP BY user_id, session_id
+        """,
+        "asof_purchase_click": """
+            WITH buys AS (
+              SELECT user_id, event_id AS purchase_id, ts FROM events
+              WHERE event_type = 'purchase'
+            ), clicks AS (
+              SELECT user_id, event_id AS click_id, ts FROM events
+              WHERE event_type = 'click'
+            )
+            SELECT b.user_id, b.purchase_id, b.ts AS purchase_ts,
+                   coalesce(c.click_id, -1) AS click_id
+            FROM buys b ASOF LEFT JOIN clicks c
+              ON b.user_id = c.user_id AND b.ts >= c.ts
         """,
         "embedding_near_dup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

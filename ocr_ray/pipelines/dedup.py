@@ -158,6 +158,11 @@ def minhash_near_dup(ds, text_col: str = "text", key_col: str = "doc_id",
     """
     import ray
 
+    n_buckets = 64  # shuffle key cardinality: few, fat groups — Ray's
+    # per-group overhead dominates with one group per (band, hash); exact
+    # band hashes are grouped with vectorized pandas INSIDE each bucket.
+    # At corpus scale raise this so a bucket ≈ one task's memory budget.
+
     def to_bands(batch: pa.Table) -> pa.Table:
         bands: list[tuple[int, int, str]] = []
         ids = batch[key_col].to_pylist()
@@ -170,6 +175,10 @@ def minhash_near_dup(ds, text_col: str = "text", key_col: str = "doc_id",
                 "band_id": pa.array([b[0] for b in bands], pa.int32()),
                 key_col: pa.array([b[1] for b in bands], pa.int64()),
                 "band_hash": pa.array([b[2] for b in bands], pa.string()),
+                "bucket": pa.array(
+                    [zlib.crc32(b[2].encode()) % n_buckets for b in bands],
+                    pa.int32(),
+                ),
             }
         )
 
@@ -178,27 +187,28 @@ def minhash_near_dup(ds, text_col: str = "text", key_col: str = "doc_id",
     # instead — keep-first semantics still links every member to one group
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[key_col].tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64")})
-        a, b = [], []
-        if len(ids) > MAX_BUCKET:
-            head = ids[0]
-            for j in ids[1:]:
-                a.append(head)
-                b.append(j)
-        else:
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    a.append(ids[i])
-                    b.append(ids[j])
+        a: list[int] = []
+        b: list[int] = []
+        for _, grp in g.groupby(["band_id", "band_hash"], sort=True):
+            ids = sorted(grp[key_col].tolist())
+            if len(ids) < 2:
+                continue
+            if len(ids) > MAX_BUCKET:
+                head = ids[0]
+                for j in ids[1:]:
+                    a.append(head)
+                    b.append(j)
+            else:
+                for i in range(len(ids)):
+                    for j in range(i + 1, len(ids)):
+                        a.append(ids[i])
+                        b.append(ids[j])
         return pd.DataFrame({"id_a": np.array(a, dtype=np.int64),
                              "id_b": np.array(b, dtype=np.int64)})
 
     pairs = (
         ds.map_batches(to_bands, batch_format="pyarrow")
-        .groupby(["band_id", "band_hash"])
+        .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
     pair_tbl = pairs.to_pandas()  # candidate pairs are small vs corpus

@@ -107,3 +107,46 @@ def session_windows(sf_dir: str):
         .groupby("user_id")
         .map_groups(sessions, batch_format="pandas")
     )
+
+
+def asof_purchase_click(sf_dir: str):
+    """As-of join: each 'purchase' event matched to the same user's most
+    recent prior-or-equal 'click' (the classic event-attribution join).
+
+    Ray Data has no asof join; the portable pattern is: co-partition both
+    sides by the key (one groupby), then ``pd.merge_asof`` per group over
+    ts-sorted frames.  Ordering assumption: (ts, event_id) totally orders a
+    user's events — the DuckDB ASOF JOIN oracle uses the same rule.
+    """
+
+    def split_asof(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        buys = g[g["event_type"] == "purchase"]
+        clicks = g[g["event_type"] == "click"]
+        if len(buys) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "purchase_id": pd.Series([], dtype="int64"),
+                "purchase_ts": pd.Series([], dtype="datetime64[us]"),
+                "click_id": pd.Series([], dtype="int64"),
+            })
+        merged = pd.merge_asof(
+            buys[["ts", "event_id"]].rename(columns={"event_id": "purchase_id"}),
+            clicks[["ts", "event_id"]].rename(columns={"event_id": "click_id"}),
+            on="ts", direction="backward", allow_exact_matches=True,
+        )
+        return pd.DataFrame({
+            "user_id": np.full(len(merged), g["user_id"].iloc[0], dtype=np.int64),
+            "purchase_id": merged["purchase_id"].to_numpy(),
+            "purchase_ts": merged["ts"].astype("datetime64[us]").to_numpy(),
+            # no-match → -1 (nullable ints degrade to float64 through
+            # pandas, breaking schema parity with the SQL oracle)
+            "click_id": merged["click_id"].fillna(-1).astype("int64"),
+        })
+
+    return (
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                        columns=["user_id", "event_id", "event_type", "ts"])
+        .groupby("user_id")
+        .map_groups(split_asof, batch_format="pandas")
+    )
