@@ -25,9 +25,11 @@ PAGES_SCHEMA = pa.schema(
 # (FIXTURES.md §5 invariant 3).  kind ∈ {text, heading, list, table}.
 SPAN_TYPE = pa.struct(
     [
-        pa.field("start", pa.int64()),
+        pa.field("start", pa.int64()),       # into extracted_text
         pa.field("end", pa.int64()),
         pa.field("kind", pa.string()),
+        pa.field("raw_start", pa.int64()),   # into the canonical html decode
+        pa.field("raw_end", pa.int64()),     # (-1 when not applicable)
     ]
 )
 

@@ -176,14 +176,16 @@ class Extractor:
             elif i in e2_l and not e2_bad_l[i]:
                 t = e2_l[i]
                 out_text.append(t)
-                out_spans.append([{"start": 0, "end": len(t), "kind": "text"}])
+                out_spans.append([{"start": 0, "end": len(t), "kind": "text",
+                                   "raw_start": 0, "raw_end": len(strs[i] or "")}])
                 out_blocks.append(1)
                 out_engine.append("tagstrip")
                 out_status.append("fallback")
             elif raw_l[i] and len(raw_l[i].strip()) >= cfg.gate_min_text_length:
                 t = raw_l[i]
                 out_text.append(t)
-                out_spans.append([{"start": 0, "end": len(t), "kind": "text"}])
+                out_spans.append([{"start": 0, "end": len(t), "kind": "text",
+                                   "raw_start": -1, "raw_end": -1}])
                 out_blocks.append(1)
                 out_engine.append("textcol")
                 out_status.append("fallback")

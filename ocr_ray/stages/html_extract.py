@@ -58,10 +58,13 @@ _SKIP_CLOSE = {
 
 
 class _Walker:
-    """Block state machine fed by the token stream → (kind, text, link_chars)."""
+    """Block state machine fed by the token stream →
+    (kind, text, link_chars, raw_start, raw_end) blocks; raw offsets index
+    the canonical decoded html (SURVEY.md §7 hard part 2) and cover the
+    block's first..last non-whitespace data segment."""
 
     def __init__(self) -> None:
-        self.blocks: list[tuple[str, str, int]] = []  # (kind, norm_text, link_chars)
+        self.blocks: list[tuple[str, str, int, int, int]] = []
         self._pieces: list[tuple[str, bool]] = []     # (data, inside_link)
         self._kind = "text"
         self._skip = 0          # depth inside script/style/…
@@ -70,6 +73,10 @@ class _Walker:
         self._table = 0         # depth inside <table>
         self._cells: list[str] = []       # finished cells of current row
         self._cell: list[tuple[str, bool]] | None = None  # open cell pieces
+        self._raw_lo: int | None = None   # raw bounds of the open block
+        self._raw_hi: int | None = None
+        self._row_lo: int | None = None   # raw bounds of the open table row
+        self._row_hi: int | None = None
 
     # -- block assembly -------------------------------------------------
     def _flush(self) -> None:
@@ -79,9 +86,12 @@ class _Walker:
         text = _norm(raw)
         link_chars = sum(len(_norm(p)) for p, in_link in self._pieces if in_link)
         self._pieces = []
+        lo = -1 if self._raw_lo is None else self._raw_lo
+        hi = -1 if self._raw_hi is None else self._raw_hi
+        self._raw_lo = self._raw_hi = None
         if text:
             kind = "boilerplate" if self._boiler > 0 else self._kind
-            self.blocks.append((kind, text, link_chars))
+            self.blocks.append((kind, text, link_chars, lo, hi))
         self._kind = "text"
 
     def _flush_row(self) -> None:
@@ -92,9 +102,12 @@ class _Walker:
         if self._cells:
             row = " | ".join(self._cells)
             self._cells = []
+            lo = -1 if self._row_lo is None else self._row_lo
+            hi = -1 if self._row_hi is None else self._row_hi
+            self._row_lo = self._row_hi = None
             if row.strip(" |"):
                 kind = "boilerplate" if self._boiler > 0 else "table"
-                self.blocks.append((kind, row, 0))
+                self.blocks.append((kind, row, 0, lo, hi))
 
     # -- token callbacks -------------------------------------------------
     def handle_starttag(self, tag: str) -> None:
@@ -154,14 +167,23 @@ class _Walker:
             if tag in BOILERPLATE_TAGS:
                 self._boiler = max(0, self._boiler - 1)
 
-    def handle_data(self, data: str) -> None:
+    def handle_data(self, data: str, raw_start: int = -1, raw_end: int = -1) -> None:
         if self._skip:
             return
+        has_content = raw_start >= 0 and not data.isspace() and data
         if self._table:
             if self._cell is not None:
                 self._cell.append((data, self._link > 0))
+                if has_content:
+                    if self._row_lo is None:
+                        self._row_lo = raw_start
+                    self._row_hi = raw_end
             return
         self._pieces.append((data, self._link > 0))
+        if has_content:
+            if self._raw_lo is None:
+                self._raw_lo = raw_start
+            self._raw_hi = raw_end
 
     def finish(self) -> None:  # final flush
         self._flush_row()
@@ -178,11 +200,11 @@ def walk_blocks(html_str: str) -> list[tuple[str, str, int]]:
         m = search(html_str, pos)
         if not m:
             data = html_str[pos:]
-            w.handle_data(unescape(data) if "&" in data else data)
+            w.handle_data(unescape(data) if "&" in data else data, pos, n)
             break
         if m.start() > pos:
             data = html_str[pos:m.start()]
-            w.handle_data(unescape(data) if "&" in data else data)
+            w.handle_data(unescape(data) if "&" in data else data, pos, m.start())
         name = m.group(2)
         if name:
             tag = name.lower()
@@ -225,13 +247,13 @@ def extract_html(html_str: str, cfg: PipelineConfig = DEFAULT_CONFIG) -> dict:
     ``(start, end, kind)`` into extracted_text, one per kept block.
     """
     blocks = walk_blocks(html_str)
-    kept = [(k, t) for k, t, lc in blocks if keep_block(k, t, lc, cfg)]
+    kept = [(k, t, lo, hi) for k, t, lc, lo, hi in blocks if keep_block(k, t, lc, cfg)]
     sep = cfg.block_join
-    texts = [t for _, t in kept]
-    extracted = sep.join(texts)
+    extracted = sep.join(t for _, t, _, _ in kept)
     spans = []
     pos = 0
-    for (kind, text) in kept:
-        spans.append({"start": pos, "end": pos + len(text), "kind": kind})
+    for (kind, text, lo, hi) in kept:
+        spans.append({"start": pos, "end": pos + len(text), "kind": kind,
+                      "raw_start": lo, "raw_end": hi})
         pos += len(text) + len(sep)
     return {"extracted_text": extracted, "spans": spans, "n_blocks": len(kept)}

@@ -157,6 +157,7 @@ def parse_pdf_payload(payload: bytes, cfg: PipelineConfig = DEFAULT_CONFIG) -> d
     spans = []
     pos = 0
     for b in all_blocks:
-        spans.append({"start": pos, "end": pos + len(b), "kind": "text"})
+        spans.append({"start": pos, "end": pos + len(b), "kind": "text",
+                      "raw_start": -1, "raw_end": -1})
         pos += len(b) + len(sep)
     return {"extracted_text": extracted, "spans": spans, "n_blocks": len(all_blocks)}

@@ -143,5 +143,15 @@ def test_pdf_word_spacing_gap():
 
 def test_boilerplate_kind_marked_in_walk():
     html = "<body><nav><p>" + LONG + "</p></nav><p>" + LONG + "</p></body>"
-    kinds = [k for k, _, _ in walk_blocks(html)]
+    kinds = [k for k, *_ in walk_blocks(html)]
     assert "boilerplate" in kinds and "text" in kinds
+
+
+def test_raw_offsets_cover_block_segments():
+    html = "<body><h1>Head One</h1><p>" + LONG + " &amp; tail</p></body>"
+    r = extract_html(html)
+    s0 = r["spans"][0]
+    assert html[s0["raw_start"]:s0["raw_end"]] == "Head One"
+    s1 = r["spans"][1]
+    raw_seg = html[s1["raw_start"]:s1["raw_end"]]
+    assert raw_seg.startswith(LONG) and raw_seg.endswith("&amp; tail")
