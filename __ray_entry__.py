@@ -154,6 +154,13 @@ def _q_knn_lsh(sf_dir: str):
     return knn_lsh(ds, _query_vec(sf_dir), k=10)
 
 
+def _q_training_corpus(sf_dir: str):
+    """End-to-end training-data pipeline: extract → dedup → quality."""
+    from ocr_ray.pipelines.training_corpus import training_corpus
+
+    return training_corpus(_pages_dir(sf_dir))
+
+
 def _q_qc_rollup(sf_dir: str):
     """QC verdicts (extracted vs raw text) + recomputed status counts."""
     from ocr_ray.stages.qc import qc_pages_rollup
@@ -318,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_stats": _q_extract_stats,
         "extract_pages": _q_extract_pages,
         "qc_rollup": _q_qc_rollup,
+        "training_corpus": _q_training_corpus,
         "filter_stats": _q_filter_stats,
         "section_windows": _q_section_windows,
         "media_features": _q_media_features,

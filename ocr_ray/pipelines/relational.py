@@ -303,12 +303,26 @@ def q1_pricing_summary(sf_dir: str):
 
 
 def topk_orders(sf_dir: str, k: int = 10):
-    """Top-k (J5 global analogue): sort + limit."""
-    return (
+    """Top-k (J5 global analogue) WITHOUT a global sort: every batch emits
+    its own top-k (vectorized), the tiny union reduces on the driver — a
+    full ``sort().limit()`` would shuffle the entire table for 10 rows."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("o_totalprice", "descending"), ("o_orderkey", "ascending")]
+        )[:k]
+        return t.take(idx)
+
+    partials = (
         _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-        .sort(key=["o_totalprice", "o_orderkey"], descending=[True, False])
-        .limit(k)
+        .map_batches(partial, batch_format="pyarrow")
+        .to_arrow_refs()
     )
+    merged = pa.concat_tables(ray.get(partials))
+    idx = pc.sort_indices(
+        merged, sort_keys=[("o_totalprice", "descending"), ("o_orderkey", "ascending")]
+    )[:k]
+    return merged.take(idx)
 
 
 def revenue_by_mktsegment(sf_dir: str):
