@@ -43,7 +43,7 @@ def _scaling() -> None:
     out = {}
     # a larger corpus for the scaling measurement so fixed per-run overhead
     # (session + pipeline setup, ~1s) doesn't dominate the high-cpu wall time
-    reps = os.environ.get("GRAFT_BENCH_REPS", "48")
+    reps = os.environ.get("GRAFT_BENCH_REPS", "96")
     for ncpu in (4, 8, 16, 32):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_REPS=reps)
         r = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
@@ -76,11 +76,11 @@ def main() -> None:
     import ray.data as rd
 
     from ocr_ray.pipelines.extract import run_extraction_sharded
-    from ocr_ray.sources.synth import materialize_pages_parquet
+    from ocr_ray.sources.synth import materialize_pages_distributed
     import __ray_entry__ as entrymod
 
     tag = os.path.basename(os.path.normpath(SF_DIR))
-    pages_dir = materialize_pages_parquet(
+    pages_dir = materialize_pages_distributed(
         SF_DIR, f"/tmp/ocr_ray_bench_{tag}_r{REPS}", rows_per_file=512, reps=REPS
     )
     # warm-up (untimed): page cache + Ray worker pool + one full pipeline

@@ -77,7 +77,10 @@ def gibberish_mask(
     n = pc.utf8_length(sample)
     n_safe = pc.max_element_wise(n, 1)  # avoid 0-division; empty → too_short
 
-    non_ws = _count(sample, _NON_WS_RE)
+    # count the RARE complement class and subtract: count_substring_regex
+    # pays per match, so counting ~400 letters/sample costs 5-10x counting
+    # the ~80 non-letters (same result, n - complement)
+    non_ws = pc.subtract(n, _count(sample, r"\s"))
     # non_ws / n < 10%  ⇔  non_ws * 100 < n * 10
     mostly_ws = pc.less(pc.multiply(non_ws, 100), pc.multiply(n_safe, cfg.gate_min_non_ws_pct))
 
@@ -86,7 +89,7 @@ def gibberish_mask(
         pc.multiply(nonprint, 100), pc.multiply(n_safe, cfg.gate_max_nonprintable_pct)
     )
 
-    letters = _count(sample, _ASCII_LETTER_RE)
+    letters = pc.subtract(n, _count(sample, r"[^A-Za-z]"))
     low_letters = pc.less(
         pc.multiply(letters, 100), pc.multiply(n_safe, cfg.gate_min_ascii_letter_pct)
     )

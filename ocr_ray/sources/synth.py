@@ -257,3 +257,76 @@ def fixture_pages() -> pa.Table:
         },
         schema=PAGES_SCHEMA,
     )
+
+
+def materialize_pages_distributed(sf_dir: str, out_dir: str,
+                                  rows_per_file: int = 512, reps: int = 1) -> str:
+    """Parallel corpus generation: one Ray task per replica, each writing
+    its own shard files (cached by marker).  Requires an active Ray session
+    (bench/CLI); content is byte-identical to the serial generator."""
+    import ray
+
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    @ray.remote(num_cpus=1)
+    def gen_rep(rep: int) -> int:
+        table = _single_rep_table(sf_dir, rep)
+        nfiles = max(1, (len(table) + rows_per_file - 1) // rows_per_file)
+        for j in range(nfiles):
+            pq.write_table(
+                table.slice(j * rows_per_file, rows_per_file),
+                os.path.join(out_dir, f"pages-{rep:04d}-{j:04d}.parquet"),
+            )
+        return len(table)
+
+    totals = ray.get([gen_rep.remote(r) for r in range(reps)])
+    with open(marker, "w") as f:
+        f.write(f"rows={sum(totals)} reps={reps}\n")
+    return out_dir
+
+
+def _single_rep_table(sf_dir: str, rep: int) -> pa.Table:
+    """One replica of the corpus — same rows the serial generator emits for
+    this rep (factored so generation can fan out)."""
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    doc_ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+    langs = docs["lang"].to_pylist()
+    sources = docs["source"].to_pylist()
+
+    urls, tss, htmls, raws, out_langs = [], [], [], [], []
+    suffix = "" if rep == 0 else f"?rep={rep}"
+    for doc_id, text, lang, source in zip(doc_ids, texts, langs, sources):
+        url = f"https://{source}.example.org/doc/{doc_id}"
+        ts = _EPOCH + _dt.timedelta(seconds=int(doc_id), days=rep)
+        if doc_id % 10 == 0:
+            url += ".pdf"
+            html = make_charbox(doc_id, text, two_column=(doc_id % 20 == 0))
+        else:
+            html = make_html(doc_id, text)
+        url += suffix
+        urls.append(url)
+        tss.append(ts)
+        htmls.append(html)
+        raws.append(_raw_text_layer(text, doc_id))
+        out_langs.append(lang)
+        if doc_id % 23 == 0:
+            urls.append(url)
+            tss.append(ts + _dt.timedelta(hours=1))
+            htmls.append(html)
+            raws.append(_raw_text_layer(text, doc_id))
+            out_langs.append(lang)
+
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(raws, pa.string()),
+            "lang": pa.array(out_langs, pa.string()),
+        },
+        schema=PAGES_SCHEMA,
+    )
