@@ -303,6 +303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": rel.topk_orders,
         "revenue_by_mktsegment": rel.revenue_by_mktsegment,
         "customers_by_region": rel.customers_by_region,
+        "suppliers_by_nation": rel.suppliers_by_nation,
         "revenue_by_orderpriority": rel.revenue_by_orderpriority,
         "hash_join_revenue": rel.hash_join_revenue,
         "field_extraction": rel.field_extraction,
@@ -535,6 +536,12 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "suppliers_by_nation": """
+            SELECT n_name, COUNT(*) AS n_suppliers,
+                   CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
         """,
         "revenue_by_orderpriority": """
             SELECT o_orderpriority,

@@ -196,3 +196,33 @@ def filter_to_requested(
     if not filtered:
         return list((validations or [])[: len(requested)])
     return filtered[: len(requested)]
+
+
+def block_at_position(spans: list[dict], pos: int) -> int:
+    """char-pos → block index by binary search over sorted spans
+    (qc_head.py:140-161 D3 analogue: position → page lookup).
+
+    Returns the index of the span containing ``pos`` (by its start/end into
+    extracted_text), or -1 when pos falls between/outside blocks.
+    """
+    import bisect
+
+    if not spans:
+        return -1
+    starts = [s["start"] for s in spans]
+    i = bisect.bisect_right(starts, pos) - 1
+    if i >= 0 and spans[i]["start"] <= pos < spans[i]["end"]:
+        return i
+    return -1
+
+
+def dedupe_preserve_order(values: list) -> list:
+    """Keep-first in-list dedup (qc_head.py:962-965 J4: skip append if the
+    text is already present)."""
+    seen: set = set()
+    out = []
+    for v in values:
+        if v not in seen:
+            seen.add(v)
+            out.append(v)
+    return out

@@ -602,3 +602,39 @@ def url_canonicalize(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id"]).map_batches(
         f, batch_format="pyarrow"
     )
+
+
+def suppliers_by_nation(sf_dir: str):
+    """Supplier roll-up (completes table coverage): count + acctbal cents
+    per nation name via broadcast dim join."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    ref = ray.put(nmap)
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        names = [m.get(nk) for nk in t["s_nationkey"].to_pylist()]
+        df = pa.table(
+            {
+                "n_name": pa.array(names, pa.string()),
+                "acctbal_cents": _cents(t["s_acctbal"]),
+            }
+        ).to_pandas()
+        g = df.groupby("n_name", as_index=False).agg(
+            n_suppliers=("acctbal_cents", "size"), acctbal_cents=("acctbal_cents", "sum")
+        )
+        g["n_suppliers"] = g["n_suppliers"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("n_suppliers", alias_name="n_suppliers"),
+                   Sum("acctbal_cents", alias_name="acctbal_cents"))
+    )

@@ -102,3 +102,23 @@ def test_filter_to_requested_loose_containment():
     assert len(out2) == 1 and out2[0]["name"] == "Building Coverage"
     # no requested items -> empty
     assert filter_to_requested(vals, []) == []
+
+
+def test_block_at_position():
+    from ocr_ray.functions.textnorm import block_at_position
+
+    spans = [{"start": 0, "end": 4}, {"start": 5, "end": 12}, {"start": 13, "end": 20}]
+    assert block_at_position(spans, 0) == 0
+    assert block_at_position(spans, 3) == 0
+    assert block_at_position(spans, 4) == -1     # the separator char
+    assert block_at_position(spans, 5) == 1
+    assert block_at_position(spans, 19) == 2
+    assert block_at_position(spans, 20) == -1
+    assert block_at_position([], 0) == -1
+
+
+def test_dedupe_preserve_order():
+    from ocr_ray.functions.textnorm import dedupe_preserve_order
+
+    assert dedupe_preserve_order(["a", "b", "a", "c", "b"]) == ["a", "b", "c"]
+    assert dedupe_preserve_order([]) == []
