@@ -116,6 +116,17 @@ def _q_simhash_near_dup(sf_dir: str):
     return simhash_near_dup(ds)
 
 
+def _q_winnow_near_dup(sf_dir: str):
+    """Rolling-hash (winnowing) fingerprint near-copy pairs."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.dedup import winnow_near_dup
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return winnow_near_dup(ds)
+
+
 def _q_exact_dedup(sf_dir: str):
     import ray.data as rd
 
@@ -316,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup": _q_minhash,
         "simhash_table": _q_simhash,
         "simhash_near_dup": _q_simhash_near_dup,
+        "winnow_near_dup": _q_winnow_near_dup,
         # similarity search
         "knn_cosine": _q_knn_cosine,
         "knn_lsh": _q_knn_lsh,

@@ -101,3 +101,50 @@ def md5_fingerprint(text: pa.ChunkedArray | pa.Array) -> pa.Array:
         [hashlib.md5((v or "").encode("utf-8")).hexdigest() for v in vals],
         pa.string(),
     )
+
+
+def rolling_hashes(text: str, k: int = 8, base: int = 257,
+                   mod: int = (1 << 61) - 1) -> "np.ndarray":
+    """Rabin-Karp rolling hashes of every k-char window.
+
+    h(i) = sum(ord(c_j) * base^(k-1-j)) mod p over window i via the O(n)
+    prefix-sum recurrence (python-int arithmetic for the 61-bit modulus;
+    cost is linear in text length and only runs on texts selected for
+    fingerprinting).
+    """
+    import numpy as np
+
+    if len(text) < k:
+        return np.zeros(0, dtype=np.uint64)
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    n = len(codes)
+    pref = [0] * (n + 1)
+    p = pref
+    for i in range(n):
+        p[i + 1] = (p[i] * base + int(codes[i])) % mod
+    top = pow(base, k, mod)
+    out = np.empty(n - k + 1, dtype=np.uint64)
+    for i in range(n - k + 1):
+        out[i] = (p[i + k] - p[i] * top) % mod
+    return out
+
+
+def winnow_fingerprint(text: str, k: int = 8, window: int = 4) -> list[int]:
+    """Winnowing (MOSS-style) document fingerprint: the minimum rolling
+    hash of each sliding window of k-gram hashes, deduplicated, sorted.
+
+    Guarantees: any shared substring of length >= k + window - 1 between two
+    documents yields at least one shared fingerprint — the rolling-hash
+    fingerprinting operator for near-copy detection at corpus scale.
+    """
+    import numpy as np
+
+    h = rolling_hashes(text.lower(), k)
+    if h.size == 0:
+        return []
+    if h.size <= window:
+        return [int(h.min())]
+    # sliding-window minimum via stride tricks
+    sw = np.lib.stride_tricks.sliding_window_view(h, window)
+    mins = sw.min(axis=1)
+    return sorted({int(x) for x in mins})

@@ -328,3 +328,55 @@ def simhash_near_dup(ds, text_col: str = "text", key_col: str = "doc_id",
             "dup_of": pa.array([r[1] for r in rows], pa.int64()),
         }
     )
+
+
+def winnow_near_dup(ds, text_col: str = "text", key_col: str = "doc_id",
+                    k: int = 16, min_shared: int = 8):
+    """Rolling-hash (winnowing) near-copy detection: docs → fingerprint
+    rows → groupby fingerprint (the inverted-index shuffle; short hash key,
+    never text) → candidate pairs → keep pairs sharing >= min_shared
+    fingerprints.  Returns (id_a, id_b, shared) pairs.
+    """
+    from ocr_ray.functions.textstats import winnow_fingerprint
+
+    def to_fps(batch: pa.Table) -> pa.Table:
+        ids_out, fps = [], []
+        for did, txt in zip(batch[key_col].to_pylist(), batch[text_col].to_pylist()):
+            for fp in winnow_fingerprint(txt or "", k=k):
+                ids_out.append(did)
+                fps.append(fp)
+        return pa.table({
+            key_col: pa.array(ids_out, pa.int64()),
+            "fp": pa.array(fps, pa.uint64()),
+            "bucket": pa.array([f % 64 for f in fps], pa.int32()),
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a, b = [], []
+        for _, grp in g.groupby("fp", sort=True):
+            ids = sorted(set(grp[key_col].tolist()))
+            if len(ids) < 2 or len(ids) > 256:
+                continue   # drop degenerate fingerprints (boilerplate)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a.append(ids[i]); b.append(ids[j])
+        return pd.DataFrame({"id_a": np.array(a, dtype=np.int64),
+                             "id_b": np.array(b, dtype=np.int64)})
+
+    pairs = (
+        ds.map_batches(to_fps, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(pairs) == 0:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "shared": pa.array([], pa.int64())})
+    counts = pairs.groupby(["id_a", "id_b"], as_index=False).size()
+    counts = counts[counts["size"] >= min_shared]
+    return pa.table({
+        "id_a": pa.array(counts["id_a"].to_numpy(), pa.int64()),
+        "id_b": pa.array(counts["id_b"].to_numpy(), pa.int64()),
+        "shared": pa.array(counts["size"].to_numpy(), pa.int64()),
+    })

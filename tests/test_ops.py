@@ -149,3 +149,36 @@ def test_coverage_classifier_rules():
     assert classify_name("Business Income with Extra Expense") == "business_income"
     assert classify_name("Wind & Hail Deductible") == "other"
     assert classify_name(None) == "other"
+
+
+def test_winnow_fingerprint_properties():
+    from ocr_ray.functions.textstats import winnow_fingerprint
+
+    a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    b = "PREFIX then " + a + " plus a suffix"
+    c = "completely different content with nothing shared at all whatsoever"
+    fa, fb, fc = set(winnow_fingerprint(a)), set(winnow_fingerprint(b)), set(winnow_fingerprint(c))
+    assert len(fa & fb) >= len(fa) // 2    # shared substring → shared prints
+    assert not (fa & fc)
+    assert winnow_fingerprint("") == []
+    assert winnow_fingerprint("short") == []             # below k
+    assert winnow_fingerprint(a) == winnow_fingerprint(a)  # deterministic
+
+
+def test_winnow_near_dup_pairs(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.pipelines.dedup import winnow_near_dup
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    t = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [base, "intro " + base + " outro",
+                 "unrelated words entirely different from everything else here",
+                 "another totally distinct document with its own content set"],
+    })
+    out = winnow_near_dup(rd.from_arrow(t))
+    pairs = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
+    assert (1, 2) in pairs
+    assert all(p == (1, 2) for p in pairs)

@@ -163,3 +163,24 @@ def test_sharded_corrupt_shard_recorded_not_fatal(ray_session, tmp_path_factory)
     summary2 = run_extraction_sharded(work, out, resume=True)
     assert "failed_shards" not in summary2
     assert summary2["partitions"] == len(files)
+
+
+def test_concurrent_partition_write_race(ray_session, tmp_path_factory):
+    """Two writers racing on the same partition: exactly one rename wins,
+    the loser discards, data stays consistent (task-retry idempotency)."""
+    import pyarrow as pa
+
+    from ocr_ray.state.manifest import completed_parts, write_partition
+
+    out = str(tmp_path_factory.mktemp("race"))
+    t1 = pa.table({"a": [1, 2, 3]})
+    t2 = pa.table({"a": [1, 2, 3]})
+    r1 = write_partition(out, 7, t1, {"part_id": 7, "rows_in": 3})
+    r2 = write_partition(out, 7, t2, {"part_id": 7, "rows_in": 999})
+    assert r1 is True and r2 is False
+    assert completed_parts(out) == {7}
+    import json
+    with open(os.path.join(out, "part=00007", "manifest.json")) as f:
+        assert json.load(f)["rows_in"] == 3  # first writer's manifest survives
+    # no orphan tmp dirs left behind
+    assert not [d for d in os.listdir(out) if d.startswith("_tmp-")]
