@@ -25,7 +25,7 @@ def main(argv: list[str] | None = None) -> int:
     ex = sub.add_parser("extract", help="run the extraction pipeline")
     ex.add_argument("--input", required=True, help="pages parquet dir")
     ex.add_argument("--out", required=True, help="output dir (partitioned)")
-    ex.add_argument("--mode", choices=("sharded", "hash"), default="sharded")
+    ex.add_argument("--mode", choices=("sharded", "urlhash", "hash"), default="sharded")
     ex.add_argument("--no-resume", action="store_true")
     ex.add_argument("--num-cpus", type=int, default=None)
 
@@ -70,9 +70,15 @@ def main(argv: list[str] | None = None) -> int:
 
         DataContext.get_current().enable_progress_bars = False
 
-        from ocr_ray.pipelines.extract import run_extraction, run_extraction_sharded
+        from ocr_ray.pipelines.extract import (
+            run_extraction,
+            run_extraction_sharded,
+            run_extraction_urlhash,
+        )
 
-        runner = run_extraction_sharded if args.mode == "sharded" else run_extraction
+        runner = {"sharded": run_extraction_sharded,
+                  "urlhash": run_extraction_urlhash,
+                  "hash": run_extraction}[args.mode]
         summary = runner(args.input, args.out, resume=not args.no_resume)
         print(json.dumps(summary, sort_keys=True))
     finally:

@@ -285,3 +285,114 @@ def run_extraction_sharded(
     if failed:
         summary["failed_shards"] = sorted(failed)
     return summary
+
+
+# ---------------------------------------------------------------------------
+# url-hash partitioned runner via an EXPLICIT two-phase exchange
+# ---------------------------------------------------------------------------
+
+def run_extraction_urlhash(
+    input_dir: str,
+    out_dir: str,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    resume: bool = True,
+) -> dict:
+    """Url-hash co-located output without Ray's sort shuffle: a manual
+    two-phase external exchange (the "partitioning/shuffle handled
+    explicitly" path).
+
+    Phase 1 — map: one task per input shard runs gates+extract and splits
+    its output rows by ``crc32(url) % P``, writing one chunk file per
+    (part, shard) atomically, then a per-shard done-marker.
+
+    Phase 2 — merge: one task per partition concatenates its chunk files,
+    sorts by (url, warc_ts) (order independent of chunk arrival), and
+    writes the final atomic partition + manifest.
+
+    Resume: finished partitions skip both phases; phase-1 markers skip
+    re-extraction of finished shards.  Chunk writes are tmp+rename so a
+    crashed shard re-runs cleanly (identical deterministic bytes replace).
+    """
+    import glob
+    import os
+
+    chunks_dir = os.path.join(out_dir, "_chunks")
+    files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+    done_parts = mf.completed_parts(out_dir) if resume else set()
+    if len(done_parts) >= cfg.num_output_partitions:
+        return mf.summarize(out_dir)
+    os.makedirs(chunks_dir, exist_ok=True)
+
+    @ray.remote(num_cpus=1)
+    def phase1(shard_id: int, path: str) -> None:
+        import pyarrow.parquet as pq
+
+        marker = os.path.join(chunks_dir, f"_shard-{shard_id:05d}.done")
+        if os.path.exists(marker):
+            return
+        table = pq.read_table(path, use_threads=False)
+        ex = Extractor(cfg)
+        outs = []
+        bs = cfg.batch_size_extract
+        for i in range(0, max(1, len(table)), bs):
+            sub = table.slice(i, bs)
+            if len(sub):
+                outs.append(ex(_gate_stage(cfg, frozenset())(sub)))
+        out = pa.concat_tables(outs) if outs else None
+        if out is not None:
+            for part in pc.unique(out["part_id"]).to_pylist():
+                if part in done_parts:
+                    continue
+                rows = out.filter(pc.equal(out["part_id"], part))
+                pdir = os.path.join(chunks_dir, f"part={part:05d}")
+                os.makedirs(pdir, exist_ok=True)
+                tmp = os.path.join(pdir, f".tmp-shard-{shard_id:05d}.parquet")
+                pq.write_table(rows, tmp)
+                os.rename(tmp, os.path.join(pdir, f"shard-{shard_id:05d}.parquet"))
+        with open(marker, "w") as f:
+            f.write("done\n")
+
+    ray.get([phase1.remote(i, f) for i, f in enumerate(files)])
+
+    @ray.remote(num_cpus=1)
+    def phase2(part: int) -> None:
+        import pyarrow.parquet as pq
+
+        pdir = os.path.join(chunks_dir, f"part={part:05d}")
+        chunk_files = sorted(glob.glob(os.path.join(pdir, "shard-*.parquet")))
+        if chunk_files:
+            group = pa.concat_tables([pq.read_table(f, use_threads=False)
+                                      for f in chunk_files])
+        else:  # no url hashed here: an empty partition with correct schema
+            group = Extractor(cfg)(_gate_stage(cfg, frozenset())(_empty_pages_table()))
+        idx = pc.sort_indices(
+            group, sort_keys=[("url", "ascending"), ("warc_ts", "ascending")]
+        )
+        group = group.take(idx)
+        status = group["parse_status"]
+        n_out = pc.sum(pc.cast(
+            pc.is_in(status, value_set=pa.array(["ok", "fallback"])), pa.int64()
+        )).as_py() or 0
+        n_rej = pc.sum(pc.cast(pc.equal(status, "rejected"), pa.int64())).as_py() or 0
+        n_err = pc.sum(pc.cast(pc.equal(status, "error"), pa.int64())).as_py() or 0
+        b_in = pc.sum(group["bytes_in"]).as_py() or 0
+        b_out = pc.sum(group["bytes_out"]).as_py() or 0
+        mf.write_partition(out_dir, part, group, {
+            "part_id": part, "rows_in": len(group), "rows_out": int(n_out),
+            "rows_rejected": int(n_rej), "parse_failures": int(n_err),
+            "bytes_in": int(b_in), "bytes_out": int(b_out),
+            "bytes_stripped": int(b_in - b_out), "wall_ms": 0,
+        })
+
+    todo_parts = [p for p in range(cfg.num_output_partitions) if p not in done_parts]
+    ray.get([phase2.remote(p) for p in todo_parts])
+
+    import shutil as _sh
+    _sh.rmtree(chunks_dir, ignore_errors=True)
+    return mf.summarize(out_dir)
+
+
+def _empty_pages_table() -> pa.Table:
+    from ocr_ray.schema import PAGES_SCHEMA
+
+    return pa.table({f.name: pa.array([], f.type) for f in PAGES_SCHEMA})

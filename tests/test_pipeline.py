@@ -184,3 +184,22 @@ def test_concurrent_partition_write_race(ray_session, tmp_path_factory):
         assert json.load(f)["rows_in"] == 3  # first writer's manifest survives
     # no orphan tmp dirs left behind
     assert not [d for d in os.listdir(out) if d.startswith("_tmp-")]
+
+
+def test_urlhash_two_phase_equals_groupby(ray_session, tmp_path_factory):
+    """The explicit two-phase exchange produces byte-identical partitions
+    to the Dataset groupby path, and resumes."""
+    from ocr_ray.pipelines.extract import run_extraction, run_extraction_urlhash
+    from ocr_ray.sources.synth import materialize_pages_parquet
+
+    src = materialize_pages_parquet(
+        "/root/testdata/sf0.001", "/tmp/pages_uh_t", rows_per_file=128)
+    a = str(tmp_path_factory.mktemp("uh_groupby"))
+    b = str(tmp_path_factory.mktemp("uh_twophase"))
+    run_extraction(src, a, resume=False)
+    run_extraction_urlhash(src, b, resume=False)
+    assert _read_out(a).equals(_read_out(b))
+    # resume: knock out one partition, rerun
+    shutil.rmtree(os.path.join(b, "part=00005"))
+    run_extraction_urlhash(src, b, resume=True)
+    assert _read_out(a).equals(_read_out(b))
