@@ -44,7 +44,9 @@ VOID_TAGS = frozenset({"br", "hr", "img", "input", "meta", "link"})
 
 
 def _norm(s: str) -> str:
-    return _WS_RE.sub(" ", s).strip()
+    # collapse whitespace runs + strip; str.split() is 3-6x faster than a
+    # regex sub and defines the whitespace set (python str whitespace)
+    return " ".join(s.split())
 
 
 _TOKEN_RE = re.compile(
@@ -205,10 +207,10 @@ def walk_blocks(html_str: str) -> list[tuple[str, str, int]]:
         if m.start() > pos:
             data = html_str[pos:m.start()]
             w.handle_data(unescape(data) if "&" in data else data, pos, m.start())
-        name = m.group(2)
+        closing, name = m.group(1, 2)
         if name:
             tag = name.lower()
-            if m.group(1):  # closing tag
+            if closing:  # closing tag
                 w.handle_endtag(tag)
             elif tag in _SKIP_CLOSE:
                 # CDATA fast-forward past the element content + closing tag
