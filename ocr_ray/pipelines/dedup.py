@@ -243,9 +243,9 @@ def minhash_near_dup(ds, text_col: str = "text", key_col: str = "doc_id",
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
 
-    members = sorted(x for x in parent if find(x) != x or
-                     any(find(y) == x for y in parent if y != x))
-    rows = [(m, find(m)) for m in members]
+    # every key in parent appeared in a verified pair, so every key is a
+    # member of some dup group — no membership filter needed
+    rows = [(m, find(m)) for m in sorted(parent)]
     return pa.table(
         {
             key_col: pa.array([r[0] for r in rows], pa.int64()),
@@ -319,9 +319,8 @@ def simhash_near_dup(ds, text_col: str = "text", key_col: str = "doc_id",
         ra, rb = find(int(ia)), find(int(ib))
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    members = sorted(parent)
-    rows = [(m, find(m)) for m in members if find(m) != m or
-            any(find(y) == m for y in parent if y != m)]
+    # every key in parent appeared in a pair within the hamming cutoff
+    rows = [(m, find(m)) for m in sorted(parent)]
     return pa.table(
         {
             key_col: pa.array([r[0] for r in rows], pa.int64()),

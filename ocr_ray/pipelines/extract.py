@@ -133,6 +133,8 @@ def run_extraction(
         ds = input_paths
     else:
         ds = ray.data.read_parquet(input_paths)
+    if not resume:
+        mf.clear_output(out_dir)
     done = frozenset(mf.completed_parts(out_dir)) if resume else frozenset()
     if len(done) >= cfg.num_output_partitions:
         return mf.summarize(out_dir)
@@ -142,6 +144,17 @@ def run_extraction(
         _part_writer(out_dir), batch_format="pyarrow"
     )
     manifests.materialize()  # manifests are tiny (one row per partition)
+    # partitions no url hashed into produce no group: write them empty so a
+    # completed run is detectable (otherwise every resume re-extracts all)
+    missing = set(range(cfg.num_output_partitions)) - mf.completed_parts(out_dir)
+    if missing:
+        empty = Extractor(cfg)(_gate_stage(cfg, frozenset())(_empty_pages_table()))
+        for part in sorted(missing):
+            mf.write_partition(out_dir, part, empty, {
+                "part_id": part, "rows_in": 0, "rows_out": 0,
+                "rows_rejected": 0, "parse_failures": 0, "bytes_in": 0,
+                "bytes_out": 0, "bytes_stripped": 0, "wall_ms": 0,
+            })
     return mf.summarize(out_dir)
 
 
@@ -170,15 +183,6 @@ class _ShardProcessor:
         # oversubscribes the node (and fakes scaling numbers)
         pa.set_cpu_count(1)
         pa.set_io_thread_count(2)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.parquet as pq
-
-        rows = []
-        for shard_id, path in zip(batch["shard_id"].to_pylist(),
-                                  batch["path"].to_pylist()):
-            rows.append(self._process_shard(int(shard_id), path))
-        return pa.table({k: [r[k] for r in rows] for k in rows[0]})
 
     def _process_shard(self, shard_id: int, path: str) -> dict:
         import pyarrow.parquet as pq
@@ -239,6 +243,8 @@ def run_extraction_sharded(
     import os
 
     files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+    if not resume:
+        mf.clear_output(out_dir)
     done = mf.completed_parts(out_dir) if resume else set()
     todo = [(i, f) for i, f in enumerate(files) if i not in done]
     if not todo:
@@ -318,6 +324,8 @@ def run_extraction_urlhash(
 
     chunks_dir = os.path.join(out_dir, "_chunks")
     files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+    if not resume:
+        mf.clear_output(out_dir)  # incl. stale _chunks and phase-1 markers
     done_parts = mf.completed_parts(out_dir) if resume else set()
     if len(done_parts) >= cfg.num_output_partitions:
         return mf.summarize(out_dir)

@@ -42,6 +42,35 @@ def _cents(x, scale: int = 100):
     )
 
 
+
+def _grouped_sum(ds, make_measures, keys: list[str], sum_cols: list[str],
+                 count_col: str):
+    """Pre-aggregate per batch then a tiny global groupby (the partial-
+    aggregation pattern used by every roll-up query here).
+
+    ``make_measures(batch) -> pa.Table`` emits key columns + integer measure
+    columns; each batch is group-summed locally (one row per key per batch)
+    before the shuffle, and ``count_col`` counts input rows.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = make_measures(t)
+        df = m.to_pandas()
+        agg = {c: (c, "sum") for c in sum_cols}
+        agg[count_col] = ((sum_cols[0] if sum_cols else keys[0]), "size")
+        g = df.groupby(keys, as_index=False).agg(**agg)
+        g[count_col] = g[count_col].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys[0] if len(keys) == 1 else keys)
+        .aggregate(*[Sum(c, alias_name=c) for c in sum_cols],
+                   Sum(count_col, alias_name=count_col))
+    )
+
+
 # ---------------------------------------------------------------------------
 # gates / classify / normalize over documents
 # ---------------------------------------------------------------------------
@@ -235,25 +264,11 @@ def dedup_first_event(sf_dir: str):
 
 def event_counts(sf_dir: str):
     """Grouped counts + integer-cent sums with per-batch pre-aggregation."""
-
-    def partial(t: pa.Table) -> pa.Table:
-        df = pa.table(
-            {"event_type": t["event_type"], "value_cents": _cents(t["value"])}
-        ).to_pandas()
-        g = df.groupby("event_type", as_index=False).agg(
-            value_cents=("value_cents", "sum"), n=("value_cents", "size")
-        )
-        g["n"] = g["n"].astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    from ray.data.aggregate import Sum
-
-    return (
-        _read(sf_dir, "events", ["event_type", "value"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("event_type")
-        .aggregate(Sum("value_cents", alias_name="value_cents"),
-                   Sum("n", alias_name="n"))
+    return _grouped_sum(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        lambda t: pa.table({"event_type": t["event_type"],
+                            "value_cents": _cents(t["value"])}),
+        keys=["event_type"], sum_cols=["value_cents"], count_col="n",
     )
 
 
@@ -264,41 +279,22 @@ def event_counts(sf_dir: str):
 def q1_pricing_summary(sf_dir: str):
     """TPC-H Q1 shape with integer-scaled measures and per-batch partials."""
 
-    def partial(t: pa.Table) -> pa.Table:
-        qty = pc.cast(t["l_quantity"], pa.int64())
-        base = _cents(t["l_extendedprice"])
-        disc = _cents(
-            pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])), 10000
-        )
-        df = pa.table(
-            {
-                "l_returnflag": t["l_returnflag"],
-                "l_linestatus": t["l_linestatus"],
-                "sum_qty": qty,
-                "sum_base_cents": base,
-                "sum_disc_e4": disc,
-            }
-        ).to_pandas()
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("sum_qty", "sum"),
-            sum_base_cents=("sum_base_cents", "sum"),
-            sum_disc_e4=("sum_disc_e4", "sum"),
-            n=("sum_qty", "size"),
-        )
-        g["n"] = g["n"].astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+    def measures(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": pc.cast(t["l_quantity"], pa.int64()),
+            "sum_base_cents": _cents(t["l_extendedprice"]),
+            "sum_disc_e4": _cents(
+                pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])),
+                10000),
+        })
 
-    from ray.data.aggregate import Sum
-
-    return (
+    return _grouped_sum(
         _read(sf_dir, "lineitem",
-              ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(Sum("sum_qty", alias_name="sum_qty"),
-                   Sum("sum_base_cents", alias_name="sum_base_cents"),
-                   Sum("sum_disc_e4", alias_name="sum_disc_e4"),
-                   Sum("n", alias_name="n"))
+              ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"]),
+        measures, keys=["l_returnflag", "l_linestatus"],
+        sum_cols=["sum_qty", "sum_base_cents", "sum_disc_e4"], count_col="n",
     )
 
 
@@ -336,29 +332,18 @@ def revenue_by_mktsegment(sf_dir: str):
     seg_map = dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
     ref = ray.put(seg_map)
 
-    def partial(t: pa.Table) -> pa.Table:
+    def measures(t: pa.Table) -> pa.Table:
         m = ray.get(ref)
         segs = [m.get(ck) for ck in t["o_custkey"].to_pylist()]
-        df = pa.table(
-            {
-                "c_mktsegment": pa.array(segs, pa.string()),
-                "revenue_cents": _cents(t["o_totalprice"]),
-            }
-        ).to_pandas()
-        g = df.groupby("c_mktsegment", as_index=False).agg(
-            revenue_cents=("revenue_cents", "sum"), n_orders=("revenue_cents", "size")
-        )
-        g["n_orders"] = g["n_orders"].astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.table({
+            "c_mktsegment": pa.array(segs, pa.string()),
+            "revenue_cents": _cents(t["o_totalprice"]),
+        })
 
-    from ray.data.aggregate import Sum
-
-    return (
-        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("c_mktsegment")
-        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"),
-                   Sum("n_orders", alias_name="n_orders"))
+    return _grouped_sum(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+        measures, keys=["c_mktsegment"], sum_cols=["revenue_cents"],
+        count_col="n_orders",
     )
 
 
@@ -376,29 +361,18 @@ def customers_by_region(sf_dir: str):
     }
     ref = ray.put(nmap)
 
-    def partial(t: pa.Table) -> pa.Table:
+    def measures(t: pa.Table) -> pa.Table:
         m = ray.get(ref)
         names = [m.get(nk) for nk in t["c_nationkey"].to_pylist()]
-        df = pa.table(
-            {
-                "r_name": pa.array(names, pa.string()),
-                "acctbal_cents": _cents(t["c_acctbal"]),
-            }
-        ).to_pandas()
-        g = df.groupby("r_name", as_index=False).agg(
-            n_customers=("acctbal_cents", "size"), acctbal_cents=("acctbal_cents", "sum")
-        )
-        g["n_customers"] = g["n_customers"].astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.table({
+            "r_name": pa.array(names, pa.string()),
+            "acctbal_cents": _cents(t["c_acctbal"]),
+        })
 
-    from ray.data.aggregate import Sum
-
-    return (
-        _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("r_name")
-        .aggregate(Sum("n_customers", alias_name="n_customers"),
-                   Sum("acctbal_cents", alias_name="acctbal_cents"))
+    return _grouped_sum(
+        _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"]),
+        measures, keys=["r_name"], sum_cols=["acctbal_cents"],
+        count_col="n_customers",
     )
 
 
@@ -414,32 +388,20 @@ def revenue_by_orderpriority(sf_dir: str):
     omap = dict(zip(orders["o_orderkey"].to_pylist(), orders["o_orderpriority"].to_pylist()))
     ref = ray.put(omap)
 
-    def partial(t: pa.Table) -> pa.Table:
+    def measures(t: pa.Table) -> pa.Table:
         m = ray.get(ref)
         prio = [m.get(ok) for ok in t["l_orderkey"].to_pylist()]
-        df = pa.table(
-            {
-                "o_orderpriority": pa.array(prio, pa.string()),
-                "revenue_e4": _cents(
-                    pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])),
-                    10000,
-                ),
-            }
-        ).to_pandas()
-        g = df.groupby("o_orderpriority", as_index=False).agg(
-            revenue_e4=("revenue_e4", "sum"), n_items=("revenue_e4", "size")
-        )
-        g["n_items"] = g["n_items"].astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.table({
+            "o_orderpriority": pa.array(prio, pa.string()),
+            "revenue_e4": _cents(
+                pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])),
+                10000),
+        })
 
-    from ray.data.aggregate import Sum
-
-    return (
-        _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("o_orderpriority")
-        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"),
-                   Sum("n_items", alias_name="n_items"))
+    return _grouped_sum(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]),
+        measures, keys=["o_orderpriority"], sum_cols=["revenue_e4"],
+        count_col="n_items",
     )
 
 
@@ -515,29 +477,15 @@ def hash_join_revenue(sf_dir: str):
     joined = li.join(orders, join_type="inner", num_partitions=16,
                      on=("l_orderkey",), right_on=("o_orderkey",))
 
-    def partial(t: pa.Table) -> pa.Table:
-        df = pa.table(
-            {
-                "o_orderpriority": t["o_orderpriority"],
-                "revenue_e4": _cents(
-                    pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])),
-                    10000,
-                ),
-            }
-        ).to_pandas()
-        g = df.groupby("o_orderpriority", as_index=False).agg(
-            revenue_e4=("revenue_e4", "sum"), n_items=("revenue_e4", "size")
-        )
-        g["n_items"] = g["n_items"].astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    from ray.data.aggregate import Sum
-
-    return (
-        joined.map_batches(partial, batch_format="pyarrow")
-        .groupby("o_orderpriority")
-        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"),
-                   Sum("n_items", alias_name="n_items"))
+    return _grouped_sum(
+        joined,
+        lambda t: pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "revenue_e4": _cents(
+                pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])),
+                10000),
+        }),
+        keys=["o_orderpriority"], sum_cols=["revenue_e4"], count_col="n_items",
     )
 
 
@@ -614,27 +562,16 @@ def suppliers_by_nation(sf_dir: str):
     nmap = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
     ref = ray.put(nmap)
 
-    def partial(t: pa.Table) -> pa.Table:
+    def measures(t: pa.Table) -> pa.Table:
         m = ray.get(ref)
         names = [m.get(nk) for nk in t["s_nationkey"].to_pylist()]
-        df = pa.table(
-            {
-                "n_name": pa.array(names, pa.string()),
-                "acctbal_cents": _cents(t["s_acctbal"]),
-            }
-        ).to_pandas()
-        g = df.groupby("n_name", as_index=False).agg(
-            n_suppliers=("acctbal_cents", "size"), acctbal_cents=("acctbal_cents", "sum")
-        )
-        g["n_suppliers"] = g["n_suppliers"].astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.table({
+            "n_name": pa.array(names, pa.string()),
+            "acctbal_cents": _cents(t["s_acctbal"]),
+        })
 
-    from ray.data.aggregate import Sum
-
-    return (
-        _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("n_name")
-        .aggregate(Sum("n_suppliers", alias_name="n_suppliers"),
-                   Sum("acctbal_cents", alias_name="acctbal_cents"))
+    return _grouped_sum(
+        _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"]),
+        measures, keys=["n_name"], sum_cols=["acctbal_cents"],
+        count_col="n_suppliers",
     )

@@ -66,7 +66,6 @@ def knn_cosine(ds, query_vec, k: int = 10,
 
 
 _LSH_BITS = 8
-_lsh_rng = np.random.RandomState(7)
 _LSH_PLANES: dict[int, np.ndarray] = {}
 
 

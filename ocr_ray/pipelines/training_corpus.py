@@ -38,11 +38,20 @@ def training_corpus(pages_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
     def score(t: pa.Table) -> pa.Table:
         ok = pc.is_in(t["parse_status"], value_set=pa.array(["ok", "fallback"]))
         q = quality_columns(t["extracted_text"])
+        # every rejected/error row has extracted_text='' — a single md5('')
+        # fingerprint would be an UNBOUNDED hot key in the dedup shuffle, so
+        # non-extracted rows get a per-url salted fingerprint (their own
+        # singleton group; kept=False falls out since quality_ok is False)
+        fp = pc.if_else(
+            ok,
+            md5_fingerprint(t["extracted_text"]),
+            pc.binary_join_element_wise("skip:", t["url"], ""),
+        )
         return pa.table(
             {
                 "url": t["url"],
                 "warc_ts": t["warc_ts"],
-                "fingerprint": md5_fingerprint(t["extracted_text"]),
+                "fingerprint": fp,
                 "extracted_ok": pc.cast(ok, pa.bool_()),
                 "n_chars": q["n_chars"],
                 "n_tokens": q["n_tokens"],
@@ -53,8 +62,7 @@ def training_corpus(pages_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
     scored = ds.map_batches(score, batch_format="pyarrow")
 
     def first_per_content(g: pd.DataFrame) -> pd.DataFrame:
-        # keep-first: smallest (url, warc_ts) wins the content group; empty
-        # fingerprints (rejected rows) are never "duplicates" of each other
+        # keep-first: smallest (url, warc_ts) wins the content group
         g = g.sort_values(["url", "warc_ts"])
         keep = g["extracted_ok"] & g["quality_ok"]
         if keep.any():

@@ -113,47 +113,13 @@ def pages_from_documents(sf_dir: str, reps: int = 1) -> pa.Table:
     """documents.parquet → pages table (url, warc_ts, html, text, lang).
 
     ``reps`` replicates the corpus with distinct urls (?rep=N) to scale the
-    benchmark load deterministically without external data."""
-    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
-    doc_ids = docs["doc_id"].to_pylist()
-    texts = docs["text"].to_pylist()
-    langs = docs["lang"].to_pylist()
-    sources = docs["source"].to_pylist()
-
-    urls, tss, htmls, raws, out_langs = [], [], [], [], []
-    for rep in range(reps):
-        suffix = "" if rep == 0 else f"?rep={rep}"
-        for doc_id, text, lang, source in zip(doc_ids, texts, langs, sources):
-            url = f"https://{source}.example.org/doc/{doc_id}"
-            ts = _EPOCH + _dt.timedelta(seconds=int(doc_id), days=rep)
-            if doc_id % 10 == 0:
-                url += ".pdf"
-                html = make_charbox(doc_id, text, two_column=(doc_id % 20 == 0))
-            else:
-                html = make_html(doc_id, text)
-            url += suffix
-            urls.append(url)
-            tss.append(ts)
-            htmls.append(html)
-            raws.append(_raw_text_layer(text, doc_id))
-            out_langs.append(lang)
-            if doc_id % 23 == 0:  # duplicate url, later warc_ts (keep-first dedup)
-                urls.append(url)
-                tss.append(ts + _dt.timedelta(hours=1))
-                htmls.append(html)
-                raws.append(_raw_text_layer(text, doc_id))
-                out_langs.append(lang)
-
-    return pa.table(
-        {
-            "url": pa.array(urls, pa.string()),
-            "warc_ts": pa.array(tss, pa.timestamp("us")),
-            "html": pa.array(htmls, pa.binary()),
-            "text": pa.array(raws, pa.string()),
-            "lang": pa.array(out_langs, pa.string()),
-        },
-        schema=PAGES_SCHEMA,
-    )
+    benchmark load deterministically without external data.  One code path:
+    the per-replica generator (shared with materialize_pages_distributed),
+    concatenated — serial and distributed corpora are identical by
+    construction."""
+    return pa.concat_tables(
+        [_single_rep_table(sf_dir, rep) for rep in range(reps)]
+    ).combine_chunks()
 
 
 def materialize_pages_parquet(sf_dir: str, out_dir: str, rows_per_file: int = 8192,

@@ -210,7 +210,14 @@ def walk_blocks(html_str: str) -> list[tuple[str, str, int]]:
         closing, name = m.group(1, 2)
         if name:
             tag = name.lower()
+            self_closed = m.group(0).endswith("/>")
             if closing:  # closing tag
+                w.handle_endtag(tag)
+            elif self_closed:
+                # '<svg/>' / '<script src=x/>' have NO content: a bare
+                # starttag would leave skip/boiler/link depths unbalanced
+                # and silently drop the rest of the document
+                w.handle_starttag(tag)
                 w.handle_endtag(tag)
             elif tag in _SKIP_CLOSE:
                 # CDATA fast-forward past the element content + closing tag

@@ -41,7 +41,10 @@ PDF_MAGIC = b'{"pages"'
 
 
 def is_pdf_payload(payload: bytes) -> bool:
-    return payload.lstrip()[:8] == PDF_MAGIC
+    """Strict magic-prefix sniff — MUST match the vectorized sniff in
+    gates.pre_classify (binary_slice(0,8)); a payload with leading
+    whitespace is by spec not a char-box payload."""
+    return payload[:8] == PDF_MAGIC
 
 
 def _scale_arr(v: np.ndarray) -> np.ndarray:

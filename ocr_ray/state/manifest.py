@@ -91,3 +91,14 @@ def summarize(out_dir: str) -> dict:
     agg = {k: sum(m.get(k, 0) for m in manifests) for k in keys}
     agg["partitions"] = len(manifests)
     return agg
+
+
+def clear_output(out_dir: str) -> None:
+    """Remove all partition dirs, exchange chunks, and markers — used by
+    resume=False runs so recomputed results actually replace old output
+    (write_partition otherwise discards work when a manifest exists)."""
+    if not os.path.isdir(out_dir):
+        return
+    for name in os.listdir(out_dir):
+        if name.startswith(("part=", "_chunks", "_tmp-")):
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)

@@ -155,3 +155,16 @@ def test_raw_offsets_cover_block_segments():
     s1 = r["spans"][1]
     raw_seg = html[s1["raw_start"]:s1["raw_end"]]
     assert raw_seg.startswith(LONG) and raw_seg.endswith("&amp; tail")
+
+
+def test_self_closed_skip_tags_do_not_swallow_content():
+    # '<svg/>' must not leave the walker in skip mode; a self-closed
+    # '<script src=x/>' must not CDATA-fast-forward to EOF
+    html = f'<p>{LONG} one</p><svg viewBox="0 0 1 1"/><p>{LONG} two</p>'
+    assert "two" in extract_html(html)["extracted_text"]
+    html2 = f'<p>{LONG} one</p><script src="x"/><p>{LONG} two</p>'
+    assert "two" in extract_html(html2)["extracted_text"]
+    # balanced skip tags still suppress their content
+    html3 = f'<svg><circle r="1"/>hidden words</svg><p>{LONG}</p>'
+    out = extract_html(html3)["extracted_text"]
+    assert "hidden" not in out and LONG in out
