@@ -315,6 +315,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_mktsegment": rel.revenue_by_mktsegment,
         "customers_by_region": rel.customers_by_region,
         "suppliers_by_nation": rel.suppliers_by_nation,
+        "recent_lineitems": rel.recent_lineitems,
+        "orders_by_month": rel.orders_by_month,
+        "parts_by_brand": rel.parts_by_brand,
         "revenue_by_orderpriority": rel.revenue_by_orderpriority,
         "hash_join_revenue": rel.hash_join_revenue,
         "field_extraction": rel.field_extraction,
@@ -548,6 +551,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "recent_lineitems": """
+            SELECT l_returnflag,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   COUNT(*) AS n
+            FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+            GROUP BY l_returnflag
+        """,
+        "orders_by_month": """
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   COUNT(*) AS n
+            FROM orders GROUP BY date_trunc('month', o_orderdate)
+        """,
+        "parts_by_brand": """
+            SELECT p_brand,
+                   CAST(SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS retail_cents,
+                   COUNT(*) AS n_parts
+            FROM part GROUP BY p_brand
         """,
         "suppliers_by_nation": """
             SELECT n_name, COUNT(*) AS n_suppliers,

@@ -575,3 +575,58 @@ def suppliers_by_nation(sf_dir: str):
         measures, keys=["n_name"], sum_cols=["acctbal_cents"],
         count_col="n_suppliers",
     )
+
+
+def recent_lineitems(sf_dir: str):
+    """Row-group predicate pushdown at the read (prune-at-the-read): the
+    shipdate filter is a pyarrow dataset expression evaluated against
+    parquet statistics BEFORE bytes leave storage."""
+    import pyarrow.dataset as pads
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_shipdate", "l_quantity"],
+        filter=(pads.field("l_shipdate") >= pads.scalar(
+            pd.Timestamp("1995-01-01"))),
+    )
+    return _grouped_sum(
+        ds,
+        lambda t: pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "sum_qty": pc.cast(t["l_quantity"], pa.int64()),
+        }),
+        keys=["l_returnflag"], sum_cols=["sum_qty"], count_col="n",
+    )
+
+
+def orders_by_month(sf_dir: str):
+    """Temporal groupby: orders + integer-cent revenue per calendar month."""
+    def measures(t: pa.Table) -> pa.Table:
+        month = pc.floor_temporal(t["o_orderdate"], unit="month")
+        return pa.table({
+            "month": month,
+            "revenue_cents": _cents(t["o_totalprice"]),
+        })
+
+    out = _grouped_sum(
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"]),
+        measures, keys=["month"], sum_cols=["revenue_cents"], count_col="n",
+    )
+
+    def fix_ts(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("month")
+        return t.set_column(i, "month", t["month"].cast(pa.timestamp("us")))
+
+    return out.map_batches(fix_ts, batch_format="pyarrow")
+
+
+def parts_by_brand(sf_dir: str):
+    """Simple dimension roll-up: parts + retail cents per brand."""
+    return _grouped_sum(
+        _read(sf_dir, "part", ["p_brand", "p_retailprice"]),
+        lambda t: pa.table({
+            "p_brand": t["p_brand"],
+            "retail_cents": _cents(t["p_retailprice"]),
+        }),
+        keys=["p_brand"], sum_cols=["retail_cents"], count_col="n_parts",
+    )
