@@ -182,3 +182,37 @@ def test_winnow_near_dup_pairs(ray_session):
     pairs = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
     assert (1, 2) in pairs
     assert all(p == (1, 2) for p in pairs)
+
+
+def test_filter_blocks_adjacent_hits_merge(ray_session):
+    """FIXTURES 'adjacent_hits': hit blocks at distances 1-3 apart merge
+    through the ±buffer into one kept window (policy_filter.py adjacency)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.config import DEFAULT_CONFIG
+    from ocr_ray.pipelines.filter_blocks import filter_stats_batch
+    from ocr_ray.stages.extract import Extractor
+    from ocr_ray.functions.gates import pre_classify
+
+    filler = "plain filler content long enough to form its own block here"
+    # blocks: [filler, $hit, filler, $hit, filler x4] — hits 2 apart merge
+    # via buffer 1 (adjacency start <= prev_end+1)
+    paras = [filler, "price is $5,000 today " + filler, filler,
+             "cost was $9,999 then " + filler] + [filler] * 4
+    html = "<body>" + "".join(f"<p>{p}</p>" for p in paras) + "</body>"
+    pages = pa.table({
+        "url": ["https://x/adj"],
+        "warc_ts": pa.array([0], pa.timestamp("us")),
+        "html": pa.array([html.encode()], pa.binary()),
+        "text": [" ".join(paras)],
+        "lang": ["en"],
+    })
+    batch = Extractor()(pre_classify(pages).append_column(
+        "part_id", pa.array([0], pa.int32())))
+    out = filter_stats_batch(DEFAULT_CONFIG)(batch)
+    assert out["n_blocks"].to_pylist() == [8]
+    assert out["n_dollar_blocks"].to_pylist() == [2]
+    # blocks 1 and 3 buffered ±1 → [0..4] merged window = 5 kept blocks
+    assert out["n_kept_blocks"].to_pylist() == [5]
+    assert out["reduction_pct"].to_pylist() == [(8 - 5) * 100 // 8]
