@@ -318,6 +318,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recent_lineitems": rel.recent_lineitems,
         "orders_by_month": rel.orders_by_month,
         "parts_by_brand": rel.parts_by_brand,
+        "customers_with_orders": rel.customers_with_orders,
+        "customers_without_orders": rel.customers_without_orders,
         "revenue_by_orderpriority": rel.revenue_by_orderpriority,
         "hash_join_revenue": rel.hash_join_revenue,
         "field_extraction": rel.field_extraction,
@@ -551,6 +553,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "customers_with_orders": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c.c_custkey
+                                AND o_orderdate >= TIMESTAMP '1998-01-01')
         """,
         "recent_lineitems": """
             SELECT l_returnflag,

@@ -630,3 +630,52 @@ def parts_by_brand(sf_dir: str):
         }),
         keys=["p_brand"], sum_cols=["retail_cents"], count_col="n_parts",
     )
+
+
+def customers_with_orders(sf_dir: str):
+    """Broadcast SEMI JOIN: customers having >= 1 order.  The distinct
+    custkey set ships once via ray.put and filters inside map_batches — no
+    shuffle (at 10^10 keys the set becomes a Bloom filter,
+    functions.bloom.BloomFilter, same pattern)."""
+    import pyarrow.parquet as pq
+
+    keys = set(
+        pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                      columns=["o_custkey"])["o_custkey"].to_pylist()
+    )
+    ref = ray.put(keys)
+
+    def semi(t: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        mask = pa.array([k in ks for k in t["c_custkey"].to_pylist()])
+        return t.filter(mask)
+
+    return _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"]).map_batches(
+        semi, batch_format="pyarrow"
+    )
+
+
+def customers_without_orders(sf_dir: str):
+    """Broadcast ANTI JOIN: customers with no RECENT order (>= 1998-01-01;
+    unrestricted, every customer has some order — vacuous)."""
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
+
+    keys = set(
+        pq.read_table(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey"],
+            filters=pads.field("o_orderdate") >= pads.scalar(
+                pd.Timestamp("1998-01-01")),
+        )["o_custkey"].to_pylist()
+    )
+    ref = ray.put(keys)
+
+    def anti(t: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        mask = pa.array([k not in ks for k in t["c_custkey"].to_pylist()])
+        return t.filter(mask)
+
+    return _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"]).map_batches(
+        anti, batch_format="pyarrow"
+    )

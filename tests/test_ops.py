@@ -216,3 +216,21 @@ def test_filter_blocks_adjacent_hits_merge(ray_session):
     # blocks 1 and 3 buffered ±1 → [0..4] merged window = 5 kept blocks
     assert out["n_kept_blocks"].to_pylist() == [5]
     assert out["reduction_pct"].to_pylist() == [(8 - 5) * 100 // 8]
+
+
+def test_bloom_filter_properties():
+    from ocr_ray.functions.bloom import BloomFilter
+
+    bf = BloomFilter.for_capacity(1000, fp_rate=0.01)
+    keys = [f"key-{i}".encode() for i in range(1000)]
+    bf.add_many(keys)
+    # no false negatives, ever
+    assert all(k in bf for k in keys)
+    # false positives bounded (loose bound: < 5% at 1% design rate)
+    others = [f"other-{i}".encode() for i in range(2000)]
+    fp = sum(1 for k in others if k in bf)
+    assert fp < 100
+    # deterministic bytes
+    bf2 = BloomFilter.for_capacity(1000, fp_rate=0.01)
+    bf2.add_many(keys)
+    assert (bf.bits == bf2.bits).all()
