@@ -254,7 +254,19 @@ def materialize_pages_distributed(sf_dir: str, out_dir: str,
     return out_dir
 
 
-def _single_rep_table(sf_dir: str, rep: int) -> pa.Table:
+def _zipf_host(doc_id: int) -> str:
+    """Deterministic Zipf-like host assignment (FIXTURES.md §1 skew knob):
+    host k gets ~2^-(k+1) of the corpus — host-0 ~50%, host-1 ~25%, … — so
+    a few hosts dominate, exercising skew handling downstream."""
+    k = 0
+    d = doc_id + 1
+    while d % 2 == 0 and k < 12:
+        d //= 2
+        k += 1
+    return f"host-{k:02d}"
+
+
+def _single_rep_table(sf_dir: str, rep: int, zipf_hosts: bool = False) -> pa.Table:
     """One replica of the corpus — same rows the serial generator emits for
     this rep (factored so generation can fan out)."""
     docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
@@ -266,7 +278,8 @@ def _single_rep_table(sf_dir: str, rep: int) -> pa.Table:
     urls, tss, htmls, raws, out_langs = [], [], [], [], []
     suffix = "" if rep == 0 else f"?rep={rep}"
     for doc_id, text, lang, source in zip(doc_ids, texts, langs, sources):
-        url = f"https://{source}.example.org/doc/{doc_id}"
+        host = _zipf_host(doc_id) if zipf_hosts else source
+        url = f"https://{host}.example.org/doc/{doc_id}"
         ts = _EPOCH + _dt.timedelta(seconds=int(doc_id), days=rep)
         if doc_id % 10 == 0:
             url += ".pdf"

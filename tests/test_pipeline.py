@@ -203,3 +203,25 @@ def test_urlhash_two_phase_equals_groupby(ray_session, tmp_path_factory):
     shutil.rmtree(os.path.join(b, "part=00005"))
     run_extraction_urlhash(src, b, resume=True)
     assert _read_out(a).equals(_read_out(b))
+
+
+def test_urlhash_partitioning_defuses_zipf_host_skew(ray_session, tmp_path_factory):
+    """FIXTURES §1 skew knob: with a Zipf host distribution (host-00 ~50% of
+    urls), crc32(url)-hash partitions stay balanced — host-level skew never
+    reaches the workers."""
+    import collections
+
+    import pyarrow as pa
+
+    from ocr_ray.pipelines.extract import stable_part_id
+    from ocr_ray.sources.synth import _single_rep_table
+
+    t = _single_rep_table("/root/testdata/sf0.001", 0, zipf_hosts=True)
+    urls = t["url"].to_pylist()
+    hosts = collections.Counter(u.split("/")[2] for u in urls)
+    top_host_share = hosts.most_common(1)[0][1] / len(urls)
+    assert top_host_share > 0.4          # the skew is real (host-00 ~50%)
+
+    parts = collections.Counter(stable_part_id(urls, 16))
+    shares = [parts[p] / len(urls) for p in range(16)]
+    assert max(shares) < 0.12            # partitions stay near-uniform (1/16±)
