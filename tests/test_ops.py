@@ -234,3 +234,27 @@ def test_bloom_filter_properties():
     bf2 = BloomFilter.for_capacity(1000, fp_rate=0.01)
     bf2.add_many(keys)
     assert (bf.bits == bf2.bits).all()
+
+
+def test_driver_contract_consistency():
+    """Every oracle key has a query; names are unique; module import does
+    not require an active Ray session."""
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    sq = e.oracle_sql()
+    assert set(sq).issubset(set(qs))
+    assert len(qs) >= 48 and len(sq) >= 34
+
+
+def test_duplicate_blocks_preserved_in_page():
+    """FIXTURES 'dup_blocks': identical repeated blocks within one page are
+    all kept (in-page dedup is NOT extraction's job — corpus-level dedup
+    operators handle repetition)."""
+    from ocr_ray.stages.html_extract import extract_html
+
+    para = "a repeated paragraph long enough to clear the block minimum rule"
+    html = "<body>" + f"<p>{para}</p>" * 3 + "</body>"
+    r = extract_html(html)
+    assert r["n_blocks"] == 3
+    assert r["extracted_text"].count(para) == 3
