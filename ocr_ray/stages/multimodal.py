@@ -107,3 +107,80 @@ def media_features(ds, media_col: str = "media", id_col: str = "media_id",
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class MediaResizeStage:
+    """Actor-pool stage: media → resized media (stubbed transcode).
+
+    Real plumbing: binary in/binary out with target-dimension metadata, small
+    batches for large payloads.  The stub 'resize' truncates the payload
+    proportionally to the area ratio — deterministic, shape-preserving for
+    tests; a real implementation decodes + scales at the marked point.
+    """
+
+    def __init__(self, target_w: int = 256, target_h: int = 256,
+                 media_col: str = "media", id_col: str = "media_id",
+                 use_real_codec: bool = False) -> None:
+        self.target_w = target_w
+        self.target_h = target_h
+        self.media_col = media_col
+        self.id_col = id_col
+        self.use_real_codec = use_real_codec
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.use_real_codec:
+            raise NotImplementedError("plug Pillow resize here")
+        fx = MediaFeatureExtractor(self.media_col, self.id_col)
+        feats = fx(batch)
+        media = batch[self.media_col]
+        if isinstance(media, pa.ChunkedArray):
+            media = media.combine_chunks()
+        out_payloads = []
+        for payload, w, h in zip(media.to_pylist(),
+                                 feats["width"].to_pylist(),
+                                 feats["height"].to_pylist()):
+            payload = payload or b""
+            if w and h:
+                ratio = min(1.0, (self.target_w * self.target_h) / (w * h))
+                out_payloads.append(payload[: max(1, int(len(payload) * ratio))])
+            else:
+                out_payloads.append(payload)
+        return pa.table({
+            "media_id": feats["media_id"],
+            "media": pa.array(out_payloads, pa.binary()),
+            "width": pa.array([min(self.target_w, w or 0) for w in feats["width"].to_pylist()], pa.int32()),
+            "height": pa.array([min(self.target_h, h or 0) for h in feats["height"].to_pylist()], pa.int32()),
+        })
+
+
+class FrameSampleStage:
+    """Actor-pool stage: video media row → one row PER SAMPLED FRAME (the
+    1→N explosion pattern for frame-level downstream models).
+
+    Stubbed decode: frame count comes from the deterministic fake; each
+    sampled frame row carries (media_id, frame_idx, frame_hash).  Small
+    batch_size is mandatory — output rows multiply by n_frames/stride.
+    """
+
+    def __init__(self, stride: int = 2, media_col: str = "media",
+                 id_col: str = "media_id") -> None:
+        self.stride = stride
+        self.media_col = media_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fx = MediaFeatureExtractor(self.media_col, self.id_col)
+        feats = fx(batch)
+        ids, idxs, hashes = [], [], []
+        for mid, n_frames, chash in zip(feats["media_id"].to_pylist(),
+                                        feats["n_frames"].to_pylist(),
+                                        feats["content_hash"].to_pylist()):
+            for f in range(0, n_frames, self.stride):
+                ids.append(mid)
+                idxs.append(f)
+                hashes.append(hashlib.md5(f"{chash}:{f}".encode()).hexdigest())
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "frame_idx": pa.array(idxs, pa.int32()),
+            "frame_hash": pa.array(hashes, pa.string()),
+        })

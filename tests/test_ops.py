@@ -258,3 +258,28 @@ def test_duplicate_blocks_preserved_in_page():
     r = extract_html(html)
     assert r["n_blocks"] == 3
     assert r["extracted_text"].count(para) == 3
+
+
+def test_media_resize_and_frame_sample_plumbing():
+    import pyarrow as pa
+
+    from ocr_ray.stages.multimodal import FrameSampleStage, MediaResizeStage
+
+    t = pa.table({
+        "media_id": ["a", "b"],
+        "media": pa.array([b"x" * 1000, b"y" * 10], pa.binary()),
+    })
+    resized = MediaResizeStage(target_w=64, target_h=64)(t)
+    assert resized.column_names == ["media_id", "media", "width", "height"]
+    assert all(w <= 64 for w in resized["width"].to_pylist())
+    assert len(resized["media"][0].as_py()) <= 1000
+    # deterministic
+    again = MediaResizeStage(target_w=64, target_h=64)(t)
+    assert resized.equals(again)
+
+    frames = FrameSampleStage(stride=1)(t)
+    assert frames.column_names == ["media_id", "frame_idx", "frame_hash"]
+    assert len(frames) >= 2                       # 1→N explosion happened
+    a_frames = [i for m, i in zip(frames["media_id"].to_pylist(),
+                                  frames["frame_idx"].to_pylist()) if m == "a"]
+    assert a_frames == list(range(len(a_frames)))  # contiguous frame indices
