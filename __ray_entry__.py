@@ -155,6 +155,22 @@ def _q_knn_cosine(sf_dir: str):
     return knn_cosine(ds, _query_vec(sf_dir), k=10)
 
 
+def _q_knn_cosine_batch(sf_dir: str):
+    """Multi-query ANN: one broadcast query matrix (vec_ids 0,1,2)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ocr_ray.pipelines.simsearch import knn_cosine_batch
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = t["vec_id"].to_pylist()
+    qids = [0, 1, 2]
+    qvecs = [t["embedding"][ids.index(q)].as_py() for q in qids]
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return knn_cosine_batch(ds, qvecs, qids, k=5)
+
+
 def _q_knn_lsh(sf_dir: str):
     import ray.data as rd
 
@@ -336,6 +352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_cosine": _q_knn_cosine,
         "knn_lsh": _q_knn_lsh,
+        "knn_cosine_batch": _q_knn_cosine_batch,
         "embedding_near_dup": _q_embedding_near_dup,
         # entity matching (H3)
         "entity_match": _q_entity_match,
@@ -716,6 +733,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE ROUND(list_cosine_similarity(
                      CAST(a.embedding AS DOUBLE[]),
                      CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+        """,
+        "knn_cosine_batch": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+              WHERE vec_id IN (0, 1, 2)
+            ), sims AS (
+              SELECT q.query_id, e.vec_id,
+                     ROUND(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) AS sim
+              FROM embeddings e CROSS JOIN q
+            ), ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+              FROM sims
+            )
+            SELECT query_id, vec_id, sim FROM ranked WHERE rn <= 5
         """,
         "knn_cosine": """
             WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)

@@ -163,3 +163,49 @@ def embedding_near_dup(ds, threshold: float = 0.35,
         )
 
     return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+def knn_cosine_batch(ds, query_vecs, query_ids, k: int = 5,
+                     vec_col: str = "embedding", key_col: str = "vec_id"):
+    """Multi-query brute-force cosine top-k: ONE broadcast query matrix,
+    one numpy matmul per batch for ALL queries, per-(query,batch) partial
+    top-k, tiny final reduce.  Returns (query_id, vec_id, sim) rows —
+    k per query, ordered by (-sim, vec_id) within each query."""
+    import pandas as pd
+    import ray
+
+    q = np.asarray(query_vecs, dtype=np.float64)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    q_ref = ray.put((np.asarray(query_ids, dtype=np.int64), qn))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qids, qmat = ray.get(q_ref)
+        mat = _to_matrix(batch[vec_col])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = np.round((mat / norms[:, None]) @ qmat.T, 6)   # (n, n_queries)
+        ids = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_q, out_v, out_s = [], [], []
+        for j, qid in enumerate(qids):
+            order = np.lexsort((ids, -sims[:, j]))[:k]
+            out_q.extend([qid] * len(order))
+            out_v.extend(ids[order])
+            out_s.extend(sims[order, j])
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            key_col: pa.array(out_v, pa.int64()),
+            "sim": pa.array(out_s, pa.float64()),
+        })
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    top = (
+        partials.sort_values(["query_id", "sim", key_col],
+                             ascending=[True, False, True])
+        .groupby("query_id", as_index=False)
+        .head(k)
+    )
+    return pa.table({
+        "query_id": pa.array(top["query_id"].to_numpy(), pa.int64()),
+        key_col: pa.array(top[key_col].to_numpy(), pa.int64()),
+        "sim": pa.array(top["sim"].to_numpy(), pa.float64()),
+    })
