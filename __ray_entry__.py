@@ -171,6 +171,16 @@ def _q_knn_cosine_batch(sf_dir: str):
     return knn_cosine_batch(ds, qvecs, qids, k=5)
 
 
+def _q_knn_ivf(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.pipelines.simsearch import knn_ivf
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return knn_ivf(ds, _query_vec(sf_dir), k=10)
+
+
 def _q_knn_lsh(sf_dir: str):
     import ray.data as rd
 
@@ -353,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": _q_knn_cosine,
         "knn_lsh": _q_knn_lsh,
         "knn_cosine_batch": _q_knn_cosine_batch,
+        "knn_ivf": _q_knn_ivf,
         "embedding_near_dup": _q_embedding_near_dup,
         # entity matching (H3)
         "entity_match": _q_entity_match,

@@ -209,3 +209,68 @@ def knn_cosine_batch(ds, query_vecs, query_ids, k: int = 5,
         key_col: pa.array(top[key_col].to_numpy(), pa.int64()),
         "sim": pa.array(top["sim"].to_numpy(), pa.float64()),
     })
+
+
+def _kmeans_lite(sample: np.ndarray, n_clusters: int, n_iter: int = 10) -> np.ndarray:
+    """Deterministic k-means (fixed seed init, fixed iterations) for the
+    IVF coarse quantizer — runs driver-side on a sample, centroids are a
+    pure function of the sample."""
+    rng = np.random.RandomState(11)
+    idx = rng.choice(len(sample), size=min(n_clusters, len(sample)), replace=False)
+    centroids = sample[np.sort(idx)].copy()
+    for _ in range(n_iter):
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def knn_ivf(ds, query_vec, k: int = 10, n_clusters: int = 16, n_probe: int = 2,
+            vec_col: str = "embedding", key_col: str = "vec_id",
+            train_sample: int = 2048):
+    """IVF approximate top-k: a k-means coarse quantizer (trained on a
+    driver-side sample, centroids broadcast once) assigns every vector to
+    its nearest centroid; the query searches only its ``n_probe`` nearest
+    cells.  At corpus scale the cell id becomes the partition key so only
+    n_probe partitions are read per query (the inverted-file layout)."""
+    import ray
+
+    sample_tbl = ds.limit(train_sample).to_pandas()
+    sample = np.stack(sample_tbl[vec_col].to_numpy()).astype(np.float64)
+    centroids = _kmeans_lite(sample, n_clusters)
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qd = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe_cells = set(np.argsort(qd)[:n_probe].tolist())
+    ref = ray.put((centroids, q))
+
+    def cell_topk(batch: pa.Table) -> pa.Table:
+        cents, qv = ray.get(ref)
+        mat = _to_matrix(batch[vec_col])
+        if mat.shape[0] == 0:
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        cells = d.argmin(axis=1)
+        mask = np.isin(cells, list(probe_cells))
+        if not mask.any():
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        sub = mat[mask]
+        ids = batch[key_col].to_numpy(zero_copy_only=False)[mask]
+        sims = np.round(_cosine(sub, qv), 6)
+        order = np.lexsort((ids, -sims))[:k]
+        return pa.table({
+            key_col: pa.array(ids[order], pa.int64()),
+            "sim": pa.array(sims[order], pa.float64()),
+        })
+
+    partials = ds.map_batches(cell_topk, batch_format="pyarrow").to_pandas()
+    partials = partials.sort_values(["sim", key_col], ascending=[False, True]).head(k)
+    return pa.table({
+        key_col: pa.array(partials[key_col].to_numpy(), pa.int64()),
+        "sim": pa.array(partials["sim"].to_numpy(), pa.float64()),
+    })

@@ -283,3 +283,23 @@ def test_media_resize_and_frame_sample_plumbing():
     a_frames = [i for m, i in zip(frames["media_id"].to_pylist(),
                                   frames["frame_idx"].to_pylist()) if m == "a"]
     assert a_frames == list(range(len(a_frames)))  # contiguous frame indices
+
+
+def test_knn_ivf_finds_query_and_recall(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ocr_ray.pipelines.simsearch import knn_cosine, knn_ivf
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    t = pq.read_table(path)
+    q = t["embedding"][t["vec_id"].to_pylist().index(0)].as_py()
+    ds = rd.read_parquet(path)
+    approx = knn_ivf(ds, q, k=10)
+    exact = knn_cosine(rd.read_parquet(path), q, k=10)
+    assert approx["vec_id"].to_pylist()[0] == 0        # finds the query itself
+    overlap = set(approx["vec_id"].to_pylist()) & set(exact["vec_id"].to_pylist())
+    assert len(overlap) >= 3                           # reasonable recall@10
+    # deterministic
+    again = knn_ivf(rd.read_parquet(path), q, k=10)
+    assert approx.equals(again)
