@@ -3,13 +3,13 @@
 Headline: the flagship extraction pipeline (gates → dual-engine extract →
 url-hash partitioned checkpoint write) over a deterministic pages corpus
 derived from $GRAFT_SF_DIR/documents.parquet (replicated GRAFT_BENCH_REPS
-times with distinct urls — default 8).  Also times a representative query
+times with distinct urls — default 24).  Also times a representative query
 per operator family.
 
 Env:
   GRAFT_SF_DIR      input scale dir     (default /root/testdata/sf0.1)
   RAY_GRAFT_CPUS    ray.init num_cpus   (default 32)
-  GRAFT_BENCH_REPS  corpus replication  (default 8)
+  GRAFT_BENCH_REPS  corpus replication  (default 24)
 
 ``bench.py --scaling`` runs the plain bench twice in FRESH processes at
 num_cpus=8 and num_cpus=32 on the same input and reports both throughputs

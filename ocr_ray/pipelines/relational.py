@@ -446,21 +446,26 @@ def dynamic_keyword_filter(sf_dir: str):
         if size > 40
         for w in ptype.lower().split()
     })
-    pmap = dict(zip(part["p_partkey"].to_pylist(),
-                    [s.lower() for s in part["p_type"].to_pylist()]))
-    ref = ray.put((kws, pmap))
+    # p_partkey is contiguous 1..N: a positional Arrow array indexed by
+    # partkey-1 turns the lookup into a vectorized take (no python dict)
+    order = pc.sort_indices(part["p_partkey"])
+    ptype_by_key = pc.utf8_lower(part["p_type"].combine_chunks().take(order))
+    ref = ray.put((kws, ptype_by_key))
 
     def f(t: pa.Table) -> pa.Table:
-        keywords, m = ray.get(ref)
-        ids = t["doc_id"].to_pylist()
-        texts = t["text"].to_pylist()
-        hits = []
-        for did, txt in zip(ids, texts):
-            t5 = (txt or "").lower() + " " + m[(did % 200) + 1]
-            hits.append(any(k in t5 for k in keywords))
+        keywords, ptypes = ray.get(ref)
+        # (doc_id % 200) → partkey (idx+1) → positional idx
+        idx = pc.subtract(t["doc_id"], pc.multiply(pc.divide(t["doc_id"], 200), 200))
+        suffix = ptypes.take(pc.cast(idx, pa.int64()))
+        t5 = pc.binary_join_element_wise(
+            pc.utf8_lower(pc.coalesce(t["text"], pa.scalar(""))), suffix, " "
+        )
+        mask = pa.array([False] * len(t), pa.bool_()) if len(t) else pa.array([], pa.bool_())
+        for kw in keywords:  # same vectorized shape as gates.keyword_page_mask
+            mask = pc.or_(mask, pc.match_substring(t5, kw))
         return pa.table({
             "doc_id": t["doc_id"],
-            "has_keyword": pa.array(hits, pa.bool_()),
+            "has_keyword": pc.cast(mask, pa.bool_()),
         })
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(

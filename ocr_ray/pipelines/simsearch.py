@@ -45,6 +45,9 @@ def knn_cosine(ds, query_vec, k: int = 10,
     def partial_topk(batch: pa.Table) -> pa.Table:
         q = ray.get(q_ref)
         mat = _to_matrix(batch[vec_col])
+        if mat.shape[0] == 0:
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
         sims = np.round(_cosine(mat, q), 6)
         ids = batch[key_col].to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, -sims))[:k]
@@ -181,6 +184,10 @@ def knn_cosine_batch(ds, query_vecs, query_ids, k: int = 5,
     def partial_topk(batch: pa.Table) -> pa.Table:
         qids, qmat = ray.get(q_ref)
         mat = _to_matrix(batch[vec_col])
+        if mat.shape[0] == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             key_col: pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         sims = np.round((mat / norms[:, None]) @ qmat.T, 6)   # (n, n_queries)

@@ -68,6 +68,11 @@ class Extractor:
 
     def __init__(self, cfg: PipelineConfig = DEFAULT_CONFIG) -> None:
         self.cfg = cfg
+        # once-per-actor: pyarrow's internal pools default to the MACHINE's
+        # core count inside every Ray worker — a 1-CPU actor must use 1 CPU
+        # (same cap as _ShardProcessor; CLAUDE.md sharp edge)
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
 
     def _engine1(self, html_str: str, payload: bytes) -> tuple[dict, str, bool]:
         """→ (result, engine_name, ok).  A failed PDF parse keeps the 'pdf'

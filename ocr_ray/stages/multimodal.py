@@ -86,7 +86,11 @@ class MediaFeatureExtractor:
         return pa.table(
             {
                 "media_id": pa.array([str(i) for i in ids], pa.string()),
-                "n_bytes": pc.cast(pc.binary_length(media), pa.int64()),
+                # null payloads decode as b'' (status='empty') — n_bytes must
+                # agree (0, not null) so null and empty rows are identical
+                "n_bytes": pc.coalesce(
+                    pc.cast(pc.binary_length(media), pa.int64()), pa.scalar(0, pa.int64())
+                ),
                 "content_hash": pa.array(hashes, pa.string()),
                 "width": pa.array(widths, pa.int32()),
                 "height": pa.array(heights, pa.int32()),

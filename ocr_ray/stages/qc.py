@@ -79,11 +79,18 @@ def qc_pages_rollup(pages_dir: str, cfg=None):
 
     cfg = cfg or DEFAULT_CONFIG
 
-    def extract_with_raw(batch: pa.Table) -> pa.Table:
-        out = Extractor(cfg)(batch)  # no gate columns → order preserved
-        return out.append_column("text", batch["text"])
+    class ExtractWithRaw:
+        """Actor-pool stage: Extractor built once per actor (not per batch)."""
+
+        def __init__(self) -> None:
+            self.extractor = Extractor(cfg)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = self.extractor(batch)  # no gate columns → order preserved
+            return out.append_column("text", batch["text"])
 
     ds = rd.read_parquet(pages_dir).map_batches(
-        extract_with_raw, batch_format="pyarrow", batch_size=cfg.batch_size_extract
+        ExtractWithRaw, batch_format="pyarrow",
+        batch_size=cfg.batch_size_extract, concurrency=(2, 8)
     )
     return qc_rollup(ds)
