@@ -237,6 +237,18 @@ def _q_embedding_near_dup(sf_dir: str):
     return embedding_near_dup(ds, threshold=0.35)
 
 
+def _q_embedding_near_dup_lsh(sf_dir: str):
+    """Sub-quadratic LSH-bucketed near-dup (candidates generated inside
+    (table, bucket) groups, exact-cosine verified, dedup distributed)."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.simsearch import embedding_near_dup_lsh
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return embedding_near_dup_lsh(ds, threshold=0.5)
+
+
 def _q_entity_match(sf_dir: str):
     """Fuzzy entity-name matching (H3) over deterministic derived pairs."""
     import pyarrow as pa
@@ -365,6 +377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_batch": _q_knn_cosine_batch,
         "knn_ivf": _q_knn_ivf,
         "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         # entity matching (H3)
         "entity_match": _q_entity_match,
         # flagship extraction (pages corpus; no SQL oracle — rows-only)
@@ -734,6 +747,16 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(c.click_id, -1) AS click_id
             FROM buys b ASOF LEFT JOIN clicks c
               ON b.user_id = c.user_id AND b.ts >= c.ts
+        """,
+        "embedding_near_dup_lsh": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(
+                     CAST(a.embedding AS DOUBLE[]),
+                     CAST(b.embedding AS DOUBLE[])), 6) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE ROUND(list_cosine_similarity(
+                     CAST(a.embedding AS DOUBLE[]),
+                     CAST(b.embedding AS DOUBLE[])), 6) >= 0.5
         """,
         "embedding_near_dup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
