@@ -217,6 +217,21 @@ def _q_section_windows(sf_dir: str):
     return section_windows(_pages_dir(sf_dir)).drop_columns(["window_blocks"])
 
 
+def _q_heading_windows(sf_dir: str):
+    """D4: parameterized N-blocks-after-heading window with the short-doc
+    validation dict (qc_head.py:167-223)."""
+    from ocr_ray.pipelines.filter_blocks import heading_windows
+
+    return heading_windows(_pages_dir(sf_dir), num_blocks=4)
+
+
+def _q_declarations_head(sf_dir: str):
+    """C8: declarations-only scoping — first-N-blocks restriction."""
+    from ocr_ray.pipelines.filter_blocks import declarations_head
+
+    return declarations_head(_pages_dir(sf_dir), head_blocks=8)
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal plumbing demo: html payloads as the opaque media column."""
     import ray.data as rd
@@ -325,6 +340,12 @@ def _q_dual_engine_compare(sf_dir: str):
         f, batch_format="pyarrow", batch_size=256)
 
 
+def _val():
+    from ocr_ray.pipelines import validation
+
+    return validation
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ocr_ray.pipelines import relational as rel
     from ocr_ray.pipelines import windows as win
@@ -380,6 +401,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         # entity matching (H3)
         "entity_match": _q_entity_match,
+        # validation operators (G4 / H5 / C5-C10)
+        "qc_field_compare": _val().qc_field_compare_query,
+        "field_extraction_patched": _val().field_extraction_patched_query,
+        "qc_family_verdicts": _val().qc_family_verdicts_query,
         # flagship extraction (pages corpus; no SQL oracle — rows-only)
         "extract_stats": _q_extract_stats,
         "extract_pages": _q_extract_pages,
@@ -387,6 +412,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_corpus": _q_training_corpus,
         "filter_stats": _q_filter_stats,
         "section_windows": _q_section_windows,
+        "heading_windows": _q_heading_windows,
+        "declarations_head": _q_declarations_head,
         "media_features": _q_media_features,
     }
 
@@ -429,7 +456,12 @@ def _coverage_classify_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from ocr_ray.pipelines import validation as _v
+
     return {
+        "qc_field_compare": _v.qc_field_compare_sql(),
+        "field_extraction_patched": _v.field_extraction_patched_sql(),
+        "qc_family_verdicts": _v.qc_family_verdicts_sql(),
         "lang_gate_counts": f"""
             SELECT lang, COUNT(*) AS n_docs FROM documents
             WHERE lang IN {_ALLOW} AND n_chars >= 10 GROUP BY lang

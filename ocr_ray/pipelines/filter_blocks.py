@@ -110,9 +110,117 @@ def section_selector_batch(cfg: PipelineConfig):
     return f
 
 
+def heading_window_batch(cfg: PipelineConfig, num_blocks: int = 4):
+    """D4 analogue (qc_head.py:167-223 extract_pages_after_heading): a
+    PARAMETERIZED window of ``num_blocks`` blocks starting AT the heading
+    block, with the reference's validation dict semantics:
+
+    * heading found, >= num_blocks available → status='success', no warning
+    * heading found, fewer available         → status='success' + warning,
+      blocks_extracted records the short count (short-doc validation)
+    * heading not found                      → status='error', empty window
+    """
+
+    def f(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        texts = batch["extracted_text"].to_pylist()
+        spans_l = batch["spans"].to_pylist()
+        out = {"url": [], "status": [], "start_block": [], "end_block": [],
+               "blocks_requested": [], "blocks_extracted": [], "warning": [],
+               "window_chars": []}
+        for url, text, spans in zip(urls, texts, spans_l):
+            blocks = _block_texts(text or "", spans or [])
+            sec = -1
+            for i, b in enumerate(blocks):
+                if SECTION_MARKER in b.upper():
+                    sec = i
+                    break
+            out["url"].append(url)
+            out["blocks_requested"].append(num_blocks)
+            if sec < 0:
+                out["status"].append("error")
+                out["start_block"].append(-1)
+                out["end_block"].append(-1)
+                out["blocks_extracted"].append(0)
+                out["warning"].append("")
+                out["window_chars"].append(0)
+                continue
+            end = min(len(blocks), sec + num_blocks)
+            got = end - sec
+            out["status"].append("success")
+            out["start_block"].append(sec)
+            out["end_block"].append(end - 1)
+            out["blocks_extracted"].append(got)
+            out["warning"].append(
+                "" if got == num_blocks else
+                f"requested {num_blocks} blocks but only {got} available"
+            )
+            out["window_chars"].append(sum(len(b) for b in blocks[sec:end]))
+        return pa.table({
+            "url": pa.array(out["url"], pa.string()),
+            "status": pa.array(out["status"], pa.string()),
+            "start_block": pa.array(out["start_block"], pa.int64()),
+            "end_block": pa.array(out["end_block"], pa.int64()),
+            "blocks_requested": pa.array(out["blocks_requested"], pa.int64()),
+            "blocks_extracted": pa.array(out["blocks_extracted"], pa.int64()),
+            "warning": pa.array(out["warning"], pa.string()),
+            "window_chars": pa.array(out["window_chars"], pa.int64()),
+        })
+
+    return f
+
+
+def declarations_head_batch(cfg: PipelineConfig, head_blocks: int = 8):
+    """C8 analogue (pl_cov_declarations.py:33-269): validation restricted
+    to the DECLARATIONS head — only the first ``head_blocks`` blocks are
+    searched, so amounts deep in the policy never leak into the result."""
+    from ocr_ray.functions.gates import dollar_page_mask
+
+    def f(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        texts = batch["extracted_text"].to_pylist()
+        spans_l = batch["spans"].to_pylist()
+        out = {"url": [], "n_head_blocks": [], "head_has_dollar": [],
+               "head_chars": []}
+        for url, text, spans in zip(urls, texts, spans_l):
+            blocks = _block_texts(text or "", spans or [])[:head_blocks]
+            out["url"].append(url)
+            out["n_head_blocks"].append(len(blocks))
+            if blocks:
+                dm = dollar_page_mask(pa.array(blocks, pa.string()), cfg)
+                out["head_has_dollar"].append(
+                    bool(pa.compute.any(dm).as_py())
+                )
+            else:
+                out["head_has_dollar"].append(False)
+            out["head_chars"].append(sum(len(b) for b in blocks))
+        return pa.table({
+            "url": pa.array(out["url"], pa.string()),
+            "n_head_blocks": pa.array(out["n_head_blocks"], pa.int64()),
+            "head_has_dollar": pa.array(out["head_has_dollar"], pa.bool_()),
+            "head_chars": pa.array(out["head_chars"], pa.int64()),
+        })
+
+    return f
+
+
 def filter_stats(pages_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
     ds = extraction_dataset(rd.read_parquet(pages_dir), cfg)
     return ds.map_batches(filter_stats_batch(cfg), batch_format="pyarrow")
+
+
+def heading_windows(pages_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
+                    num_blocks: int = 4):
+    ds = extraction_dataset(rd.read_parquet(pages_dir), cfg)
+    return ds.map_batches(heading_window_batch(cfg, num_blocks),
+                          batch_format="pyarrow")
+
+
+def declarations_head(pages_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
+                      head_blocks: int = 8):
+    ds = extraction_dataset(rd.read_parquet(pages_dir), cfg)
+    return ds.map_batches(declarations_head_batch(cfg, head_blocks),
+                          batch_format="pyarrow")
 
 
 def section_windows(pages_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
