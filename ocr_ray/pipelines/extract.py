@@ -259,38 +259,48 @@ def run_extraction_sharded(
     def process_shard(shard_id: int, path: str) -> dict:
         return _ShardProcessor(cfg, out_dir)._process_shard(shard_id, path)
 
-    window = max(8, int(ray.cluster_resources().get("CPU", 8)) * 4)
-    pending: dict = {}
-    failed: list[int] = []
-    it = iter(todo)
-    exhausted = False
-    while pending or not exhausted:
-        while not exhausted and len(pending) < window:
-            try:
-                i, f = next(it)
-            except StopIteration:
-                exhausted = True
-                break
-            pending[process_shard.remote(i, f)] = i
-        if pending:
-            # drain everything already finished in one call — a wait per
-            # completion caps the driver loop at ~100 tasks/s
-            ready, _ = ray.wait(
-                list(pending), num_returns=len(pending), timeout=0.05
-            )
-            for ref in ready:
-                shard_id = pending.pop(ref)
-                try:
-                    ray.get(ref)
-                except ray.exceptions.RayError:
-                    # a shard that fails after Ray's retries (corrupt file,
-                    # OOM) is recorded, not fatal: no manifest is written,
-                    # so the next resume retries exactly this shard
-                    failed.append(shard_id)
+    failed = _bounded_submit(process_shard, todo)
     summary = mf.summarize(out_dir)
     if failed:
         summary["failed_shards"] = sorted(failed)
     return summary
+
+
+def _bounded_submit(task_remote, items: list[tuple], window: int | None = None
+                    ) -> list:
+    """Submit ``task_remote.remote(*item)`` over a bounded sliding window
+    (at most ~4x cluster-CPU tasks in flight — a 10^8-item list never
+    floods the scheduler).  Failed items are recorded, not fatal; returns
+    their first elements (ids) sorted.  Drains every finished ref per wait
+    call (one wait per completion caps the driver at ~100 tasks/s)."""
+    if window is None:
+        window = max(8, int(ray.cluster_resources().get("CPU", 8)) * 4)
+    pending: dict = {}
+    failed: list = []
+    it = iter(items)
+    exhausted = False
+    while pending or not exhausted:
+        while not exhausted and len(pending) < window:
+            try:
+                item = next(it)
+            except StopIteration:
+                exhausted = True
+                break
+            pending[task_remote.remote(*item)] = item[0]
+        if pending:
+            ready, _ = ray.wait(
+                list(pending), num_returns=len(pending), timeout=0.05
+            )
+            for ref in ready:
+                item_id = pending.pop(ref)
+                try:
+                    ray.get(ref)
+                except ray.exceptions.RayError:
+                    # fails after Ray's retries (corrupt file, OOM) are
+                    # recorded, not fatal: no marker/manifest is written,
+                    # so the next resume retries exactly this item
+                    failed.append(item_id)
+    return sorted(failed)
 
 
 # ---------------------------------------------------------------------------
@@ -302,6 +312,7 @@ def run_extraction_urlhash(
     out_dir: str,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     resume: bool = True,
+    merge_rows_in_memory: int = 1 << 18,
 ) -> dict:
     """Url-hash co-located output without Ray's sort shuffle: a manual
     two-phase external exchange (the "partitioning/shuffle handled
@@ -360,14 +371,23 @@ def run_extraction_urlhash(
         with open(marker, "w") as f:
             f.write("done\n")
 
-    ray.get([phase1.remote(i, f) for i, f in enumerate(files)])
+    _bounded_submit(phase1, list(enumerate(files)))
 
+    # above merge_rows_in_memory rows a partition merges as a RANGED
+    # STREAM (sorted key ranges written row-group-at-a-time) instead of
+    # one in-memory concat+sort — bounds the phase-2 worker's memory by
+    # range size, not partition size
     @ray.remote(num_cpus=1)
     def phase2(part: int) -> None:
         import pyarrow.parquet as pq
 
         pdir = os.path.join(chunks_dir, f"part={part:05d}")
         chunk_files = sorted(glob.glob(os.path.join(pdir, "shard-*.parquet")))
+        total_rows = sum(pq.read_metadata(f).num_rows for f in chunk_files)
+        if total_rows > merge_rows_in_memory:
+            _merge_partition_streamed(out_dir, part, chunk_files,
+                                      merge_rows_in_memory)
+            return
         if chunk_files:
             group = pa.concat_tables([pq.read_table(f, use_threads=False)
                                       for f in chunk_files])
@@ -377,23 +397,12 @@ def run_extraction_urlhash(
             group, sort_keys=[("url", "ascending"), ("warc_ts", "ascending")]
         )
         group = group.take(idx)
-        status = group["parse_status"]
-        n_out = pc.sum(pc.cast(
-            pc.is_in(status, value_set=pa.array(["ok", "fallback"])), pa.int64()
-        )).as_py() or 0
-        n_rej = pc.sum(pc.cast(pc.equal(status, "rejected"), pa.int64())).as_py() or 0
-        n_err = pc.sum(pc.cast(pc.equal(status, "error"), pa.int64())).as_py() or 0
-        b_in = pc.sum(group["bytes_in"]).as_py() or 0
-        b_out = pc.sum(group["bytes_out"]).as_py() or 0
-        mf.write_partition(out_dir, part, group, {
-            "part_id": part, "rows_in": len(group), "rows_out": int(n_out),
-            "rows_rejected": int(n_rej), "parse_failures": int(n_err),
-            "bytes_in": int(b_in), "bytes_out": int(b_out),
-            "bytes_stripped": int(b_in - b_out), "wall_ms": 0,
-        })
+        mf.write_partition(out_dir, part, group,
+                           _partition_manifest(part, group))
 
-    todo_parts = [p for p in range(cfg.num_output_partitions) if p not in done_parts]
-    ray.get([phase2.remote(p) for p in todo_parts])
+    todo_parts = [(p,) for p in range(cfg.num_output_partitions)
+                  if p not in done_parts]
+    _bounded_submit(phase2, todo_parts)
 
     import shutil as _sh
     _sh.rmtree(chunks_dir, ignore_errors=True)
@@ -404,3 +413,100 @@ def _empty_pages_table() -> pa.Table:
     from ocr_ray.schema import PAGES_SCHEMA
 
     return pa.table({f.name: pa.array([], f.type) for f in PAGES_SCHEMA})
+
+
+def _partition_manifest(part_id: int, group: pa.Table, wall_ms: int = 0) -> dict:
+    """Standard per-partition lineage manifest from an output table."""
+    status = group["parse_status"]
+    n_out = pc.sum(pc.cast(
+        pc.is_in(status, value_set=pa.array(["ok", "fallback"])), pa.int64()
+    )).as_py() or 0
+    n_rej = pc.sum(pc.cast(pc.equal(status, "rejected"), pa.int64())).as_py() or 0
+    n_err = pc.sum(pc.cast(pc.equal(status, "error"), pa.int64())).as_py() or 0
+    b_in = pc.sum(group["bytes_in"]).as_py() or 0
+    b_out = pc.sum(group["bytes_out"]).as_py() or 0
+    return {
+        "part_id": part_id, "rows_in": len(group), "rows_out": int(n_out),
+        "rows_rejected": int(n_rej), "parse_failures": int(n_err),
+        "bytes_in": int(b_in), "bytes_out": int(b_out),
+        "bytes_stripped": int(b_in - b_out), "wall_ms": wall_ms,
+    }
+
+
+def _merge_partition_streamed(out_dir: str, part: int,
+                              chunk_files: list[str], range_rows: int) -> None:
+    """Phase-2 external merge with bounded memory: plan (url, warc_ts)
+    ranges from the key columns only (cheap), then stream one sorted range
+    at a time into a multi-row-group partition file.
+
+    Memory high-water = one range (~range_rows rows) + the key index;
+    trade-off: every chunk is decoded once per range (no random access in
+    parquet).  The in-memory path remains byte-identical to round 1 for
+    partitions under the threshold."""
+    import pyarrow.parquet as pq
+
+    from ocr_ray.state.manifest import StreamedPartitionWriter
+
+    keys = pa.concat_tables([
+        pq.read_table(f, columns=["url", "warc_ts"], use_threads=False)
+        for f in chunk_files
+    ])
+    idx = pc.sort_indices(
+        keys, sort_keys=[("url", "ascending"), ("warc_ts", "ascending")]
+    )
+    s_url = keys["url"].take(idx)
+    s_ts = keys["warc_ts"].take(idx)
+    n = len(keys)
+    bounds: list[tuple] = []  # range-open keys: range i is [bounds[i-1], bounds[i])
+    pos = range_rows
+    while pos < n:
+        b = (s_url[pos].as_py(), s_ts[pos].as_py())
+        if not bounds or b != bounds[-1]:  # giant duplicate-key runs
+            bounds.append(b)
+        pos += range_rows
+
+    schema = pq.read_schema(chunk_files[0])
+    writer = StreamedPartitionWriter(out_dir, part, schema)
+    totals = {"rows_in": 0, "rows_out": 0, "rows_rejected": 0,
+              "parse_failures": 0, "bytes_in": 0, "bytes_out": 0}
+    try:
+        for i in range(len(bounds) + 1):
+            lo = bounds[i - 1] if i > 0 else None
+            hi = bounds[i] if i < len(bounds) else None
+            parts = []
+            for f in chunk_files:
+                t = pq.read_table(f, use_threads=False)
+                mask = None
+                if lo is not None:
+                    ge = pc.or_(
+                        pc.greater(t["url"], lo[0]),
+                        pc.and_(pc.equal(t["url"], lo[0]),
+                                pc.greater_equal(t["warc_ts"], pa.scalar(lo[1], t["warc_ts"].type))),
+                    )
+                    mask = ge
+                if hi is not None:
+                    lt = pc.or_(
+                        pc.less(t["url"], hi[0]),
+                        pc.and_(pc.equal(t["url"], hi[0]),
+                                pc.less(t["warc_ts"], pa.scalar(hi[1], t["warc_ts"].type))),
+                    )
+                    mask = lt if mask is None else pc.and_(mask, lt)
+                parts.append(t.filter(mask) if mask is not None else t)
+            g = pa.concat_tables(parts)
+            g = g.take(pc.sort_indices(
+                g, sort_keys=[("url", "ascending"), ("warc_ts", "ascending")]
+            ))
+            if len(g) == 0:
+                continue
+            writer.write(g)
+            m = _partition_manifest(part, g)
+            for k in totals:
+                totals[k] += m[k]
+    except Exception:
+        writer.abort()
+        raise
+    writer.finalize({
+        "part_id": part, **totals,
+        "bytes_stripped": totals["bytes_in"] - totals["bytes_out"],
+        "wall_ms": 0,
+    })

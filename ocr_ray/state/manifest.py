@@ -74,6 +74,50 @@ def write_partition(out_dir: str, part_id: int, table, manifest: dict) -> bool:
         raise
 
 
+class StreamedPartitionWriter:
+    """Atomic partition write for data too big to hold at once: row groups
+    are appended via ``write(table)`` into the temp dir, then ``finalize``
+    renames it into place with the manifest — same all-or-nothing contract
+    as :func:`write_partition`, bounded memory."""
+
+    def __init__(self, out_dir: str, part_id: int, schema) -> None:
+        import pyarrow.parquet as pq
+
+        self.out_dir = out_dir
+        self.part_id = part_id
+        os.makedirs(out_dir, exist_ok=True)
+        self.tmp = os.path.join(out_dir, f"_tmp-{part_id:05d}-{uuid.uuid4().hex}")
+        os.makedirs(self.tmp)
+        self._writer = pq.ParquetWriter(
+            os.path.join(self.tmp, "data.parquet"), schema
+        )
+
+    def write(self, table) -> None:
+        self._writer.write_table(table)
+
+    def finalize(self, manifest: dict) -> bool:
+        self._writer.close()
+        final = part_dir(self.out_dir, self.part_id)
+        try:
+            with open(os.path.join(self.tmp, "manifest.json"), "w") as f:
+                json.dump(manifest, f, sort_keys=True)
+            try:
+                os.rename(self.tmp, final)
+            except OSError:
+                shutil.rmtree(self.tmp, ignore_errors=True)
+                return False
+            return True
+        except Exception:
+            shutil.rmtree(self.tmp, ignore_errors=True)
+            raise
+
+    def abort(self) -> None:
+        try:
+            self._writer.close()
+        finally:
+            shutil.rmtree(self.tmp, ignore_errors=True)
+
+
 def load_manifests(out_dir: str) -> list[dict]:
     """All partition manifests, ordered by part_id."""
     out = []

@@ -225,3 +225,23 @@ def test_urlhash_partitioning_defuses_zipf_host_skew(ray_session, tmp_path_facto
     parts = collections.Counter(stable_part_id(urls, 16))
     shares = [parts[p] / len(urls) for p in range(16)]
     assert max(shares) < 0.12            # partitions stay near-uniform (1/16±)
+
+
+def test_urlhash_streamed_merge_equals_in_memory(ray_session, tmp_path_factory):
+    """Phase-2 ranged streaming merge (merge_rows_in_memory exceeded)
+    produces the same ROWS in the same order as the in-memory path —
+    multiple row groups, identical content."""
+    from ocr_ray.pipelines.extract import run_extraction_urlhash
+    from ocr_ray.sources.synth import materialize_pages_parquet
+
+    src = materialize_pages_parquet(
+        "/root/testdata/sf0.001", "/tmp/pages_uh_t", rows_per_file=128)
+    a = str(tmp_path_factory.mktemp("uh_mem"))
+    b = str(tmp_path_factory.mktemp("uh_stream"))
+    run_extraction_urlhash(src, a, resume=False)
+    # threshold of 8 rows forces the streamed path with several ranges
+    sb = run_extraction_urlhash(src, b, resume=False, merge_rows_in_memory=8)
+    sa = run_extraction_urlhash(src, a, resume=True)  # summary of a
+    assert sa == sb                       # manifests aggregate identically
+    ta, tb = _read_out(a), _read_out(b)
+    assert ta.equals(tb)                  # same rows, same order
