@@ -21,10 +21,11 @@ _SF0001 = "/root/testdata/sf0.001"
 
 def _pages_dir(sf_dir: str) -> str:
     """Deterministic derived pages corpus for sf_dir, cached under /tmp."""
-    from ocr_ray.sources.synth import materialize_pages_parquet
+    from ocr_ray.sources.synth import CORPUS_VERSION, materialize_pages_parquet
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    return materialize_pages_parquet(sf_dir, f"/tmp/ocr_ray_pages_{tag}")
+    return materialize_pages_parquet(
+        sf_dir, f"/tmp/ocr_ray_pages_v{CORPUS_VERSION}_{tag}")
 
 
 def entry() -> Any:

@@ -83,9 +83,12 @@ def main() -> None:
     from ocr_ray.sources.synth import materialize_pages_distributed
     import __ray_entry__ as entrymod
 
+    from ocr_ray.sources.synth import CORPUS_VERSION
+
     tag = os.path.basename(os.path.normpath(SF_DIR))
     pages_dir = materialize_pages_distributed(
-        SF_DIR, f"/tmp/ocr_ray_bench_{tag}_r{REPS}", rows_per_file=512, reps=REPS
+        SF_DIR, f"/tmp/ocr_ray_bench_v{CORPUS_VERSION}_{tag}_r{REPS}",
+        rows_per_file=512, reps=REPS
     )
     # warm-up (untimed): page cache + Ray worker pool + one full pipeline
     # execution, so the timed run measures compute + I/O, not process spawn

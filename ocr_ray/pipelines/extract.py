@@ -17,7 +17,6 @@ Nothing here calls ray.init(); callers own the session.
 from __future__ import annotations
 
 import time
-import zlib
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -31,8 +30,19 @@ from ocr_ray.state import manifest as mf
 
 
 def stable_part_id(urls: list[str], num_parts: int) -> list[int]:
-    """Deterministic url-hash partition (crc32, not the salted ``hash``)."""
-    return [zlib.crc32(u.encode("utf-8")) % num_parts for u in urls]
+    """Deterministic url-hash partition (never the salted Python ``hash``).
+
+    The hash is the lower 64 bits of md5 — bit-for-bit DuckDB's
+    ``md5_number_lower`` (digest bytes 8..16, little-endian) so the SQL
+    oracles can recompute partition ids, and a far better partitioner than
+    crc32 at 10^12-url scale."""
+    import hashlib
+
+    return [
+        int.from_bytes(hashlib.md5(u.encode("utf-8")).digest()[8:16], "little")
+        % num_parts
+        for u in urls
+    ]
 
 
 def _gate_stage(cfg: PipelineConfig, skip_parts: frozenset[int]):

@@ -28,6 +28,10 @@ from ocr_ray.schema import PAGES_SCHEMA
 
 _EPOCH = _dt.datetime(2024, 1, 1)
 
+# bump when the generated corpus changes byte-wise (cache directories under
+# /tmp embed this so stale corpora from older generators are never reused)
+CORPUS_VERSION = 2
+
 _NAV = (
     '<nav><ul><li><a href="/">Home</a></li><li><a href="/about">About</a></li>'
     '<li><a href="/contact">Contact</a></li></ul></nav>'
@@ -95,7 +99,12 @@ def make_charbox(doc_id: int, text: str, two_column: bool = False) -> bytes:
     # footer page number (stripped by the layout parser)
     for ci, c in enumerate(str(doc_id % 50 + 1)):
         chars.append({"c": c, "x": 300.0 + ci * 6.0, "y": 30.0, "w": 5.0, "h": 10.0})
-    return json.dumps({"pages": [{"chars": chars}]}, sort_keys=True).encode()
+    # compact separators + raw UTF-8: byte-for-byte reconstructible with
+    # DuckDB string concat + to_json, so SQL oracles can rebuild payloads
+    return json.dumps(
+        {"pages": [{"chars": chars}]}, sort_keys=True,
+        separators=(",", ":"), ensure_ascii=False,
+    ).encode()
 
 
 def _raw_text_layer(text: str, doc_id: int) -> str:
