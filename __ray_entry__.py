@@ -457,12 +457,32 @@ def _coverage_classify_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from ocr_ray import dedup_oracle_sql as _do
+    from ocr_ray import pages_oracle_sql as _po
     from ocr_ray.pipelines import validation as _v
 
     return {
+        # simhash family (token hash == DuckDB md5_number_upper) + fuzzy
+        # entity matching (ocr_ray/dedup_oracle_sql.py)
+        "simhash_table": _do.simhash_table_sql(),
+        "simhash_near_dup": _do.simhash_near_dup_sql(),
+        "entity_match": _do.entity_match_sql(),
         "qc_field_compare": _v.qc_field_compare_sql(),
         "field_extraction_patched": _v.field_extraction_patched_sql(),
         "qc_family_verdicts": _v.qc_family_verdicts_sql(),
+        # extraction family: the synthetic pages corpus is a pure function
+        # of `documents`, so the oracle regenerates pages AND re-derives
+        # extraction in SQL (ocr_ray/pages_oracle_sql.py)
+        "extract_pages": _po.extract_pages_sql(),
+        "extract_stats": _po.extract_stats_sql(),
+        "media_features": _po.media_features_sql(),
+        "training_corpus": _po.training_corpus_sql(),
+        "qc_rollup": _po.qc_rollup_sql(),
+        "filter_stats": _po.filter_stats_sql(),
+        "section_windows": _po.section_windows_sql(),
+        "heading_windows": _po.heading_windows_sql(),
+        "declarations_head": _po.declarations_head_sql(),
+        "dual_engine_compare": _po.dual_engine_compare_sql(),
         "lang_gate_counts": f"""
             SELECT lang, COUNT(*) AS n_docs FROM documents
             WHERE lang IN {_ALLOW} AND n_chars >= 10 GROUP BY lang
@@ -826,7 +846,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY sim DESC, e.vec_id
             LIMIT 10
         """,
-        # minhash_near_dup / simhash_table / simhash_near_dup / knn_lsh /
-        # extract_stats / extract_pages: not SQL-expressible (iterative /
-        # hash-algorithm-specific / pages corpus) → rows-only check.
+        # minhash_near_dup / winnow_near_dup / knn_lsh / knn_ivf: the
+        # remaining rows-only checks (crc32-seeded signatures / seeded
+        # hyperplanes / iterative k-means are not DuckDB-reproducible);
+        # pinned by pytest + the distributed-vs-pinned regression tests.
     }

@@ -1,0 +1,540 @@
+"""DuckDB oracle SQL for the pages-corpus (extraction-family) queries.
+
+The synthetic pages corpus is a PURE FUNCTION of the ``documents`` table
+(sources/synth.py), and the test-corpus page shapes are fixed templates —
+so the driver's oracle can regenerate every page (html payload, raw text
+layer, url, timestamp) with SQL string construction and re-derive the
+extraction result (gates → DOM-walk/charbox-parse → vote) with SQL
+aggregation, INDEPENDENTLY of the Ray engine.
+
+Scope note: this SQL replicates the extraction SPEC for the synthetic
+corpus's page shapes (the general walker spec over arbitrary HTML is
+pinned by the golden/property pytest suite, tests/test_golden.py).  Every
+fragment mirrors a specific generator/engine rule:
+
+  * page generation       sources/synth.py:51-111, 269-311
+  * gate chain            functions/gates.py:139-188 (order: lang,
+                          too_short, mostly_whitespace, nonprintable,
+                          low_ascii_letters, weird_chars, markup_heavy)
+  * DOM blocks kept       stages/html_extract.py:234-268 (h1 heading,
+                          >=25-char paragraphs, table rows "a | b",
+                          malformed tail block; nav/footer/linkfarm drop)
+  * charbox parse         stages/pdf_layout.py (40-char slices →
+                          whitespace-normalized lines; one block per
+                          column; footer page number dropped)
+  * vote                  stages/extract.py (clean corpus ⇒ engine 1 wins
+                          on every candidate; pinned by the spec tests)
+  * partition hash        pipelines/extract.py stable_part_id ==
+                          md5_number_lower(url) % P
+"""
+
+from __future__ import annotations
+
+from ocr_ray.sources.synth import _FOOTER, _LINKFARM, _NAV
+
+_HEAD = (
+    "<html><head><title>doc</title><script>var x=1;</script>"
+    "<style>p{color:red}</style></head><body>"
+)
+
+_ALLOW = "('en','de','fr','es')"
+
+_KEYWORDS = (
+    "additional interest", "additional interests", "additional insured",
+    "additional insureds", "mortgagee", "mortgage holder", "mortgage holders",
+    "mortgagees", "loss payee", "loss payable", "lienholder", "lien holder",
+    "secured party", "secured parties",
+)
+_DOLLAR_RE = r"\$\s*[0,]*([1-9](,?[0-9]){3,}|[2-9](,?[0-9]){2})"
+_SKIP_PRED_T = " OR ".join(
+    f"upper({{c}}) LIKE '%{p}%'"
+    for p in ("EXAMPLE", "CALCULATION", "HOW TO", "SAMPLE", "ILLUSTRATION")
+)
+
+
+def _lit(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def pages_cte() -> str:
+    """CTEs ending in ``pages(doc_id, url, warc_ts, html, rawtext, lang,
+    is_pdf, two_col)`` — the derived corpus, one row per page row
+    (including the doc_id%23 duplicate rows)."""
+    nav, footer, linkfarm, head = map(_lit, (_NAV, _FOOTER, _LINKFARM, _HEAD))
+    return f"""
+w0 AS (
+  SELECT doc_id, coalesce(text, '') AS text, lang, source,
+         list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                     w -> w <> '') AS ws
+  FROM documents
+),
+w AS (
+  SELECT *,
+    CASE WHEN len(ws) = 0 THEN 1
+         ELSE CAST(ceil(len(ws) / 12.0) AS INT) END AS n_chunks,
+    trim(array_to_string(list_transform(ws,
+      (x, i) -> x || CASE WHEN (i - 1 + doc_id) % 11 = 0
+                          THEN '  ' ELSE ' ' END), '')) AS rawtext,
+    (doc_id % 10 = 0) AS is_pdf,
+    (doc_id % 20 = 0) AS two_col,
+    CAST(greatest(1, ceil(length(substr(coalesce(text, ''), 1, 400)) / 40.0))
+         AS INT) AS n_slices
+  FROM w0
+),
+para AS (  -- '<p>..</p>' run incl. the doc_id%7 table after chunk 1
+  SELECT doc_id, string_agg(
+    '<p>' || array_to_string(list_slice(ws, j*12 + 1, j*12 + 12), ' ') || '</p>'
+    || CASE WHEN j = 1 AND doc_id % 7 = 0 THEN
+         '<table>' || array_to_string(list_transform(range(0, 3),
+           r -> '<tr><td>row ' || r || '</td><td>$'
+                || ((doc_id % 9 + 1) * 100 + r) || '</td></tr>'), '')
+         || '</table>'
+       ELSE '' END,
+    '' ORDER BY j) AS paras
+  FROM w, unnest(range(0, n_chunks)) AS g(j)
+  GROUP BY doc_id
+),
+charjson AS (  -- compact charbox JSON for pdf docs (synth.make_charbox)
+  SELECT doc_id, '{{"pages":[{{"chars":[' || string_agg(cj, ',' ORDER BY li, ci)
+         || ']}}]}}' AS payload
+  FROM (
+    SELECT w.doc_id, li.li, ci.ci,
+      '{{"c":' || to_json(substr(substr(w.text, 1, 400), li.li*40 + ci.ci + 1, 1))
+      || ',"h":10.0,"w":5.0,"x":'
+      || printf('%.1f', CASE WHEN w.two_col AND li.li % 2 = 1
+                             THEN 400.0 ELSE 72.0 END + ci.ci * 6.0)
+      || ',"y":' || printf('%.1f', 720.0 - CASE WHEN w.two_col
+                             THEN (li.li // 2) ELSE li.li END * 12.0)
+      || '}}' AS cj
+    FROM w,
+      unnest(range(0, CAST(greatest(1, ceil(length(substr(w.text,1,400))/40.0)) AS INT))) AS li(li),
+      unnest(range(0, 40)) AS ci(ci)
+    WHERE w.is_pdf
+      AND substr(substr(w.text, 1, 400), li.li*40 + ci.ci + 1, 1) NOT IN ('', ' ')
+    UNION ALL
+    SELECT w.doc_id, 1000000 AS li, ci.ci,
+      '{{"c":' || to_json(substr(CAST(w.doc_id % 50 + 1 AS VARCHAR), ci.ci + 1, 1))
+      || ',"h":10.0,"w":5.0,"x":' || printf('%.1f', 300.0 + ci.ci * 6.0)
+      || ',"y":30.0}}' AS cj
+    FROM w, unnest(range(0, 2)) AS ci(ci)
+    WHERE w.is_pdf
+      AND substr(CAST(w.doc_id % 50 + 1 AS VARCHAR), ci.ci + 1, 1) <> ''
+  ) GROUP BY doc_id
+),
+page0 AS (
+  SELECT w.doc_id,
+    'https://' || w.source || '.example.org/doc/' || w.doc_id
+      || CASE WHEN w.is_pdf THEN '.pdf' ELSE '' END AS url,
+    TIMESTAMP '2024-01-01' + w.doc_id * INTERVAL 1 SECOND AS warc_ts,
+    CASE WHEN w.is_pdf THEN cj.payload
+         ELSE {head} || {nav} || '<main>'
+              || '<h1>Document ' || w.doc_id || '</h1>' || p.paras
+              || CASE WHEN w.doc_id % 13 = 0
+                      THEN '<p>trailing < bracket <b>unclosed' ELSE '' END
+              || '</main>' || {linkfarm} || {footer} || '</body></html>'
+    END AS html,
+    w.rawtext, w.lang, w.is_pdf, w.two_col, w.text
+  FROM w
+  JOIN para p ON p.doc_id = w.doc_id
+  LEFT JOIN charjson cj ON cj.doc_id = w.doc_id
+),
+pages AS (
+  SELECT * FROM page0
+  UNION ALL
+  SELECT doc_id, url, warc_ts + INTERVAL 1 HOUR AS warc_ts,
+         html, rawtext, lang, is_pdf, two_col, text
+  FROM page0 WHERE doc_id % 23 = 0
+)"""
+
+
+def gates_cte() -> str:
+    """``gated`` — pages + reject_reason ('' = candidate).  Mirrors
+    functions/gates.py pre_classify precedence exactly."""
+    return f"""
+gated AS (
+  SELECT *,
+    CASE
+      WHEN lang NOT IN {_ALLOW} THEN 'lang'
+      WHEN length(regexp_replace(rawtext, '^\\s+|\\s+$', '', 'g')) < 10
+        THEN 'too_short'
+      WHEN (length(substr(rawtext,1,500))
+            - length(regexp_replace(substr(rawtext,1,500), '\\s', '', 'g'))
+            ) * 100 > greatest(length(substr(rawtext,1,500)),1) * 90
+        THEN 'mostly_whitespace'
+      WHEN length(regexp_replace(substr(rawtext,1,500),
+             '[^\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')) * 100
+           > greatest(length(substr(rawtext,1,500)),1) * 30
+        THEN 'nonprintable'
+      WHEN length(regexp_replace(substr(rawtext,1,500), '[^A-Za-z]', '', 'g')) * 100
+           < greatest(length(substr(rawtext,1,500)),1) * 20
+        THEN 'low_ascii_letters'
+      WHEN length(regexp_replace(substr(rawtext,1,500),
+             '[\\x01-\\x7F\\p{{L}}\\p{{N}}]', '', 'g')) * 100
+           > greatest(length(substr(rawtext,1,500)),1) * 30
+        THEN 'weird_chars'
+      WHEN NOT is_pdf AND strlen(html) > 0
+           AND length(rawtext) * 20 < strlen(html)
+        THEN 'markup_heavy'
+      ELSE ''
+    END AS reject_reason
+  FROM pages
+)"""
+
+
+def blocks_cte() -> str:
+    """``qblocks(url, warc_ts, ord, btext, block_idx)`` — the kept
+    main-content blocks of EVERY page (gate-independent: the engine output
+    is a pure function of the page), in document order (html_extract keep
+    rules / pdf_layout line assembly for the corpus shapes).  ``blocks``
+    restricts to candidate pages (the gated extraction pipelines)."""
+    return """
+qdocblocks AS (
+  -- h1 heading block (always kept; heading keep rule)
+  SELECT url, warc_ts, 0 AS ord, 'Document ' || doc_id AS btext
+  FROM gated WHERE NOT is_pdf
+  UNION ALL
+  -- paragraph chunks >= 25 chars (min_block_chars)
+  SELECT g.url, g.warc_ts, (j + 1) * 100 AS ord,
+         array_to_string(list_slice(w.ws, j*12 + 1, j*12 + 12), ' ') AS btext
+  FROM gated g JOIN w ON w.doc_id = g.doc_id,
+       unnest(range(0, w.n_chunks)) AS c(j)
+  WHERE NOT g.is_pdf
+    AND length(array_to_string(list_slice(w.ws, j*12 + 1, j*12 + 12), ' ')) >= 25
+  UNION ALL
+  -- table rows 'row r | $amt' after chunk 1 (doc_id%7, needs >=2 chunks)
+  SELECT g.url, g.warc_ts, 201 + r AS ord,
+         'row ' || r || ' | $' || ((g.doc_id % 9 + 1) * 100 + r) AS btext
+  FROM gated g JOIN w ON w.doc_id = g.doc_id,
+       unnest(range(0, 3)) AS t(r)
+  WHERE NOT g.is_pdf AND g.doc_id % 7 = 0 AND w.n_chunks >= 2
+  UNION ALL
+  -- malformed tail block (doc_id%13): 'trailing < bracket unclosed'
+  SELECT url, warc_ts, 1000000000 AS ord,
+         'trailing < bracket unclosed' AS btext
+  FROM gated WHERE NOT is_pdf AND doc_id % 13 = 0
+  UNION ALL
+  -- pdf single-column (or a 2-line "two-column" whose right line shares
+  -- the left line's y, continuing the block): ONE block of
+  -- whitespace-normalized 40-char slices in li order
+  SELECT g.url, g.warc_ts, 0 AS ord, string_agg(s.ns, ' ' ORDER BY s.li) AS btext
+  FROM gated g
+  JOIN w ON w.doc_id = g.doc_id
+  JOIN (
+    SELECT w.doc_id, li.li,
+           trim(regexp_replace(substr(substr(w.text,1,400), li.li*40 + 1, 40),
+                               '\\s+', ' ', 'g')) AS ns
+    FROM w, unnest(range(0, w.n_slices)) AS li(li)
+    WHERE w.is_pdf
+  ) s ON s.doc_id = g.doc_id
+  WHERE g.is_pdf AND (NOT g.two_col OR w.n_slices <= 2) AND s.ns <> ''
+  GROUP BY g.url, g.warc_ts
+  UNION ALL
+  -- pdf two-column with >= 3 lines: block per column (even then odd
+  -- slices; the y of the first right-column line is above the last
+  -- left-column line, starting a new block)
+  SELECT g.url, g.warc_ts, (s.li % 2) AS ord,
+         string_agg(s.ns, ' ' ORDER BY s.li) AS btext
+  FROM gated g
+  JOIN w ON w.doc_id = g.doc_id
+  JOIN (
+    SELECT w.doc_id, li.li,
+           trim(regexp_replace(substr(substr(w.text,1,400), li.li*40 + 1, 40),
+                               '\\s+', ' ', 'g')) AS ns
+    FROM w, unnest(range(0, w.n_slices)) AS li(li)
+    WHERE w.is_pdf
+  ) s ON s.doc_id = g.doc_id
+  WHERE g.is_pdf AND g.two_col AND w.n_slices >= 3 AND s.ns <> ''
+  GROUP BY g.url, g.warc_ts, s.li % 2
+),
+qblocks AS (
+  SELECT url, warc_ts, ord, btext,
+         row_number() OVER (PARTITION BY url, warc_ts ORDER BY ord) - 1 AS block_idx
+  FROM qdocblocks
+),
+blocks AS (
+  SELECT b.* FROM qblocks b
+  JOIN gated g ON g.url = b.url AND g.warc_ts = b.warc_ts
+  WHERE g.reject_reason = ''
+)"""
+
+
+def extracted_cte() -> str:
+    """``extracted`` — one row per page with the engine-output columns the
+    Ray pipeline produces (clean-corpus vote: engine 1 wins for every
+    candidate; rejected rows carry empty output)."""
+    return """
+exjoin AS (
+  SELECT g.doc_id, g.url, g.warc_ts, g.lang, g.is_pdf, g.html, g.rawtext,
+         g.reject_reason,
+         b.ext, coalesce(b.nb, 0) AS n_blocks
+  FROM gated g
+  LEFT JOIN (
+    SELECT url, warc_ts, string_agg(btext, chr(10) ORDER BY ord) AS ext,
+           count(*) AS nb
+    FROM blocks GROUP BY url, warc_ts
+  ) b ON b.url = g.url AND b.warc_ts = g.warc_ts
+),
+extracted AS (
+  SELECT doc_id, url, warc_ts, lang,
+         CAST(md5_number_lower(url) % 16 AS INT) AS part_id,
+         CASE WHEN reject_reason <> '' THEN '' ELSE coalesce(ext, '') END
+           AS extracted_text,
+         CASE WHEN reject_reason <> '' THEN 0 ELSE n_blocks END AS n_blocks,
+         CASE WHEN reject_reason <> '' THEN 'none'
+              WHEN is_pdf THEN 'pdf' ELSE 'dom' END AS engine,
+         CASE WHEN reject_reason <> '' THEN 'rejected' ELSE 'ok' END
+           AS parse_status,
+         reject_reason,
+         CAST(strlen(html) AS BIGINT) AS bytes_in,
+         CAST(CASE WHEN reject_reason <> '' THEN 0
+              ELSE strlen(coalesce(ext, '')) END AS BIGINT) AS bytes_out,
+         rawtext, html, is_pdf
+  FROM exjoin
+)"""
+
+
+def _with_pages(body: str, need_blocks: bool = True) -> str:
+    parts = [pages_cte(), gates_cte()]
+    if need_blocks:
+        parts.append(blocks_cte())
+        parts.append(extracted_cte())
+    return "WITH " + ",".join(p.strip().lstrip() for p in parts) + body
+
+
+def extract_pages_sql() -> str:
+    return _with_pages("""
+        SELECT url, lang, CAST(part_id AS INT) AS part_id,
+               CAST(n_blocks AS INT) AS n_blocks, engine, parse_status,
+               reject_reason, bytes_in, bytes_out
+        FROM extracted
+    """)
+
+
+def extract_stats_sql() -> str:
+    return _with_pages("""
+        SELECT engine, parse_status, COUNT(*) AS n,
+               CAST(SUM(bytes_in) AS BIGINT) AS bytes_in,
+               CAST(SUM(bytes_out) AS BIGINT) AS bytes_out
+        FROM extracted GROUP BY engine, parse_status
+    """)
+
+
+def media_features_sql() -> str:
+    # MediaFeatureExtractor's deterministic fake decode: md5-derived dims
+    return _with_pages("""
+        SELECT url AS media_id,
+               CAST(strlen(html) AS BIGINT) AS n_bytes,
+               md5(html) AS content_hash,
+               CAST(16 * (1 + ('0x' || substr(md5(html), 1, 2))::INT % 64) AS INT) AS width,
+               CAST(16 * (1 + ('0x' || substr(md5(html), 3, 2))::INT % 64) AS INT) AS height,
+               CAST(1 + ('0x' || substr(md5(html), 5, 2))::INT % 4 AS INT) AS n_frames,
+               'ok' AS decode_status
+        FROM gated
+    """, need_blocks=False)
+
+
+def training_corpus_sql() -> str:
+    # pipelines/training_corpus.py: fingerprint → keep-first dedup →
+    # quality gate; non-extracted rows get per-url salted fingerprints
+    return _with_pages("""
+        , scored AS (
+          SELECT url, warc_ts,
+            CASE WHEN parse_status IN ('ok', 'fallback')
+                 THEN md5(extracted_text)
+                 ELSE 'skip:' || url END AS fingerprint,
+            parse_status IN ('ok', 'fallback') AS extracted_ok,
+            CAST(length(extracted_text) AS BIGINT) AS n_chars,
+            CAST(len(regexp_extract_all(extracted_text, '\\S+')) AS BIGINT) AS n_tokens,
+            (length(extracted_text) >= 50
+             AND len(regexp_extract_all(extracted_text, '\\S+')) >= 10
+             AND len(regexp_extract_all(extracted_text,
+                     '\\b(the|and|of|a|to)\\b')) >= 1) AS quality_ok
+          FROM extracted
+        )
+        SELECT url, warc_ts, fingerprint, n_chars, n_tokens, quality_ok,
+               (extracted_ok AND quality_ok AND row_number() OVER (
+                  PARTITION BY fingerprint, (extracted_ok AND quality_ok)
+                  ORDER BY url, warc_ts) = 1) AS kept
+        FROM scored
+    """)
+
+
+def qc_rollup_sql() -> str:
+    # stages/qc.py qc_pages_rollup: NO gate split (every row extracted),
+    # token-set overlap extracted vs raw layer, recount statuses
+    return _with_pages("""
+        , qc AS (
+          SELECT e.url, e.warc_ts,
+            coalesce(b.ext, '') AS ext, e.rawtext
+          FROM (SELECT url, warc_ts, rawtext FROM gated) e
+          LEFT JOIN (
+            SELECT url, warc_ts, string_agg(btext, chr(10) ORDER BY ord) AS ext
+            FROM qblocks GROUP BY url, warc_ts
+          ) b ON b.url = e.url AND b.warc_ts = e.warc_ts
+        ),
+        verdicts AS (
+          SELECT CASE
+            WHEN ext = '' OR rawtext = '' THEN 'NOT_FOUND'
+            WHEN len(list_intersect(
+                   list_distinct(list_filter(string_split_regex(lower(ext), '\\s+'), x -> x <> '')),
+                   list_distinct(list_filter(string_split_regex(lower(rawtext), '\\s+'), x -> x <> ''))
+                 )) * 100
+                 // len(list_distinct(list_filter(string_split_regex(lower(ext), '\\s+'), x -> x <> '')))
+                 >= 70
+            THEN 'MATCH' ELSE 'MISMATCH' END AS qc_status
+          FROM qc
+        )
+        SELECT qc_status, COUNT(*) AS n FROM verdicts GROUP BY qc_status
+    """)
+
+
+def filter_stats_sql() -> str:
+    skip = _SKIP_PRED_T.format(c="btext")
+    kw = " OR ".join(f"lower(btext) LIKE '%{k}%'" for k in _KEYWORDS)
+    return _with_pages(f"""
+        , marked AS (
+          SELECT url, warc_ts, block_idx,
+            (regexp_matches(btext, '{_DOLLAR_RE}') AND NOT ({skip})) AS is_d,
+            ({kw}) AS is_k
+          FROM blocks
+        ),
+        kept AS (
+          SELECT url, warc_ts, block_idx, is_d, is_k,
+            (coalesce(lag(is_d OR is_k) OVER wbl, false)
+             OR (is_d OR is_k)
+             OR coalesce(lead(is_d OR is_k) OVER wbl, false)) AS in_window
+          FROM marked
+          WINDOW wbl AS (PARTITION BY url, warc_ts ORDER BY block_idx)
+        ),
+        agg AS (
+          SELECT url, warc_ts, COUNT(*) AS n_blocks,
+            CAST(count(*) FILTER (WHERE is_d) AS BIGINT) AS n_dollar_blocks,
+            CAST(count(*) FILTER (WHERE is_k) AS BIGINT) AS n_keyword_blocks,
+            CAST(least(25, count(*) FILTER (WHERE in_window)) AS BIGINT) AS n_kept_blocks
+          FROM kept GROUP BY url, warc_ts
+        )
+        SELECT e.url, CAST(coalesce(a.n_blocks, 0) AS BIGINT) AS n_blocks,
+               coalesce(a.n_dollar_blocks, 0) AS n_dollar_blocks,
+               coalesce(a.n_keyword_blocks, 0) AS n_keyword_blocks,
+               coalesce(a.n_kept_blocks, 0) AS n_kept_blocks,
+               CAST(CASE WHEN coalesce(a.n_blocks, 0) = 0 THEN 0
+                    ELSE (a.n_blocks - a.n_kept_blocks) * 100 // a.n_blocks
+               END AS BIGINT) AS reduction_pct
+        FROM extracted e
+        LEFT JOIN agg a ON a.url = e.url AND a.warc_ts = e.warc_ts
+    """)
+
+
+def section_windows_sql() -> str:
+    words_pred = " OR ".join(
+        f"lower(btext) LIKE '%{wd}%'" for wd in ("building", "coverage", "property")
+    )
+    return _with_pages(f"""
+        , hits AS (
+          SELECT url, warc_ts, min(block_idx) AS sec
+          FROM blocks
+          WHERE upper(btext) LIKE '%PROPERTY SECTION%' AND ({words_pred})
+          GROUP BY url, warc_ts
+        )
+        SELECT e.url, (h.sec IS NOT NULL) AS has_section,
+               CAST(coalesce(h.sec, -1) AS BIGINT) AS section_block_id
+        FROM extracted e
+        LEFT JOIN hits h ON h.url = e.url AND h.warc_ts = e.warc_ts
+    """)
+
+
+def heading_windows_sql(num_blocks: int = 4) -> str:
+    return _with_pages(f"""
+        , nb AS (
+          SELECT url, warc_ts, COUNT(*) AS n FROM blocks GROUP BY url, warc_ts
+        ),
+        hits AS (
+          SELECT url, warc_ts, min(block_idx) AS sec
+          FROM blocks WHERE upper(btext) LIKE '%PROPERTY SECTION%'
+          GROUP BY url, warc_ts
+        ),
+        win AS (
+          SELECT b.url, b.warc_ts,
+                 CAST(sum(length(b.btext)) AS BIGINT) AS wchars
+          FROM blocks b JOIN hits h
+            ON h.url = b.url AND h.warc_ts = b.warc_ts
+          WHERE b.block_idx >= h.sec AND b.block_idx < h.sec + {num_blocks}
+          GROUP BY b.url, b.warc_ts
+        )
+        SELECT e.url,
+          CASE WHEN h.sec IS NULL THEN 'error' ELSE 'success' END AS status,
+          CAST(coalesce(h.sec, -1) AS BIGINT) AS start_block,
+          CAST(CASE WHEN h.sec IS NULL THEN -1
+               ELSE least(nb.n, h.sec + {num_blocks}) - 1 END AS BIGINT) AS end_block,
+          CAST({num_blocks} AS BIGINT) AS blocks_requested,
+          CAST(CASE WHEN h.sec IS NULL THEN 0
+               ELSE least(nb.n, h.sec + {num_blocks}) - h.sec END AS BIGINT)
+            AS blocks_extracted,
+          CASE WHEN h.sec IS NULL THEN ''
+               WHEN least(nb.n, h.sec + {num_blocks}) - h.sec = {num_blocks} THEN ''
+               ELSE 'requested {num_blocks} blocks but only '
+                    || (least(nb.n, h.sec + {num_blocks}) - h.sec)
+                    || ' available' END AS warning,
+          coalesce(w.wchars, 0) AS window_chars
+        FROM extracted e
+        LEFT JOIN nb ON nb.url = e.url AND nb.warc_ts = e.warc_ts
+        LEFT JOIN hits h ON h.url = e.url AND h.warc_ts = e.warc_ts
+        LEFT JOIN win w ON w.url = e.url AND w.warc_ts = e.warc_ts
+    """)
+
+
+def declarations_head_sql(head_blocks: int = 8) -> str:
+    skip = _SKIP_PRED_T.format(c="btext")
+    return _with_pages(f"""
+        , head AS (
+          SELECT url, warc_ts,
+            CAST(COUNT(*) AS BIGINT) AS n_head_blocks,
+            bool_or(regexp_matches(btext, '{_DOLLAR_RE}') AND NOT ({skip}))
+              AS head_has_dollar,
+            CAST(sum(length(btext)) AS BIGINT) AS head_chars
+          FROM blocks WHERE block_idx < {head_blocks}
+          GROUP BY url, warc_ts
+        )
+        SELECT e.url, coalesce(h.n_head_blocks, 0) AS n_head_blocks,
+               coalesce(h.head_has_dollar, false) AS head_has_dollar,
+               coalesce(h.head_chars, 0) AS head_chars
+        FROM extracted e
+        LEFT JOIN head h ON h.url = e.url AND h.warc_ts = e.warc_ts
+    """)
+
+
+def dual_engine_compare_sql() -> str:
+    # tagstrip chain == stages/tagstrip.py (same regex strings)
+    strip = "html"
+    for tag in ("script", "style", "noscript", "template"):
+        strip = (f"regexp_replace({strip}, "
+                 f"'(?is)<{tag}\\b[^>]*>.*?</{tag}\\s*>', ' ', 'g')")
+    strip = f"regexp_replace({strip}, '(?s)<!--.*?-->', ' ', 'g')"
+    strip = f"regexp_replace({strip}, '<[^>]*>', ' ', 'g')"
+    for ent, rep in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                     ("&#39;", "''"), ("&apos;", "''"), ("&nbsp;", " "),
+                     ("&amp;", "&")):
+        strip = f"replace({strip}, '{ent}', '{rep}')"
+    strip = f"trim(regexp_replace({strip}, '\\s+', ' ', 'g'))"
+    return _with_pages(f"""
+        , dom AS (
+          SELECT g.url, g.warc_ts,
+            CASE WHEN g.is_pdf THEN '' ELSE coalesce(b.ext, '') END AS dom_text,
+            {strip} AS striptext
+          FROM gated g
+          LEFT JOIN (
+            SELECT url, warc_ts, string_agg(btext, chr(10) ORDER BY ord) AS ext
+            FROM qblocks GROUP BY url, warc_ts
+          ) b ON b.url = g.url AND b.warc_ts = g.warc_ts
+        )
+        SELECT url, CAST(length(dom_text) AS BIGINT) AS dom_len,
+               CAST(length(striptext) AS BIGINT) AS strip_len,
+               CAST(CASE WHEN dom_text = '' THEN 0 ELSE
+                 len(list_intersect(
+                   list_distinct(list_filter(string_split_regex(lower(dom_text), '\\s+'), x -> x <> '')),
+                   list_distinct(list_filter(string_split_regex(lower(striptext), '\\s+'), x -> x <> ''))))
+                 * 100 // len(list_distinct(list_filter(
+                     string_split_regex(lower(dom_text), '\\s+'), x -> x <> '')))
+               END AS BIGINT) AS token_agree_pct
+        FROM dom
+    """)
