@@ -113,16 +113,39 @@ def hamming64(a: int, b: int) -> int:
 # Distributed pair helpers (shared by the near-dup family)
 # ---------------------------------------------------------------------------
 
-def dedupe_pairs(pairs):
-    """Distinct (id_a, id_b) rows via a hash-partitioned groupby on the
-    pair key — the same pair surfaces from several bands/chunks/buckets.
-    O(pairs) distributed; nothing reaches the driver."""
+_PAIR_BUCKETS = 64
+
+
+def dedupe_pairs(pairs, extra_cols: tuple[str, ...] = ()):
+    """Distinct (id_a, id_b) rows via a coarse-bucket groupby on a pair
+    hash — the same pair surfaces from several bands/chunks/buckets.
+    O(pairs) distributed, nothing reaches the driver, and the per-bucket
+    dedup is one vectorized pandas call (never one map_groups dispatch
+    per pair — Ray's per-group overhead is ~10-20ms)."""
     import pandas as pd
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.iloc[:1][["id_a", "id_b"]]
+    cols = ["id_a", "id_b", *extra_cols]
 
-    return pairs.groupby(["id_a", "id_b"]).map_groups(first, batch_format="pandas")
+    def add_bucket(t: pa.Table) -> pa.Table:
+        # low bits of both ids → 64 buckets (overflow-free)
+        h = pc.add(
+            pc.multiply(pc.bit_wise_and(t["id_a"], 7), 8),
+            pc.bit_wise_and(t["id_b"], 7),
+        )
+        return t.append_column("pbucket", pc.cast(h, pa.int32()))
+
+    def drop_dups(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["id_a", "id_b"])[cols]
+
+    return (
+        pairs.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(drop_dups, batch_format="pandas")
+        # sort partitions holding no group emit SCHEMA-LESS empty blocks
+        # that crash any later join (acero FieldRef); repartition coalesces
+        # them away.  16 output blocks is plenty for the pair-set size.
+        .repartition(16)
+    )
 
 
 def verify_pairs_jaccard(pairs, ds, text_col: str = "text",
@@ -175,27 +198,31 @@ def exact_dedup(ds, text_col: str = "text", key_col: str = "doc_id"):
     The shuffle key is the 32-hex md5, never the text (J2 at scale).
     """
     def add_fp(batch: pa.Table) -> pa.Table:
+        fp = md5_fingerprint(batch[text_col])
+        # coarse shuffle bucket from the hash prefix: the per-fingerprint
+        # keep-first is a vectorized pandas groupby INSIDE each bucket
+        # (one Ray group dispatch per bucket, not per distinct content)
+        bucket = pc.utf8_slice_codeunits(fp, 0, 2)
         return pa.table(
             {
-                "fingerprint": md5_fingerprint(batch[text_col]),
+                "fingerprint": fp,
                 key_col: batch[key_col],
+                "bucket": bucket,
             }
         )
 
-    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
-        keep = g[key_col].min()
-        return pd.DataFrame(
-            {
-                "fingerprint": [g["fingerprint"].iloc[0]],
-                "keep_" + key_col: [keep],
-                "n_copies": np.array([len(g)], dtype=np.int64),
-            }
+    def first_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("fingerprint", as_index=False).agg(
+            **{"keep_" + key_col: (key_col, "min"),
+               "n_copies": (key_col, "size")}
         )
+        out["n_copies"] = out["n_copies"].astype(np.int64)
+        return out
 
     return (
         ds.map_batches(add_fp, batch_format="pyarrow")
-        .groupby("fingerprint")
-        .map_groups(first_per_group, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(first_per_bucket, batch_format="pandas")
     )
 
 
@@ -268,8 +295,11 @@ def minhash_near_dup(ds, text_col: str = "text", key_col: str = "doc_id",
         .map_groups(bucket_pairs, batch_format="pandas")
     )
     # distributed pair dedup (the same pair fires from several bands):
-    # groupby on the pair key — still O(pairs), hash-partitioned, no driver
-    pairs = dedupe_pairs(pairs)
+    # coarse-bucket groupby on a pair hash — still O(pairs), no driver
+    pairs = dedupe_pairs(pairs).materialize()
+    if pairs.count() == 0:
+        return pa.table({key_col: pa.array([], pa.int64()),
+                         "dup_of": pa.array([], pa.int64())})
 
     # exact-Jaccard verify via co-partitioned joins of texts onto pairs
     # keyed by doc_id (text travels once per pair side, never broadcast)
@@ -297,6 +327,10 @@ def simhash_near_dup(ds, text_col: str = "text", key_col: str = "doc_id",
     """SimHash near-dup: bucket on each of four 16-bit chunks (a pair within
     hamming<=3 of 64 bits shares at least one exact 16-bit chunk), verify
     hamming distance within buckets.  Returns (doc_id, dup_of)."""
+    n_buckets = 64  # coarse shuffle key (like the minhash path): exact
+    # (chunk_id, chunk) groups are formed INSIDE each bucket with
+    # vectorized pandas, never one Ray map_groups dispatch per chunk value
+
     def to_chunks(batch: pa.Table) -> pa.Table:
         ids, chunks, chunk_ids, sims = [], [], [], []
         for did, txt in zip(batch[key_col].to_pylist(), batch[text_col].to_pylist()):
@@ -311,6 +345,10 @@ def simhash_near_dup(ds, text_col: str = "text", key_col: str = "doc_id",
             "chunk_id": pa.array(chunk_ids, pa.int32()),
             "chunk": pa.array(chunks, pa.int32()),
             "sh": pa.array([format(s, "016x") for s in sims], pa.string()),
+            "bucket": pa.array(
+                [(c * 65536 + v) % n_buckets for c, v in zip(chunk_ids, chunks)],
+                pa.int32(),
+            ),
         })
 
     MAX_BUCKET = 512  # a degenerate bucket (e.g. every empty doc has
@@ -319,26 +357,29 @@ def simhash_near_dup(ds, text_col: str = "text", key_col: str = "doc_id",
     # bucket minimum only, preserving keep-first component semantics
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = g.drop_duplicates(subset=[key_col]).sort_values(key_col)
-        ids = rows[key_col].tolist()
-        shs = [int(s, 16) for s in rows["sh"].tolist()]
         a, b = [], []
-        if len(ids) > MAX_BUCKET:
-            h0 = shs[0]
-            for j in range(1, len(ids)):
-                if hamming64(h0, shs[j]) <= max_hamming:
-                    a.append(ids[0]); b.append(ids[j])
-        else:
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    if hamming64(shs[i], shs[j]) <= max_hamming:
-                        a.append(ids[i]); b.append(ids[j])
+        for _, grp in g.groupby(["chunk_id", "chunk"], sort=True):
+            rows = grp.drop_duplicates(subset=[key_col]).sort_values(key_col)
+            ids = rows[key_col].tolist()
+            if len(ids) < 2:
+                continue
+            shs = [int(s, 16) for s in rows["sh"].tolist()]
+            if len(ids) > MAX_BUCKET:
+                h0 = shs[0]
+                for j in range(1, len(ids)):
+                    if hamming64(h0, shs[j]) <= max_hamming:
+                        a.append(ids[0]); b.append(ids[j])
+            else:
+                for i in range(len(ids)):
+                    for j in range(i + 1, len(ids)):
+                        if hamming64(shs[i], shs[j]) <= max_hamming:
+                            a.append(ids[i]); b.append(ids[j])
         return pd.DataFrame({"id_a": np.array(a, dtype=np.int64),
                              "id_b": np.array(b, dtype=np.int64)})
 
     pairs = (
         ds.map_batches(to_chunks, batch_format="pyarrow")
-        .groupby(["chunk_id", "chunk"])
+        .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
     # pairs are already hamming-verified inside the buckets; dedupe them

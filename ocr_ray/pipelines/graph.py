@@ -5,8 +5,15 @@ Dataset; assigning every member of a dup cluster to the cluster's smallest
 doc_id (keep-first semantics, combine_extractions.py:45-53 lifted to corpus
 scale) is a connected-components problem.  Round 1 solved it with a
 driver-side union-find over ``pairs.to_pandas()`` — O(corpus) driver state
-at web-scale dup rates.  This module replaces it with iterated min-label
-propagation + pointer jumping over Datasets:
+at web-scale dup rates.  This module replaces it with a size-adaptive
+worker-side solver:
+
+* pair sets that fit ONE worker (<= small_graph_edges) run classic
+  union-find in a single Ray task (repartition(1) + map_batches) — the
+  driver never touches pair data, and there is exactly one execution;
+* larger graphs run iterated min-label propagation + pointer jumping over
+  Datasets (each round is a shuffle whose multi-second fixed cost only
+  amortizes at that scale):
 
   L0(v)   = min(v, min of v's neighbors)           [groupby]
   L'(v)   = min over neighbors u of L(u)           [message groupby]
@@ -45,10 +52,48 @@ def _empty_labels(key_col: str, label_col: str) -> pa.Table:
 _NO_NODE = -1  # sentinel payload marking "label row" (node ids are >= 0)
 
 
+def _cc_single_task(pairs, key_col: str, label_col: str):
+    """Union-find over the whole (sub-worker-sized) pair set in ONE Ray
+    task: repartition(1) co-locates every pair in a single block, the
+    map_batches call runs path-compressed union-find there, and the result
+    streams back as a normal Dataset.  The driver never holds pair data."""
+
+    def uf(t: pa.Table) -> pa.Table:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for ia, ib in zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()):
+            ra, rb = find(int(ia)), find(int(ib))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = sorted((m, find(m)) for m in parent)
+        return pa.table({
+            key_col: pa.array([r[0] for r in rows], pa.int64()),
+            label_col: pa.array([r[1] for r in rows], pa.int64()),
+        })
+
+    return (
+        pairs.repartition(1)
+        .map_batches(uf, batch_format="pyarrow", batch_size=None)
+    )
+
+
 def connected_components(pairs, key_col: str = "doc_id",
-                         label_col: str = "dup_of", max_rounds: int = 32):
+                         label_col: str = "dup_of", max_rounds: int = 32,
+                         small_graph_edges: int = 4_000_000):
     """(id_a, id_b) pair Dataset → Dataset(key_col, label_col): one row per
     node that appears in any pair, label = min node id of its component.
+
+    Size-adaptive: a pair set that fits one worker's memory (<=
+    ``small_graph_edges``) is solved by a classic union-find in a SINGLE
+    RAY TASK (``repartition(1).map_batches`` — worker-side, never the
+    driver); larger graphs run the label-propagation rounds, whose
+    per-round shuffle fixed cost only amortizes at that scale.
 
     ``pairs`` may also be a pyarrow Table (tests); rows need not be unique.
     """
@@ -59,6 +104,13 @@ def connected_components(pairs, key_col: str = "doc_id",
             return _empty_labels(key_col, label_col)
         pairs = rd.from_arrow(pairs)
 
+    pairs = pairs.materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return _empty_labels(key_col, label_col)
+    if n_pairs <= small_graph_edges:
+        return _cc_single_task(pairs, key_col, label_col)
+
     def symmetrize(t: pa.Table) -> pa.Table:
         # both directions plus a self-loop per endpoint, so one message
         # round computes min over (self ∪ neighbors)
@@ -68,30 +120,32 @@ def connected_components(pairs, key_col: str = "doc_id",
         return pa.table({"key": key.cast(pa.int64()), "node": node.cast(pa.int64())})
 
     edges = pairs.map_batches(symmetrize, batch_format="pyarrow").materialize()
-    if edges.count() == 0:
-        return _empty_labels(key_col, label_col)
 
     # L0: per node, min over (self ∪ neighbors) — partial min inside the
-    # batch before the sort-groupby so the shuffle carries few rows
+    # batch before the shuffle; the global min is a HASH aggregate
+    # (vectorized), never a per-node map_groups (Ray dispatches map_groups
+    # once per GROUP at ~10-20ms each — O(nodes) groups is a scale killer)
     def partial_l0(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         df["lbl"] = df[["key", "node"]].min(axis=1)
         g = df.groupby("node", as_index=False)["lbl"].min()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    def min_per_node(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "node": g["node"].iloc[:1].to_numpy(),
-            "lbl": np.array([g["lbl"].min()], dtype=np.int64),
-        })
+    def _min_per_node(ds):
+        from ray.data.aggregate import Min
 
-    labels = (
+        return (
+            ds.groupby("node")
+            .aggregate(Min("lbl", alias_name="lbl"))
+            .map_batches(
+                lambda t: pa.table({"node": t["node"], "lbl": t["lbl"]}),
+                batch_format="pyarrow",
+            )
+        )
+
+    labels = _min_per_node(
         edges.map_batches(partial_l0, batch_format="pyarrow")
-        .groupby("node")
-        .map_groups(min_per_node, batch_format="pandas")
-        .map_batches(lambda t: t.select(["node", "lbl"]), batch_format="pyarrow")
-        .materialize()
-    )
+    ).materialize()
 
     def _total(lab) -> int:
         # driver sees one partial sum per block, never the label rows
@@ -103,53 +157,77 @@ def connected_components(pairs, key_col: str = "doc_id",
         ).take_all()
         return sum(r["s"] for r in parts)
 
+    N_BUCKETS = 64  # coarse shuffle key for message delivery: the lookup
+    # inside each bucket is a VECTORIZED pandas merge over every key in
+    # the bucket, so per-group dispatch cost is O(buckets), not O(nodes)
+
     def as_messages(t: pa.Table) -> pa.Table:
         # label rows → (key=node, node=_NO_NODE, lbl)
         n = len(t)
+        key = t["node"]
         return pa.table({
-            "key": t["node"],
+            "bucket": pa.compute.cast(
+                pa.compute.bit_wise_and(key, N_BUCKETS - 1), pa.int32()),
+            "key": key,
             "node": pa.array([_NO_NODE] * n, pa.int64()),
             "lbl": t["lbl"],
         })
 
     def edge_messages(t: pa.Table) -> pa.Table:
         return pa.table({
+            "bucket": pa.compute.cast(
+                pa.compute.bit_wise_and(t["key"], N_BUCKETS - 1), pa.int32()),
             "key": t["key"],
             "node": t["node"],
             "lbl": pa.nulls(len(t), pa.int64()),
         })
 
     def deliver(g: pd.DataFrame) -> pd.DataFrame:
-        # one group per key: the label row carries L(key); every edge row
-        # (key → node) receives it as a candidate label for node
-        lbl_rows = g[g["node"] == _NO_NODE]
-        if len(lbl_rows) == 0:  # key never labeled (cannot happen, but safe)
-            return pd.DataFrame({"node": [], "lbl": []}).astype(np.int64)
-        l = int(lbl_rows["lbl"].min())
-        targets = g.loc[g["node"] != _NO_NODE, "node"]
-        return pd.DataFrame({
-            "node": targets.to_numpy(dtype=np.int64),
-            "lbl": np.full(len(targets), l, dtype=np.int64),
-        })
+        # one coarse bucket of keys: label rows join onto edge rows by key
+        # (vectorized merge), emitting (node, candidate lbl) messages
+        labs = g.loc[g["node"] == _NO_NODE, ["key", "lbl"]]
+        targets = g.loc[g["node"] != _NO_NODE, ["key", "node"]]
+        m = targets.merge(labs, on="key", how="inner")
+        if len(m) == 0:
+            return pd.DataFrame({"node": np.array([], np.int64),
+                                 "lbl": np.array([], np.int64)})
+        out = m.groupby("node", as_index=False)["lbl"].min()
+        out["lbl"] = out["lbl"].astype(np.int64)
+        return out[["node", "lbl"]]
 
+    import os as _os
+    import time as _time
+
+    _dbg = bool(_os.environ.get("OCR_RAY_CC_DEBUG"))
     total = _total(labels)
-    for _ in range(max_rounds):
+    for _round in range(max_rounds):
+        _t0 = _time.monotonic()
         lab_msgs = labels.map_batches(as_messages, batch_format="pyarrow")
         e_msgs = edges.map_batches(edge_messages, batch_format="pyarrow")
-        merged = (
+        merged = _min_per_node(
             e_msgs.union(lab_msgs)
-            .groupby("key")
+            .groupby("bucket")
             .map_groups(deliver, batch_format="pandas")
-            .map_batches(partial_min_node, batch_format="pyarrow")
-            .groupby("node")
-            .map_groups(min_per_node, batch_format="pandas")
-            .map_batches(lambda t: t.select(["node", "lbl"]), batch_format="pyarrow")
-            .materialize()
-        )
-        # pointer jump L(v) ← L(L(v)): node v queries the key L(v); every
-        # label is itself a node, so each query group has its label row
+        ).materialize()
+        new_total = _total(merged)
+        if _dbg:
+            print(f"[cc] round {_round} propagate total {total} -> {new_total} "
+                  f"({_time.monotonic() - _t0:.2f}s)", flush=True)
+        labels = merged
+        if new_total == total:
+            break  # propagate was a no-op → fixpoint (common case: L0 is
+            # already correct for the star graphs bucket-min pairing builds)
+        total = new_total
+        # still converging: pointer jump L(v) ← L(L(v)) halves the
+        # remaining diameter; node v queries the key L(v) (every label is
+        # itself a node, so each query bucket has its label rows).
+        # materialized: the union's other branch also reads `merged`, and
+        # union over a shared live lineage deadlocks this Ray version's
+        # streaming executor EVEN when the shared base is materialized
         jump_q = merged.map_batches(
             lambda t: pa.table({
+                "bucket": pa.compute.cast(
+                    pa.compute.bit_wise_and(t["lbl"], N_BUCKETS - 1), pa.int32()),
                 "key": t["lbl"], "node": t["node"],
                 "lbl": pa.nulls(len(t), pa.int64()),
             }),
@@ -157,25 +235,18 @@ def connected_components(pairs, key_col: str = "doc_id",
         ).materialize()
         jumped = (
             jump_q.union(merged.map_batches(as_messages, batch_format="pyarrow"))
-            .groupby("key")
+            .groupby("bucket")
             .map_groups(deliver, batch_format="pandas")
             .map_batches(lambda t: t.select(["node", "lbl"]), batch_format="pyarrow")
             .materialize()
         )
-        new_total = _total(jumped)
         labels = jumped
-        if new_total == total:
-            break
-        total = new_total
+        total = _total(jumped)
+        if _dbg:
+            print(f"[cc] round {_round} jump total -> {total} "
+                  f"({_time.monotonic() - _t0:.2f}s)", flush=True)
 
     return labels.map_batches(
         lambda t: pa.table({key_col: t["node"], label_col: t["lbl"]}),
         batch_format="pyarrow",
     )
-
-
-def partial_min_node(t: pa.Table) -> pa.Table:
-    """Per-batch partial min(lbl) per node — shrinks the second shuffle."""
-    df = t.to_pandas()
-    g = df.groupby("node", as_index=False)["lbl"].min()
-    return pa.Table.from_pandas(g, preserve_index=False)

@@ -277,15 +277,13 @@ def embedding_near_dup_lsh(ds, threshold: float = 0.5, n_tables: int = 32,
         return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj],
                              "sim": sims[ii, jj]})
 
-    def first_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.iloc[:1][["id_a", "id_b", "sim"]]
+    from ocr_ray.pipelines.dedup import dedupe_pairs
 
-    return (
+    return dedupe_pairs(
         ds.map_batches(bucketize, batch_format="pyarrow")
-        .groupby(["table_id", "bucket"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["id_a", "id_b"])              # distributed pair dedup
-        .map_groups(first_pair, batch_format="pandas")
+        .groupby(["table_id", "bucket"])        # 32x16 coarse groups
+        .map_groups(bucket_pairs, batch_format="pandas"),
+        extra_cols=("sim",),                    # distributed pair dedup
     )
 
 

@@ -52,6 +52,10 @@ def training_corpus(pages_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
                 "url": t["url"],
                 "warc_ts": t["warc_ts"],
                 "fingerprint": fp,
+                # coarse dedup-shuffle bucket (hash prefix): keep-first per
+                # fingerprint happens VECTORIZED inside each bucket — one
+                # Ray group dispatch per bucket, not per distinct content
+                "bucket": pc.utf8_slice_codeunits(fp, 0, 2),
                 "extracted_ok": pc.cast(ok, pa.bool_()),
                 "n_chars": q["n_chars"],
                 "n_tokens": q["n_tokens"],
@@ -62,17 +66,14 @@ def training_corpus(pages_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
     scored = ds.map_batches(score, batch_format="pyarrow")
 
     def first_per_content(g: pd.DataFrame) -> pd.DataFrame:
-        # keep-first: smallest (url, warc_ts) wins the content group
-        g = g.sort_values(["url", "warc_ts"])
-        keep = g["extracted_ok"] & g["quality_ok"]
-        if keep.any():
-            first_idx = g.index[keep][0]
-            keep = keep & (g.index == first_idx)
-        g = g.assign(kept=keep)
-        return g
+        # keep-first: smallest (url, warc_ts) wins each content group
+        g = g.sort_values(["fingerprint", "url", "warc_ts"])
+        elig = g["extracted_ok"] & g["quality_ok"]
+        rank = elig.groupby(g["fingerprint"]).cumsum()
+        return g.assign(kept=elig & (rank == 1)).drop(columns=["bucket"])
 
     return (
-        scored.groupby("fingerprint")
+        scored.groupby("bucket")
         .map_groups(first_per_content, batch_format="pandas")
         .drop_columns(["extracted_ok"])
     )

@@ -196,15 +196,19 @@ def test_connected_components_distributed(ray_session):
         "id_a": [1, 2, 3, 50, 50, 50, 90],
         "id_b": [2, 3, 4, 51, 52, 53, 91],
     })
-    got = {
-        (r["doc_id"], r["dup_of"])
-        for r in connected_components(pairs).take_all()
-    }
-    assert got == {
+    expected = {
         (1, 1), (2, 1), (3, 1), (4, 1),          # chain: diameter > 1
         (50, 50), (51, 50), (52, 50), (53, 50),  # star
         (90, 90), (91, 90),                      # single pair
     }
+    # single-task union-find path (default: pair set fits one worker)
+    got = {(r["doc_id"], r["dup_of"])
+           for r in connected_components(pairs).take_all()}
+    assert got == expected
+    # label-propagation path (forced: pretend the graph is too big)
+    got = {(r["doc_id"], r["dup_of"])
+           for r in connected_components(pairs, small_graph_edges=0).take_all()}
+    assert got == expected
     empty = connected_components(pa.table({
         "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
     }))
