@@ -44,18 +44,29 @@ def _scaling() -> None:
     # a larger corpus for the scaling measurement so fixed per-run overhead
     # (session + pipeline setup, ~1s) doesn't dominate the high-cpu wall time
     reps = os.environ.get("GRAFT_BENCH_REPS", "96")
-    for ncpu in (4, 8, 16, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_REPS=reps)
-        best = None
-        for _ in range(2):  # min of two fresh processes — least-noise estimator
-            r = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
-                               capture_output=True, text=True, check=True)
+    n_rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "3"))
+    levels = (4, 8, 16, 32)
+    best: dict = {}
+    # levels are INTERLEAVED round-robin (4,8,16,32, 4,8,16,32, ...) so the
+    # min-of-N per level samples the same host-noise windows for every
+    # level — this VM's neighbors swing throughput ±40% on minute scales,
+    # and measuring levels back-to-back would attribute a noisy window to
+    # one level only
+    for _ in range(n_rounds):
+        for ncpu in levels:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       GRAFT_BENCH_REPS=reps,
+                       GRAFT_SKIP_QUERIES="1")  # headline only
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env, capture_output=True, text=True,
+                               check=True)
             res = json.loads(r.stdout.strip().splitlines()[-1])
-            if best is None or res["value"] < best["value"]:
-                best = res
-        out[f"sec_{ncpu}"] = best["value"]
-        out[f"docs_per_sec_{ncpu}"] = best["docs_per_sec"]
-        out[f"mb_per_sec_{ncpu}"] = best["mb_per_sec"]
+            if ncpu not in best or res["value"] < best[ncpu]["value"]:
+                best[ncpu] = res
+    for ncpu in levels:
+        out[f"sec_{ncpu}"] = best[ncpu]["value"]
+        out[f"docs_per_sec_{ncpu}"] = best[ncpu]["docs_per_sec"]
+        out[f"mb_per_sec_{ncpu}"] = best[ncpu]["mb_per_sec"]
     # efficiency: fraction of the ideal 4x speedup achieved at each pair
     out["scaling_efficiency"] = round((out["sec_8"] / out["sec_32"]) / 4, 3)
     out["scaling_efficiency_4_16"] = round((out["sec_4"] / out["sec_16"]) / 4, 3)
@@ -103,15 +114,16 @@ def main() -> None:
     headline = time.monotonic() - t0
 
     queries = {}
-    q = entrymod.queries()
-    for name in ("q1_pricing_summary", "dedup_first_event", "event_counts",
-                 "exact_dedup", "minhash_near_dup", "knn_cosine",
-                 "gate_verdicts", "token_counts"):
-        t0 = time.monotonic()
-        res = q[name](SF_DIR)
-        if hasattr(res, "to_pandas"):
-            res.to_pandas()
-        queries[name] = round(time.monotonic() - t0, 3)
+    if not os.environ.get("GRAFT_SKIP_QUERIES"):
+        q = entrymod.queries()
+        for name in ("q1_pricing_summary", "dedup_first_event", "event_counts",
+                     "exact_dedup", "minhash_near_dup", "simhash_near_dup",
+                     "knn_cosine", "gate_verdicts", "token_counts"):
+            t0 = time.monotonic()
+            res = q[name](SF_DIR)
+            if hasattr(res, "to_pandas"):
+                res.to_pandas()
+            queries[name] = round(time.monotonic() - t0, 3)
 
     ray.shutdown()
 

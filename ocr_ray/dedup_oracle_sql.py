@@ -83,6 +83,100 @@ def simhash_near_dup_sql(max_hamming: int = 3, max_bucket: int = 512) -> str:
     """
 
 
+def minhash_near_dup_sql(threshold: float = 0.8, max_bucket: int = 512) -> str:
+    """Full minhash+LSH near-dup re-derivation: word-3-gram shingles via
+    md5_number_lower (== the engine's shingle hash), the 64 seeded (a,b)
+    permutations as a VALUES table with HUGEINT mod-2^64 arithmetic (==
+    numpy uint64 wraparound), banding via md5 of the '-'-joined decimal
+    minhash values, bucket-capped candidates, exact shingle-set Jaccard
+    verify, recursive-CTE keep-first connected components."""
+    from ocr_ray.pipelines.dedup import _A, _B, _MERSENNE
+
+    perm_rows = ", ".join(
+        f"({k}, {int(a)}, {int(b)})" for k, (a, b) in enumerate(zip(_A, _B))
+    )
+    p = _MERSENNE
+    return f"""
+        WITH RECURSIVE
+        mw AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                             w -> w <> '') AS ws
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, g FROM (
+            SELECT doc_id,
+              CASE WHEN len(ws) = 0 THEN []
+                   WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                   ELSE list_transform(range(1, len(ws) - 1),
+                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+              END AS gs
+            FROM mw
+          ), unnest(gs) AS t(g)
+        ),
+        shingles AS (
+          SELECT DISTINCT doc_id, md5_number_lower(g) AS h FROM grams
+        ),
+        perm(k, a, b) AS (VALUES {perm_rows}),
+        sigs AS (
+          SELECT s.doc_id, p.k,
+            min((((p.a::HUGEINT * s.h::HUGEINT + p.b::HUGEINT)
+                  % 18446744073709551616::HUGEINT) % {p})::UBIGINT) AS v
+          FROM shingles s CROSS JOIN perm p
+          GROUP BY s.doc_id, p.k
+        ),
+        sig_full AS (  -- empty docs: all-max sentinel signature
+          SELECT d.doc_id, p.k, coalesce(s.v, {p}::UBIGINT) AS v
+          FROM documents d CROSS JOIN perm p
+          LEFT JOIN sigs s ON s.doc_id = d.doc_id AND s.k = p.k
+        ),
+        bands AS (
+          SELECT doc_id, k // 4 AS band_id,
+            substr(md5(string_agg(CAST(v AS VARCHAR), '-' ORDER BY k)), 1, 16)
+              AS band_hash
+          FROM sig_full GROUP BY doc_id, k // 4
+        ),
+        bsize AS (
+          SELECT band_id, band_hash, count(*) AS n, min(doc_id) AS mn
+          FROM bands GROUP BY band_id, band_hash
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a
+          JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                       AND a.doc_id < b.doc_id
+          JOIN bsize s ON s.band_id = a.band_id AND s.band_hash = a.band_hash
+          WHERE s.n <= {max_bucket} OR a.doc_id = s.mn
+        ),
+        shl AS (
+          SELECT doc_id, list_sort(list(h)) AS hs FROM shingles GROUP BY doc_id
+        ),
+        verified AS (
+          SELECT c.id_a, c.id_b FROM cand c
+          LEFT JOIN shl a ON a.doc_id = c.id_a
+          LEFT JOIN shl b ON b.doc_id = c.id_b
+          WHERE CASE
+            WHEN a.hs IS NULL AND b.hs IS NULL THEN TRUE
+            WHEN a.hs IS NULL OR b.hs IS NULL THEN FALSE
+            ELSE len(list_intersect(a.hs, b.hs))::DOUBLE
+                 / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))
+                 >= {threshold}
+          END
+        ),
+        sym AS (
+          SELECT id_a AS a, id_b AS b FROM verified
+          UNION SELECT id_b, id_a FROM verified
+        ),
+        lab(v, l) AS (
+          SELECT a, least(a, min(b)) FROM sym GROUP BY a
+          UNION
+          SELECT s.a, l.l FROM sym s JOIN lab l ON l.v = s.b WHERE l.l < s.a
+        )
+        SELECT v AS doc_id, min(l) AS dup_of FROM lab GROUP BY v
+    """
+
+
 _SUFFIXES = (" LLC", " INC", " CORP", " L.L.C.", " I.N.C.", " CORP.")
 _CONFUSIONS = (("G", "H"), ("H", "G"), ("O", "0"), ("0", "O"),
                ("I", "1"), ("1", "I"))

@@ -44,7 +44,11 @@ _B = _rng.randint(0, _MERSENNE, size=_N_PERM, dtype=np.uint64)
 
 
 def shingle_hashes(text: str, w: int = _SHINGLE_W) -> np.ndarray:
-    """crc32 hashes of word w-grams (uint64, deduplicated)."""
+    """md5-lower-64 hashes of word w-grams (uint64, deduplicated).
+
+    The hash is bit-for-bit DuckDB's ``md5_number_lower`` (digest bytes
+    8..16 little-endian) so the SQL oracle recomputes identical shingle
+    sets, signatures and Jaccard verdicts."""
     words = text.lower().split()
     if len(words) < w:
         grams = [" ".join(words)] if words else []
@@ -54,7 +58,9 @@ def shingle_hashes(text: str, w: int = _SHINGLE_W) -> np.ndarray:
         return np.zeros(0, dtype=np.uint64)
     return np.unique(
         np.fromiter(
-            (zlib.crc32(g.encode("utf-8")) for g in grams), dtype=np.uint64, count=len(grams)
+            (int.from_bytes(hashlib.md5(g.encode("utf-8")).digest()[8:16], "little")
+             for g in grams),
+            dtype=np.uint64, count=len(grams),
         )
     )
 
@@ -70,11 +76,15 @@ def minhash_signature(text: str) -> np.ndarray:
 
 
 def band_rows(doc_id: int, sig: np.ndarray) -> list[tuple[int, int, str]]:
-    """Explode one signature into (band_id, doc_id, band_hash) rows."""
+    """Explode one signature into (band_id, doc_id, band_hash) rows.
+
+    band_hash = md5 of the '-'-joined decimal minhash values — string
+    form, so SQL recomputes it with concat_ws + md5."""
     out = []
     for b in range(_N_BANDS):
         chunk = sig[b * _ROWS_PER_BAND : (b + 1) * _ROWS_PER_BAND]
-        out.append((b, doc_id, hashlib.md5(chunk.tobytes()).hexdigest()[:16]))
+        key = "-".join(str(int(v)) for v in chunk)
+        out.append((b, doc_id, hashlib.md5(key.encode()).hexdigest()[:16]))
     return out
 
 
