@@ -177,6 +177,95 @@ def minhash_near_dup_sql(threshold: float = 0.8, max_bucket: int = 512) -> str:
     """
 
 
+def winnow_near_dup_sql(k: int = 16, window: int = 4, min_shared: int = 8,
+                        max_fp_docs: int = 256) -> str:
+    """Winnowing fingerprint near-copy pairs re-derived in SQL: the
+    Rabin-Karp k-gram hash is computed directly per window position
+    (sum of codepoint * 257^(k-1-j) mod 2^61-1 — exact integer math,
+    identical to the engine's prefix-recurrence), window-4 sliding minima
+    via a frame window function, dedup per doc, inverted-index pair
+    counting with the degenerate-fingerprint drop and min_shared filter."""
+    p = (1 << 61) - 1
+    expr = " + ".join(
+        f"unicode(substr(t, i.i + {j + 1}, 1))::HUGEINT * {pow(257, k - 1 - j, p)}"
+        for j in range(k)
+    )
+    return f"""
+        WITH dt AS (
+          SELECT doc_id, lower(coalesce(text, '')) AS t,
+                 length(coalesce(text, '')) AS n
+          FROM documents
+        ),
+        wins AS (
+          SELECT doc_id, i.i AS i, (({expr}) % {p})::UBIGINT AS h
+          FROM dt, unnest(range(0, greatest(n - {k} + 1, 0))) AS i(i)
+        ),
+        stats AS (
+          SELECT doc_id, count(*) AS nh FROM wins GROUP BY doc_id
+        ),
+        mins AS (
+          SELECT w.doc_id, w.i,
+            min(w.h) OVER (PARTITION BY w.doc_id ORDER BY w.i
+                           ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS m,
+            s.nh
+          FROM wins w JOIN stats s ON s.doc_id = w.doc_id
+        ),
+        fps AS (
+          SELECT DISTINCT doc_id, m AS fp
+          FROM mins WHERE nh > {window} AND i <= nh - {window}
+          UNION
+          SELECT w.doc_id, min(w.h) AS fp
+          FROM wins w JOIN stats s ON s.doc_id = w.doc_id
+          WHERE s.nh <= {window}
+          GROUP BY w.doc_id
+        ),
+        fpsz AS (
+          SELECT fp, count(*) AS c FROM fps GROUP BY fp
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        FROM fps a
+        JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        JOIN fpsz s ON s.fp = a.fp
+        WHERE s.c BETWEEN 2 AND {max_fp_docs}
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) >= {min_shared}
+    """
+
+
+def knn_lsh_sql(k: int = 10, dim: int = 64) -> str:
+    """knn_lsh re-derived in SQL: the 8 seeded hyperplanes are embedded as
+    double literals (repr round-trips exactly), the sign-bit bucket is the
+    same dot-product test, and the query's bucket filters the scan before
+    the rounded-cosine top-k."""
+    from ocr_ray.pipelines.simsearch import _planes
+
+    planes = _planes(dim)
+
+    def dot(b: int) -> str:
+        return " + ".join(f"e[{j + 1}] * {planes[b][j]!r}" for j in range(dim))
+
+    bucket = " + ".join(
+        f"(CASE WHEN ({dot(b)}) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(planes.shape[0])
+    )
+    return f"""
+        WITH v AS (
+          SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings
+        ),
+        b AS (
+          SELECT vec_id, embedding, ({bucket}) AS bucket FROM v
+        ),
+        q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+        SELECT b.vec_id,
+               ROUND(list_cosine_similarity(
+                 CAST(b.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) AS sim
+        FROM b, q WHERE b.bucket = q.qb
+        ORDER BY sim DESC, b.vec_id
+        LIMIT {k}
+    """
+
+
 _SUFFIXES = (" LLC", " INC", " CORP", " L.L.C.", " I.N.C.", " CORP.")
 _CONFUSIONS = (("G", "H"), ("H", "G"), ("O", "0"), ("0", "O"),
                ("I", "1"), ("1", "I"))
