@@ -469,6 +469,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dup": _do.minhash_near_dup_sql(),
         "winnow_near_dup": _do.winnow_near_dup_sql(),
         "knn_lsh": _do.knn_lsh_sql(),
+        "knn_ivf": _do.knn_ivf_sql(),
         "entity_match": _do.entity_match_sql(),
         "qc_field_compare": _v.qc_field_compare_sql(),
         "field_extraction_patched": _v.field_extraction_patched_sql(),

@@ -266,6 +266,89 @@ def knn_lsh_sql(k: int = 10, dim: int = 64) -> str:
     """
 
 
+def knn_ivf_sql(k: int = 10, n_clusters: int = 16, n_probe: int = 2,
+                train_sample: int = 2048, n_iter: int = 10,
+                dim: int = 64) -> str:
+    """knn_ivf re-derived in SQL: the deterministic k-means (init = first
+    n_clusters sample vectors, assignment ties to lowest centroid id,
+    centroids ROUNDed to 6 dp each update — simsearch._kmeans_lite) is
+    unrolled as one chained CTE pair per iteration over per-dimension
+    rows; probe-cell selection and the cell-filtered cosine top-k follow."""
+    parts = [f"""
+        sv AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        sdim AS MATERIALIZED (
+          SELECT vec_id, j.j AS j, e[j.j + 1] AS val
+          FROM sv, unnest(range(0, {dim})) AS j(j)
+          WHERE vec_id < {train_sample}
+        ),
+        adim AS MATERIALIZED (
+          SELECT vec_id, j.j AS j, e[j.j + 1] AS val
+          FROM sv, unnest(range(0, {dim})) AS j(j)
+        ),
+        cent0 AS MATERIALIZED (
+          SELECT vec_id AS cid, j, ROUND(val, 6) AS val
+          FROM sdim WHERE vec_id < {n_clusters}
+        )"""]
+    for i in range(n_iter):
+        parts.append(f"""
+        dist{i} AS MATERIALIZED (
+          SELECT sd.vec_id, c.cid,
+                 sum((sd.val - c.val) * (sd.val - c.val)) AS d
+          FROM sdim sd JOIN cent{i} c ON c.j = sd.j
+          GROUP BY sd.vec_id, c.cid
+        ),
+        a{i} AS MATERIALIZED (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+            FROM dist{i}
+          ) WHERE rn = 1
+        ),
+        cent{i + 1} AS MATERIALIZED (
+          SELECT c.cid, c.j, coalesce(ROUND(m.avg_v, 6), c.val) AS val
+          FROM cent{i} c
+          LEFT JOIN (
+            SELECT a.cid, sd.j, AVG(sd.val) AS avg_v
+            FROM a{i} a JOIN sdim sd ON sd.vec_id = a.vec_id
+            GROUP BY a.cid, sd.j
+          ) m ON m.cid = c.cid AND m.j = c.j
+        )""")
+    final = f"cent{n_iter}"
+    parts.append(f"""
+        qdim AS (
+          SELECT j, val FROM adim WHERE vec_id = 0
+        ),
+        probe AS (
+          SELECT cid FROM (
+            SELECT c.cid, sum((q.val - c.val) * (q.val - c.val)) AS d
+            FROM {final} c JOIN qdim q ON q.j = c.j
+            GROUP BY c.cid
+          ) ORDER BY d, cid LIMIT {n_probe}
+        ),
+        assign_all AS (
+          SELECT vec_id, cid FROM (
+            SELECT ad.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY ad.vec_id
+                                      ORDER BY sum((ad.val - c.val) * (ad.val - c.val)), c.cid) AS rn
+            FROM adim ad JOIN {final} c ON c.j = ad.j
+            GROUP BY ad.vec_id, c.cid
+          ) WHERE rn = 1
+        )
+        SELECT e.vec_id,
+               ROUND(list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]),
+                 CAST(q.embedding AS DOUBLE[])), 6) AS sim
+        FROM embeddings e
+        JOIN assign_all a ON a.vec_id = e.vec_id
+        JOIN probe p ON p.cid = a.cid,
+        (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        ORDER BY sim DESC, e.vec_id
+        LIMIT {k}""")
+    return "WITH " + ",".join(parts)
+
+
 _SUFFIXES = (" LLC", " INC", " CORP", " L.L.C.", " I.N.C.", " CORP.")
 _CONFUSIONS = (("G", "H"), ("H", "G"), ("O", "0"), ("0", "O"),
                ("I", "1"), ("1", "I"))

@@ -338,19 +338,24 @@ def knn_cosine_batch(ds, query_vecs, query_ids, k: int = 5,
 
 
 def _kmeans_lite(sample: np.ndarray, n_clusters: int, n_iter: int = 10) -> np.ndarray:
-    """Deterministic k-means (fixed seed init, fixed iterations) for the
-    IVF coarse quantizer — runs driver-side on a sample, centroids are a
-    pure function of the sample."""
-    rng = np.random.RandomState(11)
-    idx = rng.choice(len(sample), size=min(n_clusters, len(sample)), replace=False)
-    centroids = sample[np.sort(idx)].copy()
+    """Deterministic k-means for the IVF coarse quantizer — centroids are
+    a pure function of the sample, and every step is SQL-reproducible:
+
+    * init = the first n_clusters sample rows (the sample itself is the
+      vec_id < train_sample prefix, so "first" is well-defined);
+    * assignment = argmin squared L2, ties to the LOWEST centroid id;
+    * each centroid update is ROUNDED to 6 decimals, so the DuckDB
+      oracle's sequential AVG and numpy's pairwise mean agree exactly
+      (their sub-1e-12 summation-order differences vanish in the round).
+    """
+    centroids = np.round(sample[: min(n_clusters, len(sample))].astype(np.float64), 6)
     for _ in range(n_iter):
         d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
         assign = d.argmin(axis=1)
         for c in range(len(centroids)):
             members = sample[assign == c]
             if len(members):
-                centroids[c] = members.mean(axis=0)
+                centroids[c] = np.round(members.mean(axis=0), 6)
     return centroids
 
 
@@ -362,15 +367,27 @@ def knn_ivf(ds, query_vec, k: int = 10, n_clusters: int = 16, n_probe: int = 2,
     its nearest centroid; the query searches only its ``n_probe`` nearest
     cells.  At corpus scale the cell id becomes the partition key so only
     n_probe partitions are read per query (the inverted-file layout)."""
+    import pyarrow.compute as pc_
+
     import ray
 
-    sample_tbl = ds.limit(train_sample).to_pandas()
+    # the training sample is the vec_id < train_sample PREFIX in key
+    # order — a well-defined, SQL-reproducible subset (ds.limit would
+    # depend on block arrival order)
+    sample_tbl = (
+        ds.map_batches(
+            lambda t: t.filter(pc_.less(t[key_col], train_sample)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values(key_col)
+    )
     sample = np.stack(sample_tbl[vec_col].to_numpy()).astype(np.float64)
     centroids = _kmeans_lite(sample, n_clusters)
 
     q = np.asarray(query_vec, dtype=np.float64)
     qd = ((centroids - q[None, :]) ** 2).sum(axis=1)
-    probe_cells = set(np.argsort(qd)[:n_probe].tolist())
+    probe_cells = set(np.argsort(qd, kind="stable")[:n_probe].tolist())
     ref = ray.put((centroids, q))
 
     def cell_topk(batch: pa.Table) -> pa.Table:
