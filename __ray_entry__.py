@@ -850,8 +850,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY sim DESC, e.vec_id
             LIMIT 10
         """,
-        # minhash_near_dup / winnow_near_dup / knn_lsh / knn_ivf: the
-        # remaining rows-only checks (crc32-seeded signatures / seeded
-        # hyperplanes / iterative k-means are not DuckDB-reproducible);
-        # pinned by pytest + the distributed-vs-pinned regression tests.
+        # Every queries() entry above has an oracle_sql twin — the
+        # rows-only set is empty as of round 2 (minhash/winnow/knn_lsh/
+        # knn_ivf gained SQL oracles via md5-derived hashes, seeded-plane
+        # reconstruction and the unrolled deterministic k-means).
     }

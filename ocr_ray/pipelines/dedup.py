@@ -364,7 +364,11 @@ def simhash_near_dup(ds, text_col: str = "text", key_col: str = "doc_id",
     MAX_BUCKET = 512  # a degenerate bucket (e.g. every empty doc has
     # simhash 0, so all four chunks collide) would emit O(k^2) pairs —
     # same star-pairing cap as the minhash path: members pair against the
-    # bucket minimum only, preserving keep-first component semantics
+    # bucket minimum only.  NOTE: this is an APPROXIMATION, not
+    # semantics-preserving in general — two members within hamming<=3 of
+    # each other but not both within 3 of the bucket minimum lose their
+    # pair, so components can split vs the uncapped spec.  The SQL oracle
+    # mirrors the cap exactly, so parity holds by construction.
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         a, b = [], []

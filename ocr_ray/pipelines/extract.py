@@ -7,9 +7,10 @@
                                              # checkpoint + lineage manifest
 
 The url-hash partition column is assigned in the vectorized gate stage
-(crc32(url) % P — stable across runs/processes, unlike Python ``hash``); it
-is both the skew-defusing repartition key and the checkpoint granularity —
-the only wide operation on the hot path (SURVEY.md §7).
+(md5-lower-64(url) % P, see ``stable_part_id`` — stable across
+runs/processes, unlike Python ``hash``); it is both the skew-defusing
+repartition key and the checkpoint granularity — the only wide operation on
+the hot path (SURVEY.md §7).
 
 Nothing here calls ray.init(); callers own the session.
 """

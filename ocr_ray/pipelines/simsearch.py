@@ -225,6 +225,13 @@ def embedding_near_dup_lsh(ds, threshold: float = 0.5, n_tables: int = 32,
     at angle θ is 1-(1-(1-θ/π)^n_bits)^n_tables — at cosine ≥ 0.5 with 4
     bits × 32 tables it exceeds 0.999 (deterministic planes: a given
     corpus either finds a pair or never does, reproducibly).
+
+    Oracle note: the SQL oracle asserts the EXACT all-pairs result, while
+    this operator is approximate (per-pair miss probability ~1e-3 at the
+    cosine-0.5 boundary, plus the MAX_BUCKET star-pairing truncation).  The
+    check is therefore CORPUS-PINNED: it passes deterministically on the
+    driver's testdata, but a different corpus could legitimately show a
+    recall miss that is not a correctness regression.
     """
     import pandas as pd
 
