@@ -340,6 +340,15 @@ def run_extraction_urlhash(
     Resume: finished partitions skip both phases; phase-1 markers skip
     re-extraction of finished shards.  Chunk writes are tmp+rename so a
     crashed shard re-runs cleanly (identical deterministic bytes replace).
+
+    Failure surface: a phase-1 shard that fails after Ray's retries could
+    have contributed rows to ANY partition, so phase 2 is skipped entirely,
+    ``_chunks/`` is kept (done-markers make the resume retry exactly the
+    failed shards) and the summary carries ``failed_shards`` — a run is
+    complete only when the summary has neither ``failed_shards`` nor
+    ``failed_partitions``.  A phase-2 failure leaves its partition without
+    a manifest (recoverable), is reported as ``failed_partitions``, and
+    keeps ``_chunks/`` so the retry does not redo phase 1.
     """
     import glob
     import os
@@ -382,7 +391,14 @@ def run_extraction_urlhash(
         with open(marker, "w") as f:
             f.write("done\n")
 
-    _bounded_submit(phase1, list(enumerate(files)))
+    failed_shards = _bounded_submit(phase1, list(enumerate(files)))
+    if failed_shards:
+        # a failed shard's rows could belong to ANY partition: merging now
+        # would finalize partitions with silently-missing rows.  Keep
+        # _chunks/ (markers skip the finished shards on resume) and report.
+        summary = mf.summarize(out_dir)
+        summary["failed_shards"] = failed_shards
+        return summary
 
     # above merge_rows_in_memory rows a partition merges as a RANGED
     # STREAM (sorted key ranges written row-group-at-a-time) instead of
@@ -413,11 +429,17 @@ def run_extraction_urlhash(
 
     todo_parts = [(p,) for p in range(cfg.num_output_partitions)
                   if p not in done_parts]
-    _bounded_submit(phase2, todo_parts)
+    failed_parts = _bounded_submit(phase2, todo_parts)
 
+    summary = mf.summarize(out_dir)
+    if failed_parts:
+        # failed partitions have no manifest → resume retries just their
+        # merges; keep _chunks/ so that retry does not redo phase 1
+        summary["failed_partitions"] = failed_parts
+        return summary
     import shutil as _sh
     _sh.rmtree(chunks_dir, ignore_errors=True)
-    return mf.summarize(out_dir)
+    return summary
 
 
 def _empty_pages_table() -> pa.Table:

@@ -205,6 +205,46 @@ def test_urlhash_two_phase_equals_groupby(ray_session, tmp_path_factory):
     assert _read_out(a).equals(_read_out(b))
 
 
+def test_urlhash_corrupt_shard_skips_merge_and_resumes(ray_session, tmp_path_factory):
+    """A phase-1 shard failure must NOT let phase 2 finalize partitions
+    with silently-missing rows: the run reports failed_shards, completes no
+    partition, keeps _chunks/ for resume — and the repaired resume produces
+    output byte-identical to a clean run."""
+    import shutil
+
+    from ocr_ray.pipelines.extract import run_extraction_urlhash
+    from ocr_ray.sources.synth import materialize_pages_parquet
+    from ocr_ray.state.manifest import completed_parts
+
+    src = materialize_pages_parquet(
+        "/root/testdata/sf0.001", "/tmp/pages_uh_t", rows_per_file=128)
+    work = str(tmp_path_factory.mktemp("uh_corrupt_in"))
+    for f in sorted(os.listdir(src)):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(src, f), os.path.join(work, f))
+    files = sorted(f for f in os.listdir(work) if f.endswith(".parquet"))
+    with open(os.path.join(work, files[1]), "wb") as fh:
+        fh.write(b"not a parquet file at all")
+
+    out = str(tmp_path_factory.mktemp("uh_corrupt_out"))
+    summary = run_extraction_urlhash(work, out, resume=False)
+    assert summary.get("failed_shards") == [1]
+    assert completed_parts(out) == set()          # phase 2 never ran
+    assert os.path.isdir(os.path.join(out, "_chunks"))  # kept for resume
+
+    # repair; the resume retries ONLY the failed shard (markers skip the
+    # rest), merges, and matches a clean run bit-for-bit
+    shutil.copy(os.path.join(src, files[1]), os.path.join(work, files[1]))
+    summary2 = run_extraction_urlhash(work, out, resume=True)
+    assert "failed_shards" not in summary2
+    assert "failed_partitions" not in summary2
+    assert not os.path.isdir(os.path.join(out, "_chunks"))
+
+    clean = str(tmp_path_factory.mktemp("uh_clean_out"))
+    run_extraction_urlhash(src, clean, resume=False)
+    assert _read_out(out).equals(_read_out(clean))
+
+
 def test_urlhash_partitioning_defuses_zipf_host_skew(ray_session, tmp_path_factory):
     """FIXTURES §1 skew knob: with a Zipf host distribution (host-00 ~50% of
     urls), crc32(url)-hash partitions stay balanced — host-level skew never
