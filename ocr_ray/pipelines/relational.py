@@ -241,11 +241,30 @@ def status_rollup(sf_dir: str):
 # events: keep-first dedup (J2), grouped counts (I2)
 # ---------------------------------------------------------------------------
 
-def dedup_first_event(sf_dir: str):
-    """Keep-first per (user_id, event_type) ordered by (ts, event_id)."""
+_EVENT_BUCKETS = 64  # coarse shuffle key over user_id: the exact per-key
+# grouping happens VECTORIZED inside each bucket — never one Ray
+# map_groups dispatch (~10-20ms) per distinct (user, ...) key, which at
+# 10^8 users would be 10^8 dispatches (CLAUDE.md sharp edge)
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).head(1)
+
+def _bucket_by_user(t: pa.Table) -> pa.Table:
+    return t.append_column(
+        "ubucket",
+        pc.cast(pc.bit_wise_and(t["user_id"], _EVENT_BUCKETS - 1), pa.int32()),
+    )
+
+
+def dedup_first_event(sf_dir: str):
+    """Keep-first per (user_id, event_type) ordered by (ts, event_id).
+
+    One coarse-bucket shuffle; inside each bucket a single global sort +
+    ``drop_duplicates(keep='first')`` resolves EVERY key in the bucket in
+    one vectorized pandas call."""
+
+    def first_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).drop_duplicates(
+            subset=["user_id", "event_type"], keep="first"
+        )
         return pd.DataFrame(
             {
                 "user_id": g["user_id"].to_numpy(),
@@ -257,8 +276,9 @@ def dedup_first_event(sf_dir: str):
 
     return (
         _read(sf_dir, "events", ["user_id", "event_type", "event_id", "ts"])
-        .groupby(["user_id", "event_type"])
-        .map_groups(first, batch_format="pandas")
+        .map_batches(_bucket_by_user, batch_format="pyarrow")
+        .groupby("ubucket")
+        .map_groups(first_per_bucket, batch_format="pandas")
     )
 
 

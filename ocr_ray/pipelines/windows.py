@@ -2,9 +2,12 @@
 
 Ray Data has no event-time windowing; per the public guidance the input is
 treated as a partitioned ordered log: tumbling windows become a vectorized
-truncate + groupby, session windows become per-key ``map_groups`` over the
-ts-sorted group (ordering assumption: (ts, event_id) is a total order per
-key — stated here and used identically in the SQL oracle).
+truncate + groupby; session windows and the as-of join shuffle on a COARSE
+64-way bucket of user_id and resolve every user in the bucket with one
+vectorized pandas pass (never one map_groups dispatch per user — Ray's
+~10-20ms per-group cost is a scale killer at 10^8 keys).  Ordering
+assumption: (ts, event_id) is a total order per key — stated here and used
+identically in the SQL oracle.
 """
 
 from __future__ import annotations
@@ -70,42 +73,60 @@ def tumbling_hour_counts(sf_dir: str):
 
 
 SESSION_GAP_MIN = 30
+_USER_BUCKETS = 64  # coarse shuffle key; exact per-user work is vectorized
+# inside each bucket (see module docstring)
+
+
+def _bucket_by_user(t: pa.Table) -> pa.Table:
+    return t.append_column(
+        "ubucket",
+        pc.cast(pc.bit_wise_and(t["user_id"], _USER_BUCKETS - 1), pa.int32()),
+    )
 
 
 def session_windows(sf_dir: str):
     """Session windows per user (gap > 30 min splits), sorted by
     (ts, event_id) within each user — n_events + value_cents + session_start
-    per (user_id, session_id)."""
+    per (user_id, session_id).
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gap = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
-        g = g.assign(session_id=gap.cumsum().astype("int64"))
-        out = g.groupby("session_id", as_index=False).agg(
+    One coarse-bucket shuffle; inside each bucket ONE sort + diff/cumsum
+    pass sessionizes every user at once (a user-boundary row always opens a
+    new session, and per-user session_ids rebase to 0 by subtracting the
+    user's first global session id)."""
+
+    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        brk = (g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)) | new_user
+        sid = brk.cumsum()
+        g = g.assign(
+            session_id=(sid - sid.groupby(g["user_id"]).transform("min"))
+            .astype("int64")
+        )
+        out = g.groupby(["user_id", "session_id"], as_index=False).agg(
             session_start=("ts", "min"),
             n_events=("event_id", "size"),
             value_cents=("value_cents", "sum"),
         )
-        out.insert(0, "user_id", g["user_id"].iloc[0])
         out["n_events"] = out["n_events"].astype("int64")
         return out
 
     def prep(t: pa.Table) -> pa.Table:
-        return pa.table(
+        return _bucket_by_user(pa.table(
             {
                 "user_id": t["user_id"],
                 "event_id": t["event_id"],
                 "ts": t["ts"],
                 "value_cents": _cents(t["value"]),
             }
-        )
+        ))
 
     return (
         rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                         columns=["user_id", "event_id", "ts", "value"])
         .map_batches(prep, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(sessions, batch_format="pandas")
+        .groupby("ubucket")
+        .map_groups(sessions_bucket, batch_format="pandas")
     )
 
 
@@ -114,29 +135,38 @@ def asof_purchase_click(sf_dir: str):
     recent prior-or-equal 'click' (the classic event-attribution join).
 
     Ray Data has no asof join; the portable pattern is: co-partition both
-    sides by the key (one groupby), then ``pd.merge_asof`` per group over
-    ts-sorted frames.  Ordering assumption: (ts, event_id) totally orders a
-    user's events — the DuckDB ASOF JOIN oracle uses the same rule.
+    sides by a COARSE bucket of the key (one groupby), then ONE
+    ``pd.merge_asof(..., by='user_id')`` per bucket matches every user in
+    the bucket vectorized.  Ordering assumption: (ts, event_id) totally
+    orders a user's events — the DuckDB ASOF JOIN oracle uses the same
+    rule.
     """
 
-    def split_asof(g: pd.DataFrame) -> pd.DataFrame:
+    _EMPTY = {
+        "user_id": pd.Series([], dtype="int64"),
+        "purchase_id": pd.Series([], dtype="int64"),
+        "purchase_ts": pd.Series([], dtype="datetime64[us]"),
+        "click_id": pd.Series([], dtype="int64"),
+    }
+
+    def bucket_asof(g: pd.DataFrame) -> pd.DataFrame:
+        # merge_asof needs both frames globally ts-sorted (the `by` match
+        # happens within that order); (ts, event_id) keeps ties stable
         g = g.sort_values(["ts", "event_id"])
-        buys = g[g["event_type"] == "purchase"]
-        clicks = g[g["event_type"] == "click"]
+        buys = g.loc[g["event_type"] == "purchase",
+                     ["user_id", "ts", "event_id"]].rename(
+            columns={"event_id": "purchase_id"})
+        clicks = g.loc[g["event_type"] == "click",
+                       ["user_id", "ts", "event_id"]].rename(
+            columns={"event_id": "click_id"})
         if len(buys) == 0:
-            return pd.DataFrame({
-                "user_id": pd.Series([], dtype="int64"),
-                "purchase_id": pd.Series([], dtype="int64"),
-                "purchase_ts": pd.Series([], dtype="datetime64[us]"),
-                "click_id": pd.Series([], dtype="int64"),
-            })
+            return pd.DataFrame(_EMPTY)
         merged = pd.merge_asof(
-            buys[["ts", "event_id"]].rename(columns={"event_id": "purchase_id"}),
-            clicks[["ts", "event_id"]].rename(columns={"event_id": "click_id"}),
-            on="ts", direction="backward", allow_exact_matches=True,
+            buys, clicks, on="ts", by="user_id",
+            direction="backward", allow_exact_matches=True,
         )
         return pd.DataFrame({
-            "user_id": np.full(len(merged), g["user_id"].iloc[0], dtype=np.int64),
+            "user_id": merged["user_id"].to_numpy(dtype=np.int64),
             "purchase_id": merged["purchase_id"].to_numpy(),
             "purchase_ts": merged["ts"].astype("datetime64[us]").to_numpy(),
             # no-match → -1 (nullable ints degrade to float64 through
@@ -147,6 +177,7 @@ def asof_purchase_click(sf_dir: str):
     return (
         rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                         columns=["user_id", "event_id", "event_type", "ts"])
-        .groupby("user_id")
-        .map_groups(split_asof, batch_format="pandas")
+        .map_batches(_bucket_by_user, batch_format="pyarrow")
+        .groupby("ubucket")
+        .map_groups(bucket_asof, batch_format="pandas")
     )
