@@ -320,25 +320,25 @@ def q1_pricing_summary(sf_dir: str):
 
 def topk_orders(sf_dir: str, k: int = 10):
     """Top-k (J5 global analogue) WITHOUT a global sort: every batch emits
-    its own top-k (vectorized), the tiny union reduces on the driver — a
-    full ``sort().limit()`` would shuffle the entire table for 10 rows."""
+    its own top-k (vectorized), then a two-level reduce — one
+    ``repartition(1)`` task merges the k-row partials so the DRIVER only
+    ever receives the final k rows (a full ``sort().limit()`` would
+    shuffle the entire table for 10 rows; a driver-side concat would hold
+    k × n_batches rows at 10^6+ blocks)."""
 
-    def partial(t: pa.Table) -> pa.Table:
+    def topk(t: pa.Table) -> pa.Table:
         idx = pc.sort_indices(
             t, sort_keys=[("o_totalprice", "descending"), ("o_orderkey", "ascending")]
         )[:k]
         return t.take(idx)
 
-    partials = (
+    out = (
         _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-        .map_batches(partial, batch_format="pyarrow")
-        .to_arrow_refs()
+        .map_batches(topk, batch_format="pyarrow")          # per-batch partial
+        .repartition(1)
+        .map_batches(topk, batch_format="pyarrow", batch_size=None)  # final
     )
-    merged = pa.concat_tables(ray.get(partials))
-    idx = pc.sort_indices(
-        merged, sort_keys=[("o_totalprice", "descending"), ("o_orderkey", "ascending")]
-    )[:k]
-    return merged.take(idx)
+    return pa.concat_tables(ray.get(out.to_arrow_refs()))
 
 
 def revenue_by_mktsegment(sf_dir: str):

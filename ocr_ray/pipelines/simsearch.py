@@ -34,6 +34,25 @@ def _cosine(mat: np.ndarray, q: np.ndarray) -> np.ndarray:
     return (mat @ qn) / norms
 
 
+def _reduce_topk(partials, k: int, key_col: str) -> pa.Table:
+    """Two-level top-k reduce: the per-batch k-row partials are merged by
+    ONE ``repartition(1)`` task and only the final k rows reach the driver
+    (a driver-side concat would hold k × n_batches rows at 10^6+ blocks)."""
+    import pyarrow.compute as pc
+    import ray
+
+    def final(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("sim", "descending"), (key_col, "ascending")]
+        )[:k]
+        return t.take(idx)
+
+    out = partials.repartition(1).map_batches(
+        final, batch_format="pyarrow", batch_size=None
+    )
+    return pa.concat_tables(ray.get(out.to_arrow_refs()))
+
+
 def knn_cosine(ds, query_vec, k: int = 10,
                vec_col: str = "embedding", key_col: str = "vec_id"):
     """Brute-force cosine top-k; returns a pyarrow Table
@@ -58,13 +77,8 @@ def knn_cosine(ds, query_vec, k: int = 10,
             }
         )
 
-    partials = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
-    partials = partials.sort_values(["sim", key_col], ascending=[False, True]).head(k)
-    return pa.table(
-        {
-            key_col: pa.array(partials[key_col].to_numpy(), pa.int64()),
-            "sim": pa.array(partials["sim"].to_numpy(), pa.float64()),
-        }
+    return _reduce_topk(
+        ds.map_batches(partial_topk, batch_format="pyarrow"), k, key_col
     )
 
 
@@ -117,13 +131,8 @@ def knn_lsh(ds, query_vec, k: int = 10,
             }
         )
 
-    partials = ds.map_batches(bucket_topk, batch_format="pyarrow").to_pandas()
-    partials = partials.sort_values(["sim", key_col], ascending=[False, True]).head(k)
-    return pa.table(
-        {
-            key_col: pa.array(partials[key_col].to_numpy(), pa.int64()),
-            "sim": pa.array(partials["sim"].to_numpy(), pa.float64()),
-        }
+    return _reduce_topk(
+        ds.map_batches(bucket_topk, batch_format="pyarrow"), k, key_col
     )
 
 
@@ -330,18 +339,28 @@ def knn_cosine_batch(ds, query_vecs, query_ids, k: int = 5,
             "sim": pa.array(out_s, pa.float64()),
         })
 
-    partials = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
-    top = (
-        partials.sort_values(["query_id", "sim", key_col],
-                             ascending=[True, False, True])
-        .groupby("query_id", as_index=False)
-        .head(k)
+    def final(t: pa.Table) -> pa.Table:
+        # one repartition(1) task merges the (n_queries × k)-row partials;
+        # the driver receives only the final n_queries × k rows
+        df = t.to_pandas()
+        top = (
+            df.sort_values(["query_id", "sim", key_col],
+                           ascending=[True, False, True])
+            .groupby("query_id", as_index=False)
+            .head(k)
+        )
+        return pa.table({
+            "query_id": pa.array(top["query_id"].to_numpy(), pa.int64()),
+            key_col: pa.array(top[key_col].to_numpy(), pa.int64()),
+            "sim": pa.array(top["sim"].to_numpy(), pa.float64()),
+        })
+
+    out = (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
-    return pa.table({
-        "query_id": pa.array(top["query_id"].to_numpy(), pa.int64()),
-        key_col: pa.array(top[key_col].to_numpy(), pa.int64()),
-        "sim": pa.array(top["sim"].to_numpy(), pa.float64()),
-    })
+    return pa.concat_tables(ray.get(out.to_arrow_refs()))
 
 
 def _kmeans_lite(sample: np.ndarray, n_clusters: int, n_iter: int = 10) -> np.ndarray:
@@ -418,9 +437,6 @@ def knn_ivf(ds, query_vec, k: int = 10, n_clusters: int = 16, n_probe: int = 2,
             "sim": pa.array(sims[order], pa.float64()),
         })
 
-    partials = ds.map_batches(cell_topk, batch_format="pyarrow").to_pandas()
-    partials = partials.sort_values(["sim", key_col], ascending=[False, True]).head(k)
-    return pa.table({
-        key_col: pa.array(partials[key_col].to_numpy(), pa.int64()),
-        "sim": pa.array(partials["sim"].to_numpy(), pa.float64()),
-    })
+    return _reduce_topk(
+        ds.map_batches(cell_topk, batch_format="pyarrow"), k, key_col
+    )
