@@ -158,6 +158,49 @@ def dedupe_pairs(pairs, extra_cols: tuple[str, ...] = ()):
     )
 
 
+FUSE_PAIRS = 100_000  # size-adaptive fusion threshold: below this, the
+# verify+union-find tail of a near-dup run fits ONE worker task (texts for
+# <= 2*FUSE_PAIRS docs), and the multi-second fixed costs of the two hash
+# joins + the CC execution never amortize — same trick as
+# graph.connected_components's small_graph_edges, one level up.
+
+
+def _fused_verify_cc(pair_tbl: pa.Table, threshold: float, key_col: str,
+                     text_col: str, *text_blocks: pa.Table) -> pa.Table:
+    """One-task tail for small pair sets: dedup pairs, exact-Jaccard
+    verify against the (small) candidate text set, then min-label
+    union-find — byte-identical semantics to the distributed
+    dedupe_pairs → verify_pairs_jaccard → connected_components chain."""
+    texts: dict[int, str] = {}
+    for blk in text_blocks:
+        for did, txt in zip(blk[key_col].to_pylist(), blk[text_col].to_pylist()):
+            texts[int(did)] = txt or ""
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    seen: set[tuple[int, int]] = set()
+    for ia, ib in zip(pair_tbl["id_a"].to_pylist(), pair_tbl["id_b"].to_pylist()):
+        key = (int(ia), int(ib))
+        if key in seen:
+            continue
+        seen.add(key)
+        if jaccard(texts.get(key[0], ""), texts.get(key[1], "")) >= threshold:
+            ra, rb = find(key[0]), find(key[1])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    members = sorted(m for m in parent)
+    return pa.table({
+        key_col: pa.array(members, pa.int64()),
+        "dup_of": pa.array([find(m) for m in members], pa.int64()),
+    })
+
+
 def verify_pairs_jaccard(pairs, ds, text_col: str = "text",
                          key_col: str = "doc_id", threshold: float = 0.8,
                          num_partitions: int = 16):
@@ -248,6 +291,11 @@ def minhash_near_dup(ds, text_col: str = "text", key_col: str = "doc_id",
       → exact Jaccard verify (co-partitioned joins of texts onto pairs)
       → distributed connected components (pipelines.graph)
 
+    Size-adaptive tail: when the candidate pair set is <= FUSE_PAIRS, the
+    dedup+verify+CC steps fuse into ONE Ray task (``_fused_verify_cc``)
+    fed by a broadcast-filtered candidate text scan — identical semantics,
+    none of the shuffle/join fixed costs.
+
     Returns (doc_id, dup_of) rows: every doc that belongs to a verified
     near-dup pair, pointing at the smallest doc_id of its group (keep-first).
     """
@@ -299,20 +347,49 @@ def minhash_near_dup(ds, text_col: str = "text", key_col: str = "doc_id",
         return pd.DataFrame({"id_a": np.array(a, dtype=np.int64),
                              "id_b": np.array(b, dtype=np.int64)})
 
-    pairs = (
+    import ray
+
+    raw_pairs = (
         ds.map_batches(to_bands, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
-    )
-    # distributed pair dedup (the same pair fires from several bands):
-    # coarse-bucket groupby on a pair hash — still O(pairs), no driver
-    pairs = dedupe_pairs(pairs).materialize()
-    if pairs.count() == 0:
+    ).materialize()
+    n_raw = raw_pairs.count()   # upper bound: same pair fires from
+    if n_raw == 0:              # several bands (<= 16 copies)
         return pa.table({key_col: pa.array([], pa.int64()),
                          "dup_of": pa.array([], pa.int64())})
 
-    # exact-Jaccard verify via co-partitioned joins of texts onto pairs
-    # keyed by doc_id (text travels once per pair side, never broadcast)
+    if n_raw <= FUSE_PAIRS:
+        # size-adaptive tail: the whole dedup+verify+CC fits one task —
+        # skip the pair-dedup shuffle, the two verify joins and the CC
+        # execution (each carries multi-second Ray fixed costs that only
+        # amortize at corpus scale).  The driver holds only the pair ids
+        # (<= FUSE_PAIRS rows of 2 ints); candidate texts go object-store
+        # block ref → task, never through the driver.
+        blocks = [t for t in ray.get(raw_pairs.to_arrow_refs())
+                  if t.num_columns and t.num_rows]
+        pair_tbl = pa.concat_tables(blocks)
+        cand = pa.array(
+            sorted(set(pair_tbl["id_a"].to_pylist())
+                   | set(pair_tbl["id_b"].to_pylist())),
+            pa.int64(),
+        )
+        cand_ref = ray.put(cand)
+
+        def pick(t: pa.Table) -> pa.Table:
+            keep = pc.is_in(t[key_col], value_set=ray.get(cand_ref))
+            return t.filter(keep).select([key_col, text_col])
+
+        text_refs = ds.map_batches(pick, batch_format="pyarrow").to_arrow_refs()
+        task = ray.remote(num_cpus=1)(_fused_verify_cc)
+        return ray.get(task.remote(pair_tbl, threshold, key_col, text_col,
+                                   *text_refs))
+
+    # distributed pair dedup (coarse-bucket groupby on a pair hash — still
+    # O(pairs), no driver), then exact-Jaccard verify via co-partitioned
+    # joins of texts onto pairs keyed by doc_id (text travels once per
+    # pair side, never broadcast)
+    pairs = dedupe_pairs(raw_pairs).materialize()
     verified = verify_pairs_jaccard(pairs, ds, text_col=text_col,
                                     key_col=key_col, threshold=threshold)
 
@@ -395,13 +472,18 @@ def simhash_near_dup(ds, text_col: str = "text", key_col: str = "doc_id",
         ds.map_batches(to_chunks, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
-    )
-    # pairs are already hamming-verified inside the buckets; dedupe them
-    # distributed and run distributed connected components (keep-first)
+    ).materialize()
+    # pairs are already hamming-verified inside the buckets.  Union-find
+    # is idempotent under duplicate pairs, so below the single-task CC
+    # threshold the pair-dedup shuffle is pure fixed cost — skip it and
+    # let connected_components' repartition(1) path absorb the (<= 4x
+    # duplicated) raw pairs; at scale dedupe first so the CC label
+    # shuffles don't carry 4 copies of every edge.
     from ocr_ray.pipelines.graph import connected_components
 
-    return connected_components(dedupe_pairs(pairs), key_col=key_col,
-                                label_col="dup_of")
+    if pairs.count() > FUSE_PAIRS:
+        pairs = dedupe_pairs(pairs)
+    return connected_components(pairs, key_col=key_col, label_col="dup_of")
 
 
 def winnow_near_dup(ds, text_col: str = "text", key_col: str = "doc_id",
@@ -444,19 +526,30 @@ def winnow_near_dup(ds, text_col: str = "text", key_col: str = "doc_id",
         out = part.groupby(["id_a", "id_b"], as_index=False).size()
         return out.rename(columns={"size": "shared"})
 
-    from ray.data.aggregate import Sum
+    # Distributed pair-count: NEVER a Ray hash/sort aggregate keyed on the
+    # raw pair — with ~10^6 distinct pairs this Ray version's
+    # groupby(keys).aggregate(Sum) measured 215 s at sf0.1 (vs ~5 s for
+    # everything else).  Instead shuffle once on a 64-way bucket of the
+    # pair key (all rows of a pair land in one bucket, so the per-bucket
+    # pandas sum IS the global sum) and apply the min_shared filter inside
+    # the bucket, shrinking output before it leaves the task.
+    def add_pbucket(t: pa.Table) -> pa.Table:
+        h = pc.add(
+            pc.multiply(pc.bit_wise_and(t["id_a"], 7), 8),
+            pc.bit_wise_and(t["id_b"], 7),
+        )
+        return t.append_column("pbucket", pc.cast(h, pa.int32()))
 
-    counted = (
+    def sum_filter(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["id_a", "id_b"], as_index=False)["shared"].sum()
+        out["shared"] = out["shared"].astype(np.int64)
+        return out[out["shared"] >= min_shared]
+
+    return (
         ds.map_batches(to_fps, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["id_a", "id_b"])                 # distributed pair count
-        .aggregate(Sum("shared", alias_name="shared"))
+        .map_batches(add_pbucket, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(sum_filter, batch_format="pandas")
     )
-
-    def keep_min_shared(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as _pc
-
-        return t.filter(_pc.greater_equal(t["shared"], min_shared))
-
-    return counted.map_batches(keep_min_shared, batch_format="pyarrow")
