@@ -192,6 +192,52 @@ def _q_knn_lsh(sf_dir: str):
     return knn_lsh(ds, _query_vec(sf_dir), k=10)
 
 
+_ANN_INDEX_VERSION = 1
+
+
+def _ann_index(sf_dir: str, kind: str) -> str:
+    """Build (once, cached under /tmp) the partition-pruned ANN layout for
+    sf_dir's embeddings; atomic tmp+rename so a crashed build never leaves
+    a half-written index behind."""
+    import shutil
+
+    import ray.data as rd
+
+    from ocr_ray.pipelines.simsearch import build_ivf_index, build_lsh_index
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = f"/tmp/ocr_ray_ann_v{_ANN_INDEX_VERSION}_{tag}_{kind}"
+    if os.path.isdir(base):
+        return base
+    tmp = f"{base}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    (build_lsh_index if kind == "lsh" else build_ivf_index)(ds, tmp)
+    try:
+        os.rename(tmp, base)
+    except OSError:           # concurrent build won the race
+        shutil.rmtree(tmp, ignore_errors=True)
+    return base
+
+
+def _q_knn_lsh_indexed(sf_dir: str):
+    """knn_lsh over the hive-partitioned LSH layout: only the query's
+    bucket partition is read (storage-level pruning) — result identical
+    to the scan-path knn_lsh."""
+    from ocr_ray.pipelines.simsearch import knn_lsh_indexed
+
+    return knn_lsh_indexed(_ann_index(sf_dir, "lsh"), _query_vec(sf_dir), k=10)
+
+
+def _q_knn_ivf_indexed(sf_dir: str):
+    """knn_ivf over the inverted-file layout: only the n_probe cell
+    partitions are read — result identical to the scan-path knn_ivf."""
+    from ocr_ray.pipelines.simsearch import knn_ivf_indexed
+
+    return knn_ivf_indexed(_ann_index(sf_dir, "ivf"), _query_vec(sf_dir), k=10)
+
+
 def _q_training_corpus(sf_dir: str):
     """End-to-end training-data pipeline: extract → dedup → quality."""
     from ocr_ray.pipelines.training_corpus import training_corpus
@@ -398,6 +444,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": _q_knn_lsh,
         "knn_cosine_batch": _q_knn_cosine_batch,
         "knn_ivf": _q_knn_ivf,
+        "knn_lsh_indexed": _q_knn_lsh_indexed,
+        "knn_ivf_indexed": _q_knn_ivf_indexed,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         # entity matching (H3)
@@ -470,6 +518,10 @@ def oracle_sql() -> dict[str, str]:
         "winnow_near_dup": _do.winnow_near_dup_sql(),
         "knn_lsh": _do.knn_lsh_sql(),
         "knn_ivf": _do.knn_ivf_sql(),
+        # the indexed variants return the SAME rows as their scan-path
+        # twins (partition pruning changes bytes read, not results)
+        "knn_lsh_indexed": _do.knn_lsh_sql(),
+        "knn_ivf_indexed": _do.knn_ivf_sql(),
         "entity_match": _do.entity_match_sql(),
         "qc_field_compare": _v.qc_field_compare_sql(),
         "field_extraction_patched": _v.field_extraction_patched_sql(),

@@ -103,8 +103,10 @@ def knn_lsh(ds, query_vec, k: int = 10,
             vec_col: str = "embedding", key_col: str = "vec_id"):
     """Approximate top-k: filter to the query's LSH bucket inside
     map_batches (no shuffle at all), then brute-force within the bucket.
-    At 100 TB the bucket column becomes the partition key so only one
-    partition is read per query."""
+    This is the index-free single-shot path — every batch is still
+    scanned; for repeated queries build the partitioned layout once with
+    :func:`build_lsh_index` and query via :func:`knn_lsh_indexed`, which
+    reads ONLY the probe partition (~1/2^bits of the bytes)."""
     import ray
 
     q = np.asarray(query_vec, dtype=np.float64)
@@ -391,8 +393,10 @@ def knn_ivf(ds, query_vec, k: int = 10, n_clusters: int = 16, n_probe: int = 2,
     """IVF approximate top-k: a k-means coarse quantizer (trained on a
     driver-side sample, centroids broadcast once) assigns every vector to
     its nearest centroid; the query searches only its ``n_probe`` nearest
-    cells.  At corpus scale the cell id becomes the partition key so only
-    n_probe partitions are read per query (the inverted-file layout)."""
+    cells.  This is the index-free single-shot path — cells are recomputed
+    per batch; for repeated queries build the inverted-file layout once
+    with :func:`build_ivf_index` and query via :func:`knn_ivf_indexed`,
+    which reads ONLY the n_probe/n_clusters probe partitions."""
     import pyarrow.compute as pc_
 
     import ray
@@ -440,3 +444,137 @@ def knn_ivf(ds, query_vec, k: int = 10, n_clusters: int = 16, n_probe: int = 2,
     return _reduce_topk(
         ds.map_batches(cell_topk, batch_format="pyarrow"), k, key_col
     )
+
+
+# ---------------------------------------------------------------------------
+# Partition-pruned ANN layouts — the repeated-query / 100 TB path
+# ---------------------------------------------------------------------------
+
+def _empty_topk(key_col: str) -> pa.Table:
+    return pa.table({key_col: pa.array([], pa.int64()),
+                     "sim": pa.array([], pa.float64())})
+
+
+def build_lsh_index(ds, index_dir: str,
+                    vec_col: str = "embedding", key_col: str = "vec_id") -> str:
+    """Write the corpus hive-partitioned by sign-LSH bucket
+    (``bucket=N/*.parquet``).  One full pass at build time; afterwards
+    every :func:`knn_lsh_indexed` query reads ONLY its probe partition —
+    bytes-read per query drops to ~1/2^_LSH_BITS of the scan path.  At
+    corpus scale this is exactly ``write_parquet(partition_cols)`` over
+    object storage: the layout IS the index, no server component."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        mat = _to_matrix(t[vec_col])
+        b = lsh_bucket(mat) if mat.shape[0] else np.zeros(0, np.int32)
+        return t.select([key_col, vec_col]).append_column(
+            "bucket", pa.array(b, pa.int32()))
+
+    ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["bucket"])
+    return index_dir
+
+
+def knn_lsh_indexed(index_dir: str, query_vec, k: int = 10,
+                    vec_col: str = "embedding", key_col: str = "vec_id"):
+    """Approximate top-k over a :func:`build_lsh_index` layout: read ONLY
+    the query's bucket partition (storage-level pruning — the other
+    2^bits - 1 partitions never leave disk), brute-force cosine within.
+    Result is identical to :func:`knn_lsh` over the same corpus."""
+    import os
+
+    import ray.data as rd
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    q_bucket = int(lsh_bucket(q.reshape(1, -1))[0])
+    part = os.path.join(index_dir, f"bucket={q_bucket}")
+    if not os.path.isdir(part):
+        return _empty_topk(key_col)
+    ds = rd.read_parquet(part, columns=[key_col, vec_col])
+    return knn_cosine(ds, query_vec, k=k, vec_col=vec_col, key_col=key_col)
+
+
+def build_ivf_index(ds, index_dir: str, n_clusters: int = 16,
+                    train_sample: int = 2048,
+                    vec_col: str = "embedding", key_col: str = "vec_id") -> str:
+    """Write the inverted-file layout: deterministic k-means coarse
+    quantizer (same ``_kmeans_lite`` as the scan path), every vector
+    assigned to its nearest cell, rows hive-partitioned by ``cell=N``;
+    centroids stored beside the data (``_centroids.parquet``, the
+    underscore prefix keeps parquet dataset readers away from it)."""
+    import os
+
+    import pyarrow.compute as pc_
+    import pyarrow.parquet as pq
+
+    import ray
+
+    sample_tbl = (
+        ds.map_batches(
+            lambda t: t.filter(pc_.less(t[key_col], train_sample)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values(key_col)
+    )
+    sample = np.stack(sample_tbl[vec_col].to_numpy()).astype(np.float64)
+    centroids = _kmeans_lite(sample, n_clusters)
+    cents_ref = ray.put(centroids)
+
+    def add_cell(t: pa.Table) -> pa.Table:
+        cents = ray.get(cents_ref)
+        mat = _to_matrix(t[vec_col])
+        if mat.shape[0]:
+            d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            cells = d.argmin(axis=1).astype(np.int32)
+        else:
+            cells = np.zeros(0, np.int32)
+        return t.select([key_col, vec_col]).append_column(
+            "cell", pa.array(cells, pa.int32()))
+
+    ds.map_batches(add_cell, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["cell"])
+    pq.write_table(
+        pa.table({
+            "cell_id": pa.array(range(len(centroids)), pa.int32()),
+            "centroid": pa.array([c.tolist() for c in centroids],
+                                 pa.list_(pa.float64())),
+        }),
+        os.path.join(index_dir, "_centroids.parquet"),
+    )
+    return index_dir
+
+
+def knn_ivf_indexed(index_dir: str, query_vec, k: int = 10, n_probe: int = 2,
+                    vec_col: str = "embedding", key_col: str = "vec_id"):
+    """Approximate top-k over a :func:`build_ivf_index` layout: load the
+    tiny centroid table, pick the n_probe nearest cells, read ONLY those
+    partitions (n_probe/n_clusters of the bytes), brute-force cosine
+    within.  Result is identical to :func:`knn_ivf` with the same
+    quantizer parameters."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    cents_tbl = pq.read_table(os.path.join(index_dir, "_centroids.parquet"))
+    order = np.argsort(cents_tbl["cell_id"].to_numpy(zero_copy_only=False))
+    centroids = np.stack(
+        cents_tbl["centroid"].to_numpy(zero_copy_only=False)[order])
+    q = np.asarray(query_vec, dtype=np.float64)
+    qd = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = np.argsort(qd, kind="stable")[:n_probe].tolist()
+    import glob
+
+    # read_parquet accepts ONE directory or a list of FILES; multiple
+    # probe dirs therefore expand to their parquet files
+    files = [
+        f
+        for c in probe
+        for f in sorted(glob.glob(os.path.join(index_dir, f"cell={c}", "*.parquet")))
+    ]
+    if not files:
+        return _empty_topk(key_col)
+    ds = rd.read_parquet(files, columns=[key_col, vec_col])
+    return knn_cosine(ds, query_vec, k=k, vec_col=vec_col, key_col=key_col)

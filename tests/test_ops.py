@@ -357,3 +357,43 @@ def test_knn_ivf_finds_query_and_recall(ray_session):
     # deterministic
     again = knn_ivf(rd.read_parquet(path), q, k=10)
     assert approx.equals(again)
+
+def test_ann_indexed_layout_equals_scan_path(ray_session, tmp_path_factory):
+    """Partition-pruned index layouts return EXACTLY the scan-path result,
+    and a query touches only its probe partitions."""
+    import glob
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ocr_ray.pipelines.simsearch import (
+        build_ivf_index, build_lsh_index, knn_ivf, knn_ivf_indexed,
+        knn_lsh, knn_lsh_indexed, lsh_bucket,
+    )
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    t = pq.read_table(path)
+    q = t["embedding"][t["vec_id"].to_pylist().index(0)].as_py()
+
+    lsh_dir = str(tmp_path_factory.mktemp("ann") / "lsh")
+    build_lsh_index(rd.read_parquet(path), lsh_dir)
+    got = knn_lsh_indexed(lsh_dir, q, k=10)
+    want = knn_lsh(rd.read_parquet(path), q, k=10)
+    assert got.equals(want)
+    # every corpus row landed in exactly one bucket partition
+    n_indexed = sum(pq.read_table(f).num_rows
+                    for f in glob.glob(os.path.join(lsh_dir, "bucket=*", "*.parquet")))
+    assert n_indexed == t.num_rows
+    # the probe partition is a strict subset of the corpus bytes
+    qb = int(lsh_bucket(np.asarray(q, np.float64).reshape(1, -1))[0])
+    probe_rows = sum(pq.read_table(f).num_rows
+                     for f in glob.glob(os.path.join(lsh_dir, f"bucket={qb}", "*.parquet")))
+    assert 0 < probe_rows < t.num_rows
+
+    ivf_dir = str(tmp_path_factory.mktemp("ann") / "ivf")
+    build_ivf_index(rd.read_parquet(path), ivf_dir)
+    got = knn_ivf_indexed(ivf_dir, q, k=10)
+    want = knn_ivf(rd.read_parquet(path), q, k=10)
+    assert got.equals(want)
