@@ -280,13 +280,34 @@ def _q_declarations_head(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
-    """Multimodal plumbing demo: html payloads as the opaque media column."""
+    """Multimodal actor-pool stage over a derived media corpus with REAL
+    container headers: doc_id%3 picks PNG/GIF/JPEG, dims and GIF frame
+    count derive from doc_id, the doc text is the body payload — the
+    extractor then parses the headers back (no fake dimensions)."""
+    import pyarrow as pa
     import ray.data as rd
 
-    from ocr_ray.stages.multimodal import media_features
+    from ocr_ray.stages.multimodal import media_features, synth_media_payload
 
-    ds = rd.read_parquet(_pages_dir(sf_dir), columns=["url", "html"])
-    return media_features(ds, media_col="html", id_col="url")
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        payloads = [
+            synth_media_payload(
+                d % 3, (d % 640) + 1, (d % 480) + 1, (d % 3) + 1,
+                (txt or "").encode("utf-8"),
+            )
+            for d, txt in zip(ids, texts)
+        ]
+        return pa.table({
+            "media_id": pa.array([str(d) for d in ids], pa.string()),
+            "media": pa.array(payloads, pa.binary()),
+        })
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"]).map_batches(
+        to_media, batch_format="pyarrow")
+    return media_features(ds)
 
 
 def _q_embedding_near_dup(sf_dir: str):

@@ -320,17 +320,42 @@ def extract_stats_sql() -> str:
 
 
 def media_features_sql() -> str:
-    # MediaFeatureExtractor's deterministic fake decode: md5-derived dims
-    return _with_pages("""
-        SELECT url AS media_id,
-               CAST(strlen(html) AS BIGINT) AS n_bytes,
-               md5(html) AS content_hash,
-               CAST(16 * (1 + ('0x' || substr(md5(html), 1, 2))::INT % 64) AS INT) AS width,
-               CAST(16 * (1 + ('0x' || substr(md5(html), 3, 2))::INT % 64) AS INT) AS height,
-               CAST(1 + ('0x' || substr(md5(html), 5, 2))::INT % 4 AS INT) AS n_frames,
+    # The derived media corpus (stages/multimodal.synth_media_payload) is
+    # rebuilt HEX-FOR-HEX: real PNG/GIF/JPEG headers + the doc text as
+    # body, so n_bytes and content_hash (md5 over the lowercase payload
+    # hex — DuckDB md5 cannot take raw BLOBs) verify the actual bytes the
+    # Ray-side header parser consumed, and dims/frames verify the parse.
+    return """
+        WITH s AS (
+          SELECT doc_id, coalesce(text, '') AS t, doc_id % 3 AS kind,
+                 (doc_id % 640) + 1 AS w, (doc_id % 480) + 1 AS h,
+                 (doc_id % 3) + 1 AS nf
+          FROM documents
+        ), p AS (
+          SELECT doc_id, kind, w, h, nf,
+            lower(CASE kind
+              WHEN 0 THEN '89504e470d0a1a0a' || '0000000d' || '49484452' ||
+                   printf('%08x', w) || printf('%08x', h) ||
+                   '0802000000' || '00000000' || hex(encode(t))
+              WHEN 1 THEN '474946383961' ||
+                   printf('%02x%02x', w % 256, w // 256) ||
+                   printf('%02x%02x', h % 256, h // 256) || '000000' ||
+                   repeat('21f9040000000000', nf) || hex(encode(t)) || '3b'
+              ELSE 'ffd8' || 'ffe000104a46494600010100000100010000' ||
+                   'ffc00011' || '08' || printf('%04x', h) || printf('%04x', w) ||
+                   '03012200021101031101' || hex(encode(t)) || 'ffd9'
+            END) AS hexp
+          FROM s
+        )
+        SELECT CAST(doc_id AS VARCHAR) AS media_id,
+               CAST(length(hexp) // 2 AS BIGINT) AS n_bytes,
+               md5(hexp) AS content_hash,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CAST(CASE WHEN kind = 1 THEN nf ELSE 1 END AS INT) AS n_frames,
                'ok' AS decode_status
-        FROM gated
-    """, need_blocks=False)
+        FROM p
+    """
 
 
 def training_corpus_sql() -> str:

@@ -1,14 +1,18 @@
-"""Multimodal (image/audio/video) column plumbing — actor-pool stages.
+"""Multimodal (image/audio/video) column stages — actor-pool map_batches.
 
 Media travels as opaque ``binary`` columns with typed metadata, processed
 by stateful actor-pool ``map_batches`` stages exactly like the text
-extractors.  The codec libraries are not available in this environment, so
-the decode kernel is STUBBED: ``use_real_codec=True`` raises
-``NotImplementedError`` at the single clearly-marked point a real decoder
-(Pillow / ffmpeg / torchaudio) would plug into, while the default
-deterministic fake keeps all Ray-side plumbing — schema, batch signature,
-actor lifecycle, batch sizing for large payloads, output layout — real and
-tested.
+extractors.  Container HEADER decode is REAL and stdlib-only:
+:func:`parse_media_header` reads PNG IHDR, GIF logical-screen (+ graphic
+-control-extension frame count) and JPEG SOF dimensions directly from the
+bytes.  Only pixel-level work (the resize transcode) remains a declared
+stub behind ``use_real_codec`` — the actual codec libraries (Pillow /
+ffmpeg) are not in this environment.
+
+Hash discipline: ``content_hash`` is md5 over the LOWERCASE HEX of the
+payload rather than the raw bytes — bijective with the content, and
+reproducible by a pure-SQL oracle (DuckDB md5 only accepts VARCHAR, so a
+raw-bytes hash could never be cross-checked there).
 
 Scale note: media rows are large, so callers must use a SMALL batch_size
 (tens, not thousands) and ``batch_format="pyarrow"`` to keep payload bytes
@@ -34,39 +38,88 @@ MEDIA_FEATURES_SCHEMA = pa.schema(
     ]
 )
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+_GIF_GCE = b"\x21\xf9\x04"  # graphic control extension: one per frame
+_JPEG_SOI = b"\xff\xd8"
+_JPEG_SOF = frozenset((0xC0, 0xC1, 0xC2, 0xC3))  # baseline..lossless SOF
+
+
+def parse_media_header(payload: bytes) -> tuple[int, int, int, str]:
+    """(width, height, n_frames, status) from real container headers.
+
+    PNG: IHDR width/height (bytes 16..24, big-endian).  GIF: logical
+    screen width/height (bytes 6..10, little-endian), frames counted via
+    graphic-control-extension blocks (``21 f9 04`` cannot occur in UTF-8
+    body bytes — 0xf9 is not a valid UTF-8 lead/continuation pairing
+    after '!').  JPEG: marker walk to the first SOF segment, height then
+    width big-endian.  Unknown magic → ``unsupported``; truncated or
+    malformed headers → ``corrupt``.
+    """
+    if not payload:
+        return 0, 0, 0, "empty"
+    if payload[:8] == _PNG_SIG:
+        if len(payload) >= 24 and payload[12:16] == b"IHDR":
+            w = int.from_bytes(payload[16:20], "big")
+            h = int.from_bytes(payload[20:24], "big")
+            return w, h, 1, "ok"
+        return 0, 0, 0, "corrupt"
+    if payload[:6] in _GIF_SIGS:
+        if len(payload) >= 10:
+            w = int.from_bytes(payload[6:8], "little")
+            h = int.from_bytes(payload[8:10], "little")
+            return w, h, max(1, payload.count(_GIF_GCE)), "ok"
+        return 0, 0, 0, "corrupt"
+    if payload[:2] == _JPEG_SOI:
+        i = 2
+        while i + 9 <= len(payload) and payload[i] == 0xFF:
+            marker = payload[i + 1]
+            if marker in _JPEG_SOF:
+                h = int.from_bytes(payload[i + 5 : i + 7], "big")
+                w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                return w, h, 1, "ok"
+            if marker == 0xD9:  # EOI before any SOF
+                break
+            i += 2 + int.from_bytes(payload[i + 2 : i + 4], "big")
+        return 0, 0, 0, "corrupt"
+    return 0, 0, 0, "unsupported"
+
+
+def synth_media_payload(kind: int, w: int, h: int, n_frames: int,
+                        body: bytes) -> bytes:
+    """Deterministic well-formed media payload with REAL headers (the test
+    corpus generator — also mirrored hex-for-hex by the SQL oracle).
+
+    kind 0 → PNG (IHDR, zeroed CRC), 1 → GIF89a (n_frames GCE blocks),
+    2 → JPEG (APP0/JFIF + SOF0).  ``body`` is appended verbatim.
+    """
+    if kind == 0:
+        return (_PNG_SIG + b"\x00\x00\x00\x0d" + b"IHDR"
+                + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                + b"\x08\x02\x00\x00\x00" + b"\x00\x00\x00\x00" + body)
+    if kind == 1:
+        return (b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+                + b"\x00\x00\x00"
+                + (_GIF_GCE + b"\x00\x00\x00\x00\x00") * n_frames
+                + body + b"\x3b")
+    return (_JPEG_SOI
+            + b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+            + b"\xff\xc0\x00\x11\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+            + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01" + body + b"\xff\xd9")
+
 
 class MediaFeatureExtractor:
     """Actor-pool stage: binary media column → feature columns.
 
-    __init__ is the once-per-actor slot where a real model/codec would
-    load; __call__ handles one Arrow batch.
+    __init__ is the once-per-actor slot where a real pixel decoder /
+    model would load; __call__ handles one Arrow batch.  Header parsing
+    (dimensions, frame count, status) is real — see
+    :func:`parse_media_header`.
     """
 
-    def __init__(self, media_col: str = "media", id_col: str = "media_id",
-                 use_real_codec: bool = False) -> None:
+    def __init__(self, media_col: str = "media", id_col: str = "media_id") -> None:
         self.media_col = media_col
         self.id_col = id_col
-        self.use_real_codec = use_real_codec
-
-    def _decode(self, payload: bytes) -> tuple[int, int, int, str]:
-        """→ (width, height, n_frames, status).
-
-        STUB: a real implementation decodes the container here.  The fake
-        derives deterministic dimensions from the content hash so tests can
-        pin output without any codec library.
-        """
-        if self.use_real_codec:
-            raise NotImplementedError(
-                "no image/audio codec libraries in this environment; "
-                "plug Pillow/ffmpeg here"
-            )
-        if not payload:
-            return 0, 0, 0, "empty"
-        h = hashlib.md5(payload).digest()
-        width = 16 * (1 + h[0] % 64)       # 16..1024, deterministic
-        height = 16 * (1 + h[1] % 64)
-        n_frames = 1 + h[2] % 4
-        return width, height, n_frames, "ok"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         media = batch[self.media_col]
@@ -77,12 +130,12 @@ class MediaFeatureExtractor:
         widths, heights, frames, statuses, hashes = [], [], [], [], []
         for p in payloads:
             p = p or b""
-            w, h, f, s = self._decode(p)
+            w, h, f, s = parse_media_header(p)
             widths.append(w)
             heights.append(h)
             frames.append(f)
             statuses.append(s)
-            hashes.append(hashlib.md5(p).hexdigest())
+            hashes.append(hashlib.md5(p.hex().encode("ascii")).hexdigest())
         return pa.table(
             {
                 "media_id": pa.array([str(i) for i in ids], pa.string()),
@@ -116,10 +169,12 @@ def media_features(ds, media_col: str = "media", id_col: str = "media_id",
 class MediaResizeStage:
     """Actor-pool stage: media → resized media (stubbed transcode).
 
-    Real plumbing: binary in/binary out with target-dimension metadata, small
-    batches for large payloads.  The stub 'resize' truncates the payload
-    proportionally to the area ratio — deterministic, shape-preserving for
-    tests; a real implementation decodes + scales at the marked point.
+    Real plumbing: binary in/binary out with target-dimension metadata and
+    REAL header-parsed source dimensions; small batches for large
+    payloads.  The 'resize' itself is the one declared stub left in this
+    module — it truncates the payload proportionally to the area ratio
+    (deterministic, shape-preserving for tests); ``use_real_codec=True``
+    raises at the single point a Pillow/ffmpeg transcode would plug into.
     """
 
     def __init__(self, target_w: int = 256, target_h: int = 256,
@@ -161,9 +216,10 @@ class FrameSampleStage:
     """Actor-pool stage: video media row → one row PER SAMPLED FRAME (the
     1→N explosion pattern for frame-level downstream models).
 
-    Stubbed decode: frame count comes from the deterministic fake; each
-    sampled frame row carries (media_id, frame_idx, frame_hash).  Small
-    batch_size is mandatory — output rows multiply by n_frames/stride.
+    Frame count comes from the real header parse (GIF GCE blocks; single
+    frame for still formats); each sampled frame row carries (media_id,
+    frame_idx, frame_hash).  Small batch_size is mandatory — output rows
+    multiply by n_frames/stride.
     """
 
     def __init__(self, stride: int = 2, media_col: str = "media",

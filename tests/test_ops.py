@@ -55,24 +55,47 @@ def test_simhash_locality():
     assert simhash64(a) == ha  # deterministic
 
 
-def test_media_stub_plumbing():
+def test_media_header_decode():
+    """Real stdlib header parsing: PNG IHDR / GIF logical screen + frame
+    count / JPEG SOF0, plus empty/unsupported/corrupt statuses."""
+    from ocr_ray.stages.multimodal import parse_media_header, synth_media_payload
+
+    body = "söme textual body ✓".encode()
     t = pa.table({
-        "media_id": ["a", "b", "c"],
-        "media": pa.array([b"payload-one", b"", None], pa.binary()),
+        "media_id": ["png", "gif", "jpg", "txt", "empty", "null", "trunc"],
+        "media": pa.array([
+            synth_media_payload(0, 641, 481, 1, body),
+            synth_media_payload(1, 129, 300, 3, body),
+            synth_media_payload(2, 700, 123, 1, body),
+            b"payload-one",
+            b"",
+            None,
+            b"\x89PNG\r\n\x1a\nshort",      # PNG magic, truncated IHDR
+        ], pa.binary()),
     })
     out = MediaFeatureExtractor()(t)
     assert out.schema.equals(MEDIA_FEATURES_SCHEMA)
-    assert out["decode_status"].to_pylist() == ["ok", "empty", "empty"]
-    assert out["n_bytes"].to_pylist()[0] == len(b"payload-one")
-    # deterministic fake dimensions
-    out2 = MediaFeatureExtractor()(t)
-    assert out["width"].to_pylist() == out2["width"].to_pylist()
+    assert out["decode_status"].to_pylist() == [
+        "ok", "ok", "ok", "unsupported", "empty", "empty", "corrupt"]
+    assert out["width"].to_pylist()[:3] == [641, 129, 700]
+    assert out["height"].to_pylist()[:3] == [481, 300, 123]
+    assert out["n_frames"].to_pylist()[:3] == [1, 3, 1]
+    # deterministic
+    assert out.equals(MediaFeatureExtractor()(t))
+    # parser round-trips the generator for every kind
+    for kind in (0, 1, 2):
+        w, h, f, s = parse_media_header(synth_media_payload(kind, 11, 22, 2, b"x"))
+        assert (w, h, s) == (11, 22, "ok")
+        assert f == (2 if kind == 1 else 1)
 
 
 def test_media_real_codec_gated():
+    """Pixel-level transcode (resize) is the one remaining declared stub."""
+    from ocr_ray.stages.multimodal import MediaResizeStage
+
     t = pa.table({"media_id": ["a"], "media": pa.array([b"x"], pa.binary())})
     with pytest.raises(NotImplementedError):
-        MediaFeatureExtractor(use_real_codec=True)(t)
+        MediaResizeStage(use_real_codec=True)(t)
 
 
 def test_session_window_logic(ray_session):
@@ -317,26 +340,36 @@ def test_duplicate_blocks_preserved_in_page():
 def test_media_resize_and_frame_sample_plumbing():
     import pyarrow as pa
 
-    from ocr_ray.stages.multimodal import FrameSampleStage, MediaResizeStage
+    from ocr_ray.stages.multimodal import (
+        FrameSampleStage, MediaResizeStage, synth_media_payload,
+    )
 
     t = pa.table({
         "media_id": ["a", "b"],
-        "media": pa.array([b"x" * 1000, b"y" * 10], pa.binary()),
+        "media": pa.array([
+            synth_media_payload(1, 320, 240, 4, b"x" * 1000),  # animated GIF
+            synth_media_payload(0, 32, 16, 1, b"y" * 10),      # small PNG
+        ], pa.binary()),
     })
     resized = MediaResizeStage(target_w=64, target_h=64)(t)
     assert resized.column_names == ["media_id", "media", "width", "height"]
-    assert all(w <= 64 for w in resized["width"].to_pylist())
-    assert len(resized["media"][0].as_py()) <= 1000
+    assert resized["width"].to_pylist() == [64, 32]     # clamp vs keep
+    assert resized["height"].to_pylist() == [64, 16]
+    # the big GIF shrinks by area ratio; the small PNG is untouched
+    assert len(resized["media"][0].as_py()) < len(t["media"][0].as_py())
+    assert resized["media"][1].as_py() == t["media"][1].as_py()
     # deterministic
     again = MediaResizeStage(target_w=64, target_h=64)(t)
     assert resized.equals(again)
 
     frames = FrameSampleStage(stride=1)(t)
     assert frames.column_names == ["media_id", "frame_idx", "frame_hash"]
-    assert len(frames) >= 2                       # 1→N explosion happened
     a_frames = [i for m, i in zip(frames["media_id"].to_pylist(),
                                   frames["frame_idx"].to_pylist()) if m == "a"]
-    assert a_frames == list(range(len(a_frames)))  # contiguous frame indices
+    assert a_frames == [0, 1, 2, 3]               # 1→N explosion, all frames
+    b_frames = [i for m, i in zip(frames["media_id"].to_pylist(),
+                                  frames["frame_idx"].to_pylist()) if m == "b"]
+    assert b_frames == [0]                        # still image → one frame
 
 
 def test_knn_ivf_finds_query_and_recall(ray_session):
