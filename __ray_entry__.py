@@ -49,12 +49,9 @@ def _q_extract_stats(sf_dir: str):
     """Flagship roll-up: rows/bytes per (engine, parse_status)."""
     import pandas as pd
     import pyarrow as pa
-    import ray.data as rd
     from ray.data.aggregate import Sum
 
-    from ocr_ray.pipelines.extract import extraction_dataset
-
-    ds = rd.read_parquet(_pages_dir(sf_dir))
+    from ocr_ray.pipelines.extract import extraction_dataset_cached
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.select(["engine", "parse_status", "bytes_in", "bytes_out"]).to_pandas()
@@ -65,7 +62,7 @@ def _q_extract_stats(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     return (
-        extraction_dataset(ds)
+        extraction_dataset_cached(_pages_dir(sf_dir))
         .map_batches(partial, batch_format="pyarrow")
         .groupby(["engine", "parse_status"])
         .aggregate(Sum("n", alias_name="n"),
@@ -76,12 +73,9 @@ def _q_extract_stats(sf_dir: str):
 
 def _q_extract_pages(sf_dir: str):
     """Flagship per-row output (minus the text payload — stable metadata)."""
-    import ray.data as rd
+    from ocr_ray.pipelines.extract import extraction_dataset_cached
 
-    from ocr_ray.pipelines.extract import extraction_dataset
-
-    ds = rd.read_parquet(_pages_dir(sf_dir))
-    return extraction_dataset(ds).select_columns(
+    return extraction_dataset_cached(_pages_dir(sf_dir)).select_columns(
         ["url", "lang", "part_id", "n_blocks", "engine", "parse_status",
          "reject_reason", "bytes_in", "bytes_out"]
     )

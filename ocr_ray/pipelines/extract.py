@@ -91,6 +91,32 @@ def extraction_dataset(
     )
 
 
+_EXTRACTION_CACHE: dict[tuple, "ray.data.Dataset"] = {}
+
+
+def extraction_dataset_cached(
+    pages_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> "ray.data.Dataset":
+    """Materialized gates→extract output for a pages dir, cached per
+    (pages_dir, cfg, Ray job).
+
+    Seven driver queries (extract_pages/stats, filter_stats,
+    heading/section windows, declarations_head, training_corpus) consume
+    the SAME extraction output; without the cache each re-runs the full
+    actor-pool extraction (several seconds of pool spin-up + extract per
+    query — the reason extraction-family queries timed out of the round-2
+    driver correctness run).  The job id in the key makes a cache entry
+    die with its Ray session (materialized blocks don't survive
+    shutdown); blocks live in the object store, not the driver heap.
+    """
+    key = (pages_dir, repr(cfg), ray.get_runtime_context().get_job_id())
+    ds = _EXTRACTION_CACHE.get(key)
+    if ds is None:
+        ds = extraction_dataset(ray.data.read_parquet(pages_dir), cfg).materialize()
+        _EXTRACTION_CACHE[key] = ds
+    return ds
+
+
 def _part_writer(out_dir: str):
     """map_groups fn: write one url-hash partition atomically + manifest."""
 

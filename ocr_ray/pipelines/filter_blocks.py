@@ -17,7 +17,7 @@ import ray.data as rd
 from ocr_ray.config import DEFAULT_CONFIG, PipelineConfig
 from ocr_ray.functions.gates import dollar_page_mask, keyword_page_mask
 from ocr_ray.functions.textnorm import expand_neighbors, merge_page_ranges
-from ocr_ray.pipelines.extract import extraction_dataset
+from ocr_ray.pipelines.extract import extraction_dataset_cached
 
 SECTION_MARKER = "PROPERTY SECTION"
 SECTION_WORDS = ("building", "coverage", "property")
@@ -205,24 +205,24 @@ def declarations_head_batch(cfg: PipelineConfig, head_blocks: int = 8):
 
 
 def filter_stats(pages_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
-    ds = extraction_dataset(rd.read_parquet(pages_dir), cfg)
+    ds = extraction_dataset_cached(pages_dir, cfg)
     return ds.map_batches(filter_stats_batch(cfg), batch_format="pyarrow")
 
 
 def heading_windows(pages_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
                     num_blocks: int = 4):
-    ds = extraction_dataset(rd.read_parquet(pages_dir), cfg)
+    ds = extraction_dataset_cached(pages_dir, cfg)
     return ds.map_batches(heading_window_batch(cfg, num_blocks),
                           batch_format="pyarrow")
 
 
 def declarations_head(pages_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
                       head_blocks: int = 8):
-    ds = extraction_dataset(rd.read_parquet(pages_dir), cfg)
+    ds = extraction_dataset_cached(pages_dir, cfg)
     return ds.map_batches(declarations_head_batch(cfg, head_blocks),
                           batch_format="pyarrow")
 
 
 def section_windows(pages_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
-    ds = extraction_dataset(rd.read_parquet(pages_dir), cfg)
+    ds = extraction_dataset_cached(pages_dir, cfg)
     return ds.map_batches(section_selector_batch(cfg), batch_format="pyarrow")

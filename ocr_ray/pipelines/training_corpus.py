@@ -23,7 +23,7 @@ import ray.data as rd
 
 from ocr_ray.config import DEFAULT_CONFIG, PipelineConfig
 from ocr_ray.functions.textstats import md5_fingerprint, quality_columns
-from ocr_ray.pipelines.extract import extraction_dataset
+from ocr_ray.pipelines.extract import extraction_dataset_cached
 
 
 def training_corpus(pages_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
@@ -33,7 +33,7 @@ def training_corpus(pages_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
     the rows a downstream tokenizer would consume.  Non-kept rows remain
     (with kept=False) so accounting stays total.
     """
-    ds = extraction_dataset(rd.read_parquet(pages_dir), cfg)
+    ds = extraction_dataset_cached(pages_dir, cfg)
 
     def score(t: pa.Table) -> pa.Table:
         ok = pc.is_in(t["parse_status"], value_set=pa.array(["ok", "fallback"]))

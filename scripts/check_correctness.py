@@ -54,18 +54,23 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{os.path.join(SF, t)}.parquet')"
         )
 
+    import time
+
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()
     failures = []
+    t_start = time.monotonic()
     for name, fn in qs.items():
+        t0 = time.monotonic()
         try:
             got = canon(to_pandas(fn(SF)))
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"ray error: {e!r}"))
             print(f"[FAIL] {name}: ray error {e!r}")
             continue
+        dt = time.monotonic() - t0
         if name not in sqls:
-            print(f"[rows-only] {name}: {len(got)} rows")
+            print(f"[rows-only] {name}: {len(got)} rows ({dt:.1f}s)")
             continue
         want = canon(con.execute(sqls[name]).fetch_df())
         status = []
@@ -87,10 +92,11 @@ def main() -> None:
             failures.append((name, "; ".join(status)))
             print(f"[FAIL] {name}: {'; '.join(status)}")
         else:
-            print(f"[OK]   {name}: {len(got)} rows")
+            print(f"[OK]   {name}: {len(got)} rows ({dt:.1f}s)")
 
     ray.shutdown()
-    print(f"\n{len(failures)} failures / {len(qs)} queries")
+    print(f"\n{len(failures)} failures / {len(qs)} queries "
+          f"({time.monotonic() - t_start:.0f}s total)")
     sys.exit(1 if failures else 0)
 
 
