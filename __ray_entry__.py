@@ -447,6 +447,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dynamic_keyword_filter": rel.dynamic_keyword_filter,
         "coverage_classify": rel.coverage_classify,
         "url_canonicalize": rel.url_canonicalize,
+        "pii_redact": rel.pii_redact,
+        "hash_sample": rel.hash_sample,
         "dual_engine_compare": _q_dual_engine_compare,
         # dedup family
         "exact_dedup": _q_exact_dedup,
@@ -809,6 +811,34 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "coverage_classify": _coverage_classify_sql(),
+        "pii_redact": r"""
+            WITH s AS (
+              SELECT doc_id, coalesce(text, '') || CASE doc_id % 4
+                  WHEN 0 THEN ' contact bob@example.com or (555) 123-4567 on 12/31/2024'
+                  WHEN 1 THEN ' see https://example.org/page?id=77 on 2024-01-15 [X] done'
+                  WHEN 2 THEN ' price $1,234.56 marked'
+                  ELSE '' END AS t4
+              FROM documents
+            ), e AS (
+              SELECT doc_id, t4,
+                regexp_replace(t4,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '[EMAIL]', 'g') AS s1
+              FROM s
+            )
+            SELECT doc_id,
+              regexp_replace(s1, '\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}',
+                             '[PHONE]', 'g') AS redacted,
+              len(regexp_extract_all(t4,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+              len(regexp_extract_all(s1,
+                  '\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}')) AS n_phones
+            FROM e
+        """,
+        "hash_sample": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 10
+        """,
         "url_canonicalize": """
             WITH s AS (
               SELECT doc_id,

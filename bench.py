@@ -29,6 +29,9 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPS = int(os.environ.get("GRAFT_BENCH_REPS", "24"))
+# shard (task) granularity: rows per input parquet file — one shard is one
+# raw-task unit of work in run_extraction_sharded
+ROWS_PER_FILE = int(os.environ.get("GRAFT_ROWS_PER_FILE", "512"))
 
 
 def _scaling() -> None:
@@ -97,9 +100,10 @@ def main() -> None:
     from ocr_ray.sources.synth import CORPUS_VERSION
 
     tag = os.path.basename(os.path.normpath(SF_DIR))
+    rpf = "" if ROWS_PER_FILE == 512 else f"_f{ROWS_PER_FILE}"
     pages_dir = materialize_pages_distributed(
-        SF_DIR, f"/tmp/ocr_ray_bench_v{CORPUS_VERSION}_{tag}_r{REPS}",
-        rows_per_file=512, reps=REPS
+        SF_DIR, f"/tmp/ocr_ray_bench_v{CORPUS_VERSION}_{tag}_r{REPS}{rpf}",
+        rows_per_file=ROWS_PER_FILE, reps=REPS
     )
     # warm-up (untimed): page cache + Ray worker pool + one full pipeline
     # execution, so the timed run measures compute + I/O, not process spawn
@@ -123,7 +127,8 @@ def main() -> None:
         q = entrymod.queries()
         for name in ("q1_pricing_summary", "dedup_first_event", "event_counts",
                      "exact_dedup", "minhash_near_dup", "simhash_near_dup",
-                     "knn_cosine", "gate_verdicts", "token_counts"):
+                     "winnow_near_dup", "knn_cosine", "gate_verdicts",
+                     "token_counts"):
             t0 = time.monotonic()
             res = q[name](SF_DIR)
             if hasattr(res, "to_pandas"):

@@ -158,11 +158,13 @@ def dedupe_pairs(pairs, extra_cols: tuple[str, ...] = ()):
     )
 
 
-FUSE_PAIRS = 100_000  # size-adaptive fusion threshold: below this, the
-# verify+union-find tail of a near-dup run fits ONE worker task (texts for
-# <= 2*FUSE_PAIRS docs), and the multi-second fixed costs of the two hash
-# joins + the CC execution never amortize — same trick as
-# graph.connected_components's small_graph_edges, one level up.
+FUSE_PAIRS = 20_000  # size-adaptive fusion threshold: below this, the
+# verify+union-find tail of a near-dup run fits ONE worker task, and the
+# multi-second fixed costs of the two hash joins + the CC execution never
+# amortize — same trick as graph.connected_components's
+# small_graph_edges, one level up.  Memory bound for the fused task:
+# texts for <= 2*FUSE_PAIRS candidate docs (~2 GB at 50 KB/page web
+# docs); above it the distributed joins keep per-task memory flat.
 
 
 def _fused_verify_cc(pair_tbl: pa.Table, threshold: float, key_col: str,

@@ -704,3 +704,58 @@ def customers_without_orders(sf_dir: str):
     return _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"]).map_batches(
         anti, batch_format="pyarrow"
     )
+
+
+def pii_redact(sf_dir: str):
+    """PII scrub (training-data hygiene pass): emails then phone numbers
+    replaced by typed placeholder tokens, with per-doc redaction counts.
+    Fully vectorized RE2 over the same derived text as field_extraction
+    (text4 = text || _FIELD_SNIPPETS[doc_id % 4]); patterns shared
+    verbatim with the SQL oracle.  Phones are counted/redacted AFTER the
+    email pass so the two patterns cannot overlap — the oracle mirrors
+    the ordering."""
+    from ocr_ray.functions.fields import EMAIL_RE, PHONE_RE
+
+    def f(t: pa.Table) -> pa.Table:
+        mod = pc.subtract(t["doc_id"], pc.multiply(pc.divide(t["doc_id"], 4), 4))
+        suffix = pa.nulls(len(t), pa.string())
+        for i in range(3, -1, -1):
+            suffix = pc.if_else(pc.equal(mod, i), pa.scalar(_FIELD_SNIPPETS[i]), suffix)
+        text4 = pc.binary_join_element_wise(
+            pc.coalesce(t["text"], pa.scalar("")), suffix, "")
+        n_emails = pc.cast(pc.count_substring_regex(text4, EMAIL_RE), pa.int64())
+        s1 = pc.replace_substring_regex(text4, EMAIL_RE, "[EMAIL]")
+        n_phones = pc.cast(pc.count_substring_regex(s1, PHONE_RE), pa.int64())
+        red = pc.replace_substring_regex(s1, PHONE_RE, "[PHONE]")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "redacted": red,
+            "n_emails": n_emails,
+            "n_phones": n_phones,
+        })
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def hash_sample(sf_dir: str, pct: int = 10):
+    """Deterministic corpus sampling: keep a doc iff
+    md5-lower-64(str(doc_id)) % 100 < pct.  Stable across runs,
+    partitioning, resume and engines (NEVER random()) — the standard way
+    a training-data pipeline carves held-out / ablation subsets so every
+    stage sees the same sample.  Same hash as the url partitioner
+    (extract.stable_part_id), bit-for-bit DuckDB md5_number_lower."""
+    import hashlib
+
+    def f(t: pa.Table) -> pa.Table:
+        keep = pa.array([
+            int.from_bytes(hashlib.md5(str(d).encode()).digest()[8:16], "little")
+            % 100 < pct
+            for d in t["doc_id"].to_pylist()
+        ], pa.bool_())
+        return t.filter(keep)
+
+    return _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).map_batches(
+        f, batch_format="pyarrow"
+    )
