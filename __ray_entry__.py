@@ -192,14 +192,26 @@ _ANN_INDEX_VERSION = 1
 def _ann_index(sf_dir: str, kind: str) -> str:
     """Build (once, cached under /tmp) the partition-pruned ANN layout for
     sf_dir's embeddings; atomic tmp+rename so a crashed build never leaves
-    a half-written index behind."""
+    a half-written index behind.
+
+    The cache dir name embeds a FINGERPRINT of the source file (absolute
+    path + size + mtime_ns) so a regenerated corpus at a same-named dir —
+    or a different parent path with the same basename — can never silently
+    reuse a stale index; it simply hashes to a new cache dir and rebuilds.
+    """
+    import hashlib
     import shutil
 
     import ray.data as rd
 
     from ocr_ray.pipelines.simsearch import build_ivf_index, build_lsh_index
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}"
     base = f"/tmp/ocr_ray_ann_v{_ANN_INDEX_VERSION}_{tag}_{kind}"
     if os.path.isdir(base):
         return base

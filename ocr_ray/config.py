@@ -100,6 +100,28 @@ class PipelineConfig:
     extract_concurrency: tuple[int, int] | None = None
     num_output_partitions: int = 16         # url-hash partitions (checkpoint unit)
 
+    # ---- dedup / near-dup scale knobs (SURVEY §2 N: every constant is a
+    # config field; defaults preserve the round-3 oracle hashes) ----
+    pair_dedup_buckets: int = 64        # dedupe_pairs / winnow pair-sum shuffle width
+    fuse_pairs_threshold: int = 20_000  # near-dup tail fuses to ONE task below this
+    near_dup_coarse_buckets: int = 64   # minhash/simhash/winnow band-bucket width
+    near_dup_max_bucket: int = 512      # star-pairing cap in degenerate buckets
+    winnow_max_postings: int = 256      # drop fingerprints shared by more docs
+    # ---- embedding near-dup / ANN layout knobs ----
+    near_dup_blocks: int = 8            # embedding_near_dup block-partition count
+    lsh_near_dup_tables: int = 32       # embedding_near_dup_lsh hash tables
+    lsh_near_dup_bits: int = 4          # ...bits per table
+    lsh_near_dup_max_bucket: int = 4096 # ...star-pairing cap
+    lsh_index_bits: int = 8             # knn_lsh / build_lsh_index bucket bits
+                                        # (2^bits partitions; at 100 TB raise so a
+                                        # partition ≈ an object-store-friendly chunk)
+    ivf_clusters: int = 16              # knn_ivf / build_ivf_index cells
+    ivf_train_sample: int = 2048        # ...quantizer training prefix size
+    # ---- connected-components knobs (pipelines/graph.py) ----
+    cc_small_graph_edges: int = 4_000_000  # single-task union-find ceiling
+    cc_message_buckets: int = 64        # label-propagation delivery buckets
+                                        # (POWER OF TWO — bucketing is key & (n-1))
+
     # keyword / skip constants (tuples so the dataclass stays hashable)
     keywords: tuple[str, ...] = ADDITIONAL_INTEREST_KEYWORDS
     dollar_skip_patterns: tuple[str, ...] = DOLLAR_SKIP_PATTERNS

@@ -237,9 +237,10 @@ def knn_lsh_sql(k: int = 10, dim: int = 64) -> str:
     double literals (repr round-trips exactly), the sign-bit bucket is the
     same dot-product test, and the query's bucket filters the scan before
     the rounded-cosine top-k."""
+    from ocr_ray.config import DEFAULT_CONFIG
     from ocr_ray.pipelines.simsearch import _planes
 
-    planes = _planes(dim)
+    planes = _planes(dim, DEFAULT_CONFIG.lsh_index_bits)
 
     def dot(b: int) -> str:
         return " + ".join(f"e[{j + 1}] * {planes[b][j]!r}" for j in range(dim))

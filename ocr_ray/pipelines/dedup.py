@@ -29,6 +29,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ocr_ray.config import DEFAULT_CONFIG, PipelineConfig
 from ocr_ray.functions.textstats import md5_fingerprint
 
 # MinHash parameters (fixed, seeded — deterministic across runs/processes)
@@ -123,32 +124,53 @@ def hamming64(a: int, b: int) -> int:
 # Distributed pair helpers (shared by the near-dup family)
 # ---------------------------------------------------------------------------
 
-_PAIR_BUCKETS = 64
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — a full-avalanche integer mix (public-domain
+    constants, Steele et al. 2014).  Vectorized; uint64 wrap-around is the
+    intended modular arithmetic."""
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
 
 
-def dedupe_pairs(pairs, extra_cols: tuple[str, ...] = ()):
+def pair_bucket(t: pa.Table, n_buckets: int) -> pa.Table:
+    """Append a SKEW-PROOF shuffle bucket column ``pbucket`` for
+    (id_a, id_b) pair rows: a splitmix64 mix of both ids, so adversarial
+    id distributions (e.g. every id ≡ 0 mod 8) still spread uniformly —
+    unlike low-bit bucketing, which collapses them onto one bucket."""
+    a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    h = _mix64(a ^ _mix64(b + np.uint64(0x9E3779B97F4A7C15)))
+    return t.append_column(
+        "pbucket", pa.array((h % np.uint64(n_buckets)).astype(np.int32), pa.int32())
+    )
+
+
+def dedupe_pairs(pairs, extra_cols: tuple[str, ...] = (),
+                 n_buckets: int | None = None):
     """Distinct (id_a, id_b) rows via a coarse-bucket groupby on a pair
     hash — the same pair surfaces from several bands/chunks/buckets.
     O(pairs) distributed, nothing reaches the driver, and the per-bucket
     dedup is one vectorized pandas call (never one map_groups dispatch
-    per pair — Ray's per-group overhead is ~10-20ms)."""
+    per pair — Ray's per-group overhead is ~10-20ms).  The bucket is a
+    splitmix64 pair hash (see :func:`pair_bucket`), immune to id-
+    distribution skew."""
     import pandas as pd
 
+    if n_buckets is None:
+        n_buckets = DEFAULT_CONFIG.pair_dedup_buckets
     cols = ["id_a", "id_b", *extra_cols]
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        # low bits of both ids → 64 buckets (overflow-free)
-        h = pc.add(
-            pc.multiply(pc.bit_wise_and(t["id_a"], 7), 8),
-            pc.bit_wise_and(t["id_b"], 7),
-        )
-        return t.append_column("pbucket", pc.cast(h, pa.int32()))
 
     def drop_dups(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(subset=["id_a", "id_b"])[cols]
 
     return (
-        pairs.map_batches(add_bucket, batch_format="pyarrow")
+        pairs.map_batches(lambda t: pair_bucket(t, n_buckets),
+                          batch_format="pyarrow")
         .groupby("pbucket")
         .map_groups(drop_dups, batch_format="pandas")
         # sort partitions holding no group emit SCHEMA-LESS empty blocks
@@ -158,7 +180,8 @@ def dedupe_pairs(pairs, extra_cols: tuple[str, ...] = ()):
     )
 
 
-FUSE_PAIRS = 20_000  # size-adaptive fusion threshold: below this, the
+FUSE_PAIRS = DEFAULT_CONFIG.fuse_pairs_threshold
+# size-adaptive fusion threshold: below this, the
 # verify+union-find tail of a near-dup run fits ONE worker task, and the
 # multi-second fixed costs of the two hash joins + the CC execution never
 # amortize — same trick as graph.connected_components's
@@ -282,7 +305,8 @@ def exact_dedup(ds, text_col: str = "text", key_col: str = "doc_id"):
 
 
 def minhash_near_dup(ds, text_col: str = "text", key_col: str = "doc_id",
-                     threshold: float = 0.8):
+                     threshold: float = 0.8,
+                     cfg: PipelineConfig = DEFAULT_CONFIG):
     """MinHash+LSH near-duplicate detection.
 
     map_batches (signatures, embarrassingly parallel)
@@ -301,10 +325,11 @@ def minhash_near_dup(ds, text_col: str = "text", key_col: str = "doc_id",
     Returns (doc_id, dup_of) rows: every doc that belongs to a verified
     near-dup pair, pointing at the smallest doc_id of its group (keep-first).
     """
-    n_buckets = 64  # shuffle key cardinality: few, fat groups — Ray's
-    # per-group overhead dominates with one group per (band, hash); exact
-    # band hashes are grouped with vectorized pandas INSIDE each bucket.
-    # At corpus scale raise this so a bucket ≈ one task's memory budget.
+    n_buckets = cfg.near_dup_coarse_buckets
+    # shuffle key cardinality: few, fat groups — Ray's per-group overhead
+    # dominates with one group per (band, hash); exact band hashes are
+    # grouped with vectorized pandas INSIDE each bucket.  At corpus scale
+    # raise this so a bucket ≈ one task's memory budget.
 
     def to_bands(batch: pa.Table) -> pa.Table:
         bands: list[tuple[int, int, str]] = []
@@ -325,9 +350,10 @@ def minhash_near_dup(ds, text_col: str = "text", key_col: str = "doc_id",
             }
         )
 
-    MAX_BUCKET = 512  # a degenerate bucket (boilerplate-identical docs)
-    # would emit O(k^2) pairs; cap and pair against the bucket minimum
-    # instead — keep-first semantics still links every member to one group
+    MAX_BUCKET = cfg.near_dup_max_bucket
+    # a degenerate bucket (boilerplate-identical docs) would emit O(k^2)
+    # pairs; cap and pair against the bucket minimum instead — keep-first
+    # semantics still links every member to one group
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         a: list[int] = []
@@ -361,7 +387,7 @@ def minhash_near_dup(ds, text_col: str = "text", key_col: str = "doc_id",
         return pa.table({key_col: pa.array([], pa.int64()),
                          "dup_of": pa.array([], pa.int64())})
 
-    if n_raw <= FUSE_PAIRS:
+    if n_raw <= cfg.fuse_pairs_threshold:
         # size-adaptive tail: the whole dedup+verify+CC fits one task —
         # skip the pair-dedup shuffle, the two verify joins and the CC
         # execution (each carries multi-second Ray fixed costs that only
@@ -412,13 +438,15 @@ def simhash_table(ds, text_col: str = "text", key_col: str = "doc_id"):
 
 
 def simhash_near_dup(ds, text_col: str = "text", key_col: str = "doc_id",
-                     max_hamming: int = 3):
+                     max_hamming: int = 3,
+                     cfg: PipelineConfig = DEFAULT_CONFIG):
     """SimHash near-dup: bucket on each of four 16-bit chunks (a pair within
     hamming<=3 of 64 bits shares at least one exact 16-bit chunk), verify
     hamming distance within buckets.  Returns (doc_id, dup_of)."""
-    n_buckets = 64  # coarse shuffle key (like the minhash path): exact
-    # (chunk_id, chunk) groups are formed INSIDE each bucket with
-    # vectorized pandas, never one Ray map_groups dispatch per chunk value
+    n_buckets = cfg.near_dup_coarse_buckets
+    # coarse shuffle key (like the minhash path): exact (chunk_id, chunk)
+    # groups are formed INSIDE each bucket with vectorized pandas, never
+    # one Ray map_groups dispatch per chunk value
 
     def to_chunks(batch: pa.Table) -> pa.Table:
         ids, chunks, chunk_ids, sims = [], [], [], []
@@ -440,7 +468,8 @@ def simhash_near_dup(ds, text_col: str = "text", key_col: str = "doc_id",
             ),
         })
 
-    MAX_BUCKET = 512  # a degenerate bucket (e.g. every empty doc has
+    MAX_BUCKET = cfg.near_dup_max_bucket
+    # a degenerate bucket (e.g. every empty doc has
     # simhash 0, so all four chunks collide) would emit O(k^2) pairs —
     # same star-pairing cap as the minhash path: members pair against the
     # bucket minimum only.  NOTE: this is an APPROXIMATION, not
@@ -483,19 +512,23 @@ def simhash_near_dup(ds, text_col: str = "text", key_col: str = "doc_id",
     # shuffles don't carry 4 copies of every edge.
     from ocr_ray.pipelines.graph import connected_components
 
-    if pairs.count() > FUSE_PAIRS:
+    if pairs.count() > cfg.fuse_pairs_threshold:
         pairs = dedupe_pairs(pairs)
     return connected_components(pairs, key_col=key_col, label_col="dup_of")
 
 
 def winnow_near_dup(ds, text_col: str = "text", key_col: str = "doc_id",
-                    k: int = 16, min_shared: int = 8):
+                    k: int = 16, min_shared: int = 8,
+                    cfg: PipelineConfig = DEFAULT_CONFIG):
     """Rolling-hash (winnowing) near-copy detection: docs → fingerprint
     rows → groupby fingerprint (the inverted-index shuffle; short hash key,
     never text) → candidate pairs → keep pairs sharing >= min_shared
     fingerprints.  Returns (id_a, id_b, shared) pairs.
     """
     from ocr_ray.functions.textstats import winnow_fingerprint
+
+    n_buckets = cfg.near_dup_coarse_buckets
+    max_postings = cfg.winnow_max_postings
 
     def to_fps(batch: pa.Table) -> pa.Table:
         ids_out, fps = [], []
@@ -506,7 +539,7 @@ def winnow_near_dup(ds, text_col: str = "text", key_col: str = "doc_id",
         return pa.table({
             key_col: pa.array(ids_out, pa.int64()),
             "fp": pa.array(fps, pa.uint64()),
-            "bucket": pa.array([f % 64 for f in fps], pa.int32()),
+            "bucket": pa.array([f % n_buckets for f in fps], pa.int32()),
         })
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -516,7 +549,7 @@ def winnow_near_dup(ds, text_col: str = "text", key_col: str = "doc_id",
         a, b = [], []
         for _, grp in g.groupby("fp", sort=True):
             ids = sorted(set(grp[key_col].tolist()))
-            if len(ids) < 2 or len(ids) > 256:
+            if len(ids) < 2 or len(ids) > max_postings:
                 continue   # drop degenerate fingerprints (boilerplate)
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
@@ -531,17 +564,11 @@ def winnow_near_dup(ds, text_col: str = "text", key_col: str = "doc_id",
     # Distributed pair-count: NEVER a Ray hash/sort aggregate keyed on the
     # raw pair — with ~10^6 distinct pairs this Ray version's
     # groupby(keys).aggregate(Sum) measured 215 s at sf0.1 (vs ~5 s for
-    # everything else).  Instead shuffle once on a 64-way bucket of the
+    # everything else).  Instead shuffle once on a coarse bucket of the
     # pair key (all rows of a pair land in one bucket, so the per-bucket
     # pandas sum IS the global sum) and apply the min_shared filter inside
-    # the bucket, shrinking output before it leaves the task.
-    def add_pbucket(t: pa.Table) -> pa.Table:
-        h = pc.add(
-            pc.multiply(pc.bit_wise_and(t["id_a"], 7), 8),
-            pc.bit_wise_and(t["id_b"], 7),
-        )
-        return t.append_column("pbucket", pc.cast(h, pa.int32()))
-
+    # the bucket, shrinking output before it leaves the task.  The bucket
+    # is the skew-proof splitmix64 pair hash (see pair_bucket).
     def sum_filter(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby(["id_a", "id_b"], as_index=False)["shared"].sum()
         out["shared"] = out["shared"].astype(np.int64)
@@ -551,7 +578,8 @@ def winnow_near_dup(ds, text_col: str = "text", key_col: str = "doc_id",
         ds.map_batches(to_fps, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
-        .map_batches(add_pbucket, batch_format="pyarrow")
+        .map_batches(lambda t: pair_bucket(t, cfg.pair_dedup_buckets),
+                     batch_format="pyarrow")
         .groupby("pbucket")
         .map_groups(sum_filter, batch_format="pandas")
     )

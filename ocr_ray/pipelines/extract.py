@@ -17,6 +17,7 @@ Nothing here calls ray.init(); callers own the session.
 
 from __future__ import annotations
 
+import os
 import time
 
 import pyarrow as pa
@@ -92,13 +93,35 @@ def extraction_dataset(
 
 
 _EXTRACTION_CACHE: dict[tuple, "ray.data.Dataset"] = {}
+_EXTRACTION_CACHE_MAX = 4  # driver/test scale: a handful of sf dirs at most
+
+
+def _pages_dir_fingerprint(pages_dir: str) -> str:
+    """Cheap content fingerprint of a pages dir: sorted (name, size,
+    mtime_ns) of its parquet files, md5'd — rewriting a file in place
+    changes the key, so the cache can never serve stale blocks."""
+    import glob as _glob
+    import hashlib as _hashlib
+
+    parts = []
+    for f in sorted(_glob.glob(os.path.join(pages_dir, "*.parquet"))):
+        st = os.stat(f)
+        parts.append(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}")
+    return _hashlib.md5("|".join(parts).encode()).hexdigest()
 
 
 def extraction_dataset_cached(
     pages_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG
 ) -> "ray.data.Dataset":
     """Materialized gates→extract output for a pages dir, cached per
-    (pages_dir, cfg, Ray job).
+    (pages_dir fingerprint, cfg, Ray job).
+
+    **Test/driver-scale path ONLY** — this MATERIALIZES the full
+    extraction output in the object store, which is exactly what the
+    production runners must never do; at corpus scale use the streaming
+    `run_extraction_sharded` / `run_extraction_urlhash`, which write
+    partitioned parquet with backpressure and never hold the corpus
+    resident.
 
     Seven driver queries (extract_pages/stats, filter_stats,
     heading/section windows, declarations_head, training_corpus) consume
@@ -107,12 +130,19 @@ def extraction_dataset_cached(
     query — the reason extraction-family queries timed out of the round-2
     driver correctness run).  The job id in the key makes a cache entry
     die with its Ray session (materialized blocks don't survive
-    shutdown); blocks live in the object store, not the driver heap.
+    shutdown); the pages-dir FINGERPRINT (file names + sizes + mtimes) in
+    the key means an in-place rewrite of the input can never serve stale
+    blocks.  The cache is capped at `_EXTRACTION_CACHE_MAX` entries
+    (FIFO eviction) so a long-lived driver doesn't accumulate
+    materialized corpora.
     """
-    key = (pages_dir, repr(cfg), ray.get_runtime_context().get_job_id())
+    key = (_pages_dir_fingerprint(pages_dir), pages_dir, repr(cfg),
+           ray.get_runtime_context().get_job_id())
     ds = _EXTRACTION_CACHE.get(key)
     if ds is None:
         ds = extraction_dataset(ray.data.read_parquet(pages_dir), cfg).materialize()
+        while len(_EXTRACTION_CACHE) >= _EXTRACTION_CACHE_MAX:
+            _EXTRACTION_CACHE.pop(next(iter(_EXTRACTION_CACHE)))
         _EXTRACTION_CACHE[key] = ds
     return ds
 

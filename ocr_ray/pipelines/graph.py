@@ -85,7 +85,7 @@ def _cc_single_task(pairs, key_col: str, label_col: str):
 
 def connected_components(pairs, key_col: str = "doc_id",
                          label_col: str = "dup_of", max_rounds: int = 32,
-                         small_graph_edges: int = 4_000_000):
+                         small_graph_edges: int | None = None):
     """(id_a, id_b) pair Dataset → Dataset(key_col, label_col): one row per
     node that appears in any pair, label = min node id of its component.
 
@@ -96,8 +96,14 @@ def connected_components(pairs, key_col: str = "doc_id",
     per-round shuffle fixed cost only amortizes at that scale.
 
     ``pairs`` may also be a pyarrow Table (tests); rows need not be unique.
+    ``small_graph_edges`` defaults to PipelineConfig.cc_small_graph_edges.
     """
     import ray.data as rd
+
+    from ocr_ray.config import DEFAULT_CONFIG
+
+    if small_graph_edges is None:
+        small_graph_edges = DEFAULT_CONFIG.cc_small_graph_edges
 
     if isinstance(pairs, pa.Table):
         if pairs.num_rows == 0:
@@ -157,9 +163,10 @@ def connected_components(pairs, key_col: str = "doc_id",
         ).take_all()
         return sum(r["s"] for r in parts)
 
-    N_BUCKETS = 64  # coarse shuffle key for message delivery: the lookup
-    # inside each bucket is a VECTORIZED pandas merge over every key in
-    # the bucket, so per-group dispatch cost is O(buckets), not O(nodes)
+    N_BUCKETS = DEFAULT_CONFIG.cc_message_buckets  # POWER OF TWO (key & n-1)
+    # coarse shuffle key for message delivery: the lookup inside each
+    # bucket is a VECTORIZED pandas merge over every key in the bucket,
+    # so per-group dispatch cost is O(buckets), not O(nodes)
 
     def as_messages(t: pa.Table) -> pa.Table:
         # label rows → (key=node, node=_NO_NODE, lbl)

@@ -17,6 +17,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ocr_ray.config import DEFAULT_CONFIG
+
 
 def _to_matrix(col: pa.ChunkedArray) -> np.ndarray:
     """list<float> column → (n, d) float64 matrix (zero-ish copy)."""
@@ -82,21 +84,26 @@ def knn_cosine(ds, query_vec, k: int = 10,
     )
 
 
-_LSH_BITS = 8
-_LSH_PLANES: dict[int, np.ndarray] = {}
+_LSH_PLANES: dict[tuple[int, int], np.ndarray] = {}
 
 
-def _planes(dim: int) -> np.ndarray:
-    if dim not in _LSH_PLANES:
-        _LSH_PLANES[dim] = np.random.RandomState(7).standard_normal((_LSH_BITS, dim))
-    return _LSH_PLANES[dim]
+def _planes(dim: int, n_bits: int) -> np.ndarray:
+    if (dim, n_bits) not in _LSH_PLANES:
+        _LSH_PLANES[(dim, n_bits)] = (
+            np.random.RandomState(7).standard_normal((n_bits, dim))
+        )
+    return _LSH_PLANES[(dim, n_bits)]
 
 
-def lsh_bucket(mat: np.ndarray) -> np.ndarray:
-    """Sign-bit bucket id per row (uint16)."""
-    planes = _planes(mat.shape[1])
+def lsh_bucket(mat: np.ndarray, n_bits: int | None = None) -> np.ndarray:
+    """Sign-bit bucket id per row (int32, ``n_bits`` hyperplane bits —
+    default ``PipelineConfig.lsh_index_bits``).  Build and query sides
+    must use the SAME n_bits for a given layout."""
+    if n_bits is None:
+        n_bits = DEFAULT_CONFIG.lsh_index_bits
+    planes = _planes(mat.shape[1], n_bits)
     bits = (mat @ planes.T) > 0
-    return (bits @ (1 << np.arange(_LSH_BITS))).astype(np.int32)
+    return (bits @ (1 << np.arange(n_bits))).astype(np.int32)
 
 
 def knn_lsh(ds, query_vec, k: int = 10,
@@ -144,7 +151,7 @@ def _normalized(mat: np.ndarray) -> np.ndarray:
     return mat / n[:, None]
 
 
-def embedding_near_dup(ds, threshold: float = 0.35, n_blocks: int = 8,
+def embedding_near_dup(ds, threshold: float = 0.35, n_blocks: int | None = None,
                        vec_col: str = "embedding", key_col: str = "vec_id"):
     """Exact embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥
     threshold, sim rounded to 6 dp) — block-partitioned distributed
@@ -161,9 +168,13 @@ def embedding_near_dup(ds, threshold: float = 0.35, n_blocks: int = 8,
     blocks.  Compute stays O(N²) — inherent to EXACT all-pairs at a low
     threshold; use :func:`embedding_near_dup_lsh` for the sub-quadratic
     approximate path at high thresholds.  Scale n_blocks so a block pair
-    fits a task's memory budget (rows/block ≈ N / n_blocks).
+    fits a task's memory budget (rows/block ≈ N / n_blocks; default
+    ``PipelineConfig.near_dup_blocks``).
     """
     import pandas as pd
+
+    if n_blocks is None:
+        n_blocks = DEFAULT_CONFIG.near_dup_blocks
 
     def replicate(batch: pa.Table) -> pa.Table:
         ids = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -223,8 +234,9 @@ def embedding_near_dup(ds, threshold: float = 0.35, n_blocks: int = 8,
     )
 
 
-def embedding_near_dup_lsh(ds, threshold: float = 0.5, n_tables: int = 32,
-                           n_bits: int = 4,
+def embedding_near_dup_lsh(ds, threshold: float = 0.5,
+                           n_tables: int | None = None,
+                           n_bits: int | None = None,
                            vec_col: str = "embedding", key_col: str = "vec_id"):
     """Approximate near-dup pairs via multi-table sign-LSH bucketing:
     candidate pairs are generated INSIDE (table, bucket) groups, verified
@@ -242,9 +254,16 @@ def embedding_near_dup_lsh(ds, threshold: float = 0.5, n_tables: int = 32,
     cosine-0.5 boundary, plus the MAX_BUCKET star-pairing truncation).  The
     check is therefore CORPUS-PINNED: it passes deterministically on the
     driver's testdata, but a different corpus could legitimately show a
-    recall miss that is not a correctness regression.
+    recall miss that is not a correctness regression.  (The driver-gate
+    query is tolerance-aware instead: found ⊆ exact + a recall floor —
+    see __ray_entry__._q_embedding_near_dup_lsh.)
     """
     import pandas as pd
+
+    if n_tables is None:
+        n_tables = DEFAULT_CONFIG.lsh_near_dup_tables
+    if n_bits is None:
+        n_bits = DEFAULT_CONFIG.lsh_near_dup_bits
 
     def bucketize(batch: pa.Table) -> pa.Table:
         mat = _to_matrix(batch[vec_col])
@@ -274,7 +293,8 @@ def embedding_near_dup_lsh(ds, threshold: float = 0.5, n_tables: int = 32,
             vec_col: pa.concat_arrays(out_v),
         })
 
-    MAX_BUCKET = 4096  # degenerate buckets pair against the bucket min
+    MAX_BUCKET = DEFAULT_CONFIG.lsh_near_dup_max_bucket
+    # degenerate buckets pair against the bucket min
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(subset=[key_col]).sort_values(key_col)
@@ -387,9 +407,10 @@ def _kmeans_lite(sample: np.ndarray, n_clusters: int, n_iter: int = 10) -> np.nd
     return centroids
 
 
-def knn_ivf(ds, query_vec, k: int = 10, n_clusters: int = 16, n_probe: int = 2,
+def knn_ivf(ds, query_vec, k: int = 10, n_clusters: int | None = None,
+            n_probe: int = 2,
             vec_col: str = "embedding", key_col: str = "vec_id",
-            train_sample: int = 2048):
+            train_sample: int | None = None):
     """IVF approximate top-k: a k-means coarse quantizer (trained on a
     driver-side sample, centroids broadcast once) assigns every vector to
     its nearest centroid; the query searches only its ``n_probe`` nearest
@@ -400,6 +421,11 @@ def knn_ivf(ds, query_vec, k: int = 10, n_clusters: int = 16, n_probe: int = 2,
     import pyarrow.compute as pc_
 
     import ray
+
+    if n_clusters is None:
+        n_clusters = DEFAULT_CONFIG.ivf_clusters
+    if train_sample is None:
+        train_sample = DEFAULT_CONFIG.ivf_train_sample
 
     # the training sample is the vec_id < train_sample PREFIX in key
     # order — a well-defined, SQL-reproducible subset (ds.limit would
@@ -455,18 +481,22 @@ def _empty_topk(key_col: str) -> pa.Table:
                      "sim": pa.array([], pa.float64())})
 
 
-def build_lsh_index(ds, index_dir: str,
+def build_lsh_index(ds, index_dir: str, n_bits: int | None = None,
                     vec_col: str = "embedding", key_col: str = "vec_id") -> str:
     """Write the corpus hive-partitioned by sign-LSH bucket
     (``bucket=N/*.parquet``).  One full pass at build time; afterwards
-    every :func:`knn_lsh_indexed` query reads ONLY its probe partition —
-    bytes-read per query drops to ~1/2^_LSH_BITS of the scan path.  At
+    every :func:`knn_lsh_indexed` query reads ONLY its probe partitions —
+    bytes-read per query drops to ~n_probe/2^n_bits of the scan path.
+    ``n_bits`` defaults to ``PipelineConfig.lsh_index_bits``; at corpus
+    scale raise it so a partition ≈ an object-store-friendly chunk.  At
     corpus scale this is exactly ``write_parquet(partition_cols)`` over
     object storage: the layout IS the index, no server component."""
+    if n_bits is None:
+        n_bits = DEFAULT_CONFIG.lsh_index_bits
 
     def add_bucket(t: pa.Table) -> pa.Table:
         mat = _to_matrix(t[vec_col])
-        b = lsh_bucket(mat) if mat.shape[0] else np.zeros(0, np.int32)
+        b = lsh_bucket(mat, n_bits) if mat.shape[0] else np.zeros(0, np.int32)
         return t.select([key_col, vec_col]).append_column(
             "bucket", pa.array(b, pa.int32()))
 
@@ -475,39 +505,65 @@ def build_lsh_index(ds, index_dir: str,
     return index_dir
 
 
-def knn_lsh_indexed(index_dir: str, query_vec, k: int = 10,
+def knn_lsh_indexed(index_dir: str, query_vec, k: int = 10, n_probe: int = 1,
+                    n_bits: int | None = None,
                     vec_col: str = "embedding", key_col: str = "vec_id"):
     """Approximate top-k over a :func:`build_lsh_index` layout: read ONLY
-    the query's bucket partition (storage-level pruning — the other
-    2^bits - 1 partitions never leave disk), brute-force cosine within.
-    Result is identical to :func:`knn_lsh` over the same corpus."""
+    the probe partitions (storage-level pruning — the other partitions
+    never leave disk), brute-force cosine within.
+
+    Multi-probe: ``n_probe=1`` reads just the query's own bucket —
+    identical to :func:`knn_lsh` over the same corpus.  ``n_probe>1``
+    additionally probes the bucket's hamming-1 neighbors in bit order
+    (up to 1 + n_bits buckets): a query landing near a hyperplane
+    recovers neighbors that fell just across it, at n_probe/2^n_bits of
+    the index bytes.  ``n_bits`` must match the build side."""
+    import glob
     import os
 
     import ray.data as rd
 
+    if n_bits is None:
+        n_bits = DEFAULT_CONFIG.lsh_index_bits
     q = np.asarray(query_vec, dtype=np.float64)
-    q_bucket = int(lsh_bucket(q.reshape(1, -1))[0])
-    part = os.path.join(index_dir, f"bucket={q_bucket}")
-    if not os.path.isdir(part):
+    q_bucket = int(lsh_bucket(q.reshape(1, -1), n_bits)[0])
+    buckets = [q_bucket] + [q_bucket ^ (1 << i) for i in range(n_bits)]
+    buckets = buckets[: max(1, n_probe)]
+    # read_parquet accepts ONE directory or a list of FILES — glob the
+    # files per probe dir (a list of directories fails)
+    files = [
+        f
+        for b in buckets
+        for f in sorted(glob.glob(os.path.join(index_dir, f"bucket={b}", "*.parquet")))
+    ]
+    if not files:
         return _empty_topk(key_col)
-    ds = rd.read_parquet(part, columns=[key_col, vec_col])
+    ds = rd.read_parquet(files, columns=[key_col, vec_col])
     return knn_cosine(ds, query_vec, k=k, vec_col=vec_col, key_col=key_col)
 
 
-def build_ivf_index(ds, index_dir: str, n_clusters: int = 16,
-                    train_sample: int = 2048,
+def build_ivf_index(ds, index_dir: str, n_clusters: int | None = None,
+                    train_sample: int | None = None,
                     vec_col: str = "embedding", key_col: str = "vec_id") -> str:
     """Write the inverted-file layout: deterministic k-means coarse
     quantizer (same ``_kmeans_lite`` as the scan path), every vector
     assigned to its nearest cell, rows hive-partitioned by ``cell=N``;
     centroids stored beside the data (``_centroids.parquet``, the
-    underscore prefix keeps parquet dataset readers away from it)."""
+    underscore prefix keeps parquet dataset readers away from it).
+    ``n_clusters``/``train_sample`` default to the PipelineConfig fields;
+    at 100 TB raise n_clusters so a cell ≈ an object-store-friendly
+    partition (16 cells of a 100 TB corpus would be ~6 TB each)."""
     import os
 
     import pyarrow.compute as pc_
     import pyarrow.parquet as pq
 
     import ray
+
+    if n_clusters is None:
+        n_clusters = DEFAULT_CONFIG.ivf_clusters
+    if train_sample is None:
+        train_sample = DEFAULT_CONFIG.ivf_train_sample
 
     sample_tbl = (
         ds.map_batches(

@@ -430,3 +430,52 @@ def test_ann_indexed_layout_equals_scan_path(ray_session, tmp_path_factory):
     got = knn_ivf_indexed(ivf_dir, q, k=10)
     want = knn_ivf(rd.read_parquet(path), q, k=10)
     assert got.equals(want)
+
+
+def test_pair_bucket_skew_proof():
+    """Adversarial id distributions (every id ≡ 0 mod 8) spread across
+    buckets — the splitmix64 pair hash has no low-bit structure, unlike
+    the round-3 low-3-bit bucketing which collapsed them onto bucket 0."""
+    from ocr_ray.pipelines.dedup import pair_bucket
+
+    ids = np.arange(0, 8 * 512, 8, dtype=np.int64)   # 512 pairs, ids ≡ 0 (mod 8)
+    t = pa.table({"id_a": ids, "id_b": ids + 8})
+    b = pair_bucket(t, 64)["pbucket"].to_numpy(zero_copy_only=False)
+    counts = np.bincount(b, minlength=64)
+    assert (counts > 0).sum() >= 48                  # most buckets populated
+    assert counts.max() <= 4 * len(ids) // 64        # none grossly hot
+    # deterministic across calls (shuffle keys must be stable)
+    b2 = pair_bucket(t, 64)["pbucket"].to_numpy(zero_copy_only=False)
+    assert (b == b2).all()
+
+
+def test_knn_lsh_multiprobe_recall(ray_session, tmp_path_factory):
+    """Multi-probe LSH: n_probe=1 stays byte-identical to the scan path
+    (the oracle contract) and hamming-1 multi-probe recall vs the exact
+    top-k is >= single-probe recall while still reading a strict subset
+    of the index partitions."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ocr_ray.pipelines.simsearch import (
+        build_lsh_index, knn_cosine, knn_lsh, knn_lsh_indexed,
+    )
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    t = pq.read_table(path)
+    q = t["embedding"][t["vec_id"].to_pylist().index(0)].as_py()
+
+    lsh_dir = str(tmp_path_factory.mktemp("annmp") / "lsh")
+    build_lsh_index(rd.read_parquet(path), lsh_dir)
+
+    single = knn_lsh_indexed(lsh_dir, q, k=10, n_probe=1)
+    assert single.equals(knn_lsh(rd.read_parquet(path), q, k=10))
+
+    multi = knn_lsh_indexed(lsh_dir, q, k=10, n_probe=9)
+    exact = knn_cosine(rd.read_parquet(path), q, k=10)
+    exact_ids = set(exact["vec_id"].to_pylist())
+    r1 = len(set(single["vec_id"].to_pylist()) & exact_ids) / len(exact_ids)
+    r9 = len(set(multi["vec_id"].to_pylist()) & exact_ids) / len(exact_ids)
+    assert r9 >= r1
+    # multi-probe is deterministic
+    assert multi.equals(knn_lsh_indexed(lsh_dir, q, k=10, n_probe=9))
