@@ -326,16 +326,91 @@ def _q_embedding_near_dup(sf_dir: str):
     return embedding_near_dup(ds, threshold=0.35)
 
 
-def _q_embedding_near_dup_lsh(sf_dir: str):
-    """Sub-quadratic LSH-bucketed near-dup (candidates generated inside
-    (table, bucket) groups, exact-cosine verified, dedup distributed)."""
+def _schema_safe(ds):
+    """Dataset → Dataset | empty pyarrow Table: a query whose result is
+    legitimately EMPTY (e.g. an anti-join at tiny sf) must still deliver
+    its schema — this Ray version's Dataset.to_pandas() returns a
+    column-less frame when every block is zero-row (iter_batches skips
+    empty blocks), which would read as a schema mismatch downstream."""
+    import pyarrow as pa
     import ray.data as rd
 
-    from ocr_ray.pipelines.simsearch import embedding_near_dup_lsh
+    if not isinstance(ds, rd.Dataset):
+        return ds
+    ds = ds.materialize()
+    if ds.count() > 0:
+        return ds
+    sch = ds.schema()
+    return pa.table({n: pa.array([], t) for n, t in zip(sch.names, sch.types)})
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                         columns=["vec_id", "embedding"])
-    return embedding_near_dup_lsh(ds, threshold=0.5)
+
+def _q_customers_without_orders(sf_dir: str):
+    from ocr_ray.pipelines import relational as rel
+
+    return _schema_safe(rel.customers_without_orders(sf_dir))
+
+
+def _pairs_df(ds):
+    """Small pair Dataset → DataFrame, schema-safe: zero-row results keep
+    their (id_a, id_b, sim) columns (this Ray version's Dataset.to_pandas
+    returns a column-less frame when every block is empty)."""
+    import pandas as pd
+    import ray
+
+    blocks = [t for t in ray.get(ds.to_arrow_refs())
+              if t.num_columns and t.num_rows]
+    if not blocks:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64"),
+                             "sim": pd.Series(dtype="float64")})
+    import pyarrow as pa
+
+    return pa.concat_tables(blocks).to_pandas()
+
+
+def _q_embedding_near_dup_lsh(sf_dir: str):
+    """TOLERANCE-AWARE check for the approximate LSH near-dup operator
+    (round-3 verdict item 2): the old oracle pinned the exact pair set,
+    so a legitimate sub-1% recall miss on a different corpus would read
+    as a correctness regression.  This query returns the operator's
+    INVARIANTS instead:
+
+      * n_false_positive — found pairs absent from the exact all-pairs
+        set (must be 0: candidates are exact-cosine verified in-bucket);
+      * n_sim_mismatch   — found pairs whose sim differs from the exact
+        rounded cosine (must be 0);
+      * recall_ok        — found covers >= 99% of the exact set;
+      * n_exact          — the exact pair count (SQL recomputes this).
+
+    The oracle pins (n_exact, 0, 0, TRUE) — invariant under corpus
+    changes so long as the operator keeps its recall guarantee."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.pipelines.simsearch import (
+        embedding_near_dup, embedding_near_dup_lsh,
+    )
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    found = _pairs_df(embedding_near_dup_lsh(
+        rd.read_parquet(path, columns=["vec_id", "embedding"]), threshold=0.5))
+    exact = _pairs_df(embedding_near_dup(
+        rd.read_parquet(path, columns=["vec_id", "embedding"]), threshold=0.5))
+
+    merged = found.merge(exact, on=["id_a", "id_b"], how="left",
+                         suffixes=("", "_exact"))
+    n_false = int(merged["sim_exact"].isna().sum())
+    n_sim_mismatch = int(
+        (merged["sim_exact"].notna() & (merged["sim"] != merged["sim_exact"])).sum()
+    )
+    n_hits = len(found) - n_false
+    recall_ok = len(exact) == 0 or (n_hits / len(exact)) >= 0.99
+    return pa.table({
+        "n_exact": pa.array([len(exact)], pa.int64()),
+        "n_false_positive": pa.array([n_false], pa.int64()),
+        "n_sim_mismatch": pa.array([n_sim_mismatch], pa.int64()),
+        "recall_ok": pa.array([recall_ok], pa.bool_()),
+    })
 
 
 def _q_entity_match(sf_dir: str):
@@ -452,7 +527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_month": rel.orders_by_month,
         "parts_by_brand": rel.parts_by_brand,
         "customers_with_orders": rel.customers_with_orders,
-        "customers_without_orders": rel.customers_without_orders,
+        "customers_without_orders": _q_customers_without_orders,
         "revenue_by_orderpriority": rel.revenue_by_orderpriority,
         "hash_join_revenue": rel.hash_join_revenue,
         "field_extraction": rel.field_extraction,
@@ -816,7 +891,7 @@ def oracle_sql() -> dict[str, str]:
               WHERE p_size > 40
             ), s AS (
               SELECT d.doc_id, lower(d.text) || ' ' || lower(p.p_type) AS t5
-              FROM documents d JOIN part p ON p.p_partkey = (d.doc_id % 200) + 1
+              FROM documents d JOIN part p ON p.p_partkey = d.doc_id % 200
             )
             SELECT doc_id,
                    EXISTS (SELECT 1 FROM kws WHERE s.t5 LIKE '%' || kws.w || '%') AS has_keyword
@@ -914,15 +989,23 @@ def oracle_sql() -> dict[str, str]:
             FROM buys b ASOF LEFT JOIN clicks c
               ON b.user_id = c.user_id AND b.ts >= c.ts
         """,
+        # tolerance-aware twin of the APPROXIMATE operator: SQL recomputes
+        # the exact pair count; the invariant columns (no false positives,
+        # no sim mismatches, recall >= 0.99) are pinned constants — a
+        # corpus change cannot masquerade as a correctness regression.
         "embedding_near_dup_lsh": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   ROUND(list_cosine_similarity(
-                     CAST(a.embedding AS DOUBLE[]),
-                     CAST(b.embedding AS DOUBLE[])), 6) AS sim
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE ROUND(list_cosine_similarity(
-                     CAST(a.embedding AS DOUBLE[]),
-                     CAST(b.embedding AS DOUBLE[])), 6) >= 0.5
+            WITH exact AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE ROUND(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.5
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_exact,
+                   CAST(0 AS BIGINT) AS n_false_positive,
+                   CAST(0 AS BIGINT) AS n_sim_mismatch,
+                   TRUE AS recall_ok
+            FROM exact
         """,
         "embedding_near_dup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -455,7 +455,7 @@ def field_extraction(sf_dir: str):
 def dynamic_keyword_filter(sf_dir: str):
     """F4 analogue — keywords DERIVED from an upstream table (p_type words
     of small parts), broadcast once via ray.put, substring-matched against
-    text5 = text || ' ' || lower(p_type of part (doc_id % 200) + 1)."""
+    text5 = text || ' ' || lower(p_type of partkey doc_id % 200)."""
     import pyarrow.parquet as pq
 
     part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
@@ -466,15 +466,15 @@ def dynamic_keyword_filter(sf_dir: str):
         if size > 40
         for w in ptype.lower().split()
     })
-    # p_partkey is contiguous 1..N: a positional Arrow array indexed by
-    # partkey-1 turns the lookup into a vectorized take (no python dict)
+    # p_partkey is contiguous 0..N-1: a positional Arrow array indexed by
+    # partkey turns the lookup into a vectorized take (no python dict)
     order = pc.sort_indices(part["p_partkey"])
     ptype_by_key = pc.utf8_lower(part["p_type"].combine_chunks().take(order))
     ref = ray.put((kws, ptype_by_key))
 
     def f(t: pa.Table) -> pa.Table:
         keywords, ptypes = ray.get(ref)
-        # (doc_id % 200) → partkey (idx+1) → positional idx
+        # (doc_id % 200) → 0-based partkey → positional idx
         idx = pc.subtract(t["doc_id"], pc.multiply(pc.divide(t["doc_id"], 200), 200))
         suffix = ptypes.take(pc.cast(idx, pa.int64()))
         t5 = pc.binary_join_element_wise(
