@@ -45,16 +45,64 @@ _JPEG_SOI = b"\xff\xd8"
 _JPEG_SOF = frozenset((0xC0, 0xC1, 0xC2, 0xC3))  # baseline..lossless SOF
 
 
+def _gif_frames(payload: bytes) -> int:
+    """GCE-block frame count via a STRUCTURED walk of the GIF data stream
+    (never a raw byte-pattern scan: the ``21 f9 04`` pattern can occur by
+    coincidence inside the w/h header bytes — w >= 63744 with h ≡ 4 mod
+    256 — or inside a non-UTF-8 body).  Walks logical-screen descriptor →
+    optional global color table → extension / image-descriptor blocks,
+    counting graphic-control extensions; stops tolerantly at the first
+    byte that is not valid GIF block structure (e.g. a synthetic body)."""
+    if len(payload) < 13:
+        return 1
+    packed = payload[10]
+    pos = 13
+    if packed & 0x80:                       # global color table present
+        pos += 3 * (1 << ((packed & 0x07) + 1))
+    frames = 0
+    n = len(payload)
+    while pos < n:
+        b = payload[pos]
+        if b == 0x21 and pos + 1 < n:       # extension block
+            if payload[pos + 1] == 0xF9:
+                frames += 1
+            pos += 2
+            while pos < n:                  # sub-blocks until terminator
+                size = payload[pos]
+                pos += 1 + size
+                if size == 0:
+                    break
+        elif b == 0x2C and pos + 9 < n:     # image descriptor
+            lct = payload[pos + 9]
+            pos += 10
+            if lct & 0x80:
+                pos += 3 * (1 << ((lct & 0x07) + 1))
+            pos += 1                        # LZW minimum code size
+            while pos < n:                  # LZW data sub-blocks
+                size = payload[pos]
+                pos += 1 + size
+                if size == 0:
+                    break
+        elif b == 0x3B:                     # trailer
+            break
+        else:                               # not GIF structure (body bytes)
+            break
+    return max(1, frames)
+
+
+_JPEG_STANDALONE = frozenset((0x01, *range(0xD0, 0xD8)))  # TEM, RST0-7
+
+
 def parse_media_header(payload: bytes) -> tuple[int, int, int, str]:
     """(width, height, n_frames, status) from real container headers.
 
     PNG: IHDR width/height (bytes 16..24, big-endian).  GIF: logical
-    screen width/height (bytes 6..10, little-endian), frames counted via
-    graphic-control-extension blocks (``21 f9 04`` cannot occur in UTF-8
-    body bytes — 0xf9 is not a valid UTF-8 lead/continuation pairing
-    after '!').  JPEG: marker walk to the first SOF segment, height then
-    width big-endian.  Unknown magic → ``unsupported``; truncated or
-    malformed headers → ``corrupt``.
+    screen width/height (bytes 6..10, little-endian), frames counted by a
+    structured block walk (:func:`_gif_frames` — immune to GCE-pattern
+    coincidences in header or body bytes).  JPEG: marker walk to the
+    first SOF segment (height then width big-endian), skipping 0xFF fill
+    bytes and the length-less standalone markers (TEM, RST0-7).  Unknown
+    magic → ``unsupported``; truncated or malformed headers → ``corrupt``.
     """
     if not payload:
         return 0, 0, 0, "empty"
@@ -68,19 +116,32 @@ def parse_media_header(payload: bytes) -> tuple[int, int, int, str]:
         if len(payload) >= 10:
             w = int.from_bytes(payload[6:8], "little")
             h = int.from_bytes(payload[8:10], "little")
-            return w, h, max(1, payload.count(_GIF_GCE)), "ok"
+            return w, h, _gif_frames(payload), "ok"
         return 0, 0, 0, "corrupt"
     if payload[:2] == _JPEG_SOI:
         i = 2
-        while i + 9 <= len(payload) and payload[i] == 0xFF:
+        n = len(payload)
+        while i + 1 < n and payload[i] == 0xFF:
+            while i + 1 < n and payload[i + 1] == 0xFF:
+                i += 1                       # 0xFF fill bytes before marker
             marker = payload[i + 1]
             if marker in _JPEG_SOF:
-                h = int.from_bytes(payload[i + 5 : i + 7], "big")
-                w = int.from_bytes(payload[i + 7 : i + 9], "big")
-                return w, h, 1, "ok"
-            if marker == 0xD9:  # EOI before any SOF
+                if i + 9 <= n:
+                    h = int.from_bytes(payload[i + 5 : i + 7], "big")
+                    w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                    return w, h, 1, "ok"
+                break                        # truncated SOF
+            if marker == 0xD9:               # EOI before any SOF
                 break
-            i += 2 + int.from_bytes(payload[i + 2 : i + 4], "big")
+            if marker in _JPEG_STANDALONE:   # no length field
+                i += 2
+                continue
+            if i + 4 > n:
+                break                        # truncated segment header
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if seg_len < 2:
+                break                        # malformed length
+            i += 2 + seg_len
         return 0, 0, 0, "corrupt"
     return 0, 0, 0, "unsupported"
 

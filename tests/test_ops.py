@@ -479,3 +479,40 @@ def test_knn_lsh_multiprobe_recall(ray_session, tmp_path_factory):
     assert r9 >= r1
     # multi-probe is deterministic
     assert multi.equals(knn_lsh_indexed(lsh_dir, q, k=10, n_probe=9))
+
+
+def test_media_header_edge_cases():
+    """Public-parser hardening: JPEG fill bytes / standalone markers, and
+    GIF GCE-pattern coincidences in header or body bytes (ADVICE r3)."""
+    from ocr_ray.stages.multimodal import parse_media_header, synth_media_payload
+
+    # JPEG: 0xFF fill bytes and length-less standalone markers (TEM, RST1)
+    jpeg = (b"\xff\xd8"
+            + b"\xff\xff\xff\x01"            # fill, fill, TEM (standalone)
+            + b"\xff\xd1"                     # RST1 (standalone)
+            + b"\xff\xe0\x00\x04\x00\x00"     # APP0, len 4
+            + b"\xff\xc0\x00\x11\x08" + (99).to_bytes(2, "big")
+            + (77).to_bytes(2, "big") + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+            + b"\xff\xd9")
+    assert parse_media_header(jpeg) == (77, 99, 1, "ok")
+    # malformed: a segment length < 2 must not loop or crash
+    assert parse_media_header(b"\xff\xd8\xff\xe0\x00\x01xx")[3] == "corrupt"
+
+    # GIF: w=63777 makes the header bytes contain 21 f9, and h=...04 would
+    # complete the GCE pattern under a raw byte scan; the structured walk
+    # counts only real GCE blocks
+    gif = synth_media_payload(1, 63777, 260, 2, b"body")
+    assert parse_media_header(gif) == (63777, 260, 2, "ok")
+
+    # GIF: a NON-UTF-8 body where the literal GCE pattern appears but is
+    # NOT valid block structure (walk stops at the 'x') must not inflate
+    # the frame count — a raw byte scan would count 4 extra
+    gif2 = synth_media_payload(1, 10, 10, 3,
+                               b"x" + b"\x21\xf9\x04\x00\x00\x00\x00\x00" * 4)
+    assert parse_media_header(gif2)[2] == 3
+
+    # GIF with a global color table before the GCE blocks parses too
+    hdr = b"GIF89a" + (5).to_bytes(2, "little") + (6).to_bytes(2, "little")
+    gct = bytes([0x80]) + b"\x00\x00" + b"\x00" * (3 * 2)  # packed: GCT, 2 entries
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    assert parse_media_header(hdr + gct + gce * 2 + b"\x3b") == (5, 6, 2, "ok")

@@ -285,3 +285,49 @@ def test_urlhash_streamed_merge_equals_in_memory(ray_session, tmp_path_factory):
     assert sa == sb                       # manifests aggregate identically
     ta, tb = _read_out(a), _read_out(b)
     assert ta.equals(tb)                  # same rows, same order
+
+
+def test_urlhash_corrupt_chunk_reports_failed_partition_and_resumes(
+        ray_session, tmp_path_factory):
+    """Phase-2 failure surface: a partition whose chunk merge fails is
+    reported as failed_partitions, gets no manifest, and _chunks/ is kept
+    so the repaired resume re-merges WITHOUT redoing phase 1 — and the
+    final output is byte-identical to a clean run."""
+    from ocr_ray.pipelines.extract import run_extraction_urlhash
+    from ocr_ray.sources.synth import materialize_pages_parquet
+    from ocr_ray.state.manifest import completed_parts
+
+    src = materialize_pages_parquet(
+        "/root/testdata/sf0.001", "/tmp/pages_uh_t", rows_per_file=128)
+    out = str(tmp_path_factory.mktemp("uh_chunk_out"))
+
+    # pre-seed a corrupt chunk in partition 3: phase 1 writes its real
+    # chunks alongside, phase 2's merge of part 3 then fails on it
+    pdir = os.path.join(out, "_chunks", "part=00003")
+    os.makedirs(pdir)
+    with open(os.path.join(pdir, "shard-99999.parquet"), "wb") as fh:
+        fh.write(b"garbage, not parquet")
+
+    summary = run_extraction_urlhash(src, out, resume=True)
+    assert summary.get("failed_partitions") == [3]
+    assert "failed_shards" not in summary
+    done = completed_parts(out)
+    assert 3 not in done and len(done) == 15      # only part 3 failed
+    assert os.path.isdir(os.path.join(out, "_chunks"))  # kept: no phase-1 redo
+
+    # phase-1 markers must all exist — the resume below re-merges only
+    markers = [f for f in os.listdir(os.path.join(out, "_chunks"))
+               if f.startswith("_shard-") and f.endswith(".done")]
+    n_shards = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert len(markers) == n_shards
+
+    os.remove(os.path.join(pdir, "shard-99999.parquet"))   # repair
+    summary2 = run_extraction_urlhash(src, out, resume=True)
+    assert "failed_partitions" not in summary2
+    assert "failed_shards" not in summary2
+    assert completed_parts(out) == set(range(16))
+    assert not os.path.isdir(os.path.join(out, "_chunks"))
+
+    clean = str(tmp_path_factory.mktemp("uh_chunk_clean"))
+    run_extraction_urlhash(src, clean, resume=False)
+    assert _read_out(out).equals(_read_out(clean))
