@@ -344,12 +344,6 @@ def _schema_safe(ds):
     return pa.table({n: pa.array([], t) for n, t in zip(sch.names, sch.types)})
 
 
-def _q_customers_without_orders(sf_dir: str):
-    from ocr_ray.pipelines import relational as rel
-
-    return _schema_safe(rel.customers_without_orders(sf_dir))
-
-
 def _pairs_df(ds):
     """Small pair Dataset → DataFrame, schema-safe: zero-row results keep
     their (id_a, id_b, sim) columns (this Ray version's Dataset.to_pandas
@@ -499,6 +493,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ocr_ray.pipelines import relational as rel
     from ocr_ray.pipelines import windows as win
 
+    # every entry is wrapped in _schema_safe: a query whose result is
+    # legitimately empty at some scale must still deliver its schema
+    # (Dataset.to_pandas drops columns when every block is zero-row)
+    qs = _raw_queries(rel, win)
+    return {name: (lambda fn=fn: lambda sf_dir: _schema_safe(fn(sf_dir)))()
+            for name, fn in qs.items()}
+
+
+def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
     return {
         # gates / classify / normalize (documents)
         "lang_gate_counts": rel.lang_gate_counts,
@@ -527,7 +530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_month": rel.orders_by_month,
         "parts_by_brand": rel.parts_by_brand,
         "customers_with_orders": rel.customers_with_orders,
-        "customers_without_orders": _q_customers_without_orders,
+        "customers_without_orders": rel.customers_without_orders,
         "revenue_by_orderpriority": rel.revenue_by_orderpriority,
         "hash_join_revenue": rel.hash_join_revenue,
         "field_extraction": rel.field_extraction,
