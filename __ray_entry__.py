@@ -316,6 +316,45 @@ def _q_media_features(sf_dir: str):
     return media_features(ds)
 
 
+_BOILER_LINES = (
+    "subscribe to our newsletter for updates",
+    "all rights reserved copyright notice",
+    "click here to accept cookies",
+    "share this page on social media",
+    "terms of service and privacy policy",
+)
+
+
+def _q_line_dedup(sf_dir: str):
+    """CCNet/C4-style boilerplate line removal over a derived MULTI-LINE
+    corpus (the natural documents are single-line): each doc becomes
+    three lines — its own text (unique → kept), a boilerplate footer
+    _BOILER_LINES[doc_id % 5] (~N/5 docs each → removed), and the text
+    prefix text[:doc_id % 30] (short prefixes collide across docs and
+    get removed, long ones survive — a real frequency gradient).  The
+    SQL oracle rebuilds the same lines and recomputes the >= min_docs
+    distinct-doc frequency rule."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.pipelines.dedup import boilerplate_line_removal
+
+    def derive(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        txts = t["text"].to_pylist()
+        ml = [
+            f"{x or ''}\n{_BOILER_LINES[d % 5]}\n{(x or '')[: d % 30]}"
+            for d, x in zip(ids, txts)
+        ]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(ml, pa.string())})
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"]).map_batches(
+        derive, batch_format="pyarrow")
+    return boilerplate_line_removal(ds, min_docs=5)
+
+
 def _q_embedding_near_dup(sf_dir: str):
     import ray.data as rd
 
@@ -571,6 +610,11 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "heading_windows": _q_heading_windows,
         "declarations_head": _q_declarations_head,
         "media_features": _q_media_features,
+        # LLM-pipeline additions (round 4)
+        "line_dedup": _q_line_dedup,
+        "top_terms": rel.top_terms,
+        "doc_length_quantiles": rel.doc_length_quantiles,
+        "hopping_hour_counts": win.hopping_hour_counts,
     }
 
 
@@ -1044,6 +1088,68 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e, q
             ORDER BY sim DESC, e.vec_id
             LIMIT 10
+        """,
+        # --- LLM-pipeline additions (round 4) ---
+        "line_dedup": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     coalesce(text,'') || chr(10) ||
+                     (['{_BOILER_LINES[0]}','{_BOILER_LINES[1]}',
+                       '{_BOILER_LINES[2]}','{_BOILER_LINES[3]}',
+                       '{_BOILER_LINES[4]}'])[(doc_id % 5) + 1] || chr(10) ||
+                     substr(coalesce(text,''), 1, doc_id % 30) AS t
+              FROM documents
+            ), l AS (
+              SELECT doc_id, string_split(t, chr(10)) AS ls FROM d
+            ), lines AS (
+              SELECT DISTINCT doc_id, unnest(ls) AS line FROM l
+            ), freq AS (
+              SELECT line FROM (
+                SELECT line, count(*) AS c FROM lines GROUP BY line
+              ) WHERE c >= 5
+            ), fl AS (
+              SELECT coalesce((SELECT list(line) FROM freq), []) AS fl
+            )
+            SELECT l.doc_id,
+                   array_to_string(
+                     list_filter(l.ls, x -> NOT list_contains(fl.fl, x)),
+                     chr(10)) AS kept_text,
+                   CAST(len(l.ls) AS BIGINT) AS n_lines,
+                   CAST(len(l.ls) - len(list_filter(
+                     l.ls, x -> NOT list_contains(fl.fl, x))) AS BIGINT) AS n_removed
+            FROM l, fl
+        """,
+        "top_terms": r"""
+            WITH toks AS (
+              SELECT unnest(regexp_split_to_array(
+                       lower(coalesce(text,'')), '\s+')) AS token
+              FROM documents
+            ), counted AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS n
+              FROM toks WHERE token <> '' GROUP BY token
+            )
+            SELECT token, n FROM counted ORDER BY n DESC, token LIMIT 20
+        """,
+        "doc_length_quantiles": """
+            WITH l AS MATERIALIZED (
+              SELECT quantile_disc(n_chars, [0.25, 0.5, 0.75, 0.9, 0.99]) AS vs
+              FROM documents
+            )
+            SELECT CAST(qv.q AS DOUBLE) AS q, CAST(l.vs[qv.i] AS BIGINT) AS value
+            FROM l, (VALUES (1, 0.25), (2, 0.5), (3, 0.75),
+                            (4, 0.9), (5, 0.99)) qv(i, q)
+        """,
+        "hopping_hour_counts": """
+            WITH w AS (
+              SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start
+              FROM events
+              UNION ALL
+              SELECT time_bucket(INTERVAL '30 minutes', ts)
+                     - INTERVAL '30 minutes'
+              FROM events
+            )
+            SELECT window_start, CAST(count(*) AS BIGINT) AS n
+            FROM w GROUP BY window_start
         """,
         # Every queries() entry above has an oracle_sql twin — the
         # rows-only set is empty as of round 2 (minhash/winnow/knn_lsh/

@@ -583,3 +583,90 @@ def winnow_near_dup(ds, text_col: str = "text", key_col: str = "doc_id",
         .groupby("pbucket")
         .map_groups(sum_filter, batch_format="pandas")
     )
+
+
+def line_hash64(line: str) -> int:
+    """md5-lower-64 of a line (same convention as shingle_hashes)."""
+    return int.from_bytes(hashlib.md5(line.encode("utf-8")).digest()[8:16], "little")
+
+
+def boilerplate_line_removal(ds, text_col: str = "text", key_col: str = "doc_id",
+                             min_docs: int | None = None,
+                             cfg: PipelineConfig = DEFAULT_CONFIG):
+    """CCNet/C4-style repeated-line (boilerplate) removal: a line that
+    occurs in >= ``min_docs`` DISTINCT documents is stripped from every
+    document.  Returns (key, kept_text, n_lines, n_removed) per doc.
+
+    Two passes over the corpus:
+
+      1. frequency: per-batch Counter over each doc's DISTINCT line
+         hashes (partial pre-aggregation — the shuffle carries
+         (line_hash, partial_doc_count), never line text), coarse-bucket
+         groupby + vectorized pandas sum, filter >= min_docs inside the
+         bucket;
+      2. strip: the frequent-hash set is broadcast once via ray.put and
+         each batch filters its lines locally (order-preserving).
+
+    Scale assumption (the CCNet trade): the BOILERPLATE set (lines
+    repeated across >= min_docs docs) fits in worker memory — it is
+    bounded by corpus_lines/min_docs and in practice by the boilerplate
+    vocabulary, orders of magnitude smaller than the corpus.  If it ever
+    doesn't, replace the broadcast with a co-partitioned join on
+    line_hash + a positional reassembly groupby (same two shuffles the
+    near-dup verify path uses).
+    """
+    import collections
+
+    import ray
+
+    if min_docs is None:
+        min_docs = DEFAULT_CONFIG.line_dedup_min_docs
+    n_buckets = cfg.near_dup_coarse_buckets
+
+    def line_partials(t: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        for txt in t[text_col].to_pylist():
+            for ln in set((txt or "").split("\n")):
+                c[line_hash64(ln)] += 1
+        hs = list(c.keys())
+        return pa.table({
+            "lh": pa.array(hs, pa.uint64()),
+            "c": pa.array([c[h] for h in hs], pa.int64()),
+            "bucket": pa.array([h % n_buckets for h in hs], pa.int32()),
+        })
+
+    def sum_filter(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("lh", as_index=False)["c"].sum()
+        return s[s["c"] >= min_docs][["lh"]]
+
+    freq_blocks = ray.get(
+        ds.map_batches(line_partials, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sum_filter, batch_format="pandas")
+        .to_arrow_refs()
+    )
+    frequent = frozenset(
+        int(v)
+        for b in freq_blocks if b.num_columns and b.num_rows
+        for v in b["lh"].to_pylist()
+    )
+    fs_ref = ray.put(frequent)
+
+    def strip(t: pa.Table) -> pa.Table:
+        fs = ray.get(fs_ref)
+        keys = t[key_col].to_pylist()
+        kept_texts, n_lines, n_removed = [], [], []
+        for txt in t[text_col].to_pylist():
+            lines = (txt or "").split("\n")
+            kept = [ln for ln in lines if line_hash64(ln) not in fs]
+            kept_texts.append("\n".join(kept))
+            n_lines.append(len(lines))
+            n_removed.append(len(lines) - len(kept))
+        return pa.table({
+            key_col: pa.array(keys, pa.int64()),
+            "kept_text": pa.array(kept_texts, pa.string()),
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_removed": pa.array(n_removed, pa.int64()),
+        })
+
+    return ds.map_batches(strip, batch_format="pyarrow")

@@ -759,3 +759,102 @@ def hash_sample(sf_dir: str, pct: int = 10):
     return _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).map_batches(
         f, batch_format="pyarrow"
     )
+
+
+def top_terms(sf_dir: str, k: int = 20):
+    """Global top-k tokens (heavy hitters) over the document corpus.
+
+    Two-level EXACT reduce with the coarse-bucket discipline:
+
+      map_batches: one collections.Counter pass per batch (partial
+        pre-aggregation — the shuffle carries (token, count) partials,
+        never token instances) with bucket = crc32(token) % 64;
+      groupby(bucket): vectorized pandas sum per token + per-bucket
+        top-k.  A token lives entirely in ONE bucket, so the global
+        top-k is a subset of the union of per-bucket top-ks;
+      repartition(1): final top-k over <= 64*k candidate rows — the
+        driver receives exactly k rows.
+
+    Ordering: count desc, token asc (deterministic, mirrored in SQL).
+    Tokenization is lower().split() — whitespace runs, no empties.
+    """
+    import collections
+    import zlib
+
+    n_buckets = DEFAULT_CONFIG.near_dup_coarse_buckets
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        for txt in t["text"].to_pylist():
+            c.update((txt or "").lower().split())
+        toks = list(c.keys())
+        return pa.table({
+            "token": pa.array(toks, pa.string()),
+            "n": pa.array([c[tk] for tk in toks], pa.int64()),
+            "bucket": pa.array(
+                [zlib.crc32(tk.encode()) % n_buckets for tk in toks], pa.int32()),
+        })
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("token", as_index=False)["n"].sum()
+        s["n"] = s["n"].astype("int64")
+        return s.sort_values(["n", "token"], ascending=[False, True]).head(k)
+
+    def final(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("n", "descending"), ("token", "ascending")])[:k]
+        return t.take(idx).select(["token", "n"])
+
+    return (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+_QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def doc_length_quantiles(sf_dir: str):
+    """EXACT doc-length quantiles via a distributed value-count reduce.
+
+    Row counts compress to DISTINCT-VALUE counts inside map_batches (doc
+    lengths are a small bounded domain, so the partials are tiny no
+    matter the corpus size); one repartition(1) task merges the count
+    maps and walks the cumulative histogram.  quantile_disc semantics
+    pinned to DuckDB: value = sorted[ceil(q*n)] (1-based).  For an
+    unbounded value domain swap the exact map for fixed histogram
+    buckets — same topology.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pa.table({"v": t["n_chars"]}).to_pandas()
+        g = df.groupby("v", as_index=False).size().rename(columns={"size": "c"})
+        g["c"] = g["c"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby("v", as_index=False)["c"].sum().sort_values("v")
+        total = int(df["c"].sum())
+        cum = df["c"].cumsum().to_numpy()
+        vals = df["v"].to_numpy()
+        import math
+
+        out_v = []
+        for q in _QUANTILES:
+            rank = max(1, math.ceil(q * total))          # 1-based target rank
+            out_v.append(int(vals[int(np.searchsorted(cum, rank))]))
+        return pa.table({
+            "q": pa.array(list(_QUANTILES), pa.float64()),
+            "value": pa.array(out_v, pa.int64()),
+        })
+
+    return (
+        _read(sf_dir, "documents", ["n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

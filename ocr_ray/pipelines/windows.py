@@ -181,3 +181,51 @@ def asof_purchase_click(sf_dir: str):
         .groupby("ubucket")
         .map_groups(bucket_asof, batch_format="pandas")
     )
+
+
+def hopping_hour_counts(sf_dir: str):
+    """HOPPING (sliding) windows: size 1 h, hop 30 min — every event
+    belongs to exactly two windows, [floor30(ts)] and [floor30(ts)-30m].
+
+    The 1→2 window explosion happens INSIDE map_batches (vectorized
+    floor_temporal + concat, never per-row), counts are pre-combined per
+    batch before the window_start groupby, exactly like
+    :func:`tumbling_hour_counts`.  Window-key cardinality is time-span /
+    hop (small), so the hash aggregate is safe at any corpus size.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        w1 = pc.floor_temporal(t["ts"], multiple=30, unit="minute")
+        w0 = pc.subtract(
+            w1.cast(pa.int64()), pa.scalar(30 * 60 * 1_000_000, pa.int64())
+        ).cast(pa.timestamp("us"))
+        if isinstance(w1, pa.ChunkedArray):
+            w1 = w1.combine_chunks()
+        if isinstance(w0, pa.ChunkedArray):
+            w0 = w0.combine_chunks()
+        df = pa.table(
+            {"window_start": pa.concat_arrays([w1.cast(pa.timestamp("us")), w0])}
+        ).to_pandas()
+        g = df.groupby("window_start", as_index=False).size()
+        g = g.rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        out = pa.Table.from_pandas(g, preserve_index=False)
+        i = out.column_names.index("window_start")
+        return out.set_column(
+            i, "window_start", out["window_start"].cast(pa.timestamp("us"))
+        )
+
+    from ray.data.aggregate import Sum
+
+    def fix_ts(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("window_start")
+        return t.set_column(
+            i, "window_start", t["window_start"].cast(pa.timestamp("us")))
+
+    return (
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(fix_ts, batch_format="pyarrow")
+    )

@@ -2,7 +2,7 @@
 entry at a given sf via Ray, run the matching oracle_sql() in DuckDB over
 the same parquet views, and compare row count, schema and sorted values.
 
-Usage: python scripts/check_correctness.py [sf_dir]
+Usage: python scripts/check_correctness.py [sf_dir] [only_query1,query2,...]
 """
 
 from __future__ import annotations
@@ -58,6 +58,12 @@ def main() -> None:
 
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()
+    if len(sys.argv) > 2:
+        only = set(sys.argv[2].split(","))
+        unknown = only - set(qs)
+        if unknown:
+            sys.exit(f"unknown query names: {sorted(unknown)}")
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = []
     t_start = time.monotonic()
     for name, fn in qs.items():
