@@ -516,3 +516,83 @@ def test_media_header_edge_cases():
     gct = bytes([0x80]) + b"\x00\x00" + b"\x00" * (3 * 2)  # packed: GCT, 2 entries
     gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
     assert parse_media_header(hdr + gct + gce * 2 + b"\x3b") == (5, 6, 2, "ok")
+
+
+def test_boilerplate_line_removal(ray_session):
+    import ray.data as rd
+
+    from ocr_ray.pipelines.dedup import boilerplate_line_removal
+
+    # 8 docs share the footer line; each doc has one unique line.
+    docs = pa.table({
+        "doc_id": pa.array(list(range(8)), pa.int64()),
+        "text": pa.array(
+            [f"unique line {i}\ncopyright footer 2026" for i in range(8)],
+            pa.string()),
+    })
+    out = (
+        boilerplate_line_removal(rd.from_arrow(docs), min_docs=5)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["kept_text"].tolist() == [f"unique line {i}" for i in range(8)]
+    assert (out["n_lines"] == 2).all() and (out["n_removed"] == 1).all()
+
+    # below the frequency threshold nothing is removed
+    out2 = (
+        boilerplate_line_removal(rd.from_arrow(docs), min_docs=9)
+        .to_pandas()
+    )
+    assert (out2["n_removed"] == 0).all()
+
+
+def test_top_terms_matches_local_count(ray_session):
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import top_terms
+
+    sf = "/root/testdata/sf0.001"
+    got = top_terms(sf, k=10).to_pandas()
+    c = collections.Counter()
+    for txt in pq.read_table(f"{sf}/documents.parquet", columns=["text"])[
+        "text"
+    ].to_pylist():
+        c.update((txt or "").lower().split())
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got["token"], got["n"])) == want
+
+
+def test_doc_length_quantiles_semantics(ray_session):
+    import math
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import doc_length_quantiles
+
+    sf = "/root/testdata/sf0.001"
+    got = doc_length_quantiles(sf).to_pandas().set_index("q")["value"]
+    vals = sorted(
+        pq.read_table(f"{sf}/documents.parquet", columns=["n_chars"])[
+            "n_chars"
+        ].to_pylist()
+    )
+    for q in (0.25, 0.5, 0.75, 0.9, 0.99):
+        # quantile_disc: 1-based rank ceil(q*n)
+        assert got[q] == vals[max(1, math.ceil(q * len(vals))) - 1]
+
+
+def test_hopping_windows_double_count(ray_session):
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.windows import hopping_hour_counts
+
+    sf = "/root/testdata/sf0.001"
+    got = hopping_hour_counts(sf).to_pandas()
+    n_events = pq.read_metadata(f"{sf}/events.parquet").num_rows
+    # size 1h / hop 30min: every event lands in exactly two windows
+    assert int(got["n"].sum()) == 2 * n_events
+    assert str(got["window_start"].dtype).startswith("datetime64")
+    # window starts align to the 30-minute grid
+    assert (got["window_start"].dt.minute % 30 == 0).all()
+    assert (got["window_start"].dt.second == 0).all()
