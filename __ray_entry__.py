@@ -122,6 +122,17 @@ def _q_winnow_near_dup(sf_dir: str):
     return winnow_near_dup(ds)
 
 
+def _q_ngram_jaccard(sf_dir: str):
+    """Exact n-gram Jaccard near-dup pairs (deterministic minhash sibling)."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.dedup import ngram_jaccard_near_dup
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return ngram_jaccard_near_dup(ds)
+
+
 def _q_exact_dedup(sf_dir: str):
     import ray.data as rd
 
@@ -585,6 +596,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "simhash_table": _q_simhash,
         "simhash_near_dup": _q_simhash_near_dup,
         "winnow_near_dup": _q_winnow_near_dup,
+        "ngram_jaccard_near_dup": _q_ngram_jaccard,
         # similarity search
         "knn_cosine": _q_knn_cosine,
         "knn_lsh": _q_knn_lsh,
@@ -667,6 +679,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup": _do.simhash_near_dup_sql(),
         "minhash_near_dup": _do.minhash_near_dup_sql(),
         "winnow_near_dup": _do.winnow_near_dup_sql(),
+        "ngram_jaccard_near_dup": _do.ngram_jaccard_sql(),
         "knn_lsh": _do.knn_lsh_sql(),
         "knn_ivf": _do.knn_ivf_sql(),
         # the indexed variants return the SAME rows as their scan-path

@@ -107,6 +107,8 @@ class PipelineConfig:
     near_dup_coarse_buckets: int = 64   # minhash/simhash/winnow band-bucket width
     near_dup_max_bucket: int = 512      # star-pairing cap in degenerate buckets
     winnow_max_postings: int = 256      # drop fingerprints shared by more docs
+    ngram_jaccard_threshold_pct: int = 80  # exact n-gram Jaccard pair cutoff (%)
+    ngram_max_postings: int = 256       # drop shingles shared by more docs
     line_dedup_min_docs: int = 5        # a line in >= this many docs is boilerplate
     # ---- embedding near-dup / ANN layout knobs ----
     near_dup_blocks: int = 8            # embedding_near_dup block-partition count

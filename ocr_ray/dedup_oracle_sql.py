@@ -177,6 +177,55 @@ def minhash_near_dup_sql(threshold: float = 0.8, max_bucket: int = 512) -> str:
     """
 
 
+def ngram_jaccard_sql(threshold_pct: int = 80, max_postings: int = 256) -> str:
+    """Exact n-gram Jaccard pairs re-derived in SQL: the same word-3-gram
+    md5_number_lower shingles as the minhash oracle, doc-frequency capped
+    inverted-index pair counting (df BETWEEN 2 AND max_postings — the
+    engine's boilerplate-shingle drop), and the float-free integer
+    cross-multiplication threshold shared*100 >= pct*(n_a+n_b-shared)."""
+    return f"""
+        WITH mw AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                             w -> w <> '') AS ws
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, g FROM (
+            SELECT doc_id,
+              CASE WHEN len(ws) = 0 THEN []
+                   WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                   ELSE list_transform(range(1, len(ws) - 1),
+                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+              END AS gs
+            FROM mw
+          ), unnest(gs) AS t(g)
+        ),
+        shingles AS MATERIALIZED (
+          SELECT DISTINCT doc_id, md5_number_lower(g) AS h FROM grams
+        ),
+        sz AS (
+          SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+        ),
+        df AS (
+          SELECT h, count(*) AS c FROM shingles GROUP BY h
+        ),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+          FROM shingles a
+          JOIN shingles b ON a.h = b.h AND a.doc_id < b.doc_id
+          JOIN df ON df.h = a.h
+          WHERE df.c BETWEEN 2 AND {max_postings}
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT p.id_a, p.id_b, p.shared, sa.n AS n_a, sb.n AS n_b
+        FROM pairs p
+        JOIN sz sa ON sa.doc_id = p.id_a
+        JOIN sz sb ON sb.doc_id = p.id_b
+        WHERE p.shared * 100 >= {threshold_pct} * (sa.n + sb.n - p.shared)
+    """
+
+
 def winnow_near_dup_sql(k: int = 16, window: int = 4, min_shared: int = 8,
                         max_fp_docs: int = 256) -> str:
     """Winnowing fingerprint near-copy pairs re-derived in SQL: the

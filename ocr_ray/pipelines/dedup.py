@@ -585,6 +585,96 @@ def winnow_near_dup(ds, text_col: str = "text", key_col: str = "doc_id",
     )
 
 
+def ngram_jaccard_near_dup(ds, text_col: str = "text", key_col: str = "doc_id",
+                           w: int = _SHINGLE_W,
+                           threshold_pct: int | None = None,
+                           cfg: PipelineConfig = DEFAULT_CONFIG):
+    """EXACT n-gram Jaccard near-dup pairs — the deterministic sibling of
+    :func:`minhash_near_dup` (same word-w-gram md5-lower-64 shingles, no
+    signature approximation).  Returns (id_a, id_b, shared, n_a, n_b) for
+    every pair whose distinct-shingle Jaccard >= threshold_pct/100.
+
+    Key identity making this exact WITHOUT an O(N^2) all-pairs pass:
+    jaccard(A, B) = shared / (|A| + |B| - shared), so an inverted index on
+    shingle hashes (the same topology as winnow_near_dup's fingerprint
+    index) yields `shared` per candidate pair, and each posting row
+    carries its doc's distinct-shingle count so |A|, |B| ride along for
+    free.  The threshold test is integer cross-multiplication
+    (shared * 100 >= pct * union) — float-free, hash-stable vs the oracle.
+
+    Scale shape (all shuffles on short int keys, never text):
+      1. map_batches: doc → (doc_id, h, n) posting rows, bucket = h % B —
+         every posting of a hash lands in ONE bucket, so per-bucket doc
+         frequency IS global frequency;
+      2. groupby(bucket): per-hash pairing with the degenerate-shingle
+         drop (df > ngram_max_postings → boilerplate, skip — mirrored by
+         the oracle), pair counts pre-aggregated inside the bucket;
+      3. pair_bucket shuffle + per-bucket vectorized sum + the threshold
+         filter pushed inside (never a Ray groupby(pair).aggregate —
+         see winnow_near_dup's 215 s note).
+    Reference semantics: the dedup family of SURVEY §2 J2/LLM-ops; exact
+    counterpart to the verify kernel at :func:`jaccard`.
+    """
+    if threshold_pct is None:
+        threshold_pct = cfg.ngram_jaccard_threshold_pct
+    n_buckets = cfg.near_dup_coarse_buckets
+    max_postings = cfg.ngram_max_postings
+
+    def to_postings(batch: pa.Table) -> pa.Table:
+        ids_out, hs, ns = [], [], []
+        for did, txt in zip(batch[key_col].to_pylist(), batch[text_col].to_pylist()):
+            h = shingle_hashes(txt or "", w)
+            if h.size == 0:
+                continue
+            ids_out.extend([did] * h.size)
+            hs.append(h)
+            ns.extend([h.size] * h.size)
+        hcat = np.concatenate(hs) if hs else np.zeros(0, dtype=np.uint64)
+        return pa.table({
+            key_col: pa.array(ids_out, pa.int64()),
+            "h": pa.array(hcat, pa.uint64()),
+            "n": pa.array(ns, pa.int64()),
+            "bucket": pa.array(
+                (hcat % np.uint64(n_buckets)).astype(np.int32), pa.int32()),
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a, b, na, nb = [], [], [], []
+        for _, grp in g.groupby("h", sort=True):
+            rows = sorted(zip(grp[key_col].tolist(), grp["n"].tolist()))
+            if len(rows) < 2 or len(rows) > max_postings:
+                continue
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    a.append(rows[i][0]); b.append(rows[j][0])
+                    na.append(rows[i][1]); nb.append(rows[j][1])
+        part = pd.DataFrame({"id_a": np.array(a, dtype=np.int64),
+                             "id_b": np.array(b, dtype=np.int64),
+                             "n_a": np.array(na, dtype=np.int64),
+                             "n_b": np.array(nb, dtype=np.int64)})
+        if len(part) == 0:
+            return part.assign(shared=np.array([], dtype=np.int64))
+        out = part.groupby(["id_a", "id_b", "n_a", "n_b"], as_index=False).size()
+        return out.rename(columns={"size": "shared"})
+
+    def sum_filter(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["id_a", "id_b", "n_a", "n_b"], as_index=False)["shared"].sum()
+        out["shared"] = out["shared"].astype(np.int64)
+        union = out["n_a"] + out["n_b"] - out["shared"]
+        out = out[out["shared"] * 100 >= threshold_pct * union]
+        return out[["id_a", "id_b", "shared", "n_a", "n_b"]]
+
+    return (
+        ds.map_batches(to_postings, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(lambda t: pair_bucket(t, cfg.pair_dedup_buckets),
+                     batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(sum_filter, batch_format="pandas")
+    )
+
+
 def line_hash64(line: str) -> int:
     """md5-lower-64 of a line (same convention as shingle_hashes)."""
     return int.from_bytes(hashlib.md5(line.encode("utf-8")).digest()[8:16], "little")

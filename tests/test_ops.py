@@ -207,6 +207,34 @@ def test_winnow_near_dup_pairs(ray_session):
     assert all(p == (1, 2) for p in pairs)
 
 
+def test_ngram_jaccard_near_dup(ray_session):
+    """Exact-Jaccard pairs: identical docs hit jaccard=1, a near-identical
+    pair passes the 80% cutoff with exact shared/size accounting, and
+    unrelated docs never pair."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.pipelines.dedup import ngram_jaccard_near_dup, shingle_hashes
+
+    base = ("the quick brown fox jumps over the lazy dog near the river bank "
+            "today while the sun sets slowly behind the distant hills")
+    near = base + " tonight"          # one extra word → one extra shingle
+    t = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [base, near, base,
+                 "unrelated words entirely different from everything else here"],
+    })
+    out = ngram_jaccard_near_dup(rd.from_arrow(t)).to_pandas()
+    got = {(a, b): (s, na, nb) for a, b, s, na, nb in
+           zip(out["id_a"], out["id_b"], out["shared"], out["n_a"], out["n_b"])}
+    n_base = len(shingle_hashes(base))
+    assert got[(1, 3)] == (n_base, n_base, n_base)        # exact dup: J = 1
+    assert (1, 2) in got and (2, 3) in got                # near dup passes 0.8
+    s, na, nb = got[(1, 2)]
+    assert s == n_base and nb == n_base + 1               # exact accounting
+    assert all(4 not in p for p in got)                   # unrelated never pairs
+
+
 def test_connected_components_distributed(ray_session):
     """Chain, star and singleton-pair graphs all label every member with
     the component minimum (keep-first), computed without any driver-side
