@@ -127,8 +127,8 @@ def main() -> None:
         q = entrymod.queries()
         for name in ("q1_pricing_summary", "dedup_first_event", "event_counts",
                      "exact_dedup", "minhash_near_dup", "simhash_near_dup",
-                     "winnow_near_dup", "knn_cosine", "gate_verdicts",
-                     "token_counts"):
+                     "winnow_near_dup", "ngram_jaccard_near_dup", "line_dedup",
+                     "knn_cosine", "gate_verdicts", "token_counts"):
             t0 = time.monotonic()
             res = q[name](SF_DIR)
             if hasattr(res, "to_pandas"):
