@@ -336,34 +336,70 @@ _BOILER_LINES = (
 )
 
 
-def _q_line_dedup(sf_dir: str):
-    """CCNet/C4-style boilerplate line removal over a derived MULTI-LINE
-    corpus (the natural documents are single-line): each doc becomes
-    three lines — its own text (unique → kept), a boilerplate footer
-    _BOILER_LINES[doc_id % 5] (~N/5 docs each → removed), and the text
-    prefix text[:doc_id % 30] (short prefixes collide across docs and
-    get removed, long ones survive — a real frequency gradient).  The
-    SQL oracle rebuilds the same lines and recomputes the >= min_docs
-    distinct-doc frequency rule."""
+def _derive_multiline(t):
+    """Derived MULTI-LINE corpus (the natural documents are single-line):
+    each doc becomes three lines — its own text (unique), a boilerplate
+    footer _BOILER_LINES[doc_id % 5] (~N/5 docs each), and the text
+    prefix text[:doc_id % 30] (short prefixes collide across docs, long
+    ones don't — a real frequency gradient).  Shared by line_dedup and
+    repetition_stats; their SQL oracles rebuild the same lines."""
     import pyarrow as pa
+
+    ids = t["doc_id"].to_pylist()
+    txts = t["text"].to_pylist()
+    ml = [
+        f"{x or ''}\n{_BOILER_LINES[d % 5]}\n{(x or '')[: d % 30]}"
+        for d, x in zip(ids, txts)
+    ]
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(ml, pa.string())})
+
+
+def _multiline_docs(sf_dir: str):
     import ray.data as rd
 
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"]).map_batches(
+        _derive_multiline, batch_format="pyarrow")
+
+
+def _q_line_dedup(sf_dir: str):
+    """CCNet/C4-style boilerplate line removal over the derived multi-line
+    corpus; the SQL oracle rebuilds the same lines and recomputes the
+    >= min_docs distinct-doc frequency rule."""
     from ocr_ray.pipelines.dedup import boilerplate_line_removal
 
-    def derive(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_pylist()
-        txts = t["text"].to_pylist()
-        ml = [
-            f"{x or ''}\n{_BOILER_LINES[d % 5]}\n{(x or '')[: d % 30]}"
-            for d, x in zip(ids, txts)
-        ]
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "text": pa.array(ml, pa.string())})
+    return boilerplate_line_removal(_multiline_docs(sf_dir), min_docs=5)
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text"]).map_batches(
-        derive, batch_format="pyarrow")
-    return boilerplate_line_removal(ds, min_docs=5)
+
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition signals over the derived multi-line corpus
+    (so the line-level duplicate counts are non-trivial)."""
+    from ocr_ray.pipelines.relational import repetition_stats
+
+    return repetition_stats(_multiline_docs(sf_dir))
+
+
+def _q_contamination(sf_dir: str):
+    """Benchmark decontamination screen: the held-out eval set is every
+    doc with doc_id % 50 == 0 (deterministic, benchmark-sized); every
+    OTHER doc is flagged iff it shares a word-3-gram shingle with the
+    eval set.  The synthetic corpus's small shared vocabulary makes real
+    overlap: some docs repeat eval 3-grams, most don't."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ocr_ray.pipelines.dedup import benchmark_contamination
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    is_eval = lambda t: pc.equal(  # noqa: E731
+        pc.subtract(t["doc_id"], pc.multiply(pc.divide(t["doc_id"], 50), 50)), 0)
+    bench = docs.map_batches(
+        lambda t: t.filter(is_eval(t)), batch_format="pyarrow")
+    corpus = docs.map_batches(
+        lambda t: t.filter(pc.invert(is_eval(t))), batch_format="pyarrow")
+    return benchmark_contamination(corpus, bench)
 
 
 def _q_embedding_near_dup(sf_dir: str):
@@ -627,6 +663,9 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "top_terms": rel.top_terms,
         "doc_length_quantiles": rel.doc_length_quantiles,
         "hopping_hour_counts": win.hopping_hour_counts,
+        "domain_cap": rel.domain_cap,
+        "repetition_stats": _q_repetition_stats,
+        "contamination_check": _q_contamination,
     }
 
 
@@ -1163,6 +1202,93 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT window_start, CAST(count(*) AS BIGINT) AS n
             FROM w GROUP BY window_start
+        """,
+        "domain_cap": """
+            SELECT doc_id, source, lang, n_chars FROM (
+              SELECT doc_id, source, lang, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY doc_id) AS rn
+              FROM documents
+            ) WHERE rn <= 10
+        """,
+        "repetition_stats": rf"""
+            WITH d AS (
+              SELECT doc_id,
+                     coalesce(text,'') || chr(10) ||
+                     (['{_BOILER_LINES[0]}','{_BOILER_LINES[1]}',
+                       '{_BOILER_LINES[2]}','{_BOILER_LINES[3]}',
+                       '{_BOILER_LINES[4]}'])[(doc_id % 5) + 1] || chr(10) ||
+                     substr(coalesce(text,''), 1, doc_id % 30) AS t
+              FROM documents
+            ), l AS (
+              SELECT doc_id, string_split(t, chr(10)) AS ls FROM d
+            ), lagg AS (
+              SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+                     CAST(len(list_distinct(ls)) AS BIGINT) AS n_distinct_lines
+              FROM l
+            ), words AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(t), '\s+'),
+                                        w -> w <> '')) AS word
+              FROM d
+            ), wc AS (
+              SELECT doc_id, word, count(*) AS c FROM words GROUP BY 1, 2
+            ), wagg AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                     CAST(count(*) AS BIGINT) AS n_distinct_words,
+                     CAST(max(c) AS BIGINT) AS top_word_n
+              FROM wc GROUP BY doc_id
+            )
+            SELECT lagg.doc_id, lagg.n_lines, lagg.n_distinct_lines,
+                   CAST(coalesce(w.n_words, 0) AS BIGINT) AS n_words,
+                   CAST(coalesce(w.n_distinct_words, 0) AS BIGINT)
+                     AS n_distinct_words,
+                   CAST(coalesce(w.top_word_n, 0) AS BIGINT) AS top_word_n,
+                   CAST(CASE WHEN coalesce(w.n_words, 0) > 0
+                             AND coalesce(w.top_word_n, 0) * 5
+                                 >= coalesce(w.n_words, 0)
+                        THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+            FROM lagg LEFT JOIN wagg w ON w.doc_id = lagg.doc_id
+        """,
+        "contamination_check": r"""
+            WITH mw AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                    '\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, g FROM (
+                SELECT doc_id,
+                  CASE WHEN len(ws) = 0 THEN []
+                       WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                       ELSE list_transform(range(1, len(ws) - 1),
+                              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                  END AS gs
+                FROM mw
+              ), unnest(gs) AS t(g)
+            ),
+            sh AS MATERIALIZED (
+              SELECT DISTINCT doc_id, md5_number_lower(g) AS h FROM grams
+            ),
+            bench AS MATERIALIZED (
+              SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0
+            ),
+            sz AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+              FROM sh WHERE doc_id % 50 <> 0 GROUP BY doc_id
+            ),
+            hits AS (
+              SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+              FROM sh s JOIN bench b ON s.h = b.h
+              WHERE s.doc_id % 50 <> 0 GROUP BY s.doc_id
+            )
+            SELECT sz.doc_id, sz.n_shingles,
+                   CAST(coalesce(hits.n_shared, 0) AS BIGINT) AS n_shared,
+                   CAST(CASE WHEN coalesce(hits.n_shared, 0) > 0
+                        THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+            FROM sz LEFT JOIN hits ON hits.doc_id = sz.doc_id
         """,
         # Every queries() entry above has an oracle_sql twin — the
         # rows-only set is empty as of round 2 (minhash/winnow/knn_lsh/

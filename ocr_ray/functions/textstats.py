@@ -93,6 +93,57 @@ def langid_column(text: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
     return result
 
 
+def repetition_columns(text: pa.ChunkedArray | pa.Array) -> dict:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1
+    repetition filters, public method): line- and word-level duplicate
+    counts plus a dominant-token flag.
+
+    Columns (all int64 — integer-only so the SQL oracle hashes exactly):
+      n_lines / n_distinct_lines      split on '\\n' (empties kept: an
+                                      empty segment is a line);
+      n_words / n_distinct_words      lower().split() whitespace tokens;
+      top_word_n                      occurrences of the most frequent word;
+      repetitive                      1 iff top_word_n*5 >= n_words > 0
+                                      (dominant token >= 20% of the doc).
+
+    Per-row Counter work is the tokenize cost itself (no vectorized
+    kernel computes per-doc distinct counts); everything else stays in
+    Arrow.  Embarrassingly parallel — no shuffle at any scale.
+    """
+    import collections
+
+    vals = text.to_pylist()
+    n_l, n_dl, n_w, n_dw, top_n = [], [], [], [], []
+    for v in vals:
+        s = v or ""
+        lines = s.split("\n")
+        n_l.append(len(lines))
+        n_dl.append(len(set(lines)))
+        words = s.lower().split()
+        n_w.append(len(words))
+        if words:
+            c = collections.Counter(words)
+            n_dw.append(len(c))
+            top_n.append(max(c.values()))
+        else:
+            n_dw.append(0)
+            top_n.append(0)
+    n_words = pa.array(n_w, pa.int64())
+    top_word_n = pa.array(top_n, pa.int64())
+    repetitive = pc.cast(
+        pc.and_(pc.greater(n_words, 0),
+                pc.greater_equal(pc.multiply(top_word_n, 5), n_words)),
+        pa.int64())
+    return {
+        "n_lines": pa.array(n_l, pa.int64()),
+        "n_distinct_lines": pa.array(n_dl, pa.int64()),
+        "n_words": n_words,
+        "n_distinct_words": pa.array(n_dw, pa.int64()),
+        "top_word_n": top_word_n,
+        "repetitive": repetitive,
+    }
+
+
 def md5_fingerprint(text: pa.ChunkedArray | pa.Array) -> pa.Array:
     """Hex MD5 per row — DuckDB ``md5(text)``-compatible content hash used
     for exact dedup (J2 keep-first semantics at corpus scale)."""

@@ -760,3 +760,59 @@ def boilerplate_line_removal(ds, text_col: str = "text", key_col: str = "doc_id"
         })
 
     return ds.map_batches(strip, batch_format="pyarrow")
+
+
+def benchmark_contamination(ds, bench_ds, text_col: str = "text",
+                            key_col: str = "doc_id", w: int = _SHINGLE_W):
+    """Benchmark-contamination check (training-data hygiene): flag every
+    corpus doc sharing at least one word w-gram shingle with a held-out
+    evaluation set.  Returns (key, n_shingles, n_shared, contaminated 0/1)
+    per corpus doc — the standard decontamination screen (e.g. GPT-3
+    appendix C / PaLM §C public method: n-gram overlap with eval data).
+
+    Scale shape: the EVAL side is benchmark-sized (MBs — orders of
+    magnitude smaller than the corpus), so its distinct shingle-hash set
+    is reduced distributed (per-batch np.unique partials), unioned once
+    on the driver, and broadcast via ``ray.put`` as a SORTED uint64 array;
+    the corpus pass is then one embarrassingly-parallel map_batches doing
+    np.searchsorted membership counts — NO corpus-side shuffle at any
+    scale.  Same md5-lower-64 shingles as :func:`shingle_hashes`, so the
+    SQL oracle recomputes identical sets.
+    """
+    import ray
+
+    def bench_partial(t: pa.Table) -> pa.Table:
+        hs = [shingle_hashes(txt or "", w) for txt in t[text_col].to_pylist()]
+        cat = np.unique(np.concatenate(hs)) if hs else np.zeros(0, np.uint64)
+        return pa.table({"h": pa.array(cat, pa.uint64())})
+
+    blocks = ray.get(
+        bench_ds.map_batches(bench_partial, batch_format="pyarrow").to_arrow_refs()
+    )
+    bench_set = np.unique(np.concatenate(
+        [b["h"].to_numpy() for b in blocks if b.num_columns and b.num_rows]
+        or [np.zeros(0, np.uint64)]
+    ))
+    ref = ray.put(bench_set)
+
+    def scan(t: pa.Table) -> pa.Table:
+        bs = ray.get(ref)
+        n_sh, n_shared = [], []
+        for txt in t[text_col].to_pylist():
+            h = shingle_hashes(txt or "", w)
+            n_sh.append(int(h.size))
+            if h.size and bs.size:
+                idx = np.searchsorted(bs, h)
+                idx[idx == bs.size] = 0
+                n_shared.append(int(np.count_nonzero(bs[idx] == h)))
+            else:
+                n_shared.append(0)
+        shared = pa.array(n_shared, pa.int64())
+        return pa.table({
+            key_col: t[key_col],
+            "n_shingles": pa.array(n_sh, pa.int64()),
+            "n_shared": shared,
+            "contaminated": pc.cast(pc.greater(shared, 0), pa.int64()),
+        })
+
+    return ds.map_batches(scan, batch_format="pyarrow")

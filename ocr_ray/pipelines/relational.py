@@ -858,3 +858,60 @@ def doc_length_quantiles(sf_dir: str):
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def domain_cap(sf_dir: str, k: int = 10):
+    """Per-domain document cap (web-corpus curation: no single domain may
+    dominate the training mix): keep the k lowest-doc_id docs per source.
+
+    The shuffle never carries more than k rows per (source, block):
+
+      map_batches partial: per-batch per-source head-k (vectorized pandas
+        sort + groupby head) — a hot domain with millions of rows sends
+        <= k rows PER BLOCK into the exchange, not its full row count;
+      groupby(bucket): bucket = crc32(source) % 64 (coarse — never group
+        on the raw domain key, see CLAUDE.md map_groups note); all rows
+        of a source land in ONE bucket so the same head-k inside is the
+        global answer.
+
+    Oracle: row_number() OVER (PARTITION BY source ORDER BY doc_id) <= k.
+    """
+    import zlib
+
+    n_buckets = DEFAULT_CONFIG.near_dup_coarse_buckets
+    cols = ["doc_id", "source", "lang", "n_chars"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.sort_values(["source", "doc_id"])
+                 .groupby("source", as_index=False, sort=False).head(k))
+        out = out.reset_index(drop=True)
+        out["bucket"] = np.array(
+            [zlib.crc32(s.encode()) % n_buckets for s in out["source"]],
+            dtype=np.int32)
+        return out
+
+    def cap(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.sort_values(["source", "doc_id"])
+                .groupby("source", as_index=False, sort=False).head(k))
+        return out[cols]
+
+    return (
+        _read(sf_dir, "documents", cols)
+        .map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(cap, batch_format="pandas")
+    )
+
+
+def repetition_stats(ds, text_col: str = "text", key_col: str = "doc_id"):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    per-doc line/word duplicate counts and the dominant-token flag — see
+    :func:`ocr_ray.functions.textstats.repetition_columns`.
+    Embarrassingly parallel map_batches; no shuffle at any scale.
+    """
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({key_col: t[key_col],
+                         **textstats.repetition_columns(t[text_col])})
+
+    return ds.map_batches(f, batch_format="pyarrow")

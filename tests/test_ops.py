@@ -624,3 +624,65 @@ def test_hopping_windows_double_count(ray_session):
     # window starts align to the 30-minute grid
     assert (got["window_start"].dt.minute % 30 == 0).all()
     assert (got["window_start"].dt.second == 0).all()
+
+
+def test_domain_cap_per_source(ray_session):
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import domain_cap
+
+    sf = "/root/testdata/sf0.001"
+    got = (domain_cap(sf, k=7).to_pandas()
+           .sort_values(["source", "doc_id"]).reset_index(drop=True))
+    df = pq.read_table(f"{sf}/documents.parquet",
+                       columns=["doc_id", "source", "lang", "n_chars"]).to_pandas()
+    want = (df.sort_values(["source", "doc_id"])
+              .groupby("source", as_index=False).head(7)
+              .sort_values(["source", "doc_id"]).reset_index(drop=True))
+    assert got[["doc_id", "source"]].equals(want[["doc_id", "source"]])
+    assert (got.groupby("source").size() <= 7).all()
+
+
+def test_repetition_columns_semantics():
+    from ocr_ray.functions.textstats import repetition_columns
+
+    cols = repetition_columns(pa.array([
+        "a\nb\na",              # duplicate line, words a b a
+        "x y z",                # no repetition
+        "go go go go stop",     # dominant token (4/5 >= 20%)
+        "",                     # empty: one (empty) line, zero words
+        None,                   # null text behaves as empty
+    ]))
+    assert cols["n_lines"].to_pylist() == [3, 1, 1, 1, 1]
+    assert cols["n_distinct_lines"].to_pylist() == [2, 1, 1, 1, 1]
+    assert cols["n_words"].to_pylist() == [3, 3, 5, 0, 0]
+    assert cols["n_distinct_words"].to_pylist() == [2, 3, 2, 0, 0]
+    assert cols["top_word_n"].to_pylist() == [2, 1, 4, 0, 0]
+    # repetitive: top*5 >= n_words AND n_words > 0
+    assert cols["repetitive"].to_pylist() == [1, 1, 1, 0, 0]
+
+
+def test_benchmark_contamination(ray_session):
+    import ray.data as rd
+
+    from ocr_ray.pipelines.dedup import benchmark_contamination
+
+    bench = rd.from_arrow(pa.table({
+        "doc_id": pa.array([100], pa.int64()),
+        "text": pa.array(["the quick brown fox jumps"], pa.string()),
+    }))
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "sentence with the quick brown fox inside it",  # shares 2 shingles
+            "a completely different document entirely",     # clean
+            "",                                             # zero shingles
+        ], pa.string()),
+    }))
+    got = (benchmark_contamination(corpus, bench)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # bench shingles: {the quick brown, quick brown fox, brown fox jumps}
+    assert got["n_shared"].tolist() == [2, 0, 0]
+    assert got["contaminated"].tolist() == [1, 0, 0]
+    assert got["n_shingles"].tolist()[1] == 3  # 5 words -> 3 shingles
+    assert got["n_shingles"].tolist()[2] == 0
