@@ -666,6 +666,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "domain_cap": rel.domain_cap,
         "repetition_stats": _q_repetition_stats,
         "contamination_check": _q_contamination,
+        "keep_best_per_url": rel.keep_best_per_url,
     }
 
 
@@ -1210,6 +1211,22 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY doc_id) AS rn
               FROM documents
             ) WHERE rn <= 10
+        """,
+        "keep_best_per_url": """
+            WITH u AS (
+              SELECT doc_id, n_chars,
+                     'https://example.org/Path' ||
+                     CAST(doc_id // 3 AS VARCHAR) ||
+                     CASE doc_id % 3 WHEN 1 THEN '' ELSE '?id=7' END
+                       AS canon_url
+              FROM documents
+            )
+            SELECT canon_url, doc_id, n_chars FROM (
+              SELECT canon_url, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY canon_url
+                                        ORDER BY n_chars DESC, doc_id) AS rn
+              FROM u
+            ) WHERE rn = 1
         """,
         "repetition_stats": rf"""
             WITH d AS (

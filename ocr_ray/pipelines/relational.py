@@ -903,6 +903,66 @@ def domain_cap(sf_dir: str, k: int = 10):
     )
 
 
+def keep_best_per_url(sf_dir: str):
+    """Canonical-URL keep-best dedup (web-corpus curation: the same page
+    crawled several times keeps only its best capture): derive raw urls —
+    three case/fragment/slash variants share each page path (doc_id // 3)
+    — apply the E7 canonicalization kernel (same regex chain as
+    :func:`url_canonicalize`), then keep the single doc with the most
+    content per canon_url (n_chars desc, doc_id asc tiebreak).
+
+    Scale shape mirrors :func:`domain_cap`: per-batch partial keep-best
+    first (<= 1 row per url per block enters the exchange), then a
+    coarse-bucket groupby on crc32(canon_url) % 64 with the same
+    vectorized keep-best inside — never a Ray groupby on the raw url key.
+    """
+    import zlib
+
+    n_buckets = DEFAULT_CONFIG.near_dup_coarse_buckets
+
+    def derive(t: pa.Table) -> pa.Table:
+        mod = pc.subtract(t["doc_id"], pc.multiply(pc.divide(t["doc_id"], 3), 3))
+        tail = pc.if_else(pc.equal(mod, 0), pa.scalar("?id=7#frag"),
+               pc.if_else(pc.equal(mod, 1), pa.scalar("/"), pa.scalar("?id=7")))
+        base = pc.binary_join_element_wise(
+            "HTTPS://Example.ORG/Path",
+            pc.cast(pc.divide(t["doc_id"], 3), pa.string()), "")
+        u = pc.binary_join_element_wise(base, tail, "")
+        s1 = pc.replace_substring_regex(u, r"#.*", "")
+        schemehost = pc.struct_field(
+            pc.extract_regex(s1, r"(?P<m>^[^/]*//[^/]*)"), "m")
+        rest = pc.replace_substring_regex(s1, r"^[^/]*//[^/]*", "")
+        s2 = pc.binary_join_element_wise(
+            pc.utf8_lower(pc.coalesce(schemehost, pa.scalar(""))), rest, "")
+        canon = pc.replace_substring_regex(s2, r"/$", "")
+        return pa.table({"canon_url": canon, "doc_id": t["doc_id"],
+                         "n_chars": t["n_chars"]})
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["canon_url", "n_chars", "doc_id"],
+                               ascending=[True, False, True])
+                  .groupby("canon_url", as_index=False, sort=False).head(1)
+                  .reset_index(drop=True))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = best(df)
+        out["bucket"] = np.array(
+            [zlib.crc32(s.encode()) % n_buckets for s in out["canon_url"]],
+            dtype=np.int32)
+        return out
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return best(g)[["canon_url", "doc_id", "n_chars"]]
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "n_chars"])
+        .map_batches(derive, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def repetition_stats(ds, text_col: str = "text", key_col: str = "doc_id"):
     """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
     per-doc line/word duplicate counts and the dominant-token flag — see

@@ -686,3 +686,28 @@ def test_benchmark_contamination(ray_session):
     assert got["contaminated"].tolist() == [1, 0, 0]
     assert got["n_shingles"].tolist()[1] == 3  # 5 words -> 3 shingles
     assert got["n_shingles"].tolist()[2] == 0
+
+
+def test_keep_best_per_url(ray_session):
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import keep_best_per_url
+
+    sf = "/root/testdata/sf0.001"
+    got = (keep_best_per_url(sf).to_pandas()
+           .sort_values("canon_url").reset_index(drop=True))
+    df = pq.read_table(f"{sf}/documents.parquet",
+                       columns=["doc_id", "n_chars"]).to_pandas()
+    df["canon_url"] = [
+        f"https://example.org/Path{d // 3}" + ("" if d % 3 == 1 else "?id=7")
+        for d in df["doc_id"]
+    ]
+    want = (df.sort_values(["canon_url", "n_chars", "doc_id"],
+                           ascending=[True, False, True])
+              .groupby("canon_url", as_index=False).head(1)
+              .sort_values("canon_url").reset_index(drop=True))
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    # exactly one row per canonical url, and urls collapse 3 -> 2 variants
+    assert got["canon_url"].is_unique
+    n_docs = len(df)
+    assert len(got) == len(df["canon_url"].unique()) < n_docs
