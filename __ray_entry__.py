@@ -667,6 +667,8 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "contamination_check": _q_contamination,
         "keep_best_per_url": rel.keep_best_per_url,
+        "stratified_sample": rel.stratified_sample,
+        "tfidf_top_docs": rel.tfidf_top_docs,
     }
 
 
@@ -1026,6 +1028,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 10
         """,
+        "stratified_sample": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 <
+              CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20
+                        WHEN 'fr' THEN 20 WHEN 'es' THEN 20
+                        WHEN 'zh' THEN 5 ELSE 0 END
+        """,
         "url_canonicalize": """
             WITH s AS (
               SELECT doc_id,
@@ -1211,6 +1220,41 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY doc_id) AS rn
               FROM documents
             ) WHERE rn <= 10
+        """,
+        "tfidf_top_docs": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                    '\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents
+            ), tf AS MATERIALIZED (
+              SELECT doc_id,
+                     len(list_filter(ws, x -> x = 'table'))  AS tf_table,
+                     len(list_filter(ws, x -> x = 'hash'))   AS tf_hash,
+                     len(list_filter(ws, x -> x = 'vector')) AS tf_vector,
+                     len(list_filter(ws, x -> x = 'stream')) AS tf_stream
+              FROM w
+            ), stats AS (
+              SELECT count(*) AS n,
+                     count(*) FILTER (tf_table > 0)  AS df_table,
+                     count(*) FILTER (tf_hash > 0)   AS df_hash,
+                     count(*) FILTER (tf_vector > 0) AS df_vector,
+                     count(*) FILTER (tf_stream > 0) AS df_stream
+              FROM tf
+            )
+            SELECT doc_id, CAST(
+              tf_table  * (CASE WHEN df_table = 0 THEN 0
+                           ELSE (n * 1000) // df_table END) +
+              tf_hash   * (CASE WHEN df_hash = 0 THEN 0
+                           ELSE (n * 1000) // df_hash END) +
+              tf_vector * (CASE WHEN df_vector = 0 THEN 0
+                           ELSE (n * 1000) // df_vector END) +
+              tf_stream * (CASE WHEN df_stream = 0 THEN 0
+                           ELSE (n * 1000) // df_stream END)
+              AS BIGINT) AS score
+            FROM tf, stats
+            ORDER BY score DESC, doc_id LIMIT 25
         """,
         "keep_best_per_url": """
             WITH u AS (

@@ -761,6 +761,114 @@ def hash_sample(sf_dir: str, pct: int = 10):
     )
 
 
+_TFIDF_QUERY_TERMS = ("table", "hash", "vector", "stream")
+
+
+def tfidf_top_docs(sf_dir: str, k: int = 25):
+    """TF-IDF-style relevance top-k against a fixed query-term set — the
+    classic two-pass corpus-statistics operator shape:
+
+      pass 1 (global document frequency): per-batch partials (docs seen,
+        docs containing each term) — a |terms|-row table per block, so
+        the driver union is bounded by |terms| x blocks regardless of
+        corpus size; never the corpus itself;
+      pass 2 (score + bounded top-k): idf weights ride into the scoring
+        closure (tiny — broadcast by value), per-batch local top-k, then
+        the repartition(1) two-level reduce — the driver receives
+        exactly k rows.
+
+    IDF is INTEGER milli-units — idf = (N * 1000) // df — instead of a
+    float log so distributed order cannot perturb bits and the DuckDB
+    oracle reproduces the scores exactly (the repo-wide integer-parity
+    convention; a log-scaled idf would be the one float in the engine).
+    tf = whitespace-token equality count on lower(text), mirroring the
+    SQL ``list_filter(ws, x -> x = term)``.
+    """
+    import collections
+
+    terms = _TFIDF_QUERY_TERMS
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        counts = dict.fromkeys(terms, 0)
+        n = 0
+        for txt in t["text"].to_pylist():
+            n += 1
+            toks = set((txt or "").lower().split())
+            for term in terms:
+                if term in toks:
+                    counts[term] += 1
+        return pa.table({
+            "term": pa.array(list(terms), pa.string()),
+            "df": pa.array([counts[x] for x in terms], pa.int64()),
+            "n": pa.array([n] * len(terms), pa.int64()),
+        })
+
+    blocks = ray.get(
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(df_partial, batch_format="pyarrow").to_arrow_refs()
+    )
+    df_tot: collections.Counter = collections.Counter()
+    n_docs = 0
+    for b in blocks:
+        if not (b.num_columns and b.num_rows):
+            continue
+        for term, d, n in zip(b["term"].to_pylist(), b["df"].to_pylist(),
+                              b["n"].to_pylist()):
+            df_tot[term] += d
+            if term == terms[0]:
+                n_docs += n
+    idf = {term: (n_docs * 1000) // df_tot[term] if df_tot[term] else 0
+           for term in terms}
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        scores = []
+        for txt in t["text"].to_pylist():
+            c = collections.Counter((txt or "").lower().split())
+            scores.append(sum(c[term] * idf[term] for term in terms))
+        tab = pa.table({"doc_id": t["doc_id"],
+                        "score": pa.array(scores, pa.int64())})
+        idx = pc.sort_indices(
+            tab, sort_keys=[("score", "descending"), ("doc_id", "ascending")])[:k]
+        return tab.take(idx)
+
+    def final(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("score", "descending"), ("doc_id", "ascending")])[:k]
+        return t.take(idx)
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(score_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+_STRATA_PCT = {"en": 50, "de": 20, "fr": 20, "es": 20, "zh": 5}
+
+
+def stratified_sample(sf_dir: str):
+    """Language-stratified deterministic sampling (training-mix shaping:
+    downweight over-represented languages): keep a doc iff
+    md5-lower-64(str(doc_id)) % 100 < pct[lang], with per-language rates
+    _STRATA_PCT (unknown langs drop).  Same md5 convention as
+    :func:`hash_sample` — stable across runs, partitioning, resume and
+    engines; NEVER random().  Embarrassingly parallel; no shuffle."""
+    import hashlib
+
+    def f(t: pa.Table) -> pa.Table:
+        keep = pa.array([
+            int.from_bytes(hashlib.md5(str(d).encode()).digest()[8:16], "little")
+            % 100 < _STRATA_PCT.get(lang, 0)
+            for d, lang in zip(t["doc_id"].to_pylist(), t["lang"].to_pylist())
+        ], pa.bool_())
+        return t.filter(keep)
+
+    return _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
 def top_terms(sf_dir: str, k: int = 20):
     """Global top-k tokens (heavy hitters) over the document corpus.
 

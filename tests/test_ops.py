@@ -711,3 +711,49 @@ def test_keep_best_per_url(ray_session):
     assert got["canon_url"].is_unique
     n_docs = len(df)
     assert len(got) == len(df["canon_url"].unique()) < n_docs
+
+
+def test_stratified_sample_rates(ray_session):
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import _STRATA_PCT, stratified_sample
+
+    sf = "/root/testdata/sf0.001"
+    got = stratified_sample(sf).to_pandas()
+    df = pq.read_table(f"{sf}/documents.parquet",
+                       columns=["doc_id", "lang"]).to_pandas()
+    want_ids = {
+        int(d) for d, lang in zip(df["doc_id"], df["lang"])
+        if int.from_bytes(hashlib.md5(str(d).encode()).digest()[8:16], "little")
+        % 100 < _STRATA_PCT.get(lang, 0)
+    }
+    assert set(got["doc_id"]) == want_ids
+    # the en stratum must be sampled at a strictly higher rate than zh
+    rates = (got.groupby("lang").size() / df.groupby("lang").size()).dropna()
+    assert rates["en"] > rates["zh"]
+
+
+def test_tfidf_top_docs_scores(ray_session):
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import _TFIDF_QUERY_TERMS, tfidf_top_docs
+
+    sf = "/root/testdata/sf0.001"
+    got = tfidf_top_docs(sf, k=15).to_pandas()
+    texts = pq.read_table(f"{sf}/documents.parquet",
+                          columns=["doc_id", "text"]).to_pandas()
+    toks = [(int(d), collections.Counter((t or "").lower().split()))
+            for d, t in zip(texts["doc_id"], texts["text"])]
+    n = len(toks)
+    idf = {}
+    for term in _TFIDF_QUERY_TERMS:
+        df_t = sum(1 for _, c in toks if c[term] > 0)
+        idf[term] = (n * 1000) // df_t if df_t else 0
+    want = sorted(
+        ((d, sum(c[t] * idf[t] for t in _TFIDF_QUERY_TERMS)) for d, c in toks),
+        key=lambda x: (-x[1], x[0]))[:15]
+    assert list(zip(got["doc_id"], got["score"])) == want
