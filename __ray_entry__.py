@@ -669,6 +669,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "keep_best_per_url": rel.keep_best_per_url,
         "stratified_sample": rel.stratified_sample,
         "tfidf_top_docs": rel.tfidf_top_docs,
+        "range_join_purchase_clicks": win.range_join_purchase_clicks,
     }
 
 
@@ -1220,6 +1221,15 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY doc_id) AS rn
               FROM documents
             ) WHERE rn <= 10
+        """,
+        "range_join_purchase_clicks": """
+            SELECT p.user_id, p.event_id AS purchase_id,
+                   c.event_id AS click_id,
+                   CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+            FROM events p JOIN events c
+              ON c.user_id = p.user_id
+             AND p.event_type = 'purchase' AND c.event_type = 'click'
+             AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '1 hour'
         """,
         "tfidf_top_docs": r"""
             WITH w AS (

@@ -229,3 +229,57 @@ def hopping_hour_counts(sf_dir: str):
         .aggregate(Sum("n", alias_name="n"))
         .map_batches(fix_ts, batch_format="pyarrow")
     )
+
+
+RANGE_JOIN_WINDOW_US = 3600 * 1_000_000  # 1 hour
+
+
+def range_join_purchase_clicks(sf_dir: str):
+    """RANGE (interval) join: each 'purchase' event paired with ALL of the
+    same user's 'click' events in the preceding hour
+    (purchase.ts - 1h <= click.ts <= purchase.ts) — the event-attribution
+    sibling of :func:`asof_purchase_click` that keeps every candidate
+    instead of only the latest.
+
+    Ray Data has no range join; the portable exact pattern is the
+    GRID-BUCKETED range join: quantize ts to window-sized cells, emit each
+    click under (user, cell) AND (user, cell+1), hash-join purchases to
+    clicks on (user, cell) — a qualifying pair is co-located in exactly
+    one key (same cell or adjacent), so no dedup pass is needed — then
+    apply the exact interval predicate vectorized.  Everything inside the
+    coarse user-bucket groupby is one sorted pandas merge; the shuffle is
+    the same single 64-way co-partition every event operator here uses.
+
+    Output (user_id, purchase_id, click_id, gap_us) with gap in exact
+    integer microseconds (DuckDB epoch_us parity; date_diff('second')
+    counts boundary crossings, not elapsed time, so seconds are NOT used).
+    """
+
+    def bucket_range_join(g: pd.DataFrame) -> pd.DataFrame:
+        ts_us = g["ts"].astype("datetime64[us]").astype("int64")
+        g = g.assign(ts_us=ts_us, cell=ts_us // RANGE_JOIN_WINDOW_US)
+        buys = g.loc[g["event_type"] == "purchase",
+                     ["user_id", "event_id", "ts_us", "cell"]].rename(
+            columns={"event_id": "purchase_id", "ts_us": "p_ts"})
+        clicks = g.loc[g["event_type"] == "click",
+                       ["user_id", "event_id", "ts_us", "cell"]].rename(
+            columns={"event_id": "click_id", "ts_us": "c_ts"})
+        shifted = clicks.assign(cell=clicks["cell"] + 1)
+        cand = pd.concat([clicks, shifted], ignore_index=True)
+        m = buys.merge(cand, on=["user_id", "cell"], how="inner")
+        gap = m["p_ts"] - m["c_ts"]
+        m = m[(gap >= 0) & (gap <= RANGE_JOIN_WINDOW_US)]
+        return pd.DataFrame({
+            "user_id": m["user_id"].to_numpy(dtype=np.int64),
+            "purchase_id": m["purchase_id"].to_numpy(dtype=np.int64),
+            "click_id": m["click_id"].to_numpy(dtype=np.int64),
+            "gap_us": (m["p_ts"] - m["c_ts"]).to_numpy(dtype=np.int64),
+        })
+
+    return (
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                        columns=["user_id", "event_id", "event_type", "ts"])
+        .map_batches(_bucket_by_user, batch_format="pyarrow")
+        .groupby("ubucket")
+        .map_groups(bucket_range_join, batch_format="pandas")
+    )

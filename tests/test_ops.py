@@ -757,3 +757,35 @@ def test_tfidf_top_docs_scores(ray_session):
         ((d, sum(c[t] * idf[t] for t in _TFIDF_QUERY_TERMS)) for d, c in toks),
         key=lambda x: (-x[1], x[0]))[:15]
     assert list(zip(got["doc_id"], got["score"])) == want
+
+
+def test_range_join_cell_boundaries(ray_session, tmp_path):
+    import pandas as pd
+
+    from ocr_ray.pipelines.windows import range_join_purchase_clicks
+
+    t0 = pd.Timestamp("2026-01-01 10:00:00")
+    h = pd.Timedelta(hours=1)
+    rows = [
+        # purchase at 10:00 (cell boundary)
+        (0, t0, 1, "purchase"),
+        (1, t0, 1, "click"),                 # same instant: gap 0, kept
+        (2, t0 - h, 1, "click"),             # exactly 1h before: kept
+        (3, t0 - h - pd.Timedelta(microseconds=1), 1, "click"),  # just outside
+        (4, t0 - pd.Timedelta(minutes=30), 1, "click"),          # prev cell, in window
+        (5, t0 - pd.Timedelta(minutes=30), 2, "click"),          # other user
+        (6, t0 + pd.Timedelta(minutes=1), 1, "click"),           # after: excluded
+    ]
+    df = pd.DataFrame({
+        "event_id": [r[0] for r in rows],
+        "ts": pd.Series([r[1] for r in rows]).astype("datetime64[us]"),
+        "user_id": [r[2] for r in rows],
+        "event_type": [r[3] for r in rows],
+    })
+    sf = str(tmp_path)
+    df.to_parquet(f"{sf}/events.parquet", index=False)
+    got = (range_join_purchase_clicks(sf).to_pandas()
+           .sort_values("click_id").reset_index(drop=True))
+    assert got["click_id"].tolist() == [1, 2, 4]
+    assert got["gap_us"].tolist() == [0, 3600_000_000, 1800_000_000]
+    assert (got["purchase_id"] == 0).all() and (got["user_id"] == 1).all()
