@@ -670,6 +670,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "stratified_sample": rel.stratified_sample,
         "tfidf_top_docs": rel.tfidf_top_docs,
         "range_join_purchase_clicks": win.range_join_purchase_clicks,
+        "approx_distinct_users": rel.approx_distinct_users,
     }
 
 
@@ -1221,6 +1222,26 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY doc_id) AS rn
               FROM documents
             ) WHERE rn <= 10
+        """,
+        "approx_distinct_users": """
+            WITH h AS (
+              SELECT DISTINCT event_type,
+                     md5_number_lower(CAST(user_id AS VARCHAR)) AS hv
+              FROM events
+            ), r AS (
+              SELECT event_type, hv,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY hv) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS nd
+              FROM h
+            )
+            SELECT event_type,
+                   CAST(CASE WHEN nd < 256 THEN nd
+                        ELSE (CAST(255 AS HUGEINT) *
+                              CAST('18446744073709551616' AS HUGEINT)) // hv
+                        END AS BIGINT) AS approx_distinct
+            FROM r
+            WHERE rn = CASE WHEN nd < 256 THEN nd ELSE 256 END
         """,
         "range_join_purchase_clicks": """
             SELECT p.user_id, p.event_id AS purchase_id,

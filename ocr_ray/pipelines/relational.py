@@ -761,6 +761,68 @@ def hash_sample(sf_dir: str, pct: int = 10):
     )
 
 
+_KMV_K = 256
+
+
+def approx_distinct_users(sf_dir: str, k: int = _KMV_K):
+    """Approximate count-distinct via the KMV (k-minimum-values) sketch
+    (Bar-Yossef et al. 2002, public method): per event_type, keep the k
+    smallest DISTINCT md5-lower-64 hashes of user_id; estimate
+    n ≈ (k-1) * 2^64 / h_(k) (exact count when fewer than k distinct).
+
+    KMV over HyperLogLog here because the estimator is pure integer
+    arithmetic — ((k-1) << 64) // h_k — so the DuckDB oracle reproduces
+    the estimate BIT-EXACTLY (the repo-wide parity convention; HLL's
+    harmonic mean is float).  Standard error ~ 1/sqrt(k-2) ≈ 6% at k=256.
+
+    Scale shape: per-batch partials are <= k DISTINCT hashes per
+    event_type per block (np.unique + head-k before anything moves);
+    the repartition(1) merge sees <= k x types x blocks tiny int rows
+    and the driver receives one row per event_type.  Sketches merge by
+    union-then-truncate, so this extends to any partitioning.
+    """
+    import hashlib
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pa.table({"event_type": t["event_type"],
+                       "user_id": t["user_id"]}).to_pandas()
+        df["h"] = [
+            int.from_bytes(hashlib.md5(str(u).encode()).digest()[8:16], "little")
+            for u in df["user_id"]
+        ]
+        out = (df[["event_type", "h"]].drop_duplicates()
+                 .sort_values(["event_type", "h"])
+                 .groupby("event_type", as_index=False, sort=False).head(k))
+        return pa.table({
+            "event_type": pa.array(out["event_type"].tolist(), pa.string()),
+            "h": pa.array(out["h"].tolist(), pa.uint64()),
+        })
+
+    def final(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        types, ests = [], []
+        for et, g in df.groupby("event_type", sort=True):
+            hs = np.unique(g["h"].to_numpy())[:k]
+            nd = int(hs.size)
+            if nd < k:
+                est = nd
+            else:
+                est = ((k - 1) << 64) // int(hs[-1])
+            types.append(et)
+            ests.append(est)
+        return pa.table({
+            "event_type": pa.array(types, pa.string()),
+            "approx_distinct": pa.array(ests, pa.int64()),
+        })
+
+    return (
+        _read(sf_dir, "events", ["event_type", "user_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
 _TFIDF_QUERY_TERMS = ("table", "hash", "vector", "stream")
 
 

@@ -789,3 +789,31 @@ def test_range_join_cell_boundaries(ray_session, tmp_path):
     assert got["click_id"].tolist() == [1, 2, 4]
     assert got["gap_us"].tolist() == [0, 3600_000_000, 1800_000_000]
     assert (got["purchase_id"] == 0).all() and (got["user_id"] == 1).all()
+
+
+def test_approx_distinct_users_kmv(ray_session, tmp_path):
+    import hashlib
+
+    import pandas as pd
+
+    from ocr_ray.pipelines.relational import approx_distinct_users
+
+    # type 'small' has 40 distinct users (< k: exact branch); type 'big'
+    # has 2000 distinct users (>= k: KMV estimator branch)
+    df = pd.DataFrame({
+        "event_type": ["small"] * 80 + ["big"] * 2000,
+        "user_id": [i % 40 for i in range(80)] + list(range(100, 2100)),
+    })
+    sf = str(tmp_path)
+    df.to_parquet(f"{sf}/events.parquet", index=False)
+    got = (approx_distinct_users(sf, k=256).to_pandas()
+           .set_index("event_type")["approx_distinct"])
+    assert got["small"] == 40  # exact below k
+    # recompute the KMV estimate locally: 256th smallest distinct hash
+    hs = sorted({
+        int.from_bytes(hashlib.md5(str(u).encode()).digest()[8:16], "little")
+        for u in range(100, 2100)
+    })
+    want = (255 << 64) // hs[255]
+    assert got["big"] == want
+    assert abs(got["big"] / 2000 - 1) < 0.2  # within ~3 sigma of 1/sqrt(k-2)
