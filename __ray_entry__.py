@@ -671,6 +671,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "tfidf_top_docs": rel.tfidf_top_docs,
         "range_join_purchase_clicks": win.range_join_purchase_clicks,
         "approx_distinct_users": rel.approx_distinct_users,
+        "top_terms_per_lang": rel.top_terms_per_lang,
     }
 
 
@@ -1222,6 +1223,23 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY doc_id) AS rn
               FROM documents
             ) WHERE rn <= 10
+        """,
+        "top_terms_per_lang": r"""
+            WITH toks AS (
+              SELECT lang,
+                     unnest(regexp_split_to_array(
+                       lower(coalesce(text,'')), '\s+')) AS token
+              FROM documents
+            ), counted AS (
+              SELECT lang, token, CAST(count(*) AS BIGINT) AS n
+              FROM toks WHERE token <> '' GROUP BY lang, token
+            )
+            SELECT lang, token, n FROM (
+              SELECT lang, token, n,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n DESC, token) AS rn
+              FROM counted
+            ) WHERE rn <= 5
         """,
         "approx_distinct_users": """
             WITH h AS (

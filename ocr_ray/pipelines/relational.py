@@ -985,6 +985,71 @@ def top_terms(sf_dir: str, k: int = 20):
     )
 
 
+def top_terms_per_lang(sf_dir: str, k: int = 5):
+    """GROUPED heavy hitters: top-k tokens per language — the group-wise
+    sibling of :func:`top_terms` (per-domain/per-language vocabulary
+    profiling in a corpus-curation pipeline).
+
+    Same exact two-level topology, with the group key riding along:
+
+      map_batches: one Counter pass per (lang) per batch (partials carry
+        (lang, token, count), never token instances), bucket =
+        crc32(token) % 64 — a token lives entirely in ONE bucket, so
+        per-bucket (lang, token) sums are global sums;
+      groupby(bucket): vectorized pandas sum + per-(bucket, lang) top-k —
+        the global per-lang top-k is a subset of the union of per-bucket
+        per-lang top-ks;
+      repartition(1): final per-lang top-k over <= 64*k*langs candidate
+        rows — the driver receives exactly k rows per language.
+
+    Ordering: count desc, token asc within each lang (mirrored in SQL's
+    row_number()).  Group cardinality (languages/domains) only affects
+    the tiny candidate set, never the shuffle width.
+    """
+    import collections
+    import zlib
+
+    n_buckets = DEFAULT_CONFIG.near_dup_coarse_buckets
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        for lang, txt in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            for tok in (txt or "").lower().split():
+                c[(lang, tok)] += 1
+        keys = list(c.keys())
+        return pa.table({
+            "lang": pa.array([x[0] for x in keys], pa.string()),
+            "token": pa.array([x[1] for x in keys], pa.string()),
+            "n": pa.array([c[x] for x in keys], pa.int64()),
+            "bucket": pa.array(
+                [zlib.crc32(x[1].encode()) % n_buckets for x in keys], pa.int32()),
+        })
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["lang", "token"], as_index=False)["n"].sum()
+        s["n"] = s["n"].astype("int64")
+        return (s.sort_values(["lang", "n", "token"],
+                              ascending=[True, False, True])
+                  .groupby("lang", as_index=False, sort=False).head(k))
+
+    def final(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = (df.sort_values(["lang", "n", "token"],
+                              ascending=[True, False, True])
+                 .groupby("lang", as_index=False, sort=False).head(k))
+        return pa.Table.from_pandas(
+            out[["lang", "token", "n"]], preserve_index=False)
+
+    return (
+        _read(sf_dir, "documents", ["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
 _QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
 
 

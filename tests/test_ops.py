@@ -817,3 +817,26 @@ def test_approx_distinct_users_kmv(ray_session, tmp_path):
     want = (255 << 64) // hs[255]
     assert got["big"] == want
     assert abs(got["big"] / 2000 - 1) < 0.2  # within ~3 sigma of 1/sqrt(k-2)
+
+
+def test_top_terms_per_lang(ray_session):
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import top_terms_per_lang
+
+    sf = "/root/testdata/sf0.001"
+    got = top_terms_per_lang(sf, k=3).to_pandas()
+    df = pq.read_table(f"{sf}/documents.parquet",
+                       columns=["lang", "text"]).to_pandas()
+    c: collections.Counter = collections.Counter()
+    for lang, txt in zip(df["lang"], df["text"]):
+        for tok in (txt or "").lower().split():
+            c[(lang, tok)] += 1
+    want = []
+    for lang in sorted(df["lang"].unique()):
+        rows = sorted(((t, n) for (lg, t), n in c.items() if lg == lang),
+                      key=lambda x: (-x[1], x[0]))[:3]
+        want += [(lang, t, n) for t, n in rows]
+    assert list(zip(got["lang"], got["token"], got["n"])) == want
