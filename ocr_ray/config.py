@@ -125,6 +125,14 @@ class PipelineConfig:
     cc_message_buckets: int = 64        # label-propagation delivery buckets
                                         # (POWER OF TWO — bucketing is key & (n-1))
 
+    # ---- corpus-curation knobs (round-4 operators; defaults preserve
+    # the round-4 oracle hashes) ----
+    domain_cap_k: int = 10              # docs kept per source/domain
+    kmv_sketch_k: int = 256             # KMV count-distinct minimum values
+    range_join_window_us: int = 3600 * 1_000_000  # interval-join window (1 h)
+    contamination_shingle_w: int = 3    # eval-overlap word n-gram width
+    tfidf_scale: int = 1000             # integer idf units: (N*scale)//df
+
     # keyword / skip constants (tuples so the dataclass stays hashable)
     keywords: tuple[str, ...] = ADDITIONAL_INTEREST_KEYWORDS
     dollar_skip_patterns: tuple[str, ...] = DOLLAR_SKIP_PATTERNS

@@ -763,7 +763,7 @@ def boilerplate_line_removal(ds, text_col: str = "text", key_col: str = "doc_id"
 
 
 def benchmark_contamination(ds, bench_ds, text_col: str = "text",
-                            key_col: str = "doc_id", w: int = _SHINGLE_W):
+                            key_col: str = "doc_id", w: int | None = None):
     """Benchmark-contamination check (training-data hygiene): flag every
     corpus doc sharing at least one word w-gram shingle with a held-out
     evaluation set.  Returns (key, n_shingles, n_shared, contaminated 0/1)
@@ -780,6 +780,9 @@ def benchmark_contamination(ds, bench_ds, text_col: str = "text",
     SQL oracle recomputes identical sets.
     """
     import ray
+
+    if w is None:
+        w = DEFAULT_CONFIG.contamination_shingle_w
 
     def bench_partial(t: pa.Table) -> pa.Table:
         hs = [shingle_hashes(txt or "", w) for txt in t[text_col].to_pylist()]

@@ -761,10 +761,7 @@ def hash_sample(sf_dir: str, pct: int = 10):
     )
 
 
-_KMV_K = 256
-
-
-def approx_distinct_users(sf_dir: str, k: int = _KMV_K):
+def approx_distinct_users(sf_dir: str, k: int | None = None):
     """Approximate count-distinct via the KMV (k-minimum-values) sketch
     (Bar-Yossef et al. 2002, public method): per event_type, keep the k
     smallest DISTINCT md5-lower-64 hashes of user_id; estimate
@@ -782,6 +779,9 @@ def approx_distinct_users(sf_dir: str, k: int = _KMV_K):
     union-then-truncate, so this extends to any partitioning.
     """
     import hashlib
+
+    if k is None:
+        k = DEFAULT_CONFIG.kmv_sketch_k
 
     def partial(t: pa.Table) -> pa.Table:
         df = pa.table({"event_type": t["event_type"],
@@ -879,7 +879,8 @@ def tfidf_top_docs(sf_dir: str, k: int = 25):
             df_tot[term] += d
             if term == terms[0]:
                 n_docs += n
-    idf = {term: (n_docs * 1000) // df_tot[term] if df_tot[term] else 0
+    scale = DEFAULT_CONFIG.tfidf_scale
+    idf = {term: (n_docs * scale) // df_tot[term] if df_tot[term] else 0
            for term in terms}
 
     def score_partial(t: pa.Table) -> pa.Table:
@@ -1095,7 +1096,7 @@ def doc_length_quantiles(sf_dir: str):
     )
 
 
-def domain_cap(sf_dir: str, k: int = 10):
+def domain_cap(sf_dir: str, k: int | None = None):
     """Per-domain document cap (web-corpus curation: no single domain may
     dominate the training mix): keep the k lowest-doc_id docs per source.
 
@@ -1113,6 +1114,8 @@ def domain_cap(sf_dir: str, k: int = 10):
     """
     import zlib
 
+    if k is None:
+        k = DEFAULT_CONFIG.domain_cap_k
     n_buckets = DEFAULT_CONFIG.near_dup_coarse_buckets
     cols = ["doc_id", "source", "lang", "n_chars"]
 

@@ -231,7 +231,9 @@ def hopping_hour_counts(sf_dir: str):
     )
 
 
-RANGE_JOIN_WINDOW_US = 3600 * 1_000_000  # 1 hour
+from ocr_ray.config import DEFAULT_CONFIG
+
+RANGE_JOIN_WINDOW_US = DEFAULT_CONFIG.range_join_window_us  # 1 hour
 
 
 def range_join_purchase_clicks(sf_dir: str):

@@ -348,8 +348,10 @@ def test_driver_contract_consistency():
 
     qs = e.queries()
     sq = e.oracle_sql()
-    assert set(sq).issubset(set(qs))
-    assert len(qs) >= 48 and len(sq) >= 34
+    # full two-way parity: every query is oracle-checked and no oracle is
+    # orphaned (the round-2+ invariant — additions may not drift)
+    assert set(sq) == set(qs)
+    assert len(qs) >= 74
 
 
 def test_duplicate_blocks_preserved_in_page():
