@@ -238,6 +238,46 @@ def _ann_index(sf_dir: str, kind: str) -> str:
     return base
 
 
+def _term_index(sf_dir: str) -> str:
+    """Build (once, cached under /tmp, same fingerprint + atomic-rename
+    discipline as :func:`_ann_index`) the hive-partitioned term index for
+    sf_dir's documents table."""
+    import hashlib
+    import shutil
+
+    import ray.data as rd
+
+    from ocr_ray.pipelines.textsearch import build_term_index
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}"
+    base = f"/tmp/ocr_ray_terms_v{_ANN_INDEX_VERSION}_{tag}"
+    if os.path.isdir(base):
+        return base
+    tmp = f"{base}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds = rd.read_parquet(src, columns=["doc_id", "text"])
+    build_term_index(ds, tmp)
+    try:
+        os.rename(tmp, base)
+    except OSError:           # concurrent build won the race
+        shutil.rmtree(tmp, ignore_errors=True)
+    return base
+
+
+def _q_term_search_indexed(sf_dir: str):
+    """Exact posting lookup for the term 'vector' over the partition-
+    pruned term index — only 1/64 of the postings bytes are read; the
+    oracle recomputes the postings from the raw documents table."""
+    from ocr_ray.pipelines.textsearch import term_search_indexed
+
+    return term_search_indexed(_term_index(sf_dir), "vector")
+
+
 def _q_knn_lsh_indexed(sf_dir: str):
     """knn_lsh over the hive-partitioned LSH layout: only the query's
     bucket partition is read (storage-level pruning) — result identical
@@ -672,6 +712,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "range_join_purchase_clicks": win.range_join_purchase_clicks,
         "approx_distinct_users": rel.approx_distinct_users,
         "top_terms_per_lang": rel.top_terms_per_lang,
+        "term_search_indexed": _q_term_search_indexed,
     }
 
 
@@ -1223,6 +1264,16 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY doc_id) AS rn
               FROM documents
             ) WHERE rn <= 10
+        """,
+        "term_search_indexed": r"""
+            SELECT doc_id, tf FROM (
+              SELECT doc_id,
+                     CAST(len(list_filter(
+                       list_filter(string_split_regex(lower(coalesce(text,'')),
+                                                      '\s+'), x -> x <> ''),
+                       x -> x = 'vector')) AS BIGINT) AS tf
+              FROM documents
+            ) WHERE tf > 0
         """,
         "top_terms_per_lang": r"""
             WITH toks AS (

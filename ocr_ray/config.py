@@ -132,6 +132,9 @@ class PipelineConfig:
     range_join_window_us: int = 3600 * 1_000_000  # interval-join window (1 h)
     contamination_shingle_w: int = 3    # eval-overlap word n-gram width
     tfidf_scale: int = 1000             # integer idf units: (N*scale)//df
+    term_index_buckets: int = 64        # hive partitions of the term index
+                                        # (raise at scale: 1 partition ≈ one
+                                        # object-store-friendly chunk)
 
     # keyword / skip constants (tuples so the dataclass stays hashable)
     keywords: tuple[str, ...] = ADDITIONAL_INTEREST_KEYWORDS

@@ -1,0 +1,84 @@
+"""Partition-pruned full-text term index — the text sibling of the ANN
+layouts (:func:`ocr_ray.pipelines.simsearch.build_lsh_index`).
+
+Postings (token, doc_id, tf) are written hive-partitioned by a token-hash
+bucket (``bucket=N/*.parquet``, ``write_parquet(partition_cols)``): the
+LAYOUT is the index — no server component, and at corpus scale it lives
+directly on object storage.  A term lookup computes the token's bucket
+and reads ONLY that partition: bytes-read per query is ~1/n_buckets of
+the corpus postings regardless of corpus size.  Raise
+``PipelineConfig.term_index_buckets`` at scale so one partition is an
+object-store-friendly chunk (the same guidance as ``lsh_index_bits``).
+"""
+
+from __future__ import annotations
+
+import collections
+import glob
+import os
+import zlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ocr_ray.config import DEFAULT_CONFIG
+
+
+def build_term_index(ds, index_dir: str, text_col: str = "text",
+                     key_col: str = "doc_id",
+                     n_buckets: int | None = None) -> str:
+    """One streaming pass: per-doc token Counters inside map_batches (the
+    shuffle-free partial — postings rows, never token instances beyond
+    one row per distinct (doc, token)), then the hive-partitioned write.
+    Tokenization is lower().split(), the repo-wide convention."""
+    if n_buckets is None:
+        n_buckets = DEFAULT_CONFIG.term_index_buckets
+
+    def postings(t: pa.Table) -> pa.Table:
+        toks, ids, tfs = [], [], []
+        for did, txt in zip(t[key_col].to_pylist(), t[text_col].to_pylist()):
+            c = collections.Counter((txt or "").lower().split())
+            for tok, n in c.items():
+                toks.append(tok)
+                ids.append(did)
+                tfs.append(n)
+        return pa.table({
+            "token": pa.array(toks, pa.string()),
+            key_col: pa.array(ids, pa.int64()),
+            "tf": pa.array(tfs, pa.int64()),
+            "bucket": pa.array(
+                [zlib.crc32(x.encode()) % n_buckets for x in toks], pa.int32()),
+        })
+
+    ds.map_batches(postings, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["bucket"])
+    return index_dir
+
+
+def term_search_indexed(index_dir: str, term: str,
+                        n_buckets: int | None = None,
+                        key_col: str = "doc_id"):
+    """Exact posting lookup over a :func:`build_term_index` layout: read
+    ONLY the term's bucket partition (storage-level pruning — the other
+    n_buckets - 1 partitions never leave disk), filter to the term
+    vectorized.  Returns (key, tf) per matching document."""
+    if n_buckets is None:
+        n_buckets = DEFAULT_CONFIG.term_index_buckets
+    t = term.lower()
+    b = zlib.crc32(t.encode()) % n_buckets
+    # read_parquet accepts ONE directory or a list of FILES — glob the
+    # files for the probe dir (a list of directories fails)
+    files = sorted(glob.glob(os.path.join(index_dir, f"bucket={b}", "*.parquet")))
+    if not files:
+        # the term's bucket has no postings at all (sparse corpus) — an
+        # empty result WITH schema, never a read_parquet([]) crash
+        return rd.from_arrow(pa.table({key_col: pa.array([], pa.int64()),
+                                       "tf": pa.array([], pa.int64())}))
+
+    def pick(tab: pa.Table) -> pa.Table:
+        return tab.filter(pc.equal(tab["token"], t)).select([key_col, "tf"])
+
+    return rd.read_parquet(files, columns=["token", key_col, "tf"]).map_batches(
+        pick, batch_format="pyarrow")

@@ -842,3 +842,34 @@ def test_top_terms_per_lang(ray_session):
                       key=lambda x: (-x[1], x[0]))[:3]
         want += [(lang, t, n) for t, n in rows]
     assert list(zip(got["lang"], got["token"], got["n"])) == want
+
+
+def test_term_index_pruned_lookup(ray_session, tmp_path):
+    import collections
+    import glob
+    import os
+
+    import ray.data as rd
+
+    from ocr_ray.pipelines.textsearch import build_term_index, term_search_indexed
+
+    docs = pa.table({
+        "doc_id": pa.array(list(range(60)), pa.int64()),
+        "text": pa.array(
+            [f"alpha beta{' gamma' * (i % 4)} delta{i}" for i in range(60)],
+            pa.string()),
+    })
+    idx = str(tmp_path / "terms")
+    build_term_index(rd.from_arrow(docs), idx)
+    # the layout is genuinely partitioned: many bucket dirs on disk
+    assert len(glob.glob(os.path.join(idx, "bucket=*"))) > 10
+    got = (term_search_indexed(idx, "GAMMA")  # case-insensitive
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = {
+        i: collections.Counter(t.lower().split())["gamma"]
+        for i, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+        if "gamma" in t
+    }
+    assert dict(zip(got["doc_id"], got["tf"])) == want
+    # a term absent from the corpus returns zero rows without error
+    assert term_search_indexed(idx, "zeta").count() == 0
