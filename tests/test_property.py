@@ -71,3 +71,50 @@ def test_merge_page_ranges_canonical(pages, buffer):
     # idempotent under re-merge of covered pages
     covered = [p for s, e in out for p in range(s, e + 1)]
     assert merge_page_ranges(covered, 0, 1, 200) == out
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.one_of(st.none(),
+                 st.text(alphabet=st.characters(blacklist_categories=("Cs",)),
+                         max_size=200)))
+def test_repetition_columns_invariants(s):
+    """Total function over arbitrary unicode (incl. None); counts obey
+    distinct <= total, top <= total, and the flag matches its definition."""
+    import pyarrow as pa
+
+    from ocr_ray.functions.textstats import repetition_columns
+
+    c = repetition_columns(pa.array([s], pa.string()))
+    nl, ndl = c["n_lines"][0].as_py(), c["n_distinct_lines"][0].as_py()
+    nw, ndw = c["n_words"][0].as_py(), c["n_distinct_words"][0].as_py()
+    top, rep = c["top_word_n"][0].as_py(), c["repetitive"][0].as_py()
+    assert 1 <= nl and 1 <= ndl <= nl          # splitting yields >= 1 line
+    assert 0 <= ndw <= nw and 0 <= top <= nw
+    assert rep == (1 if nw > 0 and top * 5 >= nw else 0)
+    assert nw == len((s or "").lower().split())
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.text(alphabet="ab ", max_size=30), min_size=0, max_size=8),
+       st.lists(st.text(alphabet="ab ", max_size=30), min_size=0, max_size=8))
+def test_contamination_subset_invariant(bench_texts, corpus_texts):
+    """n_shared <= n_shingles always, and a doc whose text IS a bench doc
+    with >= 1 shingle is always flagged."""
+    from ocr_ray.pipelines.dedup import shingle_hashes
+    import numpy as np
+
+    bench = set()
+    for t in bench_texts:
+        bench.update(shingle_hashes(t).tolist())
+    bs = np.array(sorted(bench), dtype=np.uint64)
+    for t in corpus_texts:
+        h = shingle_hashes(t)
+        if h.size and bs.size:
+            idx = np.searchsorted(bs, h)
+            idx[idx == bs.size] = 0
+            shared = int(np.count_nonzero(bs[idx] == h))
+        else:
+            shared = 0
+        assert 0 <= shared <= h.size
+        if t in bench_texts and h.size:
+            assert shared == h.size
