@@ -217,10 +217,17 @@ def _ann_index(sf_dir: str, kind: str) -> str:
 
     from ocr_ray.pipelines.simsearch import build_ivf_index, build_lsh_index
 
+    from ocr_ray.config import DEFAULT_CONFIG
+
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
+    # layout geometry (bits / cells) is part of the fingerprint for the
+    # same reason as the data fingerprint: a mismatched layout must force
+    # a rebuild, never a silent wrong-partition probe
+    geom = (DEFAULT_CONFIG.lsh_index_bits if kind == "lsh"
+            else DEFAULT_CONFIG.ivf_clusters)
     fp = hashlib.md5(
-        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}".encode()
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:g{geom}".encode()
     ).hexdigest()[:16]
     tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}"
     base = f"/tmp/ocr_ray_ann_v{_ANN_INDEX_VERSION}_{tag}_{kind}"
@@ -249,10 +256,16 @@ def _term_index(sf_dir: str) -> str:
 
     from ocr_ray.pipelines.textsearch import build_term_index
 
+    from ocr_ray.config import DEFAULT_CONFIG
+
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
+    # the bucket count is part of the fingerprint: a layout built at one
+    # n_buckets is unreadable at another (the lookup's crc32 % n_buckets
+    # would probe the wrong dir and silently return nothing)
     fp = hashlib.md5(
-        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}".encode()
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}"
+        f":b{DEFAULT_CONFIG.term_index_buckets}".encode()
     ).hexdigest()[:16]
     tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}"
     base = f"/tmp/ocr_ray_terms_v{_ANN_INDEX_VERSION}_{tag}"
@@ -1437,8 +1450,11 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0
             ),
             sz AS (
-              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
-              FROM sh WHERE doc_id % 50 <> 0 GROUP BY doc_id
+              -- LEFT JOIN from documents so a zero-shingle (empty-text)
+              -- corpus doc still yields a row, matching the engine
+              SELECT d.doc_id, CAST(count(s.h) AS BIGINT) AS n_shingles
+              FROM documents d LEFT JOIN sh s ON s.doc_id = d.doc_id
+              WHERE d.doc_id % 50 <> 0 GROUP BY d.doc_id
             ),
             hits AS (
               SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared

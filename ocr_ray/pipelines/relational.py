@@ -547,6 +547,20 @@ def coverage_classify(sf_dir: str):
     )
 
 
+def _canonicalize_urls(u):
+    """The E7 canonicalization kernel over an Arrow string array: strip
+    fragment, lowercase scheme+host (path case preserved), strip one
+    trailing slash.  Shared by url_canonicalize and keep_best_per_url so
+    the two operators can never diverge."""
+    s1 = pc.replace_substring_regex(u, r"#.*", "")
+    schemehost = pc.struct_field(
+        pc.extract_regex(s1, r"(?P<m>^[^/]*//[^/]*)"), "m")
+    rest = pc.replace_substring_regex(s1, r"^[^/]*//[^/]*", "")
+    s2 = pc.binary_join_element_wise(
+        pc.utf8_lower(pc.coalesce(schemehost, pa.scalar(""))), rest, "")
+    return pc.replace_substring_regex(s2, r"/$", "")
+
+
 def url_canonicalize(sf_dir: str):
     """E7 analogue — canonical url derivation: strip fragment, lowercase
     scheme+host, strip one trailing slash; over deterministic derived urls."""
@@ -559,17 +573,10 @@ def url_canonicalize(sf_dir: str):
             pc.binary_join_element_wise(
                 "HTTPS://Example.ORG/Path", pc.cast(t["doc_id"], pa.string()), ""),
             tail, "")
-        s1 = pc.replace_substring_regex(u, r"#.*", "")
-        schemehost = pc.struct_field(
-            pc.extract_regex(s1, r"(?P<m>^[^/]*//[^/]*)"), "m")
-        rest = pc.replace_substring_regex(s1, r"^[^/]*//[^/]*", "")
-        s2 = pc.binary_join_element_wise(
-            pc.utf8_lower(pc.coalesce(schemehost, pa.scalar(""))), rest, "")
-        canon = pc.replace_substring_regex(s2, r"/$", "")
         return pa.table({
             "doc_id": t["doc_id"],
             "raw_url": u,
-            "canon_url": canon,
+            "canon_url": _canonicalize_urls(u),
         })
 
     return _read(sf_dir, "documents", ["doc_id"]).map_batches(
@@ -784,8 +791,11 @@ def approx_distinct_users(sf_dir: str, k: int | None = None):
         k = DEFAULT_CONFIG.kmv_sketch_k
 
     def partial(t: pa.Table) -> pa.Table:
-        df = pa.table({"event_type": t["event_type"],
-                       "user_id": t["user_id"]}).to_pandas()
+        # dedup BEFORE hashing: one md5 per distinct (type, user) per
+        # block, not one per event row (the hash loop dominates this stage)
+        df = (pa.table({"event_type": t["event_type"],
+                        "user_id": t["user_id"]}).to_pandas()
+                .drop_duplicates())
         df["h"] = [
             int.from_bytes(hashlib.md5(str(u).encode()).digest()[8:16], "little")
             for u in df["user_id"]
@@ -1027,17 +1037,21 @@ def top_terms_per_lang(sf_dir: str, k: int = 5):
         })
 
     def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
-        s = g.groupby(["lang", "token"], as_index=False)["n"].sum()
+        # dropna=False: a null-lang group must survive (pandas' default
+        # silently discards NaN group keys — SQL keeps NULL as a group)
+        s = g.groupby(["lang", "token"], as_index=False, dropna=False)["n"].sum()
         s["n"] = s["n"].astype("int64")
         return (s.sort_values(["lang", "n", "token"],
                               ascending=[True, False, True])
-                  .groupby("lang", as_index=False, sort=False).head(k))
+                  .groupby("lang", as_index=False, sort=False,
+                           dropna=False).head(k))
 
     def final(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         out = (df.sort_values(["lang", "n", "token"],
                               ascending=[True, False, True])
-                 .groupby("lang", as_index=False, sort=False).head(k))
+                 .groupby("lang", as_index=False, sort=False,
+                          dropna=False).head(k))
         return pa.Table.from_pandas(
             out[["lang", "token", "n"]], preserve_index=False)
 
@@ -1166,14 +1180,8 @@ def keep_best_per_url(sf_dir: str):
             "HTTPS://Example.ORG/Path",
             pc.cast(pc.divide(t["doc_id"], 3), pa.string()), "")
         u = pc.binary_join_element_wise(base, tail, "")
-        s1 = pc.replace_substring_regex(u, r"#.*", "")
-        schemehost = pc.struct_field(
-            pc.extract_regex(s1, r"(?P<m>^[^/]*//[^/]*)"), "m")
-        rest = pc.replace_substring_regex(s1, r"^[^/]*//[^/]*", "")
-        s2 = pc.binary_join_element_wise(
-            pc.utf8_lower(pc.coalesce(schemehost, pa.scalar(""))), rest, "")
-        canon = pc.replace_substring_regex(s2, r"/$", "")
-        return pa.table({"canon_url": canon, "doc_id": t["doc_id"],
+        return pa.table({"canon_url": _canonicalize_urls(u),
+                         "doc_id": t["doc_id"],
                          "n_chars": t["n_chars"]})
 
     def best(df: pd.DataFrame) -> pd.DataFrame:

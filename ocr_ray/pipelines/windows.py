@@ -233,8 +233,6 @@ def hopping_hour_counts(sf_dir: str):
 
 from ocr_ray.config import DEFAULT_CONFIG
 
-RANGE_JOIN_WINDOW_US = DEFAULT_CONFIG.range_join_window_us  # 1 hour
-
 
 def range_join_purchase_clicks(sf_dir: str):
     """RANGE (interval) join: each 'purchase' event paired with ALL of the
@@ -257,9 +255,13 @@ def range_join_purchase_clicks(sf_dir: str):
     counts boundary crossings, not elapsed time, so seconds are NOT used).
     """
 
+    # read the knob at CALL time (not import time) so config overrides
+    # take effect like every other round-4 operator
+    window_us = DEFAULT_CONFIG.range_join_window_us
+
     def bucket_range_join(g: pd.DataFrame) -> pd.DataFrame:
         ts_us = g["ts"].astype("datetime64[us]").astype("int64")
-        g = g.assign(ts_us=ts_us, cell=ts_us // RANGE_JOIN_WINDOW_US)
+        g = g.assign(ts_us=ts_us, cell=ts_us // window_us)
         buys = g.loc[g["event_type"] == "purchase",
                      ["user_id", "event_id", "ts_us", "cell"]].rename(
             columns={"event_id": "purchase_id", "ts_us": "p_ts"})
@@ -270,12 +272,12 @@ def range_join_purchase_clicks(sf_dir: str):
         cand = pd.concat([clicks, shifted], ignore_index=True)
         m = buys.merge(cand, on=["user_id", "cell"], how="inner")
         gap = m["p_ts"] - m["c_ts"]
-        m = m[(gap >= 0) & (gap <= RANGE_JOIN_WINDOW_US)]
+        m = m.assign(gap=gap)[(gap >= 0) & (gap <= window_us)]
         return pd.DataFrame({
             "user_id": m["user_id"].to_numpy(dtype=np.int64),
             "purchase_id": m["purchase_id"].to_numpy(dtype=np.int64),
             "click_id": m["click_id"].to_numpy(dtype=np.int64),
-            "gap_us": (m["p_ts"] - m["c_ts"]).to_numpy(dtype=np.int64),
+            "gap_us": m["gap"].to_numpy(dtype=np.int64),
         })
 
     return (
