@@ -282,6 +282,18 @@ def _term_index(sf_dir: str) -> str:
     return base
 
 
+def _q_knn_join(sf_dir: str):
+    """Approximate kNN self-join over the embeddings table: top-5
+    in-bucket neighbors for every vector."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.simsearch import knn_join_lsh
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return knn_join_lsh(ds, k=5)
+
+
 def _q_term_search_indexed(sf_dir: str):
     """Exact posting lookup for the term 'vector' over the partition-
     pruned term index — only 1/64 of the postings bytes are read; the
@@ -726,6 +738,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": rel.approx_distinct_users,
         "top_terms_per_lang": rel.top_terms_per_lang,
         "term_search_indexed": _q_term_search_indexed,
+        "knn_join_lsh": _q_knn_join,
     }
 
 
@@ -785,6 +798,7 @@ def oracle_sql() -> dict[str, str]:
         # twins (partition pruning changes bytes read, not results)
         "knn_lsh_indexed": _do.knn_lsh_sql(),
         "knn_ivf_indexed": _do.knn_ivf_sql(),
+        "knn_join_lsh": _do.knn_join_lsh_sql(),
         "entity_match": _do.entity_match_sql(),
         "qc_field_compare": _v.qc_field_compare_sql(),
         "field_extraction_patched": _v.field_extraction_patched_sql(),

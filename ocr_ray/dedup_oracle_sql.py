@@ -446,3 +446,45 @@ def entity_match_sql() -> str:
           ) AS is_variation
         FROM stripped
     """
+
+
+def knn_join_lsh_sql(k: int = 5, dim: int = 64) -> str:
+    """knn_join_lsh re-derived in SQL: the same hyperplane-literal bucket
+    expression as knn_lsh_sql, an equi-join on bucket (self excluded),
+    rounded cosine, and a per-vector row_number top-k."""
+    from ocr_ray.config import DEFAULT_CONFIG
+    from ocr_ray.pipelines.simsearch import _planes
+
+    planes = _planes(dim, DEFAULT_CONFIG.lsh_index_bits)
+
+    def dot(b: int) -> str:
+        return " + ".join(f"e[{j + 1}] * {planes[b][j]!r}" for j in range(dim))
+
+    bucket = " + ".join(
+        f"(CASE WHEN ({dot(b)}) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(planes.shape[0])
+    )
+    return f"""
+        WITH v AS (
+          SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings
+        ),
+        b AS MATERIALIZED (
+          SELECT vec_id, embedding, ({bucket}) AS bucket FROM v
+        ),
+        pairs AS (
+          SELECT a.vec_id, n.vec_id AS neighbor_id,
+                 ROUND(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(n.embedding AS DOUBLE[])), 6) AS sim
+          FROM b a JOIN b n ON n.bucket = a.bucket AND n.vec_id <> a.vec_id
+        ),
+        r AS (
+          SELECT vec_id, neighbor_id, sim,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY sim DESC, neighbor_id) AS rk
+          FROM pairs
+        )
+        SELECT vec_id, neighbor_id, sim, CAST(rk AS BIGINT) AS nn_rank
+        FROM r WHERE rk <= {k}
+    """

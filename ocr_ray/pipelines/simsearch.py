@@ -634,3 +634,71 @@ def knn_ivf_indexed(index_dir: str, query_vec, k: int = 10, n_probe: int = 2,
         return _empty_topk(key_col)
     ds = rd.read_parquet(files, columns=[key_col, vec_col])
     return knn_cosine(ds, query_vec, k=k, vec_col=vec_col, key_col=key_col)
+
+
+def knn_join_lsh(ds, k: int = 5, n_bits: int | None = None,
+                 vec_col: str = "embedding", key_col: str = "vec_id"):
+    """Approximate kNN SELF-JOIN: for EVERY vector, its top-k most similar
+    OTHER vectors within the same sign-LSH bucket — the retrieval
+    pre-compute / near-dup-clustering primitive (one row per (vector,
+    neighbor), ``nn_rank`` 1..k, ties broken by neighbor id).
+
+    Scale shape: ONE shuffle, on a coarse 64-way bucket of the fine LSH
+    bucket (fine buckets stay whole inside a coarse group, so per-group
+    dispatch count is bounded by 64, never 2^n_bits); inside, one
+    normalized matmul per fine bucket — total pair work is O(Σ b_i²),
+    the LSH partitioning bound, the same story as
+    :func:`embedding_near_dup_lsh`.  The per-row tie-broken top-k
+    selection is a small lexsort per vector; the matmul dominates.
+    Cross-bucket neighbors are missed (sign-LSH approximation — the
+    exact same single-bucket semantics as :func:`knn_lsh`); raise
+    ``n_bits`` at corpus scale so a bucket stays matmul-sized.
+    """
+    import pandas as pd
+
+    if n_bits is None:
+        n_bits = DEFAULT_CONFIG.lsh_index_bits
+    n_coarse = DEFAULT_CONFIG.near_dup_coarse_buckets
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        mat = _to_matrix(t[vec_col])
+        b = lsh_bucket(mat, n_bits) if mat.shape[0] else np.zeros(0, np.int32)
+        return pa.table({
+            key_col: t[key_col],
+            vec_col: t[vec_col],
+            "fbucket": pa.array(b, pa.int32()),
+            "cbucket": pa.array((b % n_coarse).astype(np.int32), pa.int32()),
+        })
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        out_id, out_nb, out_sim, out_rk = [], [], [], []
+        for _, grp in g.groupby("fbucket", sort=True):
+            n = len(grp)
+            if n < 2:
+                continue
+            ids = grp[key_col].to_numpy(dtype=np.int64)
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in grp[vec_col]])
+            nm = _normalized(mat)
+            sims = np.round(nm @ nm.T, 6)
+            kk = min(k, n - 1)
+            for i in range(n):
+                row = sims[i].copy()
+                row[i] = -np.inf          # exclude self
+                order = np.lexsort((ids, -row))[:kk]
+                out_id.extend([ids[i]] * kk)
+                out_nb.extend(ids[order])
+                out_sim.extend(row[order])
+                out_rk.extend(range(1, kk + 1))
+        return pd.DataFrame({
+            key_col: np.array(out_id, dtype=np.int64),
+            "neighbor_id": np.array(out_nb, dtype=np.int64),
+            "sim": np.array(out_sim, dtype=np.float64),
+            "nn_rank": np.array(out_rk, dtype=np.int64),
+        })
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("cbucket")
+        .map_groups(join_group, batch_format="pandas")
+    )

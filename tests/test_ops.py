@@ -873,3 +873,41 @@ def test_term_index_pruned_lookup(ray_session, tmp_path):
     assert dict(zip(got["doc_id"], got["tf"])) == want
     # a term absent from the corpus returns zero rows without error
     assert term_search_indexed(idx, "zeta").count() == 0
+
+
+def test_knn_join_lsh_matches_local(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ocr_ray.pipelines.simsearch import (
+        _normalized,
+        _to_matrix,
+        knn_join_lsh,
+        lsh_bucket,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    got = (knn_join_lsh(rd.read_parquet(f"{sf}/embeddings.parquet",
+                                        columns=["vec_id", "embedding"]), k=3)
+           .to_pandas().sort_values(["vec_id", "nn_rank"]).reset_index(drop=True))
+    # local recompute: per-bucket rounded-cosine top-3 excluding self
+    mat = _to_matrix(t["embedding"])
+    ids = t["vec_id"].to_numpy()
+    buckets = lsh_bucket(mat)
+    want = []
+    for b in sorted(set(buckets.tolist())):
+        m = buckets == b
+        bids, bm = ids[m], _normalized(mat[m])
+        sims = np.round(bm @ bm.T, 6)
+        for i in range(len(bids)):
+            row = sims[i].copy()
+            row[i] = -np.inf
+            order = np.lexsort((bids, -row))[: min(3, len(bids) - 1)]
+            for r, j in enumerate(order, 1):
+                want.append((bids[i], bids[j], row[j], r))
+    want.sort(key=lambda x: (x[0], x[3]))   # (vec_id, nn_rank) like `got`
+    assert [tuple(x) for x in got[["vec_id", "neighbor_id", "sim", "nn_rank"]]
+            .itertuples(index=False)] == want
+    assert (got["vec_id"] != got["neighbor_id"]).all()
