@@ -739,6 +739,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "top_terms_per_lang": rel.top_terms_per_lang,
         "term_search_indexed": _q_term_search_indexed,
         "knn_join_lsh": _q_knn_join,
+        "doc_length_quantiles_by_lang": rel.doc_length_quantiles_by_lang,
     }
 
 
@@ -1269,6 +1270,17 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT CAST(qv.q AS DOUBLE) AS q, CAST(l.vs[qv.i] AS BIGINT) AS value
+            FROM l, (VALUES (1, 0.25), (2, 0.5), (3, 0.75),
+                            (4, 0.9), (5, 0.99)) qv(i, q)
+        """,
+        "doc_length_quantiles_by_lang": """
+            WITH l AS MATERIALIZED (
+              SELECT lang,
+                     quantile_disc(n_chars, [0.25, 0.5, 0.75, 0.9, 0.99]) AS vs
+              FROM documents GROUP BY lang
+            )
+            SELECT l.lang, CAST(qv.q AS DOUBLE) AS q,
+                   CAST(l.vs[qv.i] AS BIGINT) AS value
             FROM l, (VALUES (1, 0.25), (2, 0.5), (3, 0.75),
                             (4, 0.9), (5, 0.99)) qv(i, q)
         """,

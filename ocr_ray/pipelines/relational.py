@@ -1110,6 +1110,54 @@ def doc_length_quantiles(sf_dir: str):
     )
 
 
+def doc_length_quantiles_by_lang(sf_dir: str):
+    """GROUPED exact quantiles: doc-length quantiles per language — the
+    group-wise sibling of :func:`doc_length_quantiles` (per-stratum
+    length profiling in a corpus-curation pipeline).
+
+    Same value-count compression with the group key riding along:
+    partials are (lang, value, count) rows — bounded by langs x value
+    domain regardless of corpus size — merged by one repartition(1)
+    task that walks each language's cumulative histogram.  quantile_disc
+    semantics pinned to DuckDB (1-based rank ceil(q*n)).
+    """
+    import math
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pa.table({"lang": t["lang"], "v": t["n_chars"]}).to_pandas()
+        g = (df.groupby(["lang", "v"], as_index=False, dropna=False)
+               .size().rename(columns={"size": "c"}))
+        g["c"] = g["c"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(t: pa.Table) -> pa.Table:
+        df = (t.to_pandas()
+               .groupby(["lang", "v"], as_index=False, dropna=False)["c"].sum())
+        langs, qs, vals_out = [], [], []
+        for lang, g in df.groupby("lang", sort=True, dropna=False):
+            g = g.sort_values("v")
+            total = int(g["c"].sum())
+            cum = g["c"].cumsum().to_numpy()
+            vals = g["v"].to_numpy()
+            for q in _QUANTILES:
+                rank = max(1, math.ceil(q * total))
+                langs.append(lang)
+                qs.append(q)
+                vals_out.append(int(vals[int(np.searchsorted(cum, rank))]))
+        return pa.table({
+            "lang": pa.array(langs, pa.string()),
+            "q": pa.array(qs, pa.float64()),
+            "value": pa.array(vals_out, pa.int64()),
+        })
+
+    return (
+        _read(sf_dir, "documents", ["lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
 def domain_cap(sf_dir: str, k: int | None = None):
     """Per-domain document cap (web-corpus curation: no single domain may
     dominate the training mix): keep the k lowest-doc_id docs per source.

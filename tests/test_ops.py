@@ -911,3 +911,21 @@ def test_knn_join_lsh_matches_local(ray_session):
     assert [tuple(x) for x in got[["vec_id", "neighbor_id", "sim", "nn_rank"]]
             .itertuples(index=False)] == want
     assert (got["vec_id"] != got["neighbor_id"]).all()
+
+
+def test_doc_length_quantiles_by_lang(ray_session):
+    import math
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import doc_length_quantiles_by_lang
+
+    sf = "/root/testdata/sf0.001"
+    got = (doc_length_quantiles_by_lang(sf).to_pandas()
+           .set_index(["lang", "q"])["value"])
+    df = pq.read_table(f"{sf}/documents.parquet",
+                       columns=["lang", "n_chars"]).to_pandas()
+    for lang, g in df.groupby("lang"):
+        vals = sorted(g["n_chars"])
+        for q in (0.25, 0.5, 0.75, 0.9, 0.99):
+            assert got[(lang, q)] == vals[max(1, math.ceil(q * len(vals))) - 1]
