@@ -740,6 +740,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "term_search_indexed": _q_term_search_indexed,
         "knn_join_lsh": _q_knn_join,
         "doc_length_quantiles_by_lang": rel.doc_length_quantiles_by_lang,
+        "throttle_dedup_events": win.throttle_dedup_events,
     }
 
 
@@ -1350,6 +1351,17 @@ def oracle_sql() -> dict[str, str]:
                         END AS BIGINT) AS approx_distinct
             FROM r
             WHERE rn = CASE WHEN nd < 256 THEN nd ELSE 256 END
+        """,
+        "throttle_dedup_events": """
+            WITH w AS (
+              SELECT event_id, user_id, event_type, ts,
+                     lag(ts) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS prev_ts
+              FROM events
+            )
+            SELECT event_id, user_id, event_type, ts
+            FROM w
+            WHERE prev_ts IS NULL OR ts - prev_ts >= INTERVAL '1 hour'
         """,
         "range_join_purchase_clicks": """
             SELECT p.user_id, p.event_id AS purchase_id,

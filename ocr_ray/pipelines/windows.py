@@ -287,3 +287,37 @@ def range_join_purchase_clicks(sf_dir: str):
         .groupby("ubucket")
         .map_groups(bucket_range_join, batch_format="pandas")
     )
+
+
+def throttle_dedup_events(sf_dir: str):
+    """Time-windowed event dedup (debounce): keep an event iff it is the
+    first of its (user_id, event_type) or >= 1 window has elapsed since
+    the PREVIOUS event of that key (lag semantics — each event compares
+    to its immediate predecessor, the SQL ``lag()`` definition, so the
+    oracle is a pure window function; a keep-chain throttle would need
+    iteration).  The J2 keep-first family extended with event time.
+
+    Same single coarse user-bucket shuffle as every event operator here;
+    inside, ONE sort + vectorized diff pass handles every (user, type)
+    chain at once — a key-boundary row is always kept, and within a key
+    the int64-microsecond gap to the previous row decides.
+    """
+    window_us = DEFAULT_CONFIG.range_join_window_us
+
+    def debounce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"])
+        new_key = (g["user_id"].ne(g["user_id"].shift())
+                   | g["event_type"].ne(g["event_type"].shift()))
+        gap_us = g["ts"].astype("datetime64[us]").astype("int64").diff()
+        keep = new_key | (gap_us >= window_us)
+        out = g.loc[keep, ["event_id", "user_id", "event_type", "ts"]]
+        out["ts"] = out["ts"].astype("datetime64[us]")
+        return out
+
+    return (
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                        columns=["event_id", "user_id", "event_type", "ts"])
+        .map_batches(_bucket_by_user, batch_format="pyarrow")
+        .groupby("ubucket")
+        .map_groups(debounce, batch_format="pandas")
+    )

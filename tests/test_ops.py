@@ -929,3 +929,29 @@ def test_doc_length_quantiles_by_lang(ray_session):
         vals = sorted(g["n_chars"])
         for q in (0.25, 0.5, 0.75, 0.9, 0.99):
             assert got[(lang, q)] == vals[max(1, math.ceil(q * len(vals))) - 1]
+
+
+def test_throttle_dedup_events(ray_session, tmp_path):
+    import pandas as pd
+
+    from ocr_ray.pipelines.windows import throttle_dedup_events
+
+    t0 = pd.Timestamp("2026-01-01 09:00:00")
+    m = pd.Timedelta(minutes=1)
+    h = pd.Timedelta(hours=1)
+    rows = [
+        (0, t0, 1, "click"),          # first of key: kept
+        (1, t0 + m, 1, "click"),      # 1 min later: dropped
+        (2, t0 + h + m, 1, "click"),  # exactly 1h after PREVIOUS (lag): kept
+        (3, t0 + m, 1, "view"),       # different type: kept
+        (4, t0 + m, 2, "click"),      # different user: kept
+    ]
+    df = pd.DataFrame({
+        "event_id": [r[0] for r in rows],
+        "ts": pd.Series([r[1] for r in rows]).astype("datetime64[us]"),
+        "user_id": [r[2] for r in rows],
+        "event_type": [r[3] for r in rows],
+    })
+    df.to_parquet(f"{tmp_path}/events.parquet", index=False)
+    got = throttle_dedup_events(str(tmp_path)).to_pandas()
+    assert sorted(got["event_id"]) == [0, 2, 3, 4]
