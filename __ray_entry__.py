@@ -741,6 +741,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "knn_join_lsh": _q_knn_join,
         "doc_length_quantiles_by_lang": rel.doc_length_quantiles_by_lang,
         "throttle_dedup_events": win.throttle_dedup_events,
+        "running_user_spend": win.running_user_spend,
     }
 
 
@@ -1351,6 +1352,14 @@ def oracle_sql() -> dict[str, str]:
                         END AS BIGINT) AS approx_distinct
             FROM r
             WHERE rn = CASE WHEN nd < 256 THEN nd ELSE 256 END
+        """,
+        "running_user_spend": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(ROUND(value * 100) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS cum_value_cents
+            FROM events
         """,
         "throttle_dedup_events": """
             WITH w AS (

@@ -321,3 +321,37 @@ def throttle_dedup_events(sf_dir: str):
         .groupby("ubucket")
         .map_groups(debounce, batch_format="pandas")
     )
+
+
+def running_user_spend(sf_dir: str):
+    """Running per-user aggregate (cumulative spend): for every event, the
+    prefix sum of value over that user's events ordered by (ts, event_id)
+    — the window-function family (``sum() OVER (PARTITION BY ... ROWS
+    UNBOUNDED PRECEDING)``) restated as one coarse user-bucket shuffle +
+    a vectorized per-bucket sort + grouped cumsum.  Values are
+    integer-scaled to cents BEFORE summation (the repo-wide parity
+    convention) so the running total is bit-exact vs the oracle.
+    """
+
+    def prep(t: pa.Table) -> pa.Table:
+        return _bucket_by_user(pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "ts": t["ts"],
+            "value_cents": _cents(t["value"]),
+        }))
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        out = g.assign(
+            cum_value_cents=g.groupby("user_id")["value_cents"]
+            .cumsum().astype("int64"))
+        return out[["event_id", "user_id", "cum_value_cents"]]
+
+    return (
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                        columns=["user_id", "event_id", "ts", "value"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("ubucket")
+        .map_groups(running, batch_format="pandas")
+    )

@@ -955,3 +955,21 @@ def test_throttle_dedup_events(ray_session, tmp_path):
     df.to_parquet(f"{tmp_path}/events.parquet", index=False)
     got = throttle_dedup_events(str(tmp_path)).to_pandas()
     assert sorted(got["event_id"]) == [0, 2, 3, 4]
+
+
+def test_running_user_spend_monotone(ray_session):
+    from ocr_ray.pipelines.windows import running_user_spend
+
+    got = running_user_spend("/root/testdata/sf0.001").to_pandas()
+    assert len(got) == 1000                      # one row per event
+    assert got["event_id"].is_unique
+    # positive values -> per-user running total is strictly increasing in
+    # event order; final value equals the user's total
+    import duckdb
+
+    ora = duckdb.sql("""
+        SELECT user_id, CAST(sum(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) t
+        FROM '/root/testdata/sf0.001/events.parquet' GROUP BY user_id
+    """).df().set_index("user_id")["t"]
+    finals = got.groupby("user_id")["cum_value_cents"].max()
+    assert (finals == ora.loc[finals.index]).all()
