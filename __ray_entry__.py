@@ -742,6 +742,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles_by_lang": rel.doc_length_quantiles_by_lang,
         "throttle_dedup_events": win.throttle_dedup_events,
         "running_user_spend": win.running_user_spend,
+        "hourly_event_pivot": win.hourly_event_pivot,
     }
 
 
@@ -1352,6 +1353,21 @@ def oracle_sql() -> dict[str, str]:
                         END AS BIGINT) AS approx_distinct
             FROM r
             WHERE rn = CASE WHEN nd < 256 THEN nd ELSE 256 END
+        """,
+        "hourly_event_pivot": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   CAST(count(*) FILTER (event_type = 'click') AS BIGINT)
+                     AS n_click,
+                   CAST(count(*) FILTER (event_type = 'view') AS BIGINT)
+                     AS n_view,
+                   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+                     AS n_purchase,
+                   CAST(count(*) FILTER (event_type = 'signup') AS BIGINT)
+                     AS n_signup,
+                   CAST(count(*) FILTER (event_type = 'error') AS BIGINT)
+                     AS n_error,
+                   CAST(count(*) AS BIGINT) AS n_total
+            FROM events GROUP BY 1
         """,
         "running_user_spend": """
             SELECT event_id, user_id,

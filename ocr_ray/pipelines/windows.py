@@ -355,3 +355,49 @@ def running_user_spend(sf_dir: str):
         .groupby("ubucket")
         .map_groups(running, batch_format="pandas")
     )
+
+
+_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def hourly_event_pivot(sf_dir: str):
+    """PIVOT (wide aggregate): one row per hour with one count column per
+    event type (n_click, n_view, ...) plus n_total — the long→wide
+    reshape every monitoring pipeline ends in.  The pivot happens INSIDE
+    map_batches (vectorized boolean-sum partials per hour, one row per
+    hour per batch), so the groupby only ever sees pre-pivoted partials —
+    window-key cardinality is time-span / hour, safe at any corpus size.
+    The type list is a fixed schema (unknown types count only toward
+    n_total — a pivot needs a declared column set, same as SQL FILTER).
+    """
+    from ray.data.aggregate import Sum
+
+    cols = [f"n_{et}" for et in _EVENT_TYPES]
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pa.table({
+            "window_start": pc.floor_temporal(t["ts"], unit="hour"),
+            "event_type": t["event_type"],
+        }).to_pandas()
+        for et in _EVENT_TYPES:
+            df[f"n_{et}"] = (df["event_type"] == et).astype("int64")
+        df["n_total"] = np.int64(1)
+        g = df.groupby("window_start", as_index=False)[cols + ["n_total"]].sum()
+        out = pa.Table.from_pandas(g, preserve_index=False)
+        i = out.column_names.index("window_start")
+        return out.set_column(
+            i, "window_start", out["window_start"].cast(pa.timestamp("us")))
+
+    def fix_ts(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("window_start")
+        return t.set_column(
+            i, "window_start", t["window_start"].cast(pa.timestamp("us")))
+
+    return (
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                        columns=["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols + ["n_total"]])
+        .map_batches(fix_ts, batch_format="pyarrow")
+    )

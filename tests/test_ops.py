@@ -973,3 +973,18 @@ def test_running_user_spend_monotone(ray_session):
     """).df().set_index("user_id")["t"]
     finals = got.groupby("user_id")["cum_value_cents"].max()
     assert (finals == ora.loc[finals.index]).all()
+
+
+def test_hourly_event_pivot_row_conservation(ray_session):
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.windows import hourly_event_pivot
+
+    sf = "/root/testdata/sf0.001"
+    got = hourly_event_pivot(sf).to_pandas()
+    n_events = pq.read_metadata(f"{sf}/events.parquet").num_rows
+    type_cols = [c for c in got.columns if c.startswith("n_") and c != "n_total"]
+    # every event counted exactly once, and the typed columns partition it
+    assert int(got["n_total"].sum()) == n_events
+    assert (got[type_cols].sum(axis=1) == got["n_total"]).all()
+    assert str(got["window_start"].dtype) == "datetime64[us]"
