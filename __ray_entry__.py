@@ -743,6 +743,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "throttle_dedup_events": win.throttle_dedup_events,
         "running_user_spend": win.running_user_spend,
         "hourly_event_pivot": win.hourly_event_pivot,
+        "hourly_distinct_users": win.hourly_distinct_users,
     }
 
 
@@ -1353,6 +1354,11 @@ def oracle_sql() -> dict[str, str]:
                         END AS BIGINT) AS approx_distinct
             FROM r
             WHERE rn = CASE WHEN nd < 256 THEN nd ELSE 256 END
+        """,
+        "hourly_distinct_users": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1
         """,
         "hourly_event_pivot": """
             SELECT date_trunc('hour', ts) AS window_start,

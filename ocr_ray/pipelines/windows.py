@@ -401,3 +401,45 @@ def hourly_event_pivot(sf_dir: str):
         .aggregate(*[Sum(c, alias_name=c) for c in cols + ["n_total"]])
         .map_batches(fix_ts, batch_format="pyarrow")
     )
+
+
+def hourly_distinct_users(sf_dir: str):
+    """EXACT distinct-user count per hour window — the windowed
+    COUNT(DISTINCT) reduce (KMV's exact sibling; see
+    relational.approx_distinct_users for the sketch when exactness can
+    yield).
+
+    Partials are DISTINCT (hour, user) pairs per batch (the dedup
+    happens before anything moves), shuffled on a coarse 64-way bucket
+    of the hour so the per-group pandas nunique is one vectorized pass —
+    never one dispatch per hour window.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pa.table({
+            "window_start": pc.floor_temporal(t["ts"], unit="hour"),
+            "user_id": t["user_id"],
+        }).to_pandas().drop_duplicates()
+        df["hbucket"] = (
+            df["window_start"].astype("datetime64[us]").astype("int64")
+            // 3_600_000_000 % _USER_BUCKETS
+        ).astype("int32")
+        out = pa.Table.from_pandas(df, preserve_index=False)
+        i = out.column_names.index("window_start")
+        return out.set_column(
+            i, "window_start", out["window_start"].cast(pa.timestamp("us")))
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("window_start", as_index=False)["user_id"]
+                 .nunique().rename(columns={"user_id": "n_users"}))
+        out["n_users"] = out["n_users"].astype("int64")
+        out["window_start"] = out["window_start"].astype("datetime64[us]")
+        return out
+
+    return (
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                        columns=["ts", "user_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("hbucket")
+        .map_groups(count_bucket, batch_format="pandas")
+    )

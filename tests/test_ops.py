@@ -988,3 +988,19 @@ def test_hourly_event_pivot_row_conservation(ray_session):
     assert int(got["n_total"].sum()) == n_events
     assert (got[type_cols].sum(axis=1) == got["n_total"]).all()
     assert str(got["window_start"].dtype) == "datetime64[us]"
+
+
+def test_hourly_distinct_users(ray_session):
+    import duckdb
+
+    from ocr_ray.pipelines.windows import hourly_distinct_users
+
+    got = (hourly_distinct_users("/root/testdata/sf0.001").to_pandas()
+           .sort_values("window_start").reset_index(drop=True))
+    want = duckdb.sql("""
+        SELECT date_trunc('hour', ts) AS window_start,
+               count(DISTINCT user_id) AS n
+        FROM '/root/testdata/sf0.001/events.parquet' GROUP BY 1 ORDER BY 1
+    """).df()
+    assert got["n_users"].tolist() == want["n"].tolist()
+    assert str(got["window_start"].dtype) == "datetime64[us]"
