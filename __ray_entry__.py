@@ -744,6 +744,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "running_user_spend": win.running_user_spend,
         "hourly_event_pivot": win.hourly_event_pivot,
         "hourly_distinct_users": win.hourly_distinct_users,
+        "order_price_rank": rel.order_price_rank,
     }
 
 
@@ -1354,6 +1355,15 @@ def oracle_sql() -> dict[str, str]:
                         END AS BIGINT) AS approx_distinct
             FROM r
             WHERE rn = CASE WHEN nd < 256 THEN nd ELSE 256 END
+        """,
+        "order_price_rank": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+                   CAST(rank() OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC
+                   ) AS BIGINT) AS price_rank
+            FROM orders
         """,
         "hourly_distinct_users": """
             SELECT date_trunc('hour', ts) AS window_start,

@@ -1110,6 +1110,41 @@ def doc_length_quantiles(sf_dir: str):
     )
 
 
+def order_price_rank(sf_dir: str):
+    """RANKING window function: each order's rank by price within its
+    customer (``rank() OVER (PARTITION BY o_custkey ORDER BY ...)``) —
+    completes the window-function trio (running sum, lag/debounce, rank).
+
+    One coarse 64-way shuffle on the customer key, then pandas
+    ``rank(method='min')`` per bucket handles every customer vectorized.
+    Price ties share a rank (gaps follow), broken deterministically in
+    the ORDER only — rank itself is tie-stable, so cents-scaled price is
+    compared, never raw doubles.
+    """
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": t["o_custkey"],
+            "price_cents": _cents(t["o_totalprice"]),
+            "bucket": pc.cast(
+                pc.bit_wise_and(t["o_custkey"], 63), pa.int32()),
+        })
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(price_rank=(
+            g.groupby("o_custkey")["price_cents"]
+             .rank(method="min", ascending=False).astype("int64")))
+        return g[["o_orderkey", "o_custkey", "price_cents", "price_rank"]]
+
+    return (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(rank_bucket, batch_format="pandas")
+    )
+
+
 def doc_length_quantiles_by_lang(sf_dir: str):
     """GROUPED exact quantiles: doc-length quantiles per language — the
     group-wise sibling of :func:`doc_length_quantiles` (per-stratum
