@@ -745,6 +745,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "hourly_event_pivot": win.hourly_event_pivot,
         "hourly_distinct_users": win.hourly_distinct_users,
         "order_price_rank": rel.order_price_rank,
+        "rollup_customer_balance": rel.rollup_customer_balance,
     }
 
 
@@ -1355,6 +1356,16 @@ def oracle_sql() -> dict[str, str]:
                         END AS BIGINT) AS approx_distinct
             FROM r
             WHERE rn = CASE WHEN nd < 256 THEN nd ELSE 256 END
+        """,
+        "rollup_customer_balance": """
+            SELECT COALESCE(r_name, 'ALL') AS r_name,
+                   COALESCE(n_name, 'ALL') AS n_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP(r_name, n_name)
         """,
         "order_price_rank": """
             SELECT o_orderkey, o_custkey,

@@ -396,6 +396,68 @@ def customers_by_region(sf_dir: str):
     )
 
 
+def rollup_customer_balance(sf_dir: str):
+    """Hierarchical ROLLUP aggregate (``GROUP BY ROLLUP(r_name, n_name)``):
+    per-nation, per-region-subtotal and grand-total customer counts and
+    balance sums in one result, with the literal ``'ALL'`` as the
+    rolled-up-level sentinel (both sides COALESCE, so the hash compare
+    never depends on NULL formatting).
+
+    Scale shape: only the FINEST level (region × nation, cardinality =
+    #nations) is aggregated distributed — per-batch partials then a tiny
+    groupby.  The coarser levels are pure re-aggregations of that finest
+    result, so they are derived on the ~25-row table in a single
+    ``repartition(1)`` task; no second pass over the fact table, no extra
+    shuffle, regardless of corpus size.
+    """
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    rmap = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    nmap = {
+        nk: (nm, rmap[rk])
+        for nk, nm, rk in zip(
+            nation["n_nationkey"].to_pylist(),
+            nation["n_name"].to_pylist(),
+            nation["n_regionkey"].to_pylist(),
+        )
+    }
+    ref = ray.put(nmap)
+
+    def measures(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        pairs = [m[nk] for nk in t["c_nationkey"].to_pylist()]
+        return pa.table({
+            "r_name": pa.array([p[1] for p in pairs], pa.string()),
+            "n_name": pa.array([p[0] for p in pairs], pa.string()),
+            "bal_cents": _cents(t["c_acctbal"]),
+        })
+
+    finest = _grouped_sum(
+        _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"]),
+        measures, keys=["r_name", "n_name"], sum_cols=["bal_cents"],
+        count_col="n_customers",
+    )
+
+    def add_levels(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["r_name", "n_name", "n_customers", "bal_cents"]
+        reg = df.groupby("r_name", as_index=False).agg(
+            n_customers=("n_customers", "sum"), bal_cents=("bal_cents", "sum"))
+        reg["n_name"] = "ALL"
+        tot = pd.DataFrame({
+            "r_name": ["ALL"], "n_name": ["ALL"],
+            "n_customers": [df["n_customers"].sum()],
+            "bal_cents": [df["bal_cents"].sum()],
+        })
+        out = pd.concat([df[cols], reg[cols], tot[cols]], ignore_index=True)
+        out["n_customers"] = out["n_customers"].astype("int64")
+        out["bal_cents"] = out["bal_cents"].astype("int64")
+        return out
+
+    return finest.repartition(1).map_batches(add_levels, batch_format="pandas")
+
+
 def revenue_by_orderpriority(sf_dir: str):
     """Fact-to-fact join restated as broadcast map (lineitem × orders):
     the orders→priority map is broadcast (small at test scale; at corpus
