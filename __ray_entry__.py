@@ -746,6 +746,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "hourly_distinct_users": win.hourly_distinct_users,
         "order_price_rank": rel.order_price_rank,
         "rollup_customer_balance": rel.rollup_customer_balance,
+        "price_quantity_corr": rel.price_quantity_corr,
     }
 
 
@@ -1366,6 +1367,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP(r_name, n_name)
+        """,
+        "price_quantity_corr": """
+            WITH m AS (
+                SELECT l_returnflag,
+                       CAST(COUNT(*) AS BIGINT) AS n_rows,
+                       SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sq,
+                       SUM(CAST(ROUND(l_extendedprice) AS BIGINT)) AS sp,
+                       SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                           * CAST(ROUND(l_quantity) AS BIGINT)) AS sqq,
+                       SUM(CAST(ROUND(l_extendedprice) AS BIGINT)
+                           * CAST(ROUND(l_extendedprice) AS BIGINT)) AS spp,
+                       SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                           * CAST(ROUND(l_extendedprice) AS BIGINT)) AS sqp
+                FROM lineitem
+                GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, n_rows,
+                   ROUND(
+                     CAST(n_rows * sqp - sq * sp AS DOUBLE)
+                     / SQRT(CAST(n_rows * sqq - sq * sq AS DOUBLE)
+                            * CAST(n_rows * spp - sp * sp AS DOUBLE)),
+                     6) AS corr_qty_price
+            FROM m
         """,
         "order_price_rank": """
             SELECT o_orderkey, o_custkey,

@@ -458,6 +458,57 @@ def rollup_customer_balance(sf_dir: str):
     return finest.repartition(1).map_batches(add_levels, batch_format="pandas")
 
 
+def price_quantity_corr(sf_dir: str):
+    """Algebraic Pearson correlation (quantity vs price, per return flag)
+    from exact integer moments: each batch contributes int64 partial sums
+    (n, Σq, Σp, Σq², Σp², Σqp) over half-away-rounded integer units, the
+    groupby sums one row per key per batch, and the final ~3-row finalize
+    does the float math in Python ints → float64 with the SAME expression
+    shape as the SQL oracle (``a / sqrt(b·c)`` on exact integers cast to
+    double) so both sides round identically at 6 dp.
+
+    Scale shape: corr is algebraic — the moments are a constant-width
+    combiner, so the shuffle moves one row per (key × batch) no matter the
+    corpus size, and no float ever enters the distributed sum (summation
+    order cannot perturb bits).  Prices are rounded to whole units (not
+    cents) so Σp² stays far inside int64 at 10^9-row scale.
+    """
+    import math
+
+    def measures(t: pa.Table) -> pa.Table:
+        q = _cents(t["l_quantity"], 1)
+        p = _cents(t["l_extendedprice"], 1)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "sq": q,
+            "sp": p,
+            "sqq": pc.multiply(q, q),
+            "spp": pc.multiply(p, p),
+            "sqp": pc.multiply(q, p),
+        })
+
+    moments = _grouped_sum(
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"]),
+        measures, keys=["l_returnflag"],
+        sum_cols=["sq", "sp", "sqq", "spp", "sqp"], count_col="n_rows",
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for r in df.itertuples(index=False):
+            n, sq, sp = int(r.n_rows), int(r.sq), int(r.sp)
+            a = n * int(r.sqp) - sq * sp
+            b = n * int(r.sqq) - sq * sq
+            c = n * int(r.spp) - sp * sp
+            corr = float(a) / math.sqrt(float(b) * float(c))
+            out.append((r.l_returnflag, n, float(np.round(corr, 6))))
+        res = pd.DataFrame(out, columns=["l_returnflag", "n_rows", "corr_qty_price"])
+        res["n_rows"] = res["n_rows"].astype("int64")
+        return res
+
+    return moments.repartition(1).map_batches(finalize, batch_format="pandas")
+
+
 def revenue_by_orderpriority(sf_dir: str):
     """Fact-to-fact join restated as broadcast map (lineitem × orders):
     the orders→priority map is broadcast (small at test scale; at corpus
