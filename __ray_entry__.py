@@ -747,6 +747,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "order_price_rank": rel.order_price_rank,
         "rollup_customer_balance": rel.rollup_customer_balance,
         "price_quantity_corr": rel.price_quantity_corr,
+        "chunk_documents": rel.chunk_documents,
     }
 
 
@@ -1367,6 +1368,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP(r_name, n_name)
+        """,
+        "chunk_documents": """
+            WITH c AS (
+                SELECT doc_id, text,
+                       unnest(range(0,
+                              CAST(length(coalesce(text, '')) AS BIGINT),
+                              100)) AS char_start
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(char_start // 100 AS BIGINT) AS chunk_idx,
+                   CAST(char_start AS BIGINT) AS char_start,
+                   substr(text, CAST(char_start + 1 AS INTEGER), 120)
+                       AS chunk_text
+            FROM c
         """,
         "price_quantity_corr": """
             WITH m AS (

@@ -1055,6 +1055,54 @@ def stratified_sample(sf_dir: str):
     )
 
 
+def chunk_documents(sf_dir: str, chunk_chars: int = 120, overlap: int = 20):
+    """Sliding-window document chunking (the LLM-pretraining "context
+    packing" precursor): explode each document into fixed-width character
+    windows with ``overlap`` chars of left context and explicit offsets
+    (doc_id, chunk_idx, char_start, chunk_text), so downstream stages can
+    embed / dedup / index chunks while still mapping every chunk back to
+    its source span.
+
+    Windows start every ``stride = chunk_chars - overlap`` characters while
+    ``start < len(text)``; the last window may be short; empty/null docs
+    emit no chunks.  Embarrassingly parallel — a pure per-batch explode,
+    no shuffle; output rows ≈ input_chars / stride, so block sizes grow by
+    a bounded factor and streaming backpressure handles the fan-out.
+
+    The window-start arithmetic is numpy-vectorized; only the final
+    substring extraction is a per-chunk C-level slice (strings with
+    per-row offsets have no Arrow kernel).
+    """
+    stride = chunk_chars - overlap
+    assert stride > 0, "overlap must be smaller than chunk_chars"
+
+    def explode(t: pa.Table) -> pa.Table:
+        texts = [x or "" for x in t["text"].to_pylist()]
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        lens = np.fromiter((len(x) for x in texts), dtype=np.int64,
+                           count=len(texts))
+        n_chunks = -(-lens // stride)  # ceil; 0 for empty docs
+        rep_ids = np.repeat(ids, n_chunks)
+        total = int(n_chunks.sum())
+        # per-doc 0..n_chunks-1 counters without a Python loop
+        ends = np.cumsum(n_chunks)
+        idx = np.arange(total) - np.repeat(ends - n_chunks, n_chunks)
+        starts = idx * stride
+        rep_texts = np.repeat(np.arange(len(texts)), n_chunks)
+        chunks = [texts[ti][s: s + chunk_chars]
+                  for ti, s in zip(rep_texts, starts)]
+        return pa.table({
+            "doc_id": pa.array(rep_ids, pa.int64()),
+            "chunk_idx": pa.array(idx, pa.int64()),
+            "char_start": pa.array(starts, pa.int64()),
+            "chunk_text": pa.array(chunks, pa.string()),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+
 def top_terms(sf_dir: str, k: int = 20):
     """Global top-k tokens (heavy hitters) over the document corpus.
 
