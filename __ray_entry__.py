@@ -748,6 +748,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "rollup_customer_balance": rel.rollup_customer_balance,
         "price_quantity_corr": rel.price_quantity_corr,
         "chunk_documents": rel.chunk_documents,
+        "part_pair_counts": rel.part_pair_counts,
     }
 
 
@@ -1368,6 +1369,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP(r_name, n_name)
+        """,
+        "part_pair_counts": """
+            WITH pairs AS (
+                SELECT DISTINCT a.l_orderkey,
+                       a.l_partkey AS part_a, b.l_partkey AS part_b
+                FROM lineitem a
+                JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+            ), counts AS (
+                SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n_orders
+                FROM pairs GROUP BY part_a, part_b
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    ORDER BY n_orders DESC, part_a, part_b) AS rn
+                FROM counts
+            )
+            SELECT part_a, part_b, n_orders FROM r WHERE rn <= 100
         """,
         "chunk_documents": """
             WITH c AS (

@@ -1055,6 +1055,89 @@ def stratified_sample(sf_dir: str):
     )
 
 
+def part_pair_counts(sf_dir: str, k: int = 100):
+    """Market-basket co-occurrence (distributed self-join): the top-k part
+    pairs that appear together in the most orders, ordered
+    (n_orders desc, part_a, part_b) with a row_number-style deterministic
+    tie cut mirrored in SQL.
+
+    Two-shuffle topology, both on COARSE buckets (never raw keys):
+
+      1. shuffle lineitem on md5(l_orderkey) % 64 so every line of an
+         order lands in one bucket; inside the bucket one vectorized
+         pandas pass dedups (order, part), self-merges per order into
+         a < b pairs, and pre-counts pairs — the second shuffle carries
+         (pair, partial_count), never pair instances;
+      2. shuffle the partials on md5(part_a-part_b) % 64 — a pair lives
+         entirely in one bucket, so a per-bucket vectorized sum + local
+         top-k bounds the final ``repartition(1)`` merge to ≤ 64·k rows.
+
+    Skew note: pair fan-out is quadratic in lines-per-order, which TPC-H
+    caps at 7; a corpus with unbounded baskets needs a per-basket pair cap
+    (sample or truncate) before step 1 — same discipline as the star-
+    pairing cap in simhash_near_dup.
+    """
+    import hashlib
+
+    n_buckets = DEFAULT_CONFIG.near_dup_coarse_buckets
+
+    def bucket_by_order(t: pa.Table) -> pa.Table:
+        b = [
+            int.from_bytes(hashlib.md5(str(o).encode()).digest()[8:16], "little")
+            % n_buckets
+            for o in t["l_orderkey"].to_pylist()
+        ]
+        return t.append_column("bucket", pa.array(b, pa.int32()))
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        m = d.merge(d, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        if m.empty:
+            return pd.DataFrame({
+                "part_a": pd.Series(dtype="int64"),
+                "part_b": pd.Series(dtype="int64"),
+                "n_orders": pd.Series(dtype="int64"),
+                "pbucket": pd.Series(dtype="int32"),
+            })
+        c = (m.groupby(["l_partkey_a", "l_partkey_b"], as_index=False)
+              .size().rename(columns={
+                  "l_partkey_a": "part_a", "l_partkey_b": "part_b",
+                  "size": "n_orders"}))
+        c["n_orders"] = c["n_orders"].astype("int64")
+        c["pbucket"] = pd.Series(
+            [int.from_bytes(
+                hashlib.md5(f"{a}-{b}".encode()).digest()[8:16], "little")
+             % n_buckets
+             for a, b in zip(c["part_a"], c["part_b"])],
+            dtype="int32")
+        return c
+
+    def sum_topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["part_a", "part_b"], as_index=False)["n_orders"].sum()
+        s["n_orders"] = s["n_orders"].astype("int64")
+        return s.sort_values(
+            ["n_orders", "part_a", "part_b"], ascending=[False, True, True]
+        ).head(k)
+
+    def final(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[
+            ("n_orders", "descending"), ("part_a", "ascending"),
+            ("part_b", "ascending")])[:k]
+        return t.take(idx).select(["part_a", "part_b", "n_orders"])
+
+    return (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        .map_batches(bucket_by_order, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(sum_topk, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
 def chunk_documents(sf_dir: str, chunk_chars: int = 120, overlap: int = 20):
     """Sliding-window document chunking (the LLM-pretraining "context
     packing" precursor): explode each document into fixed-width character
