@@ -749,6 +749,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "price_quantity_corr": rel.price_quantity_corr,
         "chunk_documents": rel.chunk_documents,
         "part_pair_counts": rel.part_pair_counts,
+        "orders_above_cust_avg": rel.orders_above_cust_avg,
     }
 
 
@@ -1369,6 +1370,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP(r_name, n_name)
+        """,
+        "orders_above_cust_avg": """
+            WITH s AS (
+                SELECT o_custkey,
+                       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS tot,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT o.o_orderkey, o.o_custkey,
+                   CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS price_cents
+            FROM orders o JOIN s ON o.o_custkey = s.o_custkey
+            WHERE CAST(ROUND(o.o_totalprice * 100) AS BIGINT) * s.n > s.tot
         """,
         "part_pair_counts": """
             WITH pairs AS (

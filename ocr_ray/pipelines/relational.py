@@ -1055,6 +1055,49 @@ def stratified_sample(sf_dir: str):
     )
 
 
+def orders_above_cust_avg(sf_dir: str):
+    """Correlated-subquery shape (``WHERE price > AVG(price) OVER own
+    customer``): orders strictly above their customer's average order
+    price.
+
+    ONE shuffle: orders are bucketed on md5(o_custkey) % 64 so a
+    customer's rows are co-located, then a single vectorized pandas pass
+    per bucket computes the per-customer (sum, count) with ``transform``
+    and filters in place — the aggregate side and the probe side never
+    separate, so there is no join.  The comparison is exact integer math
+    (``price_cents · n > Σprice_cents``), never a float average, so the
+    predicate is immune to summation order.
+    """
+    import hashlib
+
+    n_buckets = DEFAULT_CONFIG.near_dup_coarse_buckets
+
+    def prep(t: pa.Table) -> pa.Table:
+        b = [
+            int.from_bytes(hashlib.md5(str(ck).encode()).digest()[8:16], "little")
+            % n_buckets
+            for ck in t["o_custkey"].to_pylist()
+        ]
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": t["o_custkey"],
+            "price_cents": _cents(t["o_totalprice"]),
+            "bucket": pa.array(b, pa.int32()),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("o_custkey")["price_cents"]
+        keep = g["price_cents"] * s.transform("size") > s.transform("sum")
+        return g.loc[keep, ["o_orderkey", "o_custkey", "price_cents"]]
+
+    return (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
 def part_pair_counts(sf_dir: str, k: int = 100):
     """Market-basket co-occurrence (distributed self-join): the top-k part
     pairs that appear together in the most orders, ordered
