@@ -750,6 +750,8 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "chunk_documents": rel.chunk_documents,
         "part_pair_counts": rel.part_pair_counts,
         "orders_above_cust_avg": rel.orders_above_cust_avg,
+        "price_histogram": rel.price_histogram,
+        "click_hours_no_purchase": rel.click_hours_no_purchase,
     }
 
 
@@ -1370,6 +1372,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP(r_name, n_name)
+        """,
+        "price_histogram": """
+            SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) // 50000 AS bin,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1
+        """,
+        "click_hours_no_purchase": """
+            SELECT DISTINCT user_id, date_trunc('hour', ts) AS window_start
+            FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT DISTINCT user_id, date_trunc('hour', ts) AS window_start
+            FROM events WHERE event_type = 'purchase'
         """,
         "orders_above_cust_avg": """
             WITH s AS (

@@ -1055,6 +1055,77 @@ def stratified_sample(sf_dir: str):
     )
 
 
+def price_histogram(sf_dir: str, bin_cents: int = 50_000):
+    """Fixed-width binned distribution (histogram) of order totals:
+    (bin, n_orders, sum_cents) with bin = price_cents // bin_cents.
+    Binning is a pure vectorized column derivation, so this is the
+    cheapest possible wide aggregate: per-batch partials collapse to one
+    row per occupied bin per batch, and the groupby sees only ~#bins keys
+    regardless of corpus size."""
+
+    def measures(t: pa.Table) -> pa.Table:
+        cents = _cents(t["o_totalprice"])
+        return pa.table({
+            "bin": pc.cast(pc.divide(cents, bin_cents), pa.int64()),
+            "sum_cents": cents,
+        })
+
+    return _grouped_sum(
+        _read(sf_dir, "orders", ["o_totalprice"]),
+        measures, keys=["bin"], sum_cols=["sum_cents"], count_col="n_orders",
+    )
+
+
+def click_hours_no_purchase(sf_dir: str):
+    """Distributed set difference (``EXCEPT``): distinct (user_id, hour)
+    cells with at least one ``click`` and NO ``purchase`` in the same
+    hour — the unconverted-session funnel metric, and the
+    two-filtered-sets-minus shape (vs :func:`customers_without_orders`,
+    which is a cross-table anti-join on keys).
+
+    ONE shuffle on md5(user_id) % 64 carrying only DISTINCT
+    (user_id, hour, event_type) triples pre-deduped per batch (never
+    event instances); inside each bucket one vectorized pandas pass
+    decides membership — a user's full cell set is co-located, so the
+    set difference is exact with no second pass.
+    """
+    import hashlib
+
+    n_buckets = DEFAULT_CONFIG.near_dup_coarse_buckets
+
+    def partial(t: pa.Table) -> pa.Table:
+        sub = pa.table({
+            "user_id": t["user_id"],
+            "window_start": pc.floor_temporal(t["ts"], unit="hour"),
+            "event_type": t["event_type"],
+        }).filter(pc.is_in(t["event_type"],
+                           value_set=pa.array(["click", "purchase"])))
+        df = sub.to_pandas().drop_duplicates()
+        df["bucket"] = pd.Series(
+            [int.from_bytes(
+                hashlib.md5(str(u).encode()).digest()[8:16], "little")
+             % n_buckets for u in df["user_id"]],
+            index=df.index, dtype="int32")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def bucket_except(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["user_id", "window_start", "event_type"]].drop_duplicates()
+        key = ["user_id", "window_start"]
+        clicks = d[d["event_type"] == "click"][key]
+        buys = d[d["event_type"] == "purchase"][key]
+        out = clicks.merge(buys, on=key, how="left", indicator=True)
+        out = out[out["_merge"] == "left_only"][key].copy()
+        out["user_id"] = out["user_id"].astype("int64")
+        return out
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_except, batch_format="pandas")
+    )
+
+
 def orders_above_cust_avg(sf_dir: str):
     """Correlated-subquery shape (``WHERE price > AVG(price) OVER own
     customer``): orders strictly above their customer's average order
