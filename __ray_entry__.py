@@ -752,6 +752,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "orders_above_cust_avg": rel.orders_above_cust_avg,
         "price_histogram": rel.price_histogram,
         "click_hours_no_purchase": rel.click_hours_no_purchase,
+        "top_bigrams_pmi": rel.top_bigrams_pmi,
     }
 
 
@@ -1379,6 +1380,42 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_cents,
                    CAST(COUNT(*) AS BIGINT) AS n_orders
             FROM orders GROUP BY 1
+        """,
+        "top_bigrams_pmi": """
+            WITH toks AS (
+                SELECT list_filter(regexp_split_to_array(
+                           lower(coalesce(text, '')), '\\s+'),
+                       x -> x <> '') AS l
+                FROM documents
+            ), bg AS (
+                SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p
+                FROM toks WHERE len(l) >= 2
+            ), pairs AS MATERIALIZED (
+                SELECT p[1] AS tok_a, p[2] AS tok_b,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM bg GROUP BY 1, 2
+            ), tot AS (
+                SELECT CAST(SUM(n) AS BIGINT) AS nn FROM pairs
+            ), na AS MATERIALIZED (
+                SELECT tok_a, CAST(SUM(n) AS BIGINT) AS na
+                FROM pairs GROUP BY tok_a
+            ), nb AS MATERIALIZED (
+                SELECT tok_b, CAST(SUM(n) AS BIGINT) AS nb
+                FROM pairs GROUP BY tok_b
+            ), r AS (
+                SELECT tok_a, tok_b, n, row_number() OVER (
+                    ORDER BY n DESC, tok_a, tok_b) AS rn
+                FROM pairs
+            )
+            SELECT r.tok_a, r.tok_b, r.n,
+                   ROUND(LN(CAST(r.n AS DOUBLE) * CAST(t.nn AS DOUBLE)
+                            / (CAST(na.na AS DOUBLE)
+                               * CAST(nb.nb AS DOUBLE))), 6) AS pmi
+            FROM r
+            CROSS JOIN tot t
+            JOIN na ON r.tok_a = na.tok_a
+            JOIN nb ON r.tok_b = nb.tok_b
+            WHERE r.rn <= 50
         """,
         "click_hours_no_purchase": """
             SELECT DISTINCT user_id, date_trunc('hour', ts) AS window_start

@@ -1300,6 +1300,111 @@ def chunk_documents(sf_dir: str, chunk_chars: int = 120, overlap: int = 20):
     )
 
 
+def top_bigrams_pmi(sf_dir: str, k: int = 50):
+    """Collocation mining: the top-k adjacent-token bigrams by count, each
+    scored with pointwise mutual information
+    ``pmi = ln(n·N / (n_first(a) · n_second(b)))`` — the classic
+    new-terminology / multi-word-expression detector in a corpus pipeline.
+
+    Candidate-then-rescore topology (two aggregations over ONE pass of
+    the text):
+
+      1. per-batch bigram Counter partials bucketed by crc32(pair) % 64
+         are materialized ONCE (they are exactly what the shuffle would
+         carry; the object store spills them if large);
+      2. top-k candidates via the per-bucket-top-k + ``repartition(1)``
+         bounded reduce (a pair lives in one bucket, so the union of
+         per-bucket top-ks contains the global top-k);
+      3. the PMI denominators are re-aggregated FROM THE SAME PARTIALS,
+         filtered to the ≤2k winner tokens (broadcast set) — never a
+         second text pass, never a vocabulary-sized table on the driver.
+
+    All counts are exact integers; the single float expression
+    (ln of a ratio of int-derived doubles) is written with the same
+    shape in the SQL oracle so both sides round identically at 6 dp.
+    Sequential re-executions of the materialized partials avoid the
+    shared-upstream union deadlock documented in CLAUDE.md.
+    """
+    import collections
+    import math
+    import zlib
+
+    n_buckets = DEFAULT_CONFIG.near_dup_coarse_buckets
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        for txt in t["text"].to_pylist():
+            toks = (txt or "").lower().split()
+            c.update(zip(toks, toks[1:]))
+        pairs = list(c.keys())
+        return pa.table({
+            "tok_a": pa.array([p[0] for p in pairs], pa.string()),
+            "tok_b": pa.array([p[1] for p in pairs], pa.string()),
+            "n": pa.array([c[p] for p in pairs], pa.int64()),
+            "bucket": pa.array(
+                [zlib.crc32(f"{a} {b}".encode()) % n_buckets
+                 for a, b in pairs], pa.int32()),
+        })
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["tok_a", "tok_b"], as_index=False)["n"].sum()
+        s["n"] = s["n"].astype("int64")
+        return s.sort_values(["n", "tok_a", "tok_b"],
+                             ascending=[False, True, True]).head(k)
+
+    parts = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .materialize()
+    )
+
+    cand = (
+        parts.groupby("bucket")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .repartition(1)
+        .map_batches(
+            lambda t: t.take(pc.sort_indices(t, sort_keys=[
+                ("n", "descending"), ("tok_a", "ascending"),
+                ("tok_b", "ascending")])[:k]).select(["tok_a", "tok_b", "n"]),
+            batch_format="pyarrow", batch_size=None)
+    )
+    win = pa.concat_tables(ray.get(cand.to_arrow_refs()))
+
+    from ray.data.aggregate import Sum
+    total = parts.aggregate(Sum("n", alias_name="nn"))["nn"]
+
+    def tok_sums(col: str, keep: set) -> dict:
+        keep_arr = pa.array(sorted(keep))
+
+        def f(t: pa.Table) -> pa.Table:
+            sub = t.filter(pc.is_in(t[col], value_set=keep_arr))
+            df = sub.to_pandas().groupby(col, as_index=False)["n"].sum()
+            df["n"] = df["n"].astype("int64")
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        out = (parts.map_batches(f, batch_format="pyarrow")
+               .repartition(1)
+               .map_batches(f, batch_format="pyarrow", batch_size=None))
+        tbl = pa.concat_tables(ray.get(out.to_arrow_refs()))
+        return dict(zip(tbl[col].to_pylist(), tbl["n"].to_pylist()))
+
+    na = tok_sums("tok_a", set(win["tok_a"].to_pylist()))
+    nb = tok_sums("tok_b", set(win["tok_b"].to_pylist()))
+
+    rows = []
+    for a, b, n in zip(win["tok_a"].to_pylist(), win["tok_b"].to_pylist(),
+                       win["n"].to_pylist()):
+        pmi = math.log(
+            float(n) * float(total) / (float(na[a]) * float(nb[b])))
+        rows.append((a, b, int(n), float(np.round(pmi, 6))))
+    return pa.table({
+        "tok_a": pa.array([r[0] for r in rows], pa.string()),
+        "tok_b": pa.array([r[1] for r in rows], pa.string()),
+        "n": pa.array([r[2] for r in rows], pa.int64()),
+        "pmi": pa.array([r[3] for r in rows], pa.float64()),
+    })
+
+
 def top_terms(sf_dir: str, k: int = 20):
     """Global top-k tokens (heavy hitters) over the document corpus.
 
