@@ -753,6 +753,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "price_histogram": rel.price_histogram,
         "click_hours_no_purchase": rel.click_hours_no_purchase,
         "top_bigrams_pmi": rel.top_bigrams_pmi,
+        "modal_priority_per_month": rel.modal_priority_per_month,
     }
 
 
@@ -1380,6 +1381,20 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_cents,
                    CAST(COUNT(*) AS BIGINT) AS n_orders
             FROM orders GROUP BY 1
+        """,
+        "modal_priority_per_month": """
+            WITH c AS (
+                SELECT date_trunc('month', o_orderdate) AS month,
+                       o_orderpriority,
+                       CAST(COUNT(*) AS BIGINT) AS n_orders
+                FROM orders GROUP BY 1, 2
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY month
+                    ORDER BY n_orders DESC, o_orderpriority) AS rn
+                FROM c
+            )
+            SELECT month, o_orderpriority, n_orders FROM r WHERE rn = 1
         """,
         "top_bigrams_pmi": """
             WITH toks AS (

@@ -765,6 +765,40 @@ def orders_by_month(sf_dir: str):
     return out.map_batches(fix_ts, batch_format="pyarrow")
 
 
+def modal_priority_per_month(sf_dir: str):
+    """Grouped MODE (per-group argmax): the most frequent order priority
+    per calendar month, ties broken by priority string ascending — the
+    row_number-over-count shape in SQL.
+
+    Distributed as count partials on the (month, priority) composite key
+    (cardinality = months × 5, tiny at any corpus size) followed by one
+    single-task argmax over the aggregated counts; the fact table is
+    never shuffled, only pre-combined count rows.
+    """
+
+    def measures(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "month": pc.floor_temporal(t["o_orderdate"], unit="month"),
+            "o_orderpriority": t["o_orderpriority"],
+        })
+
+    counts = _grouped_sum(
+        _read(sf_dir, "orders", ["o_orderdate", "o_orderpriority"]),
+        measures, keys=["month", "o_orderpriority"], sum_cols=[],
+        count_col="n_orders",
+    )
+
+    def argmax(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["month", "n_orders", "o_orderpriority"],
+                            ascending=[True, False, True])
+        out = df.groupby("month", as_index=False).head(1).copy()
+        out["month"] = pd.to_datetime(out["month"]).astype("datetime64[us]")
+        out["n_orders"] = out["n_orders"].astype("int64")
+        return out[["month", "o_orderpriority", "n_orders"]]
+
+    return counts.repartition(1).map_batches(argmax, batch_format="pandas")
+
+
 def parts_by_brand(sf_dir: str):
     """Simple dimension roll-up: parts + retail cents per brand."""
     return _grouped_sum(
