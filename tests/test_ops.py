@@ -1004,3 +1004,170 @@ def test_hourly_distinct_users(ray_session):
     """).df()
     assert got["n_users"].tolist() == want["n"].tolist()
     assert str(got["window_start"].dtype) == "datetime64[us]"
+
+
+def test_chunk_documents_spans(ray_session):
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import chunk_documents
+
+    sf = "/root/testdata/sf0.001"
+    got = chunk_documents(sf).to_pandas()
+    texts = dict(zip(*[
+        pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])[c].to_pylist()
+        for c in ("doc_id", "text")]))
+    # every chunk is exactly the declared slice of its source document
+    for r in got.sample(min(200, len(got)), random_state=7).itertuples():
+        assert r.chunk_text == texts[r.doc_id][r.char_start: r.char_start + 120]
+        assert r.char_start == r.chunk_idx * 100
+    # chunk-count formula: ceil(len / stride) per non-empty doc
+    n_per = got.groupby("doc_id").size()
+    for d, txt in texts.items():
+        want = -(-len(txt) // 100) if txt else 0
+        assert n_per.get(d, 0) == want
+
+
+def test_part_pair_counts_local(ray_session):
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import part_pair_counts
+
+    sf = "/root/testdata/sf0.001"
+    got = part_pair_counts(sf, k=50).to_pandas()
+    li = pq.read_table(f"{sf}/lineitem.parquet",
+                       columns=["l_orderkey", "l_partkey"]).to_pandas()
+    d = li.drop_duplicates()
+    m = d.merge(d, on="l_orderkey", suffixes=("_a", "_b"))
+    m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+    c = m.groupby(["l_partkey_a", "l_partkey_b"]).size().reset_index(name="n")
+    c = c.sort_values(["n", "l_partkey_a", "l_partkey_b"],
+                      ascending=[False, True, True]).head(50)
+    assert got[["part_a", "part_b", "n_orders"]].values.tolist() == \
+        c.values.tolist()
+
+
+def test_price_quantity_corr_exact(ray_session):
+    import math
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import price_quantity_corr
+
+    sf = "/root/testdata/sf0.001"
+    got = price_quantity_corr(sf).to_pandas().set_index("l_returnflag")
+    li = pq.read_table(
+        f"{sf}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"]).to_pandas()
+    for flag, g in li.groupby("l_returnflag"):
+        q = [int(np.floor(x + 0.5)) for x in g["l_quantity"]]
+        p = [int(np.floor(x + 0.5)) for x in g["l_extendedprice"]]
+        n = len(q)
+        a = n * sum(qi * pi for qi, pi in zip(q, p)) - sum(q) * sum(p)
+        b = n * sum(x * x for x in q) - sum(q) ** 2
+        c = n * sum(x * x for x in p) - sum(p) ** 2
+        want = float(np.round(float(a) / math.sqrt(float(b) * float(c)), 6))
+        assert got.loc[flag, "corr_qty_price"] == want
+        assert got.loc[flag, "n_rows"] == n
+
+
+def test_orders_above_cust_avg_membership(ray_session):
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import orders_above_cust_avg
+
+    sf = "/root/testdata/sf0.001"
+    got = orders_above_cust_avg(sf).to_pandas()
+    o = pq.read_table(f"{sf}/orders.parquet",
+                      columns=["o_orderkey", "o_custkey", "o_totalprice"]).to_pandas()
+    o["cents"] = (o["o_totalprice"] * 100).round().astype("int64")
+    s = o.groupby("o_custkey")["cents"]
+    want = set(o.loc[o["cents"] * s.transform("size") > s.transform("sum"),
+                     "o_orderkey"])
+    assert set(got["o_orderkey"]) == want and len(got) == len(want)
+
+
+def test_rollup_levels_consistent(ray_session):
+    from ocr_ray.pipelines.relational import rollup_customer_balance
+
+    got = rollup_customer_balance("/root/testdata/sf0.001").to_pandas()
+    fine = got[(got["n_name"] != "ALL")]
+    reg = got[(got["n_name"] == "ALL") & (got["r_name"] != "ALL")]
+    tot = got[(got["r_name"] == "ALL")]
+    assert len(tot) == 1
+    assert tot["n_customers"].iloc[0] == fine["n_customers"].sum()
+    for r in reg.itertuples():
+        sub = fine[fine["r_name"] == r.r_name]
+        assert r.n_customers == sub["n_customers"].sum()
+        assert r.bal_cents == sub["bal_cents"].sum()
+
+
+def test_click_hours_no_purchase_membership(ray_session):
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import click_hours_no_purchase
+
+    sf = "/root/testdata/sf0.001"
+    got = click_hours_no_purchase(sf).to_pandas()
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["user_id", "ts", "event_type"]).to_pandas()
+    ev["h"] = ev["ts"].dt.floor("h")
+    clicks = set(map(tuple, ev[ev["event_type"] == "click"][["user_id", "h"]].values))
+    buys = set(map(tuple, ev[ev["event_type"] == "purchase"][["user_id", "h"]].values))
+    want = clicks - buys
+    assert set(map(tuple, got[["user_id", "window_start"]].values)) == want
+    assert len(got) == len(want)  # distinct rows
+
+
+def test_top_bigrams_pmi_local(ray_session):
+    import collections
+    import math
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import top_bigrams_pmi
+
+    sf = "/root/testdata/sf0.001"
+    got = top_bigrams_pmi(sf, k=10).to_pandas()
+    c = collections.Counter()
+    for txt in pq.read_table(f"{sf}/documents.parquet",
+                             columns=["text"])["text"].to_pylist():
+        toks = (txt or "").lower().split()
+        c.update(zip(toks, toks[1:]))
+    total = sum(c.values())
+    na = collections.Counter()
+    nb = collections.Counter()
+    for (a, b), n in c.items():
+        na[a] += n
+        nb[b] += n
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [((r.tok_a, r.tok_b), r.n) for r in got.itertuples()] == want
+    for r in got.itertuples():
+        pmi = math.log(float(r.n) * float(total)
+                       / (float(na[r.tok_a]) * float(nb[r.tok_b])))
+        assert r.pmi == float(np.round(pmi, 6))
+
+
+def test_modal_priority_and_histogram(ray_session):
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import modal_priority_per_month, price_histogram
+
+    sf = "/root/testdata/sf0.001"
+    o = pq.read_table(f"{sf}/orders.parquet").to_pandas()
+    o["cents"] = (o["o_totalprice"] * 100).round().astype("int64")
+
+    hist = price_histogram(sf).to_pandas().set_index("bin").sort_index()
+    o["bin"] = o["cents"] // 50000
+    want = o.groupby("bin")["cents"].agg(["size", "sum"])
+    assert (hist["n_orders"] == want["size"]).all()
+    assert (hist["sum_cents"] == want["sum"]).all()
+    assert hist["n_orders"].sum() == len(o)
+
+    got = modal_priority_per_month(sf).to_pandas()
+    o["month"] = o["o_orderdate"].dt.to_period("M").dt.to_timestamp()
+    cnt = o.groupby(["month", "o_orderpriority"]).size().reset_index(name="n")
+    cnt = cnt.sort_values(["month", "n", "o_orderpriority"],
+                          ascending=[True, False, True])
+    want_mode = cnt.groupby("month").head(1)
+    assert list(got.sort_values("month")["o_orderpriority"]) == \
+        list(want_mode["o_orderpriority"])
