@@ -754,6 +754,8 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "click_hours_no_purchase": rel.click_hours_no_purchase,
         "top_bigrams_pmi": rel.top_bigrams_pmi,
         "modal_priority_per_month": rel.modal_priority_per_month,
+        "event_value_outliers": rel.event_value_outliers,
+        "weekly_retention": rel.weekly_retention,
     }
 
 
@@ -1381,6 +1383,41 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_cents,
                    CAST(COUNT(*) AS BIGINT) AS n_orders
             FROM orders GROUP BY 1
+        """,
+        "event_value_outliers": """
+            WITH m AS MATERIALIZED (
+                SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sv,
+                       SUM(CAST(ROUND(value * 100) AS BIGINT)
+                           * CAST(ROUND(value * 100) AS BIGINT)) AS svv
+                FROM events GROUP BY event_type
+            ), t AS (
+                SELECT event_type,
+                       CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)
+                       + 3.0 * SQRT(
+                           (CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+                            - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+                           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS thr
+                FROM m
+            )
+            SELECT e.event_id, e.event_type,
+                   CAST(ROUND(e.value * 100) AS BIGINT) AS value_cents
+            FROM events e JOIN t ON e.event_type = t.event_type
+            WHERE CAST(CAST(ROUND(e.value * 100) AS BIGINT) AS DOUBLE) > t.thr
+        """,
+        "weekly_retention": """
+            WITH uw AS MATERIALIZED (
+                SELECT DISTINCT user_id,
+                       CAST(datediff('day', DATE '2020-01-01',
+                                     CAST(ts AS DATE)) // 7 AS BIGINT)
+                           AS week_idx
+                FROM events
+            )
+            SELECT a.week_idx, CAST(COUNT(*) AS BIGINT) AS n_active,
+                   CAST(COUNT(b.user_id) AS BIGINT) AS n_retained
+            FROM uw a LEFT JOIN uw b
+              ON a.user_id = b.user_id AND b.week_idx = a.week_idx + 1
+            GROUP BY a.week_idx
         """,
         "modal_priority_per_month": """
             WITH c AS (

@@ -765,6 +765,118 @@ def orders_by_month(sf_dir: str):
     return out.map_batches(fix_ts, batch_format="pyarrow")
 
 
+def event_value_outliers(sf_dir: str):
+    """Statistical outlier detection: events whose value exceeds their
+    type's mean + 3σ (population σ) — the z-score gate of a telemetry /
+    quality pipeline.
+
+    Two bounded passes: (1) exact int64 moment partials (n, Σv, Σv²) per
+    event_type (constant-width combiner, tiny groupby), (2) the per-type
+    float threshold ``μ + 3σ`` is computed ONCE driver-side from the
+    exact integers with the same expression shape as the SQL oracle,
+    broadcast, and applied as a vectorized compare — floats never enter
+    a distributed sum, so the row set is deterministic.
+    """
+    import math
+
+    def measures(t: pa.Table) -> pa.Table:
+        v = _cents(t["value"])
+        return pa.table({
+            "event_type": t["event_type"],
+            "sv": v,
+            "svv": pc.multiply(v, v),
+        })
+
+    mom = _grouped_sum(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        measures, keys=["event_type"], sum_cols=["sv", "svv"], count_col="n",
+    ).to_pandas()
+
+    thr = {}
+    for r in mom.itertuples(index=False):
+        n, sv, svv = int(r.n), int(r.sv), int(r.svv)
+        sig = math.sqrt((float(n) * float(svv) - float(sv) * float(sv))
+                        / (float(n) * float(n)))
+        thr[r.event_type] = float(sv) / float(n) + 3.0 * sig
+    ref = ray.put(thr)
+
+    def flag(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        v = _cents(t["value"])
+        lim = pa.array([m[et] for et in t["event_type"].to_pylist()],
+                       pa.float64())
+        keep = pc.greater(pc.cast(v, pa.float64()), lim)
+        return pa.table({
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "value_cents": v,
+        }).filter(keep)
+
+    return _read(sf_dir, "events", ["event_id", "event_type", "value"]).map_batches(
+        flag, batch_format="pyarrow"
+    )
+
+
+def weekly_retention(sf_dir: str):
+    """Cohort retention: per activity week, how many distinct users were
+    active AND came back the following week (the week-over-week retention
+    curve).  Week index = days-since-2020-01-01 // 7 (anchored, so both
+    engines bucket identically with no locale week-start semantics).
+
+    One shuffle on md5(user_id) % 64 carrying DISTINCT (user, week_idx)
+    pairs pre-deduped per batch; inside a bucket the user's whole week
+    set is co-located, so next-week membership is one vectorized
+    self-merge; the second groupby only sums per-week partial counts
+    (cardinality = #weeks).
+    """
+    import hashlib
+
+    n_buckets = DEFAULT_CONFIG.near_dup_coarse_buckets
+    anchor = np.datetime64("2020-01-01")
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        wk = ((ts.astype("datetime64[D]") - anchor).astype("int64")) // 7
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "week_idx": wk,
+        }).drop_duplicates()
+        df["bucket"] = pd.Series(
+            [int.from_bytes(
+                hashlib.md5(str(u).encode()).digest()[8:16], "little")
+             % n_buckets for u in df["user_id"]],
+            index=df.index, dtype="int32")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def bucket_retention(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["user_id", "week_idx"]].drop_duplicates()
+        nxt = d.copy()
+        nxt["week_idx"] = nxt["week_idx"] - 1
+        nxt["ret"] = 1
+        m = d.merge(nxt, on=["user_id", "week_idx"], how="left")
+        m["ret"] = m["ret"].fillna(0).astype("int64")
+        out = m.groupby("week_idx", as_index=False).agg(
+            n_active=("user_id", "size"), n_retained=("ret", "sum"))
+        out["n_active"] = out["n_active"].astype("int64")
+        out["n_retained"] = out["n_retained"].astype("int64")
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("week_idx", as_index=False)[["n_active", "n_retained"]].sum()
+        out["n_active"] = out["n_active"].astype("int64")
+        out["n_retained"] = out["n_retained"].astype("int64")
+        return out
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_retention, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )
+
+
 def modal_priority_per_month(sf_dir: str):
     """Grouped MODE (per-group argmax): the most frequent order priority
     per calendar month, ties broken by priority string ascending — the
