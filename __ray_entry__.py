@@ -755,6 +755,8 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "top_bigrams_pmi": rel.top_bigrams_pmi,
         "modal_priority_per_month": rel.modal_priority_per_month,
         "event_value_outliers": rel.event_value_outliers,
+        "embedding_centroids": rel.embedding_centroids,
+        "event_transition_counts": rel.event_transition_counts,
         "weekly_retention": rel.weekly_retention,
     }
 
@@ -1383,6 +1385,33 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_cents,
                    CAST(COUNT(*) AS BIGINT) AS n_orders
             FROM orders GROUP BY 1
+        """,
+        "embedding_centroids": """
+            WITH ex AS (
+                SELECT label,
+                       unnest(range(1, len(embedding) + 1)) AS pos,
+                       unnest(embedding) AS val
+                FROM embeddings
+            )
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(pos AS BIGINT) AS pos,
+                   CAST(SUM(CAST(ROUND(CAST(val AS DOUBLE) * 1000000.0)
+                                 AS BIGINT)) AS BIGINT) AS sum_scaled,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM ex GROUP BY label, pos
+        """,
+        "event_transition_counts": """
+            WITH s AS (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_type
+                FROM events
+            )
+            SELECT prev_type, event_type AS next_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM s WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
         """,
         "event_value_outliers": """
             WITH m AS MATERIALIZED (

@@ -765,6 +765,96 @@ def orders_by_month(sf_dir: str):
     return out.map_batches(fix_ts, batch_format="pyarrow")
 
 
+def embedding_centroids(sf_dir: str, scale: int = 1_000_000):
+    """Per-label embedding centroid as EXACT integer component sums
+    (label, pos, sum_scaled, n): each float32 component is scaled to
+    int64 micro-units (half-away, float64 math identical on both
+    engines) BEFORE the distributed sum, so summation order cannot
+    perturb the centroid — the mean is ``sum_scaled / n`` derivable
+    downstream at any precision.
+
+    Per-batch partials are one numpy matmul-free column sum per label
+    (rows × dim → labels × dim), so the shuffle carries
+    #labels × dim × #batches rows — constant width in the corpus size.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64) * scale
+        ints = np.copysign(np.floor(np.abs(mat) + 0.5), mat).astype(np.int64)
+        labels = np.asarray(t["label"].to_pylist())
+        dim = ints.shape[1]
+        out_l, out_p, out_s, out_n = [], [], [], []
+        for lab in np.unique(labels):
+            sub = ints[labels == lab]
+            out_l.extend([int(lab)] * dim)
+            out_p.extend(range(1, dim + 1))
+            out_s.extend(sub.sum(axis=0).tolist())
+            out_n.extend([sub.shape[0]] * dim)
+        return pa.table({
+            "label": pa.array(out_l, pa.int64()),
+            "pos": pa.array(out_p, pa.int64()),
+            "sum_scaled": pa.array(out_s, pa.int64()),
+            "n": pa.array(out_n, pa.int64()),
+        })
+
+    return (
+        _read(sf_dir, "embeddings", ["label", "embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "pos"])
+        .aggregate(Sum("sum_scaled", alias_name="sum_scaled"),
+                   Sum("n", alias_name="n"))
+    )
+
+
+def event_transition_counts(sf_dir: str):
+    """Event-sequence mining: global counts of (prev_type → next_type)
+    transitions within each user's time-ordered event stream — the
+    Markov-chain transition matrix of the clickstream.
+
+    One shuffle on md5(user_id) % 64 (user streams co-located), one
+    vectorized pandas pass per bucket: sort by (user, ts, event_id),
+    shift, mask cross-user seams, pre-count the ≤ types² transition
+    pairs; the global groupby then sums tiny partials.  Ordering ties on
+    equal ts are broken by event_id on both engines.
+    """
+    import hashlib
+
+    n_buckets = DEFAULT_CONFIG.near_dup_coarse_buckets
+
+    def prep(t: pa.Table) -> pa.Table:
+        b = [
+            int.from_bytes(hashlib.md5(str(u).encode()).digest()[8:16], "little")
+            % n_buckets
+            for u in t["user_id"].to_pylist()
+        ]
+        return t.append_column("bucket", pa.array(b, pa.int32()))
+
+    def transitions(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["user_id", "ts", "event_id"])
+        prev = d["event_type"].shift()
+        same = d["user_id"].eq(d["user_id"].shift())
+        f = pd.DataFrame({"prev_type": prev[same], "next_type": d["event_type"][same]})
+        out = f.groupby(["prev_type", "next_type"], as_index=False).size()
+        out = out.rename(columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["prev_type", "next_type"], as_index=False)["n"].sum()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return (
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(transitions, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )
+
+
 def event_value_outliers(sf_dir: str):
     """Statistical outlier detection: events whose value exceeds their
     type's mean + 3σ (population σ) — the z-score gate of a telemetry /
