@@ -780,9 +780,11 @@ def embedding_centroids(sf_dir: str, scale: int = 1_000_000):
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
-        mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64) * scale
+        from ocr_ray.pipelines.simsearch import _to_matrix
+
+        mat = _to_matrix(t["embedding"]) * scale
         ints = np.copysign(np.floor(np.abs(mat) + 0.5), mat).astype(np.int64)
-        labels = np.asarray(t["label"].to_pylist())
+        labels = t["label"].to_numpy(zero_copy_only=False)
         dim = ints.shape[1]
         out_l, out_p, out_s, out_n = [], [], [], []
         for lab in np.unique(labels):

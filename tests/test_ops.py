@@ -2,6 +2,7 @@
 kernels, similarity search, multimodal stub plumbing."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -1171,3 +1172,85 @@ def test_modal_priority_and_histogram(ray_session):
     want_mode = cnt.groupby("month").head(1)
     assert list(got.sort_values("month")["o_orderpriority"]) == \
         list(want_mode["o_orderpriority"])
+
+
+def test_event_value_outliers_threshold(ray_session):
+    import math
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import event_value_outliers
+
+    sf = "/root/testdata/sf0.001"
+    got = event_value_outliers(sf).to_pandas()
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["event_id", "event_type", "value"]).to_pandas()
+    ev["c"] = (ev["value"] * 100).round().astype("int64")
+    want = set()
+    for et, g in ev.groupby("event_type"):
+        n, sv = len(g), int(g["c"].sum())
+        svv = int((g["c"].astype(object) ** 2).sum())
+        thr = float(sv) / n + 3.0 * math.sqrt(
+            (float(n) * float(svv) - float(sv) * float(sv)) / (float(n) * float(n)))
+        want |= set(g.loc[g["c"].astype(float) > thr, "event_id"])
+    assert set(got["event_id"]) == want
+
+
+def test_weekly_retention_membership(ray_session):
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import weekly_retention
+
+    sf = "/root/testdata/sf0.001"
+    got = weekly_retention(sf).to_pandas().set_index("week_idx").sort_index()
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    ev["w"] = (ev["ts"].dt.normalize()
+               - pd.Timestamp("2020-01-01")).dt.days // 7
+    uw = ev[["user_id", "w"]].drop_duplicates()
+    pairs = set(map(tuple, uw.values))
+    for w, g in uw.groupby("w"):
+        assert got.loc[w, "n_active"] == len(g)
+        assert got.loc[w, "n_retained"] == sum(
+            (u, w + 1) in pairs for u in g["user_id"])
+
+
+def test_embedding_centroids_exact(ray_session):
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import embedding_centroids
+
+    sf = "/root/testdata/sf0.001"
+    got = embedding_centroids(sf).to_pandas()
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["label", "embedding"])
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64) * 1_000_000
+    ints = np.copysign(np.floor(np.abs(mat) + 0.5), mat).astype(np.int64)
+    labels = np.asarray(t["label"].to_pylist())
+    assert len(got) == len(np.unique(labels)) * mat.shape[1]
+    for lab in np.unique(labels):
+        want = ints[labels == lab].sum(axis=0)
+        sub = got[got["label"] == lab].sort_values("pos")
+        assert (sub["sum_scaled"].values == want).all()
+        assert (sub["n"] == (labels == lab).sum()).all()
+
+
+def test_event_transition_counts_local(ray_session):
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import event_transition_counts
+
+    sf = "/root/testdata/sf0.001"
+    got = event_transition_counts(sf).to_pandas()
+    ev = pq.read_table(
+        f"{sf}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"]).to_pandas()
+    c = collections.Counter()
+    for _, g in ev.groupby("user_id"):
+        seq = g.sort_values(["ts", "event_id"])["event_type"].tolist()
+        c.update(zip(seq, seq[1:]))
+    want = {k: v for k, v in c.items()}
+    assert {(r.prev_type, r.next_type): r.n for r in got.itertuples()} == want
+    # row conservation: transitions = events - users
+    assert got["n"].sum() == len(ev) - ev["user_id"].nunique()
