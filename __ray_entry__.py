@@ -756,6 +756,9 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "modal_priority_per_month": rel.modal_priority_per_month,
         "event_value_outliers": rel.event_value_outliers,
         "embedding_centroids": rel.embedding_centroids,
+        "entity_key_union": rel.entity_key_union,
+        "part_attributes_long": rel.part_attributes_long,
+        "sample_per_source": rel.sample_per_source,
         "event_transition_counts": rel.event_transition_counts,
         "weekly_retention": rel.weekly_retention,
     }
@@ -1385,6 +1388,37 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_cents,
                    CAST(COUNT(*) AS BIGINT) AS n_orders
             FROM orders GROUP BY 1
+        """,
+        "entity_key_union": """
+            WITH u AS (
+                SELECT c_custkey AS key, 'customer' AS origin FROM customer
+                UNION
+                SELECT s_suppkey AS key, 'supplier' AS origin FROM supplier
+                UNION
+                SELECT user_id AS key, 'events' AS origin FROM events
+            )
+            SELECT CAST(key AS BIGINT) AS key,
+                   CAST(COUNT(DISTINCT origin) AS BIGINT) AS n_sources,
+                   MIN(origin) AS first_origin
+            FROM u GROUP BY key
+        """,
+        "part_attributes_long": """
+            SELECT CAST(p_partkey AS BIGINT) AS p_partkey, 'size' AS attr,
+                   CAST(p_size AS BIGINT) AS value
+            FROM part
+            UNION ALL
+            SELECT CAST(p_partkey AS BIGINT), 'price_cents',
+                   CAST(ROUND(p_retailprice * 100) AS BIGINT)
+            FROM part
+        """,
+        "sample_per_source": """
+            WITH r AS (
+                SELECT doc_id, source, row_number() OVER (
+                    PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                FROM documents
+            )
+            SELECT doc_id, source FROM r WHERE rn <= 10
         """,
         "embedding_centroids": """
             WITH ex AS (

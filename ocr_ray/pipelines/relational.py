@@ -765,6 +765,127 @@ def orders_by_month(sf_dir: str):
     return out.map_batches(fix_ts, batch_format="pyarrow")
 
 
+def entity_key_union(sf_dir: str):
+    """Multi-source UNION + distributed DISTINCT: one id space built from
+    three tables (customer keys, supplier keys, event user ids), each row
+    tagged with how many sources contain the key and the lexicographically
+    first origin — the id-reconciliation step of an entity-resolution
+    pipeline.
+
+    Three independent pruned reads are unioned (safe: no shared upstream,
+    which is the documented deadlock case), then ONE shuffle on
+    md5(key) % 64 carries batch-level pre-deduped (key, origin) pairs;
+    per bucket a vectorized pandas pass collapses to one row per key.
+    """
+    import hashlib
+
+    n_buckets = DEFAULT_CONFIG.near_dup_coarse_buckets
+
+    def tag(col: str, origin: str):
+        def f(t: pa.Table) -> pa.Table:
+            keys = pc.unique(t[col])
+            b = [
+                int.from_bytes(
+                    hashlib.md5(str(k).encode()).digest()[8:16], "little")
+                % n_buckets
+                for k in keys.to_pylist()
+            ]
+            return pa.table({
+                "key": pc.cast(keys, pa.int64()),
+                "origin": pa.array([origin] * len(keys), pa.string()),
+                "bucket": pa.array(b, pa.int32()),
+            })
+        return f
+
+    parts = [
+        _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+            tag("c_custkey", "customer"), batch_format="pyarrow"),
+        _read(sf_dir, "supplier", ["s_suppkey"]).map_batches(
+            tag("s_suppkey", "supplier"), batch_format="pyarrow"),
+        _read(sf_dir, "events", ["user_id"]).map_batches(
+            tag("user_id", "events"), batch_format="pyarrow"),
+    ]
+
+    def collapse(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["key", "origin"]].drop_duplicates()
+        out = d.groupby("key", as_index=False).agg(
+            n_sources=("origin", "nunique"), first_origin=("origin", "min"))
+        out["key"] = out["key"].astype("int64")
+        out["n_sources"] = out["n_sources"].astype("int64")
+        return out
+
+    return (
+        parts[0].union(parts[1], parts[2])
+        .groupby("bucket")
+        .map_groups(collapse, batch_format="pandas")
+    )
+
+
+def part_attributes_long(sf_dir: str):
+    """UNPIVOT (wide→long melt): the part table's numeric attributes
+    (size, retail price cents) exploded into (p_partkey, attr, value)
+    rows — the schema-normalization step before a generic feature store.
+    Embarrassingly parallel: a per-batch column explode, no shuffle,
+    output exactly 2× input rows."""
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        keys = pc.cast(t["p_partkey"], pa.int64())
+        a = pa.table({
+            "p_partkey": keys,
+            "attr": pa.array(["size"] * n, pa.string()),
+            "value": pc.cast(t["p_size"], pa.int64()),
+        })
+        b = pa.table({
+            "p_partkey": keys,
+            "attr": pa.array(["price_cents"] * n, pa.string()),
+            "value": _cents(t["p_retailprice"]),
+        })
+        return pa.concat_tables([a, b])
+
+    return _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"]).map_batches(
+        melt, batch_format="pyarrow"
+    )
+
+
+def sample_per_source(sf_dir: str, quota: int = 10):
+    """Grouped quota sampling: the ``quota`` documents per source with the
+    smallest md5(doc_id) — a deterministic, engine-independent "random"
+    sample with an exact per-group size, the stratified-with-hard-quota
+    variant of :func:`stratified_sample` (which keeps a RATE, not a
+    count).
+
+    Grouped top-k topology: per-batch vectorized head-k per source, then
+    a ``repartition(1)`` merge of ≤ k × #sources × #batches partial rows
+    — never a global sort; the driver only receives the final quota rows.
+    """
+    import hashlib
+
+    def rank_key(t: pa.Table) -> pa.Table:
+        h = [
+            hashlib.md5(str(d).encode()).hexdigest()
+            for d in t["doc_id"].to_pylist()
+        ]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "source": t["source"],
+            "h": pa.array(h, pa.string()),
+        })
+
+    def headk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "h", "doc_id"])
+        return df.groupby("source", as_index=False).head(quota)
+
+    out = (
+        _read(sf_dir, "documents", ["doc_id", "source"])
+        .map_batches(rank_key, batch_format="pyarrow")
+        .map_batches(headk, batch_format="pandas")
+        .repartition(1)
+        .map_batches(headk, batch_format="pandas", batch_size=None)
+    )
+    return out.select_columns(["doc_id", "source"])
+
+
 def embedding_centroids(sf_dir: str, scale: int = 1_000_000):
     """Per-label embedding centroid as EXACT integer component sums
     (label, pos, sum_scaled, n): each float32 component is scaled to
