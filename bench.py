@@ -128,7 +128,8 @@ def main() -> None:
         for name in ("q1_pricing_summary", "dedup_first_event", "event_counts",
                      "exact_dedup", "minhash_near_dup", "simhash_near_dup",
                      "winnow_near_dup", "ngram_jaccard_near_dup", "line_dedup",
-                     "knn_cosine", "gate_verdicts", "token_counts"):
+                     "knn_cosine", "gate_verdicts", "token_counts",
+                     "chunk_documents", "part_pair_counts", "top_bigrams_pmi"):
             t0 = time.monotonic()
             res = q[name](SF_DIR)
             if hasattr(res, "to_pandas"):
