@@ -761,6 +761,10 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "sample_per_source": rel.sample_per_source,
         "event_transition_counts": rel.event_transition_counts,
         "weekly_retention": rel.weekly_retention,
+        "event_funnel": rel.event_funnel,
+        "cube_status_priority": rel.cube_status_priority,
+        "order_price_quartiles": rel.order_price_quartiles,
+        "partition_checksums": rel.partition_checksums,
     }
 
 
@@ -1796,6 +1800,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN coalesce(hits.n_shared, 0) > 0
                         THEN 1 ELSE 0 END AS BIGINT) AS contaminated
             FROM sz LEFT JOIN hits ON hits.doc_id = sz.doc_id
+        """,
+        "event_funnel": """
+            WITH v AS MATERIALIZED (
+                SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY 1
+            ), c AS MATERIALIZED (
+                SELECT e.user_id, min(e.ts) AS t2
+                FROM events e JOIN v ON e.user_id = v.user_id
+                WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1
+            ), p AS MATERIALIZED (
+                SELECT DISTINCT e.user_id
+                FROM events e JOIN c ON e.user_id = c.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > c.t2
+            )
+            SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+                   (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_users
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), 'click',
+                   (SELECT CAST(count(*) AS BIGINT) FROM c)
+            UNION ALL
+            SELECT CAST(3 AS BIGINT), 'purchase',
+                   (SELECT CAST(count(*) AS BIGINT) FROM p)
+        """,
+        "cube_status_priority": """
+            SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+                   COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM orders
+            GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        """,
+        "order_price_quartiles": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+                   CAST(ntile(4) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC,
+                              o_orderkey
+                   ) AS BIGINT) AS quartile
+            FROM orders
+        """,
+        "partition_checksums": """
+            SELECT CAST(doc_id % 16 AS BIGINT) AS partition_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   bit_xor(md5_number_lower(text)) AS checksum
+            FROM documents GROUP BY 1
         """,
         # Every queries() entry above has an oracle_sql twin — the
         # rows-only set is empty as of round 2 (minhash/winnow/knn_lsh/

@@ -2126,3 +2126,234 @@ def repetition_stats(ds, text_col: str = "text", key_col: str = "doc_id"):
                          **textstats.repetition_columns(t[text_col])})
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def event_funnel(sf_dir: str):
+    """Ordered three-stage conversion funnel over the event stream
+    (view → click → purchase): stage N counts users whose FIRST
+    qualifying stage-N event happens strictly after their first
+    qualifying stage-(N-1) event — the classic product-analytics funnel
+    (reference analogue: the staged filter→extract→QC progression,
+    e.g. copy_files_for_ocr.py → recognize_text.py → quality_check.py,
+    where each stage only sees survivors of the previous one).
+
+    Scale shape: one 64-way shuffle on a coarse user bucket (every
+    event of a user lands in one bucket), a vectorized pandas pass per
+    bucket computes each user's t1/t2/t3 chain and emits THREE partial
+    rows per bucket; the final sum over ~192 rows runs in a single
+    ``repartition(1)`` task.  Nothing user-level ever reaches the
+    driver.
+    """
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array(_FUNNEL_STAGES))
+        t = t.filter(keep)
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_type": t["event_type"],
+            "ts": t["ts"],
+            "bucket": pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32()),
+        })
+
+    def funnel_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        v = (g[g["event_type"] == "view"]
+             .groupby("user_id")["ts"].min().rename("t1").reset_index())
+        c = g[g["event_type"] == "click"].merge(v, on="user_id")
+        c = (c[c["ts"] > c["t1"]]
+             .groupby("user_id")["ts"].min().rename("t2").reset_index())
+        p = g[g["event_type"] == "purchase"].merge(c, on="user_id")
+        p = p[p["ts"] > p["t2"]]
+        return pd.DataFrame({
+            "stage_idx": pd.array([1, 2, 3], dtype="int64"),
+            "stage": list(_FUNNEL_STAGES),
+            "n_users": pd.array(
+                [len(v), len(c), p["user_id"].nunique()], dtype="int64"),
+        })
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["stage_idx", "stage"], as_index=False)["n_users"]
+                 .sum())
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    return (
+        _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(funnel_bucket, batch_format="pandas")
+        .repartition(1)
+        .map_batches(total, batch_format="pandas", batch_size=None)
+    )
+
+
+def cube_status_priority(sf_dir: str):
+    """Full CUBE aggregate (``GROUP BY CUBE(o_orderstatus,
+    o_orderpriority)``): order counts and revenue at all four grouping
+    sets, with the literal ``'ALL'`` as the rolled-up sentinel —
+    completes the grouping-sets family next to ROLLUP
+    (:func:`rollup_customer_balance`).
+
+    Only the finest level (status × priority, ≤15 keys) is aggregated
+    distributed (per-batch partials then a tiny groupby); the three
+    coarser sets are derived from that ~15-row table in one
+    ``repartition(1)`` task — no second pass over the fact table at
+    any corpus size.
+    """
+
+    def measures(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderstatus": t["o_orderstatus"],
+            "o_orderpriority": t["o_orderpriority"],
+            "revenue_cents": _cents(t["o_totalprice"]),
+        })
+
+    finest = _grouped_sum(
+        _read(sf_dir, "orders",
+              ["o_orderstatus", "o_orderpriority", "o_totalprice"]),
+        measures, keys=["o_orderstatus", "o_orderpriority"],
+        sum_cols=["revenue_cents"], count_col="n_orders",
+    )
+
+    def add_levels(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["o_orderstatus", "o_orderpriority", "n_orders",
+                "revenue_cents"]
+        agg = {"n_orders": ("n_orders", "sum"),
+               "revenue_cents": ("revenue_cents", "sum")}
+        by_status = df.groupby("o_orderstatus", as_index=False).agg(**agg)
+        by_status["o_orderpriority"] = "ALL"
+        by_prio = df.groupby("o_orderpriority", as_index=False).agg(**agg)
+        by_prio["o_orderstatus"] = "ALL"
+        tot = pd.DataFrame({
+            "o_orderstatus": ["ALL"], "o_orderpriority": ["ALL"],
+            "n_orders": [df["n_orders"].sum()],
+            "revenue_cents": [df["revenue_cents"].sum()],
+        })
+        out = pd.concat(
+            [df[cols], by_status[cols], by_prio[cols], tot[cols]],
+            ignore_index=True)
+        out["n_orders"] = out["n_orders"].astype("int64")
+        out["revenue_cents"] = out["revenue_cents"].astype("int64")
+        return out
+
+    return finest.repartition(1).map_batches(add_levels, batch_format="pandas")
+
+
+def order_price_quartiles(sf_dir: str, n_tiles: int = 4):
+    """NTILE window function: each order's price quartile within its
+    customer (``ntile(4) OVER (PARTITION BY o_custkey ORDER BY
+    price_cents DESC, o_orderkey)``) — the equal-height-bucket member
+    of the window family (rank / running sum / lag / ntile).
+
+    Same scale shape as :func:`order_price_rank`: one 64-way shuffle
+    on the customer key, then per-bucket vectorized pandas.  DuckDB
+    NTILE semantics are reproduced exactly: the first ``n % k`` buckets
+    take ``ceil(n/k)`` rows, the rest ``floor(n/k)`` — computed from
+    the deterministic row number (price DESC, orderkey ASC tiebreak,
+    so no double-order ambiguity).
+    """
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": t["o_custkey"],
+            "price_cents": _cents(t["o_totalprice"]),
+            "bucket": pc.cast(
+                pc.bit_wise_and(t["o_custkey"], 63), pa.int32()),
+        })
+
+    def tile_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_custkey", "price_cents", "o_orderkey"],
+            ascending=[True, False, True]).reset_index(drop=True)
+        grp = g.groupby("o_custkey", sort=False)
+        rn = grp.cumcount().to_numpy() + 1
+        n = grp["o_orderkey"].transform("size").to_numpy()
+        k = n_tiles
+        big = n % k
+        size_big = n // k + 1
+        size_small = np.maximum(n // k, 1)
+        tile = np.where(
+            rn <= big * size_big,
+            (rn + size_big - 1) // size_big,
+            big + (rn - big * size_big + size_small - 1) // size_small,
+        )
+        g["quartile"] = tile.astype("int64")
+        return g[["o_orderkey", "o_custkey", "price_cents", "quartile"]]
+
+    return (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(tile_bucket, batch_format="pandas")
+    )
+
+
+def partition_checksums(sf_dir: str, n_partitions: int = 16):
+    """Per-partition lineage manifest over the corpus: document count,
+    byte mass and an ORDER-INDEPENDENT content checksum (bit-XOR of the
+    md5-lower-64 of each text — the same hash convention as
+    ``shingle_hashes``) for each of ``n_partitions`` doc_id partitions.
+
+    This is the audit/lineage primitive the north rule asks for
+    ("per-partition lineage manifests + extraction metrics"): two runs
+    over the same corpus must produce identical checksums regardless of
+    block boundaries, task order or parallelism, so a resume or a
+    re-shard can be verified partition-by-partition without comparing
+    payloads.
+
+    Scale shape: XOR and SUM are commutative — each batch folds down to
+    ≤ n_partitions partial rows inside ``map_batches``, and the final
+    fold over (n_partitions × n_blocks) tiny rows runs in one
+    ``repartition(1)`` task.  No shuffle of document payloads at any
+    corpus size.
+    """
+    import hashlib
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(s.encode("utf-8")).digest()[8:16], "little")
+             for s in t["text"].to_pylist()),
+            dtype=np.uint64, count=t.num_rows)
+        df = pd.DataFrame({
+            "partition_id": (t["doc_id"].to_numpy() % n_partitions)
+                .astype(np.int64),
+            "h": h,
+            "n_chars": t["n_chars"].to_numpy(),
+        })
+        g = df.groupby("partition_id")
+        out = pd.DataFrame({
+            "n_docs": g.size().astype("int64"),
+            "total_chars": g["n_chars"].sum().astype("int64"),
+            "checksum": g["h"].agg(
+                lambda s: np.bitwise_xor.reduce(s.to_numpy())),
+        }).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def final(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("partition_id")
+        out = pd.DataFrame({
+            "n_docs": g["n_docs"].sum().astype("int64"),
+            "total_chars": g["total_chars"].sum().astype("int64"),
+            "checksum": g["checksum"].agg(
+                lambda s: np.bitwise_xor.reduce(
+                    s.to_numpy().astype(np.uint64))),
+        }).reset_index()
+        return pa.table({
+            "partition_id": pa.array(out["partition_id"], pa.int64()),
+            "n_docs": pa.array(out["n_docs"], pa.int64()),
+            "total_chars": pa.array(out["total_chars"], pa.int64()),
+            "checksum": pa.array(out["checksum"], pa.uint64()),
+        })
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

@@ -1254,3 +1254,103 @@ def test_event_transition_counts_local(ray_session):
     assert {(r.prev_type, r.next_type): r.n for r in got.itertuples()} == want
     # row conservation: transitions = events - users
     assert got["n"].sum() == len(ev) - ev["user_id"].nunique()
+
+
+def test_event_funnel_local(ray_session):
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import event_funnel
+
+    sf = "/root/testdata/sf0.001"
+    got = (event_funnel(sf).to_pandas()
+           .set_index("stage_idx").sort_index())
+    ev = pq.read_table(
+        f"{sf}/events.parquet",
+        columns=["user_id", "ts", "event_type"]).to_pandas()
+    t1 = (ev[ev["event_type"] == "view"]
+          .groupby("user_id")["ts"].min())
+    c = ev[ev["event_type"] == "click"].join(
+        t1.rename("t1"), on="user_id", how="inner")
+    t2 = c[c["ts"] > c["t1"]].groupby("user_id")["ts"].min()
+    p = ev[ev["event_type"] == "purchase"].join(
+        t2.rename("t2"), on="user_id", how="inner")
+    n3 = p.loc[p["ts"] > p["t2"], "user_id"].nunique()
+    assert list(got["stage"]) == ["view", "click", "purchase"]
+    assert list(got["n_users"]) == [len(t1), len(t2), n3]
+    # funnel is monotone non-increasing
+    assert got["n_users"].is_monotonic_decreasing or (
+        got["n_users"].diff().dropna() <= 0).all()
+
+
+def test_cube_status_priority_levels(ray_session):
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import cube_status_priority
+
+    sf = "/root/testdata/sf0.001"
+    got = cube_status_priority(sf).to_pandas()
+    o = pq.read_table(
+        f"{sf}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"]
+    ).to_pandas()
+    o["cents"] = np.copysign(
+        np.floor(np.abs(o["o_totalprice"] * 100) + 0.5),
+        o["o_totalprice"]).astype("int64")
+    fin = o.groupby(["o_orderstatus", "o_orderpriority"]).agg(
+        n=("cents", "size"), s=("cents", "sum"))
+    n_status = o["o_orderstatus"].nunique()
+    n_prio = o["o_orderpriority"].nunique()
+    assert len(got) == len(fin) + n_status + n_prio + 1
+    grand = got[(got["o_orderstatus"] == "ALL")
+                & (got["o_orderpriority"] == "ALL")]
+    assert int(grand["n_orders"].iloc[0]) == len(o)
+    assert int(grand["revenue_cents"].iloc[0]) == int(o["cents"].sum())
+    for (st, pr), row in fin.iterrows():
+        m = got[(got["o_orderstatus"] == st) & (got["o_orderpriority"] == pr)]
+        assert int(m["n_orders"].iloc[0]) == row["n"]
+        assert int(m["revenue_cents"].iloc[0]) == row["s"]
+
+
+def test_order_price_quartiles_semantics(ray_session):
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import order_price_quartiles
+
+    sf = "/root/testdata/sf0.001"
+    got = order_price_quartiles(sf).to_pandas()
+    o = pq.read_table(f"{sf}/orders.parquet").to_pandas()
+    assert len(got) == len(o)
+    # per customer: quartile sizes differ by at most 1, tile 1 is the
+    # most expensive orders, and earlier tiles are never smaller
+    for ck, g in got.groupby("o_custkey"):
+        sizes = g.groupby("quartile").size()
+        k = min(4, len(g))
+        assert set(sizes.index) == set(range(1, k + 1))
+        assert sizes.max() - sizes.min() <= 1
+        assert (sizes.sort_index().diff().dropna() <= 0).all()
+        ordered = g.sort_values(
+            ["price_cents", "o_orderkey"], ascending=[False, True])
+        assert (np.diff(ordered["quartile"].to_numpy()) >= 0).all()
+
+
+def test_partition_checksums_order_independent(ray_session):
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import partition_checksums
+
+    sf = "/root/testdata/sf0.001"
+    got = (partition_checksums(sf).to_pandas()
+           .set_index("partition_id").sort_index())
+    d = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["doc_id", "text", "n_chars"]).to_pandas()
+    d["pid"] = d["doc_id"] % 16
+    d["h"] = [
+        int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
+        for s in d["text"]]
+    for pid, g in d.groupby("pid"):
+        assert got.loc[pid, "n_docs"] == len(g)
+        assert got.loc[pid, "total_chars"] == g["n_chars"].sum()
+        want = np.bitwise_xor.reduce(g["h"].to_numpy().astype(np.uint64))
+        assert np.uint64(got.loc[pid, "checksum"]) == want
