@@ -765,6 +765,9 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "cube_status_priority": rel.cube_status_priority,
         "order_price_quartiles": rel.order_price_quartiles,
         "partition_checksums": rel.partition_checksums,
+        "reassemble_chunks": rel.reassemble_chunks,
+        "props_key_stats": rel.props_key_stats,
+        "dup_cluster_sizes": rel.dup_cluster_sizes,
     }
 
 
@@ -1848,6 +1851,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    bit_xor(md5_number_lower(text)) AS checksum
             FROM documents GROUP BY 1
+        """,
+        "reassemble_chunks": """
+            SELECT doc_id, text FROM documents
+            WHERE coalesce(text, '') <> ''
+        """,
+        "props_key_stats": """
+            SELECT event_type,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k')
+                                 AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        """,
+        "dup_cluster_sizes": """
+            WITH corpus AS (
+                SELECT coalesce(text, '') AS text FROM documents
+                UNION ALL
+                SELECT coalesce(text, '') FROM documents WHERE doc_id % 23 = 0
+            ), cl AS (
+                SELECT md5(text) AS fp,
+                       CAST(count(*) AS BIGINT) AS cluster_size
+                FROM corpus GROUP BY 1
+            )
+            SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+            FROM cl GROUP BY 1
         """,
         # Every queries() entry above has an oracle_sql twin — the
         # rows-only set is empty as of round 2 (minhash/winnow/knn_lsh/

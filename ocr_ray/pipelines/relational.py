@@ -2357,3 +2357,121 @@ def partition_checksums(sf_dir: str, n_partitions: int = 16):
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def reassemble_chunks(sf_dir: str, chunk_chars: int = 120, overlap: int = 20):
+    """Round-trip inverse of :func:`chunk_documents` — ORDER-DEPENDENT
+    grouped string aggregation (``string_agg(... ORDER BY chunk_idx)``):
+    re-concatenate each document's sliding-window chunks, stripping the
+    ``overlap`` chars of left context from every chunk after the first,
+    and recover the original text exactly.
+
+    This is the "context unpacking" audit for a chunked corpus: chunk →
+    embed/dedup/filter → reassemble must be the identity on surviving
+    docs, so a lossy chunker (wrong stride, dropped window, shuffled
+    order) is caught by a value-hash compare against the raw corpus.
+
+    Scale shape: one 64-way shuffle on the coarse doc bucket brings all
+    chunks of a doc together; inside, a single vectorized sort + slice
+    prepares the pieces and the per-doc join is the unavoidable string
+    materialization.  Output is corpus-sized but streams block-by-block;
+    nothing reaches the driver.  Empty/null docs emit no chunks, so the
+    oracle restricts to docs with non-empty text.
+    """
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket",
+            pc.cast(pc.bit_wise_and(t["doc_id"], 63), pa.int32()))
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "chunk_idx"])
+        piece = g["chunk_text"].str.slice(overlap)
+        piece[g["chunk_idx"].to_numpy() == 0] = g["chunk_text"]
+        out = (pd.DataFrame({"doc_id": g["doc_id"], "piece": piece})
+               .groupby("doc_id", sort=False)["piece"].agg("".join)
+               .reset_index().rename(columns={"piece": "text"}))
+        return out
+
+    return (
+        chunk_documents(sf_dir, chunk_chars, overlap)
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+    )
+
+
+def props_key_stats(sf_dir: str):
+    """Semi-structured field extraction (the WARC-metadata shape): pull
+    the integer ``k`` out of the JSON ``props`` payload of every event
+    with a VECTORIZED regex (``pc.extract_regex`` — no per-row json.loads)
+    and roll up sum + count per event type.
+
+    Embarrassingly parallel per-batch partials then a ≤5-key groupby —
+    the _grouped_sum shape; the JSON column never crosses the exchange.
+    """
+
+    def measures(t: pa.Table) -> pa.Table:
+        v = pc.struct_field(
+            pc.extract_regex(t["props"], r'"k":\s*(?P<v>-?\d+)'), "v")
+        return pa.table({
+            "event_type": t["event_type"],
+            "sum_k": pc.cast(v, pa.int64()),
+        })
+
+    return _grouped_sum(
+        _read(sf_dir, "events", ["event_type", "props"]),
+        measures, keys=["event_type"], sum_cols=["sum_k"], count_col="n",
+    )
+
+
+def dup_cluster_sizes(sf_dir: str):
+    """Exact-duplicate CLUSTER-SIZE histogram — the dedup audit that says
+    how much of the corpus is singletons vs 2-copy vs N-copy content
+    (what a crawl re-fetch or mirror farm looks like in aggregate).
+
+    The corpus has the deterministic ``doc_id % 23`` re-crawl duplicates
+    injected (the same convention the synthetic pages corpus uses), so
+    the histogram is non-degenerate and pins both levels of aggregation.
+
+    Scale shape: two-level aggregation with NO fine-grained Ray key —
+    (1) rows carry only (md5, bucket=first-2-hex); every copy of a
+    content lands in one of 256 coarse buckets, where a vectorized
+    value_counts produces per-cluster sizes; (2) each bucket emits its
+    ≤#distinct-sizes histogram rows and a final tiny groupby sums them.
+    Payload text never crosses the exchange (J2 convention).
+    """
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.functions.textstats import md5_fingerprint
+
+    def inject_and_fp(t: pa.Table) -> pa.Table:
+        mod = pc.subtract(
+            t["doc_id"], pc.multiply(pc.divide(t["doc_id"], 23), 23))
+        dups = t.filter(pc.equal(mod, 0))
+        text = pa.concat_arrays([
+            pc.coalesce(t["text"], pa.scalar("")).combine_chunks(),
+            pc.coalesce(dups["text"], pa.scalar("")).combine_chunks(),
+        ])
+        fp = md5_fingerprint(text)
+        return pa.table({
+            "fingerprint": fp,
+            "bucket": pc.utf8_slice_codeunits(fp, 0, 2),
+        })
+
+    def histogram_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g["fingerprint"].value_counts()
+        hist = sizes.value_counts()
+        return pd.DataFrame({
+            "cluster_size": hist.index.astype("int64"),
+            "n_clusters": hist.to_numpy().astype("int64"),
+        })
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(inject_and_fp, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(histogram_per_bucket, batch_format="pandas")
+        .groupby("cluster_size")
+        .aggregate(Sum("n_clusters", alias_name="n_clusters"))
+    )

@@ -1354,3 +1354,52 @@ def test_partition_checksums_order_independent(ray_session):
         assert got.loc[pid, "total_chars"] == g["n_chars"].sum()
         want = np.bitwise_xor.reduce(g["h"].to_numpy().astype(np.uint64))
         assert np.uint64(got.loc[pid, "checksum"]) == want
+
+
+def test_reassemble_chunks_roundtrip(ray_session):
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import reassemble_chunks
+
+    sf = "/root/testdata/sf0.001"
+    got = (reassemble_chunks(sf).to_pandas()
+           .set_index("doc_id")["text"].to_dict())
+    d = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    want = {r.doc_id: r.text for r in d.itertuples() if (r.text or "") != ""}
+    assert got == want
+
+
+def test_props_key_stats_local(ray_session):
+    import json
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import props_key_stats
+
+    sf = "/root/testdata/sf0.001"
+    got = (props_key_stats(sf).to_pandas()
+           .set_index("event_type").sort_index())
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["event_type", "props"]).to_pandas()
+    ev["k"] = [json.loads(p)["k"] for p in ev["props"]]
+    want = ev.groupby("event_type")["k"].agg(["sum", "size"])
+    assert (got["sum_k"] == want["sum"]).all()
+    assert (got["n"] == want["size"]).all()
+
+
+def test_dup_cluster_sizes_injected(ray_session):
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import dup_cluster_sizes
+
+    sf = "/root/testdata/sf0.001"
+    got = (dup_cluster_sizes(sf).to_pandas()
+           .set_index("cluster_size")["n_clusters"].to_dict())
+    d = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    n = len(d)
+    n_dup = int((d["doc_id"] % 23 == 0).sum())
+    # all base texts are unique, so injected copies form exactly the
+    # 2-clusters and everything else stays a singleton
+    assert got == {1: n - n_dup, 2: n_dup}
