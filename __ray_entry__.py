@@ -768,6 +768,8 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "reassemble_chunks": rel.reassemble_chunks,
         "props_key_stats": rel.props_key_stats,
         "dup_cluster_sizes": rel.dup_cluster_sizes,
+        "click_purchase_intersect": rel.click_purchase_intersect,
+        "moving_sum_user_spend": rel.moving_sum_user_spend,
     }
 
 
@@ -1875,6 +1877,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
             FROM cl GROUP BY 1
+        """,
+        "click_purchase_intersect": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "moving_sum_user_spend": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(ROUND(value * 100) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS win_sum_cents,
+                   CAST(count(*)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS win_n
+            FROM events
         """,
         # Every queries() entry above has an oracle_sql twin — the
         # rows-only set is empty as of round 2 (minhash/winnow/knn_lsh/

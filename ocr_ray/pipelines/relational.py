@@ -2475,3 +2475,73 @@ def dup_cluster_sizes(sf_dir: str):
         .groupby("cluster_size")
         .aggregate(Sum("n_clusters", alias_name="n_clusters"))
     )
+
+
+def click_purchase_intersect(sf_dir: str):
+    """INTERSECT set operation: users who BOTH clicked and purchased —
+    completes the set-op family (UNION: entity_key_union, EXCEPT:
+    click_hours_no_purchase, INTERSECT: here).
+
+    Scale shape: per-batch distinct (user, type) pre-dedup shrinks the
+    exchange to at most 2 rows per user per block; inside the standing
+    coarse user bucket one vectorized pandas pass finds users with both
+    types.  Only user ids cross the wire.
+    """
+    both = pa.array(("click", "purchase"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"], value_set=both))
+        df = t.select(["user_id", "event_type"]).to_pandas()
+        df = df.drop_duplicates()
+        out = pa.Table.from_pandas(df, preserve_index=False)
+        return _bucket_by_user(out)
+
+    def intersect(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "event_type"])
+        n = g.groupby("user_id", as_index=False)["event_type"].nunique()
+        return n.loc[n["event_type"] == 2, ["user_id"]]
+
+    return (
+        _read(sf_dir, "events", ["user_id", "event_type"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("ubucket")
+        .map_groups(intersect, batch_format="pandas")
+    )
+
+
+def moving_sum_user_spend(sf_dir: str, window: int = 3):
+    """Bounded sliding window frame (``ROWS BETWEEN 2 PRECEDING AND
+    CURRENT ROW``): per user, per event, the integer-cent sum and row
+    count of the last ``window`` events ordered by (ts, event_id) —
+    the frame-bounded member of the window family next to the unbounded
+    running sum (:func:`~ocr_ray.pipelines.windows.running_user_spend`).
+
+    Same scale shape as every window operator here: one coarse 64-way
+    user-bucket shuffle, then a single vectorized pandas
+    ``groupby.rolling`` pass resolves every user in the bucket.  Sums
+    are cents (ints) so the distributed result is bit-exact vs SQL.
+    """
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "ts": t["ts"],
+            "value_cents": _cents(t["value"]),
+        })
+        return _bucket_by_user(out)
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        r = (g.groupby("user_id", sort=False)["value_cents"]
+             .rolling(window, min_periods=1))
+        g["win_sum_cents"] = r.sum().to_numpy().astype("int64")
+        g["win_n"] = r.count().to_numpy().astype("int64")
+        return g[["event_id", "user_id", "win_sum_cents", "win_n"]]
+
+    return (
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("ubucket")
+        .map_groups(roll, batch_format="pandas")
+    )

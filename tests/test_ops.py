@@ -1403,3 +1403,40 @@ def test_dup_cluster_sizes_injected(ray_session):
     # all base texts are unique, so injected copies form exactly the
     # 2-clusters and everything else stays a singleton
     assert got == {1: n - n_dup, 2: n_dup}
+
+
+def test_click_purchase_intersect_local(ray_session):
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import click_purchase_intersect
+
+    sf = "/root/testdata/sf0.001"
+    got = set(click_purchase_intersect(sf).to_pandas()["user_id"])
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["user_id", "event_type"]).to_pandas()
+    clickers = set(ev.loc[ev["event_type"] == "click", "user_id"])
+    buyers = set(ev.loc[ev["event_type"] == "purchase", "user_id"])
+    assert got == (clickers & buyers)
+
+
+def test_moving_sum_user_spend_frame(ray_session):
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import moving_sum_user_spend
+
+    sf = "/root/testdata/sf0.001"
+    got = (moving_sum_user_spend(sf).to_pandas()
+           .set_index("event_id").sort_index())
+    ev = pq.read_table(
+        f"{sf}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"]).to_pandas()
+    ev["cents"] = np.copysign(
+        np.floor(np.abs(ev["value"] * 100) + 0.5), ev["value"]).astype("int64")
+    assert len(got) == len(ev)
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        c = g["cents"].tolist()
+        for i, eid in enumerate(g["event_id"]):
+            lo = max(0, i - 2)
+            assert got.loc[eid, "win_sum_cents"] == sum(c[lo:i + 1])
+            assert got.loc[eid, "win_n"] == i + 1 - lo
