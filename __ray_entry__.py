@@ -770,6 +770,9 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "dup_cluster_sizes": rel.dup_cluster_sizes,
         "click_purchase_intersect": rel.click_purchase_intersect,
         "moving_sum_user_spend": rel.moving_sum_user_spend,
+        "event_value_minmax": rel.event_value_minmax,
+        "doc_length_quantiles_cont": rel.doc_length_quantiles_cont,
+        "user_event_paths": rel.user_event_paths,
     }
 
 
@@ -1894,6 +1897,46 @@ def oracle_sql() -> dict[str, str]:
                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
                         AS BIGINT) AS win_n
             FROM events
+        """,
+        "event_value_minmax": """
+            WITH c AS (
+                SELECT event_id, event_type,
+                       CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+                FROM events
+            ), mm AS (
+                SELECT event_type, min(value_cents) AS mn,
+                       max(value_cents) AS mx
+                FROM c GROUP BY 1
+            )
+            SELECT c.event_id, c.event_type, c.value_cents,
+                   CAST(CASE WHEN mm.mx = mm.mn THEN 0
+                        ELSE ROUND((c.value_cents - mm.mn) * 1000000.0
+                                   / (mm.mx - mm.mn)) END AS BIGINT)
+                       AS scaled_ppm
+            FROM c JOIN mm ON mm.event_type = c.event_type
+        """,
+        "doc_length_quantiles_cont": """
+            SELECT 0.25 AS q, ROUND(quantile_cont(n_chars, 0.25), 6) AS value FROM documents
+            UNION ALL
+            SELECT 0.5, ROUND(quantile_cont(n_chars, 0.5), 6) FROM documents
+            UNION ALL
+            SELECT 0.75, ROUND(quantile_cont(n_chars, 0.75), 6) FROM documents
+            UNION ALL
+            SELECT 0.9, ROUND(quantile_cont(n_chars, 0.9), 6) FROM documents
+            UNION ALL
+            SELECT 0.99, ROUND(quantile_cont(n_chars, 0.99), 6) FROM documents
+        """,
+        "user_event_paths": """
+            WITH r AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            )
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY rn) AS path,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM r WHERE rn <= 8 GROUP BY user_id
         """,
         # Every queries() entry above has an oracle_sql twin — the
         # rows-only set is empty as of round 2 (minhash/winnow/knn_lsh/

@@ -2545,3 +2545,146 @@ def moving_sum_user_spend(sf_dir: str, window: int = 3):
         .groupby("ubucket")
         .map_groups(roll, batch_format="pandas")
     )
+
+
+def event_value_minmax(sf_dir: str):
+    """Min-max feature scaling per event type (the ML-preprocessing
+    normalization): each event's value rescaled to [0, 1e6] ppm within
+    its type's observed range — the two-pass broadcast-statistics shape
+    (sibling of the z-score gate :func:`event_value_outliers`, with
+    Min/Max instead of moments).
+
+    Pass 1 aggregates per-batch partial min/max into a ≤#types-row
+    table; the tiny result is broadcast via ``ray.put`` and pass 2 is a
+    stateless vectorized map — no row-level shuffle at any scale.  The
+    only float op is the final ppm division, written with the oracle's
+    exact operand shapes so the doubles are bit-identical.
+    """
+    from ray.data.aggregate import Max, Min
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pa.table({
+            "event_type": t["event_type"],
+            "cents": _cents(t["value"]),
+        }).to_pandas()
+        g = df.groupby("event_type", as_index=False)["cents"].agg(
+            mn="min", mx="max")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    stats = (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx"))
+        .to_pandas()
+    )
+    ref = ray.put({r.event_type: (int(r.mn), int(r.mx))
+                   for r in stats.itertuples()})
+
+    def scale(t: pa.Table) -> pa.Table:
+        mm = ray.get(ref)
+        cents = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        types = t["event_type"].to_pylist()
+        mn = np.fromiter((mm[ty][0] for ty in types), dtype=np.int64,
+                         count=len(types))
+        mx = np.fromiter((mm[ty][1] for ty in types), dtype=np.int64,
+                         count=len(types))
+        span = mx - mn
+        raw = (cents - mn) * 1000000.0 / np.where(span == 0, 1, span)
+        ppm = np.copysign(np.floor(np.abs(raw) + 0.5), raw).astype(np.int64)
+        ppm = np.where(span == 0, 0, ppm)
+        return pa.table({
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "value_cents": pa.array(cents, pa.int64()),
+            "scaled_ppm": pa.array(ppm, pa.int64()),
+        })
+
+    return _read(sf_dir, "events", ["event_id", "event_type", "value"]
+                 ).map_batches(scale, batch_format="pyarrow")
+
+
+def doc_length_quantiles_cont(sf_dir: str):
+    """INTERPOLATED quantiles (``quantile_cont`` / percentile_cont): the
+    continuous sibling of :func:`doc_length_quantiles` — linear
+    interpolation between order statistics at position ``q·(n-1)``.
+
+    Identical scale shape (value-count compression: partials bounded by
+    the value domain, one repartition(1) final walk); the interpolation
+    is one float expression written exactly as DuckDB evaluates it, then
+    rounded to 6 dp on both sides.
+    """
+    import math
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pa.table({"v": t["n_chars"]}).to_pandas()
+        g = df.groupby("v", as_index=False).size().rename(columns={"size": "c"})
+        g["c"] = g["c"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby("v", as_index=False)["c"].sum().sort_values("v")
+        total = int(df["c"].sum())
+        cum = df["c"].cumsum().to_numpy()
+        vals = df["v"].to_numpy()
+
+        def order_stat(i: int) -> int:       # 0-based order statistic
+            return int(vals[int(np.searchsorted(cum, i + 1))])
+
+        qs, out = [], []
+        for q in _QUANTILES:
+            pos = q * (total - 1)
+            lo = math.floor(pos)
+            frac = pos - lo
+            v_lo = order_stat(lo)
+            v_hi = order_stat(min(lo + 1, total - 1))
+            qs.append(q)
+            out.append(float(np.round(v_lo + frac * (v_hi - v_lo), 6)))
+        return pa.table({
+            "q": pa.array(qs, pa.float64()),
+            "value": pa.array(out, pa.float64()),
+        })
+
+    return (
+        _read(sf_dir, "documents", ["n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def user_event_paths(sf_dir: str, k: int = 8):
+    """Per-user behavioral path: the '>'-joined sequence of the user's
+    first ``k`` event types ordered by (ts, event_id) — ordered
+    ``string_agg`` per entity (the path/journey primitive of product
+    analytics; sibling of :func:`reassemble_chunks` with an entity key
+    and a head-k truncation).
+
+    Scale shape: per-batch head-k per user BEFORE the exchange (the
+    global first-k of a user is a subset of the union of per-batch
+    first-k's), so a hyperactive user ships at most k rows per block;
+    then the standing coarse user bucket and one vectorized sort +
+    groupby head(k) + join inside.
+    """
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.sort_values(["user_id", "ts", "event_id"])
+                .groupby("user_id", as_index=False, sort=False).head(k))
+        df["ubucket"] = (df["user_id"].to_numpy() & (_EVENT_BUCKETS - 1)
+                         ).astype(np.int32)
+        return df
+
+    def paths(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values(["user_id", "ts", "event_id"])
+               .groupby("user_id", as_index=False, sort=False).head(k))
+        agg = g.groupby("user_id", sort=False).agg(
+            path=("event_type", ">".join), n_events=("event_type", "size"))
+        agg["n_events"] = agg["n_events"].astype("int64")
+        return agg.reset_index()
+
+    return (
+        _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+        .map_batches(prep, batch_format="pandas")
+        .groupby("ubucket")
+        .map_groups(paths, batch_format="pandas")
+    )

@@ -1440,3 +1440,56 @@ def test_moving_sum_user_spend_frame(ray_session):
             lo = max(0, i - 2)
             assert got.loc[eid, "win_sum_cents"] == sum(c[lo:i + 1])
             assert got.loc[eid, "win_n"] == i + 1 - lo
+
+
+def test_event_value_minmax_bounds(ray_session):
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import event_value_minmax
+
+    sf = "/root/testdata/sf0.001"
+    got = event_value_minmax(sf).to_pandas()
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["event_id", "event_type", "value"]).to_pandas()
+    assert len(got) == len(ev)
+    assert got["scaled_ppm"].between(0, 1_000_000).all()
+    # each type's min maps to 0 and max to 1e6
+    for ty, g in got.groupby("event_type"):
+        lo = g.loc[g["value_cents"].idxmin()]
+        hi = g.loc[g["value_cents"].idxmax()]
+        assert lo["scaled_ppm"] == 0
+        assert hi["scaled_ppm"] == 1_000_000
+
+
+def test_doc_length_quantiles_cont_interpolation(ray_session):
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import doc_length_quantiles_cont
+
+    sf = "/root/testdata/sf0.001"
+    got = (doc_length_quantiles_cont(sf).to_pandas()
+           .set_index("q")["value"].to_dict())
+    v = np.sort(pq.read_table(f"{sf}/documents.parquet",
+                              columns=["n_chars"])["n_chars"].to_numpy())
+    for q in (0.25, 0.5, 0.75, 0.9, 0.99):
+        pos = q * (len(v) - 1)
+        lo = int(np.floor(pos))
+        want = v[lo] + (pos - lo) * (v[min(lo + 1, len(v) - 1)] - v[lo])
+        assert abs(got[q] - want) < 1e-6
+
+
+def test_user_event_paths_first_k(ray_session):
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import user_event_paths
+
+    sf = "/root/testdata/sf0.001"
+    got = (user_event_paths(sf).to_pandas()
+           .set_index("user_id"))
+    ev = pq.read_table(
+        f"{sf}/events.parquet",
+        columns=["user_id", "event_type", "ts", "event_id"]).to_pandas()
+    for uid, g in ev.groupby("user_id"):
+        seq = g.sort_values(["ts", "event_id"])["event_type"].tolist()[:8]
+        assert got.loc[uid, "path"] == ">".join(seq)
+        assert got.loc[uid, "n_events"] == len(seq)
