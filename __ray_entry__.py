@@ -773,6 +773,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "event_value_minmax": rel.event_value_minmax,
         "doc_length_quantiles_cont": rel.doc_length_quantiles_cont,
         "user_event_paths": rel.user_event_paths,
+        "crawl_delta": rel.crawl_delta,
     }
 
 
@@ -1937,6 +1938,26 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(event_type, '>' ORDER BY rn) AS path,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM r WHERE rn <= 8 GROUP BY user_id
+        """,
+        "crawl_delta": """
+            WITH a AS (
+                SELECT doc_id, md5(coalesce(text, '')) AS fp FROM documents
+            ), b AS (
+                SELECT doc_id,
+                       md5(coalesce(text, '')
+                           || CASE WHEN doc_id % 17 = 0
+                                   THEN ' v2' ELSE '' END) AS fp
+                FROM documents WHERE doc_id % 19 <> 0
+                UNION ALL
+                SELECT doc_id + 2000000000, md5(coalesce(text, ''))
+                FROM documents WHERE doc_id % 13 = 0
+            )
+            SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                   CASE WHEN a.doc_id IS NULL THEN 'added'
+                        WHEN b.doc_id IS NULL THEN 'removed'
+                        WHEN a.fp <> b.fp THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
         """,
         # Every queries() entry above has an oracle_sql twin — the
         # rows-only set is empty as of round 2 (minhash/winnow/knn_lsh/

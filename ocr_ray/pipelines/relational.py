@@ -2688,3 +2688,83 @@ def user_event_paths(sf_dir: str, k: int = 8):
         .groupby("ubucket")
         .map_groups(paths, batch_format="pandas")
     )
+
+
+def crawl_delta(sf_dir: str):
+    """Snapshot diff (the incremental-crawl primitive): FULL OUTER join of
+    two crawl snapshots by document key with a content-hash compare —
+    every key classified added / removed / changed / unchanged.  The two
+    snapshots are derived deterministically from the corpus (snapshot B
+    drops ``doc_id % 19 == 0``, appends ``' v2'`` to the text of
+    ``doc_id % 17 == 0``, and adds a re-keyed clone of ``doc_id % 13 ==
+    0`` — the delete/update/insert trio).
+
+    Scale shape: the exchange carries ONLY (doc_id, side, 32-hex md5) —
+    never text; both sides ride one read and one coarse 64-way shuffle
+    (union-with-side-tag + bucket groupby), and the per-bucket FULL
+    OUTER merge + hash compare is one vectorized pandas pass.  This is
+    how a 100 TB crawl refresh is reconciled without re-shipping
+    payloads.
+    """
+    from ocr_ray.functions.textstats import md5_fingerprint
+
+    def both_sides(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        text = pc.coalesce(t["text"], pa.scalar(""))
+        fp_a = md5_fingerprint(text)
+        # side A: every doc
+        out_id = [ids]
+        out_side = [pa.nulls(t.num_rows, pa.int32()).fill_null(0)]
+        out_fp = [fp_a]
+        # side B: doc_id%19 removed; %17 text gets ' v2'; %13 clone added
+        mod19 = pc.subtract(ids, pc.multiply(pc.divide(ids, 19), 19))
+        keep = pc.not_equal(mod19, 0)
+        b_ids = ids.filter(keep)
+        mod17 = pc.subtract(b_ids, pc.multiply(pc.divide(b_ids, 17), 17))
+        b_text = pc.binary_join_element_wise(
+            text.filter(keep),
+            pc.if_else(pc.equal(mod17, 0), pa.scalar(" v2"), pa.scalar("")),
+            "")
+        out_id.append(b_ids)
+        out_side.append(pa.nulls(len(b_ids), pa.int32()).fill_null(1))
+        out_fp.append(md5_fingerprint(b_text))
+        mod13 = pc.subtract(ids, pc.multiply(pc.divide(ids, 13), 13))
+        added = pc.equal(mod13, 0)
+        a_ids = pc.add(ids.filter(added), 2_000_000_000)
+        out_id.append(a_ids)
+        out_side.append(pa.nulls(len(a_ids), pa.int32()).fill_null(1))
+        out_fp.append(pa.array(fp_a.to_pylist(), pa.string()).filter(
+            added.combine_chunks() if isinstance(added, pa.ChunkedArray)
+            else added))
+        tbl = pa.table({
+            "doc_id": pa.concat_arrays(
+                [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                 for c in out_id]),
+            "side": pa.concat_arrays(out_side),
+            "fp": pa.concat_arrays(
+                [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                 for c in out_fp]),
+        })
+        return tbl.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(tbl["doc_id"], 63), pa.int32()))
+
+    def diff(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["side"] == 0][["doc_id", "fp"]]
+        b = g[g["side"] == 1][["doc_id", "fp"]]
+        m = a.merge(b, on="doc_id", how="outer", suffixes=("_a", "_b"))
+        status = np.where(
+            m["fp_a"].isna(), "added",
+            np.where(m["fp_b"].isna(), "removed",
+                     np.where(m["fp_a"] != m["fp_b"], "changed",
+                              "unchanged")))
+        return pd.DataFrame({
+            "doc_id": m["doc_id"].astype("int64"),
+            "status": status,
+        })
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(both_sides, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(diff, batch_format="pandas")
+    )

@@ -1493,3 +1493,26 @@ def test_user_event_paths_first_k(ray_session):
         seq = g.sort_values(["ts", "event_id"])["event_type"].tolist()[:8]
         assert got.loc[uid, "path"] == ">".join(seq)
         assert got.loc[uid, "n_events"] == len(seq)
+
+
+def test_crawl_delta_statuses(ray_session):
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import crawl_delta
+
+    sf = "/root/testdata/sf0.001"
+    got = crawl_delta(sf).to_pandas().set_index("doc_id")["status"]
+    d = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["doc_id"]).to_pandas()
+    ids = d["doc_id"].to_numpy()
+    for i in ids:
+        if i % 19 == 0:
+            assert got.loc[i] == "removed"
+        elif i % 17 == 0:
+            assert got.loc[i] == "changed"
+        else:
+            assert got.loc[i] == "unchanged"
+        if i % 13 == 0:
+            assert got.loc[i + 2_000_000_000] == "added"
+    n_added = int((ids % 13 == 0).sum())
+    assert len(got) == len(ids) + n_added
