@@ -774,6 +774,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles_cont": rel.doc_length_quantiles_cont,
         "user_event_paths": rel.user_event_paths,
         "crawl_delta": rel.crawl_delta,
+        "pagerank_two_iter": rel.pagerank_two_iter,
     }
 
 
@@ -1958,6 +1959,30 @@ def oracle_sql() -> dict[str, str]:
                         WHEN a.fp <> b.fp THEN 'changed'
                         ELSE 'unchanged' END AS status
             FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        """,
+        "pagerank_two_iter": """
+            WITH n AS (SELECT count(*) AS cnt FROM documents),
+            edges AS MATERIALIZED (
+                SELECT doc_id AS src, (doc_id * 2 + 1) % n.cnt AS dst
+                FROM documents, n
+                UNION ALL
+                SELECT doc_id, (doc_id * 3 + 2) % n.cnt FROM documents, n
+            ),
+            r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r
+                   FROM documents),
+            c1 AS (SELECT e.dst, SUM(r0.r // 2) AS s
+                   FROM edges e JOIN r0 ON r0.doc_id = e.src GROUP BY 1),
+            r1 AS MATERIALIZED (
+                SELECT d.doc_id,
+                       CAST(150000 + (85 * coalesce(c1.s, 0)) // 100
+                            AS BIGINT) AS r
+                FROM documents d LEFT JOIN c1 ON c1.dst = d.doc_id),
+            c2 AS (SELECT e.dst, SUM(r1.r // 2) AS s
+                   FROM edges e JOIN r1 ON r1.doc_id = e.src GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(150000 + (85 * coalesce(c2.s, 0)) // 100
+                        AS BIGINT) AS rank_scaled
+            FROM documents d LEFT JOIN c2 ON c2.dst = d.doc_id
         """,
         # Every queries() entry above has an oracle_sql twin — the
         # rows-only set is empty as of round 2 (minhash/winnow/knn_lsh/

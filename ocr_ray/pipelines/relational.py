@@ -2768,3 +2768,79 @@ def crawl_delta(sf_dir: str):
         .groupby("bucket")
         .map_groups(diff, batch_format="pandas")
     )
+
+
+def pagerank_two_iter(sf_dir: str):
+    """Two unrolled PageRank iterations over a derived doc→doc link graph
+    (each doc links to ``(2·id+1) mod N`` and ``(3·id+2) mod N``) — the
+    iterative-graph-algorithm family (sibling of the connected-components
+    min-label propagation in ``pipelines/graph.py``), with EXACT INTEGER
+    arithmetic so the distributed result is bit-stable: ranks are scaled
+    by 1e6, the per-edge contribution is ``r // outdeg`` and the damping
+    step is ``150000 + (85 · Σcontrib) // 100`` — integer sums commute,
+    so block order and parallelism cannot perturb a single bit (the
+    float formulation would not survive unordered addition).
+
+    Scale shape per iteration: ONE coarse 64-way shuffle.  A single
+    map_batches emits each node's carry-row plus its (pre-aggregated)
+    out-edge contributions keyed by destination — node and edge rows
+    ride the same pass, never a ``Dataset.union`` of a shared upstream
+    (see CLAUDE.md deadlock note) — and the per-bucket combine is one
+    vectorized pandas groupby + merge.  N comes from parquet METADATA
+    (no data read).
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    files = [path] if os.path.isfile(path) else sorted(
+        _glob.glob(os.path.join(path, "*.parquet")))
+    n_docs = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+    def seed(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "r": pa.nulls(t.num_rows, pa.int64()).fill_null(1_000_000),
+        })
+
+    def expand(t: pa.Table) -> pa.Table:
+        df = pa.table({"doc_id": t["doc_id"], "r": t["r"]}).to_pandas()
+        ids = df["doc_id"].to_numpy()
+        contrib = df["r"].to_numpy() // 2        # outdeg is 2 for every node
+        e = pd.DataFrame({
+            "key": np.concatenate([(ids * 2 + 1) % n_docs,
+                                   (ids * 3 + 2) % n_docs]),
+            "contrib": np.concatenate([contrib, contrib]),
+        }).groupby("key", as_index=False)["contrib"].sum()
+        nodes = pd.DataFrame({
+            "key": ids, "is_node": np.int8(1),
+            "r": df["r"].to_numpy(), "contrib": np.int64(0),
+        })
+        e["is_node"] = np.int8(0)
+        e["r"] = np.int64(0)
+        out = pd.concat([nodes, e[["key", "is_node", "r", "contrib"]]],
+                        ignore_index=True)
+        out["bucket"] = (out["key"].to_numpy() & 63).astype(np.int32)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        c = (g[g["is_node"] == 0]
+             .groupby("key", as_index=False)["contrib"].sum())
+        nodes = g.loc[g["is_node"] == 1, ["key"]]
+        m = nodes.merge(c, on="key", how="left")
+        s = m["contrib"].fillna(0).astype("int64")
+        return pd.DataFrame({
+            "doc_id": m["key"].astype("int64"),
+            "r": (150_000 + (85 * s) // 100).astype("int64"),
+        })
+
+    ranks = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        seed, batch_format="pyarrow")
+    for _ in range(2):
+        ranks = (ranks.map_batches(expand, batch_format="pyarrow")
+                 .groupby("bucket")
+                 .map_groups(combine, batch_format="pandas"))
+    return ranks.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "rank_scaled": t["r"]}),
+        batch_format="pyarrow")

@@ -1516,3 +1516,27 @@ def test_crawl_delta_statuses(ray_session):
             assert got.loc[i + 2_000_000_000] == "added"
     n_added = int((ids % 13 == 0).sum())
     assert len(got) == len(ids) + n_added
+
+
+def test_pagerank_two_iter_exact(ray_session):
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import pagerank_two_iter
+
+    sf = "/root/testdata/sf0.001"
+    got = (pagerank_two_iter(sf).to_pandas()
+           .set_index("doc_id")["rank_scaled"].to_dict())
+    ids = pq.read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id"])["doc_id"].to_numpy()
+    n = len(ids)
+    r = {int(i): 1_000_000 for i in ids}
+    for _ in range(2):
+        contrib = {int(i): 0 for i in ids}
+        for i in ids:
+            c = r[int(i)] // 2
+            contrib[int((i * 2 + 1) % n)] += c
+            contrib[int((i * 3 + 2) % n)] += c
+        r = {i: 150_000 + (85 * contrib[i]) // 100 for i in r}
+    assert got == r
+    # probability mass is conserved up to integer-floor loss
+    assert 0 <= n * 1_000_000 - sum(r.values()) < n * 3
