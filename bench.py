@@ -129,7 +129,8 @@ def main() -> None:
                      "exact_dedup", "minhash_near_dup", "simhash_near_dup",
                      "winnow_near_dup", "ngram_jaccard_near_dup", "line_dedup",
                      "knn_cosine", "gate_verdicts", "token_counts",
-                     "chunk_documents", "part_pair_counts", "top_bigrams_pmi"):
+                     "chunk_documents", "part_pair_counts", "top_bigrams_pmi",
+                     "crawl_delta", "pagerank_two_iter", "reassemble_chunks"):
             t0 = time.monotonic()
             res = q[name](SF_DIR)
             if hasattr(res, "to_pandas"):
