@@ -775,6 +775,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "user_event_paths": rel.user_event_paths,
         "crawl_delta": rel.crawl_delta,
         "pagerank_two_iter": rel.pagerank_two_iter,
+        "triangle_counts": rel.triangle_counts,
     }
 
 
@@ -1983,6 +1984,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(150000 + (85 * coalesce(c2.s, 0)) // 100
                         AS BIGINT) AS rank_scaled
             FROM documents d LEFT JOIN c2 ON c2.dst = d.doc_id
+        """,
+        "triangle_counts": """
+            WITH n AS (SELECT count(*) AS cnt FROM documents),
+            e0 AS (
+                SELECT doc_id AS u, (doc_id * 2 + 1) % n.cnt AS v
+                FROM documents, n
+                UNION ALL
+                SELECT doc_id, (doc_id * 3 + 2) % n.cnt FROM documents, n
+                UNION ALL
+                SELECT doc_id, (doc_id * 5 + 3) % n.cnt FROM documents, n
+            ),
+            e AS MATERIALIZED (
+                SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+                FROM e0 WHERE u <> v
+            ),
+            adj AS MATERIALIZED (
+                SELECT a AS node, b AS nbr FROM e
+                UNION ALL
+                SELECT b, a FROM e
+            ),
+            wedge AS (
+                SELECT a1.node AS apex, a1.nbr AS wa, a2.nbr AS wb
+                FROM adj a1 JOIN adj a2
+                  ON a1.node = a2.node AND a1.nbr < a2.nbr
+            )
+            SELECT w.apex AS doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+            FROM wedge w JOIN e ON e.a = w.wa AND e.b = w.wb
+            GROUP BY 1
         """,
         # Every queries() entry above has an oracle_sql twin — the
         # rows-only set is empty as of round 2 (minhash/winnow/knn_lsh/

@@ -2844,3 +2844,110 @@ def pagerank_two_iter(sf_dir: str):
     return ranks.map_batches(
         lambda t: pa.table({"doc_id": t["doc_id"], "rank_scaled": t["r"]}),
         batch_format="pyarrow")
+
+
+def triangle_counts(sf_dir: str):
+    """Per-node TRIANGLE COUNTS over a derived undirected doc graph
+    (edges ``u — (2u+1) mod N, (3u+2) mod N, (5u+3) mod N``) — the
+    wedge-closing algorithm every distributed graph engine implements:
+
+      1. adjacency build: one coarse shuffle of both edge directions
+         keyed by node; per-bucket dedup, then WEDGES (neighbor pairs
+         around an apex) via a vectorized self-merge — degree is
+         bounded (≤ 6 here), so wedge fan-out is O(deg²) per node;
+      2. wedge closing: a co-partitioned hash join of wedges against
+         the distinct-edge set on a single synthesized int64 pair key
+         (``a·2³² + b`` — ids stay below 2³²);
+      3. per-apex counts via per-batch partials + one coarse bucket sum.
+
+    Each triangle closes exactly three wedges (one per apex), so a
+    node's count is the number of triangles containing it.  Both join
+    inputs pass through ``repartition(16)`` after their bucket
+    ``map_groups`` — the schema-less-empty-block workaround every join
+    in this repo applies (see CLAUDE.md / dedupe_pairs).
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    files = [path] if os.path.isfile(path) else sorted(
+        _glob.glob(os.path.join(path, "*.parquet")))
+    n_docs = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    gens = ((2, 1), (3, 2), (5, 3))
+
+    def _dests(ids: np.ndarray) -> list[np.ndarray]:
+        return [(m * ids + c) % n_docs for m, c in gens]
+
+    def directed(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy()
+        ds_ = _dests(ids)
+        u = np.concatenate([ids] * len(gens) + ds_)
+        v = np.concatenate(ds_ + [ids] * len(gens))
+        keep = u != v
+        out = pd.DataFrame({"node": u[keep], "nbr": v[keep]}).drop_duplicates()
+        out["bucket"] = (out["node"].to_numpy() & 63).astype(np.int32)
+        return out
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["node", "nbr"])[["node", "nbr"]]
+        m = g.merge(g, on="node")
+        m = m[m["nbr_x"] < m["nbr_y"]]
+        return pd.DataFrame({
+            "pair_key": (m["nbr_x"].to_numpy().astype(np.int64) << 32)
+                        + m["nbr_y"].to_numpy().astype(np.int64),
+            "apex": m["node"].to_numpy().astype(np.int64),
+        })
+
+    def edge_keys(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy()
+        ds_ = _dests(ids)
+        u = np.concatenate([ids] * len(gens))
+        v = np.concatenate(ds_)
+        keep = u != v
+        a = np.minimum(u[keep], v[keep]).astype(np.int64)
+        b = np.maximum(u[keep], v[keep]).astype(np.int64)
+        out = pd.DataFrame({"pair_key": (a << 32) + b}).drop_duplicates()
+        out["bucket"] = (out["pair_key"].to_numpy() & 63).astype(np.int32)
+        return out
+
+    def distinct_edges(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["pair_key"])[["pair_key"]]
+
+    wedge_ds = (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(directed, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(wedges, batch_format="pandas")
+        .repartition(16)
+    )
+    edge_ds = (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(edge_keys, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(distinct_edges, batch_format="pandas")
+        .repartition(16)
+    )
+    matched = wedge_ds.join(edge_ds, join_type="inner", num_partitions=16,
+                            on=("pair_key",))
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("apex", as_index=False).size()
+               .rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype("int64")
+        g["bucket"] = (g["apex"].to_numpy() & 63).astype(np.int32)
+        return g
+
+    def final_counts(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("apex", as_index=False)["n"].sum()
+        return pd.DataFrame({
+            "doc_id": out["apex"].astype("int64"),
+            "n_triangles": out["n"].astype("int64"),
+        })
+
+    return (
+        matched
+        .map_batches(partial_counts, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(final_counts, batch_format="pandas")
+    )

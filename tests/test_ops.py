@@ -1540,3 +1540,36 @@ def test_pagerank_two_iter_exact(ray_session):
     assert got == r
     # probability mass is conserved up to integer-floor loss
     assert 0 <= n * 1_000_000 - sum(r.values()) < n * 3
+
+
+def test_triangle_counts_local(ray_session):
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import triangle_counts
+
+    sf = "/root/testdata/sf0.001"
+    got = (triangle_counts(sf).to_pandas()
+           .set_index("doc_id")["n_triangles"].to_dict())
+    ids = pq.read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id"])["doc_id"].to_pylist()
+    n = len(ids)
+    edges = set()
+    for u in ids:
+        for m, c in ((2, 1), (3, 2), (5, 3)):
+            v = (m * u + c) % n
+            if u != v:
+                edges.add((min(u, v), max(u, v)))
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for w, ns in adj.items():
+        for a, b in itertools.combinations(sorted(ns), 2):
+            if (min(a, b), max(a, b)) in edges:
+                want[w] = want.get(w, 0) + 1
+    assert got == want
+    # every triangle contributes exactly three apex counts
+    assert sum(want.values()) % 3 == 0
