@@ -392,6 +392,36 @@ def _q_media_features(sf_dir: str):
     return media_features(ds)
 
 
+def _q_audio_features(sf_dir: str):
+    """Audio member of the multimodal family: derived WAV corpus with REAL
+    RIFF/PCM headers (rate/channels/bits derive from doc_id, the doc text
+    is the data chunk); the actor-pool stage walks the chunks back."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.stages.multimodal import audio_features, synth_audio_payload
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        payloads = [
+            synth_audio_payload(
+                8000 * (d % 4 + 1), d % 2 + 1, (d % 2 + 1) * 8,
+                (txt or "").encode("utf-8"),
+            )
+            for d, txt in zip(ids, texts)
+        ]
+        return pa.table({
+            "media_id": pa.array([str(d) for d in ids], pa.string()),
+            "media": pa.array(payloads, pa.binary()),
+        })
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"]).map_batches(
+        to_media, batch_format="pyarrow")
+    return audio_features(ds)
+
+
 _BOILER_LINES = (
     "subscribe to our newsletter for updates",
     "all rights reserved copyright notice",
@@ -723,6 +753,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "heading_windows": _q_heading_windows,
         "declarations_head": _q_declarations_head,
         "media_features": _q_media_features,
+        "audio_features": _q_audio_features,
         # LLM-pipeline additions (round 4)
         "line_dedup": _q_line_dedup,
         "top_terms": rel.top_terms,
@@ -846,6 +877,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_pages": _po.extract_pages_sql(),
         "extract_stats": _po.extract_stats_sql(),
         "media_features": _po.media_features_sql(),
+        "audio_features": _po.audio_features_sql(),
         "training_corpus": _po.training_corpus_sql(),
         "qc_rollup": _po.qc_rollup_sql(),
         "filter_stats": _po.filter_stats_sql(),

@@ -563,3 +563,49 @@ def dual_engine_compare_sql() -> str:
                END AS BIGINT) AS token_agree_pct
         FROM dom
     """)
+
+
+def audio_features_sql() -> str:
+    # The derived WAV corpus (stages/multimodal.synth_audio_payload) is
+    # rebuilt HEX-FOR-HEX (RIFF/WAVE + PCM fmt chunk + the doc text as the
+    # data chunk), so content_hash verifies the exact bytes the Ray-side
+    # RIFF walker consumed and the rate/channels/bits/sample columns
+    # verify the parse.  Little-endian fields via printf byte swizzles.
+    le16 = "printf('%02x%02x', {v} % 256, ({v} // 256) % 256)"
+    le32 = ("printf('%02x%02x%02x%02x', {v} % 256, ({v} // 256) % 256, "
+            "({v} // 65536) % 256, ({v} // 16777216) % 256)")
+    return f"""
+        WITH s AS (
+          SELECT doc_id, coalesce(text, '') AS t,
+                 8000 * (doc_id % 4 + 1) AS sr,
+                 doc_id % 2 + 1 AS ch,
+                 (doc_id % 2 + 1) * 8 AS bits
+          FROM documents
+        ), d AS (
+          SELECT doc_id, t, sr, ch, bits,
+                 ch * bits // 8 AS blk,
+                 sr * (ch * bits // 8) AS byr,
+                 strlen(t) AS dsz
+          FROM s
+        ), p AS (
+          SELECT doc_id, sr, ch, bits, blk, dsz,
+            lower('52494646' || {le32.format(v='(36 + dsz)')} || '57415645'
+              || '666d7420' || '10000000' || '0100'
+              || {le16.format(v='ch')} || {le32.format(v='sr')}
+              || {le32.format(v='byr')} || {le16.format(v='blk')}
+              || {le16.format(v='bits')}
+              || '64617461' || {le32.format(v='dsz')} || hex(encode(t))
+            ) AS hexp
+          FROM d
+        )
+        SELECT CAST(doc_id AS VARCHAR) AS media_id,
+               CAST(length(hexp) // 2 AS BIGINT) AS n_bytes,
+               md5(hexp) AS content_hash,
+               CAST(sr AS INT) AS sample_rate,
+               CAST(ch AS INT) AS n_channels,
+               CAST(bits AS INT) AS bits_per_sample,
+               CAST(dsz // blk AS BIGINT) AS n_samples,
+               CAST((dsz // blk) * 1000 // sr AS BIGINT) AS duration_ms,
+               'ok' AS decode_status
+        FROM p
+    """

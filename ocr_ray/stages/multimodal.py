@@ -305,3 +305,129 @@ class FrameSampleStage:
             "frame_idx": pa.array(idxs, pa.int32()),
             "frame_hash": pa.array(hashes, pa.string()),
         })
+
+
+# ---------------------------------------------------------------------------
+# Audio (WAV / RIFF) — the audio member of the multimodal family
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURES_SCHEMA = pa.schema([
+    ("media_id", pa.string()),
+    ("n_bytes", pa.int64()),
+    ("content_hash", pa.string()),
+    ("sample_rate", pa.int32()),
+    ("n_channels", pa.int32()),
+    ("bits_per_sample", pa.int32()),
+    ("n_samples", pa.int64()),
+    ("duration_ms", pa.int64()),
+    ("decode_status", pa.string()),
+])
+
+
+def parse_audio_header(payload: bytes) -> tuple[int, int, int, int, str]:
+    """(sample_rate, n_channels, bits_per_sample, n_samples, status) from a
+    REAL RIFF/WAVE chunk walk (no codec library): 'RIFF' + size + 'WAVE',
+    then chunks of (fourcc, le32 size, body, odd-size pad byte) — the
+    PCM 'fmt ' chunk yields rate/channels/bits, the 'data' chunk size
+    divided by block_align yields the sample count.  Empty → ``empty``;
+    non-RIFF magic → ``unsupported``; truncated headers, a missing
+    fmt/data chunk or a zero block_align → ``corrupt``.
+    """
+    if not payload:
+        return 0, 0, 0, 0, "empty"
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        if payload[:4] == b"RIFF":
+            return 0, 0, 0, 0, "corrupt"
+        return 0, 0, 0, 0, "unsupported"
+    pos, n = 12, len(payload)
+    rate = channels = bits = block_align = -1
+    data_size = -1
+    while pos + 8 <= n:
+        fourcc = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if fourcc == b"fmt ":
+            if len(body) < 16:
+                return 0, 0, 0, 0, "corrupt"
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            block_align = int.from_bytes(body[12:14], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif fourcc == b"data":
+            data_size = size if len(body) == size else len(body)
+        pos += 8 + size + (size & 1)         # chunks are word-aligned
+    if rate < 0 or data_size < 0 or block_align <= 0:
+        return 0, 0, 0, 0, "corrupt"
+    return rate, channels, bits, data_size // block_align, "ok"
+
+
+def synth_audio_payload(sample_rate: int, n_channels: int,
+                        bits_per_sample: int, body: bytes) -> bytes:
+    """Deterministic well-formed PCM WAV with a REAL RIFF header (test
+    corpus generator, mirrored hex-for-hex by the SQL oracle); ``body``
+    is the raw data-chunk payload."""
+    block_align = n_channels * bits_per_sample // 8
+    byte_rate = sample_rate * block_align
+    fmt = (b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little")
+           + n_channels.to_bytes(2, "little")
+           + sample_rate.to_bytes(4, "little")
+           + byte_rate.to_bytes(4, "little")
+           + block_align.to_bytes(2, "little")
+           + bits_per_sample.to_bytes(2, "little"))
+    data = b"data" + len(body).to_bytes(4, "little") + body
+    riff_size = 4 + len(fmt) + len(data)
+    return b"RIFF" + riff_size.to_bytes(4, "little") + b"WAVE" + fmt + data
+
+
+class AudioFeatureExtractor:
+    """Actor-pool stage: binary WAV column → typed audio metadata columns
+    (the audio sibling of :class:`MediaFeatureExtractor`; a real decoder
+    or acoustic model would load in ``__init__``)."""
+
+    def __init__(self, media_col: str = "media", id_col: str = "media_id") -> None:
+        self.media_col = media_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        media = batch[self.media_col]
+        if isinstance(media, pa.ChunkedArray):
+            media = media.combine_chunks()
+        ids = batch[self.id_col].to_pylist()
+        rates, chans, bits_l, samples, durs, statuses, hashes = (
+            [], [], [], [], [], [], [])
+        for p in media.to_pylist():
+            p = p or b""
+            r, c, b, s, st = parse_audio_header(p)
+            rates.append(r)
+            chans.append(c)
+            bits_l.append(b)
+            samples.append(s)
+            durs.append(s * 1000 // r if r > 0 else 0)
+            statuses.append(st)
+            hashes.append(hashlib.md5(p.hex().encode("ascii")).hexdigest())
+        return pa.table({
+            "media_id": pa.array([str(i) for i in ids], pa.string()),
+            "n_bytes": pc.coalesce(
+                pc.cast(pc.binary_length(media), pa.int64()),
+                pa.scalar(0, pa.int64())),
+            "content_hash": pa.array(hashes, pa.string()),
+            "sample_rate": pa.array(rates, pa.int32()),
+            "n_channels": pa.array(chans, pa.int32()),
+            "bits_per_sample": pa.array(bits_l, pa.int32()),
+            "n_samples": pa.array(samples, pa.int64()),
+            "duration_ms": pa.array(durs, pa.int64()),
+            "decode_status": pa.array(statuses, pa.string()),
+        }, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def audio_features(ds, media_col: str = "media", id_col: str = "media_id",
+                   batch_size: int = 32, concurrency=(2, 8)):
+    """Dataset-level wrapper: small batches for large binary payloads."""
+    return ds.map_batches(
+        AudioFeatureExtractor,
+        fn_constructor_args=(media_col, id_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

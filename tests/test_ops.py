@@ -1573,3 +1573,47 @@ def test_triangle_counts_local(ray_session):
     assert got == want
     # every triangle contributes exactly three apex counts
     assert sum(want.values()) % 3 == 0
+
+
+def test_audio_header_decode():
+    """RIFF/WAVE chunk walk: round trip, edge statuses, word alignment."""
+    from ocr_ray.stages.multimodal import (parse_audio_header,
+                                           synth_audio_payload)
+
+    for sr, ch, bits, body in ((8000, 1, 8, b"abc"), (44100, 2, 16, b"x" * 17),
+                               (32000, 2, 16, b"")):
+        r, c, b, s, st = parse_audio_header(
+            synth_audio_payload(sr, ch, bits, body))
+        blk = ch * bits // 8
+        assert (r, c, b, s, st) == (sr, ch, bits, len(body) // blk, "ok")
+    assert parse_audio_header(b"")[4] == "empty"
+    assert parse_audio_header(b"OggS0123456789")[4] == "unsupported"
+    assert parse_audio_header(b"RIFF\x00\x00\x00\x00WAVE")[4] == "corrupt"
+    # odd-size chunk before fmt must be skipped with its pad byte
+    p = synth_audio_payload(16000, 1, 8, b"abcde")
+    extra = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"
+    padded = p[:12] + extra + p[12:]
+    r, c, b, s, st = parse_audio_header(padded)
+    assert (r, s, st) == (16000, 5, "ok")
+
+
+def test_audio_features_stage(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from ocr_ray.stages.multimodal import audio_features, synth_audio_payload
+
+    payloads = [synth_audio_payload(8000, 1, 8, b"hello"), None, b"junk"]
+    ds = rd.from_items([
+        {"media_id": str(i), "media": p} for i, p in enumerate(payloads)
+    ])
+    got = audio_features(ds).to_pandas().set_index("media_id")
+    assert got.loc["0", "decode_status"] == "ok"
+    assert got.loc["0", "n_samples"] == 5
+    assert got.loc["0", "duration_ms"] == 5 * 1000 // 8000
+    assert got.loc["0", "content_hash"] == hashlib.md5(
+        payloads[0].hex().encode()).hexdigest()
+    assert got.loc["1", "decode_status"] == "empty"
+    assert got.loc["1", "n_bytes"] == 0
+    assert got.loc["2", "decode_status"] == "unsupported"
