@@ -422,6 +422,37 @@ def _q_audio_features(sf_dir: str):
     return audio_features(ds)
 
 
+def _q_video_features(sf_dir: str):
+    """Video member of the multimodal family: derived MP4 corpus with
+    REAL ISO-BMFF boxes (timescale/duration/tracks derive from doc_id,
+    the doc text rides the mdat box); the actor-pool stage walks the
+    boxes back."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.stages.multimodal import synth_video_payload, video_features
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        payloads = [
+            synth_video_payload(
+                600 * (d % 3 + 1), (d % 1000 + 1) * 600, d % 3 + 1,
+                (txt or "").encode("utf-8"),
+            )
+            for d, txt in zip(ids, texts)
+        ]
+        return pa.table({
+            "media_id": pa.array([str(d) for d in ids], pa.string()),
+            "media": pa.array(payloads, pa.binary()),
+        })
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"]).map_batches(
+        to_media, batch_format="pyarrow")
+    return video_features(ds)
+
+
 _BOILER_LINES = (
     "subscribe to our newsletter for updates",
     "all rights reserved copyright notice",
@@ -754,6 +785,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "declarations_head": _q_declarations_head,
         "media_features": _q_media_features,
         "audio_features": _q_audio_features,
+        "video_features": _q_video_features,
         # LLM-pipeline additions (round 4)
         "line_dedup": _q_line_dedup,
         "top_terms": rel.top_terms,
@@ -878,6 +910,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_stats": _po.extract_stats_sql(),
         "media_features": _po.media_features_sql(),
         "audio_features": _po.audio_features_sql(),
+        "video_features": _po.video_features_sql(),
         "training_corpus": _po.training_corpus_sql(),
         "qc_rollup": _po.qc_rollup_sql(),
         "filter_stats": _po.filter_stats_sql(),

@@ -609,3 +609,40 @@ def audio_features_sql() -> str:
                'ok' AS decode_status
         FROM p
     """
+
+
+def video_features_sql() -> str:
+    # The derived MP4 corpus (stages/multimodal.synth_video_payload) is
+    # rebuilt HEX-FOR-HEX (ftyp + moov(mvhd v0 + empty traks) + mdat with
+    # the doc text), so content_hash pins the exact bytes the box walker
+    # consumed; big-endian fields via printf('%08x').
+    return """
+        WITH s AS (
+          SELECT doc_id, coalesce(text, '') AS t,
+                 600 * (doc_id % 3 + 1) AS ts,
+                 (doc_id % 1000 + 1) * 600 AS dur,
+                 doc_id % 3 + 1 AS tr
+          FROM documents
+        ), p AS (
+          SELECT doc_id, ts, dur, tr,
+            lower('00000010' || '66747970' || '69736f6d' || '00000200'
+              || printf('%08x', 36 + 8 * tr) || '6d6f6f76'
+              || '0000001c' || '6d766864'
+              || '00000000' || '00000000' || '00000000'
+              || printf('%08x', ts) || printf('%08x', dur)
+              || repeat('000000087472616b', tr)
+              || printf('%08x', 8 + strlen(t)) || '6d646174'
+              || hex(encode(t))
+            ) AS hexp
+          FROM s
+        )
+        SELECT CAST(doc_id AS VARCHAR) AS media_id,
+               CAST(length(hexp) // 2 AS BIGINT) AS n_bytes,
+               md5(hexp) AS content_hash,
+               CAST(ts AS INT) AS timescale,
+               CAST(dur AS BIGINT) AS duration_ticks,
+               CAST(dur * 1000 // ts AS BIGINT) AS duration_ms,
+               CAST(tr AS INT) AS n_tracks,
+               'ok' AS decode_status
+        FROM p
+    """

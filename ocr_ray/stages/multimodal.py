@@ -431,3 +431,131 @@ def audio_features(ds, media_col: str = "media", id_col: str = "media_id",
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# Video (MP4 / ISO-BMFF) — the video member of the multimodal family
+# ---------------------------------------------------------------------------
+
+VIDEO_FEATURES_SCHEMA = pa.schema([
+    ("media_id", pa.string()),
+    ("n_bytes", pa.int64()),
+    ("content_hash", pa.string()),
+    ("timescale", pa.int32()),
+    ("duration_ticks", pa.int64()),
+    ("duration_ms", pa.int64()),
+    ("n_tracks", pa.int32()),
+    ("decode_status", pa.string()),
+])
+
+
+def parse_video_header(payload: bytes) -> tuple[int, int, int, str]:
+    """(timescale, duration_ticks, n_tracks, status) from a REAL ISO
+    base-media (MP4) box walk: top-level boxes are (be32 size, fourcc,
+    body); an ``ftyp`` box must lead; inside ``moov``, ``mvhd`` v0
+    carries timescale (be32 @12) and duration (be32 @16), and each
+    ``trak`` child counts one track.  Empty → ``empty``; non-ftyp
+    magic → ``unsupported``; truncated / malformed boxes or a missing
+    moov/mvhd → ``corrupt``.
+    """
+    if not payload:
+        return 0, 0, 0, "empty"
+    if len(payload) < 8 or payload[4:8] != b"ftyp":
+        return 0, 0, 0, "unsupported"
+    n = len(payload)
+    pos = 0
+    timescale = duration = -1
+    n_tracks = 0
+    saw_moov = False
+    while pos + 8 <= n:
+        size = int.from_bytes(payload[pos:pos + 4], "big")
+        fourcc = payload[pos + 4:pos + 8]
+        if size < 8 or pos + size > n:
+            return 0, 0, 0, "corrupt"
+        if fourcc == b"moov":
+            saw_moov = True
+            inner, end = pos + 8, pos + size
+            while inner + 8 <= end:
+                isz = int.from_bytes(payload[inner:inner + 4], "big")
+                ifc = payload[inner + 4:inner + 8]
+                if isz < 8 or inner + isz > end:
+                    return 0, 0, 0, "corrupt"
+                if ifc == b"mvhd" and isz >= 8 + 20:
+                    body = payload[inner + 8:inner + isz]
+                    if body[0] == 0:          # version 0: 32-bit fields
+                        timescale = int.from_bytes(body[12:16], "big")
+                        duration = int.from_bytes(body[16:20], "big")
+                elif ifc == b"trak":
+                    n_tracks += 1
+                inner += isz
+        pos += size
+    if not saw_moov or timescale <= 0 or duration < 0:
+        return 0, 0, 0, "corrupt"
+    return timescale, duration, n_tracks, "ok"
+
+
+def synth_video_payload(timescale: int, duration_ticks: int, n_tracks: int,
+                        body: bytes) -> bytes:
+    """Deterministic well-formed minimal MP4 (ftyp + moov(mvhd v0 +
+    empty traks) + mdat carrying ``body``), mirrored hex-for-hex by the
+    SQL oracle."""
+    ftyp = (16).to_bytes(4, "big") + b"ftypisom" + b"\x00\x00\x02\x00"
+    mvhd_body = (b"\x00\x00\x00\x00"            # version+flags
+                 + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+                 + timescale.to_bytes(4, "big")
+                 + duration_ticks.to_bytes(4, "big"))
+    mvhd = (8 + len(mvhd_body)).to_bytes(4, "big") + b"mvhd" + mvhd_body
+    trak = (8).to_bytes(4, "big") + b"trak"
+    moov_body = mvhd + trak * n_tracks
+    moov = (8 + len(moov_body)).to_bytes(4, "big") + b"moov" + moov_body
+    mdat = (8 + len(body)).to_bytes(4, "big") + b"mdat" + body
+    return ftyp + moov + mdat
+
+
+class VideoFeatureExtractor:
+    """Actor-pool stage: binary MP4 column → typed video metadata columns
+    (the video sibling of Media/AudioFeatureExtractor)."""
+
+    def __init__(self, media_col: str = "media", id_col: str = "media_id") -> None:
+        self.media_col = media_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        media = batch[self.media_col]
+        if isinstance(media, pa.ChunkedArray):
+            media = media.combine_chunks()
+        ids = batch[self.id_col].to_pylist()
+        scales, ticks, ms, tracks, statuses, hashes = [], [], [], [], [], []
+        for p in media.to_pylist():
+            p = p or b""
+            ts, dur, tr, st = parse_video_header(p)
+            scales.append(ts)
+            ticks.append(dur)
+            ms.append(dur * 1000 // ts if ts > 0 else 0)
+            tracks.append(tr)
+            statuses.append(st)
+            hashes.append(hashlib.md5(p.hex().encode("ascii")).hexdigest())
+        return pa.table({
+            "media_id": pa.array([str(i) for i in ids], pa.string()),
+            "n_bytes": pc.coalesce(
+                pc.cast(pc.binary_length(media), pa.int64()),
+                pa.scalar(0, pa.int64())),
+            "content_hash": pa.array(hashes, pa.string()),
+            "timescale": pa.array(scales, pa.int32()),
+            "duration_ticks": pa.array(ticks, pa.int64()),
+            "duration_ms": pa.array(ms, pa.int64()),
+            "n_tracks": pa.array(tracks, pa.int32()),
+            "decode_status": pa.array(statuses, pa.string()),
+        }, schema=VIDEO_FEATURES_SCHEMA)
+
+
+def video_features(ds, media_col: str = "media", id_col: str = "media_id",
+                   batch_size: int = 32, concurrency=(2, 8)):
+    """Dataset-level wrapper: small batches for large binary payloads."""
+    return ds.map_batches(
+        VideoFeatureExtractor,
+        fn_constructor_args=(media_col, id_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1617,3 +1617,44 @@ def test_audio_features_stage(ray_session):
     assert got.loc["1", "decode_status"] == "empty"
     assert got.loc["1", "n_bytes"] == 0
     assert got.loc["2", "decode_status"] == "unsupported"
+
+
+def test_video_header_decode():
+    """ISO-BMFF box walk: round trip, edge statuses, malformed boxes."""
+    from ocr_ray.stages.multimodal import (parse_video_header,
+                                           synth_video_payload)
+
+    for ts, dur, tr in ((600, 0, 0), (1200, 600600, 3)):
+        assert parse_video_header(
+            synth_video_payload(ts, dur, tr, b"zz")) == (ts, dur, tr, "ok")
+    assert parse_video_header(b"")[3] == "empty"
+    assert parse_video_header(b"RIFF1234WAVE")[3] == "unsupported"
+    # box size overrunning the payload is corrupt, not a crash
+    p = synth_video_payload(600, 60, 1, b"abc")
+    assert parse_video_header(p[:-2])[3] == "corrupt"
+    # moov present but no mvhd
+    no_mvhd = (p[:16]
+               + (16).to_bytes(4, "big") + b"moov"
+               + (8).to_bytes(4, "big") + b"trak")
+    assert parse_video_header(no_mvhd)[3] == "corrupt"
+
+
+def test_video_features_stage(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from ocr_ray.stages.multimodal import synth_video_payload, video_features
+
+    payloads = [synth_video_payload(600, 1500, 2, b"v"), None]
+    ds = rd.from_items([
+        {"media_id": str(i), "media": p} for i, p in enumerate(payloads)
+    ])
+    got = video_features(ds).to_pandas().set_index("media_id")
+    assert got.loc["0", "decode_status"] == "ok"
+    assert got.loc["0", "timescale"] == 600
+    assert got.loc["0", "duration_ms"] == 1500 * 1000 // 600
+    assert got.loc["0", "n_tracks"] == 2
+    assert got.loc["0", "content_hash"] == hashlib.md5(
+        payloads[0].hex().encode()).hexdigest()
+    assert got.loc["1", "decode_status"] == "empty"
