@@ -34,6 +34,19 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
+def _table_num_rows(sf_dir: str, table: str) -> int:
+    """Row count from parquet METADATA (no data read); accepts the same
+    file-or-directory layouts as _read (see CLAUDE.md read_parquet note)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    files = [path] if os.path.isfile(path) else sorted(
+        _glob.glob(os.path.join(path, "*.parquet")))
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def _cents(x, scale: int = 100):
     """double → integer units, half-away-from-zero like DuckDB ROUND
     (Arrow calls this round mode 'half_towards_infinity')."""
@@ -2412,11 +2425,15 @@ def props_key_stats(sf_dir: str):
     """
 
     def measures(t: pa.Table) -> pa.Table:
+        # anchored at the object start so a nested/string '"k":' can never
+        # match; rows without a top-level integer k extract null and are
+        # folded to 0 — identical to SQL SUM's skip-NULL semantics (the one
+        # divergence, an all-null group, would be SQL NULL vs 0 here)
         v = pc.struct_field(
-            pc.extract_regex(t["props"], r'"k":\s*(?P<v>-?\d+)'), "v")
+            pc.extract_regex(t["props"], r'^\{\s*"k":\s*(?P<v>-?\d+)'), "v")
         return pa.table({
             "event_type": t["event_type"],
-            "sum_k": pc.cast(v, pa.int64()),
+            "sum_k": pc.fill_null(pc.cast(v, pa.int64()), 0),
         })
 
     return _grouped_sum(
@@ -2436,7 +2453,9 @@ def dup_cluster_sizes(sf_dir: str):
 
     Scale shape: two-level aggregation with NO fine-grained Ray key —
     (1) rows carry only (md5, bucket=first-2-hex); every copy of a
-    content lands in one of 256 coarse buckets, where a vectorized
+    content lands in one of 256 coarse buckets (hex-prefix granularity
+    is 16 or 256; 256 keeps a 256-node cluster fully parallel at the
+    group stage and the measured gate cost is <1 s), where a vectorized
     value_counts produces per-cluster sizes; (2) each bucket emits its
     ≤#distinct-sizes histogram rows and a final tiny groupby sums them.
     Payload text never crosses the exchange (J2 convention).
@@ -2733,9 +2752,9 @@ def crawl_delta(sf_dir: str):
         a_ids = pc.add(ids.filter(added), 2_000_000_000)
         out_id.append(a_ids)
         out_side.append(pa.nulls(len(a_ids), pa.int32()).fill_null(1))
-        out_fp.append(pa.array(fp_a.to_pylist(), pa.string()).filter(
-            added.combine_chunks() if isinstance(added, pa.ChunkedArray)
-            else added))
+        add_mask = (added.combine_chunks()
+                    if isinstance(added, pa.ChunkedArray) else added)
+        out_fp.append(fp_a.filter(add_mask))
         tbl = pa.table({
             "doc_id": pa.concat_arrays(
                 [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
@@ -2789,14 +2808,7 @@ def pagerank_two_iter(sf_dir: str):
     vectorized pandas groupby + merge.  N comes from parquet METADATA
     (no data read).
     """
-    import glob as _glob
-
-    import pyarrow.parquet as pq
-
-    path = os.path.join(sf_dir, "documents.parquet")
-    files = [path] if os.path.isfile(path) else sorted(
-        _glob.glob(os.path.join(path, "*.parquet")))
-    n_docs = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    n_docs = _table_num_rows(sf_dir, "documents")
 
     def seed(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -2813,13 +2825,14 @@ def pagerank_two_iter(sf_dir: str):
                                    (ids * 3 + 2) % n_docs]),
             "contrib": np.concatenate([contrib, contrib]),
         }).groupby("key", as_index=False)["contrib"].sum()
+        # the node carry-row exists only so combine() sees every key; the
+        # next rank derives from contributions alone, so the old rank is
+        # NOT shipped through the exchange
         nodes = pd.DataFrame({
-            "key": ids, "is_node": np.int8(1),
-            "r": df["r"].to_numpy(), "contrib": np.int64(0),
+            "key": ids, "is_node": np.int8(1), "contrib": np.int64(0),
         })
         e["is_node"] = np.int8(0)
-        e["r"] = np.int64(0)
-        out = pd.concat([nodes, e[["key", "is_node", "r", "contrib"]]],
+        out = pd.concat([nodes, e[["key", "is_node", "contrib"]]],
                         ignore_index=True)
         out["bucket"] = (out["key"].to_numpy() & 63).astype(np.int32)
         return pa.Table.from_pandas(out, preserve_index=False)
@@ -2866,14 +2879,7 @@ def triangle_counts(sf_dir: str):
     ``map_groups`` — the schema-less-empty-block workaround every join
     in this repo applies (see CLAUDE.md / dedupe_pairs).
     """
-    import glob as _glob
-
-    import pyarrow.parquet as pq
-
-    path = os.path.join(sf_dir, "documents.parquet")
-    files = [path] if os.path.isfile(path) else sorted(
-        _glob.glob(os.path.join(path, "*.parquet")))
-    n_docs = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    n_docs = _table_num_rows(sf_dir, "documents")
     gens = ((2, 1), (3, 2), (5, 3))
 
     def _dests(ids: np.ndarray) -> list[np.ndarray]:

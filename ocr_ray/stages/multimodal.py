@@ -183,28 +183,19 @@ class MediaFeatureExtractor:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        media = batch[self.media_col]
-        if isinstance(media, pa.ChunkedArray):
-            media = media.combine_chunks()
-        ids = batch[self.id_col].to_pylist()
-        payloads = media.to_pylist()
-        widths, heights, frames, statuses, hashes = [], [], [], [], []
+        ids, payloads, hashes, n_bytes = _media_batch_common(
+            batch, self.media_col, self.id_col)
+        widths, heights, frames, statuses = [], [], [], []
         for p in payloads:
-            p = p or b""
             w, h, f, s = parse_media_header(p)
             widths.append(w)
             heights.append(h)
             frames.append(f)
             statuses.append(s)
-            hashes.append(hashlib.md5(p.hex().encode("ascii")).hexdigest())
         return pa.table(
             {
-                "media_id": pa.array([str(i) for i in ids], pa.string()),
-                # null payloads decode as b'' (status='empty') — n_bytes must
-                # agree (0, not null) so null and empty rows are identical
-                "n_bytes": pc.coalesce(
-                    pc.cast(pc.binary_length(media), pa.int64()), pa.scalar(0, pa.int64())
-                ),
+                "media_id": pa.array(ids, pa.string()),
+                "n_bytes": n_bytes,
                 "content_hash": pa.array(hashes, pa.string()),
                 "width": pa.array(widths, pa.int32()),
                 "height": pa.array(heights, pa.int32()),
@@ -311,6 +302,25 @@ class FrameSampleStage:
 # Audio (WAV / RIFF) — the audio member of the multimodal family
 # ---------------------------------------------------------------------------
 
+def _media_batch_common(batch: pa.Table, media_col: str, id_col: str):
+    """Shared scaffolding of the three media feature stages: combined
+    payload array, stringified ids, md5-over-lowercase-hex content hashes
+    (DuckDB md5 cannot take BLOBs — hashing the hex keeps the oracle
+    expressible) and the null-safe n_bytes column (null payloads decode
+    as b'' with status='empty', so n_bytes must agree: 0, never null)."""
+    media = batch[media_col]
+    if isinstance(media, pa.ChunkedArray):
+        media = media.combine_chunks()
+    ids = [str(i) for i in batch[id_col].to_pylist()]
+    payloads = [p or b"" for p in media.to_pylist()]
+    hashes = [hashlib.md5(p.hex().encode("ascii")).hexdigest()
+              for p in payloads]
+    n_bytes = pc.coalesce(
+        pc.cast(pc.binary_length(media), pa.int64()),
+        pa.scalar(0, pa.int64()))
+    return ids, payloads, hashes, n_bytes
+
+
 AUDIO_FEATURES_SCHEMA = pa.schema([
     ("media_id", pa.string()),
     ("n_bytes", pa.int64()),
@@ -354,7 +364,7 @@ def parse_audio_header(payload: bytes) -> tuple[int, int, int, int, str]:
             block_align = int.from_bytes(body[12:14], "little")
             bits = int.from_bytes(body[14:16], "little")
         elif fourcc == b"data":
-            data_size = size if len(body) == size else len(body)
+            data_size = len(body)            # clamp a lying size to actual bytes
         pos += 8 + size + (size & 1)         # chunks are word-aligned
     if rate < 0 or data_size < 0 or block_align <= 0:
         return 0, 0, 0, 0, "corrupt"
@@ -390,14 +400,10 @@ class AudioFeatureExtractor:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        media = batch[self.media_col]
-        if isinstance(media, pa.ChunkedArray):
-            media = media.combine_chunks()
-        ids = batch[self.id_col].to_pylist()
-        rates, chans, bits_l, samples, durs, statuses, hashes = (
-            [], [], [], [], [], [], [])
-        for p in media.to_pylist():
-            p = p or b""
+        ids, payloads, hashes, n_bytes = _media_batch_common(
+            batch, self.media_col, self.id_col)
+        rates, chans, bits_l, samples, durs, statuses = [], [], [], [], [], []
+        for p in payloads:
             r, c, b, s, st = parse_audio_header(p)
             rates.append(r)
             chans.append(c)
@@ -405,12 +411,9 @@ class AudioFeatureExtractor:
             samples.append(s)
             durs.append(s * 1000 // r if r > 0 else 0)
             statuses.append(st)
-            hashes.append(hashlib.md5(p.hex().encode("ascii")).hexdigest())
         return pa.table({
-            "media_id": pa.array([str(i) for i in ids], pa.string()),
-            "n_bytes": pc.coalesce(
-                pc.cast(pc.binary_length(media), pa.int64()),
-                pa.scalar(0, pa.int64())),
+            "media_id": pa.array(ids, pa.string()),
+            "n_bytes": n_bytes,
             "content_hash": pa.array(hashes, pa.string()),
             "sample_rate": pa.array(rates, pa.int32()),
             "n_channels": pa.array(chans, pa.int32()),
@@ -521,25 +524,19 @@ class VideoFeatureExtractor:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        media = batch[self.media_col]
-        if isinstance(media, pa.ChunkedArray):
-            media = media.combine_chunks()
-        ids = batch[self.id_col].to_pylist()
-        scales, ticks, ms, tracks, statuses, hashes = [], [], [], [], [], []
-        for p in media.to_pylist():
-            p = p or b""
+        ids, payloads, hashes, n_bytes = _media_batch_common(
+            batch, self.media_col, self.id_col)
+        scales, ticks, ms, tracks, statuses = [], [], [], [], []
+        for p in payloads:
             ts, dur, tr, st = parse_video_header(p)
             scales.append(ts)
             ticks.append(dur)
             ms.append(dur * 1000 // ts if ts > 0 else 0)
             tracks.append(tr)
             statuses.append(st)
-            hashes.append(hashlib.md5(p.hex().encode("ascii")).hexdigest())
         return pa.table({
-            "media_id": pa.array([str(i) for i in ids], pa.string()),
-            "n_bytes": pc.coalesce(
-                pc.cast(pc.binary_length(media), pa.int64()),
-                pa.scalar(0, pa.int64())),
+            "media_id": pa.array(ids, pa.string()),
+            "n_bytes": n_bytes,
             "content_hash": pa.array(hashes, pa.string()),
             "timescale": pa.array(scales, pa.int32()),
             "duration_ticks": pa.array(ticks, pa.int64()),
