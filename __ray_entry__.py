@@ -839,6 +839,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "crawl_delta": rel.crawl_delta,
         "pagerank_two_iter": rel.pagerank_two_iter,
         "triangle_counts": rel.triangle_counts,
+        "tree_depths": rel.tree_depths,
     }
 
 
@@ -2077,6 +2078,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT w.apex AS doc_id, CAST(count(*) AS BIGINT) AS n_triangles
             FROM wedge w JOIN e ON e.a = w.wa AND e.b = w.wb
             GROUP BY 1
+        """,
+        "tree_depths": """
+            WITH RECURSIVE d AS (
+                SELECT CAST(0 AS BIGINT) AS doc_id, CAST(0 AS BIGINT) AS depth
+                UNION ALL
+                SELECT c.doc_id, d.depth + 1
+                FROM documents c
+                JOIN d ON (c.doc_id * 2654435761 % 4294967296) % c.doc_id
+                          = d.doc_id
+                WHERE c.doc_id > 0
+            )
+            SELECT doc_id, depth FROM d
         """,
         # Every queries() entry above has an oracle_sql twin — the
         # rows-only set is empty as of round 2 (minhash/winnow/knn_lsh/

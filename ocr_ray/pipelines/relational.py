@@ -2957,3 +2957,94 @@ def triangle_counts(sf_dir: str):
         .groupby("bucket")
         .map_groups(final_counts, batch_format="pandas")
     )
+
+
+def tree_depths(sf_dir: str):
+    """Recursive hierarchy traversal: each node's depth in a derived
+    forest-free tree (``parent(v) = (v·2654435761 mod 2³²) mod v``, root
+    0) via POINTER DOUBLING — the distributed answer to a recursive CTE
+    (the oracle IS ``WITH RECURSIVE``), converging in ⌈log₂ depth⌉
+    rounds instead of depth rounds (~6 rounds for the ~40-deep chains a
+    10¹²-node corpus would produce; ids are assumed < 2³¹ so the hash
+    product fits int64, the same bound the triangle pair key uses).
+
+    Per round, ONE coarse shuffle and NO ``Dataset.join`` (and no
+    shared-upstream union — see CLAUDE.md): a single map emits, per
+    node, its directory row keyed by itself plus — only while the node
+    is unsettled — a query row keyed by its current ancestor; the
+    per-bucket combine is a vectorized merge that advances each query
+    to its ancestor's ancestor and accumulates the jumped distance.
+    Settled rows (ancestor = root) ride through keyed by their own id,
+    so the late-round hot key is only ever the shrinking pending set.
+    The state is materialized per round (bounded: 3 int64 columns) to
+    keep lineage flat and make the early-exit pending count free.
+    """
+    import math
+
+    n_docs = _table_num_rows(sf_dir, "documents")
+
+    def seed(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        anc = np.where(
+            ids > 0,
+            (ids * 2654435761 % 2**32) % np.maximum(ids, 1), 0)
+        return pa.table({
+            "node": pa.array(ids, pa.int64()),
+            "anc": pa.array(anc.astype(np.int64), pa.int64()),
+            "d": pa.array((ids > 0).astype(np.int64), pa.int64()),
+        })
+
+    def emit(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        directory = pd.DataFrame({
+            "key": df["node"], "kind": np.int8(0),
+            "node": df["node"], "anc": df["anc"], "d": df["d"],
+        })
+        pend = df[df["anc"] != 0]
+        queries = pd.DataFrame({
+            "key": pend["anc"], "kind": np.int8(1),
+            "node": pend["node"], "anc": pend["anc"], "d": pend["d"],
+        })
+        settled = df[df["anc"] == 0]
+        done = pd.DataFrame({
+            "key": settled["node"], "kind": np.int8(2),
+            "node": settled["node"], "anc": settled["anc"],
+            "d": settled["d"],
+        })
+        out = pd.concat([directory, queries, done], ignore_index=True)
+        out["bucket"] = (out["key"].to_numpy() & 63).astype(np.int32)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        directory = g[g["kind"] == 0][["node", "anc", "d"]].rename(
+            columns={"node": "key", "anc": "anc2", "d": "d2"})
+        q = g[g["kind"] == 1][["node", "anc", "d"]]
+        m = q.merge(directory, left_on="anc", right_on="key", how="left")
+        advanced = pd.DataFrame({
+            "node": m["node"],
+            "anc": m["anc2"].fillna(0).astype("int64"),
+            "d": (m["d"] + m["d2"].fillna(0)).astype("int64"),
+        })
+        done = g[g["kind"] == 2][["node", "anc", "d"]]
+        return pd.concat([advanced, done], ignore_index=True)
+
+    st = (_read(sf_dir, "documents", ["doc_id"])
+          .map_batches(seed, batch_format="pyarrow")
+          .materialize())
+    max_rounds = max(1, math.ceil(math.log2(max(2, n_docs))))
+    for _ in range(max_rounds):
+        pending = st.map_batches(
+            lambda t: pa.table({"n": pa.array(
+                [int(pc.sum(pc.cast(pc.not_equal(t["anc"], 0),
+                                    pa.int64())).as_py() or 0)],
+                pa.int64())}),
+            batch_format="pyarrow").sum("n")
+        if not pending:
+            break
+        st = (st.map_batches(emit, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(combine, batch_format="pandas")
+              .materialize())
+    return st.map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "depth": t["d"]}),
+        batch_format="pyarrow")

@@ -1658,3 +1658,29 @@ def test_video_features_stage(ray_session):
     assert got.loc["0", "content_hash"] == hashlib.md5(
         payloads[0].hex().encode()).hexdigest()
     assert got.loc["1", "decode_status"] == "empty"
+
+
+def test_tree_depths_pointer_doubling(ray_session):
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import tree_depths
+
+    sf = "/root/testdata/sf0.001"
+    got = (tree_depths(sf).to_pandas()
+           .set_index("doc_id")["depth"].to_dict())
+    ids = pq.read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id"])["doc_id"].to_pylist()
+    want = {0: 0}
+    for s in sorted(ids):
+        if s == 0:
+            continue
+        path, v = [], s
+        while v not in want:
+            path.append(v)
+            v = (v * 2654435761 % 2**32) % v
+        base = want[v]
+        for u in reversed(path):
+            base += 1
+            want[u] = base
+    assert got == want
+    assert max(got.values()) >= 3  # non-degenerate tree
