@@ -840,6 +840,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "pagerank_two_iter": rel.pagerank_two_iter,
         "triangle_counts": rel.triangle_counts,
         "tree_depths": rel.tree_depths,
+        "skyline_orders": rel.skyline_orders,
     }
 
 
@@ -2090,6 +2091,24 @@ def oracle_sql() -> dict[str, str]:
                 WHERE c.doc_id > 0
             )
             SELECT doc_id, depth FROM d
+        """,
+        "skyline_orders": """
+            WITH c AS MATERIALIZED (
+                SELECT o_orderkey,
+                       CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                           AS price_cents,
+                       o_orderdate
+                FROM orders
+            )
+            SELECT t.o_orderkey, t.price_cents, t.o_orderdate
+            FROM c t
+            WHERE NOT EXISTS (
+                SELECT 1 FROM c o
+                WHERE o.price_cents <= t.price_cents
+                  AND o.o_orderdate >= t.o_orderdate
+                  AND (o.price_cents < t.price_cents
+                       OR o.o_orderdate > t.o_orderdate)
+            )
         """,
         # Every queries() entry above has an oracle_sql twin — the
         # rows-only set is empty as of round 2 (minhash/winnow/knn_lsh/

@@ -3048,3 +3048,53 @@ def tree_depths(sf_dir: str):
     return st.map_batches(
         lambda t: pa.table({"doc_id": t["node"], "depth": t["d"]}),
         batch_format="pyarrow")
+
+
+def skyline_orders(sf_dir: str):
+    """SKYLINE (Pareto front) preference query: orders not dominated on
+    (price ↓, order date ↑) — no other order is both no-more-expensive
+    and no-older with at least one strict improvement.  The classic
+    two-phase distributed skyline:
+
+      phase 1 (per batch, vectorized): a local sweep — sort by
+        (price asc, date desc), keep rows whose date exceeds the
+        running max of all strictly-cheaper rows.  Safe pruning: any
+        globally undominated row is locally undominated, so batch
+        skylines are a superset of the answer and the exchange carries
+        only those few candidate rows per block;
+      phase 2 (one ``repartition(1)`` task): the identical exact sweep
+        over the concatenated candidates (a 2-D skyline of random data
+        is O(log n)-sized, so the final task is trivially small).
+
+    Domination ties: equal (price, date) rows dominate neither way and
+    all survive together.
+    """
+
+    def sweep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["price_cents", "o_orderdate"],
+                            ascending=[True, False])
+        grp_max = df.groupby("price_cents")["o_orderdate"].transform("max")
+        # running max date over strictly cheaper price groups
+        firsts = df.drop_duplicates("price_cents", keep="first")
+        lower = firsts["o_orderdate"].cummax().shift(1)
+        lower_map = dict(zip(firsts["price_cents"], lower))
+        best_lower = df["price_cents"].map(lower_map)
+        keep = (df["o_orderdate"] == grp_max) & (
+            best_lower.isna() | (df["o_orderdate"] > best_lower))
+        return df.loc[keep, ["o_orderkey", "price_cents", "o_orderdate"]]
+
+    def local(t: pa.Table) -> pa.Table:
+        df = pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "price_cents": _cents(t["o_totalprice"]),
+            "o_orderdate": t["o_orderdate"],
+        }).to_pandas()
+        return pa.Table.from_pandas(sweep(df), preserve_index=False)
+
+    return (
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+        .map_batches(local, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(lambda df: sweep(df), batch_format="pandas",
+                     batch_size=None)
+    )

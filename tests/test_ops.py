@@ -1684,3 +1684,34 @@ def test_tree_depths_pointer_doubling(ray_session):
             want[u] = base
     assert got == want
     assert max(got.values()) >= 3  # non-degenerate tree
+
+
+def test_skyline_orders_dominance(ray_session):
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import skyline_orders
+
+    sf = "/root/testdata/sf0.001"
+    got = skyline_orders(sf).to_pandas()
+    o = pq.read_table(
+        f"{sf}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"]).to_pandas()
+    o["cents"] = np.copysign(
+        np.floor(np.abs(o["o_totalprice"] * 100) + 0.5),
+        o["o_totalprice"]).astype("int64")
+    pts = list(zip(o["cents"], o["o_orderdate"], o["o_orderkey"]))
+
+    def dominated(p, d):
+        return any(
+            (p2 <= p and d2 >= d and (p2 < p or d2 > d))
+            for p2, d2, _ in pts)
+
+    want = {k for p, d, k in pts if not dominated(p, d)}
+    assert set(got["o_orderkey"]) == want
+    assert len(got) == len(want)
+    # no kept row dominates another kept row
+    kept = list(zip(got["price_cents"], got["o_orderdate"]))
+    for i, (p, d) in enumerate(kept):
+        for j, (p2, d2) in enumerate(kept):
+            if i != j:
+                assert not (p2 <= p and d2 >= d and (p2 < p or d2 > d))
