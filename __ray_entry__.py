@@ -841,6 +841,8 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "triangle_counts": rel.triangle_counts,
         "tree_depths": rel.tree_depths,
         "skyline_orders": rel.skyline_orders,
+        "conversion_pattern_users": rel.conversion_pattern_users,
+        "token_entropy": rel.token_entropy,
     }
 
 
@@ -2109,6 +2111,37 @@ def oracle_sql() -> dict[str, str]:
                   AND (o.price_cents < t.price_cents
                        OR o.o_orderdate > t.o_orderdate)
             )
+        """,
+        "conversion_pattern_users": """
+            WITH p AS (
+                SELECT user_id,
+                       string_agg(event_type, '>' ORDER BY ts, event_id)
+                           AS path
+                FROM events GROUP BY user_id
+            )
+            SELECT user_id FROM p
+            WHERE path LIKE '%view>click>purchase%'
+        """,
+        "token_entropy": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           coalesce(text, ''), '\\s+'), x -> x <> '') AS l
+                FROM documents
+            ), c AS (
+                SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c
+                FROM (SELECT doc_id, unnest(l) AS tok FROM toks)
+                GROUP BY 1, 2
+            ), h AS (
+                SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                       ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 6)
+                           AS entropy
+                FROM c GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   coalesce(h.n_tokens, 0) AS n_tokens,
+                   coalesce(h.entropy, 0.0) AS entropy
+            FROM toks t LEFT JOIN h ON h.doc_id = t.doc_id
         """,
         # Every queries() entry above has an oracle_sql twin — the
         # rows-only set is empty as of round 2 (minhash/winnow/knn_lsh/

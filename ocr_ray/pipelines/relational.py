@@ -3098,3 +3098,72 @@ def skyline_orders(sf_dir: str):
         .map_batches(lambda df: sweep(df), batch_format="pandas",
                      batch_size=None)
     )
+
+
+def conversion_pattern_users(sf_dir: str):
+    """Sequence-pattern matching (MATCH_RECOGNIZE-lite): users whose
+    event-type sequence, ordered by (ts, event_id), contains the
+    consecutive pattern view → click → purchase — stricter than the
+    funnel (:func:`event_funnel`), which allows gaps.
+
+    Scale shape: the per-batch head-k trick does NOT apply (the pattern
+    can straddle any position), so each user's full type sequence is
+    assembled inside the standing coarse user bucket — one shuffle of
+    (user, type, ts) triples — and the pattern test is a vectorized
+    ``str.contains`` over the joined per-user path strings.  Output is
+    the matching user ids only.
+    """
+    pattern = "view>click>purchase"
+
+    def prep(t: pa.Table) -> pa.Table:
+        return _bucket_by_user(t)
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        paths = g.groupby("user_id", sort=False)["event_type"].agg(">".join)
+        hit = paths.index[paths.str.contains(pattern, regex=False)]
+        return pd.DataFrame({"user_id": np.asarray(hit, dtype=np.int64)})
+
+    return (
+        _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("ubucket")
+        .map_groups(match, batch_format="pandas")
+    )
+
+
+def token_entropy(sf_dir: str):
+    """Per-document Shannon token entropy (the vocabulary-diversity
+    quality signal next to the repetition and stopword gates):
+    ``H = ln(n) − Σ c·ln(c) / n`` over whitespace-token counts.
+
+    Purely per-row — no shuffle at any scale; the only float math is a
+    per-doc bounded sum of ``c·ln(c)`` terms, written with the oracle's
+    exact expression shape and rounded to 6 dp on both sides (the
+    pmi/corr convention).  Empty docs report n_tokens 0, entropy 0.
+    """
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        ents, counts = [], []
+        for txt in t["text"].to_pylist():
+            toks = (txt or "").split()
+            n = len(toks)
+            counts.append(n)
+            if n == 0:
+                ents.append(0.0)
+                continue
+            _, c = np.unique(np.asarray(toks, dtype=object),
+                             return_counts=True)
+            c = c.astype(np.float64)
+            ents.append(float(np.round(
+                np.log(float(n)) - float(np.sum(c * np.log(c))) / float(n),
+                6)))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(counts, pa.int64()),
+            "entropy": pa.array(ents, pa.float64()),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")

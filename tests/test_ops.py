@@ -1715,3 +1715,48 @@ def test_skyline_orders_dominance(ray_session):
         for j, (p2, d2) in enumerate(kept):
             if i != j:
                 assert not (p2 <= p and d2 >= d and (p2 < p or d2 > d))
+
+
+def test_conversion_pattern_users_local(ray_session):
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import conversion_pattern_users
+
+    sf = "/root/testdata/sf0.001"
+    got = set(conversion_pattern_users(sf).to_pandas()["user_id"])
+    ev = pq.read_table(
+        f"{sf}/events.parquet",
+        columns=["user_id", "event_type", "ts", "event_id"]).to_pandas()
+    want = set()
+    for uid, g in ev.groupby("user_id"):
+        seq = g.sort_values(["ts", "event_id"])["event_type"].tolist()
+        if any(seq[i:i + 3] == ["view", "click", "purchase"]
+               for i in range(len(seq) - 2)):
+            want.add(uid)
+    assert got == want
+
+
+def test_token_entropy_local(ray_session):
+    import collections
+    import math
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import token_entropy
+
+    sf = "/root/testdata/sf0.001"
+    got = token_entropy(sf).to_pandas().set_index("doc_id")
+    d = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    for r in d.itertuples():
+        toks = (r.text or "").split()
+        assert got.loc[r.doc_id, "n_tokens"] == len(toks)
+        if not toks:
+            assert got.loc[r.doc_id, "entropy"] == 0.0
+            continue
+        n = len(toks)
+        s = sum(c * math.log(c) for c in collections.Counter(toks).values())
+        assert abs(got.loc[r.doc_id, "entropy"]
+                   - (math.log(n) - s / n)) < 2e-6
+        # entropy bounded by ln(n) (+ half an ulp of the 6-dp rounding)
+        assert 0.0 <= got.loc[r.doc_id, "entropy"] <= math.log(n) + 5e-7
