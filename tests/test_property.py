@@ -118,3 +118,50 @@ def test_contamination_subset_invariant(bench_texts, corpus_texts):
         assert 0 <= shared <= h.size
         if t in bench_texts and h.size:
             assert shared == h.size
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=256))
+def test_media_parsers_total_on_arbitrary_bytes(payload):
+    """The three public header parsers are TOTAL functions of bytes:
+    never raise, statuses stay in the enum, numeric fields stay
+    non-negative — a web-scale corpus feeds them arbitrary garbage."""
+    from ocr_ray.stages.multimodal import (parse_audio_header,
+                                           parse_media_header,
+                                           parse_video_header)
+
+    w, h, f, s = parse_media_header(payload)
+    assert s in ("ok", "empty", "unsupported", "corrupt")
+    assert w >= 0 and h >= 0 and f >= 0
+    r, c, b, n, s2 = parse_audio_header(payload)
+    assert s2 in ("ok", "empty", "unsupported", "corrupt")
+    assert r >= 0 and c >= 0 and b >= 0 and n >= 0
+    ts, d, t, s3 = parse_video_header(payload)
+    assert s3 in ("ok", "empty", "unsupported", "corrupt")
+    assert ts >= 0 and d >= 0 and t >= 0
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=128), st.binary(max_size=64))
+def test_media_parsers_total_on_corrupted_valid_payloads(body, junk):
+    """Valid synthesized payloads with appended/truncated junk never
+    crash any parser (the re-crawl-truncation case)."""
+    from ocr_ray.stages.multimodal import (parse_audio_header,
+                                           parse_media_header,
+                                           parse_video_header,
+                                           synth_audio_payload,
+                                           synth_media_payload,
+                                           synth_video_payload)
+
+    payloads = [
+        synth_media_payload(0, 3, 4, 1, body),
+        synth_media_payload(1, 3, 4, 2, body),
+        synth_media_payload(2, 3, 4, 1, body),
+        synth_audio_payload(8000, 1, 8, body),
+        synth_video_payload(600, 60, 1, body),
+    ]
+    for p in payloads:
+        for mutant in (p + junk, p[: len(p) // 2], junk + p):
+            parse_media_header(mutant)
+            parse_audio_header(mutant)
+            parse_video_header(mutant)
