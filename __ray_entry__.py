@@ -843,6 +843,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "skyline_orders": rel.skyline_orders,
         "conversion_pattern_users": rel.conversion_pattern_users,
         "token_entropy": rel.token_entropy,
+        "revenue_share_by_priority": rel.revenue_share_by_priority,
     }
 
 
@@ -2142,6 +2143,20 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n_tokens, 0) AS n_tokens,
                    coalesce(h.entropy, 0.0) AS entropy
             FROM toks t LEFT JOIN h ON h.doc_id = t.doc_id
+        """,
+        "revenue_share_by_priority": """
+            WITH g AS (
+                SELECT o_orderpriority,
+                       CAST(count(*) AS BIGINT) AS n_orders,
+                       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS revenue_cents
+                FROM orders GROUP BY 1
+            )
+            SELECT o_orderpriority, n_orders, revenue_cents,
+                   CAST(revenue_cents * 1000000
+                        // (SELECT SUM(revenue_cents) FROM g)
+                        AS BIGINT) AS share_ppm
+            FROM g
         """,
         # Every queries() entry above has an oracle_sql twin — the
         # rows-only set is empty as of round 2 (minhash/winnow/knn_lsh/

@@ -3167,3 +3167,40 @@ def token_entropy(sf_dir: str):
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         f, batch_format="pyarrow")
+
+
+def revenue_share_by_priority(sf_dir: str):
+    """RATIO-TO-REPORT: each order priority's revenue as ppm of total
+    revenue (`sum(x) OVER () `-style percent-of-total) — the report
+    operator that pairs a grouped aggregate with its own grand total.
+
+    Scale shape: ONE pass of per-batch partials feeds the ≤5-key
+    groupby; the grand total is the sum of that tiny result, so both
+    levels ride a single ``repartition(1)`` final task — no second scan
+    and no broadcast round-trip.  The share is integer ppm computed as
+    ``(revenue · 1e6) // total`` (floor), bit-stable at any block order.
+    """
+
+    def measures(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "revenue_cents": _cents(t["o_totalprice"]),
+        })
+
+    grouped = _grouped_sum(
+        _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"]),
+        measures, keys=["o_orderpriority"], sum_cols=["revenue_cents"],
+        count_col="n_orders",
+    )
+
+    def share(df: pd.DataFrame) -> pd.DataFrame:
+        total = int(df["revenue_cents"].sum())
+        df = df.copy()
+        df["share_ppm"] = (
+            df["revenue_cents"].astype("int64") * 1_000_000 // total
+        ).astype("int64")
+        return df[["o_orderpriority", "n_orders", "revenue_cents",
+                   "share_ppm"]]
+
+    return grouped.repartition(1).map_batches(
+        share, batch_format="pandas", batch_size=None)

@@ -1760,3 +1760,26 @@ def test_token_entropy_local(ray_session):
                    - (math.log(n) - s / n)) < 2e-6
         # entropy bounded by ln(n) (+ half an ulp of the 6-dp rounding)
         assert 0.0 <= got.loc[r.doc_id, "entropy"] <= math.log(n) + 5e-7
+
+
+def test_revenue_share_by_priority_ppm(ray_session):
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import revenue_share_by_priority
+
+    sf = "/root/testdata/sf0.001"
+    got = (revenue_share_by_priority(sf).to_pandas()
+           .set_index("o_orderpriority"))
+    o = pq.read_table(f"{sf}/orders.parquet",
+                      columns=["o_orderpriority", "o_totalprice"]).to_pandas()
+    o["cents"] = np.copysign(
+        np.floor(np.abs(o["o_totalprice"] * 100) + 0.5),
+        o["o_totalprice"]).astype("int64")
+    g = o.groupby("o_orderpriority")["cents"].agg(["size", "sum"])
+    total = int(g["sum"].sum())
+    for pr, row in g.iterrows():
+        assert got.loc[pr, "n_orders"] == row["size"]
+        assert got.loc[pr, "revenue_cents"] == row["sum"]
+        assert got.loc[pr, "share_ppm"] == row["sum"] * 1_000_000 // total
+    # floor shares never exceed one million in total
+    assert got["share_ppm"].sum() <= 1_000_000
