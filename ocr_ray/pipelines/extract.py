@@ -17,7 +17,9 @@ Nothing here calls ray.init(); callers own the session.
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 import time
 
 import pyarrow as pa
@@ -599,3 +601,91 @@ def _merge_partition_streamed(out_dir: str, part: int,
         "bytes_stripped": totals["bytes_in"] - totals["bytes_out"],
         "wall_ms": 0,
     })
+
+
+# ---------------------------------------------------------------------------
+# Compaction — the small-files maintenance job (lakehouse rewrite shape)
+# ---------------------------------------------------------------------------
+
+_MERGE_SUM_KEYS = ("rows_in", "rows_out", "rows_rejected", "parse_failures",
+                   "bytes_in", "bytes_out", "bytes_stripped")
+
+
+def compact_output(src_dir: str, dst_dir: str,
+                   target_bytes: int = 64 << 20,
+                   resume: bool = True) -> dict:
+    """Rewrite a partitioned extraction output into fewer, larger
+    partitions (the Iceberg/Delta-style COMPACTION job a 10^12-doc
+    pipeline must run after fine-grained checkpointed writes, or the
+    object store drowns in small files).
+
+    Consecutive source partitions are greedily grouped until a group's
+    summed ``data.parquet`` bytes reaches ``target_bytes``; one bounded
+    Ray task per group concatenates the sources IN PART-ID ORDER (rows
+    inside each source partition are already (url, warc_ts)-sorted, so
+    the rewrite is deterministic byte-for-byte) and writes
+    ``dst_dir/part=<group_idx>`` via the same atomic tmp+rename
+    discipline.  The merged manifest sums the source metrics and
+    records ``source_parts`` lineage, so any compacted partition can be
+    traced back to the exact input shards that produced it.
+
+    The job is itself checkpointed: ``resume=True`` skips destination
+    partitions whose manifest exists, so a killed compaction continues
+    where it stopped.  Nothing corpus-sized touches the driver — the
+    driver sees only (group, size) metadata and per-group manifests.
+    """
+    import pyarrow.parquet as pq
+
+    from ocr_ray.state import manifest as _mf
+
+    src_ids = sorted(_mf.completed_parts(src_dir))
+    if not src_ids:
+        raise ValueError(f"no completed partitions under {src_dir}")
+
+    groups: list[list[int]] = []
+    cur: list[int] = []
+    cur_bytes = 0
+    for pid in src_ids:
+        sz = os.path.getsize(
+            os.path.join(_mf.part_dir(src_dir, pid), "data.parquet"))
+        if cur and cur_bytes + sz > target_bytes:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(pid)
+        cur_bytes += sz
+    if cur:
+        groups.append(cur)
+
+    done = _mf.completed_parts(dst_dir) if resume else set()
+    if not resume and os.path.isdir(dst_dir):
+        shutil.rmtree(dst_dir)
+
+    @ray.remote(num_cpus=1)
+    def compact_group(gid: int, pids: list[int]) -> dict:
+        pa.set_cpu_count(1)
+        tables, mans = [], []
+        for pid in pids:
+            d = _mf.part_dir(src_dir, pid)
+            tables.append(pq.read_table(
+                os.path.join(d, "data.parquet"), use_threads=False))
+            with open(os.path.join(d, "manifest.json")) as f:
+                mans.append(json.load(f))
+        merged = pa.concat_tables(tables)
+        man = {"part_id": gid, "source_parts": pids,
+               **{k: int(sum(m.get(k, 0) for m in mans))
+                  for k in _MERGE_SUM_KEYS},
+               "wall_ms": 0}
+        _mf.write_partition(dst_dir, gid, merged, man)
+        return man
+
+    todo = [(gid, pids) for gid, pids in enumerate(groups) if gid not in done]
+    failed = _bounded_submit(compact_group, todo)
+    summary = {
+        "src_partitions": len(src_ids),
+        "dst_partitions": len(groups),
+        "skipped": len(groups) - len(todo),
+        "target_bytes": target_bytes,
+    }
+    if failed:
+        summary["failed_groups"] = failed
+    return summary

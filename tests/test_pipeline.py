@@ -331,3 +331,55 @@ def test_urlhash_corrupt_chunk_reports_failed_partition_and_resumes(
     clean = str(tmp_path_factory.mktemp("uh_chunk_clean"))
     run_extraction_urlhash(src, clean, resume=False)
     assert _read_out(out).equals(_read_out(clean))
+
+
+def test_compact_output_preserves_rows_and_lineage(ray_session, tmp_path_factory):
+    """Compaction rewrite: fewer partitions, byte-identical row set,
+    summed metrics, source_parts lineage covering every input exactly
+    once, and a checkpointed (resumable) job."""
+    import json
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.extract import compact_output, run_extraction_sharded
+    from ocr_ray.sources.synth import materialize_pages_parquet
+    from ocr_ray.state import manifest as mf
+
+    base = tmp_path_factory.mktemp("compact")
+    pages = materialize_pages_parquet(
+        "/root/testdata/sf0.001", str(base / "pages"), rows_per_file=64)
+    src = str(base / "out_src")
+    run_extraction_sharded(pages, src, resume=False)
+    src_ids = sorted(mf.completed_parts(src))
+    assert len(src_ids) > 3
+
+    dst = str(base / "out_dst")
+    summary = compact_output(src, dst, target_bytes=1 << 20, resume=False)
+    dst_ids = sorted(mf.completed_parts(dst))
+    assert summary["dst_partitions"] == len(dst_ids)
+    assert len(dst_ids) < len(src_ids)
+
+    def read_all(d, ids):
+        import pyarrow as pa
+        ts = [pq.read_table(f"{d}/part={i:05d}/data.parquet") for i in ids]
+        t = pa.concat_tables(ts)
+        return t.take(pc.sort_indices(
+            t, sort_keys=[("url", "ascending"), ("warc_ts", "ascending")]))
+
+    assert read_all(src, src_ids).equals(read_all(dst, dst_ids))
+
+    covered, rows = [], 0
+    for i in dst_ids:
+        with open(f"{dst}/part={i:05d}/manifest.json") as f:
+            man = json.load(f)
+        covered.extend(man["source_parts"])
+        rows += man["rows_in"]
+    assert sorted(covered) == src_ids
+    assert rows == sum(
+        json.load(open(f"{src}/part={i:05d}/manifest.json"))["rows_in"]
+        for i in src_ids)
+
+    # resumable: a second run skips every group
+    summary2 = compact_output(src, dst, target_bytes=1 << 20, resume=True)
+    assert summary2["skipped"] == summary2["dst_partitions"]
