@@ -81,6 +81,53 @@ def _q_extract_pages(sf_dir: str):
     )
 
 
+def _q_span_audit(sf_dir: str):
+    """Span-offset audit as a QUERY (the north rule's span invariant,
+    oracle-checked per page rather than only golden-pinned): spans must
+    tile extracted_text exactly — start at 0, each span beginning one
+    '\\n' after the previous end, final end == text length.  The Ray
+    side checks the strict tiling; the SQL twin recomputes the same
+    arithmetic from its block reconstruction, so any drift in offsets,
+    separators or block membership breaks the value hash."""
+    import pyarrow as pa
+
+    from ocr_ray.pipelines.extract import extraction_dataset_cached
+
+    def audit(t: pa.Table) -> pa.Table:
+        texts = t["extracted_text"].to_pylist()
+        spans_col = t["spans"].to_pylist()
+        n_spans, span_chars, text_chars, gapless = [], [], [], []
+        for txt, spans in zip(texts, spans_col):
+            spans = spans or []
+            tl = len(txt or "")
+            total = sum(s["end"] - s["start"] for s in spans)
+            ok = True
+            pos = 0
+            for s in spans:
+                if s["start"] != pos or s["end"] < s["start"]:
+                    ok = False
+                    break
+                pos = s["end"] + 1          # one '\n' separator
+            if spans:
+                ok = ok and (spans[-1]["end"] == tl)
+            else:
+                ok = tl == 0
+            n_spans.append(len(spans))
+            span_chars.append(total)
+            text_chars.append(tl)
+            gapless.append(1 if ok else 0)
+        return pa.table({
+            "url": t["url"],
+            "n_spans": pa.array(n_spans, pa.int64()),
+            "span_chars": pa.array(span_chars, pa.int64()),
+            "text_chars": pa.array(text_chars, pa.int64()),
+            "gapless": pa.array(gapless, pa.int64()),
+        })
+
+    return extraction_dataset_cached(_pages_dir(sf_dir)).map_batches(
+        audit, batch_format="pyarrow")
+
+
 def _q_minhash(sf_dir: str):
     import ray.data as rd
 
@@ -785,6 +832,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "declarations_head": _q_declarations_head,
         "media_features": _q_media_features,
         "audio_features": _q_audio_features,
+        "span_audit": _q_span_audit,
         "video_features": _q_video_features,
         # LLM-pipeline additions (round 4)
         "line_dedup": _q_line_dedup,
@@ -916,6 +964,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _po.media_features_sql(),
         "audio_features": _po.audio_features_sql(),
         "video_features": _po.video_features_sql(),
+        "span_audit": _po.span_audit_sql(),
         "training_corpus": _po.training_corpus_sql(),
         "qc_rollup": _po.qc_rollup_sql(),
         "filter_stats": _po.filter_stats_sql(),

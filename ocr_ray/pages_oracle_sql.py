@@ -646,3 +646,28 @@ def video_features_sql() -> str:
                'ok' AS decode_status
         FROM p
     """
+
+
+def span_audit_sql() -> str:
+    # Recomputes the span-tiling arithmetic from the block reconstruction:
+    # per page, n_spans = kept blocks, span_chars = sum of block text
+    # lengths, text_chars = length of the '\n'-joined extraction, and
+    # gapless iff span_chars + (n_spans - 1) separators == text_chars.
+    # The Ray side checks the STRICTER positional tiling of the actual
+    # span offsets; equality of the two only holds when offsets are right.
+    return _with_pages("""
+        , sc AS (
+          SELECT url, warc_ts, CAST(SUM(length(btext)) AS BIGINT) AS span_chars
+          FROM blocks GROUP BY url, warc_ts
+        )
+        SELECT e.url,
+               CAST(e.n_blocks AS BIGINT) AS n_spans,
+               CAST(coalesce(sc.span_chars, 0) AS BIGINT) AS span_chars,
+               CAST(strlen(e.extracted_text) AS BIGINT) AS text_chars,
+               CAST(CASE WHEN coalesce(sc.span_chars, 0)
+                              + greatest(0, e.n_blocks - 1)
+                              = strlen(e.extracted_text)
+                    THEN 1 ELSE 0 END AS BIGINT) AS gapless
+        FROM extracted e
+        LEFT JOIN sc ON sc.url = e.url AND sc.warc_ts = e.warc_ts
+    """)

@@ -1783,3 +1783,19 @@ def test_revenue_share_by_priority_ppm(ray_session):
         assert got.loc[pr, "share_ppm"] == row["sum"] * 1_000_000 // total
     # floor shares never exceed one million in total
     assert got["share_ppm"].sum() <= 1_000_000
+
+
+def test_span_audit_all_gapless(ray_session):
+    import __ray_entry__ as e
+
+    got = e.queries()["span_audit"]("/root/testdata/sf0.001").to_pandas()
+    assert len(got) > 500
+    # every page's spans tile its extracted text exactly
+    assert (got["gapless"] == 1).all()
+    # arithmetic identity: span chars + separators == text chars
+    sep = np.maximum(0, got["n_spans"].to_numpy() - 1)
+    assert (got["span_chars"].to_numpy() + sep
+            == got["text_chars"].to_numpy()).all()
+    # rejected pages carry no spans and no text
+    empty = got[got["n_spans"] == 0]
+    assert (empty["text_chars"] == 0).all()
