@@ -892,6 +892,8 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "conversion_pattern_users": rel.conversion_pattern_users,
         "token_entropy": rel.token_entropy,
         "revenue_share_by_priority": rel.revenue_share_by_priority,
+        "doc_length_quantiles_cont_by_lang":
+            rel.doc_length_quantiles_cont_by_lang,
     }
 
 
@@ -2206,6 +2208,23 @@ def oracle_sql() -> dict[str, str]:
                         // (SELECT SUM(revenue_cents) FROM g)
                         AS BIGINT) AS share_ppm
             FROM g
+        """,
+        "doc_length_quantiles_cont_by_lang": """
+            SELECT lang, 0.25 AS q,
+                   ROUND(quantile_cont(n_chars, 0.25), 6) AS value
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT lang, 0.5, ROUND(quantile_cont(n_chars, 0.5), 6)
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT lang, 0.75, ROUND(quantile_cont(n_chars, 0.75), 6)
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT lang, 0.9, ROUND(quantile_cont(n_chars, 0.9), 6)
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT lang, 0.99, ROUND(quantile_cont(n_chars, 0.99), 6)
+            FROM documents GROUP BY lang
         """,
         # Every queries() entry above has an oracle_sql twin — the
         # rows-only set is empty as of round 2 (minhash/winnow/knn_lsh/

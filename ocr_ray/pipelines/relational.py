@@ -3204,3 +3204,57 @@ def revenue_share_by_priority(sf_dir: str):
 
     return grouped.repartition(1).map_batches(
         share, batch_format="pandas", batch_size=None)
+
+
+def doc_length_quantiles_cont_by_lang(sf_dir: str):
+    """GROUPED interpolated quantiles — completes the 2×2 quantile
+    matrix (discrete/continuous × global/per-group).  Same value-count
+    compression as :func:`doc_length_quantiles_by_lang` (partials
+    bounded by langs × value domain), with the percentile_cont
+    interpolation at ``q·(n−1)`` inside the single bounded final task,
+    written in the oracle's exact float shape and rounded at 6 dp.
+    """
+    import math
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pa.table({"lang": t["lang"], "v": t["n_chars"]}).to_pandas()
+        g = (df.groupby(["lang", "v"], as_index=False, dropna=False)
+               .size().rename(columns={"size": "c"}))
+        g["c"] = g["c"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(t: pa.Table) -> pa.Table:
+        df = (t.to_pandas()
+               .groupby(["lang", "v"], as_index=False, dropna=False)["c"].sum())
+        langs, qs, vals_out = [], [], []
+        for lang, g in df.groupby("lang", sort=True, dropna=False):
+            g = g.sort_values("v")
+            total = int(g["c"].sum())
+            cum = g["c"].cumsum().to_numpy()
+            vals = g["v"].to_numpy()
+
+            def order_stat(i: int) -> int:
+                return int(vals[int(np.searchsorted(cum, i + 1))])
+
+            for q in _QUANTILES:
+                pos = q * (total - 1)
+                lo = math.floor(pos)
+                frac = pos - lo
+                v_lo = order_stat(lo)
+                v_hi = order_stat(min(lo + 1, total - 1))
+                langs.append(lang)
+                qs.append(q)
+                vals_out.append(float(np.round(
+                    v_lo + frac * (v_hi - v_lo), 6)))
+        return pa.table({
+            "lang": pa.array(langs, pa.string()),
+            "q": pa.array(qs, pa.float64()),
+            "value": pa.array(vals_out, pa.float64()),
+        })
+
+    return (
+        _read(sf_dir, "documents", ["lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

@@ -1799,3 +1799,22 @@ def test_span_audit_all_gapless(ray_session):
     # rejected pages carry no spans and no text
     empty = got[got["n_spans"] == 0]
     assert (empty["text_chars"] == 0).all()
+
+
+def test_doc_length_quantiles_cont_by_lang_interpolation(ray_session):
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import doc_length_quantiles_cont_by_lang
+
+    sf = "/root/testdata/sf0.001"
+    got = (doc_length_quantiles_cont_by_lang(sf).to_pandas()
+           .set_index(["lang", "q"])["value"].to_dict())
+    d = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["lang", "n_chars"]).to_pandas()
+    for lang, g in d.groupby("lang"):
+        v = np.sort(g["n_chars"].to_numpy())
+        for q in (0.25, 0.5, 0.75, 0.9, 0.99):
+            pos = q * (len(v) - 1)
+            lo = int(np.floor(pos))
+            want = v[lo] + (pos - lo) * (v[min(lo + 1, len(v) - 1)] - v[lo])
+            assert abs(got[(lang, q)] - want) < 1e-6
