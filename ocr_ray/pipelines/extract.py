@@ -638,6 +638,9 @@ def compact_output(src_dir: str, dst_dir: str,
 
     from ocr_ray.state import manifest as _mf
 
+    if os.path.abspath(src_dir) == os.path.abspath(dst_dir):
+        raise ValueError("compact_output requires dst_dir != src_dir "
+                         "(write_partition would no-op on every group)")
     src_ids = sorted(_mf.completed_parts(src_dir))
     if not src_ids:
         raise ValueError(f"no completed partitions under {src_dir}")
@@ -657,8 +660,29 @@ def compact_output(src_dir: str, dst_dir: str,
         groups.append(cur)
 
     done = _mf.completed_parts(dst_dir) if resume else set()
-    if not resume and os.path.isdir(dst_dir):
-        shutil.rmtree(dst_dir)
+    if not resume:
+        _mf.clear_output(dst_dir)
+    else:
+        # resume safety: an existing destination group is only skippable
+        # when its recorded source_parts lineage matches the recomputed
+        # grouping — a different target_bytes or a grown source would
+        # otherwise duplicate/drop rows silently.  Stale groups beyond
+        # the new grouping are equally a parameter mismatch.
+        stale = [g for g in done if g >= len(groups)]
+        if stale:
+            raise ValueError(
+                f"dst has partitions {sorted(stale)} beyond the recomputed "
+                f"{len(groups)} groups — compaction parameters or source "
+                "changed; re-run with resume=False")
+        for gid in sorted(done):
+            with open(os.path.join(_mf.part_dir(dst_dir, gid),
+                                   "manifest.json")) as f:
+                recorded = json.load(f).get("source_parts")
+            if recorded != groups[gid]:
+                raise ValueError(
+                    f"dst part {gid} was built from {recorded} but the "
+                    f"recomputed group is {groups[gid]} — compaction "
+                    "parameters or source changed; re-run with resume=False")
 
     @ray.remote(num_cpus=1)
     def compact_group(gid: int, pids: list[int]) -> dict:

@@ -3005,13 +3005,10 @@ def tree_depths(sf_dir: str):
             "key": pend["anc"], "kind": np.int8(1),
             "node": pend["node"], "anc": pend["anc"], "d": pend["d"],
         })
-        settled = df[df["anc"] == 0]
-        done = pd.DataFrame({
-            "key": settled["node"], "kind": np.int8(2),
-            "node": settled["node"], "anc": settled["anc"],
-            "d": settled["d"],
-        })
-        out = pd.concat([directory, queries, done], ignore_index=True)
+        # settled nodes need no extra row: their directory row (key=node,
+        # anc==0) already lands in their bucket and combine() re-emits it
+        # as final state — late rounds shuffle N+P rows, not 2N+P
+        out = pd.concat([directory, queries], ignore_index=True)
         out["bucket"] = (out["key"].to_numpy() & 63).astype(np.int32)
         return pa.Table.from_pandas(out, preserve_index=False)
 
@@ -3025,8 +3022,10 @@ def tree_depths(sf_dir: str):
             "anc": m["anc2"].fillna(0).astype("int64"),
             "d": (m["d"] + m["d2"].fillna(0)).astype("int64"),
         })
-        done = g[g["kind"] == 2][["node", "anc", "d"]]
-        return pd.concat([advanced, done], ignore_index=True)
+        done = directory.loc[directory["anc2"] == 0].rename(
+            columns={"key": "node", "anc2": "anc", "d2": "d"})
+        return pd.concat([advanced, done[["node", "anc", "d"]]],
+                         ignore_index=True)
 
     st = (_read(sf_dir, "documents", ["doc_id"])
           .map_batches(seed, batch_format="pyarrow")
@@ -3143,11 +3142,17 @@ def token_entropy(sf_dir: str):
     pmi/corr convention).  Empty docs report n_tokens 0, entropy 0.
     """
 
+    _ws = __import__("re").compile(r"[ \t\n\f\r]+")  # RE2's \s exactly
+
     def f(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()
         ents, counts = [], []
         for txt in t["text"].to_pylist():
-            toks = (txt or "").split()
+            # split on the oracle's exact whitespace class: Python
+            # str.split also breaks on \v/\x85/\xa0/U+2028, which
+            # DuckDB's RE2 \s does not — structural parity, not
+            # corpus-pinned parity
+            toks = [x for x in _ws.split(txt or "") if x]
             n = len(toks)
             counts.append(n)
             if n == 0:
@@ -3196,9 +3201,13 @@ def revenue_share_by_priority(sf_dir: str):
     def share(df: pd.DataFrame) -> pd.DataFrame:
         total = int(df["revenue_cents"].sum())
         df = df.copy()
-        df["share_ppm"] = (
-            df["revenue_cents"].astype("int64") * 1_000_000 // total
-        ).astype("int64")
+        # Python-int arithmetic (the task holds <= #priorities rows):
+        # rev * 1e6 would wrap numpy int64 at ~$92B per group, while the
+        # DuckDB oracle computes in HUGEINT — arbitrary precision keeps
+        # the two sides identical at any scale
+        df["share_ppm"] = pd.array(
+            [int(r) * 1_000_000 // total for r in df["revenue_cents"]],
+            dtype="int64")
         return df[["o_orderpriority", "n_orders", "revenue_cents",
                    "share_ppm"]]
 

@@ -383,3 +383,26 @@ def test_compact_output_preserves_rows_and_lineage(ray_session, tmp_path_factory
     # resumable: a second run skips every group
     summary2 = compact_output(src, dst, target_bytes=1 << 20, resume=True)
     assert summary2["skipped"] == summary2["dst_partitions"]
+
+
+def test_compact_output_resume_mismatch_refuses(ray_session, tmp_path_factory):
+    """Resuming a compaction with different parameters (or a changed
+    source) must refuse instead of silently duplicating rows."""
+    import pytest
+
+    from ocr_ray.pipelines.extract import compact_output, run_extraction_sharded
+    from ocr_ray.sources.synth import materialize_pages_parquet
+
+    base = tmp_path_factory.mktemp("compact_resume")
+    pages = materialize_pages_parquet(
+        "/root/testdata/sf0.001", str(base / "pages"), rows_per_file=64)
+    src = str(base / "src")
+    run_extraction_sharded(pages, src, resume=False)
+    dst = str(base / "dst")
+    compact_output(src, dst, target_bytes=1 << 30, resume=False)  # 1 group
+    # finer target on resume -> group 0's lineage no longer matches
+    with pytest.raises(ValueError, match="re-run with resume=False"):
+        compact_output(src, dst, target_bytes=1 << 10, resume=True)
+    # self-compaction is rejected outright
+    with pytest.raises(ValueError, match="dst_dir != src_dir"):
+        compact_output(src, src)
