@@ -894,6 +894,8 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "revenue_share_by_priority": rel.revenue_share_by_priority,
         "doc_length_quantiles_cont_by_lang":
             rel.doc_length_quantiles_cont_by_lang,
+        "jsonl_ingest_stats": rel.jsonl_ingest_stats,
+        "csv_ingest_stats": rel.csv_ingest_stats,
     }
 
 
@@ -2224,6 +2226,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
             UNION ALL
             SELECT lang, 0.99, ROUND(quantile_cont(n_chars, 0.99), 6)
+            FROM documents GROUP BY lang
+        """,
+        "jsonl_ingest_stats": """
+            SELECT lang, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "csv_ingest_stats": """
+            SELECT lang, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(count(*) AS BIGINT) AS n_docs
             FROM documents GROUP BY lang
         """,
         # Every queries() entry above has an oracle_sql twin — the

@@ -3267,3 +3267,41 @@ def doc_length_quantiles_cont_by_lang(sf_dir: str):
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def _lang_char_stats(ds):
+    """(lang, n_docs, total_chars) rollup used by the source-format
+    ingestion queries — per-batch partials then a tiny groupby."""
+    return _grouped_sum(
+        ds,
+        lambda t: pa.table({
+            "lang": t["lang"],
+            "total_chars": pc.cast(t["n_chars"], pa.int64()),
+        }),
+        keys=["lang"], sum_cols=["total_chars"], count_col="n_docs",
+    )
+
+
+def jsonl_ingest_stats(sf_dir: str):
+    """SOURCE FORMAT: line-delimited JSON ingestion (SURVEY §2 A beyond
+    parquet — the reference's inter-stage JSON artifacts as a first-class
+    distributed source).  The corpus is derived deterministically to
+    sharded JSONL (content-fingerprint cached, atomic) and re-read with
+    ``ray.data.read_json``; the oracle computes the same rollup from the
+    parquet base table, so any serialization / schema-inference drift in
+    the round trip breaks the value hash.
+    """
+    from ocr_ray.sources.text_formats import read_documents_jsonl
+
+    return _lang_char_stats(read_documents_jsonl(sf_dir))
+
+
+def csv_ingest_stats(sf_dir: str):
+    """SOURCE FORMAT: RFC-4180 CSV ingestion via ``ray.data.read_csv``
+    (quoted text column — commas/quotes in payloads exercise real
+    escaping).  Same round-trip-vs-base-table oracle discipline as
+    :func:`jsonl_ingest_stats`.
+    """
+    from ocr_ray.sources.text_formats import read_documents_csv
+
+    return _lang_char_stats(read_documents_csv(sf_dir))

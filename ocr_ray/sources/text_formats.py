@@ -1,0 +1,114 @@
+"""JSONL / CSV source-format support (SURVEY §2 A — beyond parquet).
+
+The reference consumes filesystem text and JSON artifacts between every
+stage (`{base}_pol1.txt`, `_extracted_real.json` — policy_extract.py:11-14,
+llm_pl.py:484); here the equivalent is first-class line-delimited and
+delimited ingestion through ``ray.data.read_json`` / ``read_csv``, with the
+same determinism discipline as parquet: a derived file is written once per
+(source fingerprint) under a cache dir and re-read distributed.
+
+Writers shard the output (one file per ``rows_per_file`` rows) so the read
+parallelizes, and writes are atomic (tmp dir + rename) so a concurrent
+caller never sees a half-written corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import uuid
+
+import pyarrow as pa
+
+
+def _fingerprint(path: str) -> str:
+    st = os.stat(path)
+    return hashlib.md5(
+        f"{os.path.abspath(path)}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+
+
+def _atomic_write_shards(out_dir: str, shards: list[str], ext: str) -> str:
+    if os.path.exists(os.path.join(out_dir, "_DONE")):
+        return out_dir
+    tmp = f"{out_dir}-tmp-{uuid.uuid4().hex}"
+    os.makedirs(tmp)
+    for i, content in enumerate(shards):
+        with open(os.path.join(tmp, f"docs-{i:05d}.{ext}"), "w",
+                  encoding="utf-8") as f:
+            f.write(content)
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
+        f.write(f"shards={len(shards)}\n")
+    try:
+        os.rename(tmp, out_dir)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return out_dir
+
+
+def materialize_documents_jsonl(sf_dir: str, cache_root: str = "/tmp/ocr_ray_jsonl",
+                                rows_per_file: int = 128) -> str:
+    """documents.parquet → sharded JSONL (one object per line), cached by
+    content fingerprint — a regenerated corpus at the same path never
+    reuses a stale derivation (the _ann_index discipline)."""
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    out_dir = os.path.join(cache_root, _fingerprint(src))
+    if os.path.exists(os.path.join(out_dir, "_DONE")):
+        return out_dir
+    t = pq.read_table(src)
+    rows = t.to_pylist()
+    shards = []
+    for i in range(0, len(rows), rows_per_file):
+        shards.append("".join(
+            json.dumps(r, ensure_ascii=False, sort_keys=True,
+                       separators=(",", ":")) + "\n"
+            for r in rows[i:i + rows_per_file]))
+    return _atomic_write_shards(out_dir, shards, "jsonl")
+
+
+def materialize_documents_csv(sf_dir: str, cache_root: str = "/tmp/ocr_ray_csv",
+                              rows_per_file: int = 128) -> str:
+    """documents.parquet → sharded RFC-4180 CSV (quoted text column —
+    embedded commas/quotes/newlines exercise real escaping), cached by
+    content fingerprint."""
+    import csv
+    import io
+
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    out_dir = os.path.join(cache_root, _fingerprint(src))
+    if os.path.exists(os.path.join(out_dir, "_DONE")):
+        return out_dir
+    t = pq.read_table(src)
+    rows = t.to_pylist()
+    cols = t.schema.names
+    shards = []
+    for i in range(0, len(rows), rows_per_file):
+        buf = io.StringIO()
+        w = csv.writer(buf, quoting=csv.QUOTE_MINIMAL, lineterminator="\n")
+        w.writerow(cols)
+        for r in rows[i:i + rows_per_file]:
+            w.writerow([r[c] for c in cols])
+        shards.append(buf.getvalue())
+    return _atomic_write_shards(out_dir, shards, "csv")
+
+
+def read_documents_jsonl(sf_dir: str):
+    """Distributed JSONL ingestion of the derived corpus."""
+    import ray.data as rd
+
+    d = materialize_documents_jsonl(sf_dir)
+    return rd.read_json(d, file_extensions=["jsonl"])
+
+
+def read_documents_csv(sf_dir: str):
+    """Distributed CSV ingestion of the derived corpus."""
+    import ray.data as rd
+
+    d = materialize_documents_csv(sf_dir)
+    return rd.read_csv(d, file_extensions=["csv"])

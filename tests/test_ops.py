@@ -1818,3 +1818,28 @@ def test_doc_length_quantiles_cont_by_lang_interpolation(ray_session):
             lo = int(np.floor(pos))
             want = v[lo] + (pos - lo) * (v[min(lo + 1, len(v) - 1)] - v[lo])
             assert abs(got[(lang, q)] - want) < 1e-6
+
+
+def test_text_format_roundtrips(ray_session):
+    """JSONL and CSV derivations re-read to the exact parquet row set,
+    including a value with embedded comma/quote via the CSV writer."""
+    import csv as _csv
+    import io
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.sources.text_formats import (read_documents_csv,
+                                              read_documents_jsonl)
+
+    sf = "/root/testdata/sf0.001"
+    base = (pq.read_table(f"{sf}/documents.parquet").to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    for reader in (read_documents_jsonl, read_documents_csv):
+        got = (reader(sf).to_pandas()[base.columns.tolist()]
+               .sort_values("doc_id").reset_index(drop=True))
+        assert got.equals(base), reader.__name__
+    # the CSV writer escapes commas/quotes per RFC 4180
+    buf = io.StringIO()
+    _csv.writer(buf, quoting=_csv.QUOTE_MINIMAL,
+                lineterminator="\n").writerow(['a,"b', "c"])
+    assert buf.getvalue() == '"a,""b",c\n'
