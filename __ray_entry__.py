@@ -896,6 +896,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
             rel.doc_length_quantiles_cont_by_lang,
         "jsonl_ingest_stats": rel.jsonl_ingest_stats,
         "csv_ingest_stats": rel.csv_ingest_stats,
+        "jsonl_export_roundtrip_stats": rel.jsonl_export_roundtrip_stats,
     }
 
 
@@ -2234,6 +2235,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "csv_ingest_stats": """
+            SELECT lang, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "jsonl_export_roundtrip_stats": """
             SELECT lang, CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    CAST(count(*) AS BIGINT) AS n_docs
             FROM documents GROUP BY lang

@@ -3305,3 +3305,16 @@ def csv_ingest_stats(sf_dir: str):
     from ocr_ray.sources.text_formats import read_documents_csv
 
     return _lang_char_stats(read_documents_csv(sf_dir))
+
+
+def jsonl_export_roundtrip_stats(sf_dir: str):
+    """SINK FORMAT: distributed ``Dataset.write_json`` export (every
+    worker writes its own shard — the A4-A6 writer family beyond
+    parquet) re-ingested with ``read_json``; the oracle's rollup from
+    the base table pins the full sink → source round trip.  File naming
+    is worker-dependent, so only the (deterministic) rollup is
+    hash-compared, never file bytes.
+    """
+    from ocr_ray.sources.text_formats import read_exported_jsonl
+
+    return _lang_char_stats(read_exported_jsonl(sf_dir))

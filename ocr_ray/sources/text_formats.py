@@ -112,3 +112,35 @@ def read_documents_csv(sf_dir: str):
 
     d = materialize_documents_csv(sf_dir)
     return rd.read_csv(d, file_extensions=["csv"])
+
+
+def export_documents_jsonl(sf_dir: str,
+                           cache_root: str = "/tmp/ocr_ray_jsonl_export"):
+    """DISTRIBUTED JSONL sink: ``Dataset.write_json`` (every worker writes
+    its own shard — the write itself is the parallel operation, unlike the
+    driver-side derivation above), fingerprint-cached and atomic via a tmp
+    dir + rename.  Returns the export dir for re-ingestion."""
+    import ray.data as rd
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    out_dir = os.path.join(cache_root, _fingerprint(src))
+    if os.path.exists(os.path.join(out_dir, "_DONE")):
+        return out_dir
+    tmp = f"{out_dir}-tmp-{uuid.uuid4().hex}"
+    os.makedirs(tmp)
+    rd.read_parquet(src).write_json(tmp)
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
+        f.write("ok\n")
+    try:
+        os.rename(tmp, out_dir)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out_dir
+
+
+def read_exported_jsonl(sf_dir: str):
+    """Re-ingest the distributed JSONL export (sink → source round trip)."""
+    import ray.data as rd
+
+    d = export_documents_jsonl(sf_dir)
+    return rd.read_json(d, file_extensions=["json", "jsonl"])

@@ -1843,3 +1843,16 @@ def test_text_format_roundtrips(ray_session):
     _csv.writer(buf, quoting=_csv.QUOTE_MINIMAL,
                 lineterminator="\n").writerow(['a,"b', "c"])
     assert buf.getvalue() == '"a,""b",c\n'
+
+
+def test_jsonl_export_roundtrip_rows(ray_session):
+    import pyarrow.parquet as pq
+
+    from ocr_ray.sources.text_formats import read_exported_jsonl
+
+    sf = "/root/testdata/sf0.001"
+    base = (pq.read_table(f"{sf}/documents.parquet").to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    got = (read_exported_jsonl(sf).to_pandas()[base.columns.tolist()]
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got.equals(base)
