@@ -469,6 +469,58 @@ def _q_audio_features(sf_dir: str):
     return audio_features(ds)
 
 
+def _q_media_exact_dedup(sf_dir: str):
+    """Exact dedup over BINARY payloads (multimodal × dedup cross): the
+    derived media corpus with the doc_id % 23 re-crawl clone injected,
+    keep-first per md5-over-lowercase-hex content hash.  The shuffle
+    carries only (media_id, 32-hex hash, bucket) — payload bytes never
+    cross the exchange (the J2 convention applied to binary columns)."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ocr_ray.stages.multimodal import synth_media_payload
+
+    def to_hashes(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        out_ids, hashes = [], []
+        for d, txt in zip(ids, texts):
+            p = synth_media_payload(d % 3, (d % 640) + 1, (d % 480) + 1,
+                                    (d % 3) + 1, (txt or "").encode("utf-8"))
+            h = hashlib.md5(p.hex().encode("ascii")).hexdigest()
+            out_ids.append(d)
+            hashes.append(h)
+            if d % 23 == 0:                  # injected re-crawl clone
+                out_ids.append(d + 1_000_000_000)
+                hashes.append(h)
+        fp = pa.array(hashes, pa.string())
+        return pa.table({
+            "media_id": pa.array(out_ids, pa.int64()),
+            "content_hash": fp,
+            "bucket": pc.utf8_slice_codeunits(fp, 0, 2),
+        })
+
+    def first_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("content_hash", as_index=False).agg(
+            keep_media_id=("media_id", "min"),
+            n_copies=("media_id", "size"))
+        out["keep_media_id"] = out["keep_media_id"].astype(str)
+        out["n_copies"] = out["n_copies"].astype("int64")
+        return out
+
+    return (
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+        .map_batches(to_hashes, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(first_per_bucket, batch_format="pandas")
+    )
+
+
 def _q_video_features(sf_dir: str):
     """Video member of the multimodal family: derived MP4 corpus with
     REAL ISO-BMFF boxes (timescale/duration/tracks derive from doc_id,
@@ -833,6 +885,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "audio_features": _q_audio_features,
         "span_audit": _q_span_audit,
+        "media_exact_dedup": _q_media_exact_dedup,
         "video_features": _q_video_features,
         # LLM-pipeline additions (round 4)
         "line_dedup": _q_line_dedup,
@@ -970,6 +1023,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": _po.audio_features_sql(),
         "video_features": _po.video_features_sql(),
         "span_audit": _po.span_audit_sql(),
+        "media_exact_dedup": _po.media_exact_dedup_sql(),
         "training_corpus": _po.training_corpus_sql(),
         "qc_rollup": _po.qc_rollup_sql(),
         "filter_stats": _po.filter_stats_sql(),

@@ -319,13 +319,7 @@ def extract_stats_sql() -> str:
     """)
 
 
-def media_features_sql() -> str:
-    # The derived media corpus (stages/multimodal.synth_media_payload) is
-    # rebuilt HEX-FOR-HEX: real PNG/GIF/JPEG headers + the doc text as
-    # body, so n_bytes and content_hash (md5 over the lowercase payload
-    # hex — DuckDB md5 cannot take raw BLOBs) verify the actual bytes the
-    # Ray-side header parser consumed, and dims/frames verify the parse.
-    return """
+_MEDIA_HEXP_CTE = """
         WITH s AS (
           SELECT doc_id, coalesce(text, '') AS t, doc_id % 3 AS kind,
                  (doc_id % 640) + 1 AS w, (doc_id % 480) + 1 AS h,
@@ -346,7 +340,16 @@ def media_features_sql() -> str:
                    '03012200021101031101' || hex(encode(t)) || 'ffd9'
             END) AS hexp
           FROM s
-        )
+        )"""
+
+
+def media_features_sql() -> str:
+    # The derived media corpus (stages/multimodal.synth_media_payload) is
+    # rebuilt HEX-FOR-HEX: real PNG/GIF/JPEG headers + the doc text as
+    # body, so n_bytes and content_hash (md5 over the lowercase payload
+    # hex — DuckDB md5 cannot take raw BLOBs) verify the actual bytes the
+    # Ray-side header parser consumed, and dims/frames verify the parse.
+    return _MEDIA_HEXP_CTE + """
         SELECT CAST(doc_id AS VARCHAR) AS media_id,
                CAST(length(hexp) // 2 AS BIGINT) AS n_bytes,
                md5(hexp) AS content_hash,
@@ -671,3 +674,22 @@ def span_audit_sql() -> str:
         FROM extracted e
         LEFT JOIN sc ON sc.url = e.url AND sc.warc_ts = e.warc_ts
     """)
+
+
+def media_exact_dedup_sql() -> str:
+    # Exact dedup over BINARY payloads (multimodal × dedup cross): the
+    # derived media corpus with the doc_id % 23 re-crawl clone injected
+    # (re-keyed media_id + 1e9), grouped by the md5-over-lowercase-hex
+    # content hash — one row per distinct payload with the minimum
+    # surviving key and the copy count.
+    return _MEDIA_HEXP_CTE + """
+        , corpus AS (
+          SELECT doc_id AS media_id, hexp FROM p
+          UNION ALL
+          SELECT doc_id + 1000000000, hexp FROM p WHERE doc_id % 23 = 0
+        )
+        SELECT md5(hexp) AS content_hash,
+               CAST(min(media_id) AS VARCHAR) AS keep_media_id,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM corpus GROUP BY 1
+    """

@@ -1856,3 +1856,20 @@ def test_jsonl_export_roundtrip_rows(ray_session):
     got = (read_exported_jsonl(sf).to_pandas()[base.columns.tolist()]
            .sort_values("doc_id").reset_index(drop=True))
     assert got.equals(base)
+
+
+def test_media_exact_dedup_clones(ray_session):
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    got = e.queries()["media_exact_dedup"](sf).to_pandas()
+    ids = pq.read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id"])["doc_id"].to_numpy()
+    n_dup = int((ids % 23 == 0).sum())
+    assert len(got) == len(ids)                     # one row per distinct payload
+    assert (got["n_copies"] == 2).sum() == n_dup    # clones collapse
+    assert (got["n_copies"] == 1).sum() == len(ids) - n_dup
+    # keep-first always picks the original id, never the 1e9-offset clone
+    assert (got["keep_media_id"].astype("int64") < 1_000_000_000).all()
