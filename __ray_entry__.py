@@ -950,6 +950,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "jsonl_ingest_stats": rel.jsonl_ingest_stats,
         "csv_ingest_stats": rel.csv_ingest_stats,
         "jsonl_export_roundtrip_stats": rel.jsonl_export_roundtrip_stats,
+        "embedding_norms": rel.embedding_norms,
     }
 
 
@@ -2297,6 +2298,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    CAST(count(*) AS BIGINT) AS n_docs
             FROM documents GROUP BY lang
+        """,
+        "embedding_norms": """
+            SELECT vec_id,
+                   CAST(list_sum(list_transform(embedding,
+                        x -> abs(CAST(ROUND(CAST(x AS DOUBLE) * 1000000)
+                                      AS BIGINT)))) AS BIGINT) AS l1_e6,
+                   CAST(list_max(list_transform(embedding,
+                        x -> abs(CAST(ROUND(CAST(x AS DOUBLE) * 1000000)
+                                      AS BIGINT)))) AS BIGINT) AS linf_e6
+            FROM embeddings
         """,
         # Every queries() entry above has an oracle_sql twin — the
         # rows-only set is empty as of round 2 (minhash/winnow/knn_lsh/

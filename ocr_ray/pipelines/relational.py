@@ -3318,3 +3318,33 @@ def jsonl_export_roundtrip_stats(sf_dir: str):
     from ocr_ray.sources.text_formats import read_exported_jsonl
 
     return _lang_char_stats(read_exported_jsonl(sf_dir))
+
+
+def embedding_norms(sf_dir: str):
+    """Vector-math kernel over the embedding column: per-vector L1 and
+    L∞ norms in exact scaled-integer units (components rounded to 1e-6
+    first, so distributed evaluation is bit-stable — the L2 norm is
+    degenerate on this unit-normalized corpus and would hide errors).
+
+    Zero-copy vectorization: the ``list<float>`` column's flat values
+    buffer reshapes to an (n, dim) matrix per batch — no per-row Python.
+    Embarrassingly parallel; no shuffle at any scale.
+    """
+
+    def f(t: pa.Table) -> pa.Table:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        dim = len(flat) // max(1, t.num_rows)
+        m = flat.reshape(t.num_rows, dim) * 1_000_000.0
+        scaled = np.abs(np.copysign(np.floor(np.abs(m) + 0.5), m)
+                        ).astype(np.int64)
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "l1_e6": pa.array(scaled.sum(axis=1), pa.int64()),
+            "linf_e6": pa.array(scaled.max(axis=1), pa.int64()),
+        })
+
+    return _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        f, batch_format="pyarrow")

@@ -1873,3 +1873,25 @@ def test_media_exact_dedup_clones(ray_session):
     assert (got["n_copies"] == 1).sum() == len(ids) - n_dup
     # keep-first always picks the original id, never the 1e9-offset clone
     assert (got["keep_media_id"].astype("int64") < 1_000_000_000).all()
+
+
+def test_embedding_norms_exact(ray_session):
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import embedding_norms
+
+    sf = "/root/testdata/sf0.001"
+    got = (embedding_norms(sf).to_pandas()
+           .set_index("vec_id").sort_index())
+    t = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64) * 1e6
+    scaled = np.abs(np.copysign(np.floor(np.abs(mat) + 0.5), mat)).astype("int64")
+    vids = t["vec_id"].to_numpy()
+    assert (got.loc[vids, "l1_e6"].to_numpy() == scaled.sum(axis=1)).all()
+    assert (got.loc[vids, "linf_e6"].to_numpy() == scaled.max(axis=1)).all()
+    # unit vectors: L1 in [1, sqrt(dim)] * 1e6, Linf <= 1e6
+    dim = mat.shape[1]
+    assert (got["l1_e6"] >= 1_000_000).all()
+    assert (got["l1_e6"] <= int(np.sqrt(dim) * 1e6) + dim).all()
+    assert (got["linf_e6"] <= 1_000_000).all()
