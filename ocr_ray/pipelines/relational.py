@@ -2255,6 +2255,20 @@ def cube_status_priority(sf_dir: str):
     return finest.repartition(1).map_batches(add_levels, batch_format="pandas")
 
 
+def _ntile(rn: "np.ndarray", n: "np.ndarray", k: int) -> "np.ndarray":
+    """DuckDB NTILE(k) as a pure vectorized kernel: given 1-based row
+    numbers ``rn`` within groups of size ``n``, the first ``n % k``
+    buckets take ``ceil(n/k)`` rows, the rest ``floor(n/k)``."""
+    big = n % k
+    size_big = n // k + 1
+    size_small = np.maximum(n // k, 1)
+    return np.where(
+        rn <= big * size_big,
+        (rn + size_big - 1) // size_big,
+        big + (rn - big * size_big + size_small - 1) // size_small,
+    ).astype("int64")
+
+
 def order_price_quartiles(sf_dir: str, n_tiles: int = 4):
     """NTILE window function: each order's price quartile within its
     customer (``ntile(4) OVER (PARTITION BY o_custkey ORDER BY
@@ -2285,16 +2299,7 @@ def order_price_quartiles(sf_dir: str, n_tiles: int = 4):
         grp = g.groupby("o_custkey", sort=False)
         rn = grp.cumcount().to_numpy() + 1
         n = grp["o_orderkey"].transform("size").to_numpy()
-        k = n_tiles
-        big = n % k
-        size_big = n // k + 1
-        size_small = np.maximum(n // k, 1)
-        tile = np.where(
-            rn <= big * size_big,
-            (rn + size_big - 1) // size_big,
-            big + (rn - big * size_big + size_small - 1) // size_small,
-        )
-        g["quartile"] = tile.astype("int64")
+        g["quartile"] = _ntile(rn, n, n_tiles)
         return g[["o_orderkey", "o_custkey", "price_cents", "quartile"]]
 
     return (
@@ -3049,6 +3054,24 @@ def tree_depths(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _skyline_sweep(df: pd.DataFrame) -> pd.DataFrame:
+    """Pure 2-D skyline kernel (minimize price_cents, maximize
+    o_orderdate): vectorized sweep — sort by (price asc, date desc),
+    keep rows whose date equals their price-group max AND exceeds the
+    running max date over all strictly cheaper groups.  Equal (price,
+    date) rows dominate neither way and all survive."""
+    df = df.sort_values(["price_cents", "o_orderdate"],
+                        ascending=[True, False])
+    grp_max = df.groupby("price_cents")["o_orderdate"].transform("max")
+    firsts = df.drop_duplicates("price_cents", keep="first")
+    lower = firsts["o_orderdate"].cummax().shift(1)
+    lower_map = dict(zip(firsts["price_cents"], lower))
+    best_lower = df["price_cents"].map(lower_map)
+    keep = (df["o_orderdate"] == grp_max) & (
+        best_lower.isna() | (df["o_orderdate"] > best_lower))
+    return df.loc[keep, ["o_orderkey", "price_cents", "o_orderdate"]]
+
+
 def skyline_orders(sf_dir: str):
     """SKYLINE (Pareto front) preference query: orders not dominated on
     (price ↓, order date ↑) — no other order is both no-more-expensive
@@ -3069,32 +3092,19 @@ def skyline_orders(sf_dir: str):
     all survive together.
     """
 
-    def sweep(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["price_cents", "o_orderdate"],
-                            ascending=[True, False])
-        grp_max = df.groupby("price_cents")["o_orderdate"].transform("max")
-        # running max date over strictly cheaper price groups
-        firsts = df.drop_duplicates("price_cents", keep="first")
-        lower = firsts["o_orderdate"].cummax().shift(1)
-        lower_map = dict(zip(firsts["price_cents"], lower))
-        best_lower = df["price_cents"].map(lower_map)
-        keep = (df["o_orderdate"] == grp_max) & (
-            best_lower.isna() | (df["o_orderdate"] > best_lower))
-        return df.loc[keep, ["o_orderkey", "price_cents", "o_orderdate"]]
-
     def local(t: pa.Table) -> pa.Table:
         df = pa.table({
             "o_orderkey": t["o_orderkey"],
             "price_cents": _cents(t["o_totalprice"]),
             "o_orderdate": t["o_orderdate"],
         }).to_pandas()
-        return pa.Table.from_pandas(sweep(df), preserve_index=False)
+        return pa.Table.from_pandas(_skyline_sweep(df), preserve_index=False)
 
     return (
         _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
         .map_batches(local, batch_format="pyarrow")
         .repartition(1)
-        .map_batches(lambda df: sweep(df), batch_format="pandas",
+        .map_batches(_skyline_sweep, batch_format="pandas",
                      batch_size=None)
     )
 

@@ -165,3 +165,45 @@ def test_media_parsers_total_on_corrupted_valid_payloads(body, junk):
             parse_media_header(mutant)
             parse_audio_header(mutant)
             parse_video_header(mutant)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 20), st.integers(0, 20)),
+                min_size=1, max_size=40))
+def test_skyline_sweep_equals_bruteforce(points):
+    """The vectorized skyline sweep equals the O(n²) dominance
+    definition on arbitrary (price, date) points including ties."""
+    import pandas as pd
+
+    from ocr_ray.pipelines.relational import _skyline_sweep
+
+    df = pd.DataFrame({
+        "o_orderkey": range(len(points)),
+        "price_cents": [p for p, _ in points],
+        "o_orderdate": [d for _, d in points],
+    })
+    got = set(_skyline_sweep(df)["o_orderkey"])
+    want = {
+        k for k, (p, d) in enumerate(points)
+        if not any(p2 <= p and d2 >= d and (p2 < p or d2 > d)
+                   for p2, d2 in points)
+    }
+    assert got == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(1, 60), st.integers(1, 10))
+def test_ntile_kernel_matches_duckdb(n, k):
+    """The vectorized NTILE kernel is bit-identical to DuckDB ntile(k)
+    over a group of size n for every (n, k)."""
+    import duckdb
+    import numpy as np
+
+    from ocr_ray.pipelines.relational import _ntile
+
+    rn = np.arange(1, n + 1)
+    got = _ntile(rn, np.full(n, n), k).tolist()
+    want = [r[0] for r in duckdb.sql(
+        f"SELECT ntile({k}) OVER (ORDER BY i) FROM range(1, {n + 1}) t(i)"
+    ).fetchall()]
+    assert got == want
