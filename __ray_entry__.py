@@ -469,6 +469,52 @@ def _q_audio_features(sf_dir: str):
     return audio_features(ds)
 
 
+def _q_host_freshness(sf_dir: str):
+    """Per-HOST crawl freshness over the extraction output (the crawl
+    scheduler's rollup: how many pages per host, how fresh the newest
+    capture, how many survived the gates): host parsed from the url with
+    a vectorized regex, then the _grouped_sum-style partial rollup —
+    max(warc_ts) rides as integer microseconds so the distributed max is
+    exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ocr_ray.pipelines.extract import extraction_dataset_cached
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        host = pc.struct_field(
+            pc.extract_regex(t["url"], r"^[a-z]+://(?P<h>[^/]+)/"), "h")
+        df = pd.DataFrame({
+            "host": host.to_pylist(),
+            "ts_us": pc.cast(t["warc_ts"], pa.int64()).to_pylist(),
+            "ok": pc.cast(
+                pc.is_in(t["parse_status"],
+                         value_set=pa.array(["ok", "fallback"])),
+                pa.int64()).to_pylist(),
+        })
+        g = df.groupby("host", as_index=False).agg(
+            n_pages=("ts_us", "size"), n_extracted=("ok", "sum"),
+            latest_ts_us=("ts_us", "max"))
+        g["n_pages"] = g["n_pages"].astype("int64")
+        g["n_extracted"] = g["n_extracted"].astype("int64")
+        g["latest_ts_us"] = g["latest_ts_us"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(df):
+        out = df.groupby("host", as_index=False).agg(
+            n_pages=("n_pages", "sum"), n_extracted=("n_extracted", "sum"),
+            latest_ts_us=("latest_ts_us", "max"))
+        for c in ("n_pages", "n_extracted", "latest_ts_us"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return (extraction_dataset_cached(_pages_dir(sf_dir))
+            .map_batches(partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None))
+
+
 def _q_media_exact_dedup(sf_dir: str):
     """Exact dedup over BINARY payloads (multimodal × dedup cross): the
     derived media corpus with the doc_id % 23 re-crawl clone injected,
@@ -886,6 +932,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "audio_features": _q_audio_features,
         "span_audit": _q_span_audit,
         "media_exact_dedup": _q_media_exact_dedup,
+        "host_freshness": _q_host_freshness,
         "video_features": _q_video_features,
         # LLM-pipeline additions (round 4)
         "line_dedup": _q_line_dedup,
@@ -1025,6 +1072,7 @@ def oracle_sql() -> dict[str, str]:
         "video_features": _po.video_features_sql(),
         "span_audit": _po.span_audit_sql(),
         "media_exact_dedup": _po.media_exact_dedup_sql(),
+        "host_freshness": _po.host_freshness_sql(),
         "training_corpus": _po.training_corpus_sql(),
         "qc_rollup": _po.qc_rollup_sql(),
         "filter_stats": _po.filter_stats_sql(),

@@ -693,3 +693,19 @@ def media_exact_dedup_sql() -> str:
                CAST(count(*) AS BIGINT) AS n_copies
         FROM corpus GROUP BY 1
     """
+
+
+def host_freshness_sql() -> str:
+    # Per-host crawl rollup from the reconstructed extraction: the host of
+    # 'https://{source}.example.org/doc/{id}[.pdf]' is everything between
+    # '//' and the next '/'; latest capture as exact integer microseconds
+    # since 2024-01-01 base epoch used by the generator.
+    return _with_pages("""
+        SELECT regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
+               CAST(count(*) AS BIGINT) AS n_pages,
+               CAST(count(*) FILTER (parse_status IN ('ok', 'fallback'))
+                    AS BIGINT) AS n_extracted,
+               CAST(max(epoch_us(warc_ts)) AS BIGINT) AS latest_ts_us
+        FROM extracted
+        GROUP BY 1
+    """)

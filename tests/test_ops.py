@@ -1895,3 +1895,18 @@ def test_embedding_norms_exact(ray_session):
     assert (got["l1_e6"] >= 1_000_000).all()
     assert (got["l1_e6"] <= int(np.sqrt(dim) * 1e6) + dim).all()
     assert (got["linf_e6"] <= 1_000_000).all()
+
+
+def test_host_freshness_rollup(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["host_freshness"]("/root/testdata/sf0.001")
+           .to_pandas().set_index("host"))
+    assert len(got) > 1
+    assert got.index.str.endswith(".example.org").all()
+    assert (got["n_extracted"] <= got["n_pages"]).all()
+    # the corpus totals 522 page rows (500 + 22 re-crawl dups)
+    assert got["n_pages"].sum() == 522
+    # latest capture per host is within the generator's time range
+    base = pd.Timestamp("2024-01-01").value // 1000
+    assert (got["latest_ts_us"] >= base).all()
