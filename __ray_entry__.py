@@ -998,6 +998,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "csv_ingest_stats": rel.csv_ingest_stats,
         "jsonl_export_roundtrip_stats": rel.jsonl_export_roundtrip_stats,
         "embedding_norms": rel.embedding_norms,
+        "fk_integrity_audit": rel.fk_integrity_audit,
     }
 
 
@@ -2356,6 +2357,20 @@ def oracle_sql() -> dict[str, str]:
                         x -> abs(CAST(ROUND(CAST(x AS DOUBLE) * 1000000)
                                       AS BIGINT)))) AS BIGINT) AS linf_e6
             FROM embeddings
+        """,
+        "fk_integrity_audit": """
+            SELECT 'lineitem_orders' AS fk_edge,
+                   CAST(count(*) AS BIGINT) AS n_orphans
+            FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+            UNION ALL
+            SELECT 'orders_customer',
+                   CAST(count(*) AS BIGINT)
+            FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+            UNION ALL
+            SELECT 'customer_nation',
+                   CAST(count(*) AS BIGINT)
+            FROM customer c ANTI JOIN nation n
+              ON c.c_nationkey = n.n_nationkey
         """,
         # Every queries() entry above has an oracle_sql twin — the
         # rows-only set is empty as of round 2 (minhash/winnow/knn_lsh/

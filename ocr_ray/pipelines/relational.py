@@ -3358,3 +3358,78 @@ def embedding_norms(sf_dir: str):
 
     return _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
         f, batch_format="pyarrow")
+
+
+def fk_integrity_audit(sf_dir: str):
+    """DATA-QUALITY audit: orphan counts for the foreign-key edges of
+    the relational graph (lineitem→orders, orders→customer,
+    customer→nation) — the referential-integrity check a lakehouse runs
+    after every load.
+
+    Scale shape per edge: the side-tag anti-join template (crawl_delta)
+    — child rows ship only (key, side) pre-deduped per batch; parent
+    KEYS ride the same coarse 64-way bucket; one vectorized membership
+    test per bucket emits a single orphan-count partial, folded in a
+    bounded final task.  Neither table is broadcast, so both sides may
+    be arbitrarily large.
+    """
+
+    edges = (
+        ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer_nation", "customer", "c_nationkey", "nation",
+         "n_nationkey"),
+    )
+
+    def count_orphans(child, ckey, parent, pkey):
+        def child_keys(t: pa.Table) -> pa.Table:
+            k = t[ckey]
+            tbl = pa.table({"key": k}).group_by("key").aggregate(
+                [("key", "count")]).rename_columns(["key", "n"])
+            return pa.table({
+                "key": pc.cast(tbl["key"], pa.int64()),
+                "n": pc.cast(tbl["n"], pa.int64()),
+                "side": pa.nulls(tbl.num_rows, pa.int8()).fill_null(0),
+                "bucket": pc.cast(pc.bit_wise_and(tbl["key"], 63),
+                                  pa.int32()),
+            })
+
+        def parent_keys(t: pa.Table) -> pa.Table:
+            k = pc.unique(t[pkey].combine_chunks()
+                          if isinstance(t[pkey], pa.ChunkedArray)
+                          else t[pkey])
+            return pa.table({
+                "key": pc.cast(k, pa.int64()),
+                "n": pa.nulls(len(k), pa.int64()).fill_null(0),
+                "side": pa.nulls(len(k), pa.int8()).fill_null(1),
+                "bucket": pc.cast(pc.bit_wise_and(k, 63), pa.int32()),
+            })
+
+        def orphan_partial(g: pd.DataFrame) -> pd.DataFrame:
+            parents = set(g.loc[g["side"] == 1, "key"])
+            ch = g[g["side"] == 0]
+            orphans = int(ch.loc[~ch["key"].isin(parents), "n"].sum())
+            return pd.DataFrame({"n_orphans": pd.array([orphans], "int64")})
+
+        # child and parent rows ride SEPARATE reads (no shared upstream)
+        # into one union-free exchange: concat of two lineages via
+        # from_items is not possible — instead the two map outputs are
+        # unioned at the Ray level, safe because the upstreams are
+        # independent read_parquet datasets (the deadlock is only over a
+        # SHARED upstream; see CLAUDE.md).
+        ds = _read(sf_dir, child, [ckey]).map_batches(
+            child_keys, batch_format="pyarrow").union(
+            _read(sf_dir, parent, [pkey]).map_batches(
+                parent_keys, batch_format="pyarrow"))
+        total = (ds.groupby("bucket")
+                 .map_groups(orphan_partial, batch_format="pandas")
+                 .sum("n_orphans"))
+        return int(total or 0)
+
+    rows = []
+    for name, child, ckey, parent, pkey in edges:
+        rows.append((name, count_orphans(child, ckey, parent, pkey)))
+    return pa.table({
+        "fk_edge": pa.array([r[0] for r in rows], pa.string()),
+        "n_orphans": pa.array([r[1] for r in rows], pa.int64()),
+    })

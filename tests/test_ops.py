@@ -1910,3 +1910,35 @@ def test_host_freshness_rollup(ray_session):
     # latest capture per host is within the generator's time range
     base = pd.Timestamp("2024-01-01").value // 1000
     assert (got["latest_ts_us"] >= base).all()
+
+
+def test_fk_integrity_audit_detects_orphans(ray_session, tmp_path_factory):
+    import shutil
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import fk_integrity_audit
+
+    sf = "/root/testdata/sf0.001"
+    # clean corpus: no orphans anywhere
+    clean = (fk_integrity_audit(sf).to_pandas()
+             .set_index("fk_edge")["n_orphans"])
+    assert (clean == 0).all()
+
+    # corrupt copy: drop half the orders -> their lineitems dangle
+    broken = tmp_path_factory.mktemp("fk_broken")
+    for t in ("lineitem", "orders", "customer", "nation"):
+        shutil.copy(f"{sf}/{t}.parquet", broken / f"{t}.parquet")
+    o = pq.read_table(f"{sf}/orders.parquet")
+    keep = o.filter(
+        pc.equal(pc.bit_wise_and(o["o_orderkey"], 1), 0))
+    pq.write_table(keep, broken / "orders.parquet")
+    li = pq.read_table(f"{sf}/lineitem.parquet", columns=["l_orderkey"])
+    expected = int(pc.sum(pc.cast(pc.equal(
+        pc.bit_wise_and(li["l_orderkey"], 1), 1), pa.int64())).as_py())
+    got = (fk_integrity_audit(str(broken)).to_pandas()
+           .set_index("fk_edge")["n_orphans"])
+    assert got["lineitem_orders"] == expected > 0
+    assert got["orders_customer"] == 0
+    assert got["customer_nation"] == 0
