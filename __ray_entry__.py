@@ -999,6 +999,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "jsonl_export_roundtrip_stats": rel.jsonl_export_roundtrip_stats,
         "embedding_norms": rel.embedding_norms,
         "fk_integrity_audit": rel.fk_integrity_audit,
+        "pk_uniqueness_audit": rel.pk_uniqueness_audit,
     }
 
 
@@ -2371,6 +2372,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT)
             FROM customer c ANTI JOIN nation n
               ON c.c_nationkey = n.n_nationkey
+        """,
+        "pk_uniqueness_audit": """
+            SELECT 'documents.doc_id' AS key_col,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+                   CAST(count(*) - count(DISTINCT doc_id) AS BIGINT)
+                       AS n_dup_surplus
+            FROM documents
+            UNION ALL
+            SELECT 'events.event_id' AS key_col,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+                   CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
+                       AS n_dup_surplus
+            FROM events
+            UNION ALL
+            SELECT 'orders.o_orderkey' AS key_col,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+                   CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+                       AS n_dup_surplus
+            FROM orders
+            UNION ALL
+            SELECT 'customer.c_custkey' AS key_col,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+                   CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+                       AS n_dup_surplus
+            FROM customer
+            UNION ALL
+            SELECT 'part.p_partkey' AS key_col,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT p_partkey) AS BIGINT) AS n_distinct,
+                   CAST(count(*) - count(DISTINCT p_partkey) AS BIGINT)
+                       AS n_dup_surplus
+            FROM part
+            UNION ALL
+            SELECT 'supplier.s_suppkey' AS key_col,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_distinct,
+                   CAST(count(*) - count(DISTINCT s_suppkey) AS BIGINT)
+                       AS n_dup_surplus
+            FROM supplier
         """,
         # Every queries() entry above has an oracle_sql twin — the
         # rows-only set is empty as of round 2 (minhash/winnow/knn_lsh/

@@ -3433,3 +3433,62 @@ def fk_integrity_audit(sf_dir: str):
         "fk_edge": pa.array([r[0] for r in rows], pa.string()),
         "n_orphans": pa.array([r[1] for r in rows], pa.int64()),
     })
+
+
+def pk_uniqueness_audit(sf_dir: str):
+    """DATA-QUALITY audit #2: key-uniqueness check per table (the PK
+    counterpart of :func:`fk_integrity_audit`) — row count, exact
+    distinct-key count and the duplicate surplus for every keyed table.
+
+    Scale shape per table: per-batch distinct pre-dedup (≤1 row per key
+    per block crosses the wire), exact per-bucket nunique inside the
+    coarse 64-way key bucket, then two tiny folds.  The pages corpus
+    intentionally carries doc_id % 23 re-crawl rows, so `documents` is
+    audited on doc_id (unique) while the derived events stream is
+    audited on event_id — all clean tables report zero surplus and any
+    loader bug shows up as a positive count.
+    """
+    tables = (
+        ("documents", "doc_id"), ("events", "event_id"),
+        ("orders", "o_orderkey"), ("customer", "c_custkey"),
+        ("part", "p_partkey"), ("supplier", "s_suppkey"),
+    )
+
+    def audit_one(table: str, key: str) -> tuple[int, int]:
+        def prep(t: pa.Table) -> pa.Table:
+            k = pc.unique(t[key].combine_chunks()
+                          if isinstance(t[key], pa.ChunkedArray) else t[key])
+            return pa.table({
+                "key": pc.cast(k, pa.int64()),
+                "bucket": pc.cast(pc.bit_wise_and(k, 63), pa.int32()),
+                "n_rows_batch": pa.nulls(len(k), pa.int64()).fill_null(0),
+            }).set_column(
+                2, "n_rows_batch",
+                pa.array([t.num_rows] + [0] * (len(k) - 1), pa.int64()))
+
+        def distinct_partial(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "n_distinct": pd.array([g["key"].nunique()], "int64"),
+                "n_rows": pd.array([int(g["n_rows_batch"].sum())], "int64"),
+            })
+
+        res = (_read(sf_dir, table, [key])
+               .map_batches(prep, batch_format="pyarrow")
+               .groupby("bucket")
+               .map_groups(distinct_partial, batch_format="pandas")
+               .to_pandas())
+        return int(res["n_rows"].sum()), int(res["n_distinct"].sum())
+
+    names, rows_l, dist_l, dup_l = [], [], [], []
+    for table, key in tables:
+        n_rows, n_distinct = audit_one(table, key)
+        names.append(f"{table}.{key}")
+        rows_l.append(n_rows)
+        dist_l.append(n_distinct)
+        dup_l.append(n_rows - n_distinct)
+    return pa.table({
+        "key_col": pa.array(names, pa.string()),
+        "n_rows": pa.array(rows_l, pa.int64()),
+        "n_distinct": pa.array(dist_l, pa.int64()),
+        "n_dup_surplus": pa.array(dup_l, pa.int64()),
+    })

@@ -1942,3 +1942,31 @@ def test_fk_integrity_audit_detects_orphans(ray_session, tmp_path_factory):
     assert got["lineitem_orders"] == expected > 0
     assert got["orders_customer"] == 0
     assert got["customer_nation"] == 0
+
+
+def test_pk_uniqueness_audit_detects_dups(ray_session, tmp_path_factory):
+    import shutil
+
+    import pyarrow as pa_
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import pk_uniqueness_audit
+
+    sf = "/root/testdata/sf0.001"
+    clean = (pk_uniqueness_audit(sf).to_pandas()
+             .set_index("key_col"))
+    assert (clean["n_dup_surplus"] == 0).all()
+    assert (clean["n_rows"] == clean["n_distinct"]).all()
+
+    # corrupt copy: duplicate the first 10 orders -> surplus of 10
+    broken = tmp_path_factory.mktemp("pk_broken")
+    for t in ("documents", "events", "orders", "customer", "part",
+              "supplier"):
+        shutil.copy(f"{sf}/{t}.parquet", broken / f"{t}.parquet")
+    o = pq.read_table(f"{sf}/orders.parquet")
+    pq.write_table(pa_.concat_tables([o, o.slice(0, 10)]),
+                   broken / "orders.parquet")
+    got = (pk_uniqueness_audit(str(broken)).to_pandas()
+           .set_index("key_col"))
+    assert got.loc["orders.o_orderkey", "n_dup_surplus"] == 10
+    assert got.loc["documents.doc_id", "n_dup_surplus"] == 0
