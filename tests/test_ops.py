@@ -1970,3 +1970,43 @@ def test_pk_uniqueness_audit_detects_dups(ray_session, tmp_path_factory):
            .set_index("key_col"))
     assert got.loc["orders.o_orderkey", "n_dup_surplus"] == 10
     assert got.loc["documents.doc_id", "n_dup_surplus"] == 0
+
+
+def test_query_partition_invariance(ray_session):
+    """Shuffle-heavy representatives return IDENTICAL results when the
+    input block layout changes (override_num_blocks 1 vs many) — the
+    query-family analogue of the extraction byte-determinism invariant.
+    Catches any operator whose result depends on batch boundaries
+    (wrong partial aggregation, per-batch state leaks, order effects)."""
+    import ray.data as rd
+
+    import __ray_entry__ as e
+    from ocr_ray.pipelines import relational as rel
+
+    sf = "/root/testdata/sf0.001"
+    qs = e.queries()
+    names = ["dedup_first_event", "minhash_near_dup", "event_funnel",
+             "crawl_delta", "pagerank_two_iter", "partition_checksums",
+             "tree_depths", "dup_cluster_sizes", "fk_integrity_audit"]
+
+    def canon(res):
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        if not isinstance(df, pd.DataFrame):
+            df = df.to_pandas()
+        cols = sorted(df.columns)
+        return (df[cols].sort_values(cols).reset_index(drop=True))
+
+    orig = rd.read_parquet
+
+    def patched(paths, *a, **kw):
+        kw.setdefault("override_num_blocks", 7)
+        return orig(paths, *a, **kw)
+
+    base = {n: canon(qs[n](sf)) for n in names}
+    rel.rd.read_parquet = patched
+    try:
+        for n in names:
+            again = canon(qs[n](sf))
+            assert again.equals(base[n]), n
+    finally:
+        rel.rd.read_parquet = orig
