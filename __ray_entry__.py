@@ -1000,6 +1000,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "embedding_norms": rel.embedding_norms,
         "fk_integrity_audit": rel.fk_integrity_audit,
         "pk_uniqueness_audit": rel.pk_uniqueness_audit,
+        "moving_median_user_spend": rel.moving_median_user_spend,
     }
 
 
@@ -2415,6 +2416,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) - count(DISTINCT s_suppkey) AS BIGINT)
                        AS n_dup_surplus
             FROM supplier
+        """,
+        "moving_median_user_spend": """
+            SELECT event_id, user_id,
+                   median(CAST(ROUND(value * 100) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                     AS win_median_cents
+            FROM events
         """,
         # Every queries() entry above has an oracle_sql twin — the
         # rows-only set is empty as of round 2 (minhash/winnow/knn_lsh/

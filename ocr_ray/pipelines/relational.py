@@ -3492,3 +3492,41 @@ def pk_uniqueness_audit(sf_dir: str):
         "n_distinct": pa.array(dist_l, pa.int64()),
         "n_dup_surplus": pa.array(dup_l, pa.int64()),
     })
+
+
+def moving_median_user_spend(sf_dir: str, window: int = 3):
+    """ORDER-STATISTIC window frame: per user, the median of the last
+    ``window`` integer-cent values ordered by (ts, event_id) — the
+    non-algebraic member of the frame family (sum/count fold; median
+    needs the actual window contents, which is why real engines treat
+    it separately).
+
+    Same one-shuffle coarse-user-bucket shape as
+    :func:`moving_sum_user_spend`; medians of ≤ ``window`` integers are
+    either integers or .5 halves — exactly representable doubles, so
+    pandas ``rolling().median()`` and DuckDB ``median() OVER`` agree
+    bit-for-bit.
+    """
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "ts": t["ts"],
+            "value_cents": _cents(t["value"]),
+        })
+        return _bucket_by_user(out)
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        med = (g.groupby("user_id", sort=False)["value_cents"]
+               .rolling(window, min_periods=1).median())
+        g["win_median_cents"] = med.to_numpy().astype("float64")
+        return g[["event_id", "user_id", "win_median_cents"]]
+
+    return (
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("ubucket")
+        .map_groups(roll, batch_format="pandas")
+    )

@@ -2010,3 +2010,27 @@ def test_query_partition_invariance(ray_session):
             assert again.equals(base[n]), n
     finally:
         rel.rd.read_parquet = orig
+
+
+def test_moving_median_user_spend_frame(ray_session):
+    import statistics
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import moving_median_user_spend
+
+    sf = "/root/testdata/sf0.001"
+    got = (moving_median_user_spend(sf).to_pandas()
+           .set_index("event_id").sort_index())
+    ev = pq.read_table(
+        f"{sf}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"]).to_pandas()
+    ev["cents"] = np.copysign(
+        np.floor(np.abs(ev["value"] * 100) + 0.5), ev["value"]).astype("int64")
+    assert len(got) == len(ev)
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        c = g["cents"].tolist()
+        for i, eid in enumerate(g["event_id"]):
+            want = statistics.median(c[max(0, i - 2):i + 1])
+            assert got.loc[eid, "win_median_cents"] == want
