@@ -1001,6 +1001,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "fk_integrity_audit": rel.fk_integrity_audit,
         "pk_uniqueness_audit": rel.pk_uniqueness_audit,
         "moving_median_user_spend": rel.moving_median_user_spend,
+        "bucketed_join_revenue": rel.bucketed_join_revenue,
     }
 
 
@@ -2424,6 +2425,15 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
                      AS win_median_cents
             FROM events
+        """,
+        "bucketed_join_revenue": """
+            SELECT o_orderpriority,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                       * 10000) AS BIGINT)) AS BIGINT)
+                       AS revenue_e4,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
         """,
         # Every queries() entry above has an oracle_sql twin — the
         # rows-only set is empty as of round 2 (minhash/winnow/knn_lsh/

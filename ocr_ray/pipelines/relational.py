@@ -3530,3 +3530,89 @@ def moving_median_user_spend(sf_dir: str, window: int = 3):
         .groupby("ubucket")
         .map_groups(roll, batch_format="pandas")
     )
+
+
+def bucketed_join_revenue(sf_dir: str, n_buckets: int = 16,
+                          cache_root: str = "/tmp/ocr_ray_bucketed"):
+    """STORAGE-PARTITIONED JOIN (Spark-SPJ / Iceberg-bucketing analogue):
+    both join sides are written ONCE as hive-bucketed layouts
+    (``bucket=hash(key)%N``, content-fingerprint cached + atomic
+    publish), and the join itself then runs as ONE independent Ray task
+    per bucket reading only that bucket's file pair — ZERO shuffle at
+    query time, because co-location was paid at write time.  This is
+    the physical-layout dual of :func:`hash_join_revenue` (identical
+    semantics and oracle; the Dataset.join there exchanges both sides
+    every run).
+
+    The per-bucket task joins vectorized (pandas merge) and emits the
+    pre-aggregated per-priority partials; a tiny groupby folds ≤
+    5·n_buckets rows.
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    import ray as _ray
+
+    def _bucketize(table: str, key: str, columns: list[str]) -> str:
+        src = os.path.join(sf_dir, f"{table}.parquet")
+        st = os.stat(src)
+        fp = __import__("hashlib").md5(
+            f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:"
+            f"b{n_buckets}".encode()).hexdigest()[:16]
+        out = os.path.join(cache_root, f"{table}-{fp}")
+        if os.path.exists(os.path.join(out, "_DONE")):
+            return out
+        tmp = f"{out}-tmp-{__import__('uuid').uuid4().hex}"
+        t = pq.read_table(src, columns=columns)
+        b = pc.cast(pc.bit_wise_and(t[key], n_buckets - 1), pa.int32())
+        t = t.append_column("bucket", b)
+        import ray.data as _rd
+        _rd.from_arrow(t).write_parquet(tmp, partition_cols=["bucket"])
+        with open(os.path.join(tmp, "_DONE"), "w") as f:
+            f.write("ok\n")
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            import shutil as _sh
+            _sh.rmtree(tmp, ignore_errors=True)
+        return out
+
+    li_dir = _bucketize("lineitem", "l_orderkey",
+                        ["l_orderkey", "l_extendedprice", "l_discount"])
+    o_dir = _bucketize("orders", "o_orderkey",
+                       ["o_orderkey", "o_orderpriority"])
+
+    @_ray.remote(num_cpus=1)
+    def join_bucket(b: int) -> "pa.Table":
+        pa.set_cpu_count(1)
+        li_files = sorted(_glob.glob(
+            os.path.join(li_dir, f"bucket={b}", "*.parquet")))
+        o_files = sorted(_glob.glob(
+            os.path.join(o_dir, f"bucket={b}", "*.parquet")))
+        if not li_files or not o_files:
+            return pa.table({
+                "o_orderpriority": pa.array([], pa.string()),
+                "revenue_e4": pa.array([], pa.int64()),
+                "n_items": pa.array([], pa.int64()),
+            })
+        li = pa.concat_tables([pq.read_table(f, use_threads=False)
+                               for f in li_files]).to_pandas()
+        o = pa.concat_tables([pq.read_table(f, use_threads=False)
+                              for f in o_files]).to_pandas()
+        m = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        rev = m["l_extendedprice"] * (1.0 - m["l_discount"]) * 10000.0
+        m["revenue_e4"] = np.copysign(
+            np.floor(np.abs(rev) + 0.5), rev).astype("int64")
+        g = m.groupby("o_orderpriority", as_index=False).agg(
+            revenue_e4=("revenue_e4", "sum"), n_items=("revenue_e4", "size"))
+        g["revenue_e4"] = g["revenue_e4"].astype("int64")
+        g["n_items"] = g["n_items"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = pa.concat_tables(
+        _ray.get([join_bucket.remote(b) for b in range(n_buckets)]))
+    df = partials.to_pandas().groupby("o_orderpriority", as_index=False).agg(
+        revenue_e4=("revenue_e4", "sum"), n_items=("n_items", "sum"))
+    df["revenue_e4"] = df["revenue_e4"].astype("int64")
+    df["n_items"] = df["n_items"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)

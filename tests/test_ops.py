@@ -2034,3 +2034,20 @@ def test_moving_median_user_spend_frame(ray_session):
         for i, eid in enumerate(g["event_id"]):
             want = statistics.median(c[max(0, i - 2):i + 1])
             assert got.loc[eid, "win_median_cents"] == want
+
+
+def test_bucketed_join_equals_shuffle_join(ray_session):
+    """The storage-partitioned join returns exactly what the shuffle
+    join returns — co-location paid at write time changes nothing in
+    the result set."""
+    from ocr_ray.pipelines.relational import (bucketed_join_revenue,
+                                              hash_join_revenue)
+
+    sf = "/root/testdata/sf0.001"
+    a = (bucketed_join_revenue(sf).to_pandas()
+         .sort_values("o_orderpriority").reset_index(drop=True))
+    b = (hash_join_revenue(sf).to_pandas()
+         [["o_orderpriority", "revenue_e4", "n_items"]]
+         .sort_values("o_orderpriority").reset_index(drop=True))
+    b["n_items"] = b["n_items"].astype("int64")
+    assert a.equals(b)
