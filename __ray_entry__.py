@@ -482,17 +482,18 @@ def _q_host_freshness(sf_dir: str):
     from ocr_ray.pipelines.extract import extraction_dataset_cached
 
     def partial(t: pa.Table) -> pa.Table:
-        import pandas as pd
-        host = pc.struct_field(
-            pc.extract_regex(t["url"], r"^[a-z]+://(?P<h>[^/]+)/"), "h")
-        df = pd.DataFrame({
-            "host": host.to_pylist(),
-            "ts_us": pc.cast(t["warc_ts"], pa.int64()).to_pylist(),
+        # no-match urls fold to host '' (DuckDB regexp_extract returns ''
+        # on no match — dropping the rows would silently undercount)
+        host = pc.fill_null(pc.struct_field(
+            pc.extract_regex(t["url"], r"^[a-z]+://(?P<h>[^/]+)/"), "h"), "")
+        df = pa.table({
+            "host": host,
+            "ts_us": pc.cast(t["warc_ts"], pa.int64()),
             "ok": pc.cast(
                 pc.is_in(t["parse_status"],
                          value_set=pa.array(["ok", "fallback"])),
-                pa.int64()).to_pylist(),
-        })
+                pa.int64()),
+        }).to_pandas()
         g = df.groupby("host", as_index=False).agg(
             n_pages=("ts_us", "size"), n_extracted=("ok", "sum"),
             latest_ts_us=("ts_us", "max"))
@@ -520,7 +521,10 @@ def _q_media_exact_dedup(sf_dir: str):
     derived media corpus with the doc_id % 23 re-crawl clone injected,
     keep-first per md5-over-lowercase-hex content hash.  The shuffle
     carries only (media_id, 32-hex hash, bucket) — payload bytes never
-    cross the exchange (the J2 convention applied to binary columns)."""
+    cross the exchange (the J2 convention applied to binary columns).
+    Bucket = first-2-hex (256-way, same deliberate choice and rationale
+    as dup_cluster_sizes: hex-prefix granularity is 16 or 256; 256 keeps
+    a 256-node cluster fully parallel and the gate cost is ~1 s)."""
     import hashlib
 
     import pandas as pd

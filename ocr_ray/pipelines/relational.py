@@ -2533,6 +2533,24 @@ def click_purchase_intersect(sf_dir: str):
     )
 
 
+def _user_value_frame(sf_dir: str):
+    """Shared prep of the rolling-window operators: (event_id, user_id,
+    ts, value_cents) bucketed by the standing coarse user key — the
+    ordering/bucketing semantics the oracles depend on, defined once."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "ts": t["ts"],
+            "value_cents": _cents(t["value"]),
+        })
+        return _bucket_by_user(out)
+
+    return _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]
+                 ).map_batches(prep, batch_format="pyarrow")
+
+
 def moving_sum_user_spend(sf_dir: str, window: int = 3):
     """Bounded sliding window frame (``ROWS BETWEEN 2 PRECEDING AND
     CURRENT ROW``): per user, per event, the integer-cent sum and row
@@ -2546,15 +2564,6 @@ def moving_sum_user_spend(sf_dir: str, window: int = 3):
     are cents (ints) so the distributed result is bit-exact vs SQL.
     """
 
-    def prep(t: pa.Table) -> pa.Table:
-        out = pa.table({
-            "event_id": t["event_id"],
-            "user_id": t["user_id"],
-            "ts": t["ts"],
-            "value_cents": _cents(t["value"]),
-        })
-        return _bucket_by_user(out)
-
     def roll(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"])
         r = (g.groupby("user_id", sort=False)["value_cents"]
@@ -2563,12 +2572,9 @@ def moving_sum_user_spend(sf_dir: str, window: int = 3):
         g["win_n"] = r.count().to_numpy().astype("int64")
         return g[["event_id", "user_id", "win_sum_cents", "win_n"]]
 
-    return (
-        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
-        .map_batches(prep, batch_format="pyarrow")
-        .groupby("ubucket")
-        .map_groups(roll, batch_format="pandas")
-    )
+    return (_user_value_frame(sf_dir)
+            .groupby("ubucket")
+            .map_groups(roll, batch_format="pandas"))
 
 
 def event_value_minmax(sf_dir: str):
@@ -3366,13 +3372,15 @@ def fk_integrity_audit(sf_dir: str):
     customer→nation) — the referential-integrity check a lakehouse runs
     after every load.
 
-    Scale shape per edge: the side-tag anti-join template (crawl_delta)
-    — child rows ship only (key, side) pre-deduped per batch; parent
-    KEYS ride the same coarse 64-way bucket; one vectorized membership
-    test per bucket emits a single orphan-count partial, folded in a
-    bounded final task.  Neither table is broadcast, so both sides may
-    be arbitrarily large.
+    Scale shape: ALL edges ride ONE execution — each side is an
+    independent read mapped to (key, n, side, edge, gbucket) rows with
+    ``gbucket = edge·64 + (key & 63)``, unioned (independent lineages —
+    safe, see CLAUDE.md) into a single coarse shuffle; each bucket's
+    vectorized membership test emits one orphan-count partial.  Child
+    rows are pre-counted per batch, parent rows pre-deduped, so neither
+    table is broadcast and only (key, count) pairs cross the exchange.
     """
+    import ray.data as rd_
 
     edges = (
         ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
@@ -3381,57 +3389,61 @@ def fk_integrity_audit(sf_dir: str):
          "n_nationkey"),
     )
 
-    def count_orphans(child, ckey, parent, pkey):
-        def child_keys(t: pa.Table) -> pa.Table:
-            k = t[ckey]
-            tbl = pa.table({"key": k}).group_by("key").aggregate(
+    def child_keys(ckey: str, eidx: int):
+        def f(t: pa.Table) -> pa.Table:
+            tbl = pa.table({"key": t[ckey]}).group_by("key").aggregate(
                 [("key", "count")]).rename_columns(["key", "n"])
+            k = pc.cast(tbl["key"], pa.int64())
             return pa.table({
-                "key": pc.cast(tbl["key"], pa.int64()),
+                "key": k,
                 "n": pc.cast(tbl["n"], pa.int64()),
-                "side": pa.nulls(tbl.num_rows, pa.int8()).fill_null(0),
-                "bucket": pc.cast(pc.bit_wise_and(tbl["key"], 63),
-                                  pa.int32()),
+                "side": pa.nulls(len(k), pa.int8()).fill_null(0),
+                "edge": pa.nulls(len(k), pa.int8()).fill_null(eidx),
+                "gbucket": pc.cast(
+                    pc.add(pc.bit_wise_and(k, 63), eidx * 64), pa.int32()),
             })
+        return f
 
-        def parent_keys(t: pa.Table) -> pa.Table:
+    def parent_keys(pkey: str, eidx: int):
+        def f(t: pa.Table) -> pa.Table:
             k = pc.unique(t[pkey].combine_chunks()
                           if isinstance(t[pkey], pa.ChunkedArray)
                           else t[pkey])
+            k = pc.cast(k, pa.int64())
             return pa.table({
-                "key": pc.cast(k, pa.int64()),
+                "key": k,
                 "n": pa.nulls(len(k), pa.int64()).fill_null(0),
                 "side": pa.nulls(len(k), pa.int8()).fill_null(1),
-                "bucket": pc.cast(pc.bit_wise_and(k, 63), pa.int32()),
+                "edge": pa.nulls(len(k), pa.int8()).fill_null(eidx),
+                "gbucket": pc.cast(
+                    pc.add(pc.bit_wise_and(k, 63), eidx * 64), pa.int32()),
             })
+        return f
 
-        def orphan_partial(g: pd.DataFrame) -> pd.DataFrame:
-            parents = set(g.loc[g["side"] == 1, "key"])
-            ch = g[g["side"] == 0]
-            orphans = int(ch.loc[~ch["key"].isin(parents), "n"].sum())
-            return pd.DataFrame({"n_orphans": pd.array([orphans], "int64")})
+    def orphan_partial(g: pd.DataFrame) -> pd.DataFrame:
+        parents = set(g.loc[g["side"] == 1, "key"])
+        ch = g[g["side"] == 0]
+        return pd.DataFrame({
+            "edge": pd.array([int(g["edge"].iloc[0])], "int8"),
+            "n_orphans": pd.array(
+                [int(ch.loc[~ch["key"].isin(parents), "n"].sum())], "int64"),
+        })
 
-        # child and parent rows ride SEPARATE reads (no shared upstream)
-        # into one union-free exchange: concat of two lineages via
-        # from_items is not possible — instead the two map outputs are
-        # unioned at the Ray level, safe because the upstreams are
-        # independent read_parquet datasets (the deadlock is only over a
-        # SHARED upstream; see CLAUDE.md).
-        ds = _read(sf_dir, child, [ckey]).map_batches(
-            child_keys, batch_format="pyarrow").union(
-            _read(sf_dir, parent, [pkey]).map_batches(
-                parent_keys, batch_format="pyarrow"))
-        total = (ds.groupby("bucket")
-                 .map_groups(orphan_partial, batch_format="pandas")
-                 .sum("n_orphans"))
-        return int(total or 0)
-
-    rows = []
-    for name, child, ckey, parent, pkey in edges:
-        rows.append((name, count_orphans(child, ckey, parent, pkey)))
+    parts = []
+    for eidx, (_, child, ckey, parent, pkey) in enumerate(edges):
+        parts.append(_read(sf_dir, child, [ckey]).map_batches(
+            child_keys(ckey, eidx), batch_format="pyarrow"))
+        parts.append(_read(sf_dir, parent, [pkey]).map_batches(
+            parent_keys(pkey, eidx), batch_format="pyarrow"))
+    ds = parts[0].union(*parts[1:])
+    res = (ds.groupby("gbucket")
+           .map_groups(orphan_partial, batch_format="pandas")
+           .to_pandas())
+    per_edge = res.groupby("edge")["n_orphans"].sum()
     return pa.table({
-        "fk_edge": pa.array([r[0] for r in rows], pa.string()),
-        "n_orphans": pa.array([r[1] for r in rows], pa.int64()),
+        "fk_edge": pa.array([e[0] for e in edges], pa.string()),
+        "n_orphans": pa.array(
+            [int(per_edge.get(i, 0)) for i in range(len(edges))], pa.int64()),
     })
 
 
@@ -3440,48 +3452,57 @@ def pk_uniqueness_audit(sf_dir: str):
     counterpart of :func:`fk_integrity_audit`) — row count, exact
     distinct-key count and the duplicate surplus for every keyed table.
 
-    Scale shape per table: per-batch distinct pre-dedup (≤1 row per key
-    per block crosses the wire), exact per-bucket nunique inside the
-    coarse 64-way key bucket, then two tiny folds.  The pages corpus
-    intentionally carries doc_id % 23 re-crawl rows, so `documents` is
-    audited on doc_id (unique) while the derived events stream is
-    audited on event_id — all clean tables report zero surplus and any
-    loader bug shows up as a positive count.
+    Scale shape: ALL tables ride ONE execution — per-batch distinct
+    pre-dedup (≤1 row per key per block crosses the wire, with the
+    batch's row count riding the first row), tagged
+    ``gbucket = table·64 + (key & 63)`` into a single coarse shuffle,
+    exact per-bucket nunique, then a driver-side fold over ≤ 64·#tables
+    tiny partials.
     """
+
     tables = (
         ("documents", "doc_id"), ("events", "event_id"),
         ("orders", "o_orderkey"), ("customer", "c_custkey"),
         ("part", "p_partkey"), ("supplier", "s_suppkey"),
     )
 
-    def audit_one(table: str, key: str) -> tuple[int, int]:
-        def prep(t: pa.Table) -> pa.Table:
+    def prep(key: str, tidx: int):
+        def f(t: pa.Table) -> pa.Table:
             k = pc.unique(t[key].combine_chunks()
                           if isinstance(t[key], pa.ChunkedArray) else t[key])
+            k = pc.cast(k, pa.int64())
+            rows = [t.num_rows] + [0] * (len(k) - 1)
             return pa.table({
-                "key": pc.cast(k, pa.int64()),
-                "bucket": pc.cast(pc.bit_wise_and(k, 63), pa.int32()),
-                "n_rows_batch": pa.nulls(len(k), pa.int64()).fill_null(0),
-            }).set_column(
-                2, "n_rows_batch",
-                pa.array([t.num_rows] + [0] * (len(k) - 1), pa.int64()))
-
-        def distinct_partial(g: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({
-                "n_distinct": pd.array([g["key"].nunique()], "int64"),
-                "n_rows": pd.array([int(g["n_rows_batch"].sum())], "int64"),
+                "key": k,
+                "tbl": pa.nulls(len(k), pa.int8()).fill_null(tidx),
+                "gbucket": pc.cast(
+                    pc.add(pc.bit_wise_and(k, 63), tidx * 64), pa.int32()),
+                "n_rows_batch": pa.array(rows, pa.int64()),
             })
+        return f
 
-        res = (_read(sf_dir, table, [key])
-               .map_batches(prep, batch_format="pyarrow")
-               .groupby("bucket")
-               .map_groups(distinct_partial, batch_format="pandas")
-               .to_pandas())
-        return int(res["n_rows"].sum()), int(res["n_distinct"].sum())
+    def distinct_partial(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "tbl": pd.array([int(g["tbl"].iloc[0])], "int8"),
+            "n_distinct": pd.array([g["key"].nunique()], "int64"),
+            "n_rows": pd.array([int(g["n_rows_batch"].sum())], "int64"),
+        })
 
+    parts = [
+        _read(sf_dir, table, [key]).map_batches(
+            prep(key, tidx), batch_format="pyarrow")
+        for tidx, (table, key) in enumerate(tables)
+    ]
+    res = (parts[0].union(*parts[1:])
+           .groupby("gbucket")
+           .map_groups(distinct_partial, batch_format="pandas")
+           .to_pandas())
+    agg = res.groupby("tbl").agg(
+        n_distinct=("n_distinct", "sum"), n_rows=("n_rows", "sum"))
     names, rows_l, dist_l, dup_l = [], [], [], []
-    for table, key in tables:
-        n_rows, n_distinct = audit_one(table, key)
+    for tidx, (table, key) in enumerate(tables):
+        n_rows = int(agg.loc[tidx, "n_rows"])
+        n_distinct = int(agg.loc[tidx, "n_distinct"])
         names.append(f"{table}.{key}")
         rows_l.append(n_rows)
         dist_l.append(n_distinct)
@@ -3508,15 +3529,6 @@ def moving_median_user_spend(sf_dir: str, window: int = 3):
     bit-for-bit.
     """
 
-    def prep(t: pa.Table) -> pa.Table:
-        out = pa.table({
-            "event_id": t["event_id"],
-            "user_id": t["user_id"],
-            "ts": t["ts"],
-            "value_cents": _cents(t["value"]),
-        })
-        return _bucket_by_user(out)
-
     def roll(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"])
         med = (g.groupby("user_id", sort=False)["value_cents"]
@@ -3524,12 +3536,9 @@ def moving_median_user_spend(sf_dir: str, window: int = 3):
         g["win_median_cents"] = med.to_numpy().astype("float64")
         return g[["event_id", "user_id", "win_median_cents"]]
 
-    return (
-        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
-        .map_batches(prep, batch_format="pyarrow")
-        .groupby("ubucket")
-        .map_groups(roll, batch_format="pandas")
-    )
+    return (_user_value_frame(sf_dir)
+            .groupby("ubucket")
+            .map_groups(roll, batch_format="pandas"))
 
 
 def bucketed_join_revenue(sf_dir: str, n_buckets: int = 16,
@@ -3549,20 +3558,24 @@ def bucketed_join_revenue(sf_dir: str, n_buckets: int = 16,
     5·n_buckets rows.
     """
     import glob as _glob
+    import uuid as _uuid
 
     import pyarrow.parquet as pq
     import ray as _ray
 
+    from ocr_ray.sources.text_formats import _fingerprint, publish_atomic
+
+    assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of 2"
+
     def _bucketize(table: str, key: str, columns: list[str]) -> str:
         src = os.path.join(sf_dir, f"{table}.parquet")
-        st = os.stat(src)
-        fp = __import__("hashlib").md5(
-            f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:"
-            f"b{n_buckets}".encode()).hexdigest()[:16]
+        # key, columns and bucket count are part of the layout identity:
+        # a code change must never silently reuse a stale /tmp layout
+        fp = _fingerprint(src, extra=f"{key}:{','.join(columns)}:b{n_buckets}")
         out = os.path.join(cache_root, f"{table}-{fp}")
         if os.path.exists(os.path.join(out, "_DONE")):
             return out
-        tmp = f"{out}-tmp-{__import__('uuid').uuid4().hex}"
+        tmp = f"{out}-tmp-{_uuid.uuid4().hex}"
         t = pq.read_table(src, columns=columns)
         b = pc.cast(pc.bit_wise_and(t[key], n_buckets - 1), pa.int32())
         t = t.append_column("bucket", b)
@@ -3570,12 +3583,7 @@ def bucketed_join_revenue(sf_dir: str, n_buckets: int = 16,
         _rd.from_arrow(t).write_parquet(tmp, partition_cols=["bucket"])
         with open(os.path.join(tmp, "_DONE"), "w") as f:
             f.write("ok\n")
-        try:
-            os.rename(tmp, out)
-        except OSError:
-            import shutil as _sh
-            _sh.rmtree(tmp, ignore_errors=True)
-        return out
+        return publish_atomic(tmp, out)
 
     li_dir = _bucketize("lineitem", "l_orderkey",
                         ["l_orderkey", "l_extendedprice", "l_discount"])

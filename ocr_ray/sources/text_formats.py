@@ -23,11 +23,31 @@ import uuid
 import pyarrow as pa
 
 
-def _fingerprint(path: str) -> str:
-    st = os.stat(path)
-    return hashlib.md5(
-        f"{os.path.abspath(path)}:{st.st_size}:{st.st_mtime_ns}".encode()
-    ).hexdigest()[:16]
+def _fingerprint(path: str, extra: str = "") -> str:
+    """Content fingerprint of a parquet table path (file OR directory
+    layout): per-file (name, size, mtime_ns), so an in-place rewrite of
+    any shard changes the fingerprint — a regenerated corpus at the same
+    path never reuses a stale derivation.  ``extra`` folds derivation
+    parameters (bucket key, column list) into the identity."""
+    parts = [os.path.abspath(path), extra]
+    if os.path.isdir(path):
+        for name in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, name))
+            parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+    else:
+        st = os.stat(path)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+
+
+def publish_atomic(tmp: str, out_dir: str) -> str:
+    """Atomic cache publish: rename the fully-written tmp dir into place;
+    losing the rename race discards the duplicate work (idempotent)."""
+    try:
+        os.rename(tmp, out_dir)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out_dir
 
 
 def _atomic_write_shards(out_dir: str, shards: list[str], ext: str) -> str:
@@ -41,11 +61,7 @@ def _atomic_write_shards(out_dir: str, shards: list[str], ext: str) -> str:
             f.write(content)
     with open(os.path.join(tmp, "_DONE"), "w") as f:
         f.write(f"shards={len(shards)}\n")
-    try:
-        os.rename(tmp, out_dir)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # lost the race
-    return out_dir
+    return publish_atomic(tmp, out_dir)
 
 
 def materialize_documents_jsonl(sf_dir: str, cache_root: str = "/tmp/ocr_ray_jsonl",
@@ -107,11 +123,16 @@ def read_documents_jsonl(sf_dir: str):
 
 
 def read_documents_csv(sf_dir: str):
-    """Distributed CSV ingestion of the derived corpus."""
+    """Distributed CSV ingestion of the derived corpus (quoted embedded
+    newlines enabled — RFC 4180 payloads parse even when a text value
+    spans lines)."""
+    import pyarrow.csv as pacsv
     import ray.data as rd
 
     d = materialize_documents_csv(sf_dir)
-    return rd.read_csv(d, file_extensions=["csv"])
+    return rd.read_csv(
+        d, file_extensions=["csv"],
+        parse_options=pacsv.ParseOptions(newlines_in_values=True))
 
 
 def export_documents_jsonl(sf_dir: str,
@@ -131,11 +152,7 @@ def export_documents_jsonl(sf_dir: str,
     rd.read_parquet(src).write_json(tmp)
     with open(os.path.join(tmp, "_DONE"), "w") as f:
         f.write("ok\n")
-    try:
-        os.rename(tmp, out_dir)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out_dir
+    return publish_atomic(tmp, out_dir)
 
 
 def read_exported_jsonl(sf_dir: str):

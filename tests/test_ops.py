@@ -2051,3 +2051,36 @@ def test_bucketed_join_equals_shuffle_join(ray_session):
          .sort_values("o_orderpriority").reset_index(drop=True))
     b["n_items"] = b["n_items"].astype("int64")
     assert a.equals(b)
+
+
+def test_csv_read_path_handles_tricky_values(ray_session, tmp_path_factory):
+    """The REAL distributed CSV read path (same reader + parse options as
+    read_documents_csv) parses embedded commas, quotes and quoted
+    newlines — not just the writer in isolation."""
+    import csv as _csv
+
+    import pyarrow.csv as pacsv
+    import ray.data as rd
+
+    d = tmp_path_factory.mktemp("tricky_csv")
+    rows = [
+        (0, 'plain', 'en'),
+        (1, 'a,comma and "quotes"', 'de'),
+        (2, 'line1\nline2', 'fr'),
+        (3, '', 'es'),
+    ]
+    with open(d / "docs-00000.csv", "w", encoding="utf-8", newline="") as f:
+        w = _csv.writer(f, quoting=_csv.QUOTE_MINIMAL, lineterminator="\n")
+        w.writerow(["doc_id", "text", "lang"])
+        w.writerows(rows)
+    got = (rd.read_csv(
+        str(d), file_extensions=["csv"],
+        parse_options=pacsv.ParseOptions(newlines_in_values=True))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(got) == 4
+    assert got.loc[1, "text"] == 'a,comma and "quotes"'
+    assert got.loc[2, "text"] == "line1\nline2"
+    # arrow CSV inference reads an empty field as null — the documented
+    # '' vs null drift; ingestion stats only touch lang/n_chars so the
+    # production queries are unaffected, but the drift is pinned here
+    assert got.loc[3, "text"] is None or got.loc[3, "text"] == ""
