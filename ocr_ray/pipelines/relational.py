@@ -3372,15 +3372,18 @@ def fk_integrity_audit(sf_dir: str):
     customer→nation) — the referential-integrity check a lakehouse runs
     after every load.
 
-    Scale shape: ALL edges ride ONE execution — each side is an
-    independent read mapped to (key, n, side, edge, gbucket) rows with
-    ``gbucket = edge·64 + (key & 63)``, unioned (independent lineages —
-    safe, see CLAUDE.md) into a single coarse shuffle; each bucket's
-    vectorized membership test emits one orphan-count partial.  Child
-    rows are pre-counted per batch, parent rows pre-deduped, so neither
-    table is broadcast and only (key, count) pairs cross the exchange.
+    Scale shape per edge: the side-tag anti-join template (crawl_delta)
+    — child rows ship only (key, side) pre-deduped per batch; parent
+    KEYS ride the same coarse 64-way bucket; one vectorized membership
+    test per bucket emits a single orphan-count partial, folded in a
+    bounded final task.  Neither table is broadcast, so both sides may
+    be arbitrarily large.
+
+    The edges run as separate sequential executions DELIBERATELY: a
+    fused variant (6-way tagged union into one shuffle) measured 12.4 s
+    vs 6.9 s at sf0.1 — multi-input union scheduling costs more than
+    the per-execution fixed overhead it saves in this Ray version.
     """
-    import ray.data as rd_
 
     edges = (
         ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
@@ -3389,61 +3392,57 @@ def fk_integrity_audit(sf_dir: str):
          "n_nationkey"),
     )
 
-    def child_keys(ckey: str, eidx: int):
-        def f(t: pa.Table) -> pa.Table:
-            tbl = pa.table({"key": t[ckey]}).group_by("key").aggregate(
+    def count_orphans(child, ckey, parent, pkey):
+        def child_keys(t: pa.Table) -> pa.Table:
+            k = t[ckey]
+            tbl = pa.table({"key": k}).group_by("key").aggregate(
                 [("key", "count")]).rename_columns(["key", "n"])
-            k = pc.cast(tbl["key"], pa.int64())
             return pa.table({
-                "key": k,
+                "key": pc.cast(tbl["key"], pa.int64()),
                 "n": pc.cast(tbl["n"], pa.int64()),
-                "side": pa.nulls(len(k), pa.int8()).fill_null(0),
-                "edge": pa.nulls(len(k), pa.int8()).fill_null(eidx),
-                "gbucket": pc.cast(
-                    pc.add(pc.bit_wise_and(k, 63), eidx * 64), pa.int32()),
+                "side": pa.nulls(tbl.num_rows, pa.int8()).fill_null(0),
+                "bucket": pc.cast(pc.bit_wise_and(tbl["key"], 63),
+                                  pa.int32()),
             })
-        return f
 
-    def parent_keys(pkey: str, eidx: int):
-        def f(t: pa.Table) -> pa.Table:
+        def parent_keys(t: pa.Table) -> pa.Table:
             k = pc.unique(t[pkey].combine_chunks()
                           if isinstance(t[pkey], pa.ChunkedArray)
                           else t[pkey])
-            k = pc.cast(k, pa.int64())
             return pa.table({
-                "key": k,
+                "key": pc.cast(k, pa.int64()),
                 "n": pa.nulls(len(k), pa.int64()).fill_null(0),
                 "side": pa.nulls(len(k), pa.int8()).fill_null(1),
-                "edge": pa.nulls(len(k), pa.int8()).fill_null(eidx),
-                "gbucket": pc.cast(
-                    pc.add(pc.bit_wise_and(k, 63), eidx * 64), pa.int32()),
+                "bucket": pc.cast(pc.bit_wise_and(k, 63), pa.int32()),
             })
-        return f
 
-    def orphan_partial(g: pd.DataFrame) -> pd.DataFrame:
-        parents = set(g.loc[g["side"] == 1, "key"])
-        ch = g[g["side"] == 0]
-        return pd.DataFrame({
-            "edge": pd.array([int(g["edge"].iloc[0])], "int8"),
-            "n_orphans": pd.array(
-                [int(ch.loc[~ch["key"].isin(parents), "n"].sum())], "int64"),
-        })
+        def orphan_partial(g: pd.DataFrame) -> pd.DataFrame:
+            parents = set(g.loc[g["side"] == 1, "key"])
+            ch = g[g["side"] == 0]
+            orphans = int(ch.loc[~ch["key"].isin(parents), "n"].sum())
+            return pd.DataFrame({"n_orphans": pd.array([orphans], "int64")})
 
-    parts = []
-    for eidx, (_, child, ckey, parent, pkey) in enumerate(edges):
-        parts.append(_read(sf_dir, child, [ckey]).map_batches(
-            child_keys(ckey, eidx), batch_format="pyarrow"))
-        parts.append(_read(sf_dir, parent, [pkey]).map_batches(
-            parent_keys(pkey, eidx), batch_format="pyarrow"))
-    ds = parts[0].union(*parts[1:])
-    res = (ds.groupby("gbucket")
-           .map_groups(orphan_partial, batch_format="pandas")
-           .to_pandas())
-    per_edge = res.groupby("edge")["n_orphans"].sum()
+        # child and parent rows ride SEPARATE reads (no shared upstream)
+        # into one union-free exchange: concat of two lineages via
+        # from_items is not possible — instead the two map outputs are
+        # unioned at the Ray level, safe because the upstreams are
+        # independent read_parquet datasets (the deadlock is only over a
+        # SHARED upstream; see CLAUDE.md).
+        ds = _read(sf_dir, child, [ckey]).map_batches(
+            child_keys, batch_format="pyarrow").union(
+            _read(sf_dir, parent, [pkey]).map_batches(
+                parent_keys, batch_format="pyarrow"))
+        total = (ds.groupby("bucket")
+                 .map_groups(orphan_partial, batch_format="pandas")
+                 .sum("n_orphans"))
+        return int(total or 0)
+
+    rows = []
+    for name, child, ckey, parent, pkey in edges:
+        rows.append((name, count_orphans(child, ckey, parent, pkey)))
     return pa.table({
-        "fk_edge": pa.array([e[0] for e in edges], pa.string()),
-        "n_orphans": pa.array(
-            [int(per_edge.get(i, 0)) for i in range(len(edges))], pa.int64()),
+        "fk_edge": pa.array([r[0] for r in rows], pa.string()),
+        "n_orphans": pa.array([r[1] for r in rows], pa.int64()),
     })
 
 
@@ -3452,57 +3451,48 @@ def pk_uniqueness_audit(sf_dir: str):
     counterpart of :func:`fk_integrity_audit`) — row count, exact
     distinct-key count and the duplicate surplus for every keyed table.
 
-    Scale shape: ALL tables ride ONE execution — per-batch distinct
-    pre-dedup (≤1 row per key per block crosses the wire, with the
-    batch's row count riding the first row), tagged
-    ``gbucket = table·64 + (key & 63)`` into a single coarse shuffle,
-    exact per-bucket nunique, then a driver-side fold over ≤ 64·#tables
-    tiny partials.
+    Scale shape per table: per-batch distinct pre-dedup (≤1 row per key
+    per block crosses the wire), exact per-bucket nunique inside the
+    coarse 64-way key bucket, then two tiny folds.  The pages corpus
+    intentionally carries doc_id % 23 re-crawl rows, so `documents` is
+    audited on doc_id (unique) while the derived events stream is
+    audited on event_id — all clean tables report zero surplus and any
+    loader bug shows up as a positive count.
     """
-
     tables = (
         ("documents", "doc_id"), ("events", "event_id"),
         ("orders", "o_orderkey"), ("customer", "c_custkey"),
         ("part", "p_partkey"), ("supplier", "s_suppkey"),
     )
 
-    def prep(key: str, tidx: int):
-        def f(t: pa.Table) -> pa.Table:
+    def audit_one(table: str, key: str) -> tuple[int, int]:
+        def prep(t: pa.Table) -> pa.Table:
             k = pc.unique(t[key].combine_chunks()
                           if isinstance(t[key], pa.ChunkedArray) else t[key])
-            k = pc.cast(k, pa.int64())
-            rows = [t.num_rows] + [0] * (len(k) - 1)
             return pa.table({
-                "key": k,
-                "tbl": pa.nulls(len(k), pa.int8()).fill_null(tidx),
-                "gbucket": pc.cast(
-                    pc.add(pc.bit_wise_and(k, 63), tidx * 64), pa.int32()),
-                "n_rows_batch": pa.array(rows, pa.int64()),
+                "key": pc.cast(k, pa.int64()),
+                "bucket": pc.cast(pc.bit_wise_and(k, 63), pa.int32()),
+                "n_rows_batch": pa.nulls(len(k), pa.int64()).fill_null(0),
+            }).set_column(
+                2, "n_rows_batch",
+                pa.array([t.num_rows] + [0] * (len(k) - 1), pa.int64()))
+
+        def distinct_partial(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "n_distinct": pd.array([g["key"].nunique()], "int64"),
+                "n_rows": pd.array([int(g["n_rows_batch"].sum())], "int64"),
             })
-        return f
 
-    def distinct_partial(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "tbl": pd.array([int(g["tbl"].iloc[0])], "int8"),
-            "n_distinct": pd.array([g["key"].nunique()], "int64"),
-            "n_rows": pd.array([int(g["n_rows_batch"].sum())], "int64"),
-        })
+        res = (_read(sf_dir, table, [key])
+               .map_batches(prep, batch_format="pyarrow")
+               .groupby("bucket")
+               .map_groups(distinct_partial, batch_format="pandas")
+               .to_pandas())
+        return int(res["n_rows"].sum()), int(res["n_distinct"].sum())
 
-    parts = [
-        _read(sf_dir, table, [key]).map_batches(
-            prep(key, tidx), batch_format="pyarrow")
-        for tidx, (table, key) in enumerate(tables)
-    ]
-    res = (parts[0].union(*parts[1:])
-           .groupby("gbucket")
-           .map_groups(distinct_partial, batch_format="pandas")
-           .to_pandas())
-    agg = res.groupby("tbl").agg(
-        n_distinct=("n_distinct", "sum"), n_rows=("n_rows", "sum"))
     names, rows_l, dist_l, dup_l = [], [], [], []
-    for tidx, (table, key) in enumerate(tables):
-        n_rows = int(agg.loc[tidx, "n_rows"])
-        n_distinct = int(agg.loc[tidx, "n_distinct"])
+    for table, key in tables:
+        n_rows, n_distinct = audit_one(table, key)
         names.append(f"{table}.{key}")
         rows_l.append(n_rows)
         dist_l.append(n_distinct)
