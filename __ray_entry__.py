@@ -1006,6 +1006,9 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "pk_uniqueness_audit": rel.pk_uniqueness_audit,
         "moving_median_user_spend": rel.moving_median_user_spend,
         "bucketed_join_revenue": rel.bucketed_join_revenue,
+        "bloom_semi_join_revenue": rel.bloom_semi_join_revenue,
+        "dataset_split_counts": rel.dataset_split_counts,
+        "pack_context_windows": rel.pack_context_windows,
     }
 
 
@@ -2438,6 +2441,64 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
+        """,
+        # the bloom filter only prunes shuffle volume; the verify stage
+        # makes the result the exact semi join this oracle expresses
+        "bloom_semi_join_revenue": """
+            SELECT l_returnflag,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                       * 10000) AS BIGINT)) AS BIGINT)
+                       AS revenue_e4,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderpriority = '1-URGENT')
+            GROUP BY l_returnflag
+        """,
+        "dataset_split_counts": """
+            WITH s AS (
+              SELECT lang,
+                CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 90
+                       THEN 'train'
+                     WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 95
+                       THEN 'val'
+                     ELSE 'test' END AS split,
+                CAST(len(regexp_extract_all(coalesce(text, ''), '\\S+'))
+                     AS BIGINT) AS n_tok
+              FROM documents)
+            SELECT lang, split,
+                   CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+                   COUNT(*) AS n_docs
+            FROM s GROUP BY lang, split
+        """,
+        # greedy per-shard packing is a sequential recurrence — the oracle
+        # walks it with a recursive CTE, one row per (shard, rank) step
+        "pack_context_windows": """
+            WITH RECURSIVE d AS MATERIALIZED (
+              SELECT doc_id,
+                     CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 64
+                          AS BIGINT) AS shard,
+                     CAST(len(regexp_extract_all(coalesce(text, ''), '\\S+'))
+                          AS BIGINT) AS n_tokens
+              FROM documents
+            ), r AS MATERIALIZED (
+              SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id)
+                        AS rn
+              FROM d
+            ), walk AS (
+              SELECT shard, rn, doc_id, n_tokens,
+                     CAST(0 AS BIGINT) AS bin_idx, n_tokens AS bin_tokens
+              FROM r WHERE rn = 1
+              UNION ALL
+              SELECT r.shard, r.rn, r.doc_id, r.n_tokens,
+                     CASE WHEN w.bin_tokens + r.n_tokens > 256
+                          THEN w.bin_idx + 1 ELSE w.bin_idx END,
+                     CASE WHEN w.bin_tokens + r.n_tokens > 256
+                          THEN r.n_tokens
+                          ELSE w.bin_tokens + r.n_tokens END
+              FROM walk w JOIN r ON r.shard = w.shard AND r.rn = w.rn + 1
+            )
+            SELECT doc_id, shard, bin_idx, n_tokens FROM walk
         """,
         # Every queries() entry above has an oracle_sql twin — the
         # rows-only set is empty as of round 2 (minhash/winnow/knn_lsh/

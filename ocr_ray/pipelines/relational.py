@@ -3614,3 +3614,205 @@ def bucketed_join_revenue(sf_dir: str, n_buckets: int = 16,
     df["revenue_e4"] = df["revenue_e4"].astype("int64")
     df["n_items"] = df["n_items"].astype("int64")
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# round-4 additions: bloom semi join, split assignment, sequence packing
+# ---------------------------------------------------------------------------
+
+def _md5_mod(values, mod: int) -> np.ndarray:
+    """md5-lower-64(str(v)) % mod — the repo-wide deterministic hash
+    convention (DuckDB twin: md5_number_lower(CAST(v AS VARCHAR)) % mod)."""
+    import hashlib
+
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(str(v).encode()).digest()[8:16],
+                        "little") % mod for v in values),
+        dtype=np.int64, count=len(values))
+
+
+def bloom_semi_join_revenue(sf_dir: str, priority: str = "1-URGENT",
+                            fp_rate: float = 0.01):
+    """Bloom-pruned EXACT semi join: revenue of lineitems whose order has
+    ``o_orderpriority = priority``, rolled up per l_returnflag.
+
+    The scale topology the reference's in-memory key-set join cannot reach:
+
+      1. **distributed bloom build** — each build-side batch emits a
+         PARTIAL BloomFilter byte array (fixed size, set once on the
+         driver from parquet metadata row counts); the driver folds them
+         with a byte OR, so it holds a few-hundred-KB filter, never the
+         key set, at any corpus size;
+      2. **probe-side prune** — one vectorized ``contains_many_u64`` per
+         lineitem batch drops ~(1 - selectivity - fp_rate) of the probe
+         rows BEFORE the shuffle (false positives pass, false negatives
+         impossible);
+      3. **exact verify** — surviving candidates are pre-aggregated per
+         (orderkey, returnflag) per batch and co-partitioned with the
+         build keys on the 64-way coarse bucket (fk_integrity_audit's
+         side-tag template; union of two INDEPENDENT read lineages is
+         safe per CLAUDE.md), where one vectorized isin per bucket
+         removes the bloom false positives.
+
+    Result is therefore exactly the SQL semi join; the bloom only prunes
+    shuffle volume.  Ref semantics: the reference's requested↔results
+    containment joins (qc_head.py) re-expressed as a corpus-scale
+    semi join."""
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.functions.bloom import BloomFilter
+
+    # filter sizing must be identical in every task: derive capacity from
+    # parquet METADATA (no data read) on the driver.
+    cap = max(64, _table_num_rows(sf_dir, "orders") // 4)
+    proto = BloomFilter.for_capacity(cap, fp_rate)
+    n_bits, n_hashes = proto.n_bits, proto.n_hashes
+
+    def partial_bloom(t: pa.Table) -> pa.Table:
+        bf = BloomFilter(n_bits, n_hashes)
+        keep = pc.equal(t["o_orderpriority"], priority)
+        keys = pc.cast(t.filter(keep)["o_orderkey"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        bf.add_many_u64(keys)
+        return pa.table({"bits": pa.array([bf.bits.tobytes()], pa.binary())})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    bloom = BloomFilter(n_bits, n_hashes)
+    for row in orders.map_batches(
+            partial_bloom, batch_format="pyarrow").take_all():
+        bloom.union_inplace(np.frombuffer(row["bits"], dtype=np.uint8))
+    bloom_ref = ray.put(bloom)
+
+    def prune(t: pa.Table) -> pa.Table:
+        bf = ray.get(bloom_ref)
+        keys = pc.cast(t["l_orderkey"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        t = t.filter(pa.array(bf.contains_many_u64(keys)))
+        df = t.to_pandas()
+        df["revenue_e4"] = _cents(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(1.0, t["l_discount"])), 10000).to_numpy()
+        g = df.groupby(["l_orderkey", "l_returnflag"], as_index=False).agg(
+            revenue_e4=("revenue_e4", "sum"), n_items=("revenue_e4", "size"))
+        return pa.table({
+            "key": pa.array(g["l_orderkey"], pa.int64()),
+            "l_returnflag": pa.array(g["l_returnflag"], pa.string()),
+            "revenue_e4": pa.array(g["revenue_e4"], pa.int64()),
+            "n_items": pa.array(g["n_items"], pa.int64()),
+            "side": pa.nulls(len(g), pa.int8()).fill_null(0),
+            "bucket": pa.array(
+                np.bitwise_and(g["l_orderkey"].to_numpy(), 63), pa.int32()),
+        })
+
+    def build_keys(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["o_orderpriority"], priority)
+        k = pc.unique(pc.cast(t.filter(keep)["o_orderkey"], pa.int64())
+                      .combine_chunks())
+        return pa.table({
+            "key": k,
+            # zero-filled so the unioned pandas columns stay int64 (nulls
+            # would coerce them to float64 and poison the exact sums)
+            "l_returnflag": pa.nulls(len(k), pa.string()).fill_null(""),
+            "revenue_e4": pa.nulls(len(k), pa.int64()).fill_null(0),
+            "n_items": pa.nulls(len(k), pa.int64()).fill_null(0),
+            "side": pa.nulls(len(k), pa.int8()).fill_null(1),
+            "bucket": pc.cast(pc.bit_wise_and(k, 63), pa.int32()),
+        })
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        parents = set(g.loc[g["side"] == 1, "key"])
+        cand = g[g["side"] == 0]
+        kept = cand[cand["key"].isin(parents)]
+        out = kept.groupby("l_returnflag", as_index=False).agg(
+            revenue_e4=("revenue_e4", "sum"), n_items=("n_items", "sum"))
+        out["revenue_e4"] = out["revenue_e4"].astype("int64")
+        out["n_items"] = out["n_items"].astype("int64")
+        return out
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
+    cand = li.map_batches(prune, batch_format="pyarrow")
+    keys = _read(sf_dir, "orders",
+                 ["o_orderkey", "o_orderpriority"]).map_batches(
+        build_keys, batch_format="pyarrow")
+    return (cand.union(keys)
+            .groupby("bucket")
+            .map_groups(verify, batch_format="pandas")
+            .groupby("l_returnflag")
+            .aggregate(Sum("revenue_e4", alias_name="revenue_e4"),
+                       Sum("n_items", alias_name="n_items")))
+
+
+def dataset_split_counts(sf_dir: str):
+    """Deterministic stratified train/val/test assignment (the LLM-corpus
+    split step): doc → split by md5-lower-64(str(doc_id)) % 100
+    (< 90 train, < 95 val, else test), rolled up to
+    (lang, split, n_docs, sum_tokens).  Hash-based so the assignment is
+    stable across runs, partitioning, resume and engines — a doc never
+    migrates between train and eval when the corpus is re-sharded.
+    Embarrassingly parallel; the groupby sees ≤ 3·n_langs keys."""
+    from ocr_ray.functions import textstats
+
+    def measures(t: pa.Table) -> pa.Table:
+        h = _md5_mod(t["doc_id"].to_pylist(), 100)
+        split = np.where(h < 90, "train", np.where(h < 95, "val", "test"))
+        return pa.table({
+            "lang": t["lang"],
+            "split": pa.array(split, pa.string()),
+            "sum_tokens": textstats.token_count_columns(
+                t["text"])["n_ws_tokens"],
+        })
+
+    return _grouped_sum(
+        _read(sf_dir, "documents", ["doc_id", "lang", "text"]),
+        measures, keys=["lang", "split"], sum_cols=["sum_tokens"],
+        count_col="n_docs",
+    )
+
+
+def pack_context_windows(sf_dir: str, cap_tokens: int = 256,
+                         n_shards: int = 64):
+    """Greedy token-budget sequence packing (the LLM-pretraining step that
+    fills fixed-size context windows from variable-length documents):
+    within each shard, scan docs in doc_id order and append to the current
+    bin while ``bin_tokens + doc_tokens <= cap_tokens``; otherwise open a
+    new bin (an oversized doc occupies a bin alone).  Output one row per
+    doc: (doc_id, shard, bin_idx, n_tokens).
+
+    Sharding by md5(doc_id) % n_shards makes packing embarrassingly
+    parallel ACROSS shards while staying deterministic — the standard
+    trade: global packing is inherently sequential, so production packers
+    shard first and pack within shards.  The per-shard kernel is
+    O(n_bins) numpy ``searchsorted`` steps over the token cumsum, not a
+    per-row Python loop.  Shuffle is one 64-key coarse exchange carrying
+    only (doc_id, shard, n_tokens) — the text never moves."""
+    from ocr_ray.functions import textstats
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "shard": pa.array(_md5_mod(ids, n_shards), pa.int64()),
+            "n_tokens": textstats.token_count_columns(
+                t["text"])["n_ws_tokens"],
+        })
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        toks = g["n_tokens"].to_numpy()
+        s = np.cumsum(toks)
+        bins = np.empty(len(g), np.int64)
+        a, b_idx, base = 0, 0, 0
+        while a < len(g):
+            j = int(np.searchsorted(s, base + cap_tokens, side="right"))
+            j = max(j, a + 1)                 # oversized doc: bin of one
+            bins[a:j] = b_idx
+            base = int(s[j - 1])
+            a, b_idx = j, b_idx + 1
+        g["bin_idx"] = bins
+        return g[["doc_id", "shard", "bin_idx", "n_tokens"]]
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(pack, batch_format="pandas"))

@@ -2084,3 +2084,96 @@ def test_csv_read_path_handles_tricky_values(ray_session, tmp_path_factory):
     # '' vs null drift; ingestion stats only touch lang/n_chars so the
     # production queries are unaffected, but the drift is pinned here
     assert got.loc[3, "text"] is None or got.loc[3, "text"] == ""
+
+
+def test_bloom_u64_no_false_negatives():
+    from ocr_ray.functions.bloom import BloomFilter
+
+    keys = np.arange(0, 5000, 3, dtype=np.int64)
+    bf = BloomFilter.for_capacity(len(keys), 0.01)
+    bf.add_many_u64(keys)
+    assert bf.contains_many_u64(keys).all()          # no false negatives
+    probe = np.arange(10000, 30000, dtype=np.int64)  # disjoint key range
+    fp = bf.contains_many_u64(probe).mean()
+    assert fp < 0.05                                 # fp rate near target
+    # distributed build: two partial filters OR-fold to the full one
+    a, b = (BloomFilter(bf.n_bits, bf.n_hashes) for _ in range(2))
+    a.add_many_u64(keys[: len(keys) // 2])
+    b.add_many_u64(keys[len(keys) // 2:])
+    a.union_inplace(b.bits)
+    assert bytes(a.bits) == bytes(bf.bits)
+
+
+def test_bloom_semi_join_exact(ray_session):
+    """Bloom pruning + verify returns EXACTLY the semi join (false
+    positives removed, false negatives impossible)."""
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import bloom_semi_join_revenue
+
+    sf = "/root/testdata/sf0.001"
+    got = (bloom_semi_join_revenue(sf).to_pandas()
+           .sort_values("l_returnflag").reset_index(drop=True))
+    li = pq.read_table(f"{sf}/lineitem.parquet").to_pandas()
+    orders = pq.read_table(f"{sf}/orders.parquet").to_pandas()
+    urgent = set(orders.loc[orders["o_orderpriority"] == "1-URGENT",
+                            "o_orderkey"])
+    sel = li[li["l_orderkey"].isin(urgent)].copy()
+    rev = sel["l_extendedprice"] * (1.0 - sel["l_discount"]) * 10000.0
+    sel["revenue_e4"] = np.copysign(np.floor(np.abs(rev) + 0.5),
+                                    rev).astype("int64")
+    want = (sel.groupby("l_returnflag", as_index=False)
+            .agg(revenue_e4=("revenue_e4", "sum"),
+                 n_items=("revenue_e4", "size"))
+            .sort_values("l_returnflag").reset_index(drop=True))
+    assert got["revenue_e4"].tolist() == want["revenue_e4"].tolist()
+    assert got["n_items"].tolist() == want["n_items"].tolist()
+
+
+def test_dataset_split_counts_partition(ray_session):
+    """Splits are a disjoint cover: per-lang counts sum to the corpus and
+    the train share is ~90%."""
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import dataset_split_counts
+
+    sf = "/root/testdata/sf0.001"
+    got = dataset_split_counts(sf).to_pandas()
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "lang"]).to_pandas()
+    assert int(got["n_docs"].sum()) == len(docs)
+    per_lang = got.groupby("lang")["n_docs"].sum()
+    want_lang = docs.groupby("lang").size()
+    assert per_lang.to_dict() == want_lang.to_dict()
+    share = got.loc[got["split"] == "train", "n_docs"].sum() / len(docs)
+    assert 0.8 < share < 1.0
+
+
+def test_pack_context_windows_greedy(ray_session):
+    """Assignment matches the sequential greedy recurrence per shard; no
+    multi-doc bin exceeds the cap and consecutive bins cannot merge."""
+    from ocr_ray.pipelines.relational import pack_context_windows
+
+    cap = 256
+    got = (pack_context_windows("/root/testdata/sf0.001", cap_tokens=cap)
+           .to_pandas())
+    assert len(got) == len(got["doc_id"].unique())
+    for _, g in got.groupby("shard"):
+        g = g.sort_values("doc_id")
+        # replay the recurrence
+        bin_idx, bin_tok = 0, 0
+        for _, row in g.iterrows():
+            n = int(row["n_tokens"])
+            if bin_tok and bin_tok + n > cap:
+                bin_idx, bin_tok = bin_idx + 1, n
+            else:
+                bin_tok += n
+            assert int(row["bin_idx"]) == bin_idx
+        fills = g.groupby("bin_idx")["n_tokens"].agg(["sum", "size"])
+        multi = fills[fills["size"] > 1]
+        assert (multi["sum"] <= cap).all()
+        # greedy is maximal: bin b+1's first doc never fits in bin b
+        firsts = g.drop_duplicates("bin_idx", keep="first")
+        for b in range(len(fills) - 1):
+            nxt = int(firsts.iloc[b + 1]["n_tokens"])
+            assert int(fills.iloc[b]["sum"]) + nxt > cap
