@@ -1009,6 +1009,8 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join_revenue": rel.bloom_semi_join_revenue,
         "dataset_split_counts": rel.dataset_split_counts,
         "pack_context_windows": rel.pack_context_windows,
+        "heavy_hitter_terms": rel.heavy_hitter_terms,
+        "name_edit_near_dup": rel.name_edit_near_dup,
     }
 
 
@@ -2499,6 +2501,30 @@ def oracle_sql() -> dict[str, str]:
               FROM walk w JOIN r ON r.shard = w.shard AND r.rn = w.rn + 1
             )
             SELECT doc_id, shard, bin_idx, n_tokens FROM walk
+        """,
+        # integer threshold (n*k > N) so no float division can disagree
+        "heavy_hitter_terms": r"""
+            WITH toks AS (
+              SELECT unnest(regexp_split_to_array(
+                       lower(coalesce(text,'')), '\s+')) AS term
+              FROM documents
+            ), counted AS MATERIALIZED (
+              SELECT term, CAST(count(*) AS BIGINT) AS n
+              FROM toks WHERE term <> '' GROUP BY term
+            )
+            SELECT term, n FROM counted
+            WHERE n * 200 > (SELECT CAST(SUM(n) AS BIGINT) FROM counted)
+            ORDER BY n DESC, term
+        """,
+        # same blocking predicate (last token) as the Ray side; pairs can
+        # only form inside a block, so the join is restricted identically
+        "name_edit_near_dup": """
+            WITH v AS (SELECT DISTINCT p_name FROM part),
+            p AS (SELECT p_name, split_part(p_name, ' ', -1) AS tok_l FROM v)
+            SELECT a.p_name AS name_a, b.p_name AS name_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+            FROM p a JOIN p b ON a.tok_l = b.tok_l AND a.p_name < b.p_name
+            WHERE levenshtein(a.p_name, b.p_name) <= 3
         """,
         # Every queries() entry above has an oracle_sql twin — the
         # rows-only set is empty as of round 2 (minhash/winnow/knn_lsh/

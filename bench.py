@@ -130,7 +130,8 @@ def main() -> None:
                      "winnow_near_dup", "ngram_jaccard_near_dup", "line_dedup",
                      "knn_cosine", "gate_verdicts", "token_counts",
                      "chunk_documents", "part_pair_counts", "top_bigrams_pmi",
-                     "crawl_delta", "pagerank_two_iter", "reassemble_chunks"):
+                     "crawl_delta", "pagerank_two_iter", "reassemble_chunks",
+                     "bloom_semi_join_revenue", "pack_context_windows"):
             t0 = time.monotonic()
             res = q[name](SF_DIR)
             if hasattr(res, "to_pandas"):

@@ -226,3 +226,47 @@ def dedupe_preserve_order(values: list) -> list:
             seen.add(v)
             out.append(v)
     return out
+
+
+def levenshtein_many(a_list, b_list) -> "object":
+    """Exact Levenshtein distance for MANY string pairs at once.
+
+    The DP is vectorized ACROSS pairs: two nested loops over character
+    positions (``max_len_a`` × ``max_len_b`` numpy steps, ~400 for short
+    entity names), each step operating on all-pairs-length vectors — never
+    a per-pair Python DP.  Pads use distinct sentinels so pad never equals
+    pad.  Matches DuckDB ``levenshtein`` (unit edit costs)."""
+    import numpy as np
+
+    n = len(a_list)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return out
+    la = np.fromiter((len(s) for s in a_list), np.int64, count=n)
+    lb = np.fromiter((len(s) for s in b_list), np.int64, count=n)
+    ma, mb = int(la.max()), int(lb.max())
+    A = np.full((n, max(ma, 1)), -1, np.int64)
+    B = np.full((n, max(mb, 1)), -2, np.int64)
+    for i, s in enumerate(a_list):
+        if s:
+            A[i, : len(s)] = np.fromiter(map(ord, s), np.int64, count=len(s))
+    for i, s in enumerate(b_list):
+        if s:
+            B[i, : len(s)] = np.fromiter(map(ord, s), np.int64, count=len(s))
+
+    out[la == 0] = lb[la == 0]
+    prev = np.tile(np.arange(mb + 1, dtype=np.int64), (n, 1))
+    for i in range(1, ma + 1):
+        cur = np.empty((n, mb + 1), dtype=np.int64)
+        cur[:, 0] = i
+        ai = A[:, i - 1]
+        for j in range(1, mb + 1):
+            cost = (ai != B[:, j - 1]).astype(np.int64)
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                prev[:, j - 1] + cost)
+        done = la == i
+        if done.any():
+            out[done] = cur[done, lb[done]]
+        prev = cur
+    return out

@@ -3816,3 +3816,130 @@ def pack_context_windows(sf_dir: str, cap_tokens: int = 256,
             .map_batches(prep, batch_format="pyarrow")
             .groupby("shard")
             .map_groups(pack, batch_format="pandas"))
+
+
+def heavy_hitter_terms(sf_dir: str, k: int = 200):
+    """EXACT frequent terms (count·k > N) via the two-phase heavy-hitter
+    topology — the shuffle-avoiding alternative to :func:`top_terms`'s
+    full-vocabulary aggregate:
+
+      1. per-batch token Counter partials (term, n, bucket) materialized
+         ONCE; a term is a CANDIDATE in a batch iff ``n·k > N_batch``.
+         Averaging argument: if globally ``n·k > N`` then some batch has
+         ``n_b·k > N_b``, so the candidate union is a guaranteed superset
+         of the true heavy hitters (the Misra-Gries local-threshold bound:
+         < k candidates per batch reach the driver, never the vocabulary);
+      2. exact recount restricted to the broadcast candidate set over the
+         SAME partials (no second text pass), final filter ``n·k > N``.
+
+    Integer-only comparisons (``n*k > N``) — no float thresholds to
+    disagree with the oracle.  Output (term, n), count desc / term asc."""
+    import collections
+    import zlib
+
+    from ray.data.aggregate import Sum
+
+    n_buckets = DEFAULT_CONFIG.near_dup_coarse_buckets
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        for txt in t["text"].to_pylist():
+            c.update((txt or "").lower().split())
+        toks = list(c.keys())
+        n_batch = sum(c.values())
+        return pa.table({
+            "term": pa.array(toks, pa.string()),
+            "n": pa.array([c[tk] for tk in toks], pa.int64()),
+            "cand": pa.array([c[tk] * k > n_batch for tk in toks],
+                             pa.bool_()),
+            "bucket": pa.array(
+                [zlib.crc32(tk.encode()) % n_buckets for tk in toks],
+                pa.int32()),
+        })
+
+    parts = (_read(sf_dir, "documents", ["text"])
+             .map_batches(partial, batch_format="pyarrow")
+             .materialize())
+
+    total = int(parts.aggregate(Sum("n", alias_name="nn"))["nn"])
+
+    cand_rows = (parts.map_batches(
+        lambda t: pa.table(
+            {"term": pc.unique(t.filter(t["cand"])["term"].combine_chunks())}),
+        batch_format="pyarrow").take_all())
+    keep_arr = pa.array(sorted({r["term"] for r in cand_rows}))
+
+    def recount(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.is_in(t["term"], value_set=keep_arr))
+        df = sub.to_pandas().groupby("term", as_index=False)["n"].sum()
+        df["n"] = df["n"].astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby("term", as_index=False)["n"].sum()
+        df = df[df["n"] * k > total].sort_values(
+            ["n", "term"], ascending=[False, True])
+        df["n"] = df["n"].astype("int64")
+        return pa.Table.from_pandas(df.reset_index(drop=True),
+                                    preserve_index=False)
+
+    return (parts.map_batches(recount, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow", batch_size=None))
+
+
+def name_edit_near_dup(sf_dir: str, max_dist: int = 3):
+    """Dictionary-scale fuzzy entity dedup: Levenshtein pairs over the
+    DISTINCT ``p_name`` vocabulary, blocked on the last name token.
+
+    The two-level scale discipline for edit-distance joins: (a) dedupe to
+    the vocabulary FIRST (per-batch ``unique`` partials, then in-bucket
+    drop_duplicates — entity dictionaries are bounded even when the fact
+    table is not), (b) block before comparing (last-token blocks; a pair
+    can only match inside one block, mirrored exactly in the oracle's join
+    predicate), (c) compare each block's pairs with the across-pairs
+    vectorized DP (functions.textnorm.levenshtein_many), never a per-pair
+    Python loop.  Output (name_a, name_b, dist) with name_a < name_b."""
+    import zlib
+
+    from ocr_ray.functions.textnorm import levenshtein_many
+
+    n_buckets = DEFAULT_CONFIG.near_dup_coarse_buckets
+
+    def prep(t: pa.Table) -> pa.Table:
+        names = pc.unique(t["p_name"].combine_chunks()).to_pylist()
+        toks = [(s or "").split(" ")[-1] for s in names]
+        return pa.table({
+            "name": pa.array(names, pa.string()),
+            "tok_l": pa.array(toks, pa.string()),
+            "bucket": pa.array(
+                [zlib.crc32(tk.encode()) % n_buckets for tk in toks],
+                pa.int32()),
+        })
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("name")
+        outs = []
+        for _, blk in g.groupby("tok_l"):
+            names = np.asarray(sorted(blk["name"]), dtype=object)
+            if len(names) < 2:
+                continue
+            ia, ib = np.triu_indices(len(names), 1)
+            d = levenshtein_many(list(names[ia]), list(names[ib]))
+            keep = d <= max_dist
+            if keep.any():
+                outs.append(pd.DataFrame({
+                    "name_a": names[ia[keep]],
+                    "name_b": names[ib[keep]],
+                    "dist": d[keep].astype("int64"),
+                }))
+        if not outs:
+            return pd.DataFrame({"name_a": pd.array([], "str"),
+                                 "name_b": pd.array([], "str"),
+                                 "dist": pd.array([], "int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    return (_read(sf_dir, "part", ["p_name"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(pairs, batch_format="pandas"))

@@ -2177,3 +2177,51 @@ def test_pack_context_windows_greedy(ray_session):
         for b in range(len(fills) - 1):
             nxt = int(firsts.iloc[b + 1]["n_tokens"])
             assert int(fills.iloc[b]["sum"]) + nxt > cap
+
+
+def test_heavy_hitter_terms_exact(ray_session):
+    """The candidate-then-recount heavy-hitter path returns EXACTLY the
+    terms with n·k > N (no approximation survives to the output)."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import heavy_hitter_terms
+
+    k = 200
+    got = heavy_hitter_terms("/root/testdata/sf0.001", k=k).to_pandas()
+    texts = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                          columns=["text"])["text"].to_pylist()
+    c = collections.Counter()
+    for t in texts:
+        c.update((t or "").lower().split())
+    total = sum(c.values())
+    want = {t: n for t, n in c.items() if n * k > total}
+    assert dict(zip(got["term"], got["n"])) == want
+    # output is ordered count desc, term asc
+    assert got.equals(got.sort_values(["n", "term"],
+                                      ascending=[False, True])
+                      .reset_index(drop=True))
+
+
+def test_name_edit_near_dup_bruteforce(ray_session):
+    """Blocked vectorized pairs equal the brute-force blocked join."""
+    import pyarrow.parquet as pq
+
+    from ocr_ray.functions.textnorm import levenshtein_many
+    from ocr_ray.pipelines.relational import name_edit_near_dup
+
+    got = name_edit_near_dup("/root/testdata/sf0.001").to_pandas()
+    names = sorted(set(pq.read_table(
+        "/root/testdata/sf0.001/part.parquet",
+        columns=["p_name"])["p_name"].to_pylist()))
+    want = set()
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            if a.split(" ")[-1] != b.split(" ")[-1]:
+                continue
+            d = int(levenshtein_many([a], [b])[0])
+            if d <= 3:
+                want.add((a, b, d))
+    assert set(zip(got["name_a"], got["name_b"], got["dist"])) == want
+    assert len(got) == len(want)

@@ -207,3 +207,22 @@ def test_ntile_kernel_matches_duckdb(n, k):
         f"SELECT ntile({k}) OVER (ORDER BY i) FROM range(1, {n + 1}) t(i)"
     ).fetchall()]
     assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.text(alphabet="ab c", max_size=8),
+                          st.text(alphabet="ab c", max_size=8)),
+                min_size=1, max_size=12))
+def test_levenshtein_many_matches_duckdb(pairs):
+    """The across-pairs vectorized DP equals DuckDB levenshtein on
+    arbitrary short strings (including empties and spaces)."""
+    import duckdb
+
+    from ocr_ray.functions.textnorm import levenshtein_many
+
+    got = levenshtein_many([a for a, _ in pairs],
+                           [b for _, b in pairs]).tolist()
+    con = duckdb.connect()
+    want = [con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+            for a, b in pairs]
+    assert got == want
