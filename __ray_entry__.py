@@ -329,6 +329,52 @@ def _term_index(sf_dir: str) -> str:
     return base
 
 
+def _zorder_layout(sf_dir: str) -> str:
+    """Build (once, cached under /tmp, same fingerprint + atomic-rename
+    discipline as :func:`_ann_index`) the Z-order clustered orders layout
+    for sf_dir."""
+    import hashlib
+    import shutil
+
+    import ray.data as rd
+
+    from ocr_ray.pipelines import relational as rel
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    # bin geometry is part of the fingerprint: cells computed for one
+    # width would prune WRONG partitions of a layout built at another
+    fp = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}"
+        f":w{rel._Z_PRICE_WIDTH}:{rel._Z_DATE_WIDTH}".encode()
+    ).hexdigest()[:16]
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}"
+    base = f"/tmp/ocr_ray_zorder_v{_ANN_INDEX_VERSION}_{tag}"
+    if os.path.isdir(base):
+        return base
+    tmp = f"{base}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds = rd.read_parquet(src, columns=["o_orderkey", "o_totalprice",
+                                       "o_orderdate"])
+    rel.build_zorder_layout(ds, tmp)
+    try:
+        os.rename(tmp, base)
+    except OSError:           # concurrent build won the race
+        shutil.rmtree(tmp, ignore_errors=True)
+    return base
+
+
+def _q_zorder_range_revenue(sf_dir: str):
+    """2-D range aggregate over the Z-order clustered layout — only the
+    Morton cells intersecting the (price, date) rectangle are read
+    (~20/256 of the partitions for the default ranges); the residual
+    filter makes the answer exact, pinned by the plain full-scan
+    oracle."""
+    from ocr_ray.pipelines.relational import zorder_range_revenue
+
+    return zorder_range_revenue(_zorder_layout(sf_dir))
+
+
 def _q_knn_join(sf_dir: str):
     """Approximate kNN self-join over the embeddings table: top-5
     in-bucket neighbors for every vector."""
@@ -1011,6 +1057,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "pack_context_windows": rel.pack_context_windows,
         "heavy_hitter_terms": rel.heavy_hitter_terms,
         "name_edit_near_dup": rel.name_edit_near_dup,
+        "zorder_range_revenue": _q_zorder_range_revenue,
     }
 
 
@@ -2525,6 +2572,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
             FROM p a JOIN p b ON a.tok_l = b.tok_l AND a.p_name < b.p_name
             WHERE levenshtein(a.p_name, b.p_name) <= 3
+        """,
+        # the pruned layout read + residual filter must equal this
+        # plain full-scan 2-D range aggregate
+        "zorder_range_revenue": """
+            SELECT COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM orders
+            WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) >= 10000000
+              AND CAST(ROUND(o_totalprice * 100) AS BIGINT) <  20000000
+              AND o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
         """,
         # Every queries() entry above has an oracle_sql twin — the
         # rows-only set is empty as of round 2 (minhash/winnow/knn_lsh/

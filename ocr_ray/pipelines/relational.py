@@ -3943,3 +3943,106 @@ def name_edit_near_dup(sf_dir: str, max_dist: int = 3):
             .map_batches(prep, batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(pairs, batch_format="pandas"))
+
+
+# -- Z-order clustered layout: multi-column pruning without an index server
+
+_Z_EPOCH_DAYS = 9131          # 1995-01-01 in days-since-unix-epoch
+_Z_PRICE_WIDTH = 3_200_000    # cents per price bin (16 bins cover $0-512k)
+_Z_DATE_WIDTH = 152           # days per date bin (16 bins cover 1995-2001)
+
+
+def _morton4(pbin: np.ndarray, dbin: np.ndarray) -> np.ndarray:
+    """Interleave two 4-bit bin ids into an 8-bit Morton (Z-order) code."""
+    z = np.zeros_like(pbin)
+    for b in range(4):
+        z |= (((pbin >> b) & 1) << (2 * b + 1)) | (((dbin >> b) & 1) << (2 * b))
+    return z
+
+
+def _zorder_bins(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    cents = _cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+    us = pc.cast(t["o_orderdate"], pa.int64()).to_numpy(zero_copy_only=False)
+    days = us // 86_400_000_000 - _Z_EPOCH_DAYS
+    pbin = np.clip(cents // _Z_PRICE_WIDTH, 0, 15)
+    dbin = np.clip(days // _Z_DATE_WIDTH, 0, 15)
+    return pbin, dbin
+
+
+def build_zorder_layout(ds, out_dir: str) -> None:
+    """Cluster orders into a hive layout partitioned by the 8-bit Morton
+    code of (price bin, date bin) — the Z-ORDER table layout: one write
+    co-locates rows for BOTH filter dimensions, so later 2-D range scans
+    read only the cells whose bin rectangle intersects the predicate
+    (no index server, the directory layout IS the index; same stance as
+    build_lsh_index / build_ivf_index in simsearch)."""
+
+    def zmap(t: pa.Table) -> pa.Table:
+        pbin, dbin = _zorder_bins(t)
+        return t.append_column(
+            "z", pa.array(_morton4(pbin, dbin), pa.int32()))
+
+    ds.map_batches(zmap, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["z"])
+
+
+def zorder_range_revenue(layout_dir: str,
+                         price_lo_cents: int = 10_000_000,
+                         price_hi_cents: int = 20_000_000,
+                         date_lo: str = "1997-01-01",
+                         date_hi: str = "1998-01-01"):
+    """EXACT 2-D range aggregate over a :func:`build_zorder_layout` dir:
+    enumerate the Morton cells whose (price, date) bin rectangle
+    intersects the half-open query ranges, read ONLY those partitions
+    (~(Δp·Δd)/256 of the bytes), then apply the exact residual filter
+    inside each batch — pruning changes I/O, never the answer.
+    Returns one row (n_orders, revenue_cents)."""
+    import glob as _glob
+
+    pb_lo, pb_hi = (int(np.clip(price_lo_cents // _Z_PRICE_WIDTH, 0, 15)),
+                    int(np.clip((price_hi_cents - 1) // _Z_PRICE_WIDTH, 0, 15)))
+    d_lo = (np.datetime64(date_lo).astype("datetime64[D]").astype(np.int64)
+            - _Z_EPOCH_DAYS)
+    d_hi = (np.datetime64(date_hi).astype("datetime64[D]").astype(np.int64)
+            - 1 - _Z_EPOCH_DAYS)
+    db_lo, db_hi = (int(np.clip(d_lo // _Z_DATE_WIDTH, 0, 15)),
+                    int(np.clip(d_hi // _Z_DATE_WIDTH, 0, 15)))
+    cells = sorted({int(_morton4(np.array([p]), np.array([d]))[0])
+                    for p in range(pb_lo, pb_hi + 1)
+                    for d in range(db_lo, db_hi + 1)})
+    files = [f for c in cells for f in sorted(_glob.glob(
+        os.path.join(layout_dir, f"z={c}", "*.parquet")))]
+
+    lo_us = (np.datetime64(date_lo).astype("datetime64[us]")
+             .astype(np.int64))
+    hi_us = (np.datetime64(date_hi).astype("datetime64[us]")
+             .astype(np.int64))
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t["o_totalprice"])
+        us = pc.cast(t["o_orderdate"], pa.int64())
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(cents, price_lo_cents),
+                    pc.less(cents, price_hi_cents)),
+            pc.and_(pc.greater_equal(us, lo_us), pc.less(us, hi_us)))
+        kept = cents.filter(keep)
+        return pa.table({
+            "n_orders": pa.array([len(kept)], pa.int64()),
+            "revenue_cents": pa.array(
+                [int(pc.sum(kept).as_py() or 0)], pa.int64()),
+        })
+
+    if not files:
+        return pa.table({"n_orders": pa.array([0], pa.int64()),
+                         "revenue_cents": pa.array([0], pa.int64())})
+    from ray.data.aggregate import Sum
+
+    agg = (rd.read_parquet(files, columns=["o_totalprice", "o_orderdate"])
+           .map_batches(partial, batch_format="pyarrow")
+           .aggregate(Sum("n_orders", alias_name="n_orders"),
+                      Sum("revenue_cents", alias_name="revenue_cents")))
+    return pa.table({
+        "n_orders": pa.array([int(agg["n_orders"] or 0)], pa.int64()),
+        "revenue_cents": pa.array([int(agg["revenue_cents"] or 0)],
+                                  pa.int64()),
+    })

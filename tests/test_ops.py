@@ -2225,3 +2225,56 @@ def test_name_edit_near_dup_bruteforce(ray_session):
                 want.add((a, b, d))
     assert set(zip(got["name_a"], got["name_b"], got["dist"])) == want
     assert len(got) == len(want)
+
+
+def test_zorder_range_prunes_and_stays_exact(ray_session, tmp_path_factory):
+    """The Z-order layout reads a strict subset of partitions for a 2-D
+    range yet returns exactly the full-scan answer, for several ranges."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ocr_ray.pipelines.relational import (build_zorder_layout,
+                                              zorder_range_revenue)
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path_factory.mktemp("zorder"))
+    build_zorder_layout(rd.read_parquet(
+        f"{sf}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"]), out)
+    n_cells = len(glob.glob(f"{out}/z=*"))
+    assert n_cells > 50          # the corpus spreads across many cells
+
+    orders = pq.read_table(f"{sf}/orders.parquet").to_pandas()
+    cents = np.copysign(np.floor(np.abs(orders["o_totalprice"] * 100) + 0.5),
+                        orders["o_totalprice"]).astype("int64")
+    us = orders["o_orderdate"].astype("int64")
+
+    def want(plo, phi, dlo, dhi):
+        lo = np.datetime64(dlo).astype("datetime64[us]").astype(np.int64)
+        hi = np.datetime64(dhi).astype("datetime64[us]").astype(np.int64)
+        m = (cents >= plo) & (cents < phi) & (us >= lo) & (us < hi)
+        return int(m.sum()), int(cents[m].sum())
+
+    for plo, phi, dlo, dhi in [
+            (10_000_000, 20_000_000, "1997-01-01", "1998-01-01"),
+            (0, 5_000_000, "1995-01-01", "1995-07-01"),
+            (45_000_000, 60_000_000, "2000-06-15", "2001-09-01")]:
+        got = zorder_range_revenue(out, plo, phi, dlo, dhi).to_pandas()
+        wn, wr = want(plo, phi, dlo, dhi)
+        assert (int(got["n_orders"][0]), int(got["revenue_cents"][0])) \
+            == (wn, wr)
+
+    # pruning is real: the default range touches well under half the cells
+    from ocr_ray.pipelines.relational import _morton4, _Z_DATE_WIDTH, \
+        _Z_EPOCH_DAYS, _Z_PRICE_WIDTH
+    pb = range(10_000_000 // _Z_PRICE_WIDTH,
+               (20_000_000 - 1) // _Z_PRICE_WIDTH + 1)
+    days = np.datetime64("1997-01-01").astype("datetime64[D]").astype(int)
+    dlo_b = (days - _Z_EPOCH_DAYS) // _Z_DATE_WIDTH
+    days_hi = np.datetime64("1998-01-01").astype("datetime64[D]").astype(int)
+    dhi_b = (days_hi - 1 - _Z_EPOCH_DAYS) // _Z_DATE_WIDTH
+    cells = {int(_morton4(np.array([p]), np.array([d]))[0])
+             for p in pb for d in range(int(dlo_b), int(dhi_b) + 1)}
+    assert len(cells) < n_cells / 2
