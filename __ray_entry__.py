@@ -1058,6 +1058,9 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_terms": rel.heavy_hitter_terms,
         "name_edit_near_dup": rel.name_edit_near_dup,
         "zorder_range_revenue": _q_zorder_range_revenue,
+        "revenue_by_region": rel.revenue_by_region,
+        "winsorized_revenue_by_priority": rel.winsorized_revenue_by_priority,
+        "price_size_slope_by_brand": rel.price_size_slope_by_brand,
     }
 
 
@@ -2584,6 +2587,66 @@ def oracle_sql() -> dict[str, str]:
               AND CAST(ROUND(o_totalprice * 100) AS BIGINT) <  20000000
               AND o_orderdate >= TIMESTAMP '1997-01-01'
               AND o_orderdate <  TIMESTAMP '1998-01-01'
+        """,
+        "revenue_by_region": """
+            SELECT r_name,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                       * 10000) AS BIGINT)) AS BIGINT)
+                       AS revenue_e4,
+                   COUNT(*) AS n_items
+            FROM lineitem
+              JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation   ON c_nationkey = n_nationkey
+              JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        # winsorize bounds are quantile_disc order statistics; the clipped
+        # sum is computed from the same rows, all in exact cents
+        "winsorized_revenue_by_priority": """
+            WITH c AS MATERIALIZED (
+              SELECT o_orderpriority,
+                     CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders
+            ), b AS MATERIALIZED (
+              SELECT o_orderpriority,
+                     CAST(quantile_disc(cents, 0.05) AS BIGINT) AS lo_cents,
+                     CAST(quantile_disc(cents, 0.95) AS BIGINT) AS hi_cents,
+                     COUNT(*) AS n_orders
+              FROM c GROUP BY o_orderpriority
+            )
+            SELECT b.o_orderpriority, b.n_orders, b.lo_cents, b.hi_cents,
+                   CAST(SUM(CASE WHEN c.cents < b.lo_cents THEN b.lo_cents
+                                 WHEN c.cents > b.hi_cents THEN b.hi_cents
+                                 ELSE c.cents END) AS BIGINT)
+                       AS winsorized_sum_cents
+            FROM c JOIN b USING (o_orderpriority)
+            GROUP BY b.o_orderpriority, b.n_orders, b.lo_cents, b.hi_cents
+        """,
+        # same float expression shape as the Ray finalize (exact int
+        # moments, one double division) so both sides round identically
+        "price_size_slope_by_brand": """
+            WITH m AS (
+              SELECT p_brand,
+                     CAST(COUNT(*) AS BIGINT) AS n_parts,
+                     SUM(CAST(p_size AS BIGINT)) AS sx,
+                     SUM(CAST(ROUND(p_retailprice) AS BIGINT)) AS sy,
+                     SUM(CAST(p_size AS BIGINT) * CAST(p_size AS BIGINT))
+                         AS sxx,
+                     SUM(CAST(p_size AS BIGINT)
+                         * CAST(ROUND(p_retailprice) AS BIGINT)) AS sxy
+              FROM part GROUP BY p_brand
+            )
+            SELECT p_brand, n_parts,
+                   ROUND(CAST(n_parts * sxy - sx * sy AS DOUBLE)
+                         / CAST(n_parts * sxx - sx * sx AS DOUBLE), 6)
+                       AS slope,
+                   ROUND((CAST(sy AS DOUBLE)
+                          - (CAST(n_parts * sxy - sx * sy AS DOUBLE)
+                             / CAST(n_parts * sxx - sx * sx AS DOUBLE))
+                            * CAST(sx AS DOUBLE))
+                         / CAST(n_parts AS DOUBLE), 6) AS intercept
+            FROM m
         """,
         # Every queries() entry above has an oracle_sql twin — the
         # rows-only set is empty as of round 2 (minhash/winnow/knn_lsh/

@@ -4046,3 +4046,155 @@ def zorder_range_revenue(layout_dir: str,
         "revenue_cents": pa.array([int(agg["revenue_cents"] or 0)],
                                   pa.int64()),
     })
+
+
+def revenue_by_region(sf_dir: str):
+    """TPC-H q5-shaped star join: revenue per region over the 4-hop chain
+    lineitem→orders→customer→nation→region.
+
+    Two join regimes composed deliberately: the DIMENSION chain
+    (customer→nation→region) folds on the driver into one custkey→region
+    dict broadcast via ``ray.put`` (dimension tables are the bounded side
+    of a star schema; were customer to outgrow broadcast budget, the
+    Dataset.join path of hash_join_revenue is the swap-in), while the
+    FACT-FACT hop (lineitem⋈orders) is a hash-partitioned Dataset.join —
+    never broadcast.  Aggregation is the usual integer partial rollup."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    customer = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                             columns=["c_custkey", "c_nationkey"])
+    rmap = dict(zip(region["r_regionkey"].to_pylist(),
+                    region["r_name"].to_pylist()))
+    nmap = {nk: rmap[rk] for nk, rk in zip(
+        nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist())}
+    cmap = {ck: nmap[nk] for ck, nk in zip(
+        customer["c_custkey"].to_pylist(),
+        customer["c_nationkey"].to_pylist())}
+    ref = ray.put(cmap)
+
+    def enrich(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "r_name": pa.array([m.get(ck) for ck in
+                                t["o_custkey"].to_pylist()], pa.string()),
+        })
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        enrich, batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+    joined = li.join(orders, join_type="inner", num_partitions=16,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    return _grouped_sum(
+        joined,
+        lambda t: pa.table({
+            "r_name": t["r_name"],
+            "revenue_e4": _cents(
+                pc.multiply(t["l_extendedprice"],
+                            pc.subtract(1.0, t["l_discount"])), 10000),
+        }),
+        keys=["r_name"], sum_cols=["revenue_e4"], count_col="n_items",
+    )
+
+
+def winsorized_revenue_by_priority(sf_dir: str, q_lo: float = 0.05,
+                                   q_hi: float = 0.95):
+    """Robust (winsorized) revenue per priority: clip order totals at the
+    exact per-group [p05, p95] order statistics, then sum — the
+    outlier-insensitive aggregate a metrics pipeline uses when a few
+    whale orders would otherwise dominate a mean.
+
+    One pass: per-batch (priority, cents) VALUE-COUNT partials (the
+    domain is the cents grid, bounded regardless of corpus rows — the
+    same compression stance as the quantile family; swap for fixed
+    histogram buckets if the domain were unbounded); the single bounded
+    final task walks each group's cumulative histogram for the
+    quantile_disc bounds (sorted[ceil(q·n)], 1-based — pinned to DuckDB)
+    and computes the clipped sum from the SAME histogram, so no second
+    data pass.  Integer outputs only."""
+    import math
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pa.table({"o_orderpriority": t["o_orderpriority"],
+                       "v": _cents(t["o_totalprice"])}).to_pandas()
+        g = (df.groupby(["o_orderpriority", "v"], as_index=False)
+               .size().rename(columns={"size": "c"}))
+        g["c"] = g["c"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(t: pa.Table) -> pa.Table:
+        df = (t.to_pandas()
+               .groupby(["o_orderpriority", "v"], as_index=False)["c"].sum())
+        rows = []
+        for prio, g in df.groupby("o_orderpriority", sort=True):
+            g = g.sort_values("v")
+            vals = g["v"].to_numpy()
+            cnts = g["c"].to_numpy()
+            cum = np.cumsum(cnts)
+            n = int(cum[-1])
+            lo = int(vals[int(np.searchsorted(cum, math.ceil(q_lo * n)))])
+            hi = int(vals[int(np.searchsorted(cum, math.ceil(q_hi * n)))])
+            wsum = int((np.clip(vals, lo, hi) * cnts).sum())
+            rows.append((prio, n, lo, hi, wsum))
+        return pa.table({
+            "o_orderpriority": pa.array([r[0] for r in rows], pa.string()),
+            "n_orders": pa.array([r[1] for r in rows], pa.int64()),
+            "lo_cents": pa.array([r[2] for r in rows], pa.int64()),
+            "hi_cents": pa.array([r[3] for r in rows], pa.int64()),
+            "winsorized_sum_cents": pa.array([r[4] for r in rows],
+                                             pa.int64()),
+        })
+
+    return (_read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+            .map_batches(partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow", batch_size=None))
+
+
+def price_size_slope_by_brand(sf_dir: str):
+    """Per-group OLS regression (retail price in whole units vs part
+    size) from exact integer moments — the grouped modeling primitive
+    alongside :func:`price_quantity_corr`: each batch ships constant-width
+    int64 partials (n, Σx, Σy, Σxx, Σxy); the ~brand-count finalize does
+    slope = (nΣxy−ΣxΣy)/(nΣxx−Σx²) and intercept = (Σy−slope·Σx)/n in
+    float64 with the SAME expression shape as the SQL oracle, rounded at
+    6 dp."""
+
+    def measures(t: pa.Table) -> pa.Table:
+        x = pc.cast(t["p_size"], pa.int64())
+        y = _cents(t["p_retailprice"], 1)
+        return pa.table({
+            "p_brand": t["p_brand"],
+            "sx": x,
+            "sy": y,
+            "sxx": pc.multiply(x, x),
+            "sxy": pc.multiply(x, y),
+        })
+
+    moments = _grouped_sum(
+        _read(sf_dir, "part", ["p_brand", "p_size", "p_retailprice"]),
+        measures, keys=["p_brand"],
+        sum_cols=["sx", "sy", "sxx", "sxy"], count_col="n_parts",
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for r in df.itertuples(index=False):
+            n, sx, sy = int(r.n_parts), int(r.sx), int(r.sy)
+            a = n * int(r.sxy) - sx * sy
+            b = n * int(r.sxx) - sx * sx
+            slope = float(a) / float(b)
+            intercept = (float(sy) - slope * float(sx)) / float(n)
+            out.append((r.p_brand, n, float(np.round(slope, 6)),
+                        float(np.round(intercept, 6))))
+        res = pd.DataFrame(
+            out, columns=["p_brand", "n_parts", "slope", "intercept"])
+        res["n_parts"] = res["n_parts"].astype("int64")
+        return res
+
+    return moments.repartition(1).map_batches(finalize,
+                                              batch_format="pandas")

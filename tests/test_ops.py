@@ -2278,3 +2278,85 @@ def test_zorder_range_prunes_and_stays_exact(ray_session, tmp_path_factory):
     cells = {int(_morton4(np.array([p]), np.array([d]))[0])
              for p in pb for d in range(int(dlo_b), int(dhi_b) + 1)}
     assert len(cells) < n_cells / 2
+
+
+def test_revenue_by_region_bruteforce(ray_session):
+    """The star join (broadcast dims + fact-fact hash join) equals the
+    brute-force pandas 4-table join."""
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import revenue_by_region
+
+    sf = "/root/testdata/sf0.001"
+    got = (revenue_by_region(sf).to_pandas()
+           .sort_values("r_name").reset_index(drop=True))
+    t = {n: pq.read_table(f"{sf}/{n}.parquet").to_pandas()
+         for n in ("lineitem", "orders", "customer", "nation", "region")}
+    m = (t["lineitem"].merge(t["orders"], left_on="l_orderkey",
+                             right_on="o_orderkey")
+         .merge(t["customer"], left_on="o_custkey", right_on="c_custkey")
+         .merge(t["nation"], left_on="c_nationkey", right_on="n_nationkey")
+         .merge(t["region"], left_on="n_regionkey", right_on="r_regionkey"))
+    rev = m["l_extendedprice"] * (1.0 - m["l_discount"]) * 10000.0
+    m["revenue_e4"] = np.copysign(np.floor(np.abs(rev) + 0.5),
+                                  rev).astype("int64")
+    want = (m.groupby("r_name", as_index=False)
+            .agg(revenue_e4=("revenue_e4", "sum"),
+                 n_items=("revenue_e4", "size"))
+            .sort_values("r_name").reset_index(drop=True))
+    assert got["r_name"].tolist() == want["r_name"].tolist()
+    assert got["revenue_e4"].tolist() == want["revenue_e4"].tolist()
+    assert got["n_items"].tolist() == want["n_items"].tolist()
+
+
+def test_winsorized_revenue_bounds_and_sum(ray_session):
+    """Winsorize bounds are the DuckDB quantile_disc order statistics and
+    the clipped sum matches a direct recompute."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import winsorized_revenue_by_priority
+
+    sf = "/root/testdata/sf0.001"
+    got = (winsorized_revenue_by_priority(sf).to_pandas()
+           .set_index("o_orderpriority"))
+    o = pq.read_table(f"{sf}/orders.parquet").to_pandas()
+    o["cents"] = np.copysign(
+        np.floor(np.abs(o["o_totalprice"] * 100) + 0.5),
+        o["o_totalprice"]).astype("int64")
+    for prio, g in o.groupby("o_orderpriority"):
+        v = np.sort(g["cents"].to_numpy())
+        n = len(v)
+        lo = int(v[math.ceil(0.05 * n) - 1])
+        hi = int(v[math.ceil(0.95 * n) - 1])
+        assert int(got.loc[prio, "lo_cents"]) == lo
+        assert int(got.loc[prio, "hi_cents"]) == hi
+        assert int(got.loc[prio, "n_orders"]) == n
+        assert (int(got.loc[prio, "winsorized_sum_cents"])
+                == int(np.clip(v, lo, hi).sum()))
+
+
+def test_price_size_slope_exact(ray_session):
+    """Grouped OLS moments reproduce the closed-form slope/intercept."""
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import price_size_slope_by_brand
+
+    sf = "/root/testdata/sf0.001"
+    got = (price_size_slope_by_brand(sf).to_pandas()
+           .set_index("p_brand"))
+    p = pq.read_table(f"{sf}/part.parquet").to_pandas()
+    p["y"] = np.copysign(np.floor(np.abs(p["p_retailprice"]) + 0.5),
+                         p["p_retailprice"]).astype("int64")
+    for brand, g in p.groupby("p_brand"):
+        x = g["p_size"].to_numpy(dtype=np.int64)
+        y = g["y"].to_numpy()
+        n = len(g)
+        a = n * int((x * y).sum()) - int(x.sum()) * int(y.sum())
+        b = n * int((x * x).sum()) - int(x.sum()) ** 2
+        slope = float(a) / float(b)
+        intercept = (float(y.sum()) - slope * float(x.sum())) / float(n)
+        assert got.loc[brand, "slope"] == float(np.round(slope, 6))
+        assert got.loc[brand, "intercept"] == float(np.round(intercept, 6))
+        assert int(got.loc[brand, "n_parts"]) == n
