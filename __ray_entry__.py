@@ -364,6 +364,86 @@ def _zorder_layout(sf_dir: str) -> str:
     return base
 
 
+def _phrase_index(sf_dir: str) -> str:
+    """Build (once, cached under /tmp, the _ann_index fingerprint +
+    atomic-rename discipline) the POSITIONAL term index for sf_dir's
+    documents table."""
+    import hashlib
+    import shutil
+
+    import ray.data as rd
+
+    from ocr_ray.pipelines.textsearch import build_positional_index
+
+    from ocr_ray.config import DEFAULT_CONFIG
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}"
+        f":pb{DEFAULT_CONFIG.term_index_buckets}".encode()
+    ).hexdigest()[:16]
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}"
+    base = f"/tmp/ocr_ray_posidx_v{_ANN_INDEX_VERSION}_{tag}"
+    if os.path.isdir(base):
+        return base
+    tmp = f"{base}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds = rd.read_parquet(src, columns=["doc_id", "text"])
+    build_positional_index(ds, tmp)
+    try:
+        os.rename(tmp, base)
+    except OSError:           # concurrent build won the race
+        shutil.rmtree(tmp, ignore_errors=True)
+    return base
+
+
+def _q_phrase_search(sf_dir: str):
+    """Two-token phrase search ('table hash') over the positional index —
+    only the two terms' bucket partitions are read; adjacency verified
+    from position lists, counted per document."""
+    from ocr_ray.pipelines.textsearch import phrase_search_indexed
+
+    return phrase_search_indexed(_phrase_index(sf_dir), "table hash")
+
+
+def _event_snapshot(sf_dir: str) -> str:
+    """Build (once, cached under /tmp, same discipline) the materialized
+    base aggregate for incremental_event_counts."""
+    import hashlib
+    import shutil
+
+    from ocr_ray.pipelines.relational import build_event_count_snapshot
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}"
+        f":t2024-01-22".encode()
+    ).hexdigest()[:16]
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}"
+    base = f"/tmp/ocr_ray_evsnap_v{_ANN_INDEX_VERSION}_{tag}"
+    if os.path.isdir(base):
+        return base
+    tmp = f"{base}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    build_event_count_snapshot(sf_dir, tmp)
+    try:
+        os.rename(tmp, base)
+    except OSError:           # concurrent build won the race
+        shutil.rmtree(tmp, ignore_errors=True)
+    return base
+
+
+def _q_incremental_event_counts(sf_dir: str):
+    """Incremental view maintenance: cached base aggregate + delta-only
+    scan (ts >= 2024-01-22 pushed into the read) merged to the exact
+    full-recompute answer the oracle produces."""
+    from ocr_ray.pipelines.relational import incremental_event_counts
+
+    return incremental_event_counts(_event_snapshot(sf_dir), sf_dir)
+
+
 def _q_zorder_range_revenue(sf_dir: str):
     """2-D range aggregate over the Z-order clustered layout — only the
     Morton cells intersecting the (price, date) rectangle are read
@@ -1061,6 +1141,8 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "revenue_by_region": rel.revenue_by_region,
         "winsorized_revenue_by_priority": rel.winsorized_revenue_by_priority,
         "price_size_slope_by_brand": rel.price_size_slope_by_brand,
+        "phrase_search": _q_phrase_search,
+        "incremental_event_counts": _q_incremental_event_counts,
     }
 
 
@@ -2647,6 +2729,33 @@ def oracle_sql() -> dict[str, str]:
                             * CAST(sx AS DOUBLE))
                          / CAST(n_parts AS DOUBLE), 6) AS intercept
             FROM m
+        """,
+        # token-space adjacency (generate_subscripts gives 1-based ords;
+        # adjacency ord+1 is base-independent) — same lower().split()
+        # token convention as the index build
+        "phrase_search": r"""
+            WITH d AS MATERIALIZED (
+              SELECT doc_id, regexp_split_to_array(
+                       lower(coalesce(text, '')), '\s+') AS arr
+              FROM documents
+            ), toks AS MATERIALIZED (
+              SELECT doc_id, unnest(arr) AS term,
+                     generate_subscripts(arr, 1) AS ord
+              FROM d
+            )
+            SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ
+            FROM toks a JOIN toks b
+              ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+            WHERE a.term = 'table' AND b.term = 'hash'
+            GROUP BY a.doc_id
+        """,
+        # the full recompute the snapshot+delta merge must equal
+        "incremental_event_counts": """
+            SELECT event_type,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_value_cents,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY event_type
         """,
         # Every queries() entry above has an oracle_sql twin — the
         # rows-only set is empty as of round 2 (minhash/winnow/knn_lsh/

@@ -4198,3 +4198,80 @@ def price_size_slope_by_brand(sf_dir: str):
 
     return moments.repartition(1).map_batches(finalize,
                                               batch_format="pandas")
+
+
+def build_event_count_snapshot(sf_dir: str, out_dir: str,
+                               split_ts: str = "2024-01-22") -> str:
+    """Materialize the BASE aggregate (events strictly before split_ts →
+    per-type n_events / sum_value_cents) to one tiny parquet — the
+    'materialized view' side of incremental maintenance."""
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
+
+    from ray.data.aggregate import Sum
+
+    def measures(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "sum_value_cents": _cents(t["value"]),
+        })
+
+    base = _grouped_sum(
+        rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "value"],
+            filter=(pads.field("ts") < pads.scalar(pd.Timestamp(split_ts))),
+        ),
+        measures, keys=["event_type"], sum_cols=["sum_value_cents"],
+        count_col="n_events",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    # the sort-based groupby emits SCHEMA-LESS empty blocks (CLAUDE.md);
+    # drop them before the concat or it raises ArrowInvalid
+    tabs = [t for t in ray.get(base.to_arrow_refs()) if t.num_columns]
+    pq.write_table(pa.concat_tables(tabs),
+                   os.path.join(out_dir, "base_agg.parquet"))
+    return out_dir
+
+
+def incremental_event_counts(snapshot_dir: str, sf_dir: str,
+                             split_ts: str = "2024-01-22"):
+    """INCREMENTAL VIEW MAINTENANCE: refresh a per-type event aggregate by
+    merging the cached base snapshot with a scan of ONLY the delta
+    (ts >= split_ts, pushed into the parquet read) — the base corpus is
+    never rescanned, which is the whole point at 100 TB where yesterday's
+    aggregate covers 99.9% of the rows.  Counts and integer-cent sums are
+    commutative merges, so snapshot + delta equals the full recompute the
+    oracle runs."""
+    import pyarrow.dataset as pads
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pa.table({
+            "event_type": t["event_type"],
+            "sum_value_cents": _cents(t["value"]),
+        }).to_pandas()
+        g = df.groupby("event_type", as_index=False).agg(
+            sum_value_cents=("sum_value_cents", "sum"),
+            n_events=("sum_value_cents", "size"))
+        g["sum_value_cents"] = g["sum_value_cents"].astype("int64")
+        g["n_events"] = g["n_events"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # both branches are plain map lineages with the ONE groupby after the
+    # union (fk_integrity_audit's proven shape; never a groupby inside a
+    # union branch)
+    # repartition drops the SCHEMA-LESS empty blocks the filtered read
+    # emits (map_batches never sees them; they crash the union's concat —
+    # see CLAUDE.md); the partials are tiny so the extra exchange is noise
+    delta = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"],
+        filter=(pads.field("ts") >= pads.scalar(pd.Timestamp(split_ts))),
+    ).map_batches(partial, batch_format="pyarrow").repartition(4)
+    base = rd.read_parquet(os.path.join(snapshot_dir, "base_agg.parquet"))
+    return (base.union(delta)          # independent lineages — safe union
+            .groupby("event_type")
+            .aggregate(Sum("sum_value_cents", alias_name="sum_value_cents"),
+                       Sum("n_events", alias_name="n_events")))

@@ -82,3 +82,106 @@ def term_search_indexed(index_dir: str, term: str,
 
     return rd.read_parquet(files, columns=["token", key_col, "tf"]).map_batches(
         pick, batch_format="pyarrow")
+
+
+def build_positional_index(ds, index_dir: str, text_col: str = "text",
+                           key_col: str = "doc_id",
+                           n_buckets: int | None = None) -> str:
+    """Positional sibling of :func:`build_term_index`: postings carry the
+    full 0-based token-position list per (doc, token) — list<int32>
+    columns write through ``write_parquet(partition_cols)`` unchanged —
+    enabling phrase/adjacency queries the tf-only index cannot answer.
+    Same one-streaming-pass, hive-bucketed, no-server stance."""
+    if n_buckets is None:
+        n_buckets = DEFAULT_CONFIG.term_index_buckets
+
+    def postings(t: pa.Table) -> pa.Table:
+        toks, ids, poss = [], [], []
+        for did, txt in zip(t[key_col].to_pylist(), t[text_col].to_pylist()):
+            by_tok: dict = {}
+            for i, tok in enumerate((txt or "").lower().split()):
+                by_tok.setdefault(tok, []).append(i)
+            for tok, pos in by_tok.items():
+                toks.append(tok)
+                ids.append(did)
+                poss.append(pos)
+        return pa.table({
+            "token": pa.array(toks, pa.string()),
+            key_col: pa.array(ids, pa.int64()),
+            "positions": pa.array(poss, pa.list_(pa.int32())),
+            "bucket": pa.array(
+                [zlib.crc32(x.encode()) % n_buckets for x in toks],
+                pa.int32()),
+        })
+
+    ds.map_batches(postings, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["bucket"])
+    return index_dir
+
+
+def phrase_search_indexed(index_dir: str, phrase: str,
+                          n_buckets: int | None = None,
+                          key_col: str = "doc_id"):
+    """Exact two-token PHRASE search over a :func:`build_positional_index`
+    layout: read only the two terms' bucket partitions, co-partition both
+    posting streams on a doc-hash bucket (two independent read lineages —
+    union is safe per CLAUDE.md), and count adjacency matches
+    (pos_a + 1 ∈ pos_b) vectorized inside each group.  Neither posting
+    list is ever collected on the driver — a stop-word-frequent term's
+    postings stream through the exchange like any other dataset.
+    Returns (key, n_occ) for documents containing the phrase."""
+    import numpy as np
+    import pandas as pd
+
+    if n_buckets is None:
+        n_buckets = DEFAULT_CONFIG.term_index_buckets
+    t1, t2 = phrase.lower().split()
+    assert t1 != t2, "overlapping identical-token phrases are ambiguous"
+
+    def side_read(term: str, side: int):
+        b = zlib.crc32(term.encode()) % n_buckets
+        files = sorted(glob.glob(
+            os.path.join(index_dir, f"bucket={b}", "*.parquet")))
+        if not files:
+            return rd.from_arrow(pa.table({
+                key_col: pa.array([], pa.int64()),
+                "positions": pa.array([], pa.list_(pa.int32())),
+                "side": pa.array([], pa.int8()),
+                "dbucket": pa.array([], pa.int32()),
+            }))
+
+        def pick(tab: pa.Table) -> pa.Table:
+            sub = tab.filter(pc.equal(tab["token"], term))
+            keys = sub[key_col]
+            return pa.table({
+                key_col: keys,
+                "positions": sub["positions"],
+                "side": pa.nulls(len(sub), pa.int8()).fill_null(side),
+                "dbucket": pc.cast(
+                    pc.bit_wise_and(pc.cast(keys, pa.int64()), 63),
+                    pa.int32()),
+            })
+
+        return rd.read_parquet(
+            files, columns=["token", key_col, "positions"]).map_batches(
+            pick, batch_format="pyarrow")
+
+    def adjacency(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["side"] == 0]
+        b = g[g["side"] == 1].set_index(key_col)["positions"]
+        ids, occs = [], []
+        for did, pos_a in zip(a[key_col], a["positions"]):
+            pos_b = b.get(did)
+            if pos_b is None:
+                continue
+            n = int(np.isin(np.asarray(pos_a, np.int64) + 1,
+                            np.asarray(pos_b, np.int64)).sum())
+            if n:
+                ids.append(did)
+                occs.append(n)
+        return pd.DataFrame({key_col: pd.array(ids, "int64"),
+                             "n_occ": pd.array(occs, "int64")})
+
+    return (side_read(t1, 0).union(side_read(t2, 1))
+            .groupby("dbucket")
+            .map_groups(adjacency, batch_format="pandas"))

@@ -2360,3 +2360,59 @@ def test_price_size_slope_exact(ray_session):
         assert got.loc[brand, "slope"] == float(np.round(slope, 6))
         assert got.loc[brand, "intercept"] == float(np.round(intercept, 6))
         assert int(got.loc[brand, "n_parts"]) == n
+
+
+def test_phrase_search_positional(ray_session, tmp_path_factory):
+    """Positional-index phrase counts equal brute-force token adjacency."""
+    import collections
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ocr_ray.pipelines.textsearch import (build_positional_index,
+                                              phrase_search_indexed)
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path_factory.mktemp("posidx"))
+    build_positional_index(rd.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"]), idx)
+    got = phrase_search_indexed(idx, "table hash").to_pandas()
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    want = collections.Counter()
+    for did, txt in zip(docs["doc_id"], docs["text"]):
+        toks = (txt or "").lower().split()
+        want[did] = sum(1 for a, b in zip(toks, toks[1:])
+                        if a == "table" and b == "hash")
+    want = {k: v for k, v in want.items() if v}
+    assert dict(zip(got["doc_id"], got["n_occ"])) == want
+    assert len(want) > 0                       # the phrase actually occurs
+
+
+def test_incremental_event_counts_matches_full(ray_session,
+                                               tmp_path_factory):
+    """Snapshot + delta merge equals the full recompute, and the snapshot
+    really excludes the delta rows."""
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import (build_event_count_snapshot,
+                                              incremental_event_counts)
+
+    sf = "/root/testdata/sf0.001"
+    snap = str(tmp_path_factory.mktemp("evsnap"))
+    build_event_count_snapshot(sf, snap)
+    got = (incremental_event_counts(snap, sf).to_pandas()
+           .sort_values("event_type").reset_index(drop=True))
+    ev = pq.read_table(f"{sf}/events.parquet").to_pandas()
+    ev["cents"] = np.copysign(np.floor(np.abs(ev["value"] * 100) + 0.5),
+                              ev["value"]).astype("int64")
+    want = (ev.groupby("event_type", as_index=False)
+            .agg(sum_value_cents=("cents", "sum"), n_events=("cents", "size"))
+            .sort_values("event_type").reset_index(drop=True))
+    assert got["event_type"].tolist() == want["event_type"].tolist()
+    assert got["sum_value_cents"].tolist() == want["sum_value_cents"].tolist()
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+    base = pq.read_table(f"{snap}/base_agg.parquet").to_pandas()
+    n_delta = (ev["ts"] >= pd.Timestamp("2024-01-22")).sum()
+    assert int(base["n_events"].sum()) == len(ev) - int(n_delta)
+    assert n_delta > 0
