@@ -444,6 +444,43 @@ def _q_incremental_event_counts(sf_dir: str):
     return incremental_event_counts(_event_snapshot(sf_dir), sf_dir)
 
 
+def _evolved_layout(sf_dir: str) -> str:
+    """Build (once, cached under /tmp, same discipline) the two-generation
+    schema-evolution layout for sf_dir's orders."""
+    import hashlib
+    import shutil
+
+    from ocr_ray.pipelines.relational import build_evolved_layout
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:sev1".encode()
+    ).hexdigest()[:16]
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}"
+    base = f"/tmp/ocr_ray_sevol_v{_ANN_INDEX_VERSION}_{tag}"
+    if os.path.isdir(base):
+        return base
+    tmp = f"{base}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    build_evolved_layout(sf_dir, tmp)
+    try:
+        os.rename(tmp, base)
+    except OSError:           # concurrent build won the race
+        shutil.rmtree(tmp, ignore_errors=True)
+    return base
+
+
+def _q_schema_evolution_read(sf_dir: str):
+    """Rollup across an additive schema change: v1 files lack
+    o_orderpriority and are aligned with an explicit 'legacy' default at
+    read time; the oracle reproduces the same generations from the raw
+    orders table by key parity."""
+    from ocr_ray.pipelines.relational import schema_evolution_read
+
+    return schema_evolution_read(_evolved_layout(sf_dir))
+
+
 def _q_zorder_range_revenue(sf_dir: str):
     """2-D range aggregate over the Z-order clustered layout — only the
     Morton cells intersecting the (price, date) rectangle are read
@@ -1143,6 +1180,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "price_size_slope_by_brand": rel.price_size_slope_by_brand,
         "phrase_search": _q_phrase_search,
         "incremental_event_counts": _q_incremental_event_counts,
+        "schema_evolution_read": _q_schema_evolution_read,
     }
 
 
@@ -2756,6 +2794,18 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_value_cents,
                    COUNT(*) AS n_events
             FROM events GROUP BY event_type
+        """,
+        # v1 generation = even keys (priority column absent → 'legacy'),
+        # v2 = odd keys with the real priority — mirrored by key parity
+        "schema_evolution_read": """
+            SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'legacy'
+                        ELSE o_orderpriority END AS o_orderpriority,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_cents,
+                   COUNT(*) AS n_orders
+            FROM orders
+            GROUP BY CASE WHEN o_orderkey % 2 = 0 THEN 'legacy'
+                          ELSE o_orderpriority END
         """,
         # Every queries() entry above has an oracle_sql twin — the
         # rows-only set is empty as of round 2 (minhash/winnow/knn_lsh/

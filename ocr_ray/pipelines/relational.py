@@ -4275,3 +4275,63 @@ def incremental_event_counts(snapshot_dir: str, sf_dir: str,
             .groupby("event_type")
             .aggregate(Sum("sum_value_cents", alias_name="sum_value_cents"),
                        Sum("n_events", alias_name="n_events")))
+
+
+def build_evolved_layout(sf_dir: str, out_dir: str) -> str:
+    """Materialize a two-generation lakehouse layout from orders: ``v1/``
+    files carry the ORIGINAL schema (o_orderkey, o_totalprice; even keys),
+    ``v2/`` files the EVOLVED schema with the later-added o_orderpriority
+    column (odd keys) — the standard additive-column schema evolution a
+    long-lived table accumulates."""
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    os.makedirs(os.path.join(out_dir, "v1"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "v2"), exist_ok=True)
+    t = pq.read_table(src, columns=["o_orderkey", "o_totalprice",
+                                    "o_orderpriority"])
+    even = pc.equal(pc.bit_wise_and(t["o_orderkey"], 1), 0)
+    pq.write_table(t.filter(even).select(["o_orderkey", "o_totalprice"]),
+                   os.path.join(out_dir, "v1", "data.parquet"))
+    pq.write_table(t.filter(pc.invert(even)),
+                   os.path.join(out_dir, "v2", "data.parquet"))
+    return out_dir
+
+
+def schema_evolution_read(layout_dir: str):
+    """Read a table across an ADDITIVE SCHEMA CHANGE: v1 files lack the
+    o_orderpriority column, so each v1 batch is aligned to the evolved
+    schema by appending the missing column ('legacy' fill — the explicit
+    default a migration declares, never a silent null drop), then both
+    generations stream through ONE union (independent read lineages) into
+    the usual integer rollup per priority.  The per-file alignment is a
+    constant-time metadata operation — no rewrite of the old files, which
+    is the point of additive evolution at 100 TB."""
+    from ray.data.aggregate import Sum
+
+    def align_v1(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "o_orderpriority",
+            pa.nulls(t.num_rows, pa.string()).fill_null("legacy"))
+
+    def measures(t: pa.Table) -> pa.Table:
+        df = pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "sum_cents": _cents(t["o_totalprice"]),
+        }).to_pandas()
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            sum_cents=("sum_cents", "sum"), n_orders=("sum_cents", "size"))
+        g["sum_cents"] = g["sum_cents"].astype("int64")
+        g["n_orders"] = g["n_orders"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    v1 = (rd.read_parquet(os.path.join(layout_dir, "v1"))
+          .map_batches(align_v1, batch_format="pyarrow")
+          .map_batches(measures, batch_format="pyarrow"))
+    v2 = (rd.read_parquet(os.path.join(layout_dir, "v2"))
+          .map_batches(measures, batch_format="pyarrow"))
+    return (v1.union(v2)
+            .groupby("o_orderpriority")
+            .aggregate(Sum("sum_cents", alias_name="sum_cents"),
+                       Sum("n_orders", alias_name="n_orders")))

@@ -2416,3 +2416,36 @@ def test_incremental_event_counts_matches_full(ray_session,
     n_delta = (ev["ts"] >= pd.Timestamp("2024-01-22")).sum()
     assert int(base["n_events"].sum()) == len(ev) - int(n_delta)
     assert n_delta > 0
+
+
+def test_schema_evolution_read_aligns_generations(ray_session,
+                                                  tmp_path_factory):
+    """v1 files (no priority column) roll up as 'legacy'; totals across
+    both generations cover every order exactly once."""
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import (build_evolved_layout,
+                                              schema_evolution_read)
+
+    sf = "/root/testdata/sf0.001"
+    lay = str(tmp_path_factory.mktemp("sevol"))
+    build_evolved_layout(sf, lay)
+    # the two generations really have different physical schemas
+    s1 = pq.ParquetFile(f"{lay}/v1/data.parquet").schema_arrow.names
+    s2 = pq.ParquetFile(f"{lay}/v2/data.parquet").schema_arrow.names
+    assert "o_orderpriority" not in s1 and "o_orderpriority" in s2
+
+    got = schema_evolution_read(lay).to_pandas()
+    o = pq.read_table(f"{sf}/orders.parquet").to_pandas()
+    o["cents"] = np.copysign(np.floor(np.abs(o["o_totalprice"] * 100) + 0.5),
+                             o["o_totalprice"]).astype("int64")
+    o["prio"] = np.where(o["o_orderkey"] % 2 == 0, "legacy",
+                         o["o_orderpriority"])
+    want = (o.groupby("prio", as_index=False)
+            .agg(sum_cents=("cents", "sum"), n_orders=("cents", "size")))
+    gm = dict(zip(got["o_orderpriority"], zip(got["sum_cents"],
+                                              got["n_orders"])))
+    wm = dict(zip(want["prio"], zip(want["sum_cents"], want["n_orders"])))
+    assert {k: (int(a), int(b)) for k, (a, b) in gm.items()} \
+        == {k: (int(a), int(b)) for k, (a, b) in wm.items()}
+    assert int(got["n_orders"].sum()) == len(o)
