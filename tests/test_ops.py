@@ -1987,7 +1987,14 @@ def test_query_partition_invariance(ray_session):
     qs = e.queries()
     names = ["dedup_first_event", "minhash_near_dup", "event_funnel",
              "crawl_delta", "pagerank_two_iter", "partition_checksums",
-             "tree_depths", "dup_cluster_sizes", "fk_integrity_audit"]
+             "tree_depths", "dup_cluster_sizes", "fk_integrity_audit",
+             # round-4 late additions: packing (shard greedy), heavy
+             # hitters (batch-local candidates must not leak into the
+             # output), bloom semi join (OR-folded partial filters),
+             # histogram winsorize, star join
+             "pack_context_windows", "heavy_hitter_terms",
+             "bloom_semi_join_revenue", "winsorized_revenue_by_priority",
+             "revenue_by_region"]
 
     def canon(res):
         df = res.to_pandas() if hasattr(res, "to_pandas") else res
