@@ -1181,6 +1181,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "phrase_search": _q_phrase_search,
         "incremental_event_counts": _q_incremental_event_counts,
         "schema_evolution_read": _q_schema_evolution_read,
+        "range_partition_plan": rel.range_partition_plan,
     }
 
 
@@ -2806,6 +2807,36 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY CASE WHEN o_orderkey % 2 = 0 THEN 'legacy'
                           ELSE o_orderpriority END
+        """,
+        # quantile takes only CONSTANT q (CLAUDE.md) — one SELECT per
+        # interior boundary; a row equal to a boundary goes to the LOWER
+        # bucket (cents > b count)
+        "range_partition_plan": """
+            WITH c AS MATERIALIZED (
+              SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders
+            ), q AS MATERIALIZED (
+              SELECT CAST(quantile_disc(cents, 1.0/16) AS BIGINT) AS b FROM c
+              UNION ALL SELECT CAST(quantile_disc(cents, 2.0/16) AS BIGINT) FROM c
+              UNION ALL SELECT CAST(quantile_disc(cents, 3.0/16) AS BIGINT) FROM c
+              UNION ALL SELECT CAST(quantile_disc(cents, 4.0/16) AS BIGINT) FROM c
+              UNION ALL SELECT CAST(quantile_disc(cents, 5.0/16) AS BIGINT) FROM c
+              UNION ALL SELECT CAST(quantile_disc(cents, 6.0/16) AS BIGINT) FROM c
+              UNION ALL SELECT CAST(quantile_disc(cents, 7.0/16) AS BIGINT) FROM c
+              UNION ALL SELECT CAST(quantile_disc(cents, 8.0/16) AS BIGINT) FROM c
+              UNION ALL SELECT CAST(quantile_disc(cents, 9.0/16) AS BIGINT) FROM c
+              UNION ALL SELECT CAST(quantile_disc(cents, 10.0/16) AS BIGINT) FROM c
+              UNION ALL SELECT CAST(quantile_disc(cents, 11.0/16) AS BIGINT) FROM c
+              UNION ALL SELECT CAST(quantile_disc(cents, 12.0/16) AS BIGINT) FROM c
+              UNION ALL SELECT CAST(quantile_disc(cents, 13.0/16) AS BIGINT) FROM c
+              UNION ALL SELECT CAST(quantile_disc(cents, 14.0/16) AS BIGINT) FROM c
+              UNION ALL SELECT CAST(quantile_disc(cents, 15.0/16) AS BIGINT) FROM c
+            )
+            SELECT bucket, COUNT(*) AS n_orders FROM (
+              SELECT (SELECT COUNT(*) FROM q WHERE c.cents > q.b)
+                     AS bucket
+              FROM c
+            ) GROUP BY bucket
         """,
         # Every queries() entry above has an oracle_sql twin — the
         # rows-only set is empty as of round 2 (minhash/winnow/knn_lsh/

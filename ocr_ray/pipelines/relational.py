@@ -4335,3 +4335,46 @@ def schema_evolution_read(layout_dir: str):
             .groupby("o_orderpriority")
             .aggregate(Sum("sum_cents", alias_name="sum_cents"),
                        Sum("n_orders", alias_name="n_orders")))
+
+
+def range_partition_plan(sf_dir: str, n_buckets: int = 16):
+    """RANGE-PARTITIONER PLANNING — the step inside every distributed
+    sort/range-shuffle: compute equi-depth boundaries (the 15 interior
+    quantile_disc order statistics) and the resulting per-bucket row
+    counts, proving the plan balances.  One pass of value-count partials
+    (the quantile family's compression stance); the single bounded final
+    task derives boundaries AND bucket counts from the same cumulative
+    histogram — a row with cents == boundary goes to the LOWER bucket
+    (count of boundaries strictly below, mirrored in the oracle's
+    ``cents > b`` correlated count).  Output (bucket, n_orders)."""
+    import math
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pa.table({"v": _cents(t["o_totalprice"])}).to_pandas()
+        g = df.groupby("v", as_index=False).size().rename(
+            columns={"size": "c"})
+        g["c"] = g["c"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby("v", as_index=False)["c"].sum()
+        df = df.sort_values("v")
+        vals = df["v"].to_numpy()
+        cnts = df["c"].to_numpy()
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        bounds = np.array(
+            [vals[int(np.searchsorted(cum, math.ceil(i / n_buckets * n)))]
+             for i in range(1, n_buckets)], dtype=np.int64)
+        bucket = np.searchsorted(bounds, vals, side="left")
+        g = pd.DataFrame({"bucket": bucket, "c": cnts}).groupby(
+            "bucket", as_index=False)["c"].sum()
+        return pa.table({
+            "bucket": pa.array(g["bucket"].astype("int64"), pa.int64()),
+            "n_orders": pa.array(g["c"].astype("int64"), pa.int64()),
+        })
+
+    return (_read(sf_dir, "orders", ["o_totalprice"])
+            .map_batches(partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow", batch_size=None))

@@ -2456,3 +2456,20 @@ def test_schema_evolution_read_aligns_generations(ray_session,
     assert {k: (int(a), int(b)) for k, (a, b) in gm.items()} \
         == {k: (int(a), int(b)) for k, (a, b) in wm.items()}
     assert int(got["n_orders"].sum()) == len(o)
+
+
+def test_range_partition_plan_balances(ray_session):
+    """Equi-depth planning: 16 buckets, every order counted once, and no
+    bucket deviates more than ±1 row from perfect balance on the
+    effectively-continuous price column."""
+    from ocr_ray.pipelines.relational import range_partition_plan
+
+    got = range_partition_plan("/root/testdata/sf0.001").to_pandas()
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(
+        "/root/testdata/sf0.001/orders.parquet").metadata.num_rows
+    assert int(got["n_orders"].sum()) == n
+    assert sorted(got["bucket"]) == list(range(16))
+    per = n / 16
+    assert (got["n_orders"] - per).abs().max() <= 1
