@@ -1182,6 +1182,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "incremental_event_counts": _q_incremental_event_counts,
         "schema_evolution_read": _q_schema_evolution_read,
         "range_partition_plan": rel.range_partition_plan,
+        "bigram_lm_scores": rel.bigram_lm_scores,
     }
 
 
@@ -2837,6 +2838,39 @@ def oracle_sql() -> dict[str, str]:
                      AS bucket
               FROM c
             ) GROUP BY bucket
+        """,
+        # each term is rounded to integer micro-nats BEFORE the SUM, so
+        # the aggregation order cannot perturb the result on either side
+        "bigram_lm_scores": r"""
+            WITH d AS MATERIALIZED (
+              SELECT doc_id, regexp_split_to_array(
+                       lower(coalesce(text, '')), '\s+') AS arr
+              FROM documents
+            ), toks AS MATERIALIZED (
+              SELECT doc_id, unnest(arr) AS term,
+                     generate_subscripts(arr, 1) AS ord
+              FROM d
+            ), big AS MATERIALIZED (
+              SELECT a.doc_id, a.term AS ta, b.term AS tb
+              FROM toks a JOIN toks b
+                ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+              WHERE a.term <> '' AND b.term <> ''
+            ), cab AS MATERIALIZED (
+              SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS n
+              FROM big GROUP BY ta, tb
+            ), ca AS MATERIALIZED (
+              SELECT ta, CAST(COUNT(*) AS BIGINT) AS n FROM big GROUP BY ta
+            )
+            SELECT big.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(CAST(ROUND(
+                       1000000.0 * ln(CAST(cab.n AS DOUBLE)
+                                      / CAST(ca.n AS DOUBLE)))
+                     AS BIGINT)) AS BIGINT) AS score_unats
+            FROM big
+              JOIN cab ON big.ta = cab.ta AND big.tb = cab.tb
+              JOIN ca  ON big.ta = ca.ta
+            GROUP BY big.doc_id
         """,
         # Every queries() entry above has an oracle_sql twin — the
         # rows-only set is empty as of round 2 (minhash/winnow/knn_lsh/

@@ -4378,3 +4378,120 @@ def range_partition_plan(sf_dir: str, n_buckets: int = 16):
             .map_batches(partial, batch_format="pyarrow")
             .repartition(1)
             .map_batches(final, batch_format="pyarrow", batch_size=None))
+
+
+def bigram_lm_scores(sf_dir: str):
+    """Corpus-trained BIGRAM LANGUAGE-MODEL scoring (the deterministic
+    analogue of the KenLM-perplexity quality filter every LLM data
+    pipeline runs): per document, ``score = Σ ln P(w_i | w_{i-1})`` with
+    ``P(b|a) = c(a,b) / c(a,·)`` counted over the whole corpus.
+
+    Float discipline: every term is rounded to INTEGER micro-nats
+    (half-away, the _cents convention) BEFORE any summation, so the
+    distributed integer sums are order-independent and the oracle's SUM
+    needs no float-order assumptions — the only float op per term is one
+    division + one ln in the oracle's exact expression shape.
+
+    Topology: model training and scoring share ONE exchange — both the
+    per-(doc, bigram) instance rows and the per-batch count partials ride
+    a crc32(first-token) bucket (ALL pairs sharing a context token
+    co-locate, so c(a,b) and c(a,·) finalize in the same group), two
+    independent document reads unioned (safe per CLAUDE.md); the bucket
+    kernel joins instances to the finalized counts vectorized and emits
+    per-doc integer partials; one small groupby folds docs across
+    buckets.  Instance rows ≈ distinct bigrams per doc — inherent to LM
+    scoring, and the text itself never crosses the exchange.
+
+    Tokens: the RE2-parity whitespace class (token_entropy's convention).
+    Docs with no bigram emit nothing."""
+    import collections
+    import re
+    import zlib
+
+    n_buckets = DEFAULT_CONFIG.near_dup_coarse_buckets
+    _ws = re.compile(r"[ \t\n\f\r]+")
+
+    def _doc_bigrams(txt: str):
+        toks = [x for x in _ws.split((txt or "").lower()) if x]
+        return zip(toks, toks[1:])
+
+    def instances(t: pa.Table) -> pa.Table:
+        ids, tas, tbs, ms = [], [], [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            c = collections.Counter(_doc_bigrams(txt))
+            for (a, b), m in c.items():
+                ids.append(did)
+                tas.append(a)
+                tbs.append(b)
+                ms.append(m)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "ta": pa.array(tas, pa.string()),
+            "tb": pa.array(tbs, pa.string()),
+            "m": pa.array(ms, pa.int64()),
+            "side": pa.nulls(len(ids), pa.int8()).fill_null(0),
+            "bucket": pa.array(
+                [zlib.crc32(a.encode()) % n_buckets for a in tas],
+                pa.int32()),
+        })
+
+    def count_partials(t: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        for txt in t["text"].to_pylist():
+            c.update(_doc_bigrams(txt))
+        pairs = list(c.keys())
+        return pa.table({
+            "doc_id": pa.array([-1] * len(pairs), pa.int64()),
+            "ta": pa.array([p[0] for p in pairs], pa.string()),
+            "tb": pa.array([p[1] for p in pairs], pa.string()),
+            "m": pa.array([c[p] for p in pairs], pa.int64()),
+            "side": pa.nulls(len(pairs), pa.int8()).fill_null(1),
+            "bucket": pa.array(
+                [zlib.crc32(p[0].encode()) % n_buckets for p in pairs],
+                pa.int32()),
+        })
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = (g[g["side"] == 1].groupby(["ta", "tb"], as_index=False)
+               ["m"].sum().rename(columns={"m": "cab"}))
+        ca = (cnt.groupby("ta", as_index=False)["cab"].sum()
+              .rename(columns={"cab": "ca"}))
+        inst = (g[g["side"] == 0]
+                .merge(cnt, on=["ta", "tb"]).merge(ca, on="ta"))
+        if not len(inst):
+            return pd.DataFrame({"doc_id": pd.array([], "int64"),
+                                 "n_bigrams": pd.array([], "int64"),
+                                 "score_unats": pd.array([], "int64"),
+                                 "dbucket": pd.array([], "int32")})
+        x = 1e6 * np.log(inst["cab"].to_numpy(np.float64)
+                         / inst["ca"].to_numpy(np.float64))
+        term = np.copysign(np.floor(np.abs(x) + 0.5), x).astype("int64")
+        inst = inst.assign(score=term * inst["m"].to_numpy())
+        out = inst.groupby("doc_id", as_index=False).agg(
+            n_bigrams=("m", "sum"), score_unats=("score", "sum"))
+        out["n_bigrams"] = out["n_bigrams"].astype("int64")
+        out["score_unats"] = out["score_unats"].astype("int64")
+        # ride a coarse doc bucket into the final fold — a direct
+        # groupby(doc_id).aggregate is the documented high-cardinality
+        # pathology (measured 20s wall / 174s remote at sf0.1)
+        out["dbucket"] = np.bitwise_and(
+            out["doc_id"].to_numpy(np.int64), 63).astype("int32")
+        return out
+
+    def fold_docs(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", as_index=False).agg(
+            n_bigrams=("n_bigrams", "sum"), score_unats=("score_unats",
+                                                         "sum"))
+        out["n_bigrams"] = out["n_bigrams"].astype("int64")
+        out["score_unats"] = out["score_unats"].astype("int64")
+        return out
+
+    inst_ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        instances, batch_format="pyarrow")
+    cnt_ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        count_partials, batch_format="pyarrow")
+    return (inst_ds.union(cnt_ds)
+            .groupby("bucket")
+            .map_groups(score_bucket, batch_format="pandas")
+            .groupby("dbucket")
+            .map_groups(fold_docs, batch_format="pandas"))

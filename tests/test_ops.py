@@ -2473,3 +2473,45 @@ def test_range_partition_plan_balances(ray_session):
     assert sorted(got["bucket"]) == list(range(16))
     per = n / 16
     assert (got["n_orders"] - per).abs().max() <= 1
+
+
+def test_bigram_lm_scores_local_recompute(ray_session):
+    """Distributed bigram-LM scores equal a single-process recompute with
+    the same integer micro-nat rounding."""
+    import collections
+    import re
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import bigram_lm_scores
+
+    sf = "/root/testdata/sf0.001"
+    got = bigram_lm_scores(sf).to_pandas().set_index("doc_id")
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    ws = re.compile(r"[ \t\n\f\r]+")
+
+    def bigrams(txt):
+        toks = [x for x in ws.split((txt or "").lower()) if x]
+        return list(zip(toks, toks[1:]))
+
+    cab = collections.Counter()
+    ca = collections.Counter()
+    for txt in docs["text"]:
+        for a, b in bigrams(txt):
+            cab[(a, b)] += 1
+            ca[a] += 1
+    n_docs_scored = 0
+    for did, txt in zip(docs["doc_id"], docs["text"]):
+        bg = bigrams(txt)
+        if not bg:
+            assert did not in got.index
+            continue
+        n_docs_scored += 1
+        score = 0
+        for a, b in bg:
+            x = 1e6 * np.log(cab[(a, b)] / ca[a])
+            score += int(np.copysign(np.floor(abs(x) + 0.5), x))
+        assert int(got.loc[did, "score_unats"]) == score
+        assert int(got.loc[did, "n_bigrams"]) == len(bg)
+    assert n_docs_scored == len(got)
