@@ -3867,7 +3867,7 @@ def heavy_hitter_terms(sf_dir: str, k: int = 200):
         lambda t: pa.table(
             {"term": pc.unique(t.filter(t["cand"])["term"].combine_chunks())}),
         batch_format="pyarrow").take_all())
-    keep_arr = pa.array(sorted({r["term"] for r in cand_rows}))
+    keep_arr = pa.array(sorted({r["term"] for r in cand_rows}), pa.string())
 
     def recount(t: pa.Table) -> pa.Table:
         sub = t.filter(pc.is_in(t["term"], value_set=keep_arr))
@@ -3876,10 +3876,16 @@ def heavy_hitter_terms(sf_dir: str, k: int = 200):
         return pa.Table.from_pandas(df, preserve_index=False)
 
     def final(t: pa.Table) -> pa.Table:
+        empty = pa.table({"term": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if "term" not in t.column_names:   # no candidate anywhere (huge k):
+            return empty                   # fully-filtered → column-less
         df = t.to_pandas().groupby("term", as_index=False)["n"].sum()
         df = df[df["n"] * k > total].sort_values(
             ["n", "term"], ascending=[False, True])
         df["n"] = df["n"].astype("int64")
+        if not len(df):
+            return empty
         return pa.Table.from_pandas(df.reset_index(drop=True),
                                     preserve_index=False)
 

@@ -2515,3 +2515,13 @@ def test_bigram_lm_scores_local_recompute(ray_session):
         assert int(got.loc[did, "score_unats"]) == score
         assert int(got.loc[did, "n_bigrams"]) == len(bg)
     assert n_docs_scored == len(got)
+
+
+def test_heavy_hitter_terms_huge_k_empty(ray_session):
+    """An impossible threshold (k=1 → n > N) returns a typed empty
+    result, not a column-less crash."""
+    from ocr_ray.pipelines.relational import heavy_hitter_terms
+
+    got = heavy_hitter_terms("/root/testdata/sf0.001", k=1)
+    df = got.to_pandas() if hasattr(got, "to_pandas") else got
+    assert len(df) == 0
