@@ -247,19 +247,44 @@ def _q_knn_lsh(sf_dir: str):
 _ANN_INDEX_VERSION = 1
 
 
-def _ann_index(sf_dir: str, kind: str) -> str:
-    """Build (once, cached under /tmp) the partition-pruned ANN layout for
-    sf_dir's embeddings; atomic tmp+rename so a crashed build never leaves
-    a half-written index behind.
+def _cached_build(prefix: str, src: str, fp_extra: str, build_fn) -> str:
+    """Shared build-once /tmp cache for derived layouts (ANN / term /
+    positional indexes, Z-order layout, event snapshot, evolved layout).
 
     The cache dir name embeds a FINGERPRINT of the source file (absolute
-    path + size + mtime_ns) so a regenerated corpus at a same-named dir —
-    or a different parent path with the same basename — can never silently
-    reuse a stale index; it simply hashes to a new cache dir and rebuilds.
-    """
+    path + size + mtime_ns) plus the layout geometry/params (fp_extra):
+    a regenerated corpus at a same-named dir, a different parent path
+    with the same basename, or a changed geometry can never silently
+    reuse a stale layout — it hashes to a new dir and rebuilds.  Builds
+    go to a pid-suffixed tmp dir and are atomically renamed in, so a
+    crashed build never leaves a half-written layout behind and a
+    concurrent-build race resolves to one winner."""
     import hashlib
     import shutil
 
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}"
+        f":{fp_extra}".encode()).hexdigest()[:16]
+    sf_tag = os.path.basename(os.path.normpath(os.path.dirname(src)))
+    base = f"/tmp/ocr_ray_{prefix}_v{_ANN_INDEX_VERSION}_{sf_tag}_{fp}"
+    if os.path.isdir(base):
+        return base
+    tmp = f"{base}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    build_fn(tmp)
+    try:
+        os.rename(tmp, base)
+    except OSError:           # concurrent build won the race
+        shutil.rmtree(tmp, ignore_errors=True)
+    return base
+
+
+def _ann_index(sf_dir: str, kind: str) -> str:
+    """Partition-pruned ANN layout for sf_dir's embeddings (cached).
+    Layout geometry (bits / cells) is part of the fingerprint: a
+    mismatched layout must force a rebuild, never a silent
+    wrong-partition probe."""
     import ray.data as rd
 
     from ocr_ray.pipelines.simsearch import build_ivf_index, build_lsh_index
@@ -267,38 +292,21 @@ def _ann_index(sf_dir: str, kind: str) -> str:
     from ocr_ray.config import DEFAULT_CONFIG
 
     src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
-    # layout geometry (bits / cells) is part of the fingerprint for the
-    # same reason as the data fingerprint: a mismatched layout must force
-    # a rebuild, never a silent wrong-partition probe
     geom = (DEFAULT_CONFIG.lsh_index_bits if kind == "lsh"
             else DEFAULT_CONFIG.ivf_clusters)
-    fp = hashlib.md5(
-        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:g{geom}".encode()
-    ).hexdigest()[:16]
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}"
-    base = f"/tmp/ocr_ray_ann_v{_ANN_INDEX_VERSION}_{tag}_{kind}"
-    if os.path.isdir(base):
-        return base
-    tmp = f"{base}.tmp-{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                         columns=["vec_id", "embedding"])
-    (build_lsh_index if kind == "lsh" else build_ivf_index)(ds, tmp)
-    try:
-        os.rename(tmp, base)
-    except OSError:           # concurrent build won the race
-        shutil.rmtree(tmp, ignore_errors=True)
-    return base
+
+    def build(tmp: str) -> None:
+        ds = rd.read_parquet(src, columns=["vec_id", "embedding"])
+        (build_lsh_index if kind == "lsh" else build_ivf_index)(ds, tmp)
+
+    return _cached_build(f"ann_{kind}", src, f"g{geom}", build)
 
 
 def _term_index(sf_dir: str) -> str:
-    """Build (once, cached under /tmp, same fingerprint + atomic-rename
-    discipline as :func:`_ann_index`) the hive-partitioned term index for
-    sf_dir's documents table."""
-    import hashlib
-    import shutil
-
+    """Hive-partitioned term index for sf_dir's documents (cached).  The
+    bucket count is part of the fingerprint: a layout built at one
+    n_buckets is unreadable at another (the lookup's crc32 % n_buckets
+    would probe the wrong dir and silently return nothing)."""
     import ray.data as rd
 
     from ocr_ray.pipelines.textsearch import build_term_index
@@ -306,71 +314,36 @@ def _term_index(sf_dir: str) -> str:
     from ocr_ray.config import DEFAULT_CONFIG
 
     src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    # the bucket count is part of the fingerprint: a layout built at one
-    # n_buckets is unreadable at another (the lookup's crc32 % n_buckets
-    # would probe the wrong dir and silently return nothing)
-    fp = hashlib.md5(
-        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}"
-        f":b{DEFAULT_CONFIG.term_index_buckets}".encode()
-    ).hexdigest()[:16]
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}"
-    base = f"/tmp/ocr_ray_terms_v{_ANN_INDEX_VERSION}_{tag}"
-    if os.path.isdir(base):
-        return base
-    tmp = f"{base}.tmp-{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
-    ds = rd.read_parquet(src, columns=["doc_id", "text"])
-    build_term_index(ds, tmp)
-    try:
-        os.rename(tmp, base)
-    except OSError:           # concurrent build won the race
-        shutil.rmtree(tmp, ignore_errors=True)
-    return base
+
+    def build(tmp: str) -> None:
+        build_term_index(rd.read_parquet(src, columns=["doc_id", "text"]),
+                         tmp)
+
+    return _cached_build(
+        "terms", src, f"b{DEFAULT_CONFIG.term_index_buckets}", build)
 
 
 def _zorder_layout(sf_dir: str) -> str:
-    """Build (once, cached under /tmp, same fingerprint + atomic-rename
-    discipline as :func:`_ann_index`) the Z-order clustered orders layout
-    for sf_dir."""
-    import hashlib
-    import shutil
-
+    """Z-order clustered orders layout for sf_dir (cached).  Bin geometry
+    is part of the fingerprint: cells computed for one width would prune
+    WRONG partitions of a layout built at another."""
     import ray.data as rd
 
     from ocr_ray.pipelines import relational as rel
 
     src = os.path.join(sf_dir, "orders.parquet")
-    st = os.stat(src)
-    # bin geometry is part of the fingerprint: cells computed for one
-    # width would prune WRONG partitions of a layout built at another
-    fp = hashlib.md5(
-        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}"
-        f":w{rel._Z_PRICE_WIDTH}:{rel._Z_DATE_WIDTH}".encode()
-    ).hexdigest()[:16]
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}"
-    base = f"/tmp/ocr_ray_zorder_v{_ANN_INDEX_VERSION}_{tag}"
-    if os.path.isdir(base):
-        return base
-    tmp = f"{base}.tmp-{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
-    ds = rd.read_parquet(src, columns=["o_orderkey", "o_totalprice",
-                                       "o_orderdate"])
-    rel.build_zorder_layout(ds, tmp)
-    try:
-        os.rename(tmp, base)
-    except OSError:           # concurrent build won the race
-        shutil.rmtree(tmp, ignore_errors=True)
-    return base
+
+    def build(tmp: str) -> None:
+        rel.build_zorder_layout(
+            rd.read_parquet(src, columns=["o_orderkey", "o_totalprice",
+                                          "o_orderdate"]), tmp)
+
+    return _cached_build(
+        "zorder", src, f"w{rel._Z_PRICE_WIDTH}:{rel._Z_DATE_WIDTH}", build)
 
 
 def _phrase_index(sf_dir: str) -> str:
-    """Build (once, cached under /tmp, the _ann_index fingerprint +
-    atomic-rename discipline) the POSITIONAL term index for sf_dir's
-    documents table."""
-    import hashlib
-    import shutil
-
+    """POSITIONAL term index for sf_dir's documents (cached)."""
     import ray.data as rd
 
     from ocr_ray.pipelines.textsearch import build_positional_index
@@ -378,24 +351,13 @@ def _phrase_index(sf_dir: str) -> str:
     from ocr_ray.config import DEFAULT_CONFIG
 
     src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    fp = hashlib.md5(
-        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}"
-        f":pb{DEFAULT_CONFIG.term_index_buckets}".encode()
-    ).hexdigest()[:16]
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}"
-    base = f"/tmp/ocr_ray_posidx_v{_ANN_INDEX_VERSION}_{tag}"
-    if os.path.isdir(base):
-        return base
-    tmp = f"{base}.tmp-{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
-    ds = rd.read_parquet(src, columns=["doc_id", "text"])
-    build_positional_index(ds, tmp)
-    try:
-        os.rename(tmp, base)
-    except OSError:           # concurrent build won the race
-        shutil.rmtree(tmp, ignore_errors=True)
-    return base
+
+    def build(tmp: str) -> None:
+        build_positional_index(
+            rd.read_parquet(src, columns=["doc_id", "text"]), tmp)
+
+    return _cached_build(
+        "posidx", src, f"pb{DEFAULT_CONFIG.term_index_buckets}", build)
 
 
 def _q_phrase_search(sf_dir: str):
@@ -408,31 +370,13 @@ def _q_phrase_search(sf_dir: str):
 
 
 def _event_snapshot(sf_dir: str) -> str:
-    """Build (once, cached under /tmp, same discipline) the materialized
-    base aggregate for incremental_event_counts."""
-    import hashlib
-    import shutil
-
+    """Materialized base aggregate for incremental_event_counts
+    (cached; the split timestamp is part of the fingerprint)."""
     from ocr_ray.pipelines.relational import build_event_count_snapshot
 
-    src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    fp = hashlib.md5(
-        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}"
-        f":t2024-01-22".encode()
-    ).hexdigest()[:16]
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}"
-    base = f"/tmp/ocr_ray_evsnap_v{_ANN_INDEX_VERSION}_{tag}"
-    if os.path.isdir(base):
-        return base
-    tmp = f"{base}.tmp-{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
-    build_event_count_snapshot(sf_dir, tmp)
-    try:
-        os.rename(tmp, base)
-    except OSError:           # concurrent build won the race
-        shutil.rmtree(tmp, ignore_errors=True)
-    return base
+    return _cached_build(
+        "evsnap", os.path.join(sf_dir, "events.parquet"), "t2024-01-22",
+        lambda tmp: build_event_count_snapshot(sf_dir, tmp))
 
 
 def _q_incremental_event_counts(sf_dir: str):
@@ -445,30 +389,13 @@ def _q_incremental_event_counts(sf_dir: str):
 
 
 def _evolved_layout(sf_dir: str) -> str:
-    """Build (once, cached under /tmp, same discipline) the two-generation
-    schema-evolution layout for sf_dir's orders."""
-    import hashlib
-    import shutil
-
+    """Two-generation schema-evolution layout for sf_dir's orders
+    (cached)."""
     from ocr_ray.pipelines.relational import build_evolved_layout
 
-    src = os.path.join(sf_dir, "orders.parquet")
-    st = os.stat(src)
-    fp = hashlib.md5(
-        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:sev1".encode()
-    ).hexdigest()[:16]
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}"
-    base = f"/tmp/ocr_ray_sevol_v{_ANN_INDEX_VERSION}_{tag}"
-    if os.path.isdir(base):
-        return base
-    tmp = f"{base}.tmp-{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
-    build_evolved_layout(sf_dir, tmp)
-    try:
-        os.rename(tmp, base)
-    except OSError:           # concurrent build won the race
-        shutil.rmtree(tmp, ignore_errors=True)
-    return base
+    return _cached_build(
+        "sevol", os.path.join(sf_dir, "orders.parquet"), "sev1",
+        lambda tmp: build_evolved_layout(sf_dir, tmp))
 
 
 def _q_schema_evolution_read(sf_dir: str):

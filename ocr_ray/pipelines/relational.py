@@ -3913,8 +3913,12 @@ def name_edit_near_dup(sf_dir: str, max_dist: int = 3):
     n_buckets = DEFAULT_CONFIG.near_dup_coarse_buckets
 
     def prep(t: pa.Table) -> pa.Table:
-        names = pc.unique(t["p_name"].combine_chunks()).to_pylist()
-        toks = [(s or "").split(" ")[-1] for s in names]
+        # NULL names are excluded, matching the oracle (NULL comparisons
+        # and levenshtein(NULL, x) yield NULL → no pair)
+        names = [s for s in
+                 pc.unique(t["p_name"].combine_chunks()).to_pylist()
+                 if s is not None]
+        toks = [s.split(" ")[-1] for s in names]
         return pa.table({
             "name": pa.array(names, pa.string()),
             "tok_l": pa.array(toks, pa.string()),
@@ -4082,10 +4086,12 @@ def revenue_by_region(sf_dir: str):
 
     def enrich(t: pa.Table) -> pa.Table:
         m = ray.get(ref)
+        # C-level mapping (pandas Series.map), never a per-row dict loop
+        names = pd.Series(
+            t["o_custkey"].to_numpy(zero_copy_only=False)).map(m)
         return pa.table({
             "o_orderkey": t["o_orderkey"],
-            "r_name": pa.array([m.get(ck) for ck in
-                                t["o_custkey"].to_pylist()], pa.string()),
+            "r_name": pa.array(names, pa.string(), from_pandas=True),
         })
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
@@ -4187,20 +4193,31 @@ def price_size_slope_by_brand(sf_dir: str):
         sum_cols=["sx", "sy", "sxx", "sxy"], count_col="n_parts",
     )
 
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
+    def finalize(df: pd.DataFrame) -> pa.Table:
+        brands, ns, slopes, intercepts = [], [], [], []
         for r in df.itertuples(index=False):
             n, sx, sy = int(r.n_parts), int(r.sx), int(r.sy)
             a = n * int(r.sxy) - sx * sy
             b = n * int(r.sxx) - sx * sx
-            slope = float(a) / float(b)
-            intercept = (float(sy) - slope * float(sx)) / float(n)
-            out.append((r.p_brand, n, float(np.round(slope, 6)),
-                        float(np.round(intercept, 6))))
-        res = pd.DataFrame(
-            out, columns=["p_brand", "n_parts", "slope", "intercept"])
-        res["n_parts"] = res["n_parts"].astype("int64")
-        return res
+            if b == 0:
+                # zero size variance (singleton/uniform brand): the
+                # oracle's DOUBLE division by zero yields NULL
+                slope, intercept = None, None
+            else:
+                slope = float(np.round(float(a) / float(b), 6))
+                intercept = float(np.round(
+                    (float(sy) - (float(a) / float(b)) * float(sx))
+                    / float(n), 6))
+            brands.append(r.p_brand)
+            ns.append(n)
+            slopes.append(slope)
+            intercepts.append(intercept)
+        return pa.table({
+            "p_brand": pa.array(brands, pa.string()),
+            "n_parts": pa.array(ns, pa.int64()),
+            "slope": pa.array(slopes, pa.float64()),
+            "intercept": pa.array(intercepts, pa.float64()),
+        })
 
     return moments.repartition(1).map_batches(finalize,
                                               batch_format="pandas")
@@ -4235,6 +4252,10 @@ def build_event_count_snapshot(sf_dir: str, out_dir: str,
     # the sort-based groupby emits SCHEMA-LESS empty blocks (CLAUDE.md);
     # drop them before the concat or it raises ArrowInvalid
     tabs = [t for t in ray.get(base.to_arrow_refs()) if t.num_columns]
+    if not tabs:              # nothing precedes split_ts: typed empty
+        tabs = [pa.table({"event_type": pa.array([], pa.string()),
+                          "sum_value_cents": pa.array([], pa.int64()),
+                          "n_events": pa.array([], pa.int64())})]
     pq.write_table(pa.concat_tables(tabs),
                    os.path.join(out_dir, "base_agg.parquet"))
     return out_dir

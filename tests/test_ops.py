@@ -2167,14 +2167,17 @@ def test_pack_context_windows_greedy(ray_session):
     assert len(got) == len(got["doc_id"].unique())
     for _, g in got.groupby("shard"):
         g = g.sort_values("doc_id")
-        # replay the recurrence
-        bin_idx, bin_tok = 0, 0
+        # replay the recurrence; occupancy (not token count) decides
+        # whether a bin can be closed — a bin opened by a zero-token doc
+        # is still occupied
+        bin_idx, bin_tok, bin_docs = 0, 0, 0
         for _, row in g.iterrows():
             n = int(row["n_tokens"])
-            if bin_tok and bin_tok + n > cap:
-                bin_idx, bin_tok = bin_idx + 1, n
+            if bin_docs and bin_tok + n > cap:
+                bin_idx, bin_tok, bin_docs = bin_idx + 1, n, 1
             else:
                 bin_tok += n
+                bin_docs += 1
             assert int(row["bin_idx"]) == bin_idx
         fills = g.groupby("bin_idx")["n_tokens"].agg(["sum", "size"])
         multi = fills[fills["size"] > 1]
@@ -2525,3 +2528,26 @@ def test_heavy_hitter_terms_huge_k_empty(ray_session):
     got = heavy_hitter_terms("/root/testdata/sf0.001", k=1)
     df = got.to_pandas() if hasattr(got, "to_pandas") else got
     assert len(df) == 0
+
+
+def test_price_size_slope_zero_variance_null(ray_session,
+                                             tmp_path_factory):
+    """A brand with zero size variance yields NULL slope/intercept (the
+    oracle's double-division-by-zero semantics), not a crash."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import price_size_slope_by_brand
+
+    d = tmp_path_factory.mktemp("uniform_brand")
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([0, 1, 2], pa.int64()),
+        "p_brand": pa.array(["B#1", "B#1", "B#2"], pa.string()),
+        "p_type": pa.array(["t", "t", "t"], pa.string()),
+        "p_size": pa.array([7, 7, 3], pa.int32()),
+        "p_retailprice": pa.array([100.0, 200.0, 150.0], pa.float64()),
+    }), str(d / "part.parquet"))
+    got = price_size_slope_by_brand(str(d)).to_pandas().set_index("p_brand")
+    assert np.isnan(got.loc["B#1", "slope"])      # uniform size → NULL
+    assert np.isnan(got.loc["B#1", "intercept"])
+    assert np.isnan(got.loc["B#2", "slope"])      # singleton → NULL too
