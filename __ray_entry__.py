@@ -1110,6 +1110,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "schema_evolution_read": _q_schema_evolution_read,
         "range_partition_plan": rel.range_partition_plan,
         "bigram_lm_scores": rel.bigram_lm_scores,
+        "embedding_quantize_stats": rel.embedding_quantize_stats,
     }
 
 
@@ -2798,6 +2799,27 @@ def oracle_sql() -> dict[str, str]:
               JOIN cab ON big.ta = cab.ta AND big.tb = cab.tb
               JOIN ca  ON big.ta = ca.ta
             GROUP BY big.doc_id
+        """,
+        # per-dim range + code-sum checksum; the float expression shape
+        # matches the Ray kernel exactly (double widen, one division)
+        "embedding_quantize_stats": """
+            WITH e AS MATERIALIZED (
+              SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
+                     generate_subscripts(embedding, 1) AS dim
+              FROM embeddings
+            ), b AS MATERIALIZED (
+              SELECT dim, MIN(v) AS lo, MAX(v) AS hi,
+                     COUNT(*) AS n_vecs
+              FROM e GROUP BY dim
+            )
+            SELECT e.dim,
+                   CAST(ROUND(MIN(b.lo) * 1000000) AS BIGINT) AS lo_e6,
+                   CAST(ROUND(MIN(b.hi) * 1000000) AS BIGINT) AS hi_e6,
+                   CAST(SUM(CAST(ROUND((e.v - b.lo) / (b.hi - b.lo) * 255)
+                                 AS BIGINT)) AS BIGINT) AS sum_codes,
+                   CAST(MIN(b.n_vecs) AS BIGINT) AS n_vecs
+            FROM e JOIN b ON e.dim = b.dim
+            GROUP BY e.dim
         """,
         # Every queries() entry above has an oracle_sql twin — the
         # rows-only set is empty as of round 2 (minhash/winnow/knn_lsh/

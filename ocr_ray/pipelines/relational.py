@@ -4522,3 +4522,83 @@ def bigram_lm_scores(sf_dir: str):
             .map_groups(score_bucket, batch_format="pandas")
             .groupby("dbucket")
             .map_groups(fold_docs, batch_format="pandas"))
+
+
+def embedding_quantize_stats(sf_dir: str):
+    """SCALAR QUANTIZATION of the embedding column (the int8 compression
+    step an ANN index applies before storage): per dimension, the global
+    [lo, hi] range and the sum of the 0..255 codes
+    ``round((v - lo)/(hi - lo)·255)`` — a value-level checksum that pins
+    every code without shipping the quantized matrix anywhere.
+
+    Two passes, both embarrassingly parallel over zero-copy flat-buffer
+    reshapes (embedding_norms's pattern): (1) per-batch per-dim min/max
+    partials fold to the global range on the driver (dim-sized, tiny);
+    (2) the broadcast range quantizes each batch and per-dim code sums
+    fold through one Sum aggregate.  Quantization is inherently
+    two-pass — the range must be global before any code is defined.
+    A constant dimension (hi == lo) yields NULL sum_codes on both sides
+    (double 0/0 → NULL in the oracle).  Dims are 1-based to match
+    generate_subscripts."""
+    from ray.data.aggregate import Sum
+
+    def _matrix(t: pa.Table) -> np.ndarray:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        dim = len(flat) // max(1, t.num_rows)
+        return flat.reshape(t.num_rows, dim)
+
+    def minmax_partial(t: pa.Table) -> pa.Table:
+        m = _matrix(t)
+        return pa.table({
+            "dim": pa.array(np.arange(1, m.shape[1] + 1), pa.int64()),
+            "lo": pa.array(m.min(axis=0), pa.float64()),
+            "hi": pa.array(m.max(axis=0), pa.float64()),
+            "n_vecs": pa.array([m.shape[0]] * m.shape[1], pa.int64()),
+        })
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    parts = pa.concat_tables(
+        [t for t in ray.get(ds.map_batches(
+            minmax_partial, batch_format="pyarrow").to_arrow_refs())
+         if t.num_columns])
+    df = parts.to_pandas().groupby("dim").agg(
+        lo=("lo", "min"), hi=("hi", "max"), n_vecs=("n_vecs", "sum"))
+    lo = df["lo"].to_numpy()
+    hi = df["hi"].to_numpy()
+    rng_ref = ray.put((lo, hi))
+
+    def code_partial(t: pa.Table) -> pa.Table:
+        lo_b, hi_b = ray.get(rng_ref)
+        m = _matrix(t)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            x = (m - lo_b[None, :]) / (hi_b - lo_b)[None, :] * 255.0
+        codes = np.copysign(np.floor(np.abs(x) + 0.5), x)
+        sums = codes.sum(axis=0)         # NaN propagates for hi == lo
+        return pa.table({
+            "dim": pa.array(np.arange(1, m.shape[1] + 1), pa.int64()),
+            "sum_codes": pa.array(
+                [None if np.isnan(s) else int(s) for s in sums],
+                pa.int64()),
+        })
+
+    agg = (ds.map_batches(code_partial, batch_format="pyarrow")
+           .groupby("dim")
+           .aggregate(Sum("sum_codes", alias_name="sum_codes")))
+    sums = pa.concat_tables(
+        [t for t in ray.get(agg.to_arrow_refs()) if t.num_columns]
+    ).to_pandas().set_index("dim")["sum_codes"]
+
+    dims = df.index.to_numpy()
+    e6 = lambda a: np.copysign(np.floor(np.abs(a * 1e6) + 0.5), a)  # noqa: E731
+    return pa.table({
+        "dim": pa.array(dims, pa.int64()),
+        "lo_e6": pa.array(e6(lo).astype("int64"), pa.int64()),
+        "hi_e6": pa.array(e6(hi).astype("int64"), pa.int64()),
+        "sum_codes": pa.array(
+            [None if pd.isna(sums.get(d)) else int(sums.get(d))
+             for d in dims], pa.int64()),
+        "n_vecs": pa.array(df["n_vecs"].to_numpy(), pa.int64()),
+    })

@@ -2551,3 +2551,30 @@ def test_price_size_slope_zero_variance_null(ray_session,
     assert np.isnan(got.loc["B#1", "slope"])      # uniform size → NULL
     assert np.isnan(got.loc["B#1", "intercept"])
     assert np.isnan(got.loc["B#2", "slope"])      # singleton → NULL too
+
+
+def test_embedding_quantize_stats_checksum(ray_session):
+    """Distributed two-pass quantization equals a local recompute,
+    including the NULL path for a constant dimension."""
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import embedding_quantize_stats
+
+    sf = "/root/testdata/sf0.001"
+    got = embedding_quantize_stats(sf).to_pandas().set_index("dim")
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
+    m = np.stack([np.asarray(x, np.float64)
+                  for x in t["embedding"].to_pylist()])
+    lo = m.min(axis=0)
+    hi = m.max(axis=0)
+    x = (m - lo[None, :]) / (hi - lo)[None, :] * 255.0
+    codes = np.copysign(np.floor(np.abs(x) + 0.5), x)
+    for d in range(m.shape[1]):
+        row = got.loc[d + 1]
+        assert int(row["lo_e6"]) == int(np.copysign(
+            np.floor(abs(lo[d] * 1e6) + 0.5), lo[d]))
+        assert int(row["hi_e6"]) == int(np.copysign(
+            np.floor(abs(hi[d] * 1e6) + 0.5), hi[d]))
+        assert int(row["n_vecs"]) == m.shape[0]
+        assert int(row["sum_codes"]) == int(codes[:, d].sum())
+        assert 0 <= codes[:, d].min() and codes[:, d].max() <= 255
