@@ -1111,6 +1111,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "range_partition_plan": rel.range_partition_plan,
         "bigram_lm_scores": rel.bigram_lm_scores,
         "embedding_quantize_stats": rel.embedding_quantize_stats,
+        "pack_sequences": rel.pack_sequences,
     }
 
 
@@ -2820,6 +2821,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(b.n_vecs) AS BIGINT) AS n_vecs
             FROM e JOIN b ON e.dim = b.dim
             GROUP BY e.dim
+        """,
+        # pack_context_windows' recurrence with the text joined back in:
+        # one row per bin with the newline-joined sequence text
+        "pack_sequences": r"""
+            WITH RECURSIVE d AS MATERIALIZED (
+              SELECT doc_id,
+                     CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 64
+                          AS BIGINT) AS shard,
+                     CAST(len(regexp_extract_all(coalesce(text, ''), '\S+'))
+                          AS BIGINT) AS n_tokens
+              FROM documents
+            ), r AS MATERIALIZED (
+              SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id)
+                        AS rn
+              FROM d
+            ), walk AS (
+              SELECT shard, rn, doc_id, n_tokens,
+                     CAST(0 AS BIGINT) AS bin_idx, n_tokens AS bin_tokens
+              FROM r WHERE rn = 1
+              UNION ALL
+              SELECT r.shard, r.rn, r.doc_id, r.n_tokens,
+                     CASE WHEN w.bin_tokens + r.n_tokens > 256
+                          THEN w.bin_idx + 1 ELSE w.bin_idx END,
+                     CASE WHEN w.bin_tokens + r.n_tokens > 256
+                          THEN r.n_tokens
+                          ELSE w.bin_tokens + r.n_tokens END
+              FROM walk w JOIN r ON r.shard = w.shard AND r.rn = w.rn + 1
+            )
+            SELECT w.shard, w.bin_idx,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(w.n_tokens) AS BIGINT) AS sum_tokens,
+                   string_agg(coalesce(doc.text, ''), chr(10)
+                              ORDER BY w.doc_id) AS seq_text
+            FROM walk w JOIN documents doc ON w.doc_id = doc.doc_id
+            GROUP BY w.shard, w.bin_idx
         """,
         # Every queries() entry above has an oracle_sql twin — the
         # rows-only set is empty as of round 2 (minhash/winnow/knn_lsh/

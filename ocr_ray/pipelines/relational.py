@@ -4602,3 +4602,55 @@ def embedding_quantize_stats(sf_dir: str):
              for d in dims], pa.int64()),
         "n_vecs": pa.array(df["n_vecs"].to_numpy(), pa.int64()),
     })
+
+
+def pack_sequences(sf_dir: str, cap_tokens: int = 256, n_shards: int = 64):
+    """Materialize the PACKED TRAINING SEQUENCES — the artifact a trainer
+    actually consumes — by running :func:`pack_context_windows`'s greedy
+    recurrence with the text carried through: one output row per bin
+    (shard, bin_idx, n_docs, sum_tokens, seq_text) where seq_text is the
+    bin's documents joined by newline in doc_id order.
+
+    Unlike the assignment-only op, the text necessarily crosses the
+    exchange here (a sequence is made of its documents' bytes); the
+    shuffle is still one 64-key coarse exchange and each group's packing
+    is the same O(n_bins) searchsorted kernel plus one vectorized
+    string-join per bin."""
+    from ocr_ray.functions import textstats
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "shard": pa.array(_md5_mod(ids, n_shards), pa.int64()),
+            "n_tokens": textstats.token_count_columns(
+                t["text"])["n_ws_tokens"],
+            "text": pc.coalesce(t["text"], pa.scalar("")),
+        })
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        toks = g["n_tokens"].to_numpy()
+        s = np.cumsum(toks)
+        bins = np.empty(len(g), np.int64)
+        a, b_idx, base = 0, 0, 0
+        while a < len(g):
+            j = int(np.searchsorted(s, base + cap_tokens, side="right"))
+            j = max(j, a + 1)
+            bins[a:j] = b_idx
+            base = int(s[j - 1])
+            a, b_idx = j, b_idx + 1
+        g["bin_idx"] = bins
+        out = g.groupby("bin_idx", as_index=False).agg(
+            shard=("shard", "first"),
+            n_docs=("doc_id", "size"),
+            sum_tokens=("n_tokens", "sum"),
+            seq_text=("text", "\n".join))
+        out["n_docs"] = out["n_docs"].astype("int64")
+        out["sum_tokens"] = out["sum_tokens"].astype("int64")
+        return out[["shard", "bin_idx", "n_docs", "sum_tokens", "seq_text"]]
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(pack, batch_format="pandas"))

@@ -2578,3 +2578,27 @@ def test_embedding_quantize_stats_checksum(ray_session):
         assert int(row["n_vecs"]) == m.shape[0]
         assert int(row["sum_codes"]) == int(codes[:, d].sum())
         assert 0 <= codes[:, d].min() and codes[:, d].max() <= 255
+
+
+def test_pack_sequences_matches_assignment(ray_session):
+    """Sequences are exactly the assignment op's bins with the docs'
+    texts newline-joined in doc_id order."""
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import (pack_context_windows,
+                                              pack_sequences)
+
+    sf = "/root/testdata/sf0.001"
+    seqs = (pack_sequences(sf).to_pandas()
+            .set_index(["shard", "bin_idx"]).sort_index())
+    assign = pack_context_windows(sf).to_pandas()
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    assign = assign.merge(docs, on="doc_id")
+    for (shard, b), g in assign.groupby(["shard", "bin_idx"]):
+        g = g.sort_values("doc_id")
+        row = seqs.loc[(shard, b)]
+        assert int(row["n_docs"]) == len(g)
+        assert int(row["sum_tokens"]) == int(g["n_tokens"].sum())
+        assert row["seq_text"] == "\n".join(x or "" for x in g["text"])
+    assert len(seqs) == assign.groupby(["shard", "bin_idx"]).ngroups
