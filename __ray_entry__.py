@@ -1112,6 +1112,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "bigram_lm_scores": rel.bigram_lm_scores,
         "embedding_quantize_stats": rel.embedding_quantize_stats,
         "pack_sequences": rel.pack_sequences,
+        "max_concurrent_sessions": win.max_concurrent_sessions,
     }
 
 
@@ -2856,6 +2857,38 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY w.doc_id) AS seq_text
             FROM walk w JOIN documents doc ON w.doc_id = doc.doc_id
             GROUP BY w.shard, w.bin_idx
+        """,
+        # the same +1/−1 boundary sweep as one SQL window cumsum; +1
+        # sorts before −1 at equal t (inclusive-end overlap)
+        "max_concurrent_sessions": """
+            WITH e AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+              FROM events
+            ), s AS (
+              SELECT user_id, ts,
+                     CAST(SUM(brk) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM e
+            ), sess AS MATERIALIZED (
+              SELECT user_id, session_id, MIN(ts) AS st, MAX(ts) AS en
+              FROM s GROUP BY user_id, session_id
+            ), bounds AS MATERIALIZED (
+              SELECT st AS t, CAST(1 AS BIGINT) AS d FROM sess
+              UNION ALL
+              SELECT en AS t, CAST(-1 AS BIGINT) AS d FROM sess
+            ), runs AS (
+              SELECT SUM(d) OVER (ORDER BY t, d DESC
+                                  ROWS UNBOUNDED PRECEDING) AS run
+              FROM bounds
+            )
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sess)
+                       AS n_sessions,
+                   (SELECT CAST(MAX(run) AS BIGINT) FROM runs)
+                       AS max_concurrent
         """,
         # Every queries() entry above has an oracle_sql twin — the
         # rows-only set is empty as of round 2 (minhash/winnow/knn_lsh/

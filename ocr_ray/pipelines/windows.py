@@ -443,3 +443,99 @@ def hourly_distinct_users(sf_dir: str):
         .groupby("hbucket")
         .map_groups(count_bucket, batch_format="pandas")
     )
+
+
+_DAY_US = 86_400_000_000
+
+
+def max_concurrent_sessions(sf_dir: str):
+    """Peak session concurrency across ALL users — the distributed
+    SWEEPLINE / parallel-prefix problem (a global running +1/-1 count has
+    a sequential dependency no per-row transform can express):
+
+      1. sessionize per coarse user bucket (session_windows' kernel,
+         keeping [start, end] microsecond bounds);
+      2. EXPLODE each session to every DAY bucket it touches (fan-out
+         bounded by session length — the 30-min gap rule keeps sessions
+         short relative to a day);
+      3. per day bucket the sweep is COMPLETE locally: carry_in = count
+         of emitted sessions starting before the bucket (they cover its
+         start instant), then one lexsorted +1/-1 prefix over in-bucket
+         boundaries (+1 sorts before −1 at equal t: inclusive-end
+         overlap, a session is active AT its end);
+      4. a bounded final task folds per-bucket maxima.
+
+    Returns one row (n_sessions, max_concurrent); the oracle runs the
+    same boundary sweep as a single SQL window cumsum."""
+
+    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        brk = (g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)) \
+            | new_user
+        sid = brk.cumsum()
+        out = g.assign(sid=sid).groupby("sid", as_index=False).agg(
+            st=("ts", "min"), en=("ts", "max"))
+        st = out["st"].astype("int64").to_numpy()
+        en = out["en"].astype("int64").to_numpy()
+        d0 = st // _DAY_US
+        nd = (en // _DAY_US - d0 + 1).astype(np.int64)
+        rep = np.repeat(np.arange(len(out)), nd)
+        ends = np.cumsum(nd)
+        offs = np.arange(int(nd.sum())) - np.repeat(ends - nd, nd)
+        return pd.DataFrame({
+            "day": pd.array(d0[rep] + offs, "int64"),
+            "st_us": pd.array(st[rep], "int64"),
+            "en_us": pd.array(en[rep], "int64"),
+        })
+
+    def sweep_day(g: pd.DataFrame) -> pd.DataFrame:
+        day_start = int(g["day"].iloc[0]) * _DAY_US
+        day_end = day_start + _DAY_US
+        st = g["st_us"].to_numpy()
+        en = g["en_us"].to_numpy()
+        carry_in = int((st < day_start).sum())
+        ts_list, ds_list = [], []
+        in_start = st >= day_start
+        ts_list.append(st[in_start])
+        ds_list.append(np.ones(int(in_start.sum()), np.int64))
+        in_end = en < day_end
+        ts_list.append(en[in_end])
+        ds_list.append(-np.ones(int(in_end.sum()), np.int64))
+        t = np.concatenate(ts_list)
+        d = np.concatenate(ds_list)
+        order = np.lexsort((-d, t))        # +1 before −1 at equal t
+        run = carry_in + np.cumsum(d[order])
+        mx = max(carry_in, int(run.max()) if len(run) else 0)
+        return pd.DataFrame({
+            "n_sessions": pd.array([int(in_start.sum())], "int64"),
+            "max_concurrent": pd.array([mx], "int64"),
+        })
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_sessions": pa.array(
+                [int(pc.sum(t["n_sessions"]).as_py() or 0)], pa.int64()),
+            "max_concurrent": pa.array(
+                [int(pc.max(t["max_concurrent"]).as_py() or 0)],
+                pa.int64()),
+        })
+
+    def prep(t: pa.Table) -> pa.Table:
+        return _bucket_by_user(pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "ts": t["ts"],
+        }))
+
+    return (
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                        columns=["user_id", "event_id", "ts"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("ubucket")
+        .map_groups(sessions_bucket, batch_format="pandas")
+        .groupby("day")
+        .map_groups(sweep_day, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

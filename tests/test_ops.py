@@ -2602,3 +2602,31 @@ def test_pack_sequences_matches_assignment(ray_session):
         assert int(row["sum_tokens"]) == int(g["n_tokens"].sum())
         assert row["seq_text"] == "\n".join(x or "" for x in g["text"])
     assert len(seqs) == assign.groupby(["shard", "bin_idx"]).ngroups
+
+
+def test_max_concurrent_sessions_sweep(ray_session):
+    """Distributed day-bucketed sweepline equals a single-process global
+    sweep over the same sessionization."""
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.windows import max_concurrent_sessions
+
+    sf = "/root/testdata/sf0.001"
+    got = max_concurrent_sessions(sf).to_pandas()
+    ev = (pq.read_table(f"{sf}/events.parquet",
+                        columns=["user_id", "event_id", "ts"]).to_pandas()
+          .sort_values(["user_id", "ts", "event_id"]))
+    new_user = ev["user_id"].ne(ev["user_id"].shift())
+    brk = (ev["ts"].diff() > pd.Timedelta(minutes=30)) | new_user
+    sess = (ev.assign(sid=brk.cumsum()).groupby("sid")
+            .agg(st=("ts", "min"), en=("ts", "max")))
+    bounds = sorted(
+        [(t, 1) for t in sess["st"]] + [(t, -1) for t in sess["en"]],
+        key=lambda x: (x[0], -x[1]))
+    run, mx = 0, 0
+    for _, d in bounds:
+        run += d
+        mx = max(mx, run)
+    assert int(got["n_sessions"][0]) == len(sess)
+    assert int(got["max_concurrent"][0]) == mx
+    assert mx > 1                      # the corpus actually overlaps
