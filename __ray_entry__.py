@@ -1113,6 +1113,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "embedding_quantize_stats": rel.embedding_quantize_stats,
         "pack_sequences": rel.pack_sequences,
         "max_concurrent_sessions": win.max_concurrent_sessions,
+        "monthly_revenue_mom": rel.monthly_revenue_mom,
     }
 
 
@@ -2889,6 +2890,27 @@ def oracle_sql() -> dict[str, str]:
                        AS n_sessions,
                    (SELECT CAST(MAX(run) AS BIGINT) FROM runs)
                        AS max_concurrent
+        """,
+        # LAG over the aggregated monthly series; the first month has no
+        # predecessor and is dropped (no nullable ints)
+        "monthly_revenue_mom": """
+            WITH m AS MATERIALIZED (
+              SELECT date_trunc('month', o_orderdate) AS month,
+                     CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS revenue_cents
+              FROM orders GROUP BY date_trunc('month', o_orderdate)
+            ), w AS (
+              SELECT month, revenue_cents,
+                     lag(revenue_cents) OVER (ORDER BY month)
+                         AS prev_revenue_cents
+              FROM m
+            )
+            SELECT month, revenue_cents,
+                   CAST(prev_revenue_cents AS BIGINT)
+                       AS prev_revenue_cents,
+                   CAST(revenue_cents - prev_revenue_cents AS BIGINT)
+                       AS mom_delta_cents
+            FROM w WHERE prev_revenue_cents IS NOT NULL
         """,
         # Every queries() entry above has an oracle_sql twin — the
         # rows-only set is empty as of round 2 (minhash/winnow/knn_lsh/

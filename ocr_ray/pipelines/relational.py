@@ -4654,3 +4654,33 @@ def pack_sequences(sf_dir: str, cap_tokens: int = 256, n_shards: int = 64):
             .map_batches(prep, batch_format="pyarrow")
             .groupby("shard")
             .map_groups(pack, batch_format="pandas"))
+
+
+def monthly_revenue_mom(sf_dir: str):
+    """Month-over-month revenue delta — a WINDOW OVER AN AGGREGATE
+    (LAG on the grouped series, not on raw rows): reuse orders_by_month's
+    distributed rollup, then one bounded final task (the series is
+    months-long regardless of corpus size) sorts and differences it.
+    The first month has no predecessor and is dropped so every output
+    column stays non-nullable (the repo's no-nullable-ints parity rule).
+    Output (month, revenue_cents, prev_revenue_cents, mom_delta_cents)."""
+
+    def mom(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values("month").reset_index(drop=True)
+        df["prev_revenue_cents"] = df["revenue_cents"].shift(1)
+        df = df.iloc[1:]
+        out = pa.table({
+            "month": pa.array(df["month"], pa.timestamp("us")),
+            "revenue_cents": pa.array(
+                df["revenue_cents"].astype("int64"), pa.int64()),
+            "prev_revenue_cents": pa.array(
+                df["prev_revenue_cents"].astype("int64"), pa.int64()),
+            "mom_delta_cents": pa.array(
+                (df["revenue_cents"] - df["prev_revenue_cents"])
+                .astype("int64"), pa.int64()),
+        })
+        return out
+
+    return (orders_by_month(sf_dir)
+            .repartition(1)
+            .map_batches(mom, batch_format="pyarrow", batch_size=None))

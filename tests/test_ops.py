@@ -2630,3 +2630,18 @@ def test_max_concurrent_sessions_sweep(ray_session):
     assert int(got["n_sessions"][0]) == len(sess)
     assert int(got["max_concurrent"][0]) == mx
     assert mx > 1                      # the corpus actually overlaps
+
+
+def test_monthly_revenue_mom_deltas(ray_session):
+    """MoM deltas telescope: sum of deltas equals last minus first month,
+    and every row's delta is consistent with its own columns."""
+    from ocr_ray.pipelines.relational import monthly_revenue_mom
+
+    got = (monthly_revenue_mom("/root/testdata/sf0.001").to_pandas()
+           .sort_values("month").reset_index(drop=True))
+    assert (got["mom_delta_cents"]
+            == got["revenue_cents"] - got["prev_revenue_cents"]).all()
+    assert (got["prev_revenue_cents"].iloc[1:].to_numpy()
+            == got["revenue_cents"].iloc[:-1].to_numpy()).all()
+    assert int(got["mom_delta_cents"].sum()) == int(
+        got["revenue_cents"].iloc[-1] - got["prev_revenue_cents"].iloc[0])
