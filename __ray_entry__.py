@@ -1114,6 +1114,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "pack_sequences": rel.pack_sequences,
         "max_concurrent_sessions": win.max_concurrent_sessions,
         "monthly_revenue_mom": rel.monthly_revenue_mom,
+        "bm25_search": rel.bm25_search,
     }
 
 
@@ -2911,6 +2912,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(revenue_cents - prev_revenue_cents AS BIGINT)
                        AS mom_delta_cents
             FROM w WHERE prev_revenue_cents IS NOT NULL
+        """,
+        # per-term contributions rounded to integer micro-units before
+        # the per-doc sum; float sub-expressions parenthesized to match
+        # the Ray kernel op-for-op (k1=1.2, b=0.75 written as literals
+        # combined the same way)
+        "bm25_search": r"""
+            WITH d AS MATERIALIZED (
+              SELECT doc_id, regexp_split_to_array(
+                       lower(coalesce(text, '')), '\s+') AS arr
+              FROM documents
+            ), toks AS MATERIALIZED (
+              SELECT doc_id, unnest(arr) AS term FROM d
+            ), lens AS MATERIALIZED (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+              FROM toks WHERE term <> '' GROUP BY doc_id
+            ), q AS (
+              SELECT * FROM (VALUES ('table'), ('hash'), ('join')) t(term)
+            ), tf AS MATERIALIZED (
+              SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM toks JOIN q USING (term) GROUP BY doc_id, term
+            ), stats AS MATERIALIZED (
+              SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+                         AS n_docs,
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM toks
+                      WHERE term <> '') AS sum_dl
+            ), df AS MATERIALIZED (
+              SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM toks JOIN q USING (term) GROUP BY term
+            ), contrib AS (
+              SELECT tf.doc_id,
+                CAST(ROUND(1000000.0 * (
+                  (ln(((CAST(s.n_docs AS DOUBLE) - df.df) + 0.5)
+                      / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+                   * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)))
+                  / (CAST(tf.tf AS DOUBLE)
+                     + 1.2 * ((1.0 - 0.75)
+                              + (0.75 * CAST(l.dl AS DOUBLE))
+                                / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+                )) AS BIGINT) AS c
+              FROM tf
+                JOIN df USING (term)
+                JOIN lens l ON tf.doc_id = l.doc_id,
+                stats s
+            )
+            SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_e6
+            FROM contrib GROUP BY doc_id
+            ORDER BY score_e6 DESC, doc_id LIMIT 20
         """,
         # Every queries() entry above has an oracle_sql twin — the
         # rows-only set is empty as of round 2 (minhash/winnow/knn_lsh/

@@ -4684,3 +4684,85 @@ def monthly_revenue_mom(sf_dir: str):
     return (orders_by_month(sf_dir)
             .repartition(1)
             .map_batches(mom, batch_format="pyarrow", batch_size=None))
+
+
+def bm25_search(sf_dir: str, query: str = "table hash join", k: int = 20):
+    """BM25 ranking (k1=1.2, b=0.75) of documents for a multi-term query
+    — the standard lexical-retrieval scorer beside tfidf_top_docs'
+    corpus-wide variant.
+
+    Two bounded passes: (1) per-batch global-stat partials (doc count,
+    token count, per-query-term document frequency — a doc lives in one
+    batch, so batch dfs sum exactly) fold to driver scalars; (2) the
+    broadcast stats score each batch vectorized, each TERM contribution
+    rounded to integer micro-units BEFORE the per-doc sum (≤ |query|
+    ints/doc — no float-order hazard), then the per-batch-top-k +
+    repartition(1) bounded reduce returns exactly k rows.  Float
+    expression shape matches the oracle op-for-op.  Ordering: score
+    desc, doc_id asc."""
+    import collections
+    import re
+
+    _ws = re.compile(r"[ \t\n\f\r]+")
+    terms = query.lower().split()
+    K1, B = 1.2, 0.75
+
+    def _toks(txt: str) -> list:
+        return [x for x in _ws.split((txt or "").lower()) if x]
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        n_docs, sum_dl = t.num_rows, 0
+        dfs = [0] * len(terms)
+        for txt in t["text"].to_pylist():
+            toks = _toks(txt)
+            sum_dl += len(toks)
+            ts = set(toks)
+            for i, q in enumerate(terms):
+                dfs[i] += q in ts
+        cols = {"n_docs": pa.array([n_docs], pa.int64()),
+                "sum_dl": pa.array([sum_dl], pa.int64())}
+        for i in range(len(terms)):
+            cols[f"df_{i}"] = pa.array([dfs[i]], pa.int64())
+        return pa.table(cols)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    srows = ds.map_batches(stat_partial, batch_format="pyarrow").take_all()
+    n_docs = sum(r["n_docs"] for r in srows)
+    sum_dl = sum(r["sum_dl"] for r in srows)
+    dfs = [sum(r[f"df_{i}"] for r in srows) for i in range(len(terms))]
+    idf = [float(np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0))
+           for df in dfs]
+    avgdl = float(sum_dl) / n_docs
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        ids, scores = [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = _toks(txt)
+            c = collections.Counter(toks)
+            s = 0
+            for i, q in enumerate(terms):
+                tf = c.get(q, 0)
+                if not tf:
+                    continue
+                x = 1e6 * (idf[i] * (float(tf) * (K1 + 1.0))
+                           / (float(tf) + K1 * (1.0 - B
+                                                + B * float(len(toks))
+                                                / avgdl)))
+                s += int(np.copysign(np.floor(abs(x) + 0.5), x))
+            if s:
+                ids.append(did)
+                scores.append(s)
+        df = pd.DataFrame({"doc_id": pd.array(ids, "int64"),
+                           "score_e6": pd.array(scores, "int64")})
+        df = df.sort_values(["score_e6", "doc_id"],
+                            ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("score_e6", "descending"),
+                                            ("doc_id", "ascending")])[:k]
+        return t.take(idx)
+
+    return (ds.map_batches(score_partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow", batch_size=None))

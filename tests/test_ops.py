@@ -2645,3 +2645,48 @@ def test_monthly_revenue_mom_deltas(ray_session):
             == got["revenue_cents"].iloc[:-1].to_numpy()).all()
     assert int(got["mom_delta_cents"].sum()) == int(
         got["revenue_cents"].iloc[-1] - got["prev_revenue_cents"].iloc[0])
+
+
+def test_bm25_search_local_recompute(ray_session):
+    """Distributed BM25 equals a single-process recompute with the same
+    per-term integer rounding and ranking."""
+    import collections
+    import re
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import bm25_search
+
+    sf = "/root/testdata/sf0.001"
+    got = bm25_search(sf).to_pandas()
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    ws = re.compile(r"[ \t\n\f\r]+")
+    terms = ["table", "hash", "join"]
+
+    def toks(txt):
+        return [x for x in ws.split((txt or "").lower()) if x]
+
+    n_docs = len(docs)
+    all_toks = [toks(t) for t in docs["text"]]
+    sum_dl = sum(len(t) for t in all_toks)
+    avgdl = float(sum_dl) / n_docs
+    dfs = {q: sum(q in set(t) for t in all_toks) for q in terms}
+    scores = {}
+    for did, tk in zip(docs["doc_id"], all_toks):
+        c = collections.Counter(tk)
+        s = 0
+        for q in terms:
+            tf = c.get(q, 0)
+            if not tf:
+                continue
+            idf = float(np.log((n_docs - dfs[q] + 0.5)
+                               / (dfs[q] + 0.5) + 1.0))
+            x = 1e6 * (idf * (float(tf) * 2.2)
+                       / (float(tf) + 1.2 * (0.25 + 0.75 * float(len(tk))
+                                             / avgdl)))
+            s += int(np.copysign(np.floor(abs(x) + 0.5), x))
+        if s:
+            scores[did] = s
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert list(zip(got["doc_id"], got["score_e6"])) == want
