@@ -1115,6 +1115,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "max_concurrent_sessions": win.max_concurrent_sessions,
         "monthly_revenue_mom": rel.monthly_revenue_mom,
         "bm25_search": rel.bm25_search,
+        "embedding_gram_matrix": rel.embedding_gram_matrix,
     }
 
 
@@ -2959,6 +2960,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_e6
             FROM contrib GROUP BY doc_id
             ORDER BY score_e6 DESC, doc_id LIMIT 20
+        """,
+        # exact integer Gram entries over e6-scaled components (d1 <= d2)
+        "embedding_gram_matrix": """
+            WITH e AS MATERIALIZED (
+              SELECT vec_id,
+                     CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                          AS BIGINT) AS v,
+                     CAST(generate_subscripts(embedding, 1) AS BIGINT)
+                         AS dim
+              FROM embeddings
+            )
+            SELECT a.dim AS d1, b.dim AS d2,
+                   CAST(SUM(a.v * b.v) AS BIGINT) AS gram_e12,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings)
+                       AS n_vecs
+            FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+            GROUP BY a.dim, b.dim
         """,
         # Every queries() entry above has an oracle_sql twin — the
         # rows-only set is empty as of round 2 (minhash/winnow/knn_lsh/

@@ -4766,3 +4766,51 @@ def bm25_search(sf_dir: str, query: str = "table hash join", k: int = 20):
     return (ds.map_batches(score_partial, batch_format="pyarrow")
             .repartition(1)
             .map_batches(final, batch_format="pyarrow", batch_size=None))
+
+
+def embedding_gram_matrix(sf_dir: str):
+    """EXACT distributed Gram/covariance accumulation — the building
+    block of big-data PCA/whitening: G = Xᵀ X over the e6-scaled INTEGER
+    embedding matrix (components rounded to 1e-6 first, so the
+    distributed sums are exact int64 arithmetic with no float-order
+    hazard; |v| ≤ 1 keeps Σ v_i·v_j ≤ 1e12·n far inside int64).
+
+    Per batch: one int64 matmul (mᵀ m, BLAS-shaped) emits the WHOLE
+    dim×dim partial as a single fixed-width binary blob (dim²·8 bytes —
+    constant per batch regardless of rows); the driver folds blobs by
+    elementwise add, holding exactly one matrix.  Output: the upper
+    triangle as rows (d1, d2, gram_e12, n_vecs), 1-based dims."""
+
+    def _matrix_e6(t: pa.Table) -> np.ndarray:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        dim = len(flat) // max(1, t.num_rows)
+        m = flat.reshape(t.num_rows, dim) * 1e6
+        return np.copysign(np.floor(np.abs(m) + 0.5), m).astype(np.int64)
+
+    def gram_partial(t: pa.Table) -> pa.Table:
+        m = _matrix_e6(t)
+        g = m.T @ m
+        return pa.table({
+            "gram": pa.array([g.tobytes()], pa.binary()),
+            "dim": pa.array([g.shape[0]], pa.int64()),
+            "n_vecs": pa.array([m.shape[0]], pa.int64()),
+        })
+
+    rows = _read(sf_dir, "embeddings", ["embedding"]).map_batches(
+        gram_partial, batch_format="pyarrow").take_all()
+    dim = int(rows[0]["dim"])
+    total = np.zeros((dim, dim), np.int64)
+    n_vecs = 0
+    for r in rows:
+        total += np.frombuffer(r["gram"], np.int64).reshape(dim, dim)
+        n_vecs += int(r["n_vecs"])
+    iu = np.triu_indices(dim)
+    return pa.table({
+        "d1": pa.array(iu[0] + 1, pa.int64()),
+        "d2": pa.array(iu[1] + 1, pa.int64()),
+        "gram_e12": pa.array(total[iu], pa.int64()),
+        "n_vecs": pa.array(np.full(len(iu[0]), n_vecs), pa.int64()),
+    })

@@ -2690,3 +2690,25 @@ def test_bm25_search_local_recompute(ray_session):
             scores[did] = s
     want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     assert list(zip(got["doc_id"], got["score_e6"])) == want
+
+
+def test_embedding_gram_matrix_exact(ray_session):
+    """Distributed blob-folded Gram equals a local int64 matmul, and is
+    symmetric by construction (upper triangle covers it)."""
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import embedding_gram_matrix
+
+    sf = "/root/testdata/sf0.001"
+    got = embedding_gram_matrix(sf).to_pandas()
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
+    m = np.stack([np.asarray(x, np.float64)
+                  for x in t["embedding"].to_pylist()]) * 1e6
+    mi = np.copysign(np.floor(np.abs(m) + 0.5), m).astype(np.int64)
+    g = mi.T @ mi
+    iu = np.triu_indices(g.shape[0])
+    want = dict(zip(zip(iu[0] + 1, iu[1] + 1), g[iu]))
+    assert dict(zip(zip(got["d1"], got["d2"]), got["gram_e12"])) == want
+    assert (got["n_vecs"] == mi.shape[0]).all()
+    diag = got[got["d1"] == got["d2"]]["gram_e12"]
+    assert (diag > 0).all()            # unit-ish vectors: positive diag
