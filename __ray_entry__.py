@@ -1116,6 +1116,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "monthly_revenue_mom": rel.monthly_revenue_mom,
         "bm25_search": rel.bm25_search,
         "embedding_gram_matrix": rel.embedding_gram_matrix,
+        "embedding_top_component": rel.embedding_top_component,
     }
 
 
@@ -1154,6 +1155,47 @@ def _coverage_classify_sql() -> str:
         )
         SELECT doc_id, coverage_name, {classify_case_sql('nm')} AS family FROM n
     """
+
+
+def _top_component_sql(n_iter: int = 64) -> str:
+    """Unrolled power-iteration oracle (the unrolled-k-means precedent):
+    n_iter chained MATERIALIZED CTE steps of exact-HUGEINT matvec +
+    L∞ normalization, matching embedding_top_component op-for-op."""
+    steps = []
+    for k in range(1, n_iter + 1):
+        prev = "v0" if k == 1 else f"v{k - 1}"
+        steps.append(f"""w{k} AS MATERIALIZED (
+              SELECT gf.d1 AS dim,
+                     SUM(CAST(gf.g AS HUGEINT) * {prev}.v) AS w
+              FROM gf JOIN {prev} ON gf.d2 = {prev}.dim GROUP BY gf.d1
+            ), m{k} AS MATERIALIZED (
+              SELECT MAX(ABS(w)) AS mx FROM w{k}
+            ), v{k} AS MATERIALIZED (
+              SELECT dim, CAST(ROUND(CAST(w AS DOUBLE) / CAST(mx AS DOUBLE)
+                                     * 1000000.0) AS BIGINT) AS v
+              FROM w{k}, m{k}
+            )""")
+        chain = ",\n            ".join(steps)
+    return f"""
+            WITH e AS MATERIALIZED (
+              SELECT vec_id,
+                     CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                          AS BIGINT) AS v,
+                     CAST(generate_subscripts(embedding, 1) AS BIGINT)
+                         AS dim
+              FROM embeddings
+            ), gf AS MATERIALIZED (
+              SELECT a.dim AS d1, b.dim AS d2,
+                     CAST(SUM(a.v * b.v) AS HUGEINT) AS g
+              FROM e a JOIN e b ON a.vec_id = b.vec_id
+              GROUP BY a.dim, b.dim
+            ), v0 AS MATERIALIZED (
+              SELECT DISTINCT dim, CAST(1000000 AS HUGEINT) AS v FROM e
+            ),
+            {chain}
+            SELECT dim, CAST(v AS BIGINT) AS component_e6
+            FROM v{n_iter}
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2978,6 +3020,7 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.dim <= b.dim
             GROUP BY a.dim, b.dim
         """,
+        "embedding_top_component": _top_component_sql(64),
         # Every queries() entry above has an oracle_sql twin — the
         # rows-only set is empty as of round 2 (minhash/winnow/knn_lsh/
         # knn_ivf gained SQL oracles via md5-derived hashes, seeded-plane

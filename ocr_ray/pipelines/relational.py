@@ -4768,6 +4768,40 @@ def bm25_search(sf_dir: str, query: str = "table hash join", k: int = 20):
             .map_batches(final, batch_format="pyarrow", batch_size=None))
 
 
+def _gram_matrix_e6(t: pa.Table) -> np.ndarray:
+    col = t["embedding"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = len(flat) // max(1, t.num_rows)
+    m = flat.reshape(t.num_rows, dim) * 1e6
+    return np.copysign(np.floor(np.abs(m) + 0.5), m).astype(np.int64)
+
+
+def _gram_partial(t: pa.Table) -> pa.Table:
+    m = _gram_matrix_e6(t)
+    g = m.T @ m
+    return pa.table({
+        "gram": pa.array([g.tobytes()], pa.binary()),
+        "dim": pa.array([g.shape[0]], pa.int64()),
+        "n_vecs": pa.array([m.shape[0]], pa.int64()),
+    })
+
+
+def _gram_fold(sf_dir: str) -> tuple:
+    """Fold per-batch Gram blobs to one (dim, dim) int64 matrix + vector
+    count on the driver (constant bytes per batch)."""
+    rows = _read(sf_dir, "embeddings", ["embedding"]).map_batches(
+        _gram_partial, batch_format="pyarrow").take_all()
+    dim = int(rows[0]["dim"])
+    total = np.zeros((dim, dim), np.int64)
+    n_vecs = 0
+    for r in rows:
+        total += np.frombuffer(r["gram"], np.int64).reshape(dim, dim)
+        n_vecs += int(r["n_vecs"])
+    return total, n_vecs
+
+
 def embedding_gram_matrix(sf_dir: str):
     """EXACT distributed Gram/covariance accumulation — the building
     block of big-data PCA/whitening: G = Xᵀ X over the e6-scaled INTEGER
@@ -4781,36 +4815,53 @@ def embedding_gram_matrix(sf_dir: str):
     elementwise add, holding exactly one matrix.  Output: the upper
     triangle as rows (d1, d2, gram_e12, n_vecs), 1-based dims."""
 
-    def _matrix_e6(t: pa.Table) -> np.ndarray:
-        col = t["embedding"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
-        dim = len(flat) // max(1, t.num_rows)
-        m = flat.reshape(t.num_rows, dim) * 1e6
-        return np.copysign(np.floor(np.abs(m) + 0.5), m).astype(np.int64)
-
-    def gram_partial(t: pa.Table) -> pa.Table:
-        m = _matrix_e6(t)
-        g = m.T @ m
-        return pa.table({
-            "gram": pa.array([g.tobytes()], pa.binary()),
-            "dim": pa.array([g.shape[0]], pa.int64()),
-            "n_vecs": pa.array([m.shape[0]], pa.int64()),
-        })
-
-    rows = _read(sf_dir, "embeddings", ["embedding"]).map_batches(
-        gram_partial, batch_format="pyarrow").take_all()
-    dim = int(rows[0]["dim"])
-    total = np.zeros((dim, dim), np.int64)
-    n_vecs = 0
-    for r in rows:
-        total += np.frombuffer(r["gram"], np.int64).reshape(dim, dim)
-        n_vecs += int(r["n_vecs"])
+    total, n_vecs = _gram_fold(sf_dir)
+    dim = total.shape[0]
     iu = np.triu_indices(dim)
     return pa.table({
         "d1": pa.array(iu[0] + 1, pa.int64()),
         "d2": pa.array(iu[1] + 1, pa.int64()),
         "gram_e12": pa.array(total[iu], pa.int64()),
         "n_vecs": pa.array(np.full(len(iu[0]), n_vecs), pa.int64()),
+    })
+
+
+def embedding_top_component(sf_dir: str, n_iter: int = 64):
+    """Distributed PCA TOP COMPONENT: power iteration on the exact
+    integer Gram matrix, stabilized so every step is bit-deterministic
+    on both engines:
+
+      * the Gram fold is the :func:`embedding_gram_matrix` topology
+        (constant bytes per batch, driver holds one matrix);
+      * each iteration runs in EXACT integer arithmetic — Python bigints
+        here, HUGEINT in the oracle — because the matvec products
+        (|G| ≤ n·1e12 times |v| ≤ 1e6) overflow int64;
+      * normalization is by the L∞ norm (max |w|), which is
+        ORDER-INDEPENDENT — an L2 norm would need a float sum whose
+        order SQL cannot pin; the iterate rescales to ≤ 1e6 integers
+        via one double division + half-away round per component, the
+        only float ops in the loop (identical inputs ⇒ identical
+        doubles on both sides);
+      * start vector all-1e6; the oracle unrolls the same n_iter steps
+        as chained MATERIALIZED CTEs (the unrolled-k-means precedent).
+
+    Output (dim, component_e6) — the eigenvector direction scaled to
+    max-abs 1e6."""
+    total, _ = _gram_fold(sf_dir)
+    dim = total.shape[0]
+    g = [[int(x) for x in row] for row in total]     # exact bigints
+    import math
+
+    v = [10**6] * dim
+    for _ in range(n_iter):
+        w = [sum(g[d][j] * v[j] for j in range(dim)) for d in range(dim)]
+        mx = max(abs(x) for x in w)
+        # pure-Python half-away round: the matvec bigints exceed int64,
+        # so no numpy ufunc may touch them
+        v = [(1 if x >= 0 else -1)
+             * int(math.floor(abs(float(x) / float(mx) * 1e6) + 0.5))
+             for x in w]
+    return pa.table({
+        "dim": pa.array(np.arange(1, dim + 1), pa.int64()),
+        "component_e6": pa.array(v, pa.int64()),
     })

@@ -2712,3 +2712,24 @@ def test_embedding_gram_matrix_exact(ray_session):
     assert (got["n_vecs"] == mi.shape[0]).all()
     diag = got[got["d1"] == got["d2"]]["gram_e12"]
     assert (diag > 0).all()            # unit-ish vectors: positive diag
+
+
+def test_embedding_top_component_direction(ray_session):
+    """The exact-integer power iterate aligns with numpy's float top
+    eigenvector of the same Gram matrix (|cosine| > 0.999)."""
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import embedding_top_component
+
+    sf = "/root/testdata/sf0.001"
+    got = (embedding_top_component(sf).to_pandas()
+           .sort_values("dim")["component_e6"].to_numpy(np.float64))
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
+    m = np.stack([np.asarray(x, np.float64)
+                  for x in t["embedding"].to_pylist()])
+    gram = m.T @ m
+    vals, vecs = np.linalg.eigh(gram)
+    top = vecs[:, -1]
+    cos = abs(got @ top) / (np.linalg.norm(got) * np.linalg.norm(top))
+    assert cos > 0.999
+    assert np.abs(got).max() == 1_000_000      # L-inf normalized
