@@ -1117,6 +1117,8 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "bm25_search": rel.bm25_search,
         "embedding_gram_matrix": rel.embedding_gram_matrix,
         "embedding_top_component": rel.embedding_top_component,
+        "embedding_pca_projection": rel.embedding_pca_projection,
+        "langid_confusion": rel.langid_confusion,
     }
 
 
@@ -1195,6 +1197,20 @@ def _top_component_sql(n_iter: int = 64) -> str:
             {chain}
             SELECT dim, CAST(v AS BIGINT) AS component_e6
             FROM v{n_iter}
+        """
+
+
+def _pca_projection_sql(n_iter: int = 64) -> str:
+    """Projection oracle: the same unrolled chain, finishing with each
+    vector's exact integer dot product with the final component."""
+    chain = _top_component_sql(n_iter)
+    head, _, _ = chain.rpartition("SELECT dim, CAST(v AS BIGINT)")
+    return f"""{head}
+            SELECT e.vec_id,
+                   CAST(SUM(e.v * CAST(c.v AS BIGINT)) AS BIGINT)
+                       AS proj_e12
+            FROM e JOIN v{n_iter} c ON e.dim = c.dim
+            GROUP BY e.vec_id
         """
 
 
@@ -3021,6 +3037,36 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY a.dim, b.dim
         """,
         "embedding_top_component": _top_component_sql(64),
+        "embedding_pca_projection": _pca_projection_sql(64),
+        # the langid CTE is the langid oracle's heuristic verbatim,
+        # cross-tabulated against the labeled lang column
+        "langid_confusion": """
+            WITH c AS (
+              SELECT lang,
+                len(regexp_extract_all(coalesce(text,''),
+                    '\\b(the|and|of|to|is)\\b')) AS c_en,
+                len(regexp_extract_all(coalesce(text,''),
+                    '\\b(der|die|und|ist|nicht)\\b')) AS c_de,
+                len(regexp_extract_all(coalesce(text,''),
+                    '\\b(le|la|et|les|est)\\b')) AS c_fr,
+                len(regexp_extract_all(coalesce(text,''),
+                    '\\b(el|los|que|es|una)\\b')) AS c_es
+              FROM documents
+            ), p AS (
+              SELECT lang,
+                CASE
+                  WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_fr
+                       AND c_en >= c_es THEN 'en'
+                  WHEN c_de > 0 AND c_de >= c_fr AND c_de >= c_es THEN 'de'
+                  WHEN c_fr > 0 AND c_fr >= c_es THEN 'fr'
+                  WHEN c_es > 0 THEN 'es'
+                  ELSE 'und'
+                END AS pred_lang
+              FROM c
+            )
+            SELECT lang, pred_lang, COUNT(*) AS n_docs
+            FROM p GROUP BY lang, pred_lang
+        """,
         # Every queries() entry above has an oracle_sql twin — the
         # rows-only set is empty as of round 2 (minhash/winnow/knn_lsh/
         # knn_ivf gained SQL oracles via md5-derived hashes, seeded-plane

@@ -4865,3 +4865,48 @@ def embedding_top_component(sf_dir: str, n_iter: int = 64):
         "dim": pa.array(np.arange(1, dim + 1), pa.int64()),
         "component_e6": pa.array(v, pa.int64()),
     })
+
+
+def embedding_pca_projection(sf_dir: str):
+    """PCA PROJECTION — the third leg of the distributed-PCA story
+    (Gram fold → power-iteration component → per-vector projection):
+    every embedding's exact integer dot product with the e6-scaled top
+    component, (vec_id, proj_e12).  The component is computed once on
+    the driver (bounded) and broadcast; each batch is one int64
+    matvec over the zero-copy flat-buffer reshape (magnitudes
+    1e6·1e6·dim stay far inside int64)."""
+    comp = np.asarray(
+        embedding_top_component(sf_dir)["component_e6"].to_pylist(),
+        dtype=np.int64)
+    ref = ray.put(comp)
+
+    def project(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _gram_matrix_e6(t)
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "proj_e12": pa.array(m @ c, pa.int64()),
+        })
+
+    return _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        project, batch_format="pyarrow")
+
+
+def langid_confusion(sf_dir: str):
+    """Classifier-evaluation CONFUSION MATRIX: the langid heuristic's
+    predictions cross-tabulated against the labeled lang column —
+    (lang, pred_lang, n_docs).  One partial-grouped pass; the shuffle
+    sees ≤ langs² keys."""
+    from ocr_ray.functions import textstats
+
+    def measures(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": t["lang"],
+            "pred_lang": textstats.langid_column(t["text"]),
+        })
+
+    return _grouped_sum(
+        _read(sf_dir, "documents", ["lang", "text"]),
+        measures, keys=["lang", "pred_lang"], sum_cols=[],
+        count_col="n_docs",
+    )

@@ -2733,3 +2733,51 @@ def test_embedding_top_component_direction(ray_session):
     cos = abs(got @ top) / (np.linalg.norm(got) * np.linalg.norm(top))
     assert cos > 0.999
     assert np.abs(got).max() == 1_000_000      # L-inf normalized
+
+
+def test_embedding_pca_projection_exact(ray_session):
+    """Projections are the exact integer dot products with the power
+    iterate, and their variance dominates any single raw dimension's
+    (it is the top principal direction)."""
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import (embedding_pca_projection,
+                                              embedding_top_component)
+
+    sf = "/root/testdata/sf0.001"
+    comp = np.asarray(
+        embedding_top_component(sf)["component_e6"].to_pylist(), np.int64)
+    got = (embedding_pca_projection(sf).to_pandas()
+           .set_index("vec_id").sort_index())
+    t = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    m = np.stack([np.asarray(x, np.float64)
+                  for x in t["embedding"].to_pylist()]) * 1e6
+    mi = np.copysign(np.floor(np.abs(m) + 0.5), m).astype(np.int64)
+    want = mi @ comp
+    ids = t["vec_id"].to_pylist()
+    for vid, w in zip(ids, want):
+        assert int(got.loc[vid, "proj_e12"]) == int(w)
+    # top-direction property: projection variance >= every raw dim's
+    unit = comp.astype(np.float64) / np.linalg.norm(comp)
+    proj_var = ((mi.astype(np.float64) @ unit) ** 2).sum()
+    dim_vars = (mi.astype(np.float64) ** 2).sum(axis=0)
+    assert proj_var >= dim_vars.max() * 0.999
+
+
+def test_langid_confusion_totals(ray_session):
+    """Confusion matrix covers every document exactly once and the
+    diagonal dominates (the heuristic mostly agrees with labels)."""
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import langid_confusion
+
+    sf = "/root/testdata/sf0.001"
+    got = langid_confusion(sf).to_pandas()
+    n = pq.ParquetFile(f"{sf}/documents.parquet").metadata.num_rows
+    assert int(got["n_docs"].sum()) == n
+    assert set(got["pred_lang"]) <= {"en", "de", "fr", "es", "und"}
+    # the synth corpus text is English-ish under every label: en-labeled
+    # docs must be predicted 'en' far more often than 'und'
+    en = got[got["lang"] == "en"].set_index("pred_lang")["n_docs"]
+    assert int(en.get("en", 0)) > int(en.get("und", 0))
