@@ -1119,6 +1119,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "embedding_top_component": rel.embedding_top_component,
         "embedding_pca_projection": rel.embedding_pca_projection,
         "langid_confusion": rel.langid_confusion,
+        "sentence_stats": rel.sentence_stats,
     }
 
 
@@ -3066,6 +3067,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lang, pred_lang, COUNT(*) AS n_docs
             FROM p GROUP BY lang, pred_lang
+        """,
+        # explicit trim charset so Python strip and DuckDB trim agree
+        "sentence_stats": """
+            WITH segs AS (
+              SELECT doc_id,
+                     trim(unnest(regexp_split_to_array(
+                            coalesce(text, ''), '[.!?]+')),
+                          ' ' || chr(9) || chr(10) || chr(12) || chr(13))
+                         AS seg
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) FILTER (seg <> '') AS BIGINT)
+                       AS n_sentences,
+                   CAST(coalesce(SUM(len(seg)) FILTER (seg <> ''), 0)
+                        AS BIGINT) AS sum_sentence_chars
+            FROM segs GROUP BY doc_id
         """,
         # Every queries() entry above has an oracle_sql twin — the
         # rows-only set is empty as of round 2 (minhash/winnow/knn_lsh/

@@ -4910,3 +4910,34 @@ def langid_confusion(sf_dir: str):
         measures, keys=["lang", "pred_lang"], sum_cols=[],
         count_col="n_docs",
     )
+
+
+def sentence_stats(sf_dir: str):
+    """Sentence segmentation stats per document — the corpus-pipeline
+    primitive under readability scoring and sentence-level dedup:
+    sentences are the non-empty ``[.!?]+``-delimited segments after
+    trimming the explicit whitespace set " \\t\\n\\f\\r" (spelled out so
+    Python strip and DuckDB trim agree char-for-char).  Output
+    (doc_id, n_sentences, sum_sentence_chars) — all integers,
+    embarrassingly parallel."""
+    import re
+
+    splitter = re.compile(r"[.!?]+")
+    ws = " \t\n\f\r"
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        ns, chars = [], []
+        for txt in t["text"].to_pylist():
+            segs = [s.strip(ws) for s in splitter.split(txt or "")]
+            segs = [s for s in segs if s]
+            ns.append(len(segs))
+            chars.append(sum(len(s) for s in segs))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_sentences": pa.array(ns, pa.int64()),
+            "sum_sentence_chars": pa.array(chars, pa.int64()),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")

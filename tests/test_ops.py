@@ -2781,3 +2781,26 @@ def test_langid_confusion_totals(ray_session):
     # docs must be predicted 'en' far more often than 'und'
     en = got[got["lang"] == "en"].set_index("pred_lang")["n_docs"]
     assert int(en.get("en", 0)) > int(en.get("und", 0))
+
+
+def test_sentence_stats_local(ray_session):
+    """Segmentation equals a local recompute; chars never exceed the
+    doc length."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import sentence_stats
+
+    sf = "/root/testdata/sf0.001"
+    got = sentence_stats(sf).to_pandas().set_index("doc_id")
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    for did, txt in zip(docs["doc_id"], docs["text"]):
+        segs = [s.strip(" \t\n\f\r")
+                for s in re.split(r"[.!?]+", txt or "")]
+        segs = [s for s in segs if s]
+        assert int(got.loc[did, "n_sentences"]) == len(segs)
+        assert int(got.loc[did, "sum_sentence_chars"]) \
+            == sum(len(s) for s in segs)
+        assert int(got.loc[did, "sum_sentence_chars"]) <= len(txt or "")
