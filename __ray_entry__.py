@@ -1178,7 +1178,7 @@ def _top_component_sql(n_iter: int = 64) -> str:
                                      * 1000000.0) AS BIGINT) AS v
               FROM w{k}, m{k}
             )""")
-        chain = ",\n            ".join(steps)
+    chain = ",\n            ".join(steps)
     return f"""
             WITH e AS MATERIALIZED (
               SELECT vec_id,

@@ -4524,6 +4524,17 @@ def bigram_lm_scores(sf_dir: str):
             .map_groups(fold_docs, batch_format="pandas"))
 
 
+def _embedding_matrix(t: pa.Table) -> np.ndarray:
+    """Zero-copy list<float> flat-buffer → (n, dim) float64 matrix (the
+    shared reshape under the embedding-family kernels)."""
+    col = t["embedding"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = len(flat) // max(1, t.num_rows)
+    return flat.reshape(t.num_rows, dim)
+
+
 def embedding_quantize_stats(sf_dir: str):
     """SCALAR QUANTIZATION of the embedding column (the int8 compression
     step an ANN index applies before storage): per dimension, the global
@@ -4542,16 +4553,8 @@ def embedding_quantize_stats(sf_dir: str):
     generate_subscripts."""
     from ray.data.aggregate import Sum
 
-    def _matrix(t: pa.Table) -> np.ndarray:
-        col = t["embedding"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
-        dim = len(flat) // max(1, t.num_rows)
-        return flat.reshape(t.num_rows, dim)
-
     def minmax_partial(t: pa.Table) -> pa.Table:
-        m = _matrix(t)
+        m = _embedding_matrix(t)
         return pa.table({
             "dim": pa.array(np.arange(1, m.shape[1] + 1), pa.int64()),
             "lo": pa.array(m.min(axis=0), pa.float64()),
@@ -4572,7 +4575,7 @@ def embedding_quantize_stats(sf_dir: str):
 
     def code_partial(t: pa.Table) -> pa.Table:
         lo_b, hi_b = ray.get(rng_ref)
-        m = _matrix(t)
+        m = _embedding_matrix(t)
         with np.errstate(divide="ignore", invalid="ignore"):
             x = (m - lo_b[None, :]) / (hi_b - lo_b)[None, :] * 255.0
         codes = np.copysign(np.floor(np.abs(x) + 0.5), x)
@@ -4739,17 +4742,20 @@ def bm25_search(sf_dir: str, query: str = "table hash join", k: int = 20):
         for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             toks = _toks(txt)
             c = collections.Counter(toks)
-            s = 0
+            s, matched = 0, False
             for i, q in enumerate(terms):
                 tf = c.get(q, 0)
                 if not tf:
                     continue
+                matched = True
                 x = 1e6 * (idf[i] * (float(tf) * (K1 + 1.0))
                            / (float(tf) + K1 * (1.0 - B
                                                 + B * float(len(toks))
                                                 / avgdl)))
                 s += int(np.copysign(np.floor(abs(x) + 0.5), x))
-            if s:
+            # emit every doc with a matched term, even a 0-rounded score
+            # — the oracle's contrib CTE does (parity for extreme params)
+            if matched:
                 ids.append(did)
                 scores.append(s)
         df = pd.DataFrame({"doc_id": pd.array(ids, "int64"),
@@ -4769,12 +4775,7 @@ def bm25_search(sf_dir: str, query: str = "table hash join", k: int = 20):
 
 
 def _gram_matrix_e6(t: pa.Table) -> np.ndarray:
-    col = t["embedding"]
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
-    dim = len(flat) // max(1, t.num_rows)
-    m = flat.reshape(t.num_rows, dim) * 1e6
+    m = _embedding_matrix(t) * 1e6
     return np.copysign(np.floor(np.abs(m) + 0.5), m).astype(np.int64)
 
 
