@@ -1120,6 +1120,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "embedding_pca_projection": rel.embedding_pca_projection,
         "langid_confusion": rel.langid_confusion,
         "sentence_stats": rel.sentence_stats,
+        "bpe_merge_candidates": rel.bpe_merge_candidates,
     }
 
 
@@ -3084,6 +3085,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(SUM(len(seg)) FILTER (seg <> ''), 0)
                         AS BIGINT) AS sum_sentence_chars
             FROM segs GROUP BY doc_id
+        """,
+        # adjacent char pairs inside whitespace words via a lateral
+        # generate_series over each word
+        "bpe_merge_candidates": r"""
+            WITH words AS (
+              SELECT unnest(regexp_split_to_array(
+                       lower(coalesce(text, '')), '\s+')) AS w
+              FROM documents
+            ), pairs AS (
+              -- list-form generate_series + unnest (the table-function
+              -- form rejects lateral column parameters)
+              SELECT substring(w, unnest(generate_series(1, len(w) - 1)), 2)
+                         AS pair
+              FROM words WHERE len(w) >= 2
+            )
+            SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+            FROM pairs GROUP BY pair
+            ORDER BY n DESC, pair LIMIT 10
         """,
         # Every queries() entry above has an oracle_sql twin — the
         # rows-only set is empty as of round 2 (minhash/winnow/knn_lsh/

@@ -4942,3 +4942,53 @@ def sentence_stats(sf_dir: str):
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         f, batch_format="pyarrow")
+
+
+def bpe_merge_candidates(sf_dir: str, k: int = 10):
+    """FIRST BPE TRAINING ROUND — the tokenizer-building primitive: count
+    every adjacent CHARACTER pair inside whitespace words across the
+    corpus and return the top-k merge candidates (count desc, pair asc),
+    exactly what a byte-pair-encoding trainer merges first.
+
+    Same two-level exact reduce as top_terms: per-batch Counter partials
+    bucketed by crc32(pair), per-bucket vectorized sum + top-k, bounded
+    repartition(1) final — the pair vocabulary (≤ charset²) never
+    reaches the driver unbounded.  Iterated merges (rounds 2+) would
+    re-tokenize with the winning pair and repeat — the topology is
+    identical per round."""
+    import collections
+    import zlib
+
+    n_buckets = DEFAULT_CONFIG.near_dup_coarse_buckets
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        for txt in t["text"].to_pylist():
+            for w in (txt or "").lower().split():
+                c.update(w[i:i + 2] for i in range(len(w) - 1))
+        pairs = list(c.keys())
+        return pa.table({
+            "pair": pa.array(pairs, pa.string()),
+            "n": pa.array([c[p] for p in pairs], pa.int64()),
+            "bucket": pa.array(
+                [zlib.crc32(p.encode()) % n_buckets for p in pairs],
+                pa.int32()),
+        })
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("pair", as_index=False)["n"].sum()
+        s["n"] = s["n"].astype("int64")
+        return s.sort_values(["n", "pair"],
+                             ascending=[False, True]).head(k)
+
+    def final(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("n", "descending"), ("pair", "ascending")])[:k]
+        return t.take(idx).select(["pair", "n"])
+
+    return (_read(sf_dir, "documents", ["text"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(bucket_topk, batch_format="pandas")
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow", batch_size=None))

@@ -2804,3 +2804,24 @@ def test_sentence_stats_local(ray_session):
         assert int(got.loc[did, "sum_sentence_chars"]) \
             == sum(len(s) for s in segs)
         assert int(got.loc[did, "sum_sentence_chars"]) <= len(txt or "")
+
+
+def test_bpe_merge_candidates_local(ray_session):
+    """Top merge pairs equal a local recompute and are 2-char strings."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import bpe_merge_candidates
+
+    sf = "/root/testdata/sf0.001"
+    got = bpe_merge_candidates(sf).to_pandas()
+    texts = pq.read_table(f"{sf}/documents.parquet",
+                          columns=["text"])["text"].to_pylist()
+    c = collections.Counter()
+    for t in texts:
+        for w in (t or "").lower().split():
+            c.update(w[i:i + 2] for i in range(len(w) - 1))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got["pair"], got["n"])) == want
+    assert all(len(p) == 2 for p in got["pair"])
