@@ -1121,6 +1121,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "langid_confusion": rel.langid_confusion,
         "sentence_stats": rel.sentence_stats,
         "bpe_merge_candidates": rel.bpe_merge_candidates,
+        "nb_lang_confusion": rel.nb_lang_confusion,
     }
 
 
@@ -3103,6 +3104,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
             FROM pairs GROUP BY pair
             ORDER BY n DESC, pair LIMIT 10
+        """,
+        # Laplace-smoothed multinomial NB trained and evaluated on the
+        # corpus; every ln-term rounds to integer micro-nats before
+        # summation; argmax ties break to the lexicographically smallest
+        # class; token-less docs are excluded
+        "nb_lang_confusion": r"""
+            WITH d AS MATERIALIZED (
+              SELECT doc_id, lang, regexp_split_to_array(
+                       lower(coalesce(text, '')), '\s+') AS arr
+              FROM documents
+            ), toks AS MATERIALIZED (
+              SELECT doc_id, lang, unnest(arr) AS term FROM d
+            ), tk AS MATERIALIZED (
+              SELECT doc_id, lang, term FROM toks WHERE term <> ''
+            ), model AS MATERIALIZED (
+              SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS n
+              FROM tk GROUP BY lang, term
+            ), tl AS MATERIALIZED (
+              SELECT lang, CAST(COUNT(*) AS BIGINT) AS t
+              FROM tk GROUP BY lang
+            ), vocab AS MATERIALIZED (
+              SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v FROM tk
+            ), nl AS MATERIALIZED (
+              SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+              FROM documents GROUP BY lang
+            ), ntot AS MATERIALIZED (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+            ), dt AS MATERIALIZED (
+              SELECT doc_id, lang AS label, term,
+                     CAST(COUNT(*) AS BIGINT) AS m
+              FROM tk GROUP BY doc_id, lang, term
+            ), contrib AS MATERIALIZED (
+              SELECT dt.doc_id, dt.label, c.lang AS cls,
+                     dt.m * CAST(ROUND(1000000.0
+                       * ln((coalesce(mo.n, 0) + 1.0)
+                            / (tl.t + vocab.v))) AS BIGINT) AS sc
+              FROM dt
+                CROSS JOIN (SELECT lang FROM tl) c
+                JOIN tl ON tl.lang = c.lang
+                LEFT JOIN model mo
+                  ON mo.lang = c.lang AND mo.term = dt.term,
+                vocab
+            ), scores AS MATERIALIZED (
+              SELECT co.doc_id, co.label, co.cls,
+                     SUM(co.sc)
+                     + (SELECT CAST(ROUND(1000000.0
+                          * ln(CAST(nl.n AS DOUBLE) / ntot.n)) AS BIGINT)
+                        FROM nl, ntot WHERE nl.lang = co.cls) AS score
+              FROM contrib co GROUP BY co.doc_id, co.label, co.cls
+            ), pred AS (
+              SELECT doc_id, label, cls,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, cls) AS rk
+              FROM scores
+            )
+            SELECT label AS lang, cls AS pred_lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM pred WHERE rk = 1 GROUP BY label, cls
         """,
         # Every queries() entry above has an oracle_sql twin — the
         # rows-only set is empty as of round 2 (minhash/winnow/knn_lsh/

@@ -4992,3 +4992,169 @@ def bpe_merge_candidates(sf_dir: str, k: int = 10):
             .map_groups(bucket_topk, batch_format="pandas")
             .repartition(1)
             .map_batches(final, batch_format="pyarrow", batch_size=None))
+
+
+def nb_lang_confusion(sf_dir: str):
+    """SUPERVISED ML END-TO-END: train a multinomial Naive Bayes language
+    classifier on the labeled corpus (Laplace-smoothed token likelihoods
+    + class priors) and evaluate it on the same corpus as a confusion
+    matrix (lang, pred_lang, n_docs).
+
+    The model is NEVER broadcast (vocabulary-sized at corpus scale) —
+    training partials and scoring instances co-partition on a
+    crc32(term) bucket exactly like bigram_lm_scores, so each bucket
+    finalizes its slice of the model and scores its instances in one
+    vectorized kernel; per-(doc, class) integer partials fold on a
+    coarse doc bucket where priors are added and the argmax (ties →
+    class asc) is taken.  Every ln-term rounds to integer micro-nats
+    BEFORE summation (the repo's float-order-proof discipline); the only
+    broadcast pieces are the per-class token totals T_l, the vocabulary
+    size V and the priors — a handful of scalars.  Docs with no tokens
+    are excluded on both sides."""
+    import collections
+    import re
+    import zlib
+
+    n_buckets = DEFAULT_CONFIG.near_dup_coarse_buckets
+    _ws = re.compile(r"[ \t\n\f\r]+")
+
+    def _toks(txt: str) -> list:
+        return [x for x in _ws.split((txt or "").lower()) if x]
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        for lang, txt in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            for tok in _toks(txt):
+                c[(lang, tok)] += 1
+        keys = list(c.keys())
+        return pa.table({
+            "lang": pa.array([k[0] for k in keys], pa.string()),
+            "term": pa.array([k[1] for k in keys], pa.string()),
+            "n": pa.array([c[k] for k in keys], pa.int64()),
+            "bucket": pa.array(
+                [zlib.crc32(k[1].encode()) % n_buckets for k in keys],
+                pa.int32()),
+        })
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    parts = ds.map_batches(count_partial, batch_format="pyarrow") \
+        .materialize()
+
+    # global scalars: per-class token totals, vocabulary size, doc counts
+    from ray.data.aggregate import Sum
+
+    tdf = pa.concat_tables(
+        [t for t in ray.get(
+            parts.groupby("lang").aggregate(
+                Sum("n", alias_name="t")).to_arrow_refs())
+         if t.num_columns]).to_pandas()
+    t_by_lang = dict(zip(tdf["lang"], tdf["t"].astype(int)))
+
+    def _distinct_terms(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"v": pd.array([g["term"].nunique()], "int64")})
+
+    vocab = int(parts.groupby("bucket").map_groups(
+        _distinct_terms, batch_format="pandas").sum("v"))
+
+    from ray.data.aggregate import Count
+
+    ndf = pa.concat_tables(
+        [t for t in ray.get(
+            ds.groupby("lang").aggregate(
+                Count(alias_name="n_docs")).to_arrow_refs())
+         if t.num_columns]).to_pandas()
+    n_by_lang = dict(zip(ndf["lang"], ndf["n_docs"].astype(int)))
+    n_total = int(sum(n_by_lang.values()))
+    classes = sorted(t_by_lang)
+    priors = {
+        l: int(np.copysign(np.floor(abs(
+            1e6 * np.log(float(n_by_lang[l]) / n_total)) + 0.5),
+            np.log(float(n_by_lang[l]) / n_total)))
+        for l in classes}
+    stats_ref = ray.put((classes, t_by_lang, vocab))
+
+    def instances(t: pa.Table) -> pa.Table:
+        ids, labels, terms, ms = [], [], [], []
+        for did, lang, txt in zip(t["doc_id"].to_pylist(),
+                                  t["lang"].to_pylist(),
+                                  t["text"].to_pylist()):
+            c = collections.Counter(_toks(txt))
+            for tok, m in c.items():
+                ids.append(did)
+                labels.append(lang)
+                terms.append(tok)
+                ms.append(m)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "lang": pa.array(labels, pa.string()),
+            "term": pa.array(terms, pa.string()),
+            "n": pa.array(ms, pa.int64()),
+            "bucket": pa.array(
+                [zlib.crc32(x.encode()) % n_buckets for x in terms],
+                pa.int32()),
+            "side": pa.nulls(len(ids), pa.int8()).fill_null(0),
+        })
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cls, t_l, v = ray.get(stats_ref)
+        model = (g[g["side"] == 1]
+                 .groupby(["term", "lang"], as_index=False)["n"].sum())
+        inst = g[g["side"] == 0]
+        cols = {"doc_id": pd.array([], "int64"),
+                "label": pd.array([], "str"),
+                "dbucket": pd.array([], "int32")}
+        for l in cls:
+            cols[f"s_{l}"] = pd.array([], "int64")
+        if not len(inst):
+            return pd.DataFrame(cols)
+        out = inst[["doc_id", "lang", "term", "n"]].rename(
+            columns={"lang": "label", "n": "m"})
+        for l in cls:
+            ml = model[model["lang"] == l][["term", "n"]]
+            merged = out[["term"]].merge(ml, on="term", how="left")
+            c = merged["n"].fillna(0).to_numpy(np.float64)
+            x = 1e6 * np.log((c + 1.0) / float(t_l[l] + v))
+            term_sc = np.copysign(np.floor(np.abs(x) + 0.5),
+                                  x).astype("int64")
+            out[f"s_{l}"] = term_sc * out["m"].to_numpy()
+        agg = {f"s_{l}": (f"s_{l}", "sum") for l in cls}
+        agg["label"] = ("label", "first")
+        res = out.groupby("doc_id", as_index=False).agg(**agg)
+        for l in cls:
+            res[f"s_{l}"] = res[f"s_{l}"].astype("int64")
+        res["dbucket"] = np.bitwise_and(
+            res["doc_id"].to_numpy(np.int64), 63).astype("int32")
+        return res[["doc_id", "label", "dbucket"]
+                   + [f"s_{l}" for l in cls]]
+
+    def fold_predict(g: pd.DataFrame) -> pd.DataFrame:
+        cls, _, _ = ray.get(stats_ref)
+        agg = {f"s_{l}": (f"s_{l}", "sum") for l in cls}
+        agg["label"] = ("label", "first")
+        res = g.groupby("doc_id", as_index=False).agg(**agg)
+        scores = np.stack(
+            [res[f"s_{l}"].to_numpy(np.int64) + priors[l] for l in cls],
+            axis=1)
+        # argmax with ties → class asc (classes sorted; np.argmax takes
+        # the first maximum)
+        pred = np.asarray(cls, dtype=object)[np.argmax(scores, axis=1)]
+        out = (pd.DataFrame({"lang": res["label"], "pred_lang": pred})
+               .groupby(["lang", "pred_lang"], as_index=False).size()
+               .rename(columns={"size": "n_docs"}))
+        out["n_docs"] = out["n_docs"].astype("int64")
+        return out
+
+    inst_ds = ds.map_batches(instances, batch_format="pyarrow")
+    model_ds = parts.map_batches(
+        lambda t: t.append_column(
+            "doc_id", pa.nulls(t.num_rows, pa.int64()).fill_null(-1))
+        .append_column("side", pa.nulls(t.num_rows, pa.int8()).fill_null(1))
+        .select(["doc_id", "lang", "term", "n", "bucket", "side"]),
+        batch_format="pyarrow")
+    return (inst_ds.union(model_ds)
+            .groupby("bucket")
+            .map_groups(score_bucket, batch_format="pandas")
+            .groupby("dbucket")
+            .map_groups(fold_predict, batch_format="pandas")
+            .groupby(["lang", "pred_lang"])
+            .aggregate(Sum("n_docs", alias_name="n_docs")))

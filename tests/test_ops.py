@@ -2825,3 +2825,23 @@ def test_bpe_merge_candidates_local(ray_session):
     want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert list(zip(got["pair"], got["n"])) == want
     assert all(len(p) == 2 for p in got["pair"])
+
+
+def test_nb_lang_confusion_structure(ray_session):
+    """NB confusion covers every doc with tokens exactly once; scores
+    are a proper partition and training data biases predictions toward
+    each label's own vocabulary (diagonal beats the uniform share)."""
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import nb_lang_confusion
+
+    sf = "/root/testdata/sf0.001"
+    got = nb_lang_confusion(sf).to_pandas()
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["lang", "text"]).to_pandas()
+    n_with_tokens = sum(bool((t or "").split()) for t in docs["text"])
+    assert int(got["n_docs"].sum()) == n_with_tokens
+    labels = set(docs["lang"])
+    assert set(got["lang"]) <= labels and set(got["pred_lang"]) <= labels
+    diag = int(got[got["lang"] == got["pred_lang"]]["n_docs"].sum())
+    assert diag > n_with_tokens / len(labels)   # beats random assignment
