@@ -5109,14 +5109,21 @@ def nb_lang_confusion(sf_dir: str):
             return pd.DataFrame(cols)
         out = inst[["doc_id", "lang", "term", "n"]].rename(
             columns={"lang": "label", "n": "m"})
+        # ONE unstack + ONE merge, then 5 vectorized column computations
+        # (model is already summed per (term, lang); pivot_table's
+        # aggfunc re-aggregation measured slower than plain merges)
+        wide = (model.set_index(["term", "lang"])["n"]
+                .unstack(fill_value=0))
+        merged = out[["term"]].merge(wide, left_on="term",
+                                     right_index=True, how="left")
+        m_arr = out["m"].to_numpy()
         for l in cls:
-            ml = model[model["lang"] == l][["term", "n"]]
-            merged = out[["term"]].merge(ml, on="term", how="left")
-            c = merged["n"].fillna(0).to_numpy(np.float64)
+            c = (merged[l].fillna(0).to_numpy(np.float64)
+                 if l in merged.columns else np.zeros(len(out)))
             x = 1e6 * np.log((c + 1.0) / float(t_l[l] + v))
             term_sc = np.copysign(np.floor(np.abs(x) + 0.5),
                                   x).astype("int64")
-            out[f"s_{l}"] = term_sc * out["m"].to_numpy()
+            out[f"s_{l}"] = term_sc * m_arr
         agg = {f"s_{l}": (f"s_{l}", "sum") for l in cls}
         agg["label"] = ("label", "first")
         res = out.groupby("doc_id", as_index=False).agg(**agg)
