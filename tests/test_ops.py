@@ -1994,7 +1994,11 @@ def test_query_partition_invariance(ray_session):
              # histogram winsorize, star join
              "pack_context_windows", "heavy_hitter_terms",
              "bloom_semi_join_revenue", "winsorized_revenue_by_priority",
-             "revenue_by_region"]
+             "revenue_by_region",
+             # batch-boundary-sensitive by construction: global stats
+             # from per-batch partials must not leak layout
+             "bm25_search", "nb_lang_confusion", "bigram_lm_scores",
+             "bpe_merge_candidates", "pack_sequences"]
 
     def canon(res):
         df = res.to_pandas() if hasattr(res, "to_pandas") else res
