@@ -606,6 +606,49 @@ def _q_host_freshness(sf_dir: str):
             .map_batches(final, batch_format="pandas", batch_size=None))
 
 
+def _q_robots_filter_stats(sf_dir: str):
+    """Crawl-policy (robots-style) URL-prefix filter over the PAGES
+    table — the frontier gate that runs BEFORE any extraction: pages are
+    attributed to the FIRST matching blocked prefix (rule order is
+    robots semantics), the rest to 'allowed'.  One vectorized
+    starts_with per rule per batch; the groupby sees ≤ rules+1 keys.
+    The rule list is a broadcast handful of strings — at corpus scale a
+    large rule set becomes a per-host broadcast dict keyed by the parsed
+    host, same topology."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.pages_oracle_sql import ROBOTS_RULES
+
+    def partial(t: pa.Table) -> pa.Table:
+        url = t["url"]
+        remaining = np.ones(t.num_rows, dtype=bool)
+        rules, ns = [], []
+        for r in ROBOTS_RULES:
+            hit = pc.starts_with(url, r).to_numpy(
+                zero_copy_only=False) & remaining
+            rules.append(r)
+            ns.append(int(hit.sum()))
+            remaining &= ~hit
+        rules.append("allowed")
+        ns.append(int(remaining.sum()))
+        keep = [i for i, n in enumerate(ns) if n > 0]   # match the
+        return pa.table({                               # oracle's GROUP
+            "rule": pa.array([rules[i] for i in keep], pa.string()),
+            "n_pages": pa.array([ns[i] for i in keep], pa.int64()),
+        })
+
+    return (rd.read_parquet(_pages_dir(sf_dir), columns=["url"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("rule")
+            .aggregate(Sum("n_pages", alias_name="n_pages")))
+
+
 def _q_media_exact_dedup(sf_dir: str):
     """Exact dedup over BINARY payloads (multimodal × dedup cross): the
     derived media corpus with the doc_id % 23 re-crawl clone injected,
@@ -1122,6 +1165,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "sentence_stats": rel.sentence_stats,
         "bpe_merge_candidates": rel.bpe_merge_candidates,
         "nb_lang_confusion": rel.nb_lang_confusion,
+        "robots_filter_stats": _q_robots_filter_stats,
     }
 
 
@@ -1252,6 +1296,7 @@ def oracle_sql() -> dict[str, str]:
         "span_audit": _po.span_audit_sql(),
         "media_exact_dedup": _po.media_exact_dedup_sql(),
         "host_freshness": _po.host_freshness_sql(),
+        "robots_filter_stats": _po.robots_filter_sql(),
         "training_corpus": _po.training_corpus_sql(),
         "qc_rollup": _po.qc_rollup_sql(),
         "filter_stats": _po.filter_stats_sql(),

@@ -709,3 +709,26 @@ def host_freshness_sql() -> str:
         FROM extracted
         GROUP BY 1
     """)
+
+
+ROBOTS_RULES = (
+    "https://src3.example.org/",
+    "https://src7.example.org/doc/1",
+    "https://src1.example.org/doc/",
+)
+
+
+def robots_filter_sql() -> str:
+    """Crawl-policy (robots-style) URL-prefix filter over the pages
+    table: first-match-wins rule attribution, 'allowed' for the rest."""
+    cases = "\n".join(
+        f"              WHEN starts_with(url, {_lit(r)}) THEN {_lit(r)}"
+        for r in ROBOTS_RULES)
+    return _with_pages(f"""
+        SELECT CASE
+{cases}
+              ELSE 'allowed' END AS rule,
+               CAST(COUNT(*) AS BIGINT) AS n_pages
+        FROM pages
+        GROUP BY 1
+    """, need_blocks=False)

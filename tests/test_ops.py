@@ -2849,3 +2849,25 @@ def test_nb_lang_confusion_structure(ray_session):
     assert set(got["lang"]) <= labels and set(got["pred_lang"]) <= labels
     diag = int(got[got["lang"] == got["pred_lang"]]["n_docs"].sum())
     assert diag > n_with_tokens / len(labels)   # beats random assignment
+
+
+def test_robots_filter_first_match(ray_session):
+    """Rule attribution is first-match-wins and covers every page."""
+    import pyarrow.parquet as pq
+    import __ray_entry__ as e
+    from ocr_ray.pages_oracle_sql import ROBOTS_RULES
+
+    sf = "/root/testdata/sf0.001"
+    got = e.queries()["robots_filter_stats"](sf).to_pandas()
+    pages = pq.read_table(e._pages_dir(sf), columns=["url"])
+    urls = pages["url"].to_pylist()
+    want = {}
+    for u in urls:
+        rule = next((r for r in ROBOTS_RULES if u.startswith(r)),
+                    "allowed")
+        want[rule] = want.get(rule, 0) + 1
+    assert dict(zip(got["rule"], got["n_pages"])) == want
+    assert int(got["n_pages"].sum()) == len(urls)
+    # the overlapping rules actually exercise ordering: src1 doc prefix
+    # is rule 3, never misattributed
+    assert want.get(ROBOTS_RULES[2], 0) > 0
