@@ -2476,6 +2476,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, depth FROM d
         """,
+        # O(n log n) window formulation, verified set-equal to the
+        # NOT EXISTS O(n²) original at sf0.001/0.01/0.1 (352 s → 0.14 s
+        # at sf0.1): a row survives iff no strictly-cheaper row has an
+        # equal-or-later date AND it carries its price's max date
+        # (exact duplicates both survive — neither dominates)
         "skyline_orders": """
             WITH c AS MATERIALIZED (
                 SELECT o_orderkey,
@@ -2483,16 +2488,19 @@ def oracle_sql() -> dict[str, str]:
                            AS price_cents,
                        o_orderdate
                 FROM orders
+            ), w AS (
+                SELECT o_orderkey, price_cents, o_orderdate,
+                       MAX(o_orderdate) OVER (
+                         ORDER BY price_cents
+                         RANGE BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS max_d_cheaper,
+                       MAX(o_orderdate) OVER (PARTITION BY price_cents)
+                           AS max_d_same
+                FROM c
             )
-            SELECT t.o_orderkey, t.price_cents, t.o_orderdate
-            FROM c t
-            WHERE NOT EXISTS (
-                SELECT 1 FROM c o
-                WHERE o.price_cents <= t.price_cents
-                  AND o.o_orderdate >= t.o_orderdate
-                  AND (o.price_cents < t.price_cents
-                       OR o.o_orderdate > t.o_orderdate)
-            )
+            SELECT o_orderkey, price_cents, o_orderdate FROM w
+            WHERE (max_d_cheaper IS NULL OR max_d_cheaper < o_orderdate)
+              AND o_orderdate = max_d_same
         """,
         "conversion_pattern_users": """
             WITH p AS (
