@@ -616,7 +616,6 @@ def _q_robots_filter_stats(sf_dir: str):
     large rule set becomes a per-host broadcast dict keyed by the parsed
     host, same topology."""
     import numpy as np
-    import pandas as pd
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data as rd

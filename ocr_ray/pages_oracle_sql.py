@@ -715,6 +715,11 @@ ROBOTS_RULES = (
     "https://src3.example.org/",
     "https://src7.example.org/doc/1",
     "https://src1.example.org/doc/",
+    # deliberately OVERLAPS the previous rule (every src1 url matches
+    # both): first-match-wins attribution is only testable with an
+    # overlap — a last-match or order-free implementation would credit
+    # this rule instead and diverge
+    "https://src1.example.org/",
 )
 
 

@@ -47,6 +47,14 @@ def _table_num_rows(sf_dir: str, table: str) -> int:
     return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
+def _concat_nonempty(ds) -> pa.Table:
+    """Driver-side collect that survives Ray's SCHEMA-LESS empty blocks
+    (sort-based groupby / filtered reads emit them; see CLAUDE.md):
+    drop zero-column tables before pa.concat_tables."""
+    return pa.concat_tables(
+        [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns])
+
+
 def _cents(x, scale: int = 100):
     """double → integer units, half-away-from-zero like DuckDB ROUND
     (Arrow calls this round mode 'half_towards_infinity')."""
@@ -4249,15 +4257,13 @@ def build_event_count_snapshot(sf_dir: str, out_dir: str,
         count_col="n_events",
     )
     os.makedirs(out_dir, exist_ok=True)
-    # the sort-based groupby emits SCHEMA-LESS empty blocks (CLAUDE.md);
-    # drop them before the concat or it raises ArrowInvalid
-    tabs = [t for t in ray.get(base.to_arrow_refs()) if t.num_columns]
-    if not tabs:              # nothing precedes split_ts: typed empty
-        tabs = [pa.table({"event_type": pa.array([], pa.string()),
-                          "sum_value_cents": pa.array([], pa.int64()),
-                          "n_events": pa.array([], pa.int64())})]
-    pq.write_table(pa.concat_tables(tabs),
-                   os.path.join(out_dir, "base_agg.parquet"))
+    try:
+        tab = _concat_nonempty(base)
+    except (pa.ArrowInvalid, ValueError):   # nothing precedes split_ts
+        tab = pa.table({"event_type": pa.array([], pa.string()),
+                        "sum_value_cents": pa.array([], pa.int64()),
+                        "n_events": pa.array([], pa.int64())})
+    pq.write_table(tab, os.path.join(out_dir, "base_agg.parquet"))
     return out_dir
 
 
@@ -4563,10 +4569,8 @@ def embedding_quantize_stats(sf_dir: str):
         })
 
     ds = _read(sf_dir, "embeddings", ["embedding"])
-    parts = pa.concat_tables(
-        [t for t in ray.get(ds.map_batches(
-            minmax_partial, batch_format="pyarrow").to_arrow_refs())
-         if t.num_columns])
+    parts = _concat_nonempty(
+        ds.map_batches(minmax_partial, batch_format="pyarrow"))
     df = parts.to_pandas().groupby("dim").agg(
         lo=("lo", "min"), hi=("hi", "max"), n_vecs=("n_vecs", "sum"))
     lo = df["lo"].to_numpy()
@@ -4590,9 +4594,7 @@ def embedding_quantize_stats(sf_dir: str):
     agg = (ds.map_batches(code_partial, batch_format="pyarrow")
            .groupby("dim")
            .aggregate(Sum("sum_codes", alias_name="sum_codes")))
-    sums = pa.concat_tables(
-        [t for t in ray.get(agg.to_arrow_refs()) if t.num_columns]
-    ).to_pandas().set_index("dim")["sum_codes"]
+    sums = _concat_nonempty(agg).to_pandas().set_index("dim")["sum_codes"]
 
     dims = df.index.to_numpy()
     e6 = lambda a: np.copysign(np.floor(np.abs(a * 1e6) + 0.5), a)  # noqa: E731
@@ -4957,14 +4959,16 @@ def bpe_merge_candidates(sf_dir: str, k: int = 10):
     re-tokenize with the winning pair and repeat — the topology is
     identical per round."""
     import collections
+    import re
     import zlib
 
     n_buckets = DEFAULT_CONFIG.near_dup_coarse_buckets
+    _ws = re.compile(r"[ \t\n\f\r]+")      # RE2's \s exactly (not .split())
 
     def partial(t: pa.Table) -> pa.Table:
         c: collections.Counter = collections.Counter()
         for txt in t["text"].to_pylist():
-            for w in (txt or "").lower().split():
+            for w in _ws.split((txt or "").lower()):
                 c.update(w[i:i + 2] for i in range(len(w) - 1))
         pairs = list(c.keys())
         return pa.table({
@@ -5040,29 +5044,37 @@ def nb_lang_confusion(sf_dir: str):
     parts = ds.map_batches(count_partial, batch_format="pyarrow") \
         .materialize()
 
-    # global scalars: per-class token totals, vocabulary size, doc counts
+    # global scalars in TWO tiny executions (not four): one per-bucket
+    # pass over the materialized partials yields per-class token totals
+    # AND the vocabulary size; doc counts come from a lang-only read
+    # (the old groupby over ds shuffled every document body to count)
     from ray.data.aggregate import Sum
 
-    tdf = pa.concat_tables(
-        [t for t in ray.get(
-            parts.groupby("lang").aggregate(
-                Sum("n", alias_name="t")).to_arrow_refs())
-         if t.num_columns]).to_pandas()
-    t_by_lang = dict(zip(tdf["lang"], tdf["t"].astype(int)))
+    def _bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        per_lang = g.groupby("lang", as_index=False)["n"].sum()
+        return pd.DataFrame({
+            "lang": list(per_lang["lang"]) + [""],
+            "t": list(per_lang["n"].astype("int64")) + [0],
+            "v": [0] * len(per_lang) + [int(g["term"].nunique())],
+        })
 
-    def _distinct_terms(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"v": pd.array([g["term"].nunique()], "int64")})
+    sdf = _concat_nonempty(parts.groupby("bucket").map_groups(
+        _bucket_stats, batch_format="pandas")).to_pandas()
+    lang_rows = sdf[sdf["lang"] != ""].groupby("lang")["t"].sum()
+    t_by_lang = {l: int(v) for l, v in lang_rows.items()}
+    vocab = int(sdf["v"].sum())
 
-    vocab = int(parts.groupby("bucket").map_groups(
-        _distinct_terms, batch_format="pandas").sum("v"))
+    def _doc_counts(t: pa.Table) -> pa.Table:
+        g = pa.table({"lang": t["lang"]}).to_pandas().groupby(
+            "lang", as_index=False).size()
+        return pa.table({"lang": pa.array(g["lang"], pa.string()),
+                         "n_docs": pa.array(g["size"], pa.int64())})
 
-    from ray.data.aggregate import Count
-
-    ndf = pa.concat_tables(
-        [t for t in ray.get(
-            ds.groupby("lang").aggregate(
-                Count(alias_name="n_docs")).to_arrow_refs())
-         if t.num_columns]).to_pandas()
+    ndf = _concat_nonempty(
+        _read(sf_dir, "documents", ["lang"]).map_batches(
+            _doc_counts, batch_format="pyarrow")
+        .groupby("lang").aggregate(Sum("n_docs", alias_name="n_docs"))
+    ).to_pandas()
     n_by_lang = dict(zip(ndf["lang"], ndf["n_docs"].astype(int)))
     n_total = int(sum(n_by_lang.values()))
     classes = sorted(t_by_lang)

@@ -2822,9 +2822,12 @@ def test_bpe_merge_candidates_local(ray_session):
     got = bpe_merge_candidates(sf).to_pandas()
     texts = pq.read_table(f"{sf}/documents.parquet",
                           columns=["text"])["text"].to_pylist()
+    import re
+
+    ws = re.compile(r"[ \t\n\f\r]+")
     c = collections.Counter()
     for t in texts:
-        for w in (t or "").lower().split():
+        for w in ws.split((t or "").lower()):
             c.update(w[i:i + 2] for i in range(len(w) - 1))
     want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert list(zip(got["pair"], got["n"])) == want
@@ -2868,6 +2871,8 @@ def test_robots_filter_first_match(ray_session):
         want[rule] = want.get(rule, 0) + 1
     assert dict(zip(got["rule"], got["n_pages"])) == want
     assert int(got["n_pages"].sum()) == len(urls)
-    # the overlapping rules actually exercise ordering: src1 doc prefix
-    # is rule 3, never misattributed
+    # rules 3 and 4 OVERLAP (every src1 url matches both): first-match
+    # attribution must credit rule 3 and leave rule 4 with zero hits
     assert want.get(ROBOTS_RULES[2], 0) > 0
+    assert ROBOTS_RULES[3] not in want
+    assert ROBOTS_RULES[3] not in set(got["rule"])
