@@ -1165,6 +1165,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "bpe_merge_candidates": rel.bpe_merge_candidates,
         "nb_lang_confusion": rel.nb_lang_confusion,
         "robots_filter_stats": _q_robots_filter_stats,
+        "linear_attribution": win.linear_attribution,
     }
 
 
@@ -3214,6 +3215,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT label AS lang, cls AS pred_lang,
                    CAST(COUNT(*) AS BIGINT) AS n_docs
             FROM pred WHERE rk = 1 GROUP BY label, cls
+        """,
+        # equal-split credits in exact integer milli-cents (values are
+        # positive; // floors identically on both engines)
+        "linear_attribution": """
+            WITH e AS MATERIALIZED (
+              SELECT event_id, user_id, ts, event_type,
+                     CAST(ROUND(value * 100) AS BIGINT) AS cents
+              FROM events
+            ), pairs AS MATERIALIZED (
+              SELECT p.user_id, p.event_id AS purchase_id, p.cents
+              FROM e p JOIN e c
+                ON c.user_id = p.user_id AND c.event_type = 'click'
+               AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+              WHERE p.event_type = 'purchase'
+            ), per_p AS (
+              SELECT user_id, purchase_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_clicks,
+                     MIN(cents) AS cents
+              FROM pairs GROUP BY user_id, purchase_id
+            )
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_attributed_purchases,
+                   CAST(SUM(n_clicks * ((cents * 1000) // n_clicks))
+                        AS BIGINT) AS sum_credit_mcents
+            FROM per_p GROUP BY user_id
         """,
         # Every queries() entry above has an oracle_sql twin — the
         # rows-only set is empty as of round 2 (minhash/winnow/knn_lsh/

@@ -539,3 +539,68 @@ def max_concurrent_sessions(sf_dir: str):
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def linear_attribution(sf_dir: str):
+    """LINEAR (equal-split) MULTI-TOUCH ATTRIBUTION — the marketing
+    sibling of the as-of (last-touch) join: every purchase's value is
+    split equally across ALL of the same user's clicks in the preceding
+    hour (window inclusive on both ends, matching
+    range_join_purchase_clicks); credits are integer MILLI-cents via
+    floor division, so the arithmetic is exact on both engines
+    (values are positive; DuckDB // and Python // agree on floor).
+
+    One coarse user-bucket exchange; inside each bucket a single pandas
+    merge pairs purchases with clicks per user (per-user event counts
+    are bounded, so the in-bucket cross product is too), the per-purchase
+    click count and credit derive vectorized, and per-user integer
+    partials feed one tiny final groupby.  Purchases with no click in
+    window are unattributed and excluded (the oracle's inner join).
+    Output (user_id, n_attributed_purchases, sum_credit_mcents)."""
+    window_us = 3_600_000_000
+
+    def bucket_attr(g: pd.DataFrame) -> pd.DataFrame:
+        buys = g[g["event_type"] == "purchase"][
+            ["user_id", "event_id", "ts_us", "cents"]].rename(
+            columns={"event_id": "purchase_id", "ts_us": "p_ts"})
+        clicks = g[g["event_type"] == "click"][
+            ["user_id", "ts_us"]].rename(columns={"ts_us": "c_ts"})
+        m = buys.merge(clicks, on="user_id")
+        m = m[(m["c_ts"] <= m["p_ts"])
+              & (m["c_ts"] >= m["p_ts"] - window_us)]
+        if not len(m):
+            return pd.DataFrame({
+                "user_id": pd.array([], "int64"),
+                "n_attributed_purchases": pd.array([], "int64"),
+                "sum_credit_mcents": pd.array([], "int64")})
+        per_p = m.groupby(["user_id", "purchase_id"], as_index=False).agg(
+            n_clicks=("c_ts", "size"), cents=("cents", "first"))
+        per_p["credit"] = (per_p["n_clicks"]
+                           * ((per_p["cents"] * 1000) // per_p["n_clicks"]))
+        out = per_p.groupby("user_id", as_index=False).agg(
+            n_attributed_purchases=("purchase_id", "size"),
+            sum_credit_mcents=("credit", "sum"))
+        out["n_attributed_purchases"] = \
+            out["n_attributed_purchases"].astype("int64")
+        out["sum_credit_mcents"] = out["sum_credit_mcents"].astype("int64")
+        return out
+
+    def prep(t: pa.Table) -> pa.Table:
+        return _bucket_by_user(pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "event_type": t["event_type"],
+            "cents": _cents(t["value"]),
+        }))
+
+    return (
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                        columns=["user_id", "event_id", "ts",
+                                 "event_type", "value"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("ubucket")
+        .map_groups(bucket_attr, batch_format="pandas")
+        # no final fold: a user lives in exactly ONE bucket, so the
+        # per-bucket rollup is already the final answer
+    )

@@ -2876,3 +2876,36 @@ def test_robots_filter_first_match(ray_session):
     assert want.get(ROBOTS_RULES[2], 0) > 0
     assert ROBOTS_RULES[3] not in want
     assert ROBOTS_RULES[3] not in set(got["rule"])
+
+
+def test_linear_attribution_equal_split(ray_session):
+    """Equal-split credits match a brute-force recompute, and total
+    credit per purchase never exceeds its value in milli-cents."""
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.windows import linear_attribution
+
+    sf = "/root/testdata/sf0.001"
+    got = linear_attribution(sf).to_pandas().set_index("user_id")
+    ev = pq.read_table(f"{sf}/events.parquet").to_pandas()
+    ev["cents"] = np.copysign(np.floor(np.abs(ev["value"] * 100) + 0.5),
+                              ev["value"]).astype("int64")
+    ev["ts_us"] = ev["ts"].astype("int64")
+    want = {}
+    for uid, g in ev.groupby("user_id"):
+        buys = g[g["event_type"] == "purchase"]
+        clicks = g[g["event_type"] == "click"]["ts_us"].to_numpy()
+        n_attr, credit = 0, 0
+        for _, b in buys.iterrows():
+            n = int(((clicks <= b["ts_us"])
+                     & (clicks >= b["ts_us"] - 3_600_000_000)).sum())
+            if n:
+                n_attr += 1
+                per = (int(b["cents"]) * 1000) // n
+                credit += n * per
+                assert n * per <= int(b["cents"]) * 1000
+        if n_attr:
+            want[uid] = (n_attr, credit)
+    assert {u: (int(r["n_attributed_purchases"]),
+                int(r["sum_credit_mcents"]))
+            for u, r in got.iterrows()} == want
