@@ -1998,7 +1998,8 @@ def test_query_partition_invariance(ray_session):
              # batch-boundary-sensitive by construction: global stats
              # from per-batch partials must not leak layout
              "bm25_search", "nb_lang_confusion", "bigram_lm_scores",
-             "bpe_merge_candidates", "pack_sequences"]
+             "bpe_merge_candidates", "pack_sequences",
+             "linear_attribution"]
 
     def canon(res):
         df = res.to_pandas() if hasattr(res, "to_pandas") else res
