@@ -180,6 +180,29 @@ def _q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_near_dup(ds)
 
 
+def _q_near_dup_filter_stats(sf_dir: str):
+    """Corpus SURVIVING fuzzy (minhash) dedup — the filter-then-keep step
+    of a training-data pipeline (reference policy_filter.py:180-212 lifted
+    to cluster labels): minhash labels → keep min-id representative per
+    cluster + all unclustered docs → per-lang (n_docs, sum_chars)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ocr_ray.pipelines.dedup import minhash_near_dup, near_dup_filter
+
+    labels = minhash_near_dup(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"]))
+    corpus = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "lang", "n_chars"])
+    return (
+        near_dup_filter(corpus, labels=labels)
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"),
+                   Sum("n_chars", alias_name="sum_chars"))
+    )
+
+
 def _q_exact_dedup(sf_dir: str):
     import ray.data as rd
 
@@ -1040,6 +1063,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "simhash_near_dup": _q_simhash_near_dup,
         "winnow_near_dup": _q_winnow_near_dup,
         "ngram_jaccard_near_dup": _q_ngram_jaccard,
+        "near_dup_filter_stats": _q_near_dup_filter_stats,
         # similarity search
         "knn_cosine": _q_knn_cosine,
         "knn_lsh": _q_knn_lsh,
@@ -1274,6 +1298,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dup": _do.minhash_near_dup_sql(),
         "winnow_near_dup": _do.winnow_near_dup_sql(),
         "ngram_jaccard_near_dup": _do.ngram_jaccard_sql(),
+        "near_dup_filter_stats": _do.near_dup_filter_stats_sql(),
         "knn_lsh": _do.knn_lsh_sql(),
         "knn_ivf": _do.knn_ivf_sql(),
         # the indexed variants return the SAME rows as their scan-path

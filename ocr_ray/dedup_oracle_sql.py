@@ -177,6 +177,24 @@ def minhash_near_dup_sql(threshold: float = 0.8, max_bucket: int = 512) -> str:
     """
 
 
+def near_dup_filter_stats_sql(threshold: float = 0.8,
+                              max_bucket: int = 512) -> str:
+    """Survivor-corpus stats after fuzzy (minhash) dedup: the full
+    minhash_near_dup_sql labeling as a derived table, keep docs that are
+    unclustered or their cluster's min-id representative, then per-lang
+    doc count + char sum.  SUM(BIGINT) is HUGEINT in DuckDB — cast back."""
+    return f"""
+        SELECT d.lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+        FROM documents d
+        LEFT JOIN ({minhash_near_dup_sql(threshold, max_bucket)}) l
+               ON l.doc_id = d.doc_id
+        WHERE l.doc_id IS NULL OR l.dup_of = d.doc_id
+        GROUP BY d.lang
+    """
+
+
 def ngram_jaccard_sql(threshold_pct: int = 80, max_postings: int = 256) -> str:
     """Exact n-gram Jaccard pairs re-derived in SQL: the same word-3-gram
     md5_number_lower shingles as the minhash oracle, doc-frequency capped

@@ -675,6 +675,80 @@ def ngram_jaccard_near_dup(ds, text_col: str = "text", key_col: str = "doc_id",
     )
 
 
+def _drop_ids_ref(labels, key_col: str = "doc_id",
+                  label_col: str = "dup_of"):
+    """ObjectRef → sorted int64 numpy array of NON-representative doc ids
+    (``label != id``) from a (key, label) cluster labeling.  Id-only blocks
+    are reduced worker-side and merge-sorted in ONE Ray task — the driver
+    never holds the id set; readers ``ray.get`` the ref zero-copy per node.
+    """
+    import ray
+
+    if isinstance(labels, pa.Table):
+        mask = pc.invert(pc.equal(labels[key_col], labels[label_col]))
+        arr = labels.filter(mask)[key_col].to_numpy(zero_copy_only=False)
+        return ray.put(np.sort(arr.astype(np.int64)))
+
+    def ids_only(t: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(t[key_col], t[label_col]))
+        return pa.table({key_col: pc.cast(t.filter(keep)[key_col], pa.int64())})
+
+    refs = labels.map_batches(ids_only, batch_format="pyarrow").to_arrow_refs()
+
+    @ray.remote(num_cpus=1)
+    def merge(*blocks):
+        parts = [b[key_col].to_numpy(zero_copy_only=False)
+                 for b in blocks if b.num_columns and b.num_rows]
+        if not parts:
+            return np.zeros(0, np.int64)
+        return np.sort(np.concatenate(parts).astype(np.int64))
+
+    return merge.remote(*refs)
+
+
+def near_dup_filter(ds, labels=None, text_col: str = "text",
+                    key_col: str = "doc_id", threshold: float = 0.8,
+                    cfg: PipelineConfig = DEFAULT_CONFIG):
+    """The corpus that SURVIVES fuzzy dedup — keep ONE representative (the
+    min doc_id, keep-first) per near-dup cluster and pass every unclustered
+    doc through unchanged.  This is the reference's filter-then-keep step
+    (policy_filter.py:180-212) applied to near-dup cluster labels instead
+    of page predicates: ``labels`` (from :func:`minhash_near_dup` by
+    default, or any (key, dup_of) labeling such as
+    ``ngram_jaccard_near_dup`` pairs run through connected_components)
+    mark cluster members; min-id per component is the survivor.
+
+    Scale shape: the drop set is O(dup docs) 8-byte ids — merge-sorted in
+    ONE worker task and broadcast by ObjectRef (fetched once per node,
+    zero-copy numpy), then the corpus pass is an embarrassingly parallel
+    ``np.searchsorted`` anti-filter: NO corpus-side shuffle, and the
+    representative choice is partition-invariant because the label (= the
+    component min id) is a pure function of the pair graph, never of block
+    boundaries.  If the dup-id set ever outgrows a node's object store
+    (>> 10^10 dup docs), swap the broadcast for a doc_id-bucket
+    co-partitioned anti-join (the pair_bucket machinery above) — at
+    realistic web dup rates the 8-byte ids stay orders of magnitude below
+    the text payload that shuffle would move.
+    """
+    import ray
+
+    if labels is None:
+        labels = minhash_near_dup(ds, text_col=text_col, key_col=key_col,
+                                  threshold=threshold, cfg=cfg)
+    ref = _drop_ids_ref(labels, key_col=key_col)
+
+    def keep(t: pa.Table) -> pa.Table:
+        drop = ray.get(ref)
+        if drop.size == 0:
+            return t
+        ids = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(drop, ids)
+        pos[pos == drop.size] = 0
+        return t.filter(pa.array(drop[pos] != ids))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def line_hash64(line: str) -> int:
     """md5-lower-64 of a line (same convention as shingle_hashes)."""
     return int.from_bytes(hashlib.md5(line.encode("utf-8")).digest()[8:16], "little")

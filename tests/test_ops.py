@@ -236,6 +236,47 @@ def test_ngram_jaccard_near_dup(ray_session):
     assert all(4 not in p for p in got)                   # unrelated never pairs
 
 
+def test_near_dup_filter_partition_invariance(ray_session):
+    """near_dup_filter keeps exactly one representative (the min doc_id)
+    per fuzzy-dup cluster plus every unclustered doc, and the survivor set
+    is IDENTICAL across input partitionings (the representative is a pure
+    function of the pair graph, never of block boundaries)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.pipelines.dedup import near_dup_filter
+
+    base = ("the quick brown fox jumps over the lazy dog near the river bank "
+            "today while the sun sets slowly behind the distant hills")
+    other = ("completely different second cluster text about winter storms "
+             "rolling across the northern coast flooding the harbor roads")
+    rows = {
+        1: base, 2: base + " tonight", 9: base,        # cluster → keep 1
+        5: other, 7: other,                            # cluster → keep 5
+        3: "unique alpha document", 4: "unique beta document",
+        6: "unique gamma document", 8: "unique delta document",
+    }
+    t = pa.table({
+        "doc_id": pa.array(list(rows), pa.int64()),
+        "text": pa.array(list(rows.values()), pa.string()),
+    })
+    expected = {1, 3, 4, 5, 6, 8}
+    got = {}
+    for n_parts in (1, 7):
+        surv = near_dup_filter(rd.from_arrow(t).repartition(n_parts))
+        got[n_parts] = set(surv.to_pandas()["doc_id"])
+    assert got[1] == expected
+    assert got[7] == expected
+
+    # precomputed-labels path (pa.Table labels, e.g. from jaccard pairs + CC)
+    labels = pa.table({
+        "doc_id": pa.array([1, 2, 9, 5, 7], pa.int64()),
+        "dup_of": pa.array([1, 1, 1, 5, 5], pa.int64()),
+    })
+    surv = near_dup_filter(rd.from_arrow(t), labels=labels)
+    assert set(surv.to_pandas()["doc_id"]) == expected
+
+
 def test_connected_components_distributed(ray_session):
     """Chain, star and singleton-pair graphs all label every member with
     the component minimum (keep-first), computed without any driver-side
