@@ -131,6 +131,11 @@ class PipelineConfig:
     kmv_sketch_k: int = 256             # KMV count-distinct minimum values
     range_join_window_us: int = 3600 * 1_000_000  # interval-join window (1 h)
     contamination_shingle_w: int = 3    # eval-overlap word n-gram width
+    driver_fold_buckets: int = 64       # worker-side pre-fold width for
+                                        # driver-bound partial rows (Gram
+                                        # blobs, BM25 stats): the driver
+                                        # receives <= this many rows, not
+                                        # one per batch
     tfidf_scale: int = 1000             # integer idf units: (N*scale)//df
     term_index_buckets: int = 64        # hive partitions of the term index
                                         # (raise at scale: 1 partition ≈ one

