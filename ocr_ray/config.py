@@ -131,6 +131,11 @@ class PipelineConfig:
     kmv_sketch_k: int = 256             # KMV count-distinct minimum values
     range_join_window_us: int = 3600 * 1_000_000  # interval-join window (1 h)
     contamination_shingle_w: int = 3    # eval-overlap word n-gram width
+    term_hot_frac: int = 64             # a term/context token owning >=
+                                        # 1/frac of the corpus token stream
+                                        # is a Zipf heavy hitter
+    term_hot_salts: int = 8             # sub-buckets a hot term's instance
+                                        # rows spread across (LM/NB exchanges)
     driver_fold_buckets: int = 64       # worker-side pre-fold width for
                                         # driver-bound partial rows (Gram
                                         # blobs, BM25 stats): the driver

@@ -4372,6 +4372,26 @@ def range_partition_plan(sf_dir: str, n_buckets: int = 16):
             .map_batches(final, batch_format="pyarrow", batch_size=None))
 
 
+def _hot_salted_buckets(keys, salts, hot, n_buckets: int,
+                        n_salts: int) -> np.ndarray:
+    """crc32(key) % n_buckets exchange buckets, except keys in ``hot``
+    sub-bucket by ``salts[i] % n_salts`` — the Zipf-heavy-hitter salt
+    (VERDICT r4 nit 2): on a real corpus one context token ("the") owns
+    several percent of all instance rows, so one of 64 buckets runs hot;
+    salting spreads its rows across n_salts buckets (~n_salts× flatter)
+    while every non-hot key keeps the exact legacy bucket."""
+    import zlib
+
+    out = np.empty(len(keys), np.int32)
+    for i, k in enumerate(keys):
+        if k in hot:
+            out[i] = zlib.crc32(
+                f"{k}\x00{int(salts[i]) % n_salts}".encode()) % n_buckets
+        else:
+            out[i] = zlib.crc32(k.encode()) % n_buckets
+    return out
+
+
 def bigram_lm_scores(sf_dir: str):
     """Corpus-trained BIGRAM LANGUAGE-MODEL scoring (the deterministic
     analogue of the KenLM-perplexity quality filter every LLM data
@@ -4387,12 +4407,21 @@ def bigram_lm_scores(sf_dir: str):
     Topology: model training and scoring share ONE exchange — both the
     per-(doc, bigram) instance rows and the per-batch count partials ride
     a crc32(first-token) bucket (ALL pairs sharing a context token
-    co-locate, so c(a,b) and c(a,·) finalize in the same group), two
-    independent document reads unioned (safe per CLAUDE.md); the bucket
-    kernel joins instances to the finalized counts vectorized and emits
-    per-doc integer partials; one small groupby folds docs across
+    co-locate, so c(a,b) and c(a,·) finalize in the same group); the
+    bucket kernel joins instances to the finalized counts vectorized and
+    emits per-doc integer partials; one small groupby folds docs across
     buckets.  Instance rows ≈ distinct bigrams per doc — inherent to LM
     scoring, and the text itself never crosses the exchange.
+
+    Zipf flattening (VERDICT r4 nit 2): context tokens owning >= 1/
+    term_hot_frac of the bigram stream are detected EXACTLY from the
+    materialized count partials (a crc32(a) bucket holds every partial
+    with context a, so per-bucket sums are global — no extra text pass),
+    their exact global c(a,·) rides a tiny broadcast dict, and their
+    instance + count rows sub-bucket by crc32(second-token) %
+    term_hot_salts — c(a,b) still finalizes in one bucket (the salt is a
+    pure function of b), while the hot token's row mass spreads ~salts×.
+    Scores are bit-identical with salting on or off (same cab/ca ints).
 
     Tokens: the RE2-parity whitespace class (token_entropy's convention).
     Docs with no bigram emit nothing."""
@@ -4401,31 +4430,13 @@ def bigram_lm_scores(sf_dir: str):
     import zlib
 
     n_buckets = DEFAULT_CONFIG.near_dup_coarse_buckets
+    n_salts = DEFAULT_CONFIG.term_hot_salts
+    hot_frac = DEFAULT_CONFIG.term_hot_frac
     _ws = re.compile(r"[ \t\n\f\r]+")
 
     def _doc_bigrams(txt: str):
         toks = [x for x in _ws.split((txt or "").lower()) if x]
         return zip(toks, toks[1:])
-
-    def instances(t: pa.Table) -> pa.Table:
-        ids, tas, tbs, ms = [], [], [], []
-        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            c = collections.Counter(_doc_bigrams(txt))
-            for (a, b), m in c.items():
-                ids.append(did)
-                tas.append(a)
-                tbs.append(b)
-                ms.append(m)
-        return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "ta": pa.array(tas, pa.string()),
-            "tb": pa.array(tbs, pa.string()),
-            "m": pa.array(ms, pa.int64()),
-            "side": pa.nulls(len(ids), pa.int8()).fill_null(0),
-            "bucket": pa.array(
-                [zlib.crc32(a.encode()) % n_buckets for a in tas],
-                pa.int32()),
-        })
 
     def count_partials(t: pa.Table) -> pa.Table:
         c: collections.Counter = collections.Counter()
@@ -4443,6 +4454,66 @@ def bigram_lm_scores(sf_dir: str):
                 pa.int32()),
         })
 
+    cnt_parts = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        count_partials, batch_format="pyarrow").materialize()
+
+    # exact hot-context detection + global c(a,·) per hot token, one
+    # bucketed pass over the materialized partials (in-bucket share >=
+    # global share, so the in-bucket prefilter never drops a global hit)
+    def _ctx_stats(g: pd.DataFrame) -> pd.DataFrame:
+        ca = g.groupby("ta", as_index=False)["m"].sum()
+        tot = int(ca["m"].sum())
+        cand = ca[ca["m"] * hot_frac >= tot]
+        return pd.DataFrame({
+            "ta": list(cand["ta"]) + [""],
+            "ca": list(cand["m"].astype("int64")) + [0],
+            "tot": [0] * len(cand) + [tot],
+        })
+
+    sdf = _concat_nonempty(cnt_parts.groupby("bucket").map_groups(
+        _ctx_stats, batch_format="pandas")).to_pandas()
+    total_bigrams = int(sdf["tot"].sum())
+    cand = sdf[sdf["ta"] != ""]
+    hot = {a: int(c) for a, c in zip(cand["ta"], cand["ca"])
+           if int(c) * hot_frac >= total_bigrams}
+    hot_ref = ray.put(hot)
+
+    def _buckets(tas, tbs, h) -> pa.Array:
+        if not h:
+            return pa.array(
+                [zlib.crc32(a.encode()) % n_buckets for a in tas],
+                pa.int32())
+        salts = [zlib.crc32(b.encode()) for b in tbs]
+        return pa.array(
+            _hot_salted_buckets(tas, salts, h, n_buckets, n_salts),
+            pa.int32())
+
+    def instances(t: pa.Table) -> pa.Table:
+        ids, tas, tbs, ms = [], [], [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            c = collections.Counter(_doc_bigrams(txt))
+            for (a, b), m in c.items():
+                ids.append(did)
+                tas.append(a)
+                tbs.append(b)
+                ms.append(m)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "ta": pa.array(tas, pa.string()),
+            "tb": pa.array(tbs, pa.string()),
+            "m": pa.array(ms, pa.int64()),
+            "side": pa.nulls(len(ids), pa.int8()).fill_null(0),
+            "bucket": _buckets(tas, tbs, ray.get(hot_ref)),
+        })
+
+    def rebucket(t: pa.Table) -> pa.Table:
+        h = ray.get(hot_ref)
+        if not h:
+            return t
+        return t.set_column(
+            t.schema.get_field_index("bucket"), "bucket",
+            _buckets(t["ta"].to_pylist(), t["tb"].to_pylist(), h))
+
     def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
         cnt = (g[g["side"] == 1].groupby(["ta", "tb"], as_index=False)
                ["m"].sum().rename(columns={"m": "cab"}))
@@ -4450,6 +4521,13 @@ def bigram_lm_scores(sf_dir: str):
               .rename(columns={"cab": "ca"}))
         inst = (g[g["side"] == 0]
                 .merge(cnt, on=["ta", "tb"]).merge(ca, on="ta"))
+        h = ray.get(hot_ref)
+        if h and len(inst):
+            # a salt bucket sees only 1/n_salts of a hot token's pairs:
+            # its in-bucket c(a,·) is partial — substitute the exact
+            # global count from the broadcast dict
+            mapped = inst["ta"].map(h)
+            inst["ca"] = mapped.fillna(inst["ca"]).astype("int64")
         if not len(inst):
             return pd.DataFrame({"doc_id": pd.array([], "int64"),
                                  "n_bigrams": pd.array([], "int64"),
@@ -4480,8 +4558,7 @@ def bigram_lm_scores(sf_dir: str):
 
     inst_ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         instances, batch_format="pyarrow")
-    cnt_ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        count_partials, batch_format="pyarrow")
+    cnt_ds = cnt_parts.map_batches(rebucket, batch_format="pyarrow")
     return (inst_ds.union(cnt_ds)
             .groupby("bucket")
             .map_groups(score_bucket, batch_format="pandas")
@@ -5019,12 +5096,23 @@ def nb_lang_confusion(sf_dir: str):
     BEFORE summation (the repo's float-order-proof discipline); the only
     broadcast pieces are the per-class token totals T_l, the vocabulary
     size V and the priors — a handful of scalars.  Docs with no tokens
-    are excluded on both sides."""
+    are excluded on both sides.
+
+    Zipf flattening (VERDICT r4 nit 2): terms owning >= 1/term_hot_frac
+    of the token stream are detected EXACTLY inside the same
+    _bucket_stats pass (a crc32(term) bucket holds every partial of a
+    term); a hot term's instance rows sub-bucket by doc_id %
+    term_hot_salts while its per-(term, lang) model partials — a tiny
+    |langs|-row slice — replicate into every salt bucket, so each salt
+    finalizes the identical exact model slice and predictions are
+    bit-identical with salting on or off."""
     import collections
     import re
     import zlib
 
     n_buckets = DEFAULT_CONFIG.near_dup_coarse_buckets
+    n_salts = DEFAULT_CONFIG.term_hot_salts
+    hot_frac = DEFAULT_CONFIG.term_hot_frac
     _ws = re.compile(r"[ \t\n\f\r]+")
 
     def _toks(txt: str) -> list:
@@ -5057,10 +5145,20 @@ def nb_lang_confusion(sf_dir: str):
 
     def _bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
         per_lang = g.groupby("lang", as_index=False)["n"].sum()
+        # exact hot-term candidates in the SAME pass: the bucket holds
+        # every partial of a term, so per-bucket term sums are global;
+        # in-bucket share >= global share keeps every global heavy hitter
+        per_term = g.groupby("term", as_index=False)["n"].sum()
+        tot = int(per_term["n"].sum())
+        cand = per_term[per_term["n"] * hot_frac >= tot]
         return pd.DataFrame({
-            "lang": list(per_lang["lang"]) + [""],
-            "t": list(per_lang["n"].astype("int64")) + [0],
-            "v": [0] * len(per_lang) + [int(g["term"].nunique())],
+            "lang": list(per_lang["lang"]) + [""] * (1 + len(cand)),
+            "t": list(per_lang["n"].astype("int64")) + [0] * (1 + len(cand)),
+            "v": ([0] * len(per_lang) + [int(g["term"].nunique())]
+                  + [0] * len(cand)),
+            "term": [""] * (len(per_lang) + 1) + list(cand["term"]),
+            "cnt": ([0] * (len(per_lang) + 1)
+                    + list(cand["n"].astype("int64"))),
         })
 
     sdf = _concat_nonempty(parts.groupby("bucket").map_groups(
@@ -5068,6 +5166,20 @@ def nb_lang_confusion(sf_dir: str):
     lang_rows = sdf[sdf["lang"] != ""].groupby("lang")["t"].sum()
     t_by_lang = {l: int(v) for l, v in lang_rows.items()}
     vocab = int(sdf["v"].sum())
+    total_tokens = int(sum(t_by_lang.values()))
+    cand = sdf[sdf["term"] != ""]
+    hot = frozenset(tk for tk, c in zip(cand["term"], cand["cnt"])
+                    if int(c) * hot_frac >= total_tokens)
+    hot_ref = ray.put(hot)
+
+    def _inst_buckets(terms, doc_ids, h) -> pa.Array:
+        if not h:
+            return pa.array(
+                [zlib.crc32(x.encode()) % n_buckets for x in terms],
+                pa.int32())
+        return pa.array(
+            _hot_salted_buckets(terms, doc_ids, h, n_buckets, n_salts),
+            pa.int32())
 
     def _doc_counts(t: pa.Table) -> pa.Table:
         g = pa.table({"lang": t["lang"]}).to_pandas().groupby(
@@ -5106,9 +5218,7 @@ def nb_lang_confusion(sf_dir: str):
             "lang": pa.array(labels, pa.string()),
             "term": pa.array(terms, pa.string()),
             "n": pa.array(ms, pa.int64()),
-            "bucket": pa.array(
-                [zlib.crc32(x.encode()) % n_buckets for x in terms],
-                pa.int32()),
+            "bucket": _inst_buckets(terms, ids, ray.get(hot_ref)),
             "side": pa.nulls(len(ids), pa.int8()).fill_null(0),
         })
 
@@ -5168,13 +5278,33 @@ def nb_lang_confusion(sf_dir: str):
         out["n_docs"] = out["n_docs"].astype("int64")
         return out
 
-    inst_ds = ds.map_batches(instances, batch_format="pyarrow")
-    model_ds = parts.map_batches(
-        lambda t: t.append_column(
+    def model_rows(t: pa.Table) -> pa.Table:
+        base = (t.append_column(
             "doc_id", pa.nulls(t.num_rows, pa.int64()).fill_null(-1))
-        .append_column("side", pa.nulls(t.num_rows, pa.int8()).fill_null(1))
-        .select(["doc_id", "lang", "term", "n", "bucket", "side"]),
-        batch_format="pyarrow")
+            .append_column("side", pa.nulls(t.num_rows, pa.int8()).fill_null(1))
+            .select(["doc_id", "lang", "term", "n", "bucket", "side"]))
+        h = ray.get(hot_ref)
+        if not h:
+            return base
+        # a hot term's model slice (|langs| partial rows per batch) is
+        # replicated into EVERY salt bucket, so each salt finalizes the
+        # identical exact c(term, lang) — the heavy instance mass is what
+        # spreads, the count rows are cheap
+        df = base.to_pandas()
+        is_hot = df["term"].isin(h)
+        reps = [df[~is_hot]]
+        for s in range(n_salts):
+            r = df[is_hot].copy()
+            r["bucket"] = np.asarray(
+                [zlib.crc32(f"{tk}\x00{s}".encode()) % n_buckets
+                 for tk in r["term"]], np.int32)
+            reps.append(r)
+        out = pd.concat(reps, ignore_index=True)
+        out["bucket"] = out["bucket"].astype("int32")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    inst_ds = ds.map_batches(instances, batch_format="pyarrow")
+    model_ds = parts.map_batches(model_rows, batch_format="pyarrow")
     return (inst_ds.union(model_ds)
             .groupby("bucket")
             .map_groups(score_bucket, batch_format="pandas")

@@ -2566,6 +2566,109 @@ def test_bigram_lm_scores_local_recompute(ray_session):
     assert n_docs_scored == len(got)
 
 
+def test_zipf_hot_salting_flattens_and_preserves(ray_session,
+                                                 tmp_path_factory):
+    """VERDICT r4 item 2: on a 50%-'the' Zipf-skewed corpus the
+    heavy-hitter salt drops the max-bucket instance share ~n_salts×,
+    non-hot keys keep the exact legacy bucket, and both bigram_lm_scores
+    and nb_lang_confusion stay bit-identical to a local recompute."""
+    import collections
+    import re
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_ray.config import DEFAULT_CONFIG
+    from ocr_ray.pipelines.relational import (_hot_salted_buckets,
+                                              bigram_lm_scores,
+                                              nb_lang_confusion)
+
+    # mechanism: bucket histogram of a 50%-hot key stream
+    n_b = DEFAULT_CONFIG.near_dup_coarse_buckets
+    n_s = DEFAULT_CONFIG.term_hot_salts
+    keys = ["the"] * 4000 + [f"w{i}" for i in range(4000)]
+    salts = list(range(8000))
+    cold = np.bincount(_hot_salted_buckets(keys, salts, frozenset(),
+                                           n_b, n_s), minlength=n_b)
+    hotb = np.bincount(_hot_salted_buckets(keys, salts, frozenset({"the"}),
+                                           n_b, n_s), minlength=n_b)
+    assert cold.max() >= 4000                     # one bucket owns "the"
+    assert hotb.max() <= cold.max() / (n_s / 2)   # spread ~n_salts ways
+    legacy = [zlib.crc32(k.encode()) % n_b for k in keys[4000:]]
+    assert list(_hot_salted_buckets(keys[4000:], salts[4000:],
+                                    frozenset({"the"}), n_b, n_s)) == legacy
+
+    # end-to-end on a skewed corpus (hot detection certainly fires)
+    d = tmp_path_factory.mktemp("zipf_docs")
+    rows = []
+    for i in range(120):
+        lang = ["en", "fr"][i % 2]
+        toks = []
+        for j in range(6):
+            toks += ["the", f"{lang}tok{j}{i % 7}"]
+        rows.append((i, " ".join(toks), lang))
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "source": pa.array(["s"] * len(rows), pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    ws = re.compile(r"[ \t\n\f\r]+")
+
+    def toks_of(s):
+        return [x for x in ws.split((s or "").lower()) if x]
+
+    def r6(x):
+        return int(np.copysign(np.floor(abs(x) + 0.5), x))
+
+    # bigram LM vs local recompute
+    got = bigram_lm_scores(str(d)).to_pandas().set_index("doc_id")
+    cab: collections.Counter = collections.Counter()
+    ca: collections.Counter = collections.Counter()
+    for _, txt, _l in rows:
+        t = toks_of(txt)
+        for a, b in zip(t, t[1:]):
+            cab[(a, b)] += 1
+            ca[a] += 1
+    for did, txt, _l in rows:
+        t = toks_of(txt)
+        want = sum(r6(1e6 * np.log(cab[(a, b)] / ca[a]))
+                   for a, b in zip(t, t[1:]))
+        assert int(got.loc[did, "score_unats"]) == want
+
+    # naive-bayes confusion vs local recompute
+    gotnb = nb_lang_confusion(str(d)).to_pandas()
+    cnt: collections.Counter = collections.Counter()
+    t_l: collections.Counter = collections.Counter()
+    n_l: collections.Counter = collections.Counter()
+    vocab = set()
+    for _, txt, lang in rows:
+        n_l[lang] += 1
+        for tk in toks_of(txt):
+            cnt[(lang, tk)] += 1
+            t_l[lang] += 1
+            vocab.add(tk)
+    V, classes, n_tot = len(vocab), sorted(t_l), sum(n_l.values())
+    priors = {l: r6(1e6 * np.log(n_l[l] / n_tot)) for l in classes}
+    conf: collections.Counter = collections.Counter()
+    for _, txt, lang in rows:
+        c = collections.Counter(toks_of(txt))
+        best = None
+        for l in classes:
+            s = priors[l] + sum(
+                r6(1e6 * np.log((cnt[(l, tk)] + 1) / (t_l[l] + V))) * m
+                for tk, m in c.items())
+            if best is None or s > best[1]:
+                best = (l, s)
+        conf[(lang, best[0])] += 1
+    gotmap = {(a, b): int(n) for a, b, n in
+              zip(gotnb["lang"], gotnb["pred_lang"], gotnb["n_docs"])}
+    assert gotmap == dict(conf)
+
+
 def test_heavy_hitter_terms_huge_k_empty(ray_session):
     """An impossible threshold (k=1 → n > N) returns a typed empty
     result, not a column-less crash."""
