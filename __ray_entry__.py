@@ -203,6 +203,65 @@ def _q_near_dup_filter_stats(sf_dir: str):
     )
 
 
+def _bpe_merges_sql(n_rounds: int = 3) -> str:
+    """Unrolled-CTE oracle for the iterated BPE trainer (the
+    embedding_top_component chained-MATERIALIZED precedent): words become
+    chr(31)-wrapped segment strings ('\\x1fa\\x1f\\x1fb\\x1f...'), each
+    round counts adjacent symbol pairs from the split segments, picks the
+    winner (n desc, pair asc) and applies it with replace() — SQL
+    replace's left-to-right non-overlapping scan IS the greedy BPE merge
+    step.  Words containing chr(31) are excluded on both engines."""
+    sep = "chr(31)"
+    parts = [f"""
+        WITH words AS MATERIALIZED (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+            SELECT unnest(regexp_split_to_array(
+                     lower(coalesce(text, '')), '\\s+')) AS w
+            FROM documents
+          ) WHERE len(w) >= 2 AND NOT contains(w, {sep})
+          GROUP BY w
+        ),
+        s0 AS MATERIALIZED (
+          SELECT f, {sep} || array_to_string(
+                   list_transform(range(1, len(w) + 1),
+                                  i -> substring(w, i, 1)),
+                   {sep} || {sep}) || {sep} AS seg
+          FROM words
+        )"""]
+    for k in range(1, n_rounds + 1):
+        parts.append(f""",
+        p{k} AS MATERIALIZED (
+          SELECT l, r, CAST(SUM(f) AS BIGINT) AS n FROM (
+            SELECT x.syms[t.i] AS l, x.syms[t.i + 1] AS r, x.f
+            FROM (SELECT f, string_split(
+                        substring(seg, 2, len(seg) - 2),
+                        {sep} || {sep}) AS syms
+                  FROM s{k - 1}) x,
+                 unnest(range(1, len(x.syms))) AS t(i)
+          ) GROUP BY l, r
+        ),
+        w{k} AS MATERIALIZED (
+          SELECT l, r, n FROM p{k} ORDER BY n DESC, l, r LIMIT 1
+        ),
+        s{k} AS MATERIALIZED (
+          SELECT f, replace(seg,
+              (SELECT {sep} || l || {sep} || {sep} || r || {sep} FROM w{k}),
+              (SELECT {sep} || l || r || {sep} FROM w{k})) AS seg
+          FROM s{k - 1}
+        )""")
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS round, l AS left_sym, r AS right_sym, "
+        f"l || r AS merged, n FROM w{k}" for k in range(1, n_rounds + 1))
+    return "".join(parts) + f" {selects}"
+
+
+def _q_bpe_merges(sf_dir: str):
+    """Iterated BPE trainer: 3 merge rounds over the word vocabulary."""
+    from ocr_ray.pipelines.relational import bpe_merges
+
+    return bpe_merges(sf_dir, n_rounds=3)
+
+
 def _q_exact_dedup(sf_dir: str):
     import ray.data as rd
 
@@ -1187,6 +1246,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "langid_confusion": rel.langid_confusion,
         "sentence_stats": rel.sentence_stats,
         "bpe_merge_candidates": rel.bpe_merge_candidates,
+        "bpe_merges": _q_bpe_merges,
         "nb_lang_confusion": rel.nb_lang_confusion,
         "robots_filter_stats": _q_robots_filter_stats,
         "linear_attribution": win.linear_attribution,
@@ -3167,6 +3227,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # adjacent char pairs inside whitespace words via a lateral
         # generate_series over each word
+        "bpe_merges": _bpe_merges_sql(3),
         "bpe_merge_candidates": r"""
             WITH words AS (
               SELECT unnest(regexp_split_to_array(

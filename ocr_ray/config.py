@@ -131,6 +131,10 @@ class PipelineConfig:
     kmv_sketch_k: int = 256             # KMV count-distinct minimum values
     range_join_window_us: int = 3600 * 1_000_000  # interval-join window (1 h)
     contamination_shingle_w: int = 3    # eval-overlap word n-gram width
+    bpe_fuse_vocab_rows: int = 200_000  # bpe_merges: vocab at or below this
+                                        # runs all rounds in ONE task (per-
+                                        # round shuffle fixed costs only
+                                        # amortize above it)
     term_hot_frac: int = 64             # a term/context token owning >=
                                         # 1/frac of the corpus token stream
                                         # is a Zipf heavy hitter

@@ -5080,6 +5080,168 @@ def bpe_merge_candidates(sf_dir: str, k: int = 10):
             .map_batches(final, batch_format="pyarrow", batch_size=None))
 
 
+def _bpe_apply(syms: list, merges) -> list:
+    """Apply BPE merges in training order, each greedy left-to-right
+    non-overlapping (the standard BPE step; identical to the oracle's
+    '|l||r|' → '|lr|' string replace over the segment encoding)."""
+    for left, right in merges:
+        out = []
+        i = 0
+        while i < len(syms):
+            if (i + 1 < len(syms) and syms[i] == left
+                    and syms[i + 1] == right):
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_merges(sf_dir: str, n_rounds: int = 3,
+               fuse_vocab_rows: int | None = None):
+    """ITERATED BPE TRAINER (VERDICT r4 item 4) — n_rounds of the
+    byte-pair-encoding loop: count adjacent symbol pairs, merge the
+    winner (n desc, left asc, right asc), re-segment, repeat.  Round 1
+    equals :func:`bpe_merge_candidates`' top row by construction.
+    Output: (round, left_sym, right_sym, merged, n).
+
+    Scale shape: BPE trains on the WORD VOCABULARY, not the corpus — one
+    corpus pass + one crc32(word) exchange builds the exact (word, freq)
+    table, and every round after that touches only the vocab.  Per round
+    the broadcast merge list (r-1 string pairs — tiny) re-segments each
+    word inside map_batches, pair-count partials ride a crc32(pair)
+    bucket, per-bucket top-1 candidates (a pair lives in ONE bucket, so
+    bucket sums are global) reduce to the winner from <= n_buckets rows.
+    Size-adaptive: a vocab at or below ``fuse_vocab_rows`` runs ALL
+    rounds in one Ray task (repartition(1) + map_batches) — the same
+    fused-tail discipline as minhash_near_dup, skipping n_rounds of
+    shuffle fixed cost; the driver never holds the vocab on either path.
+
+    Words containing U+001F are excluded (the oracle's segment encoding
+    reserves it); it appears in no real text.  Reference semantics: the
+    tokenizer-training primitive of SURVEY §2 LLM-ops."""
+    import collections
+    import re
+    import zlib
+
+    if fuse_vocab_rows is None:
+        fuse_vocab_rows = DEFAULT_CONFIG.bpe_fuse_vocab_rows
+    n_buckets = DEFAULT_CONFIG.near_dup_coarse_buckets
+    _ws = re.compile(r"[ \t\n\f\r]+")
+    _SEP = "\x1f"
+
+    def word_partial(t: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        for txt in t["text"].to_pylist():
+            for w in _ws.split((txt or "").lower()):
+                if len(w) >= 2 and _SEP not in w:
+                    c[w] += 1
+        words = list(c.keys())
+        return pa.table({
+            "word": pa.array(words, pa.string()),
+            "f": pa.array([c[w] for w in words], pa.int64()),
+            "bucket": pa.array(
+                [zlib.crc32(w.encode()) % n_buckets for w in words],
+                pa.int32()),
+        })
+
+    def word_sum(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("word", as_index=False)["f"].sum()
+        s["f"] = s["f"].astype("int64")
+        return s[["word", "f"]]
+
+    vocab = (_read(sf_dir, "documents", ["text"])
+             .map_batches(word_partial, batch_format="pyarrow")
+             .groupby("bucket")
+             .map_groups(word_sum, batch_format="pandas")
+             .materialize())
+
+    out_schema = pa.schema([("round", pa.int64()),
+                            ("left_sym", pa.string()),
+                            ("right_sym", pa.string()),
+                            ("merged", pa.string()),
+                            ("n", pa.int64())])
+
+    def _rows_table(rows) -> pa.Table:
+        return pa.table({
+            "round": pa.array([r[0] for r in rows], pa.int64()),
+            "left_sym": pa.array([r[1] for r in rows], pa.string()),
+            "right_sym": pa.array([r[2] for r in rows], pa.string()),
+            "merged": pa.array([r[3] for r in rows], pa.string()),
+            "n": pa.array([r[4] for r in rows], pa.int64()),
+        }, schema=out_schema)
+
+    def _train_rounds(words, freqs, rounds):
+        """All rounds over an in-memory vocab (the fused tail)."""
+        merges, rows = [], []
+        segs = [list(w) for w in words]
+        for rnd in range(1, rounds + 1):
+            c: collections.Counter = collections.Counter()
+            for syms, f in zip(segs, freqs):
+                for i in range(len(syms) - 1):
+                    c[(syms[i], syms[i + 1])] += f
+            if not c:
+                break
+            (left, right), n = min(
+                c.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            rows.append((rnd, left, right, left + right, int(n)))
+            merges.append((left, right))
+            segs = [_bpe_apply(s, [(left, right)]) for s in segs]
+        return rows
+
+    if vocab.count() <= fuse_vocab_rows:
+        def fused(t: pa.Table) -> pa.Table:
+            return _rows_table(_train_rounds(
+                t["word"].to_pylist(), t["f"].to_pylist(), n_rounds))
+
+        return (vocab.repartition(1)
+                .map_batches(fused, batch_format="pyarrow",
+                             batch_size=None))
+
+    # distributed rounds: vocab-sized map + pair-bucket reduce per round
+    merges: list[tuple[str, str]] = []
+    rows: list[tuple] = []
+    for rnd in range(1, n_rounds + 1):
+        merges_ref = ray.put(list(merges))
+
+        def pair_partial(t: pa.Table, _mref=merges_ref) -> pa.Table:
+            ms = ray.get(_mref)
+            c: collections.Counter = collections.Counter()
+            for w, f in zip(t["word"].to_pylist(), t["f"].to_pylist()):
+                syms = _bpe_apply(list(w), ms)
+                for i in range(len(syms) - 1):
+                    c[(syms[i], syms[i + 1])] += f
+            keys = list(c.keys())
+            return pa.table({
+                "l": pa.array([k[0] for k in keys], pa.string()),
+                "r": pa.array([k[1] for k in keys], pa.string()),
+                "n": pa.array([c[k] for k in keys], pa.int64()),
+                "bucket": pa.array(
+                    [zlib.crc32((k[0] + _SEP + k[1]).encode()) % n_buckets
+                     for k in keys], pa.int32()),
+            })
+
+        def bucket_top1(g: pd.DataFrame) -> pd.DataFrame:
+            s = g.groupby(["l", "r"], as_index=False)["n"].sum()
+            s["n"] = s["n"].astype("int64")
+            return s.sort_values(["n", "l", "r"],
+                                 ascending=[False, True, True]).head(1)
+
+        cands = (vocab.map_batches(pair_partial, batch_format="pyarrow")
+                 .groupby("bucket")
+                 .map_groups(bucket_top1, batch_format="pandas")
+                 .take_all())           # <= n_buckets rows
+        if not cands:
+            break
+        top = min(cands, key=lambda x: (-x["n"], x["l"], x["r"]))
+        rows.append((rnd, top["l"], top["r"], top["l"] + top["r"],
+                     int(top["n"])))
+        merges.append((top["l"], top["r"]))
+    return _rows_table(rows)
+
+
 def nb_lang_confusion(sf_dir: str):
     """SUPERVISED ML END-TO-END: train a multinomial Naive Bayes language
     classifier on the labeled corpus (Laplace-smoothed token likelihoods

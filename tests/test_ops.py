@@ -2669,6 +2669,54 @@ def test_zipf_hot_salting_flattens_and_preserves(ray_session,
     assert gotmap == dict(conf)
 
 
+def test_bpe_merges_iterated(ray_session, tmp_path_factory):
+    """Iterated BPE: round 1 pins to bpe_merge_candidates' top row, the
+    distributed path equals the fused single-task path, and a
+    hand-computable corpus yields the known greedy merge sequence."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import (_bpe_apply,
+                                              bpe_merge_candidates,
+                                              bpe_merges)
+
+    # greedy left-to-right application semantics
+    assert _bpe_apply(list("aaaa"), [("a", "a")]) == ["aa", "aa"]
+    assert _bpe_apply(list("aaa"), [("a", "a")]) == ["aa", "a"]
+    assert _bpe_apply(list("abab"), [("a", "b"), ("ab", "ab")]) == ["abab"]
+
+    sf = "/root/testdata/sf0.001"
+    got = bpe_merges(sf, n_rounds=3).to_pandas().sort_values("round")
+    cand = bpe_merge_candidates(sf, k=1).to_pandas()
+    assert got.iloc[0]["left_sym"] + got.iloc[0]["right_sym"] == \
+        cand.iloc[0]["pair"]
+    assert int(got.iloc[0]["n"]) == int(cand.iloc[0]["n"])
+    assert list(got["round"]) == [1, 2, 3]
+
+    # distributed rounds (fused tail disabled) produce identical merges
+    dist = bpe_merges(sf, n_rounds=3, fuse_vocab_rows=0)
+    dist = (dist.to_pandas() if hasattr(dist, "to_pandas") else dist)
+    pd_got = got.reset_index(drop=True)
+    pd_dist = dist.sort_values("round").reset_index(drop=True)
+    assert pd_got.equals(pd_dist)
+
+    # hand-computable corpus: "abab abab ab" → merges (a,b), (ab,ab)
+    d = tmp_path_factory.mktemp("bpe_docs")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["abab abab", "ab cd"], pa.string()),
+        "lang": pa.array(["en", "en"], pa.string()),
+        "source": pa.array(["s", "s"], pa.string()),
+        "n_chars": pa.array([9, 5], pa.int64()),
+    }), str(d / "documents.parquet"))
+    tiny = bpe_merges(str(d), n_rounds=2).to_pandas().sort_values("round")
+    assert list(tiny["merged"]) == ["ab", "abab"]
+    # round 1: 'ab' pairs = 2+2 in "abab" docs... counted per word:
+    # "abab"x2 → (a,b)x2 each, "ab" → 1, "cd" → 0 ⇒ n=5; round 2: "abab"
+    # words re-segment to [ab, ab] ⇒ (ab,ab) n=2
+    assert list(tiny["n"]) == [5, 2]
+
+
 def test_heavy_hitter_terms_huge_k_empty(ray_session):
     """An impossible threshold (k=1 → n > N) returns a typed empty
     result, not a column-less crash."""
