@@ -71,6 +71,46 @@ def _q_extract_stats(sf_dir: str):
     )
 
 
+def _q_incremental_extract_stats(sf_dir: str):
+    """Flagship INCREMENTAL run: base extraction at a mid-corpus warc_ts
+    checkpoint, then a delta merge of the newer pages (predicate pushed
+    into the read), reporting per-partition lineage stats of the merged
+    output — the oracle pins them equal to a FULL extraction (the
+    incremental contract)."""
+    import shutil
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from ocr_ray.pipelines.extract import (run_extraction,
+                                           run_extraction_incremental)
+    from ocr_ray.state import manifest as mf
+
+    pages = _pages_dir(sf_dir)
+    keys = pads.dataset(pages).to_table(columns=["warc_ts"])
+    lo = pa.compute.min(keys["warc_ts"]).as_py()
+    hi = pa.compute.max(keys["warc_ts"]).as_py()
+    # any checkpoint works (the merged output equals the full run; T only
+    # splits the work) — the midpoint makes both phases non-trivial
+    mid = pd.Timestamp(lo) + (pd.Timestamp(hi) - pd.Timestamp(lo)) / 2
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/ocr_ray_incr_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    base = rd.read_parquet(
+        pages, filter=(pads.field("warc_ts") <= pads.scalar(mid)))
+    run_extraction(base, out, resume=False)
+    run_extraction_incremental(pages, out, mid)
+    rows = [m for m in mf.load_manifests(out) if m["rows_in"] > 0]
+    cols = ("rows_in", "rows_out", "rows_rejected", "parse_failures",
+            "bytes_in", "bytes_out")
+    return pa.table({
+        "part_id": pa.array([m["part_id"] for m in rows], pa.int32()),
+        **{c: pa.array([m[c] for m in rows], pa.int64()) for c in cols},
+    })
+
+
 def _q_extract_pages(sf_dir: str):
     """Flagship per-row output (minus the text payload — stable metadata)."""
     from ocr_ray.pipelines.extract import extraction_dataset_cached
@@ -1140,6 +1180,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "qc_family_verdicts": _val().qc_family_verdicts_query,
         # flagship extraction (pages corpus; no SQL oracle — rows-only)
         "extract_stats": _q_extract_stats,
+        "incremental_extract_stats": _q_incremental_extract_stats,
         "extract_pages": _q_extract_pages,
         "qc_rollup": _q_qc_rollup,
         "training_corpus": _q_training_corpus,
@@ -1375,6 +1416,7 @@ def oracle_sql() -> dict[str, str]:
         # extraction in SQL (ocr_ray/pages_oracle_sql.py)
         "extract_pages": _po.extract_pages_sql(),
         "extract_stats": _po.extract_stats_sql(),
+        "incremental_extract_stats": _po.incremental_extract_stats_sql(),
         "media_features": _po.media_features_sql(),
         "audio_features": _po.audio_features_sql(),
         "video_features": _po.video_features_sql(),

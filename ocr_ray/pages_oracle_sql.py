@@ -319,6 +319,26 @@ def extract_stats_sql() -> str:
     """)
 
 
+def incremental_extract_stats_sql() -> str:
+    """Per-partition lineage stats of the extraction output.  The Ray
+    side runs base-at-checkpoint + delta-merge; the incremental contract
+    is that it lands exactly where a FULL run lands, so the oracle is
+    simply the full extraction grouped by part_id."""
+    return _with_pages("""
+        SELECT CAST(part_id AS INT) AS part_id,
+               CAST(COUNT(*) AS BIGINT) AS rows_in,
+               CAST(SUM(CASE WHEN parse_status IN ('ok', 'fallback')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS rows_out,
+               CAST(SUM(CASE WHEN parse_status = 'rejected'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS rows_rejected,
+               CAST(SUM(CASE WHEN parse_status = 'error'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS parse_failures,
+               CAST(SUM(bytes_in) AS BIGINT) AS bytes_in,
+               CAST(SUM(bytes_out) AS BIGINT) AS bytes_out
+        FROM extracted GROUP BY part_id
+    """)
+
+
 _MEDIA_HEXP_CTE = """
         WITH s AS (
           SELECT doc_id, coalesce(text, '') AS t, doc_id % 3 AS kind,

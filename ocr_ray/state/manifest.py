@@ -74,6 +74,50 @@ def write_partition(out_dir: str, part_id: int, table, manifest: dict) -> bool:
         raise
 
 
+def replace_partition(out_dir: str, part_id: int, table, manifest: dict) -> None:
+    """Atomically REPLACE a partition — the incremental-merge write
+    (:func:`write_partition`'s keep-first no-op is the wrong semantics
+    when a delta rewrites a partition in place).  The new directory is
+    fully written under a temp name, the old one renamed aside, the new
+    one renamed in, the old removed.  A crash between the two renames
+    leaves the old copy under ``_old-<part>-*`` where
+    :func:`latest_partition_data` still finds it, so no window loses the
+    base rows; a production lakehouse would use a manifest pointer swap,
+    which this layout emulates with two renames."""
+    import pyarrow.parquet as pq
+
+    final = part_dir(out_dir, part_id)
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, f"_tmp-{part_id:05d}-{uuid.uuid4().hex}")
+    os.makedirs(tmp)
+    try:
+        pq.write_table(table, os.path.join(tmp, "data.parquet"))
+        with open(os.path.join(tmp, "manifest.json"), "w") as f:
+            json.dump(manifest, f, sort_keys=True)
+    except Exception:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    old = os.path.join(out_dir, f"_old-{part_id:05d}-{uuid.uuid4().hex}")
+    if os.path.exists(final):
+        os.rename(final, old)
+    os.rename(tmp, final)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def latest_partition_data(out_dir: str, part_id: int) -> str | None:
+    """Path of a partition's data.parquet: the live directory, else the
+    newest crash-leftover ``_old-<part>-*`` copy, else None."""
+    import glob
+
+    p = os.path.join(part_dir(out_dir, part_id), "data.parquet")
+    if os.path.exists(p):
+        return p
+    olds = sorted(glob.glob(os.path.join(
+        out_dir, f"_old-{part_id:05d}-*", "data.parquet")),
+        key=os.path.getmtime)
+    return olds[-1] if olds else None
+
+
 class StreamedPartitionWriter:
     """Atomic partition write for data too big to hold at once: row groups
     are appended via ``write(table)`` into the temp dir, then ``finalize``
@@ -144,5 +188,5 @@ def clear_output(out_dir: str) -> None:
     if not os.path.isdir(out_dir):
         return
     for name in os.listdir(out_dir):
-        if name.startswith(("part=", "_chunks", "_tmp-")):
+        if name.startswith(("part=", "_chunks", "_tmp-", "_old-")):
             shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)

@@ -3,6 +3,7 @@ single-process oracle under arbitrary partitioning, resume correctness, and
 full row accounting."""
 
 import glob
+import json
 import os
 import shutil
 
@@ -203,6 +204,71 @@ def test_urlhash_two_phase_equals_groupby(ray_session, tmp_path_factory):
     shutil.rmtree(os.path.join(b, "part=00005"))
     run_extraction_urlhash(src, b, resume=True)
     assert _read_out(a).equals(_read_out(b))
+
+
+def test_incremental_delta_equals_full_and_touches_only_new(
+        ray_session, tmp_path_factory):
+    """Base run at checkpoint T + delta run over the same input equals a
+    full run byte-for-byte, the delta opens/rewrites ONLY the partitions
+    new rows hash into, and re-running the delta is a no-op."""
+    import pandas as pd
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ocr_ray.pipelines.extract import (run_extraction,
+                                           run_extraction_incremental,
+                                           stable_part_id)
+    from ocr_ray.sources.synth import materialize_pages_parquet
+
+    src = materialize_pages_parquet(
+        "/root/testdata/sf0.001", "/tmp/pages_incr_t", rows_per_file=128)
+    keys = pads.dataset(src).to_table(columns=["url", "warc_ts"])
+    ts = sorted(keys["warc_ts"].to_pylist())
+    mid = pd.Timestamp(ts[-9])                   # small delta tail: some
+    new_urls = [u for u, t in zip(keys["url"].to_pylist(),
+                                  keys["warc_ts"].to_pylist())
+                if pd.Timestamp(t) > mid]        # parts get no new rows
+    expect_touched = sorted(set(stable_part_id(new_urls, 16)))
+    assert 0 < len(expect_touched) < 16, "split must leave untouched parts"
+
+    full = str(tmp_path_factory.mktemp("incr_full"))
+    run_extraction(src, full, resume=False)
+
+    incr = str(tmp_path_factory.mktemp("incr_delta"))
+    base = rd.read_parquet(
+        src, filter=(pads.field("warc_ts") <= pads.scalar(mid)))
+    run_extraction(base, incr, resume=False)
+    before = {p: os.stat(os.path.join(incr, p, "data.parquet")).st_mtime_ns
+              for p in os.listdir(incr) if p.startswith("part=")}
+    summary = run_extraction_incremental(src, incr, mid)
+    assert summary["parts_touched"] == expect_touched
+    assert summary["rows_added"] == len(new_urls)
+    # untouched partitions were not rewritten (same inode mtime)
+    for p, m in before.items():
+        pid = int(p.split("=")[1])
+        if pid not in expect_touched:
+            assert os.stat(
+                os.path.join(incr, p, "data.parquet")).st_mtime_ns == m
+    # byte parity with the full run, per partition
+    for p in sorted(os.listdir(full)):
+        if not p.startswith("part="):
+            continue
+        a = open(os.path.join(full, p, "data.parquet"), "rb").read()
+        b = open(os.path.join(incr, p, "data.parquet"), "rb").read()
+        assert a == b, f"{p} differs from full run"
+        ma = json.load(open(os.path.join(full, p, "manifest.json")))
+        mb = json.load(open(os.path.join(incr, p, "manifest.json")))
+        ma.pop("wall_ms"), mb.pop("wall_ms")
+        assert ma == mb
+    # idempotency: re-running the delta adds nothing and rewrites nothing
+    after = {p: os.stat(os.path.join(incr, p, "data.parquet")).st_mtime_ns
+             for p in os.listdir(incr) if p.startswith("part=")}
+    summary2 = run_extraction_incremental(src, incr, mid)
+    assert summary2["rows_added"] == 0
+    for p, m in after.items():
+        assert os.stat(
+            os.path.join(incr, p, "data.parquet")).st_mtime_ns == m
 
 
 def test_urlhash_corrupt_shard_skips_merge_and_resumes(ray_session, tmp_path_factory):
