@@ -132,7 +132,8 @@ def main() -> None:
                      "chunk_documents", "part_pair_counts", "top_bigrams_pmi",
                      "crawl_delta", "pagerank_two_iter", "reassemble_chunks",
                      "bloom_semi_join_revenue", "pack_context_windows",
-                     "heavy_hitter_terms", "bigram_lm_scores"):
+                     "heavy_hitter_terms", "bigram_lm_scores",
+                     "near_dup_filter_stats", "bpe_merges"):
             t0 = time.monotonic()
             res = q[name](SF_DIR)
             if hasattr(res, "to_pandas"):

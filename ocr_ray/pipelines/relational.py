@@ -4457,25 +4457,44 @@ def bigram_lm_scores(sf_dir: str):
     cnt_parts = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         count_partials, batch_format="pyarrow").materialize()
 
-    # exact hot-context detection + global c(a,·) per hot token, one
-    # bucketed pass over the materialized partials (in-bucket share >=
-    # global share, so the in-bucket prefilter never drops a global hit)
-    def _ctx_stats(g: pd.DataFrame) -> pd.DataFrame:
-        ca = g.groupby("ta", as_index=False)["m"].sum()
-        tot = int(ca["m"].sum())
-        cand = ca[ca["m"] * hot_frac >= tot]
-        return pd.DataFrame({
-            "ta": list(cand["ta"]) + [""],
-            "ca": list(cand["m"].astype("int64")) + [0],
-            "tot": [0] * len(cand) + [tot],
+    # hot-context detection in two cheap MAP passes over the materialized
+    # partials (no sort shuffle): pass A finds candidates by pigeonhole —
+    # a token with global share >= 1/hot_frac has that share in at least
+    # one block, so per-block-hot tokens are a superset of global-hot —
+    # and pass B (skipped when no candidates) sums the exact global
+    # c(a,·) for just the candidate set
+    def cand_partial(t: pa.Table) -> pa.Table:
+        df = (pa.table({"ta": t["ta"], "m": t["m"]}).to_pandas()
+              .groupby("ta", as_index=False)["m"].sum())
+        tot = int(df["m"].sum())
+        cand = df[df["m"] * hot_frac >= tot]
+        return pa.table({
+            "ta": pa.array(list(cand["ta"]) + [""], pa.string()),
+            "tot": pa.array([0] * len(cand) + [tot], pa.int64()),
         })
 
-    sdf = _concat_nonempty(cnt_parts.groupby("bucket").map_groups(
-        _ctx_stats, batch_format="pandas")).to_pandas()
-    total_bigrams = int(sdf["tot"].sum())
-    cand = sdf[sdf["ta"] != ""]
-    hot = {a: int(c) for a, c in zip(cand["ta"], cand["ca"])
-           if int(c) * hot_frac >= total_bigrams}
+    crows = cnt_parts.map_batches(
+        cand_partial, batch_format="pyarrow").take_all()
+    total_bigrams = sum(r["tot"] for r in crows)
+    cand_set = {r["ta"] for r in crows if r["ta"]}
+    hot: dict = {}
+    if cand_set:
+        cset_ref = ray.put(pa.array(sorted(cand_set), pa.string()))
+
+        def ca_partial(t: pa.Table) -> pa.Table:
+            sub = t.filter(pc.is_in(t["ta"], value_set=ray.get(cset_ref)))
+            df = (pa.table({"ta": sub["ta"], "m": sub["m"]}).to_pandas()
+                  .groupby("ta", as_index=False)["m"].sum())
+            return pa.table({"ta": pa.array(df["ta"], pa.string()),
+                             "ca": pa.array(df["m"].astype("int64"),
+                                            pa.int64())})
+
+        ca_sum: dict = {}
+        for r in cnt_parts.map_batches(
+                ca_partial, batch_format="pyarrow").take_all():
+            ca_sum[r["ta"]] = ca_sum.get(r["ta"], 0) + int(r["ca"])
+        hot = {a: c for a, c in ca_sum.items()
+               if c * hot_frac >= total_bigrams}
     hot_ref = ray.put(hot)
 
     def _buckets(tas, tbs, h) -> pa.Array:
