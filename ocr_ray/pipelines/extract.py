@@ -263,6 +263,15 @@ def _merge_writer(out_dir: str):
             man = _partition_manifest(part_id, merged)
             man["wall_ms"] = int((time.monotonic() - t0) * 1000)
             mf.replace_partition(out_dir, part_id, merged, man)
+        elif data_path is not None and not os.path.exists(
+                os.path.join(mf.part_dir(out_dir, part_id),
+                             "manifest.json")):
+            # crash-window recovery: a previous delta renamed the live
+            # dir aside but died before the new one renamed in — the
+            # _old- fallback already holds the fully-merged rows (the
+            # watermark filtered this delta to nothing), so republish it
+            mf.replace_partition(out_dir, part_id, existing,
+                                 _partition_manifest(part_id, existing))
         return pa.table({
             "part_id": pa.array([part_id], pa.int32()),
             "rows_added": pa.array([added], pa.int64()),

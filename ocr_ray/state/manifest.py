@@ -102,6 +102,11 @@ def replace_partition(out_dir: str, part_id: int, table, manifest: dict) -> None
         os.rename(final, old)
     os.rename(tmp, final)
     shutil.rmtree(old, ignore_errors=True)
+    # the live dir is in place: any crash-leftover fallback copies of
+    # this partition are stale now
+    import glob
+    for d in glob.glob(os.path.join(out_dir, f"_old-{part_id:05d}-*")):
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def latest_partition_data(out_dir: str, part_id: int) -> str | None:

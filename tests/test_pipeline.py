@@ -271,6 +271,51 @@ def test_incremental_delta_equals_full_and_touches_only_new(
             os.path.join(incr, p, "data.parquet")).st_mtime_ns == m
 
 
+def test_incremental_merge_recovers_from_swap_crash(ray_session,
+                                                    tmp_path_factory):
+    """replace_partition's crash window (old dir renamed aside, new dir
+    not yet in place) must not lose base rows: latest_partition_data
+    falls back to the _old- copy, so a re-run of the delta reproduces
+    the fully-merged partition."""
+    import pandas as pd
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from ocr_ray.pipelines.extract import (run_extraction,
+                                           run_extraction_incremental)
+    from ocr_ray.sources.synth import materialize_pages_parquet
+    from ocr_ray.state.manifest import latest_partition_data
+
+    src = materialize_pages_parquet(
+        "/root/testdata/sf0.001", "/tmp/pages_incr_t", rows_per_file=128)
+    keys = pads.dataset(src).to_table(columns=["warc_ts"])
+    mid = pd.Timestamp(sorted(keys["warc_ts"].to_pylist())[-9])
+
+    full = str(tmp_path_factory.mktemp("swap_full"))
+    run_extraction(src, full, resume=False)
+    incr = str(tmp_path_factory.mktemp("swap_delta"))
+    base = rd.read_parquet(
+        src, filter=(pads.field("warc_ts") <= pads.scalar(mid)))
+    run_extraction(base, incr, resume=False)
+    summary = run_extraction_incremental(src, incr, mid)
+    victim = summary["parts_touched"][0]
+
+    # simulate the crash window: the merged dir renamed aside, no live dir
+    live = os.path.join(incr, f"part={victim:05d}")
+    os.rename(live, os.path.join(incr, f"_old-{victim:05d}-deadbeef"))
+    assert latest_partition_data(incr, victim) is not None
+
+    # a resumed delta rebuilds the partition from the _old fallback;
+    # the watermark sees the already-merged rows, so nothing duplicates
+    summary2 = run_extraction_incremental(src, incr, mid)
+    assert victim in summary2["parts_touched"] or os.path.isdir(live)
+    a = open(os.path.join(full, f"part={victim:05d}", "data.parquet"),
+             "rb").read()
+    b = open(os.path.join(incr, f"part={victim:05d}", "data.parquet"),
+             "rb").read()
+    assert a == b
+
+
 def test_urlhash_corrupt_shard_skips_merge_and_resumes(ray_session, tmp_path_factory):
     """A phase-1 shard failure must NOT let phase 2 finalize partitions
     with silently-missing rows: the run reports failed_shards, completes no
