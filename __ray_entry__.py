@@ -220,6 +220,17 @@ def _q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_near_dup(ds)
 
 
+def _q_dup_span_stats(sf_dir: str):
+    """Exact duplicated-span coverage (ExactSubstr-dedup analogue)."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.dedup import dup_span_stats
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return dup_span_stats(ds)
+
+
 def _q_near_dup_filter_stats(sf_dir: str):
     """Corpus SURVIVING fuzzy (minhash) dedup — the filter-then-keep step
     of a training-data pipeline (reference policy_filter.py:180-212 lifted
@@ -1163,6 +1174,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "winnow_near_dup": _q_winnow_near_dup,
         "ngram_jaccard_near_dup": _q_ngram_jaccard,
         "near_dup_filter_stats": _q_near_dup_filter_stats,
+        "dup_span_stats": _q_dup_span_stats,
         # similarity search
         "knn_cosine": _q_knn_cosine,
         "knn_lsh": _q_knn_lsh,
@@ -1400,6 +1412,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_near_dup": _do.winnow_near_dup_sql(),
         "ngram_jaccard_near_dup": _do.ngram_jaccard_sql(),
         "near_dup_filter_stats": _do.near_dup_filter_stats_sql(),
+        "dup_span_stats": _do.dup_span_stats_sql(),
         "knn_lsh": _do.knn_lsh_sql(),
         "knn_ivf": _do.knn_ivf_sql(),
         # the indexed variants return the SAME rows as their scan-path

@@ -131,6 +131,9 @@ class PipelineConfig:
     kmv_sketch_k: int = 256             # KMV count-distinct minimum values
     range_join_window_us: int = 3600 * 1_000_000  # interval-join window (1 h)
     contamination_shingle_w: int = 3    # eval-overlap word n-gram width
+    dup_span_window: int = 8            # dup_span_stats: tokens per window
+    dup_span_min_count: int = 2         # ...a window occurring >= this many
+                                        # times corpus-wide is duplicated
     bpe_fuse_vocab_rows: int = 200_000  # bpe_merges: vocab at or below this
                                         # runs all rounds in ONE task (per-
                                         # round shuffle fixed costs only

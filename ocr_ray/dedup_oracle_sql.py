@@ -177,6 +177,44 @@ def minhash_near_dup_sql(threshold: float = 0.8, max_bucket: int = 512) -> str:
     """
 
 
+def dup_span_stats_sql(k: int = 8, min_count: int = 2) -> str:
+    """Duplicated-span coverage re-derived in SQL: md5_number_lower over
+    every space-joined word k-window (position-preserving), corpus-wide
+    occurrence counts (within-doc repeats included), and token coverage
+    as the distinct token positions any duplicated window touches."""
+    return f"""
+        WITH mw AS MATERIALIZED (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                             w -> w <> '') AS ws
+          FROM documents
+        ),
+        wins AS MATERIALIZED (
+          SELECT doc_id, i.i AS i,
+                 md5_number_lower(array_to_string(ws[i.i:i.i + {k - 1}], ' ')) AS h
+          FROM mw, unnest(range(1, len(ws) - {k} + 2)) AS i(i)
+        ),
+        hd AS MATERIALIZED (
+          SELECT h FROM wins GROUP BY h HAVING count(*) >= {min_count}
+        ),
+        cov AS (
+          SELECT DISTINCT w.doc_id, j.j
+          FROM wins w JOIN hd ON hd.h = w.h,
+               unnest(range(w.i, w.i + {k})) AS j(j)
+        )
+        SELECT m.doc_id,
+               CAST(len(m.ws) AS BIGINT) AS n_tokens,
+               coalesce(nw.n, 0) AS n_dup_windows,
+               coalesce(cv.n, 0) AS n_covered_tokens
+        FROM mw m
+        LEFT JOIN (SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n
+                   FROM wins w JOIN hd ON hd.h = w.h
+                   GROUP BY w.doc_id) nw ON nw.doc_id = m.doc_id
+        LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                   FROM cov GROUP BY doc_id) cv ON cv.doc_id = m.doc_id
+    """
+
+
 def near_dup_filter_stats_sql(threshold: float = 0.8,
                               max_bucket: int = 512) -> str:
     """Survivor-corpus stats after fuzzy (minhash) dedup: the full

@@ -749,6 +749,125 @@ def near_dup_filter(ds, labels=None, text_col: str = "text",
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def window_hashes(text: str, k: int) -> np.ndarray:
+    """md5-lower-64 of every STRICT word k-window, IN ORDER, one per start
+    position (unlike :func:`shingle_hashes`: no dedup, no short-doc
+    collapse — position i maps to hash i).  DuckDB twin:
+    md5_number_lower over the space-joined window."""
+    words = text.lower().split()
+    n = len(words) - k + 1
+    if n <= 0:
+        return np.zeros(0, dtype=np.uint64)
+    return np.fromiter(
+        (int.from_bytes(
+            hashlib.md5(" ".join(words[i:i + k]).encode()).digest()[8:16],
+            "little") for i in range(n)),
+        dtype=np.uint64, count=n)
+
+
+def dup_span_stats(ds, text_col: str = "text", key_col: str = "doc_id",
+                   k: int | None = None, min_count: int | None = None,
+                   cfg: PipelineConfig = DEFAULT_CONFIG):
+    """EXACT DUPLICATED-SPAN detection — the word-window analogue of
+    ExactSubstr training-data dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", public method): a
+    k-token window occurring >= min_count times ANYWHERE in the corpus
+    (across or within docs) is a duplicated span; per doc, report how
+    much text such spans cover.  Returns (doc_id, n_tokens,
+    n_dup_windows, n_covered_tokens) — the retention decision (strip
+    spans / drop docs over a coverage ratio) composes downstream exactly
+    like near_dup_filter.
+
+    Scale shape: pass 1 counts window hashes with per-batch Counter
+    partials through the coarse h%B bucket exchange (short uint64 keys,
+    never text), keeps only hashes with global count >= min_count, and
+    merge-sorts them in ONE worker task (the _drop_ids_ref discipline —
+    the driver never holds the set); pass 2 is an embarrassingly
+    parallel map: recompute the doc's ordered window hashes, mark
+    duplicated starts by np.searchsorted membership, and cover each
+    start's k tokens with a vectorized sliding-OR (cumulative-max over
+    window starts).  The duplicated-window set is boilerplate-sized
+    (bounded by repeated content, not the corpus); if it outgrew a
+    node's object store, bucket it like the pair machinery above.
+    """
+    import ray
+
+    if k is None:
+        k = cfg.dup_span_window
+    if min_count is None:
+        min_count = cfg.dup_span_min_count
+    n_buckets = cfg.near_dup_coarse_buckets
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        c: dict = {}
+        for txt in t[text_col].to_pylist():
+            hs, cnts = np.unique(window_hashes(txt or "", k),
+                                 return_counts=True)
+            for h, m in zip(hs, cnts):
+                c[int(h)] = c.get(int(h), 0) + int(m)
+        keys = np.fromiter(c.keys(), dtype=np.uint64, count=len(c))
+        return pa.table({
+            "h": pa.array(keys, pa.uint64()),
+            "m": pa.array(list(c.values()), pa.int64()),
+            "bucket": pa.array(
+                (keys % np.uint64(n_buckets)).astype(np.int32), pa.int32()),
+        })
+
+    def dup_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("h", as_index=False)["m"].sum()
+        s = s[s["m"] >= min_count]
+        return pd.DataFrame({"h": s["h"].astype(np.uint64)})
+
+    refs = (ds.map_batches(count_partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(dup_in_bucket, batch_format="pandas")
+            .to_arrow_refs())
+
+    @ray.remote(num_cpus=1)
+    def merge(*blocks):
+        parts = [b["h"].to_numpy() for b in blocks
+                 if b.num_columns and b.num_rows]
+        if not parts:
+            return np.zeros(0, np.uint64)
+        return np.sort(np.concatenate(parts))
+
+    dup_ref = merge.remote(*refs)
+
+    def coverage(t: pa.Table) -> pa.Table:
+        dup = ray.get(dup_ref)
+        ids, n_tok, n_win, n_cov = [], [], [], []
+        for did, txt in zip(t[key_col].to_pylist(),
+                            t[text_col].to_pylist()):
+            words = (txt or "").lower().split()
+            hs = window_hashes(txt or "", k)
+            starts = np.zeros(hs.size, dtype=bool)
+            if hs.size and dup.size:
+                pos = np.searchsorted(dup, hs)
+                pos[pos == dup.size] = 0
+                starts = dup[pos] == hs
+            covered = 0
+            if starts.any():
+                # token j is covered iff any duplicated window starts in
+                # [j-k+1, j]: sliding OR via cumsum difference
+                marks = np.zeros(len(words) + 1, np.int64)
+                idx = np.nonzero(starts)[0]
+                marks[idx] += 1
+                marks[np.minimum(idx + k, len(words))] -= 1
+                covered = int(np.count_nonzero(np.cumsum(marks[:-1]) > 0))
+            ids.append(did)
+            n_tok.append(len(words))
+            n_win.append(int(starts.sum()))
+            n_cov.append(covered)
+        return pa.table({
+            key_col: pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_dup_windows": pa.array(n_win, pa.int64()),
+            "n_covered_tokens": pa.array(n_cov, pa.int64()),
+        })
+
+    return ds.map_batches(coverage, batch_format="pyarrow")
+
+
 def line_hash64(line: str) -> int:
     """md5-lower-64 of a line (same convention as shingle_hashes)."""
     return int.from_bytes(hashlib.md5(line.encode("utf-8")).digest()[8:16], "little")

@@ -277,6 +277,48 @@ def test_near_dup_filter_partition_invariance(ray_session):
     assert set(surv.to_pandas()["doc_id"]) == expected
 
 
+def test_dup_span_stats_hand_computed(ray_session):
+    """ExactSubstr-style duplicated-span coverage on a constructed corpus:
+    a shared 8-token span is detected in both docs (full + partial window
+    accounting), unique text is untouched, and within-doc repetition
+    counts toward the duplication threshold."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.pipelines.dedup import dup_span_stats, window_hashes
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"   # 8 tokens
+    docs = {
+        1: span + " one two three four",        # span at 0..7, 12 tokens
+        2: "x y " + span,                       # span at 2..9, 10 tokens
+        3: "totally unique words nowhere else repeated at all count ten",
+        4: ("rep rep rep rep rep rep rep rep rep"),  # 9 tokens, within-doc
+    }
+    t = pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values()), pa.string()),
+    })
+    out = (dup_span_stats(rd.from_arrow(t).repartition(3))
+           .to_pandas().set_index("doc_id"))
+    # docs 1+2 share exactly ONE duplicated window (the span itself);
+    # its 8 tokens are covered in each
+    assert out.loc[1, "n_dup_windows"] == 1
+    assert out.loc[1, "n_covered_tokens"] == 8
+    assert out.loc[1, "n_tokens"] == 12
+    assert out.loc[2, "n_dup_windows"] == 1
+    assert out.loc[2, "n_covered_tokens"] == 8
+    # unique doc: nothing flagged
+    assert out.loc[3, "n_dup_windows"] == 0
+    assert out.loc[3, "n_covered_tokens"] == 0
+    # within-doc repetition: "rep"x9 has two identical 8-windows → both
+    # flagged, covering all 9 tokens
+    assert out.loc[4, "n_dup_windows"] == 2
+    assert out.loc[4, "n_covered_tokens"] == 9
+    # position-preserving hash helper: strict windows only
+    assert window_hashes("a b c", 8).size == 0
+    assert window_hashes(span, 8).size == 1
+
+
 def test_connected_components_distributed(ray_session):
     """Chain, star and singleton-pair graphs all label every member with
     the component minimum (keep-first), computed without any driver-side
