@@ -254,14 +254,15 @@ def _q_near_dup_filter_stats(sf_dir: str):
     )
 
 
-def _bpe_merges_sql(n_rounds: int = 3) -> str:
-    """Unrolled-CTE oracle for the iterated BPE trainer (the
-    embedding_top_component chained-MATERIALIZED precedent): words become
+def _bpe_chain_parts(n_rounds: int = 3) -> str:
+    """WITH-clause chain shared by the BPE oracles: words become
     chr(31)-wrapped segment strings ('\\x1fa\\x1f\\x1fb\\x1f...'), each
     round counts adjacent symbol pairs from the split segments, picks the
     winner (n desc, pair asc) and applies it with replace() — SQL
     replace's left-to-right non-overlapping scan IS the greedy BPE merge
-    step.  Words containing chr(31) are excluded on both engines."""
+    step.  Words containing chr(31) are excluded on both engines.  The
+    word rides through every s{k} so apply-side oracles can look up the
+    final segmentation per word."""
     sep = "chr(31)"
     parts = [f"""
         WITH words AS MATERIALIZED (
@@ -273,7 +274,7 @@ def _bpe_merges_sql(n_rounds: int = 3) -> str:
           GROUP BY w
         ),
         s0 AS MATERIALIZED (
-          SELECT f, {sep} || array_to_string(
+          SELECT w, f, {sep} || array_to_string(
                    list_transform(range(1, len(w) + 1),
                                   i -> substring(w, i, 1)),
                    {sep} || {sep}) || {sep} AS seg
@@ -295,15 +296,51 @@ def _bpe_merges_sql(n_rounds: int = 3) -> str:
           SELECT l, r, n FROM p{k} ORDER BY n DESC, l, r LIMIT 1
         ),
         s{k} AS MATERIALIZED (
-          SELECT f, replace(seg,
+          SELECT w, f, replace(seg,
               (SELECT {sep} || l || {sep} || {sep} || r || {sep} FROM w{k}),
               (SELECT {sep} || l || r || {sep} FROM w{k})) AS seg
           FROM s{k - 1}
         )""")
+    return "".join(parts)
+
+
+def _bpe_merges_sql(n_rounds: int = 3) -> str:
+    """Unrolled-CTE oracle for the iterated BPE trainer (the
+    embedding_top_component chained-MATERIALIZED precedent)."""
     selects = " UNION ALL ".join(
         f"SELECT CAST({k} AS BIGINT) AS round, l AS left_sym, r AS right_sym, "
         f"l || r AS merged, n FROM w{k}" for k in range(1, n_rounds + 1))
-    return "".join(parts) + f" {selects}"
+    return _bpe_chain_parts(n_rounds) + f" {selects}"
+
+
+def _bpe_tokenize_stats_sql(n_rounds: int = 3) -> str:
+    """Apply-side BPE oracle: the learned chain's final segmentation per
+    TRAINING-VOCAB word, joined back onto the full token stream with
+    lang, rolled up to per-lang word/symbol counts (words under 2 chars
+    never merge: 1 symbol)."""
+    sep = "chr(31)"
+    return _bpe_chain_parts(n_rounds) + f""",
+        wsym AS MATERIALIZED (
+          SELECT w, CAST(len(string_split(
+                   substring(seg, 2, len(seg) - 2),
+                   {sep} || {sep})) AS BIGINT) AS nsym
+          FROM s{n_rounds}
+        ),
+        alltok AS MATERIALIZED (
+          SELECT lang, w FROM (
+            SELECT lang, unnest(regexp_split_to_array(
+                     lower(coalesce(text, '')), '\\s+')) AS w
+            FROM documents
+          ) WHERE w <> '' AND NOT contains(w, {sep})
+        )
+        SELECT a.lang,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(len(a.w)) AS BIGINT) AS n_symbols_before,
+               CAST(sum(CASE WHEN len(a.w) < 2 THEN 1 ELSE ws.nsym END)
+                    AS BIGINT) AS n_symbols_after
+        FROM alltok a LEFT JOIN wsym ws ON ws.w = a.w
+        GROUP BY a.lang
+    """
 
 
 def _q_bpe_merges(sf_dir: str):
@@ -1300,6 +1337,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "sentence_stats": rel.sentence_stats,
         "bpe_merge_candidates": rel.bpe_merge_candidates,
         "bpe_merges": _q_bpe_merges,
+        "bpe_tokenize_stats": rel.bpe_tokenize_stats,
         "nb_lang_confusion": rel.nb_lang_confusion,
         "robots_filter_stats": _q_robots_filter_stats,
         "linear_attribution": win.linear_attribution,
@@ -3283,6 +3321,7 @@ def oracle_sql() -> dict[str, str]:
         # adjacent char pairs inside whitespace words via a lateral
         # generate_series over each word
         "bpe_merges": _bpe_merges_sql(3),
+        "bpe_tokenize_stats": _bpe_tokenize_stats_sql(3),
         "bpe_merge_candidates": r"""
             WITH words AS (
               SELECT unnest(regexp_split_to_array(

@@ -5261,6 +5261,69 @@ def bpe_merges(sf_dir: str, n_rounds: int = 3,
     return _rows_table(rows)
 
 
+def bpe_tokenize_stats(sf_dir: str, n_rounds: int = 3):
+    """APPLY the learned BPE merges corpus-wide — the second half of the
+    tokenizer loop (:func:`bpe_merges` trains, this tokenizes): per lang,
+    (n_words, n_symbols_before, n_symbols_after) where before = one
+    symbol per character and after = symbols once all n_rounds merges
+    have been applied greedily in training order.
+
+    Scale shape: the merge list is n_rounds string pairs — broadcast via
+    ray.put; the apply pass is embarrassingly parallel map_batches with
+    a per-batch DISTINCT-WORD memo (the same word re-segments once per
+    batch, not once per occurrence), partial per-lang sums before the
+    tiny groupby.  Words containing U+001F are excluded (the training
+    chain's convention); words under 2 chars never merge."""
+    import collections
+    import re
+
+    m = bpe_merges(sf_dir, n_rounds)
+    mdf = (m.to_pandas() if hasattr(m, "to_pandas") else m).sort_values(
+        "round")
+    merges = list(zip(mdf["left_sym"], mdf["right_sym"]))
+    merges_ref = ray.put(merges)
+    _ws = re.compile(r"[ \t\n\f\r]+")
+    _SEP = "\x1f"
+
+    def partial(t: pa.Table) -> pa.Table:
+        ms = ray.get(merges_ref)
+        memo: dict = {}
+        acc: dict = collections.defaultdict(lambda: [0, 0, 0])
+        for lang, txt in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            for w in _ws.split((txt or "").lower()):
+                if not w or _SEP in w:
+                    continue
+                r = memo.get(w)
+                if r is None:
+                    r = (len(w),
+                         1 if len(w) < 2 else len(_bpe_apply(list(w), ms)))
+                    memo[w] = r
+                a = acc[lang]
+                a[0] += 1
+                a[1] += r[0]
+                a[2] += r[1]
+        langs = sorted(acc)
+        return pa.table({
+            "lang": pa.array(langs, pa.string()),
+            "n_words": pa.array([acc[x][0] for x in langs], pa.int64()),
+            "n_symbols_before": pa.array([acc[x][1] for x in langs],
+                                         pa.int64()),
+            "n_symbols_after": pa.array([acc[x][2] for x in langs],
+                                        pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    return (_read(sf_dir, "documents", ["lang", "text"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Sum("n_words", alias_name="n_words"),
+                       Sum("n_symbols_before",
+                           alias_name="n_symbols_before"),
+                       Sum("n_symbols_after",
+                           alias_name="n_symbols_after")))
+
+
 def nb_lang_confusion(sf_dir: str):
     """SUPERVISED ML END-TO-END: train a multinomial Naive Bayes language
     classifier on the labeled corpus (Laplace-smoothed token likelihoods

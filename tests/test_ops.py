@@ -2758,6 +2758,16 @@ def test_bpe_merges_iterated(ray_session, tmp_path_factory):
     # words re-segment to [ab, ab] ⇒ (ab,ab) n=2
     assert list(tiny["n"]) == [5, 2]
 
+    # apply side: abab/abab/ab/cd → 1 symbol each after 3 merge rounds
+    # (round 3 learns (c,d) — the only pair left)
+    from ocr_ray.pipelines.relational import bpe_tokenize_stats
+
+    st = bpe_tokenize_stats(str(d), n_rounds=3).to_pandas()
+    assert len(st) == 1 and st.iloc[0]["lang"] == "en"
+    assert int(st.iloc[0]["n_words"]) == 4
+    assert int(st.iloc[0]["n_symbols_before"]) == 12
+    assert int(st.iloc[0]["n_symbols_after"]) == 4
+
 
 def test_heavy_hitter_terms_huge_k_empty(ray_session):
     """An impossible threshold (k=1 → n > N) returns a typed empty
