@@ -254,6 +254,39 @@ def _q_near_dup_filter_stats(sf_dir: str):
     )
 
 
+_BIGRAM_LM_SQL = r"""
+            WITH d AS MATERIALIZED (
+              SELECT doc_id, regexp_split_to_array(
+                       lower(coalesce(text, '')), '\s+') AS arr
+              FROM documents
+            ), toks AS MATERIALIZED (
+              SELECT doc_id, unnest(arr) AS term,
+                     generate_subscripts(arr, 1) AS ord
+              FROM d
+            ), big AS MATERIALIZED (
+              SELECT a.doc_id, a.term AS ta, b.term AS tb
+              FROM toks a JOIN toks b
+                ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+              WHERE a.term <> '' AND b.term <> ''
+            ), cab AS MATERIALIZED (
+              SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS n
+              FROM big GROUP BY ta, tb
+            ), ca AS MATERIALIZED (
+              SELECT ta, CAST(COUNT(*) AS BIGINT) AS n FROM big GROUP BY ta
+            )
+            SELECT big.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(CAST(ROUND(
+                       1000000.0 * ln(CAST(cab.n AS DOUBLE)
+                                      / CAST(ca.n AS DOUBLE)))
+                     AS BIGINT)) AS BIGINT) AS score_unats
+            FROM big
+              JOIN cab ON big.ta = cab.ta AND big.tb = cab.tb
+              JOIN ca  ON big.ta = ca.ta
+            GROUP BY big.doc_id
+        """
+
+
 def _bpe_chain_parts(n_rounds: int = 3) -> str:
     """WITH-clause chain shared by the BPE oracles: words become
     chr(31)-wrapped segment strings ('\\x1fa\\x1f\\x1fb\\x1f...'), each
@@ -1338,6 +1371,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "bpe_merge_candidates": rel.bpe_merge_candidates,
         "bpe_merges": _q_bpe_merges,
         "bpe_tokenize_stats": rel.bpe_tokenize_stats,
+        "lm_quality_buckets": rel.lm_quality_buckets,
         "nb_lang_confusion": rel.nb_lang_confusion,
         "robots_filter_stats": _q_robots_filter_stats,
         "linear_attribution": win.linear_attribution,
@@ -3066,36 +3100,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         # each term is rounded to integer micro-nats BEFORE the SUM, so
         # the aggregation order cannot perturb the result on either side
-        "bigram_lm_scores": r"""
-            WITH d AS MATERIALIZED (
-              SELECT doc_id, regexp_split_to_array(
-                       lower(coalesce(text, '')), '\s+') AS arr
-              FROM documents
-            ), toks AS MATERIALIZED (
-              SELECT doc_id, unnest(arr) AS term,
-                     generate_subscripts(arr, 1) AS ord
-              FROM d
-            ), big AS MATERIALIZED (
-              SELECT a.doc_id, a.term AS ta, b.term AS tb
-              FROM toks a JOIN toks b
-                ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
-              WHERE a.term <> '' AND b.term <> ''
-            ), cab AS MATERIALIZED (
-              SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS n
-              FROM big GROUP BY ta, tb
-            ), ca AS MATERIALIZED (
-              SELECT ta, CAST(COUNT(*) AS BIGINT) AS n FROM big GROUP BY ta
+        "bigram_lm_scores": _BIGRAM_LM_SQL,
+        # CCNet-style per-lang quality terciles over the LM average:
+        # avg_mu = round(1000·score/n_bigrams), tercile boundaries via
+        # quantile_disc (sorted[ceil(q·n)]), bucket by <= boundary
+        "lm_quality_buckets": f"""
+            WITH lm AS MATERIALIZED (
+              SELECT * FROM ({_BIGRAM_LM_SQL})
+            ),
+            avgq AS MATERIALIZED (
+              SELECT d.lang,
+                     CAST(ROUND(1000.0 * lm.score_unats / lm.n_bigrams)
+                          AS BIGINT) AS avg_mu
+              FROM lm JOIN documents d ON d.doc_id = lm.doc_id
+            ),
+            b AS MATERIALIZED (
+              SELECT lang, quantile_disc(avg_mu, 1.0/3) AS q1,
+                     quantile_disc(avg_mu, 2.0/3) AS q2
+              FROM avgq GROUP BY lang
             )
-            SELECT big.doc_id,
-                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-                   CAST(SUM(CAST(ROUND(
-                       1000000.0 * ln(CAST(cab.n AS DOUBLE)
-                                      / CAST(ca.n AS DOUBLE)))
-                     AS BIGINT)) AS BIGINT) AS score_unats
-            FROM big
-              JOIN cab ON big.ta = cab.ta AND big.tb = cab.tb
-              JOIN ca  ON big.ta = ca.ta
-            GROUP BY big.doc_id
+            SELECT a.lang,
+                   CAST(CASE WHEN a.avg_mu <= b.q1 THEN 0
+                             WHEN a.avg_mu <= b.q2 THEN 1
+                             ELSE 2 END AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM avgq a JOIN b ON b.lang = a.lang
+            GROUP BY a.lang, bucket
         """,
         # per-dim range + code-sum checksum; the float expression shape
         # matches the Ray kernel exactly (double widen, one division)

