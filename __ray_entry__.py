@@ -231,6 +231,36 @@ def _q_dup_span_stats(sf_dir: str):
     return dup_span_stats(ds)
 
 
+def _q_dup_span_filter_stats(sf_dir: str):
+    """Retention rollup after span-stripping (ExactSubstr filter-then-
+    keep, the near_dup_filter sibling): per lang, docs + tokens kept vs
+    covered by corpus-duplicated windows."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ocr_ray.pipelines.dedup import dup_span_stats
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "lang", "text"])
+    per_doc = dup_span_stats(ds, keep_cols=("lang",))
+
+    def kept(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column(
+            "n_kept_tokens",
+            pc.subtract(t["n_tokens"], t["n_covered_tokens"]))
+
+    return (per_doc.map_batches(kept, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("n_tokens", alias_name="n_tokens"),
+                       Sum("n_covered_tokens",
+                           alias_name="n_covered_tokens"),
+                       Sum("n_kept_tokens", alias_name="n_kept_tokens")))
+
+
 def _q_near_dup_filter_stats(sf_dir: str):
     """Corpus SURVIVING fuzzy (minhash) dedup — the filter-then-keep step
     of a training-data pipeline (reference policy_filter.py:180-212 lifted
@@ -1245,6 +1275,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_near_dup": _q_ngram_jaccard,
         "near_dup_filter_stats": _q_near_dup_filter_stats,
         "dup_span_stats": _q_dup_span_stats,
+        "dup_span_filter_stats": _q_dup_span_filter_stats,
         # similarity search
         "knn_cosine": _q_knn_cosine,
         "knn_lsh": _q_knn_lsh,
@@ -1485,6 +1516,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_near_dup": _do.ngram_jaccard_sql(),
         "near_dup_filter_stats": _do.near_dup_filter_stats_sql(),
         "dup_span_stats": _do.dup_span_stats_sql(),
+        "dup_span_filter_stats": _do.dup_span_filter_stats_sql(),
         "knn_lsh": _do.knn_lsh_sql(),
         "knn_ivf": _do.knn_ivf_sql(),
         # the indexed variants return the SAME rows as their scan-path

@@ -215,6 +215,22 @@ def dup_span_stats_sql(k: int = 8, min_count: int = 2) -> str:
     """
 
 
+def dup_span_filter_stats_sql(k: int = 8, min_count: int = 2) -> str:
+    """Per-lang retention rollup of dup_span_stats: docs, total tokens,
+    covered tokens and kept (= total - covered) tokens."""
+    return f"""
+        SELECT d.lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(s.n_tokens) AS BIGINT) AS n_tokens,
+               CAST(sum(s.n_covered_tokens) AS BIGINT) AS n_covered_tokens,
+               CAST(sum(s.n_tokens - s.n_covered_tokens) AS BIGINT)
+                 AS n_kept_tokens
+        FROM ({dup_span_stats_sql(k, min_count)}) s
+        JOIN documents d ON d.doc_id = s.doc_id
+        GROUP BY d.lang
+    """
+
+
 def near_dup_filter_stats_sql(threshold: float = 0.8,
                               max_bucket: int = 512) -> str:
     """Survivor-corpus stats after fuzzy (minhash) dedup: the full

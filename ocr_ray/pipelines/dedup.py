@@ -767,6 +767,7 @@ def window_hashes(text: str, k: int) -> np.ndarray:
 
 def dup_span_stats(ds, text_col: str = "text", key_col: str = "doc_id",
                    k: int | None = None, min_count: int | None = None,
+                   keep_cols: tuple = (),
                    cfg: PipelineConfig = DEFAULT_CONFIG):
     """EXACT DUPLICATED-SPAN detection — the word-window analogue of
     ExactSubstr training-data dedup (Lee et al. 2022, "Deduplicating
@@ -858,12 +859,15 @@ def dup_span_stats(ds, text_col: str = "text", key_col: str = "doc_id",
             n_tok.append(len(words))
             n_win.append(int(starts.sum()))
             n_cov.append(covered)
-        return pa.table({
+        cols = {
             key_col: pa.array(ids, pa.int64()),
             "n_tokens": pa.array(n_tok, pa.int64()),
             "n_dup_windows": pa.array(n_win, pa.int64()),
             "n_covered_tokens": pa.array(n_cov, pa.int64()),
-        })
+        }
+        for c in keep_cols:   # rows are emitted 1:1 in input order
+            cols[c] = t[c]
+        return pa.table(cols)
 
     return ds.map_batches(coverage, batch_format="pyarrow")
 
