@@ -133,7 +133,8 @@ def main() -> None:
                      "crawl_delta", "pagerank_two_iter", "reassemble_chunks",
                      "bloom_semi_join_revenue", "pack_context_windows",
                      "heavy_hitter_terms", "bigram_lm_scores",
-                     "near_dup_filter_stats", "bpe_merges"):
+                     "near_dup_filter_stats", "bpe_merges",
+                     "dup_span_stats"):
             t0 = time.monotonic()
             res = q[name](SF_DIR)
             if hasattr(res, "to_pandas"):
