@@ -317,6 +317,52 @@ _BIGRAM_LM_SQL = r"""
         """
 
 
+def _dsir_weights_sql(n_buckets: int = 256, target_lang: str = "en") -> str:
+    """DSIR oracle: hashed-feature (md5 % B) unigram counts for the
+    target-lang slice and the raw corpus, Laplace-smoothed per-bucket
+    ln-ratio terms rounded to integer micro-nats SEPARATELY per side
+    (the engine's float-order-proof discipline), then per-doc integer
+    sums over the token stream."""
+    return f"""
+        WITH tk AS MATERIALIZED (
+          SELECT doc_id, lang,
+                 CAST(md5_number_lower(term) % {n_buckets} AS BIGINT) AS b
+          FROM (
+            SELECT doc_id, lang, unnest(regexp_split_to_array(
+                     lower(coalesce(text, '')), '\\s+')) AS term
+            FROM documents
+          ) WHERE term <> ''
+        ),
+        ct AS MATERIALIZED (
+          SELECT b, CAST(count(*) AS BIGINT) AS c FROM tk
+          WHERE lang = '{target_lang}' GROUP BY b
+        ),
+        cr AS MATERIALIZED (
+          SELECT b, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY b
+        ),
+        tot AS (
+          SELECT (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM ct) AS tt,
+                 (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM cr) AS tr
+        ),
+        term AS MATERIALIZED (
+          SELECT g.b,
+            CAST(ROUND(1000000.0 * ln((coalesce(ct.c, 0) + 1.0)
+                                      / (tot.tt + {n_buckets}))) AS BIGINT)
+            - CAST(ROUND(1000000.0 * ln((coalesce(cr.c, 0) + 1.0)
+                                        / (tot.tr + {n_buckets}))) AS BIGINT)
+              AS w
+          FROM (SELECT unnest(range(0, {n_buckets})) AS b) g
+          LEFT JOIN ct ON ct.b = g.b
+          LEFT JOIN cr ON cr.b = g.b, tot
+        )
+        SELECT tk.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(term.w) AS BIGINT) AS weight_unats
+        FROM tk JOIN term ON term.b = tk.b
+        GROUP BY tk.doc_id
+    """
+
+
 def _bpe_chain_parts(n_rounds: int = 3) -> str:
     """WITH-clause chain shared by the BPE oracles: words become
     chr(31)-wrapped segment strings ('\\x1fa\\x1f\\x1fb\\x1f...'), each
@@ -1403,6 +1449,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "bpe_merges": _q_bpe_merges,
         "bpe_tokenize_stats": rel.bpe_tokenize_stats,
         "lm_quality_buckets": rel.lm_quality_buckets,
+        "dsir_weights": rel.dsir_weights,
         "nb_lang_confusion": rel.nb_lang_confusion,
         "robots_filter_stats": _q_robots_filter_stats,
         "linear_attribution": win.linear_attribution,
@@ -3384,6 +3431,7 @@ def oracle_sql() -> dict[str, str]:
         # generate_series over each word
         "bpe_merges": _bpe_merges_sql(3),
         "bpe_tokenize_stats": _bpe_tokenize_stats_sql(3),
+        "dsir_weights": _dsir_weights_sql(),
         "bpe_merge_candidates": r"""
             WITH words AS (
               SELECT unnest(regexp_split_to_array(

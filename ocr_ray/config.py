@@ -131,6 +131,11 @@ class PipelineConfig:
     kmv_sketch_k: int = 256             # KMV count-distinct minimum values
     range_join_window_us: int = 3600 * 1_000_000  # interval-join window (1 h)
     contamination_shingle_w: int = 3    # eval-overlap word n-gram width
+    dsir_buckets: int = 256             # dsir_weights: hashed-feature buckets
+                                        # (DSIR uses ~10^4 at corpus scale;
+                                        # the bucket vector is O(buckets)
+                                        # regardless of corpus size)
+    dsir_target_lang: str = "en"        # ...the target-domain selector
     dup_span_window: int = 8            # dup_span_stats: tokens per window
     dup_span_min_count: int = 2         # ...a window occurring >= this many
                                         # times corpus-wide is duplicated

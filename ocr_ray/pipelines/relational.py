@@ -5261,6 +5261,115 @@ def bpe_merges(sf_dir: str, n_rounds: int = 3,
     return _rows_table(rows)
 
 
+def dsir_weights(sf_dir: str, n_buckets: int | None = None,
+                 target_lang: str | None = None):
+    """DSIR IMPORTANCE WEIGHTS (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — public method): score
+    every document by the log-likelihood ratio between a TARGET-domain
+    unigram model and the RAW-corpus model over HASHED token features:
+    ``weight = Σ_tokens [ln p_target(bucket(tok)) − ln p_raw(bucket(tok))]``
+    with Laplace smoothing, bucket = md5-lower-64(token) % n_buckets.
+    Target domain here: documents with ``lang = target_lang``.  Output
+    (doc_id, n_tokens, weight_unats); docs with no tokens are excluded.
+
+    Float discipline: each bucket's two ln terms round to integer
+    micro-nats SEPARATELY (half-away) before any arithmetic, so per-doc
+    weights are exact integer dot products c_doc·term — distributed
+    order cannot perturb them and the oracle reproduces every value.
+
+    Scale shape: the model is a FIXED-SIZE vector (n_buckets counts per
+    side) — per-batch counts emit as one binary blob (the
+    _gram_partial discipline), `_prefold` caps the driver at
+    driver_fold_buckets blobs per side, and the term vector broadcasts
+    via ray.put; scoring is one embarrassingly parallel bincount·term
+    pass.  No shuffle anywhere."""
+    import re
+
+    if n_buckets is None:
+        n_buckets = DEFAULT_CONFIG.dsir_buckets
+    if target_lang is None:
+        target_lang = DEFAULT_CONFIG.dsir_target_lang
+    _ws = re.compile(r"[ \t\n\f\r]+")
+
+    def _tok_buckets(txt: str) -> np.ndarray:
+        toks = [x for x in _ws.split((txt or "").lower()) if x]
+        if not toks:
+            return np.zeros(0, np.int64)
+        return _md5_mod(toks, n_buckets)
+
+    def count_blob(which: str):
+        def f(t: pa.Table) -> pa.Table:
+            vec = np.zeros(n_buckets, np.int64)
+            langs = (t["lang"].to_pylist() if "lang" in t.column_names
+                     else [None] * t.num_rows)
+            for lang, txt in zip(langs, t["text"].to_pylist()):
+                if which == "target" and lang != target_lang:
+                    continue
+                b = _tok_buckets(txt)
+                if b.size:
+                    vec += np.bincount(b, minlength=n_buckets)
+            return pa.table({
+                "counts": pa.array([vec.tobytes()], pa.binary()),
+                "dim": pa.array([n_buckets], pa.int64()),
+                "n_vecs": pa.array([int(vec.sum())], pa.int64()),
+            })
+        return f
+
+    def _fold(which: str) -> np.ndarray:
+        rows = _prefold(
+            _read(sf_dir, "documents", ["lang", "text"]).map_batches(
+                count_blob(which), batch_format="pyarrow"),
+            _dsir_blob_add).take_all()
+        vec = np.zeros(n_buckets, np.int64)
+        for r in rows:
+            vec += np.frombuffer(r["counts"], np.int64)
+        return vec
+
+    ct, cr = _fold("target"), _fold("raw")
+
+    def _r6(x: np.ndarray) -> np.ndarray:
+        return np.copysign(np.floor(np.abs(x) + 0.5), x).astype(np.int64)
+
+    tt, tr = float(ct.sum()), float(cr.sum())
+    term = (_r6(1e6 * np.log((ct + 1.0) / (tt + n_buckets)))
+            - _r6(1e6 * np.log((cr + 1.0) / (tr + n_buckets))))
+    term_ref = ray.put(term)
+
+    def score(t: pa.Table) -> pa.Table:
+        tm = ray.get(term_ref)
+        ids, n_tok, w = [], [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            b = _tok_buckets(txt)
+            if b.size == 0:
+                continue
+            ids.append(did)
+            n_tok.append(int(b.size))
+            w.append(int(np.bincount(b, minlength=len(tm)) @ tm))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "weight_unats": pa.array(w, pa.int64()),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow")
+
+
+def _dsir_blob_add(t: pa.Table) -> pa.Table:
+    """Elementwise-add a block of count blobs (the _gram_add shape)."""
+    if t.num_rows <= 1:
+        return t
+    dim = int(t["dim"][0].as_py())
+    tot = np.zeros(dim, np.int64)
+    for b in t["counts"].to_pylist():
+        tot += np.frombuffer(b, np.int64)
+    return pa.table({
+        "counts": pa.array([tot.tobytes()], pa.binary()),
+        "dim": pa.array([dim], pa.int64()),
+        "n_vecs": pa.array([int(pc.sum(t["n_vecs"]).as_py())], pa.int64()),
+    })
+
+
 def lm_quality_buckets(sf_dir: str):
     """CCNet-STYLE QUALITY BUCKETS: per language, split documents into
     terciles of the bigram-LM average score (avg micro-nats per bigram

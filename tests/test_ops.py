@@ -2769,6 +2769,59 @@ def test_bpe_merges_iterated(ray_session, tmp_path_factory):
     assert int(st.iloc[0]["n_symbols_after"]) == 4
 
 
+def test_dsir_weights_local_recompute(ray_session, tmp_path_factory):
+    """DSIR hashed-feature importance weights equal a local recompute
+    with the same md5 buckets, Laplace smoothing and per-side integer
+    micro-nat rounding — and target-domain docs score above non-target
+    docs on a vocabulary-separated corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_ray.config import DEFAULT_CONFIG
+    from ocr_ray.pipelines.relational import _md5_mod, dsir_weights
+
+    d = tmp_path_factory.mktemp("dsir_docs")
+    rows = []
+    for i in range(60):
+        lang = ["en", "fr"][i % 2]
+        toks = [f"{lang}word{j}{i % 5}" for j in range(10)]
+        rows.append((i, " ".join(toks), lang))
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "source": pa.array(["s"] * len(rows), pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    }), str(d / "documents.parquet"))
+
+    B = DEFAULT_CONFIG.dsir_buckets
+    ct = np.zeros(B, np.int64)
+    cr = np.zeros(B, np.int64)
+    for _, txt, lang in rows:
+        b = _md5_mod(txt.split(), B)
+        cnt = np.bincount(b, minlength=B)
+        cr += cnt
+        if lang == "en":
+            ct += cnt
+
+    def r6(x):
+        return np.copysign(np.floor(np.abs(x) + 0.5), x).astype(np.int64)
+
+    term = (r6(1e6 * np.log((ct + 1.0) / (float(ct.sum()) + B)))
+            - r6(1e6 * np.log((cr + 1.0) / (float(cr.sum()) + B))))
+    got = dsir_weights(str(d)).to_pandas().set_index("doc_id")
+    for did, txt, lang in rows:
+        b = _md5_mod(txt.split(), B)
+        want = int(np.bincount(b, minlength=B) @ term)
+        assert int(got.loc[did, "weight_unats"]) == want
+        assert int(got.loc[did, "n_tokens"]) == 10
+    mean_en = got.loc[[r[0] for r in rows if r[2] == "en"],
+                      "weight_unats"].mean()
+    mean_fr = got.loc[[r[0] for r in rows if r[2] == "fr"],
+                      "weight_unats"].mean()
+    assert mean_en > mean_fr        # target domain ranks above non-target
+
+
 def test_lm_quality_buckets_partitions_scored_docs(ray_session):
     """Per-lang terciles partition exactly the LM-scored docs (token-less
     docs excluded), every lang has all three buckets on the testdata, and
