@@ -226,3 +226,53 @@ def test_levenshtein_many_matches_duckdb(pairs):
     want = [con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
             for a, b in pairs]
     assert got == want
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.sampled_from("ab"), min_size=1, max_size=16),
+       st.lists(st.tuples(st.text(alphabet="ab", min_size=1, max_size=2),
+                          st.text(alphabet="ab", min_size=1, max_size=2)),
+                max_size=4))
+def test_bpe_apply_invariants(chars, merges):
+    """Greedy BPE application preserves the concatenation, never grows
+    the symbol count, and equals DuckDB's replace() over the chr(31)
+    segment encoding round-for-round (the oracle's exact mechanism)."""
+    import duckdb
+
+    from ocr_ray.pipelines.relational import _bpe_apply
+
+    syms = list(chars)
+    out = _bpe_apply(syms, merges)
+    assert "".join(out) == "".join(chars)
+    assert 1 <= len(out) <= len(chars)
+
+    con = duckdb.connect()
+    seg = "\x1f" + "\x1f\x1f".join(chars) + "\x1f"
+    for left, right in merges:
+        seg = con.execute(
+            "SELECT replace(?, ?, ?)",
+            [seg, f"\x1f{left}\x1f\x1f{right}\x1f", f"\x1f{left}{right}\x1f"],
+        ).fetchone()[0]
+    sql_syms = seg[1:-1].split("\x1f\x1f") if len(seg) > 2 else []
+    assert out == (sql_syms or [""] if chars == [""] else sql_syms)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet="abc \t\n", max_size=60),
+       st.integers(min_value=1, max_value=5))
+def test_window_hashes_positional(txt, k):
+    """window_hashes is position-preserving: one hash per strict window,
+    equal to hashing each joined window independently."""
+    import hashlib
+
+    from ocr_ray.pipelines.dedup import window_hashes
+
+    words = txt.lower().split()
+    got = window_hashes(txt, k)
+    n = max(0, len(words) - k + 1)
+    assert got.size == n
+    for i in range(n):
+        w = " ".join(words[i:i + k])
+        want = int.from_bytes(
+            hashlib.md5(w.encode()).digest()[8:16], "little")
+        assert int(got[i]) == want
