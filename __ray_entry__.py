@@ -736,6 +736,23 @@ def _q_knn_ivf_indexed(sf_dir: str):
     return knn_ivf_indexed(_ann_index(sf_dir, "ivf"), _query_vec(sf_dir), k=10)
 
 
+def _q_ann_recall(sf_dir: str):
+    """Recall@k of the LSH ANN path vs exact brute-force cosine: both
+    top-10 sets come from the existing distributed pipelines; only the
+    two 10-row tables are compared (O(k) driver work)."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.simsearch import ann_recall_at_k, knn_cosine, knn_lsh
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    q = _query_vec(sf_dir)
+    exact = knn_cosine(
+        rd.read_parquet(path, columns=["vec_id", "embedding"]), q, k=10)
+    approx = knn_lsh(
+        rd.read_parquet(path, columns=["vec_id", "embedding"]), q, k=10)
+    return ann_recall_at_k(exact, approx, k=10)
+
+
 def _q_training_corpus(sf_dir: str):
     """End-to-end training-data pipeline: extract → dedup → quality."""
     from ocr_ray.pipelines.training_corpus import training_corpus
@@ -1329,6 +1346,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _q_knn_ivf,
         "knn_lsh_indexed": _q_knn_lsh_indexed,
         "knn_ivf_indexed": _q_knn_ivf_indexed,
+        "ann_recall_at_k": _q_ann_recall,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         # entity matching (H3)
@@ -1570,6 +1588,7 @@ def oracle_sql() -> dict[str, str]:
         # twins (partition pruning changes bytes read, not results)
         "knn_lsh_indexed": _do.knn_lsh_sql(),
         "knn_ivf_indexed": _do.knn_ivf_sql(),
+        "ann_recall_at_k": _do.ann_recall_sql(),
         "knn_join_lsh": _do.knn_join_lsh_sql(),
         "entity_match": _do.entity_match_sql(),
         "qc_field_compare": _v.qc_field_compare_sql(),

@@ -560,3 +560,32 @@ def knn_join_lsh_sql(k: int = 5, dim: int = 64) -> str:
         SELECT vec_id, neighbor_id, sim, CAST(rk AS BIGINT) AS nn_rank
         FROM r WHERE rk <= {k}
     """
+
+
+def ann_recall_sql(k: int = 10, dim: int = 64) -> str:
+    """ann_recall_at_k re-derived in SQL: the LSH top-k (knn_lsh_sql) and
+    the exact cosine top-k are nested as CTE subqueries, then the set
+    intersection and half-away-rounded recall basis points are computed
+    over the two k-row sets."""
+    lsh = knn_lsh_sql(k=k, dim=dim)
+    return f"""
+        WITH lshk AS MATERIALIZED ({lsh}),
+        exactk AS MATERIALIZED (
+          SELECT e.vec_id
+          FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+          ORDER BY ROUND(list_cosine_similarity(
+                     CAST(e.embedding AS DOUBLE[]),
+                     CAST(q.embedding AS DOUBLE[])), 6) DESC, e.vec_id
+          LIMIT {k}
+        ),
+        common AS (
+          SELECT count(*) AS c FROM lshk JOIN exactk USING (vec_id)
+        )
+        SELECT CAST({k} AS BIGINT) AS k,
+               CAST((SELECT count(*) FROM exactk) AS BIGINT) AS n_exact,
+               CAST((SELECT count(*) FROM lshk) AS BIGINT) AS n_approx,
+               CAST((SELECT c FROM common) AS BIGINT) AS n_common,
+               CAST(FLOOR(10000.0 * (SELECT c FROM common)
+                          / (SELECT count(*) FROM exactk) + 0.5) AS BIGINT)
+                 AS recall_bp
+    """

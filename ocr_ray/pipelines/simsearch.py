@@ -702,3 +702,34 @@ def knn_join_lsh(ds, k: int = 5, n_bits: int | None = None,
         .groupby("cbucket")
         .map_groups(join_group, batch_format="pandas")
     )
+
+
+def ann_recall_at_k(exact: pa.Table, approx: pa.Table, k: int,
+                    key_col: str = "vec_id") -> pa.Table:
+    """Recall@k of an approximate top-k result against the exact one —
+    the standard ANN quality metric (reference analogue: the dual-engine
+    agreement vote, ``quality_check.py``-style compare of two extractors'
+    outputs for the same doc).
+
+    Both inputs are k-row tables already produced by the distributed
+    pipelines (:func:`knn_cosine` exact, :func:`knn_lsh` /
+    :func:`knn_lsh_indexed` approximate); only those ≤k-row sets are
+    compared here, so the evaluation itself is O(k) on the driver — the
+    100 TB cost lives entirely in the two upstream searches.
+
+    Returns one row: ``(k, n_exact, n_approx, n_common, recall_bp)``
+    with ``recall_bp`` = basis points of exact neighbors recovered,
+    half-away-rounded to an integer (oracle parity convention).
+    """
+    exact_ids = set(exact[key_col].to_pylist())
+    approx_ids = set(approx[key_col].to_pylist())
+    n_common = len(exact_ids & approx_ids)
+    n_exact = len(exact_ids)
+    recall_bp = int(np.floor(10000.0 * n_common / n_exact + 0.5)) if n_exact else 0
+    return pa.table({
+        "k": pa.array([k], pa.int64()),
+        "n_exact": pa.array([n_exact], pa.int64()),
+        "n_approx": pa.array([len(approx_ids)], pa.int64()),
+        "n_common": pa.array([n_common], pa.int64()),
+        "recall_bp": pa.array([recall_bp], pa.int64()),
+    })

@@ -505,6 +505,32 @@ def test_knn_ivf_finds_query_and_recall(ray_session):
     again = knn_ivf(rd.read_parquet(path), q, k=10)
     assert approx.equals(again)
 
+def test_ann_recall_at_k(ray_session):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ocr_ray.pipelines.simsearch import ann_recall_at_k, knn_cosine, knn_lsh
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    t = pq.read_table(path)
+    q = t["embedding"][t["vec_id"].to_pylist().index(0)].as_py()
+    exact = knn_cosine(rd.read_parquet(path), q, k=10)
+    approx = knn_lsh(rd.read_parquet(path), q, k=10)
+    row = ann_recall_at_k(exact, approx, k=10)
+    assert row.num_rows == 1
+    assert row.column_names == ["k", "n_exact", "n_approx", "n_common", "recall_bp"]
+    r = {c: row[c][0].as_py() for c in row.column_names}
+    assert r["n_exact"] == 10 and 0 <= r["n_common"] <= 10
+    assert r["recall_bp"] == round(10000 * r["n_common"] / r["n_exact"])
+    # exact vs itself is perfect recall
+    perfect = ann_recall_at_k(exact, exact, k=10)
+    assert perfect["recall_bp"][0].as_py() == 10000
+    # disjoint sets → zero recall
+    other = pa.table({"vec_id": pa.array([10**9], pa.int64())})
+    assert ann_recall_at_k(exact, other, k=10)["recall_bp"][0].as_py() == 0
+
+
 def test_ann_indexed_layout_equals_scan_path(ray_session, tmp_path_factory):
     """Partition-pruned index layouts return EXACTLY the scan-path result,
     and a query touches only its probe partitions."""
