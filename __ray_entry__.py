@@ -753,6 +753,19 @@ def _q_ann_recall(sf_dir: str):
     return ann_recall_at_k(exact, approx, k=10)
 
 
+def _q_semdedup_stats(sf_dir: str):
+    """SemDeDup per-cluster survivor stats: deterministic k-means
+    partition (the IVF quantizer), in-cluster cosine-threshold
+    components, keep-first representative."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.simsearch import semdedup_stats
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return semdedup_stats(ds, threshold=0.35)
+
+
 def _q_training_corpus(sf_dir: str):
     """End-to-end training-data pipeline: extract → dedup → quality."""
     from ocr_ray.pipelines.training_corpus import training_corpus
@@ -1347,6 +1360,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "knn_lsh_indexed": _q_knn_lsh_indexed,
         "knn_ivf_indexed": _q_knn_ivf_indexed,
         "ann_recall_at_k": _q_ann_recall,
+        "semdedup_stats": _q_semdedup_stats,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         # entity matching (H3)
@@ -1589,6 +1603,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh_indexed": _do.knn_lsh_sql(),
         "knn_ivf_indexed": _do.knn_ivf_sql(),
         "ann_recall_at_k": _do.ann_recall_sql(),
+        "semdedup_stats": _do.semdedup_stats_sql(),
         "knn_join_lsh": _do.knn_join_lsh_sql(),
         "entity_match": _do.entity_match_sql(),
         "qc_field_compare": _v.qc_field_compare_sql(),

@@ -388,14 +388,16 @@ def knn_lsh_sql(k: int = 10, dim: int = 64) -> str:
     """
 
 
-def knn_ivf_sql(k: int = 10, n_clusters: int = 16, n_probe: int = 2,
-                train_sample: int = 2048, n_iter: int = 10,
-                dim: int = 64) -> str:
-    """knn_ivf re-derived in SQL: the deterministic k-means (init = first
-    n_clusters sample vectors, assignment ties to lowest centroid id,
-    centroids ROUNDed to 6 dp each update — simsearch._kmeans_lite) is
-    unrolled as one chained CTE pair per iteration over per-dimension
-    rows; probe-cell selection and the cell-filtered cosine top-k follow."""
+def _kmeans_assign_parts(n_clusters: int, train_sample: int, n_iter: int,
+                         dim: int) -> list[str]:
+    """The deterministic k-means (init = first n_clusters sample vectors,
+    assignment ties to lowest centroid id, centroids ROUNDed to 6 dp each
+    update — simsearch._kmeans_lite) unrolled as one chained CTE pair per
+    iteration over per-dimension rows, ending with ``assign_all``
+    (vec_id → cid over the WHOLE table).  Shared by :func:`knn_ivf_sql`
+    and :func:`semdedup_stats_sql`; join the returned parts with ','
+    after a WITH and reference ``adim`` / ``cent{n_iter}`` /
+    ``assign_all`` downstream."""
     parts = [f"""
         sv AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -439,6 +441,27 @@ def knn_ivf_sql(k: int = 10, n_clusters: int = 16, n_probe: int = 2,
         )""")
     final = f"cent{n_iter}"
     parts.append(f"""
+        assign_all AS (
+          SELECT vec_id, cid FROM (
+            SELECT ad.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY ad.vec_id
+                                      ORDER BY sum((ad.val - c.val) * (ad.val - c.val)), c.cid) AS rn
+            FROM adim ad JOIN {final} c ON c.j = ad.j
+            GROUP BY ad.vec_id, c.cid
+          ) WHERE rn = 1
+        )""")
+    return parts
+
+
+def knn_ivf_sql(k: int = 10, n_clusters: int = 16, n_probe: int = 2,
+                train_sample: int = 2048, n_iter: int = 10,
+                dim: int = 64) -> str:
+    """knn_ivf re-derived in SQL: the shared k-means unroll
+    (:func:`_kmeans_assign_parts`), then probe-cell selection and the
+    cell-filtered cosine top-k."""
+    parts = _kmeans_assign_parts(n_clusters, train_sample, n_iter, dim)
+    final = f"cent{n_iter}"
+    parts.append(f"""
         qdim AS (
           SELECT j, val FROM adim WHERE vec_id = 0
         ),
@@ -448,15 +471,6 @@ def knn_ivf_sql(k: int = 10, n_clusters: int = 16, n_probe: int = 2,
             FROM {final} c JOIN qdim q ON q.j = c.j
             GROUP BY c.cid
           ) ORDER BY d, cid LIMIT {n_probe}
-        ),
-        assign_all AS (
-          SELECT vec_id, cid FROM (
-            SELECT ad.vec_id, c.cid,
-                   row_number() OVER (PARTITION BY ad.vec_id
-                                      ORDER BY sum((ad.val - c.val) * (ad.val - c.val)), c.cid) AS rn
-            FROM adim ad JOIN {final} c ON c.j = ad.j
-            GROUP BY ad.vec_id, c.cid
-          ) WHERE rn = 1
         )
         SELECT e.vec_id,
                ROUND(list_cosine_similarity(
@@ -469,6 +483,45 @@ def knn_ivf_sql(k: int = 10, n_clusters: int = 16, n_probe: int = 2,
         ORDER BY sim DESC, e.vec_id
         LIMIT {k}""")
     return "WITH " + ",".join(parts)
+
+
+def semdedup_stats_sql(threshold: float = 0.35, n_clusters: int = 16,
+                       train_sample: int = 2048, n_iter: int = 10,
+                       dim: int = 64) -> str:
+    """semdedup_stats re-derived in SQL: the shared k-means unroll assigns
+    every vector a cluster (assign_all), in-cluster pairs with rounded
+    cosine ≥ threshold feed the same recursive min-label component CTE as
+    the near-dup oracles, and survivors are unpaired vectors plus each
+    component's min-id representative, rolled up per cluster."""
+    parts = _kmeans_assign_parts(n_clusters, train_sample, n_iter, dim)
+    parts.append(f"""
+        nv AS MATERIALIZED (
+          SELECT a.vec_id, a.cid, CAST(e.embedding AS DOUBLE[]) AS ev
+          FROM assign_all a JOIN embeddings e ON e.vec_id = a.vec_id
+        ),
+        cpairs AS MATERIALIZED (
+          SELECT x.vec_id AS a, y.vec_id AS b
+          FROM nv x JOIN nv y ON x.cid = y.cid AND x.vec_id < y.vec_id
+          WHERE ROUND(list_cosine_similarity(x.ev, y.ev), 6) >= {threshold}
+        ),
+        sym AS (
+          SELECT a, b FROM cpairs UNION SELECT b, a FROM cpairs
+        ),
+        lab(v, l) AS (
+          SELECT a, least(a, min(b)) FROM sym GROUP BY a
+          UNION
+          SELECT s.a, l.l FROM sym s JOIN lab l ON l.v = s.b WHERE l.l < s.a
+        ),
+        dup AS (
+          SELECT v AS vec_id, min(l) AS dup_of FROM lab GROUP BY v
+        )
+        SELECT CAST(a.cid AS BIGINT) AS cid,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(sum(CASE WHEN d.vec_id IS NULL OR d.dup_of = a.vec_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+        FROM assign_all a LEFT JOIN dup d ON d.vec_id = a.vec_id
+        GROUP BY a.cid""")
+    return "WITH RECURSIVE " + ",".join(parts)
 
 
 _SUFFIXES = (" LLC", " INC", " CORP", " L.L.C.", " I.N.C.", " CORP.")

@@ -733,3 +733,102 @@ def ann_recall_at_k(exact: pa.Table, approx: pa.Table, k: int,
         "n_common": pa.array([n_common], pa.int64()),
         "recall_bp": pa.array([recall_bp], pa.int64()),
     })
+
+
+def semdedup_stats(ds, threshold: float = 0.35, n_clusters: int | None = None,
+                   train_sample: int | None = None,
+                   vec_col: str = "embedding", key_col: str = "vec_id"):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public method):
+    SEMANTIC dedup by k-means partitioning + an in-cluster cosine
+    threshold — near-duplicates are only searched WITHIN a cluster, which
+    is what makes semantic dedup tractable at corpus scale.  Per cluster,
+    vectors whose rounded cosine ≥ ``threshold`` form components; the
+    min-``vec_id`` member of each component survives (keep-first, the
+    same representative rule as :func:`~ocr_ray.pipelines.dedup.near_dup_filter`).
+    Returns one row per cluster: ``(cid, n_vecs, n_survivors)``.
+
+    Scale shape: centroids are trained on the ``vec_id < train_sample``
+    prefix (the same deterministic, SQL-reproducible :func:`_kmeans_lite`
+    as the IVF path) and broadcast ONCE via ``ray.put``; assignment is a
+    vectorized argmin ``map_batches``; the ONLY shuffle is
+    ``groupby(cid)``, and pair work is confined to clusters —
+    O(Σ b_i²) matmul like :func:`embedding_near_dup`'s block pairs,
+    except SemDeDup *chooses* the partition so raising ``n_clusters``
+    keeps every cluster matmul-sized (total pair work ≈ n²/k).
+    Components cannot span clusters by construction, so the per-cluster
+    min-label union-find is exact, and the representative choice is
+    partition-invariant (a pure function of the assignment + pair graph).
+    """
+    import pandas as pd
+    import pyarrow.compute as pc_
+
+    import ray
+
+    if n_clusters is None:
+        n_clusters = DEFAULT_CONFIG.ivf_clusters
+    if train_sample is None:
+        train_sample = DEFAULT_CONFIG.ivf_train_sample
+
+    sample_tbl = (
+        ds.map_batches(
+            lambda t: t.filter(pc_.less(t[key_col], train_sample)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values(key_col)
+    )
+    sample = np.stack(sample_tbl[vec_col].to_numpy()).astype(np.float64)
+    centroids = _kmeans_lite(sample, n_clusters)
+    ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(ref)
+        mat = _to_matrix(batch[vec_col])
+        if mat.shape[0] == 0:
+            return pa.table({
+                key_col: pa.array([], pa.int64()),
+                vec_col: batch[vec_col],
+                "cid": pa.array([], pa.int64()),
+            })
+        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return pa.table({
+            key_col: batch[key_col],
+            vec_col: batch[vec_col],
+            "cid": pa.array(d.argmin(axis=1).astype(np.int64), pa.int64()),
+        })
+
+    def cluster_stats(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[key_col].to_numpy(dtype=np.int64)
+        n = len(ids)
+        survivors = n
+        if n >= 2:
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in g[vec_col]])
+            nm = _normalized(mat)
+            sims = np.round(nm @ nm.T, 6)
+            ai, bi = np.where(np.triu(sims >= threshold, k=1))
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                while parent.setdefault(x, x) != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in zip(ids[ai], ids[bi]):
+                ra, rb = find(int(a)), find(int(b))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            dropped = sum(1 for m in list(parent) if find(m) != m)
+            survivors = n - dropped
+        return pd.DataFrame({
+            "cid": np.array([g["cid"].iloc[0]], dtype=np.int64),
+            "n_vecs": np.array([n], dtype=np.int64),
+            "n_survivors": np.array([survivors], dtype=np.int64),
+        })
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cid")
+        .map_groups(cluster_stats, batch_format="pandas")
+    )

@@ -531,6 +531,30 @@ def test_ann_recall_at_k(ray_session):
     assert ann_recall_at_k(exact, other, k=10)["recall_bp"][0].as_py() == 0
 
 
+def test_semdedup_stats(ray_session):
+    import ray.data as rd
+
+    from ocr_ray.pipelines.simsearch import semdedup_stats
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+
+    def run(n_parts, threshold=0.35):
+        ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+        out = semdedup_stats(ds.repartition(n_parts), threshold=threshold)
+        return out.to_pandas().sort_values("cid").reset_index(drop=True)
+
+    a = run(7)
+    assert a["n_vecs"].sum() == 500                       # every vector assigned
+    assert (a["n_survivors"] <= a["n_vecs"]).all()
+    assert (a["n_survivors"] >= 1).all()
+    # representative choice is partition-invariant
+    b = run(2)
+    assert a.equals(b)
+    # threshold above max cosine → nothing deduped
+    c = run(3, threshold=1.5)
+    assert (c["n_survivors"] == c["n_vecs"]).all()
+
+
 def test_ann_indexed_layout_equals_scan_path(ray_session, tmp_path_factory):
     """Partition-pruned index layouts return EXACTLY the scan-path result,
     and a query touches only its probe partitions."""
