@@ -220,6 +220,26 @@ def _q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_near_dup(ds)
 
 
+def _q_near_dup_agreement(sf_dir: str):
+    """Method agreement: the minhash+LSH flagged-doc set vs the exact
+    n-gram-Jaccard one (pairs → components) — recall/precision of the
+    approximate dedup method in basis points."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.dedup import (
+        label_set_agreement, minhash_near_dup, ngram_jaccard_near_dup,
+    )
+    from ocr_ray.pipelines.graph import connected_components
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    labels_lsh = minhash_near_dup(
+        rd.read_parquet(path, columns=["doc_id", "text"]))
+    exact_pairs = ngram_jaccard_near_dup(
+        rd.read_parquet(path, columns=["doc_id", "text"]))
+    labels_exact = connected_components(exact_pairs)
+    return label_set_agreement(labels_lsh, labels_exact)
+
+
 def _q_dup_span_stats(sf_dir: str):
     """Exact duplicated-span coverage (ExactSubstr-dedup analogue)."""
     import ray.data as rd
@@ -1350,6 +1370,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "winnow_near_dup": _q_winnow_near_dup,
         "ngram_jaccard_near_dup": _q_ngram_jaccard,
         "near_dup_filter_stats": _q_near_dup_filter_stats,
+        "near_dup_agreement": _q_near_dup_agreement,
         "dup_span_stats": _q_dup_span_stats,
         "dup_span_filter_stats": _q_dup_span_filter_stats,
         # similarity search
@@ -1594,6 +1615,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_near_dup": _do.winnow_near_dup_sql(),
         "ngram_jaccard_near_dup": _do.ngram_jaccard_sql(),
         "near_dup_filter_stats": _do.near_dup_filter_stats_sql(),
+        "near_dup_agreement": _do.near_dup_agreement_sql(),
         "dup_span_stats": _do.dup_span_stats_sql(),
         "dup_span_filter_stats": _do.dup_span_filter_stats_sql(),
         "knn_lsh": _do.knn_lsh_sql(),

@@ -642,3 +642,34 @@ def ann_recall_sql(k: int = 10, dim: int = 64) -> str:
                           / (SELECT count(*) FROM exactk) + 0.5) AS BIGINT)
                  AS recall_bp
     """
+
+
+def near_dup_agreement_sql() -> str:
+    """label_set_agreement re-derived in SQL: the minhash flagged-doc set
+    (minhash_near_dup_sql labels) vs the exact flagged set (distinct
+    endpoints of ngram_jaccard_sql pairs), intersected, with half-away
+    basis-point recall/precision.  Both sub-oracles nest as MATERIALIZED
+    CTEs (each is referenced more than once — the exponential-inline
+    sharp edge)."""
+    return f"""
+        WITH mh AS MATERIALIZED ({minhash_near_dup_sql()}),
+        ex_pairs AS MATERIALIZED ({ngram_jaccard_sql()}),
+        exn AS MATERIALIZED (
+          SELECT DISTINCT v FROM (
+            SELECT id_a AS v FROM ex_pairs UNION ALL SELECT id_b FROM ex_pairs)
+        ),
+        c AS (SELECT count(*) AS n FROM mh JOIN exn ON exn.v = mh.doc_id),
+        t AS (
+          SELECT CAST((SELECT count(*) FROM mh) AS BIGINT) AS n_lsh,
+                 CAST((SELECT count(*) FROM exn) AS BIGINT) AS n_exact,
+                 CAST((SELECT n FROM c) AS BIGINT) AS n_common
+        )
+        SELECT n_lsh, n_exact, n_common,
+               CASE WHEN n_exact = 0 THEN 0
+                    ELSE CAST(FLOOR(10000.0 * n_common / n_exact + 0.5) AS BIGINT)
+               END AS recall_bp,
+               CASE WHEN n_lsh = 0 THEN 0
+                    ELSE CAST(FLOOR(10000.0 * n_common / n_lsh + 0.5) AS BIGINT)
+               END AS precision_bp
+        FROM t
+    """

@@ -676,22 +676,32 @@ def ngram_jaccard_near_dup(ds, text_col: str = "text", key_col: str = "doc_id",
 
 
 def _drop_ids_ref(labels, key_col: str = "doc_id",
-                  label_col: str = "dup_of"):
+                  label_col: str = "dup_of",
+                  include_representatives: bool = False):
     """ObjectRef → sorted int64 numpy array of NON-representative doc ids
-    (``label != id``) from a (key, label) cluster labeling.  Id-only blocks
-    are reduced worker-side and merge-sorted in ONE Ray task — the driver
-    never holds the id set; readers ``ray.get`` the ref zero-copy per node.
+    (``label != id``) from a (key, label) cluster labeling — or of ALL
+    labeled ids when ``include_representatives`` (the flagged-doc set, for
+    method-agreement evaluation).  Id-only blocks are reduced worker-side
+    and merge-sorted in ONE Ray task — the driver never holds the id set;
+    readers ``ray.get`` the ref zero-copy per node.
     """
     import ray
 
     if isinstance(labels, pa.Table):
-        mask = pc.invert(pc.equal(labels[key_col], labels[label_col]))
-        arr = labels.filter(mask)[key_col].to_numpy(zero_copy_only=False)
+        if include_representatives:
+            kept = labels
+        else:
+            mask = pc.invert(pc.equal(labels[key_col], labels[label_col]))
+            kept = labels.filter(mask)
+        arr = kept[key_col].to_numpy(zero_copy_only=False)
         return ray.put(np.sort(arr.astype(np.int64)))
 
     def ids_only(t: pa.Table) -> pa.Table:
-        keep = pc.invert(pc.equal(t[key_col], t[label_col]))
-        return pa.table({key_col: pc.cast(t.filter(keep)[key_col], pa.int64())})
+        if include_representatives:
+            kept = t
+        else:
+            kept = t.filter(pc.invert(pc.equal(t[key_col], t[label_col])))
+        return pa.table({key_col: pc.cast(kept[key_col], pa.int64())})
 
     refs = labels.map_batches(ids_only, batch_format="pyarrow").to_arrow_refs()
 
@@ -1016,3 +1026,77 @@ def benchmark_contamination(ds, bench_ds, text_col: str = "text",
         })
 
     return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def label_set_agreement(labels_lsh, labels_exact, key_col: str = "doc_id"):
+    """Method-agreement evaluator for near-dup dedup: how well an
+    APPROXIMATE method's flagged-doc set (e.g. :func:`minhash_near_dup`)
+    recovers the EXACT method's (e.g. :func:`ngram_jaccard_near_dup`
+    pairs run through connected components) — the text-dedup twin of
+    :func:`~ocr_ray.pipelines.simsearch.ann_recall_at_k`.
+
+    Returns one row ``(n_lsh, n_exact, n_common, recall_bp,
+    precision_bp)`` — recall/precision of the approximate flagged set
+    against the exact one, in half-away-rounded basis points.
+
+    Scale shape: the exact flagged-id set (O(dup docs) 8-byte ids) is
+    merge-sorted in ONE worker task and broadcast by ObjectRef (the
+    :func:`_drop_ids_ref` discipline — the driver never holds it); the
+    approximate side streams through an embarrassingly parallel
+    searchsorted-membership count whose per-batch partials reduce in one
+    ``repartition(1)`` task, so exactly one 5-column row ever reaches
+    the driver.
+    """
+    import ray
+
+    exact_ref = _drop_ids_ref(labels_exact, key_col=key_col,
+                              include_representatives=True)
+    n_exact = int(ray.get(
+        ray.remote(num_cpus=1)(lambda a: int(a.size)).remote(exact_ref)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        exact = ray.get(exact_ref)
+        if exact.size and ids.size:
+            pos = np.searchsorted(exact, ids)
+            pos[pos == exact.size] = 0
+            common = int((exact[pos] == ids).sum())
+        else:
+            common = 0
+        return pa.table({
+            "n_lsh": pa.array([ids.size], pa.int64()),
+            "n_common": pa.array([common], pa.int64()),
+        })
+
+    def final_row(n_lsh: int, n_common: int) -> pa.Table:
+        recall = int(np.floor(10000.0 * n_common / n_exact + 0.5)) if n_exact else 0
+        prec = int(np.floor(10000.0 * n_common / n_lsh + 0.5)) if n_lsh else 0
+        return pa.table({
+            "n_lsh": pa.array([n_lsh], pa.int64()),
+            "n_exact": pa.array([n_exact], pa.int64()),
+            "n_common": pa.array([n_common], pa.int64()),
+            "recall_bp": pa.array([recall], pa.int64()),
+            "precision_bp": pa.array([prec], pa.int64()),
+        })
+
+    if isinstance(labels_lsh, pa.Table):
+        p = partial(labels_lsh)
+        return final_row(int(p["n_lsh"][0].as_py()),
+                         int(p["n_common"][0].as_py()))
+
+    def final(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+        return final_row(
+            int(pc_.sum(t["n_lsh"]).as_py() or 0),
+            int(pc_.sum(t["n_common"]).as_py() or 0))
+
+    parts = labels_lsh.map_batches(partial, batch_format="pyarrow")
+    out = parts.repartition(1).map_batches(
+        final, batch_format="pyarrow", batch_size=None)
+    import ray as _ray
+
+    blocks = [b for b in _ray.get(out.to_arrow_refs())
+              if b.num_columns and b.num_rows]
+    if not blocks:           # empty approximate side still yields one row
+        return final_row(0, 0)
+    return pa.concat_tables(blocks)

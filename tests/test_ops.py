@@ -236,6 +236,35 @@ def test_ngram_jaccard_near_dup(ray_session):
     assert all(4 not in p for p in got)                   # unrelated never pairs
 
 
+def test_label_set_agreement(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.pipelines.dedup import label_set_agreement
+
+    labels = pa.table({"doc_id": pa.array([1, 2, 5, 9], pa.int64()),
+                       "dup_of": pa.array([1, 1, 5, 5], pa.int64())})
+    # a labeling against itself is perfect
+    perfect = label_set_agreement(labels, labels)
+    assert perfect.column_names == [
+        "n_lsh", "n_exact", "n_common", "recall_bp", "precision_bp"]
+    assert perfect.to_pydict() == {"n_lsh": [4], "n_exact": [4],
+                                   "n_common": [4], "recall_bp": [10000],
+                                   "precision_bp": [10000]}
+    # partial overlap, Dataset input path
+    approx = pa.table({"doc_id": pa.array([1, 2, 7], pa.int64()),
+                       "dup_of": pa.array([1, 1, 7], pa.int64())})
+    got = label_set_agreement(rd.from_arrow(approx).repartition(3), labels)
+    assert got.to_pydict() == {"n_lsh": [3], "n_exact": [4], "n_common": [2],
+                               "recall_bp": [5000], "precision_bp": [6667]}
+    # empty sides
+    empty = labels.slice(0, 0)
+    z = label_set_agreement(empty, labels)
+    assert z["recall_bp"][0].as_py() == 0 and z["n_lsh"][0].as_py() == 0
+    z2 = label_set_agreement(labels, empty)
+    assert z2["n_exact"][0].as_py() == 0 and z2["recall_bp"][0].as_py() == 0
+
+
 def test_near_dup_filter_partition_invariance(ray_session):
     """near_dup_filter keeps exactly one representative (the min doc_id)
     per fuzzy-dup cluster plus every unclustered doc, and the survivor set
