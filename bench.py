@@ -134,7 +134,8 @@ def main() -> None:
                      "bloom_semi_join_revenue", "pack_context_windows",
                      "heavy_hitter_terms", "bigram_lm_scores",
                      "near_dup_filter_stats", "bpe_merges",
-                     "dup_span_stats"):
+                     "dup_span_stats", "semdedup_stats",
+                     "near_dup_agreement"):
             t0 = time.monotonic()
             res = q[name](SF_DIR)
             if hasattr(res, "to_pandas"):
