@@ -786,6 +786,19 @@ def _q_semdedup_stats(sf_dir: str):
     return semdedup_stats(ds, threshold=0.35)
 
 
+def _q_kmeans_embeddings(sf_dir: str):
+    """Full-corpus distributed Lloyd's k-means: integer-exact
+    assignment/update over every vector, centroids via per-batch partial
+    blobs + bounded prefold (no shuffle, no sample)."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.simsearch import kmeans_embeddings
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return kmeans_embeddings(ds, k=8, n_iter=3)
+
+
 def _q_training_corpus(sf_dir: str):
     """End-to-end training-data pipeline: extract → dedup → quality."""
     from ocr_ray.pipelines.training_corpus import training_corpus
@@ -1382,6 +1395,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "knn_ivf_indexed": _q_knn_ivf_indexed,
         "ann_recall_at_k": _q_ann_recall,
         "semdedup_stats": _q_semdedup_stats,
+        "kmeans_embeddings": _q_kmeans_embeddings,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         # entity matching (H3)
@@ -1626,6 +1640,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf_indexed": _do.knn_ivf_sql(),
         "ann_recall_at_k": _do.ann_recall_sql(),
         "semdedup_stats": _do.semdedup_stats_sql(),
+        "kmeans_embeddings": _do.kmeans_embeddings_sql(),
         "knn_join_lsh": _do.knn_join_lsh_sql(),
         "entity_match": _do.entity_match_sql(),
         "qc_field_compare": _v.qc_field_compare_sql(),

@@ -524,6 +524,65 @@ def semdedup_stats_sql(threshold: float = 0.35, n_clusters: int = 16,
     return "WITH RECURSIVE " + ",".join(parts)
 
 
+def kmeans_embeddings_sql(k: int = 8, n_iter: int = 3,
+                          dim: int = 64) -> str:
+    """Full-corpus Lloyd's k-means re-derived in SQL
+    (simsearch.kmeans_embeddings): components scale to int64 micro-units
+    up front, every iteration is one chained CTE triple (exact integer
+    distances with HUGEINT squares / argmin ties to lowest cid / centroid
+    = ROUND(sum/count) back to micro-units), unrolled ``n_iter`` times —
+    the embedding_top_component / bpe_merges unroll precedent."""
+    parts = [f"""
+        sv AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        adim AS MATERIALIZED (
+          SELECT vec_id, j.j AS j,
+                 CAST(ROUND(e[j.j + 1] * 1000000.0) AS BIGINT) AS iv
+          FROM sv, unnest(range(0, {dim})) AS j(j)
+        ),
+        cent0 AS MATERIALIZED (
+          SELECT vec_id AS cid, j, iv AS cv FROM adim WHERE vec_id < {k}
+        )"""]
+    for i in range(n_iter):
+        parts.append(f"""
+        dist{i} AS MATERIALIZED (
+          SELECT ad.vec_id, c.cid,
+                 SUM(CAST(ad.iv - c.cv AS HUGEINT) * (ad.iv - c.cv)) AS d
+          FROM adim ad JOIN cent{i} c ON c.j = ad.j
+          GROUP BY ad.vec_id, c.cid
+        ),
+        a{i} AS MATERIALIZED (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+            FROM dist{i}
+          ) WHERE rn = 1
+        ),
+        cent{i + 1} AS MATERIALIZED (
+          SELECT c.cid, c.j,
+                 coalesce(CAST(ROUND(CAST(m.s AS DOUBLE)
+                                     / CAST(m.n AS DOUBLE)) AS BIGINT),
+                          c.cv) AS cv
+          FROM cent{i} c
+          LEFT JOIN (
+            SELECT a.cid, ad.j, SUM(ad.iv) AS s, COUNT(*) AS n
+            FROM a{i} a JOIN adim ad ON ad.vec_id = a.vec_id
+            GROUP BY a.cid, ad.j
+          ) m ON m.cid = c.cid AND m.j = c.j
+        )""")
+    parts.append(f"""
+        members AS (
+          SELECT cid, COUNT(*) AS n FROM a{n_iter - 1} GROUP BY cid
+        )
+        SELECT CAST(c.cid AS BIGINT) AS cid,
+               CAST(c.j + 1 AS BIGINT) AS pos,
+               CAST(c.cv AS BIGINT) AS c_scaled,
+               CAST(coalesce(m.n, 0) AS BIGINT) AS n_members
+        FROM cent{n_iter} c LEFT JOIN members m ON m.cid = c.cid""")
+    return "WITH " + ",".join(parts)
+
+
 _SUFFIXES = (" LLC", " INC", " CORP", " L.L.C.", " I.N.C.", " CORP.")
 _CONFUSIONS = (("G", "H"), ("H", "G"), ("O", "0"), ("0", "O"),
                ("I", "1"), ("1", "I"))

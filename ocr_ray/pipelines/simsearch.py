@@ -832,3 +832,147 @@ def semdedup_stats(ds, threshold: float = 0.35, n_clusters: int | None = None,
         .groupby("cid")
         .map_groups(cluster_stats, batch_format="pandas")
     )
+
+
+def _to_imatrix(col: pa.ChunkedArray) -> np.ndarray:
+    """list<int64> column → (n, d) int64 matrix (zero-copy flatten)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    n = len(col)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def _int_list_column(ints: np.ndarray) -> pa.ListArray:
+    """(n, d) int64 matrix → arrow list<int64> column (one offset array,
+    no per-row Python lists)."""
+    n, d = ints.shape if ints.size else (len(ints), 0)
+    offsets = pa.array(np.arange(0, (n + 1) * d, max(d, 1), dtype=np.int32)
+                       if d else np.zeros(n + 1, np.int32), pa.int32())
+    return pa.ListArray.from_arrays(offsets, pa.array(ints.ravel(), pa.int64()))
+
+
+def _r0(x: np.ndarray) -> np.ndarray:
+    """Half-away-from-zero round to int64 (the DuckDB ROUND convention)."""
+    return np.copysign(np.floor(np.abs(x) + 0.5), x).astype(np.int64)
+
+
+def kmeans_embeddings(ds, k: int = 8, n_iter: int = 3,
+                      scale: int = 1_000_000,
+                      vec_col: str = "embedding", key_col: str = "vec_id"
+                      ) -> pa.Table:
+    """FULL-CORPUS distributed Lloyd's k-means (MacQueen 1967 / Lloyd
+    1982 — public method; the clustering step under SemDeDup / IVF when
+    the quantizer must be trained on EVERY vector, not a sample).
+    Returns the final centroids as one row per (cid, pos):
+    ``(cid, pos, c_scaled, n_members)`` — c_scaled in integer
+    micro-units, n_members from the final assignment (0 for a cluster
+    that lost all members; its centroid carries over unchanged).
+
+    Integer-exact semantics (every step SQL-reproducible):
+
+    * components scale to int64 micro-units (half-away) BEFORE any
+      arithmetic, so distances are exact integer sums — summation order
+      cannot perturb an argmin;
+    * init = the vectors with ``key_col < k`` (well-defined prefix);
+    * assignment = argmin exact squared L2, ties to the LOWEST cid;
+    * centroid update = half-away-round(sum/count) back to micro-units
+      (one float64 division of exact integers — the oracle's
+      ``ROUND(CAST(s AS DOUBLE)/CAST(n AS DOUBLE))`` shape).
+
+    Scale shape: the scaled corpus is materialized ONCE (the standard
+    iterative-algorithm exception — n_iter passes re-read object-store
+    blocks instead of re-decoding parquet; blocks spill under pressure).
+    Each iteration broadcasts the k×dim centroid matrix via ``ray.put``
+    and runs ONE embarrassingly-parallel pass emitting a fixed-size
+    partial blob per batch (k×dim int64 sums + k counts — the
+    _gram_partial discipline); `_prefold` caps the driver at
+    driver_fold_buckets blobs, so driver bytes are O(k·dim), never
+    O(corpus).  No shuffle anywhere.  At 100 TB prefer the sample-trained
+    quantizer (:func:`build_ivf_index`) unless exact full-corpus Lloyd is
+    required; this operator is the exact path.
+    """
+    import pyarrow.compute as pc_
+    import ray
+
+    from ocr_ray.pipelines.relational import _prefold
+
+    def to_scaled(t: pa.Table) -> pa.Table:
+        mat = _to_matrix(t[vec_col]) * scale
+        ints = _r0(mat) if mat.size else mat.astype(np.int64)
+        return pa.table({key_col: t[key_col], "iv": _int_list_column(ints)})
+
+    scaled = ds.map_batches(to_scaled, batch_format="pyarrow").materialize()
+
+    init_tbl = (
+        scaled.map_batches(
+            lambda t: t.filter(pc_.less(t[key_col], k)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values(key_col)
+    )
+    cents = np.stack([np.asarray(v, dtype=np.int64) for v in init_tbl["iv"]])
+    kk, dim = cents.shape
+
+    def blob_add(t: pa.Table) -> pa.Table:
+        if t.num_rows <= 1:
+            return t
+        d = int(t["dim"][0].as_py())
+        n_c = int(t["k"][0].as_py())
+        s = np.zeros(n_c * d, np.int64)
+        c = np.zeros(n_c, np.int64)
+        for sb, cb in zip(t["sums"].to_pylist(), t["counts"].to_pylist()):
+            s += np.frombuffer(sb, np.int64)
+            c += np.frombuffer(cb, np.int64)
+        return pa.table({
+            "sums": pa.array([s.tobytes()], pa.binary()),
+            "counts": pa.array([c.tobytes()], pa.binary()),
+            "dim": pa.array([d], pa.int64()),
+            "k": pa.array([n_c], pa.int64()),
+        })
+
+    counts = np.zeros(kk, np.int64)
+    for _ in range(n_iter):
+        cent_ref = ray.put(cents)
+
+        def partial(t: pa.Table) -> pa.Table:
+            cs = ray.get(cent_ref)
+            mat = _to_imatrix(t["iv"])
+            sums = np.zeros((kk, dim), np.int64)
+            cnts = np.zeros(kk, np.int64)
+            if mat.shape[0]:
+                # exact int64 expansion: |x|^2 - 2 x.c + |c|^2; ties ->
+                # lowest cid via argmin-first-occurrence
+                d2 = ((mat * mat).sum(1)[:, None] - 2 * (mat @ cs.T)
+                      + (cs * cs).sum(1)[None, :])
+                a = d2.argmin(1)
+                for c in np.unique(a):
+                    sub = mat[a == c]
+                    sums[c] = sub.sum(axis=0)
+                    cnts[c] = sub.shape[0]
+            return pa.table({
+                "sums": pa.array([sums.tobytes()], pa.binary()),
+                "counts": pa.array([cnts.tobytes()], pa.binary()),
+                "dim": pa.array([dim], pa.int64()),
+                "k": pa.array([kk], pa.int64()),
+            })
+
+        rows = _prefold(
+            scaled.map_batches(partial, batch_format="pyarrow"),
+            blob_add).take_all()
+        sums = np.zeros((kk, dim), np.int64)
+        counts = np.zeros(kk, np.int64)
+        for r in rows:
+            sums += np.frombuffer(r["sums"], np.int64).reshape(kk, dim)
+            counts += np.frombuffer(r["counts"], np.int64)
+        nz = counts > 0
+        cents = cents.copy()
+        cents[nz] = _r0(sums[nz] / counts[nz, None])
+
+    return pa.table({
+        "cid": pa.array(np.repeat(np.arange(kk, dtype=np.int64), dim)),
+        "pos": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64), kk)),
+        "c_scaled": pa.array(cents.ravel(), pa.int64()),
+        "n_members": pa.array(np.repeat(counts, dim), pa.int64()),
+    })

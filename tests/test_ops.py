@@ -584,6 +584,49 @@ def test_semdedup_stats(ray_session):
     assert (c["n_survivors"] == c["n_vecs"]).all()
 
 
+def test_kmeans_embeddings(ray_session):
+    """Distributed full-corpus Lloyd's == single-process numpy reference,
+    invariant to block geometry (exact integer arithmetic everywhere)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ocr_ray.pipelines.simsearch import _r0, kmeans_embeddings
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    k, n_iter = 8, 3
+
+    def run(n_parts):
+        ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+        return kmeans_embeddings(ds.repartition(n_parts), k=k, n_iter=n_iter)
+
+    a = run(7)
+    assert a.column_names == ["cid", "pos", "c_scaled", "n_members"]
+    assert a.num_rows == k * 64
+    # partition-invariant
+    assert a.equals(run(2))
+
+    # single-process reference (same integer semantics, no Ray)
+    t = pq.read_table(path).sort_by("vec_id")
+    mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    iv = _r0(mat * 1_000_000)
+    cents = iv[:k].copy()
+    counts = np.zeros(k, np.int64)
+    for _ in range(n_iter):
+        d = ((iv * iv).sum(1)[:, None] - 2 * (iv @ cents.T)
+             + (cents * cents).sum(1)[None, :])
+        assign = d.argmin(1)
+        counts = np.bincount(assign, minlength=k).astype(np.int64)
+        for c in range(k):
+            if counts[c]:
+                cents[c] = _r0(iv[assign == c].sum(0) / counts[c])
+    got = a.to_pandas()
+    want_c = cents.ravel()
+    assert (got.sort_values(["cid", "pos"])["c_scaled"].to_numpy() == want_c).all()
+    assert got.groupby("cid")["n_members"].first().to_numpy().tolist() == counts.tolist()
+    assert counts.sum() == 500                      # every vector assigned
+
+
 def test_ann_indexed_layout_equals_scan_path(ray_session, tmp_path_factory):
     """Partition-pruned index layouts return EXACTLY the scan-path result,
     and a query touches only its probe partitions."""
