@@ -1517,6 +1517,8 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "bpe_tokenize_stats": rel.bpe_tokenize_stats,
         "lm_quality_buckets": rel.lm_quality_buckets,
         "dsir_weights": rel.dsir_weights,
+        "dsir_select_stats": rel.dsir_select_stats,
+        "lang_mixture_weights": rel.lang_mixture_weights,
         "nb_lang_confusion": rel.nb_lang_confusion,
         "robots_filter_stats": _q_robots_filter_stats,
         "linear_attribution": win.linear_attribution,
@@ -3503,6 +3505,47 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_merges_sql(3),
         "bpe_tokenize_stats": _bpe_tokenize_stats_sql(3),
         "dsir_weights": _dsir_weights_sql(),
+        # dsir_select_stats: the weights oracle as a subquery, per-lang
+        # top-quota window (weight desc, doc_id asc), survivor rollup
+        "dsir_select_stats": f"""
+            WITH w AS MATERIALIZED ({_dsir_weights_sql()}),
+            wl AS MATERIALIZED (
+                SELECT d.lang, w.doc_id, w.n_tokens, w.weight_unats,
+                       row_number() OVER (
+                           PARTITION BY d.lang
+                           ORDER BY w.weight_unats DESC, w.doc_id) AS rn
+                FROM w JOIN documents d ON d.doc_id = w.doc_id
+            )
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_selected,
+                   CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+                   CAST(MIN(weight_unats) AS BIGINT) AS min_weight_unats,
+                   CAST(MAX(weight_unats) AS BIGINT) AS max_weight_unats
+            FROM wl WHERE rn <= 100 GROUP BY lang
+        """,
+        # lang_mixture_weights: each p^alpha term rounds to micro-units
+        # SEPARATELY before the normalizing sum (exact-integer denominator,
+        # the dsir discipline), so summation order cannot perturb a weight
+        "lang_mixture_weights": """
+            WITH c AS MATERIALIZED (
+                SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+                FROM documents GROUP BY lang
+            ), t AS (
+                SELECT CAST(SUM(n_docs) AS DOUBLE) AS n FROM c
+            ), p AS MATERIALIZED (
+                SELECT lang, n_docs,
+                       CAST(ROUND(1000000.0 * POWER(
+                           CAST(n_docs AS DOUBLE) / t.n, 0.3)) AS BIGINT)
+                       AS pow_micro
+                FROM c, t
+            ), s AS (
+                SELECT CAST(SUM(pow_micro) AS DOUBLE) AS sp FROM p
+            )
+            SELECT lang, n_docs, pow_micro,
+                   CAST(ROUND(1000000.0 * pow_micro / s.sp) AS BIGINT)
+                   AS w_micro
+            FROM p, s
+        """,
         "bpe_merge_candidates": r"""
             WITH words AS (
               SELECT unnest(regexp_split_to_array(

@@ -5283,19 +5283,54 @@ def dsir_weights(sf_dir: str, n_buckets: int | None = None,
     driver_fold_buckets blobs per side, and the term vector broadcasts
     via ray.put; scoring is one embarrassingly parallel bincount·term
     pass.  No shuffle anywhere."""
-    import re
-
     if n_buckets is None:
         n_buckets = DEFAULT_CONFIG.dsir_buckets
     if target_lang is None:
         target_lang = DEFAULT_CONFIG.dsir_target_lang
+    _tok_buckets = _dsir_tok_buckets(n_buckets)
+    term_ref = ray.put(_dsir_term(sf_dir, n_buckets, target_lang))
+
+    def score(t: pa.Table) -> pa.Table:
+        tm = ray.get(term_ref)
+        ids, n_tok, w = [], [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            b = _tok_buckets(txt)
+            if b.size == 0:
+                continue
+            ids.append(did)
+            n_tok.append(int(b.size))
+            w.append(int(np.bincount(b, minlength=len(tm)) @ tm))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "weight_unats": pa.array(w, pa.int64()),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow")
+
+
+def _dsir_tok_buckets(n_buckets: int):
+    """Tokenizer → hashed-feature buckets shared by the DSIR family:
+    whitespace tokens, lowercased, md5-lower-64 % n_buckets."""
+    import re
+
     _ws = re.compile(r"[ \t\n\f\r]+")
 
-    def _tok_buckets(txt: str) -> np.ndarray:
+    def f(txt: str) -> np.ndarray:
         toks = [x for x in _ws.split((txt or "").lower()) if x]
         if not toks:
             return np.zeros(0, np.int64)
         return _md5_mod(toks, n_buckets)
+
+    return f
+
+
+def _dsir_term(sf_dir: str, n_buckets: int, target_lang: str) -> np.ndarray:
+    """Build the DSIR log-likelihood-ratio term vector: two bounded
+    count-blob folds (target side / raw side) over ONE pruned read each,
+    ln terms rounded to integer micro-nats separately (half-away)."""
+    _tok_buckets = _dsir_tok_buckets(n_buckets)
 
     def count_blob(which: str):
         def f(t: pa.Table) -> pa.Table:
@@ -5331,28 +5366,8 @@ def dsir_weights(sf_dir: str, n_buckets: int | None = None,
         return np.copysign(np.floor(np.abs(x) + 0.5), x).astype(np.int64)
 
     tt, tr = float(ct.sum()), float(cr.sum())
-    term = (_r6(1e6 * np.log((ct + 1.0) / (tt + n_buckets)))
+    return (_r6(1e6 * np.log((ct + 1.0) / (tt + n_buckets)))
             - _r6(1e6 * np.log((cr + 1.0) / (tr + n_buckets))))
-    term_ref = ray.put(term)
-
-    def score(t: pa.Table) -> pa.Table:
-        tm = ray.get(term_ref)
-        ids, n_tok, w = [], [], []
-        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            b = _tok_buckets(txt)
-            if b.size == 0:
-                continue
-            ids.append(did)
-            n_tok.append(int(b.size))
-            w.append(int(np.bincount(b, minlength=len(tm)) @ tm))
-        return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "n_tokens": pa.array(n_tok, pa.int64()),
-            "weight_unats": pa.array(w, pa.int64()),
-        })
-
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        score, batch_format="pyarrow")
 
 
 def _dsir_blob_add(t: pa.Table) -> pa.Table:
@@ -5755,3 +5770,125 @@ def nb_lang_confusion(sf_dir: str):
             .map_groups(fold_predict, batch_format="pandas")
             .groupby(["lang", "pred_lang"])
             .aggregate(Sum("n_docs", alias_name="n_docs")))
+
+
+def lang_mixture_weights(sf_dir: str, alpha: float = 0.3,
+                         scale: int = 1_000_000):
+    """TEMPERATURE-SCALED corpus mixture weights (the mC4 / XLM-R
+    ``alpha``-sampling step — Conneau et al. 2020, arXiv:1911.02116,
+    public method): per language, ``w_l ∝ p_l^alpha`` where
+    ``p_l = n_l / N`` — upweights tail languages so a multilingual
+    training mix is not dominated by the head language.  Output one row
+    per language: ``(lang, n_docs, pow_micro, w_micro)``.
+
+    Float discipline: each ``p_l^alpha`` term rounds to integer
+    micro-units SEPARATELY (half-away) before the normalizing sum, so
+    the denominator is an exact integer and summation order cannot
+    perturb a weight (the dsir_weights discipline).
+
+    Scale shape: per-batch value-counts → a |langs|-key groupby sum →
+    the closed-form weights computed in ONE bounded task over the
+    |langs|-row table.  The corpus is read once, one pruned column.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t["lang"])
+        return pa.table({
+            "lang": vc.field("values"),
+            "n_docs": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.groupby("lang", as_index=False)["n_docs"].sum()
+        n_total = float(df["n_docs"].sum())
+        p = df["n_docs"].to_numpy(np.float64) / n_total
+        pow_micro = np.copysign(
+            np.floor(np.abs(scale * p ** alpha) + 0.5), 1.0).astype(np.int64)
+        denom = float(pow_micro.sum())
+        w_micro = np.floor(scale * pow_micro / denom + 0.5).astype(np.int64)
+        return pd.DataFrame({
+            "lang": df["lang"],
+            "n_docs": df["n_docs"].astype("int64"),
+            "pow_micro": pow_micro,
+            "w_micro": w_micro,
+        })
+
+    return (
+        _read(sf_dir, "documents", ["lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )
+
+
+def dsir_select_stats(sf_dir: str, quota: int = 100,
+                      n_buckets: int | None = None,
+                      target_lang: str | None = None):
+    """DSIR SELECTION (the resampling step of Xie et al. 2023, public
+    method): per language, keep the ``quota`` documents with the highest
+    importance weight (ties → lowest doc_id) and report survivor stats —
+    ``(lang, n_selected, sum_tokens, min_weight_unats,
+    max_weight_unats)``.  This is the step that turns
+    :func:`dsir_weights` scores into an actual curated corpus slice.
+
+    Scale shape: the term vector builds exactly as in
+    :func:`dsir_weights` (bounded blob folds, broadcast once); scoring
+    emits (lang, doc_id, n_tokens, weight) and each batch pre-truncates
+    to its own per-lang top-``quota`` BEFORE the exchange, so the
+    |langs|-group final merge sees ≤ quota × n_batches rows — never the
+    corpus.  |langs| is small by construction (a language mix), so the
+    per-group map_groups dispatch cost is bounded.
+    """
+    if n_buckets is None:
+        n_buckets = DEFAULT_CONFIG.dsir_buckets
+    if target_lang is None:
+        target_lang = DEFAULT_CONFIG.dsir_target_lang
+    _tok_buckets = _dsir_tok_buckets(n_buckets)
+    term_ref = ray.put(_dsir_term(sf_dir, n_buckets, target_lang))
+
+    def score(t: pa.Table) -> pd.DataFrame:
+        tm = ray.get(term_ref)
+        langs, ids, n_tok, w = [], [], [], []
+        for lang, did, txt in zip(t["lang"].to_pylist(),
+                                  t["doc_id"].to_pylist(),
+                                  t["text"].to_pylist()):
+            b = _tok_buckets(txt)
+            if b.size == 0:
+                continue
+            langs.append(lang)
+            ids.append(did)
+            n_tok.append(int(b.size))
+            w.append(int(np.bincount(b, minlength=len(tm)) @ tm))
+        df = pd.DataFrame({
+            "lang": pd.Series(langs, dtype="object"),
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "n_tokens": pd.Series(n_tok, dtype="int64"),
+            "weight_unats": pd.Series(w, dtype="int64"),
+        })
+        # per-batch partial top-quota per lang: only candidate rows cross
+        return (df.sort_values(["weight_unats", "doc_id"],
+                               ascending=[False, True])
+                .groupby("lang", as_index=False).head(quota))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        top = (g.sort_values(["weight_unats", "doc_id"],
+                             ascending=[False, True]).head(quota))
+        return pd.DataFrame({
+            "lang": [g["lang"].iloc[0]],
+            "n_selected": np.array([len(top)], np.int64),
+            "sum_tokens": np.array([top["n_tokens"].sum()], np.int64),
+            "min_weight_unats": np.array(
+                [top["weight_unats"].min()], np.int64),
+            "max_weight_unats": np.array(
+                [top["weight_unats"].max()], np.int64),
+        })
+
+    return (
+        _read(sf_dir, "documents", ["lang", "doc_id", "text"])
+        .map_batches(score, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(final, batch_format="pandas")
+    )

@@ -2944,6 +2944,65 @@ def test_dsir_weights_local_recompute(ray_session, tmp_path_factory):
     assert mean_en > mean_fr        # target domain ranks above non-target
 
 
+def test_dsir_select_stats_top_quota(ray_session):
+    """Per-lang selection keeps exactly min(quota, n_lang) docs, the
+    selected weight range matches a driver-side recompute from
+    dsir_weights, and the result is partition-invariant."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ocr_ray.pipelines.relational import dsir_select_stats, dsir_weights
+
+    sf = "/root/testdata/sf0.001"
+    quota = 20
+    got = (dsir_select_stats(sf, quota=quota).to_pandas()
+           .sort_values("lang").reset_index(drop=True))
+
+    w = dsir_weights(sf).to_pandas()
+    langs = pq.read_table(os.path.join(sf, "documents.parquet"),
+                          columns=["doc_id", "lang"]).to_pandas()
+    full = w.merge(langs, on="doc_id")
+    want = (full.sort_values(["weight_unats", "doc_id"],
+                             ascending=[False, True])
+            .groupby("lang").head(quota)
+            .groupby("lang")
+            .agg(n_selected=("doc_id", "size"),
+                 sum_tokens=("n_tokens", "sum"),
+                 min_weight_unats=("weight_unats", "min"),
+                 max_weight_unats=("weight_unats", "max"))
+            .reset_index())
+    for col in ("n_selected", "sum_tokens",
+                "min_weight_unats", "max_weight_unats"):
+        assert got[col].tolist() == want[col].tolist(), col
+    assert (got["n_selected"] == quota).all()   # every lang has > quota docs
+
+
+def test_lang_mixture_weights(ray_session):
+    """alpha-temperature mixture: weights sum to ~1e6, tail languages are
+    upweighted relative to their raw share, and the closed form matches a
+    driver-side recompute."""
+    import numpy as np
+
+    from ocr_ray.pipelines.relational import lang_mixture_weights
+
+    got = (lang_mixture_weights("/root/testdata/sf0.001").to_pandas()
+           .sort_values("lang").reset_index(drop=True))
+    n = got["n_docs"].to_numpy(np.float64)
+    p = n / n.sum()
+    pow_micro = np.floor(1e6 * p ** 0.3 + 0.5).astype(np.int64)
+    w_micro = np.floor(1e6 * pow_micro / float(pow_micro.sum()) + 0.5
+                       ).astype(np.int64)
+    assert got["pow_micro"].tolist() == pow_micro.tolist()
+    assert got["w_micro"].tolist() == w_micro.tolist()
+    assert abs(got["w_micro"].sum() - 1_000_000) <= len(got)  # rounding slack
+    # temperature flattens the mix: head lang loses share, tail gains
+    share = got["w_micro"].to_numpy(np.float64) / 1e6
+    head, tail = p.argmax(), p.argmin()
+    assert share[head] < p[head] and share[tail] > p[tail]
+
+
 def test_lm_quality_buckets_partitions_scored_docs(ray_session):
     """Per-lang terciles partition exactly the LM-scored docs (token-less
     docs excluded), every lang has all three buckets on the testdata, and
