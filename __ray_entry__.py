@@ -773,6 +773,15 @@ def _q_ann_recall(sf_dir: str):
     return ann_recall_at_k(exact, approx, k=10)
 
 
+def _q_bool_search_indexed(sf_dir: str):
+    """Boolean-AND retrieval: postings intersection over the term-index
+    layout — only the query terms' bucket partitions are read."""
+    from ocr_ray.pipelines.textsearch import bool_search_indexed
+
+    return bool_search_indexed(_term_index(sf_dir),
+                               ["vector", "data", "window"])
+
+
 def _q_semdedup_stats(sf_dir: str):
     """SemDeDup per-cluster survivor stats: deterministic k-means
     partition (the IVF quantizer), in-cluster cosine-threshold
@@ -1435,6 +1444,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": rel.approx_distinct_users,
         "top_terms_per_lang": rel.top_terms_per_lang,
         "term_search_indexed": _q_term_search_indexed,
+        "bool_search_indexed": _q_bool_search_indexed,
         "knn_join_lsh": _q_knn_join,
         "doc_length_quantiles_by_lang": rel.doc_length_quantiles_by_lang,
         "throttle_dedup_events": win.throttle_dedup_events,
@@ -1519,6 +1529,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "dsir_weights": rel.dsir_weights,
         "dsir_select_stats": rel.dsir_select_stats,
         "lang_mixture_weights": rel.lang_mixture_weights,
+        "mixture_epoch_plan": rel.mixture_epoch_plan,
         "nb_lang_confusion": rel.nb_lang_confusion,
         "robots_filter_stats": _q_robots_filter_stats,
         "linear_attribution": win.linear_attribution,
@@ -2164,6 +2175,20 @@ def oracle_sql() -> dict[str, str]:
                        x -> x = 'vector')) AS BIGINT) AS tf
               FROM documents
             ) WHERE tf > 0
+        """,
+        "bool_search_indexed": r"""
+            WITH tf AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM (
+                SELECT doc_id, unnest(regexp_split_to_array(
+                         lower(coalesce(text,'')), '\s+')) AS term
+                FROM documents
+              )
+              WHERE term IN ('data', 'vector', 'window')
+              GROUP BY doc_id, term
+            )
+            SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS sum_tf
+            FROM tf GROUP BY doc_id HAVING COUNT(*) = 3
         """,
         "top_terms_per_lang": r"""
             WITH toks AS (
@@ -3526,6 +3551,40 @@ def oracle_sql() -> dict[str, str]:
         # lang_mixture_weights: each p^alpha term rounds to micro-units
         # SEPARATELY before the normalizing sum (exact-integer denominator,
         # the dsir discipline), so summation order cannot perturb a weight
+        # mixture_epoch_plan: largest-remainder apportionment — one
+        # isolated float step (pow term -> micro-units), then pure
+        # integer base/remainder arithmetic, ranks (rem DESC, lang ASC)
+        "mixture_epoch_plan": """
+            WITH c AS MATERIALIZED (
+                SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+                FROM documents GROUP BY lang
+            ), t AS (
+                SELECT CAST(SUM(n_docs) AS DOUBLE) AS n FROM c
+            ), p AS MATERIALIZED (
+                SELECT lang, n_docs,
+                       CAST(ROUND(1000000.0 * POWER(
+                           CAST(n_docs AS DOUBLE) / t.n, 0.3)) AS BIGINT)
+                       AS pow_micro
+                FROM c, t
+            ), s AS (
+                SELECT CAST(SUM(pow_micro) AS BIGINT) AS sp FROM p
+            ), b AS MATERIALIZED (
+                SELECT lang, n_docs, pow_micro,
+                       (10000 * pow_micro) // s.sp AS base,
+                       (10000 * pow_micro) % s.sp AS rem
+                FROM p, s
+            ), r AS (
+                SELECT lang, n_docs, pow_micro, base,
+                       row_number() OVER (ORDER BY rem DESC, lang) AS rk
+                FROM b
+            ), need AS (
+                SELECT 10000 - CAST(SUM(base) AS BIGINT) AS extra FROM b
+            )
+            SELECT lang, n_docs, pow_micro,
+                   CAST(base + CASE WHEN rk <= need.extra
+                                    THEN 1 ELSE 0 END AS BIGINT) AS draws
+            FROM r, need
+        """,
         "lang_mixture_weights": """
             WITH c AS MATERIALIZED (
                 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs

@@ -5892,3 +5892,64 @@ def dsir_select_stats(sf_dir: str, quota: int = 100,
         .groupby("lang")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def mixture_epoch_plan(sf_dir: str, budget: int = 10_000,
+                       alpha: float = 0.3, scale: int = 1_000_000):
+    """EPOCH SAMPLING PLAN: apportion an epoch's ``budget`` draws across
+    languages proportionally to the alpha-temperature mixture weight
+    (:func:`lang_mixture_weights`) using LARGEST-REMAINDER (Hamilton)
+    apportionment — the deterministic integer step a data-loader runs to
+    turn mixture weights into per-source sample counts.  Output one row
+    per language: ``(lang, n_docs, pow_micro, draws)`` with
+    ``Σ draws == budget`` exactly.
+
+    Integer discipline: after the per-lang ``p^alpha`` terms round to
+    micro-units (the one float step, dsir-style isolated), everything is
+    exact integer arithmetic — ``base = budget·pm // Σpm``, remainders
+    ranked ``(rem DESC, lang ASC)``, the first ``budget − Σbase`` ranks
+    get +1 — so the plan is reproducible bit-for-bit on any engine.
+
+    Scale shape: identical to :func:`lang_mixture_weights` — one pruned
+    read, value-count partials, a |langs|-key groupby, one bounded final
+    task."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t["lang"])
+        return pa.table({
+            "lang": vc.field("values"),
+            "n_docs": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.groupby("lang", as_index=False)["n_docs"].sum()
+              .sort_values("lang").reset_index(drop=True))
+        n_total = float(df["n_docs"].sum())
+        p = df["n_docs"].to_numpy(np.float64) / n_total
+        pm = np.floor(scale * p ** alpha + 0.5).astype(np.int64)
+        sp = int(pm.sum())
+        num = budget * pm.astype(object)        # exact python ints
+        base = np.array([int(x) // sp for x in num], np.int64)
+        rem = np.array([int(x) % sp for x in num], np.int64)
+        extra = budget - int(base.sum())
+        # rank by (rem desc, lang asc); df is lang-sorted so stable
+        # mergesort on -rem preserves the lang tiebreak
+        order = np.argsort(-rem, kind="stable")
+        draws = base.copy()
+        draws[order[:extra]] += 1
+        return pd.DataFrame({
+            "lang": df["lang"],
+            "n_docs": df["n_docs"].astype("int64"),
+            "pow_micro": pm,
+            "draws": draws,
+        })
+
+    return (
+        _read(sf_dir, "documents", ["lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )

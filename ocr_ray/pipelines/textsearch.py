@@ -185,3 +185,55 @@ def phrase_search_indexed(index_dir: str, phrase: str,
     return (side_read(t1, 0).union(side_read(t2, 1))
             .groupby("dbucket")
             .map_groups(adjacency, batch_format="pandas"))
+
+
+def bool_search_indexed(index_dir: str, terms: list[str],
+                        n_buckets: int | None = None,
+                        key_col: str = "doc_id"):
+    """Boolean-AND search over a :func:`build_term_index` layout: read
+    ONLY the distinct bucket partitions of the query terms, filter each
+    to the query vocabulary vectorized, then one groupby over the
+    candidate postings keeps documents matching ALL terms — the postings
+    INTERSECTION, expressed as count-distinct-terms == |query|.
+    Returns (key, sum_tf) per matching document.
+
+    Scale shape: bytes read ≈ |distinct query buckets| / n_buckets of
+    the postings; the exchange carries only postings of the query terms
+    (df-bounded, never the corpus).  A missing term short-circuits to a
+    schema-typed empty dataset (AND can never match)."""
+    from ray.data.aggregate import Count, Sum
+
+    if n_buckets is None:
+        n_buckets = DEFAULT_CONFIG.term_index_buckets
+    qs = sorted({t.lower() for t in terms})
+    k = len(qs)
+    assert k >= 1, "bool_search_indexed needs at least one term"
+
+    def _empty():
+        return rd.from_arrow(pa.table({key_col: pa.array([], pa.int64()),
+                                       "sum_tf": pa.array([], pa.int64())}))
+
+    files: list[str] = []
+    for b in sorted({zlib.crc32(t.encode()) % n_buckets for t in qs}):
+        probe = sorted(glob.glob(
+            os.path.join(index_dir, f"bucket={b}", "*.parquet")))
+        if not probe:
+            return _empty()     # some term's bucket is empty -> no AND hit
+        files.extend(probe)
+
+    def pick(tab: pa.Table) -> pa.Table:
+        sub = tab.filter(pc.is_in(tab["token"], pa.array(qs, pa.string())))
+        return sub.select([key_col, "tf"])
+
+    def keep_full_match(tab: pa.Table) -> pa.Table:
+        return (tab.filter(pc.equal(tab["n_terms"], k))
+                .select([key_col, "sum_tf"]))
+
+    return (
+        rd.read_parquet(files, columns=["token", key_col, "tf"])
+        .map_batches(pick, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(Count(alias_name="n_terms"),
+                   Sum("tf", alias_name="sum_tf"))
+        .map_batches(keep_full_match, batch_format="pyarrow")
+    )

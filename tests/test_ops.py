@@ -1081,6 +1081,52 @@ def test_term_index_pruned_lookup(ray_session, tmp_path):
     assert term_search_indexed(idx, "zeta").count() == 0
 
 
+def test_bool_search_indexed_and(ray_session, tmp_path):
+    """AND = postings intersection: only docs containing EVERY query term
+    survive, sum_tf is the exact combined term frequency, a missing term
+    short-circuits to empty, and dup/case query terms are normalized."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.textsearch import bool_search_indexed, build_term_index
+
+    docs = pa.table({
+        "doc_id": pa.array(list(range(40)), pa.int64()),
+        "text": pa.array(
+            [("alpha beta" + " gamma" * (i % 3) if i % 2 == 0
+              else "alpha delta") for i in range(40)],
+            pa.string()),
+    })
+    idx = str(tmp_path / "terms")
+    build_term_index(rd.from_arrow(docs), idx)
+
+    got = (bool_search_indexed(idx, ["ALPHA", "gamma", "alpha"])
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # docs with gamma: even i with i % 3 != 0 -> tf = 1 (alpha) + i%3 (gamma)
+    want = {i: 1 + i % 3 for i in range(40) if i % 2 == 0 and i % 3}
+    assert dict(zip(got["doc_id"], got["sum_tf"])) == want
+    # every doc has alpha -> single-term query returns all docs
+    assert bool_search_indexed(idx, ["alpha"]).count() == 40
+    # one absent term kills the AND
+    assert bool_search_indexed(idx, ["alpha", "zeta"]).count() == 0
+
+
+def test_mixture_epoch_plan_apportionment(ray_session):
+    """Largest-remainder plan: draws sum EXACTLY to the budget, each
+    lang's draws are within 1 of its exact quota, and the plan is
+    partition-independent (pure function of the lang counts)."""
+    from ocr_ray.pipelines.relational import mixture_epoch_plan
+
+    got = (mixture_epoch_plan("/root/testdata/sf0.001", budget=10_000)
+           .to_pandas().sort_values("lang").reset_index(drop=True))
+    assert int(got["draws"].sum()) == 10_000
+    pm = got["pow_micro"].to_numpy(np.float64)
+    exact = 10_000 * pm / pm.sum()
+    assert (np.abs(got["draws"].to_numpy(np.float64) - exact) < 1.0).all()
+    again = (mixture_epoch_plan("/root/testdata/sf0.001", budget=10_000)
+             .to_pandas().sort_values("lang").reset_index(drop=True))
+    assert got.equals(again)
+
+
 def test_knn_join_lsh_matches_local(ray_session):
     import pyarrow.parquet as pq
     import ray.data as rd
