@@ -808,6 +808,18 @@ def _q_kmeans_embeddings(sf_dir: str):
     return kmeans_embeddings(ds, k=8, n_iter=3)
 
 
+def _q_kmeans_cluster_profile(sf_dir: str):
+    """Per-cluster label histogram under the final Lloyd centroids —
+    the purity/NMI cross-tab of the distributed k-means."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.simsearch import kmeans_cluster_profile
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding", "label"])
+    return kmeans_cluster_profile(ds, k=8, n_iter=3)
+
+
 def _q_training_corpus(sf_dir: str):
     """End-to-end training-data pipeline: extract → dedup → quality."""
     from ocr_ray.pipelines.training_corpus import training_corpus
@@ -1405,6 +1417,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "ann_recall_at_k": _q_ann_recall,
         "semdedup_stats": _q_semdedup_stats,
         "kmeans_embeddings": _q_kmeans_embeddings,
+        "kmeans_cluster_profile": _q_kmeans_cluster_profile,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         # entity matching (H3)
@@ -1654,6 +1667,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall_at_k": _do.ann_recall_sql(),
         "semdedup_stats": _do.semdedup_stats_sql(),
         "kmeans_embeddings": _do.kmeans_embeddings_sql(),
+        "kmeans_cluster_profile": _do.kmeans_cluster_profile_sql(),
         "knn_join_lsh": _do.knn_join_lsh_sql(),
         "entity_match": _do.entity_match_sql(),
         "qc_field_compare": _v.qc_field_compare_sql(),

@@ -524,14 +524,16 @@ def semdedup_stats_sql(threshold: float = 0.35, n_clusters: int = 16,
     return "WITH RECURSIVE " + ",".join(parts)
 
 
-def kmeans_embeddings_sql(k: int = 8, n_iter: int = 3,
-                          dim: int = 64) -> str:
-    """Full-corpus Lloyd's k-means re-derived in SQL
-    (simsearch.kmeans_embeddings): components scale to int64 micro-units
-    up front, every iteration is one chained CTE triple (exact integer
-    distances with HUGEINT squares / argmin ties to lowest cid / centroid
-    = ROUND(sum/count) back to micro-units), unrolled ``n_iter`` times —
-    the embedding_top_component / bpe_merges unroll precedent."""
+def _kmeans_int_parts(k: int, n_iter: int, dim: int) -> list[str]:
+    """Full-corpus Lloyd's k-means unrolled in SQL
+    (simsearch._lloyd): components scale to int64 micro-units up front,
+    every iteration is one chained CTE triple (exact integer distances
+    with HUGEINT squares / argmin ties to lowest cid / centroid =
+    ROUND(sum/count) back to micro-units) — the embedding_top_component
+    / bpe_merges unroll precedent.  Parts end at ``cent{n_iter}`` (the
+    final centroids) and ``a{n_iter-1}`` (the last update's
+    assignment); shared by :func:`kmeans_embeddings_sql` and
+    :func:`kmeans_cluster_profile_sql`."""
     parts = [f"""
         sv AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -571,6 +573,13 @@ def kmeans_embeddings_sql(k: int = 8, n_iter: int = 3,
             GROUP BY a.cid, ad.j
           ) m ON m.cid = c.cid AND m.j = c.j
         )""")
+    return parts
+
+
+def kmeans_embeddings_sql(k: int = 8, n_iter: int = 3,
+                          dim: int = 64) -> str:
+    """Final centroids + member counts of the last update's assignment."""
+    parts = _kmeans_int_parts(k, n_iter, dim)
     parts.append(f"""
         members AS (
           SELECT cid, COUNT(*) AS n FROM a{n_iter - 1} GROUP BY cid
@@ -580,6 +589,33 @@ def kmeans_embeddings_sql(k: int = 8, n_iter: int = 3,
                CAST(c.cv AS BIGINT) AS c_scaled,
                CAST(coalesce(m.n, 0) AS BIGINT) AS n_members
         FROM cent{n_iter} c LEFT JOIN members m ON m.cid = c.cid""")
+    return "WITH " + ",".join(parts)
+
+
+def kmeans_cluster_profile_sql(k: int = 8, n_iter: int = 3,
+                               dim: int = 64) -> str:
+    """Per-cluster label histogram under the FINAL centroids
+    (simsearch.kmeans_cluster_profile): one more exact-integer argmin
+    assignment with ``cent{n_iter}``, cross-tabulated against
+    embeddings.label."""
+    parts = _kmeans_int_parts(k, n_iter, dim)
+    parts.append(f"""
+        afin AS (
+          SELECT vec_id, cid FROM (
+            SELECT ad.vec_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY ad.vec_id
+                       ORDER BY SUM(CAST(ad.iv - c.cv AS HUGEINT)
+                                    * (ad.iv - c.cv)), c.cid) AS rn
+            FROM adim ad JOIN cent{n_iter} c ON c.j = ad.j
+            GROUP BY ad.vec_id, c.cid
+          ) WHERE rn = 1
+        )
+        SELECT CAST(a.cid AS BIGINT) AS cid,
+               CAST(e.label AS BIGINT) AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM afin a JOIN embeddings e ON e.vec_id = a.vec_id
+        GROUP BY a.cid, e.label""")
     return "WITH " + ",".join(parts)
 
 

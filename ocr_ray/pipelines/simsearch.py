@@ -892,6 +892,32 @@ def kmeans_embeddings(ds, k: int = 8, n_iter: int = 3,
     quantizer (:func:`build_ivf_index`) unless exact full-corpus Lloyd is
     required; this operator is the exact path.
     """
+    scaled, cents, counts, kk, dim = _lloyd(
+        ds, k, n_iter, scale, vec_col, key_col)
+    return pa.table({
+        "cid": pa.array(np.repeat(np.arange(kk, dtype=np.int64), dim)),
+        "pos": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64), kk)),
+        "c_scaled": pa.array(cents.ravel(), pa.int64()),
+        "n_members": pa.array(np.repeat(counts, dim), pa.int64()),
+    })
+
+
+def _assign_int(mat: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Exact int64 argmin assignment: |x|^2 - 2 x.c + |c|^2, ties ->
+    lowest cid via argmin-first-occurrence."""
+    d2 = ((mat * mat).sum(1)[:, None] - 2 * (mat @ cents.T)
+          + (cents * cents).sum(1)[None, :])
+    return d2.argmin(1)
+
+
+def _lloyd(ds, k: int, n_iter: int, scale: int,
+           vec_col: str, key_col: str, extra_cols: tuple = ()):
+    """Shared distributed-Lloyd core (see :func:`kmeans_embeddings` for
+    the semantics/scale contract).  Returns ``(scaled, cents, counts,
+    kk, dim)`` — the materialized micro-unit dataset (with
+    ``extra_cols`` carried through for downstream passes), the final
+    centroid matrix, and the member counts of the last update's
+    assignment."""
     import pyarrow.compute as pc_
     import ray
 
@@ -900,7 +926,10 @@ def kmeans_embeddings(ds, k: int = 8, n_iter: int = 3,
     def to_scaled(t: pa.Table) -> pa.Table:
         mat = _to_matrix(t[vec_col]) * scale
         ints = _r0(mat) if mat.size else mat.astype(np.int64)
-        return pa.table({key_col: t[key_col], "iv": _int_list_column(ints)})
+        cols = {key_col: t[key_col], "iv": _int_list_column(ints)}
+        for c in extra_cols:
+            cols[c] = t[c]
+        return pa.table(cols)
 
     scaled = ds.map_batches(to_scaled, batch_format="pyarrow").materialize()
 
@@ -942,11 +971,7 @@ def kmeans_embeddings(ds, k: int = 8, n_iter: int = 3,
             sums = np.zeros((kk, dim), np.int64)
             cnts = np.zeros(kk, np.int64)
             if mat.shape[0]:
-                # exact int64 expansion: |x|^2 - 2 x.c + |c|^2; ties ->
-                # lowest cid via argmin-first-occurrence
-                d2 = ((mat * mat).sum(1)[:, None] - 2 * (mat @ cs.T)
-                      + (cs * cs).sum(1)[None, :])
-                a = d2.argmin(1)
+                a = _assign_int(mat, cs)
                 for c in np.unique(a):
                     sub = mat[a == c]
                     sums[c] = sub.sum(axis=0)
@@ -970,9 +995,57 @@ def kmeans_embeddings(ds, k: int = 8, n_iter: int = 3,
         cents = cents.copy()
         cents[nz] = _r0(sums[nz] / counts[nz, None])
 
-    return pa.table({
-        "cid": pa.array(np.repeat(np.arange(kk, dtype=np.int64), dim)),
-        "pos": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64), kk)),
-        "c_scaled": pa.array(cents.ravel(), pa.int64()),
-        "n_members": pa.array(np.repeat(counts, dim), pa.int64()),
-    })
+    return scaled, cents, counts, kk, dim
+
+
+def kmeans_cluster_profile(ds, k: int = 8, n_iter: int = 3,
+                           scale: int = 1_000_000,
+                           vec_col: str = "embedding",
+                           key_col: str = "vec_id",
+                           label_col: str = "label"):
+    """CLUSTERING EVAL: run the same full-corpus Lloyd's as
+    :func:`kmeans_embeddings`, then assign every vector under the FINAL
+    centroids and cross-tabulate against a ground-truth ``label_col`` —
+    the per-cluster label histogram that purity / NMI / majority-vote
+    cluster naming are computed from.  Returns one row per present
+    (cid, label): ``(cid, label, n_vecs)``.
+
+    Scale shape: everything :func:`kmeans_embeddings` does, plus ONE
+    more embarrassingly-parallel pass whose per-batch partial is a
+    (cid, label) pair-count table (≤ k × |labels| rows per batch — the
+    value-count discipline), reduced by a tiny groupby sum.  Labels
+    ride the materialized scaled dataset, so the corpus is still read
+    once."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    scaled, cents, _, kk, _dim = _lloyd(
+        ds, k, n_iter, scale, vec_col, key_col, extra_cols=(label_col,))
+    ref = ray.put(cents)
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        cs = ray.get(ref)
+        mat = _to_imatrix(t["iv"])
+        if not mat.shape[0]:
+            return pa.table({"cid": pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int64()),
+                             "n_vecs": pa.array([], pa.int64())})
+        df = pd.DataFrame({
+            "cid": _assign_int(mat, cs).astype(np.int64),
+            "label": t[label_col].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+        })
+        out = df.groupby(["cid", "label"], as_index=False).size()
+        return pa.table({
+            "cid": pa.array(out["cid"].to_numpy(np.int64)),
+            "label": pa.array(out["label"].to_numpy(np.int64)),
+            "n_vecs": pa.array(out["size"].to_numpy(np.int64)),
+        })
+
+    return (
+        scaled.map_batches(pair_counts, batch_format="pyarrow")
+        .groupby(["cid", "label"])
+        .aggregate(Sum("n_vecs", alias_name="n_vecs"))
+    )

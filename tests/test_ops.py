@@ -627,6 +627,31 @@ def test_kmeans_embeddings(ray_session):
     assert counts.sum() == 500                      # every vector assigned
 
 
+def test_kmeans_cluster_profile(ray_session):
+    """Label cross-tab under the final centroids: every vector appears
+    exactly once, labels stay within the corpus label set, and the
+    cross-tab is partition-invariant."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ocr_ray.pipelines.simsearch import kmeans_cluster_profile
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+
+    def run(n_parts):
+        ds = rd.read_parquet(path, columns=["vec_id", "embedding", "label"])
+        return (kmeans_cluster_profile(ds.repartition(n_parts), k=8, n_iter=3)
+                .to_pandas().sort_values(["cid", "label"])
+                .reset_index(drop=True))
+
+    a = run(5)
+    assert a["n_vecs"].sum() == 500
+    labels = set(pq.read_table(path, columns=["label"])["label"].to_pylist())
+    assert set(a["label"]) <= labels
+    assert set(a["cid"]) <= set(range(8))
+    assert a.equals(run(2))
+
+
 def test_ann_indexed_layout_equals_scan_path(ray_session, tmp_path_factory):
     """Partition-pruned index layouts return EXACTLY the scan-path result,
     and a query touches only its probe partitions."""
