@@ -1513,6 +1513,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "bucketed_join_revenue": rel.bucketed_join_revenue,
         "bloom_semi_join_revenue": rel.bloom_semi_join_revenue,
         "dataset_split_counts": rel.dataset_split_counts,
+        "grouped_split_audit": rel.grouped_split_audit,
         "pack_context_windows": rel.pack_context_windows,
         "heavy_hitter_terms": rel.heavy_hitter_terms,
         "name_edit_near_dup": rel.name_edit_near_dup,
@@ -3094,6 +3095,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
                    COUNT(*) AS n_docs
             FROM s GROUP BY lang, split
+        """,
+        "grouped_split_audit": """
+            WITH s AS (
+              SELECT source,
+                CASE WHEN md5_number_lower(source) % 100 < 90 THEN 'train'
+                     WHEN md5_number_lower(source) % 100 < 95 THEN 'val'
+                     ELSE 'test' END AS split,
+                CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 90
+                       THEN 'train'
+                     WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 95
+                       THEN 'val'
+                     ELSE 'test' END AS doc_split,
+                CAST(len(regexp_extract_all(coalesce(text, ''), '\\S+'))
+                     AS BIGINT) AS n_tok
+              FROM documents)
+            SELECT split,
+                   CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+                   CAST(SUM(CASE WHEN doc_split <> split THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_leaky_docs
+            FROM s GROUP BY split
         """,
         # greedy per-shard packing is a sequential recurrence — the oracle
         # walks it with a recursive CTE, one row per (shard, rank) step

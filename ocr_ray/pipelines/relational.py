@@ -5953,3 +5953,58 @@ def mixture_epoch_plan(sf_dir: str, budget: int = 10_000,
         .repartition(1)
         .map_batches(final, batch_format="pandas", batch_size=None)
     )
+
+
+def grouped_split_audit(sf_dir: str):
+    """LEAKAGE-SAFE GROUP SPLIT (sklearn GroupShuffleSplit semantics, at
+    corpus scale): assign train/val/test by hashing the document's
+    SOURCE — md5-lower-64(source) % 100, < 90/95 boundaries, the
+    :func:`dataset_split_counts` convention — so every doc of a source
+    lands in ONE split and same-source near-duplicates can never
+    straddle train and eval.  The audit column counts the docs a naive
+    doc-id-level split would have placed in a DIFFERENT split than
+    their source (``n_leaky_docs`` — the leakage a group split
+    prevents).  Output per split: ``(split, n_sources, n_docs,
+    sum_tokens, n_leaky_docs)``.
+
+    Scale shape: one pruned read; per-batch pandas pre-agg to
+    (split, source) partials, a #sources-key groupby sum (sources ≈
+    hosts — bounded and hash-balanced), then a 3-key rollup counting
+    distinct sources.  Text never crosses an exchange."""
+    from ray.data.aggregate import Count, Sum
+
+    from ocr_ray.functions import textstats
+
+    def _split(h: np.ndarray) -> np.ndarray:
+        return np.where(h < 90, "train", np.where(h < 95, "val", "test"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        src = t["source"].to_pylist()
+        split = _split(_md5_mod(src, 100))
+        doc_split = _split(_md5_mod(t["doc_id"].to_pylist(), 100))
+        df = pd.DataFrame({
+            "split": split,
+            "source": src,
+            "n_docs": np.ones(t.num_rows, np.int64),
+            "sum_tokens": textstats.token_count_columns(
+                t["text"])["n_ws_tokens"].to_numpy(),
+            "n_leaky_docs": (doc_split != split).astype(np.int64),
+        })
+        out = df.groupby(["split", "source"], as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    per_source = (
+        _read(sf_dir, "documents", ["doc_id", "source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["split", "source"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("sum_tokens", alias_name="sum_tokens"),
+                   Sum("n_leaky_docs", alias_name="n_leaky_docs"))
+    )
+    return (
+        per_source.groupby("split")
+        .aggregate(Count(alias_name="n_sources"),
+                   Sum("n_docs", alias_name="n_docs"),
+                   Sum("sum_tokens", alias_name="sum_tokens"),
+                   Sum("n_leaky_docs", alias_name="n_leaky_docs"))
+    )

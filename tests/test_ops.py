@@ -3074,6 +3074,24 @@ def test_lang_mixture_weights(ray_session):
     assert share[head] < p[head] and share[tail] > p[tail]
 
 
+def test_grouped_split_audit_no_source_straddle(ray_session):
+    """Group split: doc totals cover the corpus, source counts cover the
+    distinct sources exactly once (no source straddles two splits), and
+    leaky-doc counts are bounded by the split's doc count."""
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import grouped_split_audit
+
+    got = (grouped_split_audit("/root/testdata/sf0.001").to_pandas()
+           .sort_values("split").reset_index(drop=True))
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["source"])
+    assert got["n_docs"].sum() == t.num_rows
+    assert got["n_sources"].sum() == len(set(t["source"].to_pylist()))
+    assert (got["n_leaky_docs"] <= got["n_docs"]).all()
+    assert (got["n_leaky_docs"] > 0).any()     # a doc-level split WOULD leak
+
+
 def test_lm_quality_buckets_partitions_scored_docs(ray_session):
     """Per-lang terciles partition exactly the LM-scored docs (token-less
     docs excluded), every lang has all three buckets on the testdata, and
