@@ -135,7 +135,8 @@ def main() -> None:
                      "heavy_hitter_terms", "bigram_lm_scores",
                      "near_dup_filter_stats", "bpe_merges",
                      "dup_span_stats", "semdedup_stats",
-                     "near_dup_agreement"):
+                     "near_dup_agreement", "kmeans_embeddings",
+                     "dsir_select_stats"):
             t0 = time.monotonic()
             res = q[name](SF_DIR)
             if hasattr(res, "to_pandas"):

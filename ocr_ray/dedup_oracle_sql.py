@@ -710,6 +710,35 @@ def knn_join_lsh_sql(k: int = 5, dim: int = 64) -> str:
     """
 
 
+def knn_label_eval_sql(k: int = 5, dim: int = 64) -> str:
+    """knn_label_eval re-derived in SQL: the knn_join_lsh oracle as a
+    subquery, neighbor labels joined on, per-vector majority vote
+    (count DESC, label ASC) via row_number, confusion-matrix rollup
+    against the true label."""
+    knn = knn_join_lsh_sql(k=k, dim=dim)
+    return f"""
+        WITH knn AS MATERIALIZED ({knn}),
+        votes AS (
+          SELECT kn.vec_id, e.label, COUNT(*) AS c
+          FROM knn kn JOIN embeddings e ON e.vec_id = kn.neighbor_id
+          GROUP BY kn.vec_id, e.label
+        ),
+        pred AS (
+          SELECT vec_id, label AS pred_label FROM (
+            SELECT vec_id, label,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY c DESC, label) AS rn
+            FROM votes
+          ) WHERE rn = 1
+        )
+        SELECT CAST(t.label AS BIGINT) AS label,
+               CAST(p.pred_label AS BIGINT) AS pred_label,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM pred p JOIN embeddings t ON t.vec_id = p.vec_id
+        GROUP BY t.label, p.pred_label
+    """
+
+
 def ann_recall_sql(k: int = 10, dim: int = 64) -> str:
     """ann_recall_at_k re-derived in SQL: the LSH top-k (knn_lsh_sql) and
     the exact cosine top-k are nested as CTE subqueries, then the set

@@ -704,6 +704,80 @@ def knn_join_lsh(ds, k: int = 5, n_bits: int | None = None,
     )
 
 
+def knn_label_eval(ds, k: int = 5, n_bits: int | None = None,
+                   vec_col: str = "embedding", key_col: str = "vec_id",
+                   label_col: str = "label"):
+    """kNN LABEL PREDICTION eval (the classic embedding-quality probe —
+    Fix & Hodges 1951 kNN, applied as a representation benchmark): every
+    vector's label is predicted by MAJORITY VOTE over its ≤k most
+    similar same-LSH-bucket neighbors (:func:`knn_join_lsh` semantics:
+    rounded cosine, ties → lowest neighbor id; vote ties → lowest
+    label), cross-tabulated against the true label.  Returns the
+    confusion matrix ``(label, pred_label, n_vecs)``; singleton-bucket
+    vectors have no neighbors and are excluded (the LSH approximation,
+    documented in knn_join_lsh).
+
+    Scale shape: identical to :func:`knn_join_lsh` — ONE coarse shuffle
+    of the fine LSH buckets, per-fine-bucket matmul bounded by bucket
+    sizes — except labels ride the exchange and only (label,
+    pred_label) PAIR COUNTS leave each group (≤ |labels|² rows per
+    group), reduced by a tiny groupby sum; the neighbor lists
+    themselves never cross a boundary."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    if n_bits is None:
+        n_bits = DEFAULT_CONFIG.lsh_index_bits
+    n_coarse = DEFAULT_CONFIG.near_dup_coarse_buckets
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        mat = _to_matrix(t[vec_col])
+        b = lsh_bucket(mat, n_bits) if mat.shape[0] else np.zeros(0, np.int32)
+        return pa.table({
+            key_col: t[key_col],
+            vec_col: t[vec_col],
+            label_col: t[label_col],
+            "fbucket": pa.array(b, pa.int32()),
+            "cbucket": pa.array((b % n_coarse).astype(np.int32), pa.int32()),
+        })
+
+    def vote_group(g: pd.DataFrame) -> pd.DataFrame:
+        true_l, pred_l = [], []
+        for _, grp in g.groupby("fbucket", sort=True):
+            n = len(grp)
+            if n < 2:
+                continue
+            ids = grp[key_col].to_numpy(dtype=np.int64)
+            labels = grp[label_col].to_numpy(dtype=np.int64)
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in grp[vec_col]])
+            nm = _normalized(mat)
+            sims = np.round(nm @ nm.T, 6)
+            kk = min(k, n - 1)
+            for i in range(n):
+                row = sims[i].copy()
+                row[i] = -np.inf
+                nb = labels[np.lexsort((ids, -row))[:kk]]
+                vals, cnts = np.unique(nb, return_counts=True)
+                # majority, ties -> lowest label (vals is sorted asc)
+                true_l.append(labels[i])
+                pred_l.append(vals[cnts.argmax()])
+        out = (pd.DataFrame({"label": np.array(true_l, np.int64),
+                             "pred_label": np.array(pred_l, np.int64)})
+               .groupby(["label", "pred_label"], as_index=False).size()
+               .rename(columns={"size": "n_vecs"}))
+        out["n_vecs"] = out["n_vecs"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("cbucket")
+        .map_groups(vote_group, batch_format="pandas")
+        .groupby(["label", "pred_label"])
+        .aggregate(Sum("n_vecs", alias_name="n_vecs"))
+    )
+
+
 def ann_recall_at_k(exact: pa.Table, approx: pa.Table, k: int,
                     key_col: str = "vec_id") -> pa.Table:
     """Recall@k of an approximate top-k result against the exact one —

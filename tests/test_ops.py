@@ -560,6 +560,30 @@ def test_ann_recall_at_k(ray_session):
     assert ann_recall_at_k(exact, other, k=10)["recall_bp"][0].as_py() == 0
 
 
+def test_knn_label_eval(ray_session):
+    """Confusion matrix over the LSH kNN vote: predictions exist for
+    exactly the vectors with an in-bucket neighbor, diagonal dominates
+    on the labeled testdata, and the vote is partition-invariant."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.simsearch import knn_label_eval
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+
+    def run(n_parts):
+        ds = rd.read_parquet(path, columns=["vec_id", "embedding", "label"])
+        return (knn_label_eval(ds.repartition(n_parts), k=5)
+                .to_pandas().sort_values(["label", "pred_label"])
+                .reset_index(drop=True))
+
+    a = run(6)
+    assert a["n_vecs"].sum() <= 500          # singleton buckets excluded
+    assert a["n_vecs"].sum() > 400           # but most vectors predicted
+    diag = a[a["label"] == a["pred_label"]]["n_vecs"].sum()
+    assert diag > 0
+    assert a.equals(run(2))
+
+
 def test_semdedup_stats(ray_session):
     import ray.data as rd
 
