@@ -808,6 +808,18 @@ def _q_kmeans_embeddings(sf_dir: str):
     return kmeans_embeddings(ds, k=8, n_iter=3)
 
 
+def _q_kmeans_inertia_stats(sf_dir: str):
+    """Per-cluster cohesion (inertia + worst member) under the final
+    full-corpus Lloyd centroids."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.simsearch import kmeans_inertia_stats
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return kmeans_inertia_stats(ds, k=8, n_iter=3)
+
+
 def _q_knn_label_eval(sf_dir: str):
     """kNN majority-vote label prediction confusion matrix over the LSH
     self-join — the embedding-quality probe."""
@@ -1431,6 +1443,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": _q_kmeans_embeddings,
         "kmeans_cluster_profile": _q_kmeans_cluster_profile,
         "knn_label_eval": _q_knn_label_eval,
+        "kmeans_inertia_stats": _q_kmeans_inertia_stats,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         # entity matching (H3)
@@ -1683,6 +1696,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_embeddings": _do.kmeans_embeddings_sql(),
         "kmeans_cluster_profile": _do.kmeans_cluster_profile_sql(),
         "knn_label_eval": _do.knn_label_eval_sql(),
+        "kmeans_inertia_stats": _do.kmeans_inertia_stats_sql(),
         "knn_join_lsh": _do.knn_join_lsh_sql(),
         "entity_match": _do.entity_match_sql(),
         "qc_field_compare": _v.qc_field_compare_sql(),

@@ -710,6 +710,37 @@ def knn_join_lsh_sql(k: int = 5, dim: int = 64) -> str:
     """
 
 
+def kmeans_inertia_stats_sql(k: int = 8, n_iter: int = 3,
+                             dim: int = 64) -> str:
+    """kmeans_inertia_stats re-derived in SQL: the shared integer
+    unroll, one more exact-distance assignment under ``cent{n_iter}``
+    keeping each vector's min d (HUGEINT), per-vector ROUND(d/1e6) to
+    milli²-units before the per-cluster sum."""
+    parts = _kmeans_int_parts(k, n_iter, dim)
+    parts.append(f"""
+        dfin AS MATERIALIZED (
+          SELECT ad.vec_id, c.cid,
+                 SUM(CAST(ad.iv - c.cv AS HUGEINT) * (ad.iv - c.cv)) AS d
+          FROM adim ad JOIN cent{n_iter} c ON c.j = ad.j
+          GROUP BY ad.vec_id, c.cid
+        ),
+        amin AS (
+          SELECT vec_id, cid, d FROM (
+            SELECT vec_id, cid, d,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cid) AS rn
+            FROM dfin
+          ) WHERE rn = 1
+        )
+        SELECT CAST(cid AS BIGINT) AS cid,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(CAST(ROUND(CAST(d AS DOUBLE) / 1000000.0)
+                             AS BIGINT)) AS BIGINT) AS inertia_milli,
+               CAST(MAX(d) AS BIGINT) AS max_d
+        FROM amin GROUP BY cid""")
+    return "WITH " + ",".join(parts)
+
+
 def knn_label_eval_sql(k: int = 5, dim: int = 64) -> str:
     """knn_label_eval re-derived in SQL: the knn_join_lsh oracle as a
     subquery, neighbor labels joined on, per-vector majority vote

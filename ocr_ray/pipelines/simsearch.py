@@ -704,6 +704,62 @@ def knn_join_lsh(ds, k: int = 5, n_bits: int | None = None,
     )
 
 
+def kmeans_inertia_stats(ds, k: int = 8, n_iter: int = 3,
+                         scale: int = 1_000_000,
+                         vec_col: str = "embedding",
+                         key_col: str = "vec_id"):
+    """CLUSTER COHESION under the final Lloyd centroids: per cluster,
+    member count, INERTIA (the k-means objective — sum of squared
+    distances to the centroid) and the worst member distance.  Returns
+    ``(cid, n_members, inertia_milli, max_d)`` — ``max_d`` is the exact
+    integer squared distance in micro²-units; per-vector distances are
+    half-away-rounded to milli²-units (÷10^6) BEFORE the sum so the
+    per-cluster total stays int64-exact at any corpus size (2.6e14-max
+    addends would overflow a raw sum).
+
+    Scale shape: one more embarrassingly-parallel pass over the
+    materialized scaled corpus (the :func:`kmeans_cluster_profile`
+    shape); per-batch partials are ≤ k rows of (n, Σd_milli, max d),
+    reduced by a k-key groupby."""
+    import ray
+    from ray.data.aggregate import Max, Sum
+
+    scaled, cents, _, kk, _dim = _lloyd(
+        ds, k, n_iter, scale, vec_col, key_col)
+    ref = ray.put(cents)
+
+    def partials(t: pa.Table) -> pa.Table:
+        cs = ray.get(ref)
+        mat = _to_imatrix(t["iv"])
+        cid_l, n_l, s_l, m_l = [], [], [], []
+        if mat.shape[0]:
+            d2 = ((mat * mat).sum(1)[:, None] - 2 * (mat @ cs.T)
+                  + (cs * cs).sum(1)[None, :])
+            a = d2.argmin(1)
+            dmin = d2[np.arange(len(a)), a]
+            dmilli = _r0(dmin / 1_000_000.0)
+            for c in np.unique(a):
+                sel = a == c
+                cid_l.append(int(c))
+                n_l.append(int(sel.sum()))
+                s_l.append(int(dmilli[sel].sum()))
+                m_l.append(int(dmin[sel].max()))
+        return pa.table({
+            "cid": pa.array(cid_l, pa.int64()),
+            "n_members": pa.array(n_l, pa.int64()),
+            "inertia_milli": pa.array(s_l, pa.int64()),
+            "max_d": pa.array(m_l, pa.int64()),
+        })
+
+    return (
+        scaled.map_batches(partials, batch_format="pyarrow")
+        .groupby("cid")
+        .aggregate(Sum("n_members", alias_name="n_members"),
+                   Sum("inertia_milli", alias_name="inertia_milli"),
+                   Max("max_d", alias_name="max_d"))
+    )
+
+
 def knn_label_eval(ds, k: int = 5, n_bits: int | None = None,
                    vec_col: str = "embedding", key_col: str = "vec_id",
                    label_col: str = "label"):

@@ -651,6 +651,29 @@ def test_kmeans_embeddings(ray_session):
     assert counts.sum() == 500                      # every vector assigned
 
 
+def test_kmeans_inertia_stats(ray_session):
+    """Cohesion stats: counts cover the corpus, max_d bounds the mean
+    member distance implied by the inertia, partition-invariant."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.simsearch import kmeans_inertia_stats
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+
+    def run(n_parts):
+        ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+        return (kmeans_inertia_stats(ds.repartition(n_parts), k=8, n_iter=3)
+                .to_pandas().sort_values("cid").reset_index(drop=True))
+
+    a = run(5)
+    assert a["n_members"].sum() == 500
+    # per-cluster mean distance (milli^2 units) can't exceed max_d
+    mean_milli = a["inertia_milli"] / a["n_members"]
+    assert (mean_milli * 1_000_000 <= a["max_d"] + 500_000).all()
+    assert (a["max_d"] > 0).all()
+    assert a.equals(run(3))
+
+
 def test_kmeans_cluster_profile(ray_session):
     """Label cross-tab under the final centroids: every vector appears
     exactly once, labels stay within the corpus label set, and the
