@@ -5869,9 +5869,17 @@ def dsir_select_stats(sf_dir: str, quota: int = 100,
             "weight_unats": pd.Series(w, dtype="int64"),
         })
         # per-batch partial top-quota per lang: only candidate rows cross
-        return (df.sort_values(["weight_unats", "doc_id"],
-                               ascending=[False, True])
-                .groupby("lang", as_index=False).head(quota))
+        top = (df.sort_values(["weight_unats", "doc_id"],
+                              ascending=[False, True])
+               .groupby("lang", as_index=False).head(quota))
+        # explicit arrow types: an all-token-less batch must still emit
+        # string-typed lang, never a null-typed empty object column
+        return pa.table({
+            "lang": pa.array(top["lang"].tolist(), pa.string()),
+            "doc_id": pa.array(top["doc_id"].to_numpy(np.int64)),
+            "n_tokens": pa.array(top["n_tokens"].to_numpy(np.int64)),
+            "weight_unats": pa.array(top["weight_unats"].to_numpy(np.int64)),
+        })
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         top = (g.sort_values(["weight_unats", "doc_id"],
