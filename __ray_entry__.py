@@ -622,6 +622,56 @@ def _term_index(sf_dir: str) -> str:
         "terms", src, f"b{DEFAULT_CONFIG.term_index_buckets}", build)
 
 
+def _minhash_index(sf_dir: str, split_mod: int = 7) -> str:
+    """Hive-partitioned MinHash band index over the OLD corpus slice
+    (doc_id % split_mod != 0 — the 'already ingested' side of the
+    incremental dedup scenario), cached.  Bucket count is part of the
+    fingerprint (same reasoning as _term_index)."""
+    import ray.data as rd
+
+    from ocr_ray.config import DEFAULT_CONFIG
+    from ocr_ray.pipelines.dedup import build_minhash_index
+
+    src = os.path.join(sf_dir, "documents.parquet")
+
+    def keep_old(t):
+        import pyarrow as pa
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % split_mod != 0))
+
+    def build(tmp: str) -> None:
+        old = rd.read_parquet(src, columns=["doc_id", "text"]).map_batches(
+            keep_old, batch_format="pyarrow")
+        build_minhash_index(old, tmp)
+
+    return _cached_build(
+        "minhash", src,
+        f"b{DEFAULT_CONFIG.near_dup_coarse_buckets}m{split_mod}", build)
+
+
+def _q_near_dup_incremental(sf_dir: str):
+    """Incremental near-dup screen: the NEW slice (doc_id % 7 == 0)
+    probes the persisted band index of the OLD slice — only the touched
+    bucket partitions are read."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.dedup import near_dup_incremental
+
+    src = os.path.join(sf_dir, "documents.parquet")
+
+    def keep_new(t):
+        import pyarrow as pa
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 7 == 0))
+
+    new_ds = rd.read_parquet(src, columns=["doc_id", "text"]).map_batches(
+        keep_new, batch_format="pyarrow")
+    docs = rd.read_parquet(src, columns=["doc_id", "text"])
+    return near_dup_incremental(_minhash_index(sf_dir), new_ds, docs)
+
+
 def _zorder_layout(sf_dir: str) -> str:
     """Z-order clustered orders layout for sf_dir (cached).  Bin geometry
     is part of the fingerprint: cells computed for one width would prune
@@ -1444,6 +1494,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "kmeans_cluster_profile": _q_kmeans_cluster_profile,
         "knn_label_eval": _q_knn_label_eval,
         "kmeans_inertia_stats": _q_kmeans_inertia_stats,
+        "near_dup_incremental": _q_near_dup_incremental,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         # entity matching (H3)
@@ -1697,6 +1748,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_cluster_profile": _do.kmeans_cluster_profile_sql(),
         "knn_label_eval": _do.knn_label_eval_sql(),
         "kmeans_inertia_stats": _do.kmeans_inertia_stats_sql(),
+        "near_dup_incremental": _do.near_dup_incremental_sql(),
         "knn_join_lsh": _do.knn_join_lsh_sql(),
         "entity_match": _do.entity_match_sql(),
         "qc_field_compare": _v.qc_field_compare_sql(),

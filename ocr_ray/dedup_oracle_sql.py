@@ -83,13 +83,14 @@ def simhash_near_dup_sql(max_hamming: int = 3, max_bucket: int = 512) -> str:
     """
 
 
-def minhash_near_dup_sql(threshold: float = 0.8, max_bucket: int = 512) -> str:
-    """Full minhash+LSH near-dup re-derivation: word-3-gram shingles via
-    md5_number_lower (== the engine's shingle hash), the 64 seeded (a,b)
-    permutations as a VALUES table with HUGEINT mod-2^64 arithmetic (==
-    numpy uint64 wraparound), banding via md5 of the '-'-joined decimal
-    minhash values, bucket-capped candidates, exact shingle-set Jaccard
-    verify, recursive-CTE keep-first connected components."""
+def _minhash_band_parts() -> str:
+    """Shared WITH-clause chain deriving ``shingles`` and ``bands`` from
+    the documents table: word-3-gram shingles via md5_number_lower (==
+    the engine's shingle hash), the 64 seeded (a,b) permutations as a
+    VALUES table with HUGEINT mod-2^64 arithmetic (== numpy uint64
+    wraparound), banding via md5 of the '-'-joined decimal minhash
+    values.  Shared by :func:`minhash_near_dup_sql` and
+    :func:`near_dup_incremental_sql`."""
     from ocr_ray.pipelines.dedup import _A, _B, _MERSENNE
 
     perm_rows = ", ".join(
@@ -97,7 +98,6 @@ def minhash_near_dup_sql(threshold: float = 0.8, max_bucket: int = 512) -> str:
     )
     p = _MERSENNE
     return f"""
-        WITH RECURSIVE
         mw AS (
           SELECT doc_id,
                  list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
@@ -136,7 +136,17 @@ def minhash_near_dup_sql(threshold: float = 0.8, max_bucket: int = 512) -> str:
             substr(md5(string_agg(CAST(v AS VARCHAR), '-' ORDER BY k)), 1, 16)
               AS band_hash
           FROM sig_full GROUP BY doc_id, k // 4
-        ),
+        )"""
+
+
+def minhash_near_dup_sql(threshold: float = 0.8, max_bucket: int = 512) -> str:
+    """Full minhash+LSH near-dup re-derivation: the shared band chain
+    (:func:`_minhash_band_parts`), bucket-capped candidates, exact
+    shingle-set Jaccard verify, recursive-CTE keep-first connected
+    components."""
+    return f"""
+        WITH RECURSIVE
+        {_minhash_band_parts()},
         bsize AS (
           SELECT band_id, band_hash, count(*) AS n, min(doc_id) AS mn
           FROM bands GROUP BY band_id, band_hash
@@ -174,6 +184,57 @@ def minhash_near_dup_sql(threshold: float = 0.8, max_bucket: int = 512) -> str:
           SELECT s.a, l.l FROM sym s JOIN lab l ON l.v = s.b WHERE l.l < s.a
         )
         SELECT v AS doc_id, min(l) AS dup_of FROM lab GROUP BY v
+    """
+
+
+def near_dup_incremental_sql(threshold: float = 0.8,
+                             max_bucket: int = 512,
+                             split_mod: int = 7) -> str:
+    """near_dup_incremental re-derived in SQL: the shared band chain,
+    docs split into NEW (doc_id % split_mod = 0) and OLD (the indexed
+    corpus), band-equality candidates with the degenerate-bucket cap on
+    the OLD side, exact shingle-set Jaccard verify, one stats row."""
+    return f"""
+        WITH {_minhash_band_parts()},
+        nb AS MATERIALIZED (
+          SELECT * FROM bands WHERE doc_id % {split_mod} = 0
+        ),
+        ob AS MATERIALIZED (
+          SELECT * FROM bands WHERE doc_id % {split_mod} <> 0
+        ),
+        osize AS (
+          SELECT band_id, band_hash, count(*) AS n, min(doc_id) AS mn
+          FROM ob GROUP BY band_id, band_hash
+        ),
+        cand AS MATERIALIZED (
+          SELECT DISTINCT n.doc_id AS id_a, o.doc_id AS id_b
+          FROM nb n
+          JOIN ob o ON o.band_id = n.band_id AND o.band_hash = n.band_hash
+          JOIN osize s ON s.band_id = n.band_id AND s.band_hash = n.band_hash
+          WHERE s.n <= {max_bucket} OR o.doc_id = s.mn
+        ),
+        shl AS MATERIALIZED (
+          SELECT doc_id, list_sort(list(h)) AS hs FROM shingles GROUP BY doc_id
+        ),
+        verified AS MATERIALIZED (
+          SELECT c.id_a, c.id_b FROM cand c
+          LEFT JOIN shl a ON a.doc_id = c.id_a
+          LEFT JOIN shl b ON b.doc_id = c.id_b
+          WHERE CASE
+            WHEN a.hs IS NULL AND b.hs IS NULL THEN TRUE
+            WHEN a.hs IS NULL OR b.hs IS NULL THEN FALSE
+            ELSE len(list_intersect(a.hs, b.hs))::DOUBLE
+                 / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))
+                 >= {threshold}
+          END
+        )
+        SELECT
+          CAST((SELECT count(*) FROM documents
+                WHERE doc_id % {split_mod} = 0) AS BIGINT) AS n_new,
+          CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+          CAST((SELECT count(*) FROM verified) AS BIGINT) AS n_dup_pairs,
+          CAST((SELECT count(DISTINCT id_a) FROM verified) AS BIGINT)
+            AS n_new_flagged
     """
 
 

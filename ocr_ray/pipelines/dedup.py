@@ -1100,3 +1100,211 @@ def label_set_agreement(labels_lsh, labels_exact, key_col: str = "doc_id"):
     if not blocks:           # empty approximate side still yields one row
         return final_row(0, 0)
     return pa.concat_tables(blocks)
+
+
+def _to_band_table(batch: pa.Table, text_col: str, key_col: str,
+                   n_buckets: int) -> pa.Table:
+    """Shared signature→band explode (the minhash_near_dup kernel shape):
+    one (band_id, key, band_hash, bucket) row per band per doc, bucket =
+    crc32(band_hash) % n_buckets — the routing key of the persisted
+    band-index layout and of the incremental probe's exchange."""
+    bands: list[tuple[int, int, str]] = []
+    for did, txt in zip(batch[key_col].to_pylist(),
+                        batch[text_col].to_pylist()):
+        bands.extend(band_rows(did, minhash_signature(txt or "")))
+    return pa.table({
+        "band_id": pa.array([b[0] for b in bands], pa.int32()),
+        key_col: pa.array([b[1] for b in bands], pa.int64()),
+        "band_hash": pa.array([b[2] for b in bands], pa.string()),
+        "bucket": pa.array(
+            [zlib.crc32(b[2].encode()) % n_buckets for b in bands],
+            pa.int32()),
+    })
+
+
+def build_minhash_index(ds, index_dir: str, text_col: str = "text",
+                        key_col: str = "doc_id",
+                        n_buckets: int | None = None) -> str:
+    """Persist the corpus MinHash BAND INDEX hive-partitioned by band-hash
+    bucket (``bucket=N/*.parquet``) — the dedup sibling of
+    :func:`ocr_ray.pipelines.textsearch.build_term_index`: the LAYOUT is
+    the index, no server component, and at corpus scale it lives directly
+    on object storage.  One streaming pass (signatures are embarrassingly
+    parallel; 16 short rows per doc — text never enters the index);
+    afterwards an incremental crawl deduplicates against the WHOLE
+    corpus by reading only the bucket partitions its own band hashes
+    route to (:func:`near_dup_incremental`), never re-shuffling or even
+    re-reading the old corpus."""
+    if n_buckets is None:
+        n_buckets = DEFAULT_CONFIG.near_dup_coarse_buckets
+    ds.map_batches(
+        lambda t: _to_band_table(t, text_col, key_col, n_buckets),
+        batch_format="pyarrow",
+    ).write_parquet(index_dir, partition_cols=["bucket"])
+    return index_dir
+
+
+def near_dup_incremental(index_dir: str, new_ds, docs_ds,
+                         text_col: str = "text", key_col: str = "doc_id",
+                         threshold: float = 0.8,
+                         cfg: PipelineConfig = DEFAULT_CONFIG) -> pa.Table:
+    """INCREMENTAL near-dup screen of a new crawl slice against a
+    persisted :func:`build_minhash_index` layout — the step a continuous
+    ingestion pipeline runs per batch of arrivals: no old-corpus shuffle,
+    no old-corpus re-read beyond the probed partitions.  Returns one
+    stats row ``(n_new, n_candidates, n_dup_pairs, n_new_flagged)``.
+
+    Shape: new docs compute signatures (one embarrassingly parallel
+    pass), their band rows route to crc32 buckets, and ONLY those bucket
+    partitions of the index are read (bytes ≈ touched/n_buckets of the
+    index).  Old and new band streams are two INDEPENDENT lineages (the
+    union-safe shape, CLAUDE.md), co-partitioned by bucket; inside each
+    bucket a vectorized pandas merge on (band_id, band_hash) emits
+    (new, old) candidate pairs, with the degenerate-bucket cap of
+    :func:`minhash_near_dup` applied to the OLD side (a band bucket with
+    > max_bucket old members pairs each new doc only against the bucket
+    minimum).  Pairs dedup through the splitmix64 pair exchange and
+    verify with exact n-gram Jaccard via the co-partitioned text joins
+    (:func:`verify_pairs_jaccard` — the verify set must include both
+    sides' texts, so ``docs_ds`` is the combined corpus)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    n_buckets = cfg.near_dup_coarse_buckets
+    max_bucket = cfg.near_dup_max_bucket
+
+    def tag_new(t: pa.Table) -> pa.Table:
+        bt = _to_band_table(t, text_col, key_col, n_buckets)
+        return bt.append_column(
+            "side", pa.nulls(bt.num_rows, pa.int8()).fill_null(0))
+
+    new_bands = new_ds.map_batches(
+        tag_new, batch_format="pyarrow").materialize()
+
+    # distinct touched buckets (<= n_buckets small ints on the driver)
+    touched = sorted({r["bucket"] for r in
+                      new_bands.groupby("bucket").count().take_all()})
+    import glob as _glob
+    import os as _os
+    files: list[str] = []
+    for b in touched:
+        files.extend(sorted(_glob.glob(
+            _os.path.join(index_dir, f"bucket={b}", "*.parquet"))))
+    n_new = new_ds.count()
+    if not files:
+        return pa.table({
+            "n_new": pa.array([n_new], pa.int64()),
+            "n_candidates": pa.array([0], pa.int64()),
+            "n_dup_pairs": pa.array([0], pa.int64()),
+            "n_new_flagged": pa.array([0], pa.int64()),
+        })
+
+    def tag_old(t: pa.Table) -> pa.Table:
+        # re-derive bucket (the partition column round-trips as its
+        # value) and tag the side
+        return pa.table({
+            "band_id": pc.cast(t["band_id"], pa.int32()),
+            key_col: t[key_col],
+            "band_hash": t["band_hash"],
+            "bucket": pc.cast(t["bucket"], pa.int32()),
+            "side": pa.nulls(t.num_rows, pa.int8()).fill_null(1),
+        })
+
+    old_bands = rd.read_parquet(files).map_batches(
+        tag_old, batch_format="pyarrow")
+
+    def cross_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        new = g[g["side"] == 0]
+        old = g[g["side"] == 1]
+        if new.empty or old.empty:
+            return pd.DataFrame({"id_a": np.array([], np.int64),
+                                 "id_b": np.array([], np.int64)})
+        stats = (old.groupby(["band_id", "band_hash"])[key_col]
+                 .agg(["size", "min"]).reset_index())
+        m = (new.merge(old, on=["band_id", "band_hash"],
+                       suffixes=("_n", "_o"))
+             .merge(stats, on=["band_id", "band_hash"]))
+        keep = (m["size"] <= max_bucket) | (
+            m[f"{key_col}_o"] == m["min"])
+        m = m[keep]
+        out = (m[[f"{key_col}_n", f"{key_col}_o"]]
+               .drop_duplicates()
+               .rename(columns={f"{key_col}_n": "id_a",
+                                f"{key_col}_o": "id_b"}))
+        out["id_a"] = out["id_a"].astype(np.int64)
+        out["id_b"] = out["id_b"].astype(np.int64)
+        return out
+
+    pairs = dedupe_pairs(
+        new_bands.union(old_bands)
+        .groupby("bucket")
+        .map_groups(cross_pairs, batch_format="pandas")
+    ).materialize()
+    n_candidates = pairs.count()
+    if n_candidates == 0:
+        return pa.table({
+            "n_new": pa.array([n_new], pa.int64()),
+            "n_candidates": pa.array([0], pa.int64()),
+            "n_dup_pairs": pa.array([0], pa.int64()),
+            "n_new_flagged": pa.array([0], pa.int64()),
+        })
+
+    if n_candidates <= cfg.fuse_pairs_threshold:
+        # size-adaptive tail (the minhash_near_dup pattern): below the
+        # fuse threshold the verify fits ONE task — candidate texts go
+        # object-store block ref → task via a broadcast-id filter, and
+        # the two join executions' fixed costs are skipped entirely
+        blocks = [t for t in ray.get(pairs.to_arrow_refs())
+                  if t.num_columns and t.num_rows]
+        pair_tbl = pa.concat_tables(blocks)
+        cand = pa.array(
+            sorted(set(pair_tbl["id_a"].to_pylist())
+                   | set(pair_tbl["id_b"].to_pylist())), pa.int64())
+        cand_ref = ray.put(cand)
+
+        def pick(t: pa.Table) -> pa.Table:
+            keep = pc.is_in(t[key_col], value_set=ray.get(cand_ref))
+            return t.filter(keep).select([key_col, text_col])
+
+        text_refs = docs_ds.map_batches(
+            pick, batch_format="pyarrow").to_arrow_refs()
+        task = ray.remote(num_cpus=1)(_verify_pairs_task)
+        ver_tbl = ray.get(task.remote(pair_tbl, threshold, key_col,
+                                      text_col, *text_refs))
+        n_dup_pairs = ver_tbl.num_rows
+        n_flagged = len(set(ver_tbl["id_a"].to_pylist()))
+    else:
+        verified = verify_pairs_jaccard(
+            pairs, docs_ds, text_col=text_col, key_col=key_col,
+            threshold=threshold).materialize()
+        n_dup_pairs = verified.count()
+        n_flagged = (verified.groupby("id_a")
+                     .aggregate(Count(alias_name="n")).count()
+                     if n_dup_pairs else 0)
+    return pa.table({
+        "n_new": pa.array([n_new], pa.int64()),
+        "n_candidates": pa.array([n_candidates], pa.int64()),
+        "n_dup_pairs": pa.array([n_dup_pairs], pa.int64()),
+        "n_new_flagged": pa.array([n_flagged], pa.int64()),
+    })
+
+
+def _verify_pairs_task(pair_tbl: pa.Table, threshold: float, key_col: str,
+                       text_col: str, *text_blocks: pa.Table) -> pa.Table:
+    """One-task exact-Jaccard verify of a small pair set (the
+    _fused_verify_cc verify step without the union-find)."""
+    texts: dict[int, str] = {}
+    for blk in text_blocks:
+        for did, txt in zip(blk[key_col].to_pylist(),
+                            blk[text_col].to_pylist()):
+            texts[int(did)] = txt or ""
+    keep_a, keep_b = [], []
+    for ia, ib in zip(pair_tbl["id_a"].to_pylist(),
+                      pair_tbl["id_b"].to_pylist()):
+        if jaccard(texts.get(int(ia), ""),
+                   texts.get(int(ib), "")) >= threshold:
+            keep_a.append(int(ia))
+            keep_b.append(int(ib))
+    return pa.table({"id_a": pa.array(keep_a, pa.int64()),
+                     "id_b": pa.array(keep_b, pa.int64())})

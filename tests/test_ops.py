@@ -265,6 +265,57 @@ def test_label_set_agreement(ray_session):
     assert z2["n_exact"][0].as_py() == 0 and z2["recall_bp"][0].as_py() == 0
 
 
+def test_near_dup_incremental_index_probe(ray_session, tmp_path):
+    """A new-crawl slice probed against the persisted band index flags
+    exactly the planted near-copies of indexed docs, the layout is
+    genuinely hive-partitioned, and the stats are partition-invariant."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    from ocr_ray.pipelines.dedup import build_minhash_index, near_dup_incremental
+
+    base = ("the quick brown fox jumps over the lazy dog near the river bank "
+            "today while the sun sets slowly behind the distant hills")
+    old_rows = {i: f"unique old document number {i} about topic {i % 5} "
+                   f"with extra filler words {i}" for i in range(100, 140)}
+    old_rows[150] = base
+    old_rows[151] = base + " tonight"
+    new_rows = {
+        200: base,                         # near-copy of 150/151 -> flagged
+        201: "fresh new content about deep sea exploration vessels",
+        202: "another brand new page on mountain weather patterns",
+    }
+
+    def tbl(rows):
+        return pa.table({
+            "doc_id": pa.array(sorted(rows), pa.int64()),
+            "text": pa.array([rows[k] for k in sorted(rows)], pa.string()),
+        })
+
+    idx = str(tmp_path / "minhash")
+    build_minhash_index(rd.from_arrow(tbl(old_rows)), idx)
+    assert len(glob.glob(os.path.join(idx, "bucket=*"))) > 5  # real layout
+
+    all_docs = {**old_rows, **new_rows}
+
+    def run(n_parts):
+        got = near_dup_incremental(
+            idx,
+            rd.from_arrow(tbl(new_rows)).repartition(n_parts),
+            rd.from_arrow(tbl(all_docs)),
+        ).to_pandas()
+        return got
+
+    a = run(2)
+    assert int(a["n_new"][0]) == 3
+    assert int(a["n_new_flagged"][0]) == 1           # only the near-copy
+    assert int(a["n_dup_pairs"][0]) == 2             # vs 150 AND 151
+    assert int(a["n_candidates"][0]) >= 2
+    assert a.equals(run(1))
+
+
 def test_near_dup_filter_partition_invariance(ray_session):
     """near_dup_filter keeps exactly one representative (the min doc_id)
     per fuzzy-dup cluster plus every unclustered doc, and the survivor set
