@@ -724,7 +724,7 @@ def kmeans_inertia_stats(ds, k: int = 8, n_iter: int = 3,
     import ray
     from ray.data.aggregate import Max, Sum
 
-    scaled, cents, _, kk, _dim = _lloyd(
+    scaled, cents, _, _kk, _dim = _lloyd(
         ds, k, n_iter, scale, vec_col, key_col)
     ref = ray.put(cents)
 
@@ -1149,7 +1149,7 @@ def kmeans_cluster_profile(ds, k: int = 8, n_iter: int = 3,
     import ray
     from ray.data.aggregate import Sum
 
-    scaled, cents, _, kk, _dim = _lloyd(
+    scaled, cents, _, _kk, _dim = _lloyd(
         ds, k, n_iter, scale, vec_col, key_col, extra_cols=(label_col,))
     ref = ray.put(cents)
 
