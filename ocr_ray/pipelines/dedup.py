@@ -332,23 +332,7 @@ def minhash_near_dup(ds, text_col: str = "text", key_col: str = "doc_id",
     # raise this so a bucket ≈ one task's memory budget.
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        bands: list[tuple[int, int, str]] = []
-        ids = batch[key_col].to_pylist()
-        texts = batch[text_col].to_pylist()
-        for did, txt in zip(ids, texts):
-            sig = minhash_signature(txt or "")
-            bands.extend(band_rows(did, sig))
-        return pa.table(
-            {
-                "band_id": pa.array([b[0] for b in bands], pa.int32()),
-                key_col: pa.array([b[1] for b in bands], pa.int64()),
-                "band_hash": pa.array([b[2] for b in bands], pa.string()),
-                "bucket": pa.array(
-                    [zlib.crc32(b[2].encode()) % n_buckets for b in bands],
-                    pa.int32(),
-                ),
-            }
-        )
+        return _to_band_table(batch, text_col, key_col, n_buckets)
 
     MAX_BUCKET = cfg.near_dup_max_bucket
     # a degenerate bucket (boilerplate-identical docs) would emit O(k^2)

@@ -441,7 +441,9 @@ def test_near_dup_path_has_no_driver_materialization():
 
     src_dedup = pathlib.Path(dedup.__file__).read_text()
     assert ".to_pandas()" not in src_dedup
-    assert ".take_all()" not in src_dedup
+    # take_all appears once: near_dup_incremental's touched-bucket rows
+    # (a groupby("bucket").count() of <= n_buckets rows, never the corpus)
+    assert src_dedup.count(".take_all()") == 1
     src_graph = pathlib.Path(graph.__file__).read_text()
     for line in src_graph.splitlines():
         if line.lstrip().startswith("#") or '"' in line or "``" in line:
