@@ -315,6 +315,19 @@ def test_near_dup_incremental_index_probe(ray_session, tmp_path):
     assert int(a["n_candidates"][0]) >= 2
     assert a.equals(run(1))
 
+    # all-fresh slice: candidates may fire on band collisions but nothing
+    # verifies; the stats row still comes back well-formed
+    fresh = near_dup_incremental(
+        idx, rd.from_arrow(tbl({300: "entirely novel text about glacier "
+                                     "cave acoustics measurement rigs"})),
+        rd.from_arrow(tbl({**old_rows,
+                           300: "entirely novel text about glacier "
+                                "cave acoustics measurement rigs"})),
+    ).to_pandas()
+    assert int(fresh["n_new"][0]) == 1
+    assert int(fresh["n_dup_pairs"][0]) == 0
+    assert int(fresh["n_new_flagged"][0]) == 0
+
 
 def test_near_dup_filter_partition_invariance(ray_session):
     """near_dup_filter keeps exactly one representative (the min doc_id)
