@@ -1128,6 +1128,29 @@ def build_minhash_index(ds, index_dir: str, text_col: str = "text",
     return index_dir
 
 
+def update_minhash_index(index_dir: str, new_ds, text_col: str = "text",
+                         key_col: str = "doc_id",
+                         n_buckets: int | None = None) -> str:
+    """INGEST a new slice's band rows into an existing
+    :func:`build_minhash_index` layout — the write that completes the
+    continuous-ingestion loop (probe with
+    :func:`near_dup_incremental`, keep the survivors, then update so
+    the NEXT batch dedups against them too).  Append-only: Ray's
+    ``write_parquet`` adds uuid-named files inside the same
+    ``bucket=`` partitions and never touches existing files, so a
+    concurrent reader sees either the old or the extended index, and
+    the update is one embarrassingly-parallel pass over the new slice
+    only.  ``n_buckets`` must match the build (same contract as the
+    term-index lookups)."""
+    if n_buckets is None:
+        n_buckets = DEFAULT_CONFIG.near_dup_coarse_buckets
+    new_ds.map_batches(
+        lambda t: _to_band_table(t, text_col, key_col, n_buckets),
+        batch_format="pyarrow",
+    ).write_parquet(index_dir, partition_cols=["bucket"])
+    return index_dir
+
+
 def near_dup_incremental(index_dir: str, new_ds, docs_ds,
                          text_col: str = "text", key_col: str = "doc_id",
                          threshold: float = 0.8,

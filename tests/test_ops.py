@@ -328,6 +328,21 @@ def test_near_dup_incremental_index_probe(ray_session, tmp_path):
     assert int(fresh["n_dup_pairs"][0]) == 0
     assert int(fresh["n_new_flagged"][0]) == 0
 
+    # continuous ingestion: after update_minhash_index ingests batch 2,
+    # a batch-3 near-copy of a BATCH-2 doc is flagged; existing index
+    # files are never rewritten (append-only)
+    from ocr_ray.pipelines.dedup import update_minhash_index
+
+    before = set(glob.glob(os.path.join(idx, "bucket=*", "*.parquet")))
+    update_minhash_index(idx, rd.from_arrow(tbl(new_rows)))
+    after = set(glob.glob(os.path.join(idx, "bucket=*", "*.parquet")))
+    assert before < after                      # strictly appended
+    all3 = {**all_docs, 400: new_rows[201] + " update"}
+    b3 = near_dup_incremental(
+        idx, rd.from_arrow(tbl({400: all3[400]})),
+        rd.from_arrow(tbl(all3))).to_pandas()
+    assert int(b3["n_new_flagged"][0]) == 1    # matched the ingested 201
+
 
 def test_near_dup_filter_partition_invariance(ray_session):
     """near_dup_filter keeps exactly one representative (the min doc_id)
