@@ -228,14 +228,24 @@ def _fused_verify_cc(pair_tbl: pa.Table, threshold: float, key_col: str,
 
 def verify_pairs_jaccard(pairs, ds, text_col: str = "text",
                          key_col: str = "doc_id", threshold: float = 0.8,
-                         num_partitions: int = 16):
+                         num_partitions: int | None = None):
     """Exact n-gram-Jaccard verification of candidate pairs.
 
     Texts are attached by TWO co-partitioned hash joins on doc_id (pairs ⋈
     docs on id_a, then on id_b) — the corpus is shuffled by its key, the
     pair set stays the small side, and no driver-side text dict exists
     (round-1's scale defect).  Returns the verified (id_a, id_b) Dataset.
-    """
+
+    ``num_partitions`` defaults to min(16, cluster CPUs): each join
+    spawns a pool of hash-shuffle aggregator actors per partition, and
+    on a small cluster a 16-way pool starves the rest of the DAG into a
+    resource deadlock (measured at num_cpus=4).  At corpus scale pass
+    it explicitly so a partition ≈ one task's memory budget."""
+    if num_partitions is None:
+        import ray
+        cpus = (int(ray.cluster_resources().get("CPU", 16))
+                if ray.is_initialized() else 16)
+        num_partitions = max(2, min(16, cpus))
     docs = ds.map_batches(
         lambda t: t.select([key_col, text_col]), batch_format="pyarrow"
     )
@@ -245,7 +255,10 @@ def verify_pairs_jaccard(pairs, ds, text_col: str = "text",
     ).map_batches(
         lambda t: t.rename_columns(["id_a", "id_b", "text_a"]),
         batch_format="pyarrow",
-    )
+    # a sparse first join emits SCHEMA-LESS empty blocks that crash the
+    # second join in acero (FieldRef id_b); repartition coalesces them
+    # away (the dedupe_pairs convention, CLAUDE.md sharp edge)
+    ).repartition(num_partitions)
     with_ab = with_a.join(
         docs, join_type="inner", num_partitions=num_partitions,
         on=("id_b",), right_on=(key_col,),

@@ -328,6 +328,19 @@ def test_near_dup_incremental_index_probe(ray_session, tmp_path):
     assert int(fresh["n_dup_pairs"][0]) == 0
     assert int(fresh["n_new_flagged"][0]) == 0
 
+    # forced DISTRIBUTED verify path (fuse threshold 0): the join-based
+    # verify must return the same stats as the fused tail even when the
+    # sparse joins emit empty blocks
+    import dataclasses
+
+    from ocr_ray.config import DEFAULT_CONFIG
+
+    cfg0 = dataclasses.replace(DEFAULT_CONFIG, fuse_pairs_threshold=0)
+    dist = near_dup_incremental(
+        idx, rd.from_arrow(tbl(new_rows)), rd.from_arrow(tbl(all_docs)),
+        cfg=cfg0).to_pandas()
+    assert dist.equals(a)
+
     # continuous ingestion: after update_minhash_index ingests batch 2,
     # a batch-3 near-copy of a BATCH-2 doc is flagged; existing index
     # files are never rewritten (append-only)
