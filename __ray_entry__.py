@@ -1043,6 +1043,19 @@ def _q_host_freshness(sf_dir: str):
             .map_batches(final, batch_format="pandas", batch_size=None))
 
 
+def _q_outlink_stats(sf_dir: str):
+    """Web-graph OUTLINK edge counts from the raw html payloads (the
+    hyperlink-graph build step of a crawl pipeline; semantics + scale
+    shape in ocr_ray.pipelines.graph.outlink_stats).  Reads only the
+    (url, html) columns — the link graph never needs the text layer."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.graph import outlink_stats
+
+    return outlink_stats(
+        rd.read_parquet(_pages_dir(sf_dir), columns=["url", "html"]))
+
+
 def _q_robots_filter_stats(sf_dir: str):
     """Crawl-policy (robots-style) URL-prefix filter over the PAGES
     table — the frontier gate that runs BEFORE any extraction: pages are
@@ -1519,6 +1532,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "media_exact_dedup": _q_media_exact_dedup,
         "host_freshness": _q_host_freshness,
         "video_features": _q_video_features,
+        "outlink_stats": _q_outlink_stats,
         # LLM-pipeline additions (round 4)
         "line_dedup": _q_line_dedup,
         "top_terms": rel.top_terms,
@@ -1767,6 +1781,7 @@ def oracle_sql() -> dict[str, str]:
         "media_exact_dedup": _po.media_exact_dedup_sql(),
         "host_freshness": _po.host_freshness_sql(),
         "robots_filter_stats": _po.robots_filter_sql(),
+        "outlink_stats": _po.outlink_stats_sql(),
         "training_corpus": _po.training_corpus_sql(),
         "qc_rollup": _po.qc_rollup_sql(),
         "filter_stats": _po.filter_stats_sql(),

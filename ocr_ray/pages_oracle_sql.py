@@ -757,3 +757,35 @@ def robots_filter_sql() -> str:
         FROM pages
         GROUP BY 1
     """, need_blocks=False)
+
+
+def outlink_stats_sql() -> str:
+    """Web-graph outlink extraction re-derived in SQL: the same
+    ``href="…"`` regex over the string-reconstructed html payload
+    (pages_cte builds the page byte-for-byte, hrefs included), the same
+    absolute-vs-relative resolution CASE, grouped to (host, path) with
+    n_pages as a distinct count over the page row key (url, warc_ts) —
+    exact because each page row is unique on that pair."""
+    return _with_pages("""
+        , l0 AS (
+          SELECT regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS phost,
+                 url, warc_ts, u.href
+          FROM pages,
+               unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS u(href)
+        ),
+        l AS (
+          SELECT CASE WHEN regexp_matches(href, '^https?://')
+                      THEN regexp_extract(href, '^https?://([^/]+)', 1)
+                      ELSE phost END AS host,
+                 CASE WHEN regexp_matches(href, '^https?://')
+                      THEN COALESCE(NULLIF(regexp_extract(
+                             href, '^https?://[^/]+(/.*)$', 1), ''), '/')
+                      ELSE href END AS path,
+                 url, warc_ts
+          FROM l0
+        )
+        SELECT host, path, CAST(COUNT(*) AS BIGINT) AS n_links,
+               CAST(COUNT(DISTINCT url || '\x01' || CAST(warc_ts AS VARCHAR))
+                    AS BIGINT) AS n_pages
+        FROM l GROUP BY host, path
+    """, need_blocks=False)

@@ -257,3 +257,87 @@ def connected_components(pairs, key_col: str = "doc_id",
         lambda t: pa.table({key_col: t["node"], label_col: t["lbl"]}),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# web-graph edge extraction
+# ---------------------------------------------------------------------------
+
+_HREF_RE = None  # compiled lazily per process (bytes regex)
+_ABS_RE = None
+
+
+def outlink_stats(pages, n_buckets: int = 64):
+    """WEB-GRAPH OUTLINK extraction over raw pages — the hyperlink-graph
+    build step of a crawl pipeline (the CommonCrawl host-graph / WebGraph
+    edge-count analogue; the reference's crawl corpus carries the same
+    link-bearing html payloads its scripts iterate one file at a time,
+    pdf_extractor.py:1-40).  Every ``href="…"`` attribute in the raw html
+    payload is extracted with one compiled bytes regex; absolute http(s)
+    hrefs keep their own host+path (path '' → '/'), anything else
+    (site-relative, fragment, mailto) resolves to the PAGE's host with
+    the raw href as path.  Returns one row per (host, path):
+
+      ``(host, path, n_links, n_pages)`` — total occurrences, and the
+      number of page rows linking there at least once.
+
+    Scale shape: the standard two-level exact reduce (cf. top_terms) —
+    a per-batch Counter partial means the shuffle carries (host, path)
+    PARTIAL COUNT rows, never link instances; the coarse
+    crc32(host|path) % n_buckets key bounds group dispatch at 64 while a
+    (host, path) key lives entirely in ONE bucket, so per-bucket pandas
+    sums are global sums and unbounded link-target cardinality never
+    turns into per-key dispatch.  n_pages stays exact across batches
+    because a page row lives in exactly one batch.
+    """
+    import collections
+    import re
+    import zlib
+
+    import pyarrow.compute as pc
+
+    global _HREF_RE, _ABS_RE
+    if _HREF_RE is None:
+        _HREF_RE = re.compile(rb'href="([^"]*)"')
+        _ABS_RE = re.compile(r'^https?://([^/]+)(/.*)?$')
+    href_re, abs_re = _HREF_RE, _ABS_RE
+
+    def partial(t: pa.Table) -> pa.Table:
+        links: collections.Counter = collections.Counter()
+        pages_c: collections.Counter = collections.Counter()
+        hosts = pc.fill_null(pc.struct_field(
+            pc.extract_regex(t["url"], r"^[a-z]+://(?P<h>[^/]+)/"), "h"), "")
+        for phost, payload in zip(hosts.to_pylist(), t["html"].to_pylist()):
+            seen: collections.Counter = collections.Counter()
+            for raw in href_re.findall(payload or b""):
+                href = raw.decode("utf-8", "ignore")
+                m = abs_re.match(href)
+                if m:
+                    seen[(m.group(1), m.group(2) or "/")] += 1
+                else:
+                    seen[(phost, href)] += 1
+            links.update(seen)
+            pages_c.update(seen.keys())
+        keys = list(links.keys())
+        return pa.table({
+            "host": pa.array([k[0] for k in keys], pa.string()),
+            "path": pa.array([k[1] for k in keys], pa.string()),
+            "n_links": pa.array([links[k] for k in keys], pa.int64()),
+            "n_pages": pa.array([pages_c[k] for k in keys], pa.int64()),
+            "bucket": pa.array(
+                [zlib.crc32((k[0] + "\x01" + k[1]).encode()) % n_buckets
+                 for k in keys], pa.int32()),
+        })
+
+    def bucket_sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["host", "path"], as_index=False)[
+            ["n_links", "n_pages"]].sum()
+        out["n_links"] = out["n_links"].astype("int64")
+        out["n_pages"] = out["n_pages"].astype("int64")
+        return out
+
+    return (
+        pages.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_sum, batch_format="pandas")
+    )

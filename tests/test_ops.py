@@ -3670,3 +3670,49 @@ def test_linear_attribution_equal_split(ray_session):
     assert {u: (int(r["n_attributed_purchases"]),
                 int(r["sum_credit_mcents"]))
             for u, r in got.iterrows()} == want
+
+
+def test_outlink_stats_corpus(ray_session):
+    import pyarrow.dataset as pads
+
+    import __ray_entry__ as e
+
+    got = e.queries()["outlink_stats"]("/root/testdata/sf0.001").to_pandas()
+    # every html page carries the 18 boilerplate links (nav 3 + linkfarm
+    # 12 + footer 3) exactly once; pdf payloads carry none
+    pages = pads.dataset(
+        e._pages_dir("/root/testdata/sf0.001")).to_table(columns=["url"])
+    n_html = sum(not u.split("?")[0].endswith(".pdf")
+                 for u in pages["url"].to_pylist())
+    assert got["n_links"].sum() == 18 * n_html
+    assert (got["n_links"] == got["n_pages"]).all()
+    assert (got.groupby("host")["path"].nunique() == 18).all()
+    assert set(got.loc[got["path"] == "/about", "host"]) == set(got["host"])
+
+
+def test_outlink_stats_resolution_and_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from ocr_ray.pipelines.graph import outlink_stats
+
+    html = (b'<a href="/rel">x</a><a href="https://other.example.com/p/1">y'
+            b'</a><a href="https://other.example.com">z</a><a href="/rel">x</a>')
+    t = pa.table({
+        "url": ["https://me.example.org/doc/1",
+                "https://me.example.org/doc/2",
+                "https://me.example.org/doc/3"],
+        "html": [html, b"", b'<img href="/only">'],
+    })
+    got = (outlink_stats(rd.from_arrow(t)).to_pandas()
+           .set_index(["host", "path"]).sort_index())
+    # same-page repeats count once for n_pages, twice for n_links
+    assert got.loc[("me.example.org", "/rel"), "n_links"] == 2
+    assert got.loc[("me.example.org", "/rel"), "n_pages"] == 1
+    # absolute hrefs keep their own host; bare absolute path folds to '/'
+    assert got.loc[("other.example.com", "/p/1"), "n_links"] == 1
+    assert got.loc[("other.example.com", "/"), "n_links"] == 1
+    assert got.loc[("me.example.org", "/only"), "n_links"] == 1
+    # partitioning must not change the answer (per-batch partials sum)
+    got5 = (outlink_stats(rd.from_arrow(t).repartition(5)).to_pandas()
+            .set_index(["host", "path"]).sort_index())
+    pd.testing.assert_frame_equal(got, got5)
