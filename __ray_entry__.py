@@ -882,6 +882,21 @@ def _q_knn_label_eval(sf_dir: str):
     return knn_label_eval(ds, k=5)
 
 
+def _q_bitext_mining_margin(sf_dir: str):
+    """Margin-based bitext mining (CCMatrix/LASER alignment step) over
+    the embeddings corpus: even labels = source side, odd = target;
+    mutual rank-1 LSH-bucket neighbors kept when the integer-bp margin
+    clears the threshold (semantics + scale shape in
+    ocr_ray.pipelines.simsearch.bitext_margin_pairs)."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.simsearch import bitext_margin_pairs
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding", "label"])
+    return _schema_safe(bitext_margin_pairs(ds))
+
+
 def _q_kmeans_cluster_profile(sf_dir: str):
     """Per-cluster label histogram under the final Lloyd centroids —
     the purity/NMI cross-tab of the distributed k-means."""
@@ -1503,6 +1518,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "knn_ivf_indexed": _q_knn_ivf_indexed,
         "ann_recall_at_k": _q_ann_recall,
         "semdedup_stats": _q_semdedup_stats,
+        "bitext_mining_margin": _q_bitext_mining_margin,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "kmeans_cluster_profile": _q_kmeans_cluster_profile,
         "knn_label_eval": _q_knn_label_eval,
@@ -1761,6 +1777,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_embeddings": _do.kmeans_embeddings_sql(),
         "kmeans_cluster_profile": _do.kmeans_cluster_profile_sql(),
         "knn_label_eval": _do.knn_label_eval_sql(),
+        "bitext_mining_margin": _do.bitext_margin_sql(),
         "kmeans_inertia_stats": _do.kmeans_inertia_stats_sql(),
         "near_dup_incremental": _do.near_dup_incremental_sql(),
         "knn_join_lsh": _do.knn_join_lsh_sql(),

@@ -157,6 +157,10 @@ class PipelineConfig:
     term_index_buckets: int = 64        # hive partitions of the term index
                                         # (raise at scale: 1 partition ≈ one
                                         # object-store-friendly chunk)
+    bitext_topk: int = 4                # bitext mining: candidates in each
+                                        # side's margin normalizer
+    bitext_margin_bp: int = 10_000      # ...mined-pair margin threshold
+                                        # (basis points; 10000 = ratio 1.0)
 
     # keyword / skip constants (tuples so the dataclass stays hashable)
     keywords: tuple[str, ...] = ADDITIONAL_INTEREST_KEYWORDS

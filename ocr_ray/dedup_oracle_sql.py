@@ -889,3 +889,78 @@ def near_dup_agreement_sql() -> str:
                END AS precision_bp
         FROM t
     """
+
+
+def bitext_margin_sql(k: int = 4, threshold_bp: int = 10_000,
+                      dim: int = 64) -> str:
+    """bitext_mining_margin re-derived in SQL: the same hyperplane-literal
+    bucket as knn_lsh_sql, an even/odd label split joined on bucket, two
+    row_number rankings (per-src over tgt candidates, per-tgt over src),
+    a mutual rank-1 join, and the ALL-BIGINT margin arithmetic —
+    floor(x+0.5) as (2N+D)//(2D) — bit-for-bit the Ray kernel's
+    integers.  sr/tr/pairs are each referenced more than once →
+    MATERIALIZED (the chained-CTE sharp edge); SUMs wrapped in
+    CAST(... AS BIGINT) (HUGEINT sharp edge)."""
+    from ocr_ray.config import DEFAULT_CONFIG
+    from ocr_ray.pipelines.simsearch import _planes
+
+    planes = _planes(dim, DEFAULT_CONFIG.lsh_index_bits)
+
+    def dot(b: int) -> str:
+        return " + ".join(f"e[{j + 1}] * {planes[b][j]!r}" for j in range(dim))
+
+    bucket = " + ".join(
+        f"(CASE WHEN ({dot(b)}) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(planes.shape[0])
+    )
+    return f"""
+        WITH v AS (
+          SELECT vec_id, label, embedding, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings
+        ),
+        b AS MATERIALIZED (
+          SELECT vec_id, label, embedding, ({bucket}) AS bucket FROM v
+        ),
+        pairs AS MATERIALIZED (
+          SELECT s.vec_id AS sid, t.vec_id AS tid,
+                 s.label AS sl, t.label AS tl,
+                 CAST(ROUND(ROUND(list_cosine_similarity(
+                     CAST(s.embedding AS DOUBLE[]),
+                     CAST(t.embedding AS DOUBLE[])), 6) * 1000000.0)
+                   AS BIGINT) AS sim_micro
+          FROM b s JOIN b t ON t.bucket = s.bucket
+          WHERE s.label % 2 = 0 AND t.label % 2 = 1
+        ),
+        sr AS MATERIALIZED (
+          SELECT *, row_number() OVER (PARTITION BY sid
+                    ORDER BY sim_micro DESC, tid) AS rk FROM pairs
+        ),
+        tr AS MATERIALIZED (
+          SELECT *, row_number() OVER (PARTITION BY tid
+                    ORDER BY sim_micro DESC, sid) AS rk FROM pairs
+        ),
+        sstat AS (SELECT sid, CAST(SUM(sim_micro) AS BIGINT) AS sumx,
+                         COUNT(*) AS kx
+                  FROM sr WHERE rk <= {k} GROUP BY sid),
+        tstat AS (SELECT tid, CAST(SUM(sim_micro) AS BIGINT) AS sumy,
+                         COUNT(*) AS ky
+                  FROM tr WHERE rk <= {k} GROUP BY tid),
+        scored AS (
+          SELECT sb.sid, sb.tid, sb.sl, sb.tl, sb.sim_micro,
+                 (2 * 20000 * st.kx * tt.ky * sb.sim_micro
+                    + (st.sumx * tt.ky + tt.sumy * st.kx))
+                   // (2 * (st.sumx * tt.ky + tt.sumy * st.kx)) AS m_bp
+          FROM (SELECT * FROM sr WHERE rk = 1) sb
+          JOIN (SELECT * FROM tr WHERE rk = 1) tb
+            ON tb.sid = sb.sid AND tb.tid = sb.tid
+          JOIN sstat st ON st.sid = sb.sid
+          JOIN tstat tt ON tt.tid = sb.tid
+          WHERE sb.sim_micro > 0
+            AND (st.sumx * tt.ky + tt.sumy * st.kx) > 0
+        )
+        SELECT sid AS src_id, tid AS tgt_id,
+               CAST(sl AS BIGINT) AS src_label,
+               CAST(tl AS BIGINT) AS tgt_label,
+               sim_micro, CAST(m_bp AS BIGINT) AS margin_bp
+        FROM scored WHERE m_bp >= {threshold_bp}
+    """

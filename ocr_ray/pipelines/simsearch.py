@@ -1179,3 +1179,117 @@ def kmeans_cluster_profile(ds, k: int = 8, n_iter: int = 3,
         .groupby(["cid", "label"])
         .aggregate(Sum("n_vecs", alias_name="n_vecs"))
     )
+
+
+def bitext_margin_pairs(ds, k: int | None = None,
+                        threshold_bp: int | None = None,
+                        n_bits: int | None = None,
+                        vec_col: str = "embedding", key_col: str = "vec_id",
+                        label_col: str = "label"):
+    """CROSS-LINGUAL BITEXT MINING by margin scoring (Artetxe & Schwenk
+    2019 "Margin-based Parallel Corpus Mining", the CCMatrix / LASER
+    alignment step — public method): the corpus splits into a SOURCE
+    side (even ``label``) and a TARGET side (odd ``label``); within each
+    fine LSH bucket every source×target candidate is scored, and a pair
+    is MINED when the two vectors are MUTUAL rank-1 neighbors and the
+    margin — cos(x,y) over the mean of the two sides' top-k candidate
+    similarities — clears ``threshold_bp``.  Returns one row per mined
+    pair: ``(src_id, tgt_id, src_label, tgt_label, sim_micro,
+    margin_bp)``.
+
+    Integer discipline (oracle parity): sims round to integer
+    MICRO-units (round-half conventions as knn_join_lsh); the margin
+
+        margin = sim / ((sum_x/k_x + sum_y/k_y) / 2)
+               = 2·sim·k_x·k_y / (sum_x·k_y + sum_y·k_x)
+
+    is evaluated ENTIRELY in int64 (numerator ≤ 2·10^4·16·10^6) with
+    floor(·+0.5) half-away rounding to basis points, so Ray and DuckDB
+    agree bit-for-bit.  k_x = min(k, candidates of x); the rank-1 pair
+    itself is part of each side's normalizer (the published definition:
+    y ∈ NN_k(x)).  Pairs need sim_micro > 0 and a positive normalizer.
+
+    Scale shape: IDENTICAL to :func:`knn_join_lsh` — one coarse shuffle
+    of fine LSH buckets (fine buckets stay whole inside ≤64 coarse
+    groups), one normalized src×tgt matmul per fine bucket, pair work
+    O(Σ s_i·t_i) bounded by bucket sizes; only mined-pair rows leave a
+    group.  Cross-bucket pairs are missed (the documented sign-LSH
+    approximation; raise n_bits at corpus scale so buckets stay
+    matmul-sized — mining recall is the LSH recall).
+    """
+    import pandas as pd
+
+    if k is None:
+        k = DEFAULT_CONFIG.bitext_topk
+    if threshold_bp is None:
+        threshold_bp = DEFAULT_CONFIG.bitext_margin_bp
+    if n_bits is None:
+        n_bits = DEFAULT_CONFIG.lsh_index_bits
+    n_coarse = DEFAULT_CONFIG.near_dup_coarse_buckets
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        mat = _to_matrix(t[vec_col])
+        b = lsh_bucket(mat, n_bits) if mat.shape[0] else np.zeros(0, np.int32)
+        return pa.table({
+            key_col: t[key_col],
+            label_col: t[label_col],
+            vec_col: t[vec_col],
+            "fbucket": pa.array(b, pa.int32()),
+            "cbucket": pa.array((b % n_coarse).astype(np.int32), pa.int32()),
+        })
+
+    def mine_group(g: pd.DataFrame) -> pd.DataFrame:
+        o_sid, o_tid, o_sl, o_tl, o_sim, o_m = [], [], [], [], [], []
+        for _, grp in g.groupby("fbucket", sort=True):
+            labels = grp[label_col].to_numpy(dtype=np.int64)
+            src = grp[labels % 2 == 0]
+            tgt = grp[labels % 2 == 1]
+            ns, nt = len(src), len(tgt)
+            if ns == 0 or nt == 0:
+                continue
+            sid = src[key_col].to_numpy(dtype=np.int64)
+            tid = tgt[key_col].to_numpy(dtype=np.int64)
+            sl = src[label_col].to_numpy(dtype=np.int64)
+            tl = tgt[label_col].to_numpy(dtype=np.int64)
+            ms = _normalized(np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in src[vec_col]]))
+            mt = _normalized(np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in tgt[vec_col]]))
+            sim = _r0(np.round(ms @ mt.T, 6) * 1e6)     # (ns, nt) int64
+            kx, ky = min(k, nt), min(k, ns)
+            # per-src top-kx candidate order: sim desc, tgt id asc
+            s_ord = np.lexsort((np.broadcast_to(tid, (ns, nt)), -sim), axis=1)
+            s_best = s_ord[:, 0]
+            s_sum = np.take_along_axis(sim, s_ord[:, :kx], axis=1).sum(axis=1)
+            # per-tgt over src (columns): sim desc, src id asc
+            t_ord = np.lexsort(
+                (np.broadcast_to(sid, (nt, ns)), -sim.T), axis=1)
+            t_best = t_ord[:, 0]
+            t_sum = np.take_along_axis(sim.T, t_ord[:, :ky], axis=1).sum(axis=1)
+            for i in range(ns):
+                j = int(s_best[i])
+                if int(t_best[j]) != i:
+                    continue                      # not mutual rank-1
+                s = int(sim[i, j])
+                d = int(s_sum[i]) * ky + int(t_sum[j]) * kx
+                if s <= 0 or d <= 0:
+                    continue
+                m_bp = (2 * 20000 * kx * ky * s + d) // (2 * d)
+                if m_bp >= threshold_bp:
+                    o_sid.append(int(sid[i])); o_tid.append(int(tid[j]))
+                    o_sl.append(int(sl[i])); o_tl.append(int(tl[j]))
+                    o_sim.append(s); o_m.append(int(m_bp))
+        return pd.DataFrame({
+            "src_id": np.array(o_sid, dtype=np.int64),
+            "tgt_id": np.array(o_tid, dtype=np.int64),
+            "src_label": np.array(o_sl, dtype=np.int64),
+            "tgt_label": np.array(o_tl, dtype=np.int64),
+            "sim_micro": np.array(o_sim, dtype=np.int64),
+            "margin_bp": np.array(o_m, dtype=np.int64),
+        })
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("cbucket")
+        .map_groups(mine_group, batch_format="pandas")
+    )

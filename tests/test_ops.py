@@ -3716,3 +3716,62 @@ def test_outlink_stats_resolution_and_partition_invariance(ray_session):
     got5 = (outlink_stats(rd.from_arrow(t).repartition(5)).to_pandas()
             .set_index(["host", "path"]).sort_index())
     pd.testing.assert_frame_equal(got, got5)
+
+
+def test_bitext_margin_matching_properties(ray_session):
+    import __ray_entry__ as e
+
+    got = e.queries()["bitext_mining_margin"]("/root/testdata/sf0.001")
+    got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+    assert len(got) > 0
+    # mutual rank-1 mining yields a MATCHING: no endpoint repeats
+    assert got["src_id"].is_unique and got["tgt_id"].is_unique
+    # side split is by label parity
+    assert (got["src_label"] % 2 == 0).all()
+    assert (got["tgt_label"] % 2 == 1).all()
+    from ocr_ray.config import DEFAULT_CONFIG
+    assert (got["margin_bp"] >= DEFAULT_CONFIG.bitext_margin_bp).all()
+    assert (got["sim_micro"] > 0).all() and (got["sim_micro"] <= 1_000_000).all()
+
+
+def test_bitext_margin_partition_invariance_and_arithmetic(ray_session):
+    import ray.data as rd
+
+    from ocr_ray.pipelines.simsearch import (_normalized, _r0,
+                                             bitext_margin_pairs)
+
+    # two parallel pairs + one distractor, all in one LSH bucket by
+    # construction (identical directions share a sign pattern)
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(2, 64))
+    vecs = np.vstack([
+        base[0], base[0] * 2.0 + rng.normal(size=64) * 1e-3,   # pair A
+        base[1], base[1] * 0.5 + rng.normal(size=64) * 1e-3,   # pair B
+    ]).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0, 1, 2, 3], pa.int32()),
+    })
+    got = (bitext_margin_pairs(rd.from_arrow(t), k=2, threshold_bp=0)
+           .to_pandas().sort_values("src_id").reset_index(drop=True))
+    got7 = (bitext_margin_pairs(rd.from_arrow(t).repartition(3), k=2,
+                                threshold_bp=0)
+            .to_pandas().sort_values("src_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, got7)
+    assert list(zip(got["src_id"], got["tgt_id"])) == [(0, 1), (2, 3)]
+    # margin arithmetic replicated by hand for the (0, 1) pair
+    nm = _normalized(vecs.astype(np.float64))
+    from ocr_ray.pipelines.simsearch import lsh_bucket
+    b = lsh_bucket(vecs.astype(np.float64))
+    src = [i for i in (0, 2) if b[i] == b[0]]
+    tgt = [j for j in (1, 3) if b[j] == b[0]]
+    sim = _r0(np.round(nm[src] @ nm[tgt].T, 6) * 1e6)
+    i, j = src.index(0), tgt.index(1)
+    kx, ky = min(2, len(tgt)), min(2, len(src))
+    sx = int(np.sort(sim[i])[::-1][:kx].sum())
+    sy = int(np.sort(sim[:, j])[::-1][:ky].sum())
+    d = sx * ky + sy * kx
+    want = (2 * 20000 * kx * ky * int(sim[i, j]) + d) // (2 * d)
+    assert int(got.loc[got["src_id"] == 0, "margin_bp"].iloc[0]) == want
