@@ -1071,6 +1071,18 @@ def _q_outlink_stats(sf_dir: str):
         rd.read_parquet(_pages_dir(sf_dir), columns=["url", "html"]))
 
 
+def _q_anchor_text_stats(sf_dir: str):
+    """Anchor-text corpus rollup (the ranking-signal half of the
+    web-graph build; semantics + scale shape in
+    ocr_ray.pipelines.graph.anchor_text_stats)."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.graph import anchor_text_stats
+
+    return anchor_text_stats(
+        rd.read_parquet(_pages_dir(sf_dir), columns=["url", "html"]))
+
+
 def _q_robots_filter_stats(sf_dir: str):
     """Crawl-policy (robots-style) URL-prefix filter over the PAGES
     table — the frontier gate that runs BEFORE any extraction: pages are
@@ -1549,6 +1561,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "host_freshness": _q_host_freshness,
         "video_features": _q_video_features,
         "outlink_stats": _q_outlink_stats,
+        "anchor_text_stats": _q_anchor_text_stats,
         # LLM-pipeline additions (round 4)
         "line_dedup": _q_line_dedup,
         "top_terms": rel.top_terms,
@@ -1799,6 +1812,7 @@ def oracle_sql() -> dict[str, str]:
         "host_freshness": _po.host_freshness_sql(),
         "robots_filter_stats": _po.robots_filter_sql(),
         "outlink_stats": _po.outlink_stats_sql(),
+        "anchor_text_stats": _po.anchor_text_stats_sql(),
         "training_corpus": _po.training_corpus_sql(),
         "qc_rollup": _po.qc_rollup_sql(),
         "filter_stats": _po.filter_stats_sql(),

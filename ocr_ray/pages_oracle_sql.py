@@ -789,3 +789,21 @@ def outlink_stats_sql() -> str:
                     AS BIGINT) AS n_pages
         FROM l GROUP BY host, path
     """, need_blocks=False)
+
+
+def anchor_text_stats_sql() -> str:
+    """Anchor-text corpus re-derived in SQL: the same
+    ``<a href="…">text</a>`` regex over the reconstructed html, grouped
+    per verbatim anchor with an exact distinct-host count."""
+    return _with_pages("""
+        , la AS (
+          SELECT regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
+                 u.anchor
+          FROM pages,
+               unnest(regexp_extract_all(
+                 html, '<a href="[^"]*">([^<]*)</a>', 1)) AS u(anchor)
+        )
+        SELECT anchor, CAST(COUNT(*) AS BIGINT) AS n_links,
+               CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+        FROM la GROUP BY anchor
+    """, need_blocks=False)

@@ -341,3 +341,66 @@ def outlink_stats(pages, n_buckets: int = 64):
         .groupby("bucket")
         .map_groups(bucket_sum, batch_format="pandas")
     )
+
+
+_ANCHOR_RE = None
+
+
+def anchor_text_stats(pages, n_buckets: int = 64):
+    """ANCHOR-TEXT corpus build over raw pages — the other half of the
+    web-graph product (anchor text powers query-independent ranking and
+    query expansion; built from the same link-bearing payloads as
+    :func:`outlink_stats`).  Every ``<a href="…">text</a>`` occurrence
+    contributes its inner text verbatim; returns one row per anchor:
+
+      ``(anchor, n_links, n_hosts)`` — total occurrences and the number
+      of DISTINCT linking hosts.
+
+    Scale shape: the distinct-count dimension forces the partial rows to
+    carry (anchor, host) pairs — still pre-counted per batch (the
+    shuffle never sees link instances), bucketed by crc32(anchor) %
+    n_buckets so an anchor lives entirely in ONE bucket and the
+    per-bucket pandas nunique is the exact global distinct count.
+    Partial-row cardinality is bounded by anchors×hosts actually
+    co-occurring, not by link volume.
+    """
+    import collections
+    import re
+    import zlib
+
+    import pyarrow.compute as pc
+
+    global _ANCHOR_RE
+    if _ANCHOR_RE is None:
+        _ANCHOR_RE = re.compile(rb'<a href="[^"]*">([^<]*)</a>')
+    anchor_re = _ANCHOR_RE
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        hosts = pc.fill_null(pc.struct_field(
+            pc.extract_regex(t["url"], r"^[a-z]+://(?P<h>[^/]+)/"), "h"), "")
+        for phost, payload in zip(hosts.to_pylist(), t["html"].to_pylist()):
+            for raw in anchor_re.findall(payload or b""):
+                c[(raw.decode("utf-8", "ignore"), phost)] += 1
+        keys = list(c.keys())
+        return pa.table({
+            "anchor": pa.array([k[0] for k in keys], pa.string()),
+            "host": pa.array([k[1] for k in keys], pa.string()),
+            "n": pa.array([c[k] for k in keys], pa.int64()),
+            "bucket": pa.array(
+                [zlib.crc32(k[0].encode()) % n_buckets for k in keys],
+                pa.int32()),
+        })
+
+    def bucket_agg(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("anchor", as_index=False).agg(
+            n_links=("n", "sum"), n_hosts=("host", "nunique"))
+        out["n_links"] = out["n_links"].astype("int64")
+        out["n_hosts"] = out["n_hosts"].astype("int64")
+        return out
+
+    return (
+        pages.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_agg, batch_format="pandas")
+    )

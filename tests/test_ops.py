@@ -3775,3 +3775,32 @@ def test_bitext_margin_partition_invariance_and_arithmetic(ray_session):
     d = sx * ky + sy * kx
     want = (2 * 20000 * kx * ky * int(sim[i, j]) + d) // (2 * d)
     assert int(got.loc[got["src_id"] == 0, "margin_bp"].iloc[0]) == want
+
+
+def test_anchor_text_stats(ray_session):
+    import ray.data as rd
+
+    import __ray_entry__ as e
+    from ocr_ray.pipelines.graph import anchor_text_stats
+
+    got = (e.queries()["anchor_text_stats"]("/root/testdata/sf0.001")
+           .to_pandas().set_index("anchor"))
+    # the 18 boilerplate anchors, each linked from every html-bearing host
+    assert set(got.index) == (
+        {"Home", "About", "Contact", "Terms", "Privacy", "Sitemap"}
+        | {f"tag {i}" for i in range(12)})
+    assert got["n_hosts"].nunique() == 1           # same hosts everywhere
+    assert (got["n_links"] == got["n_links"].iloc[0]).all()
+    # distinct-host exactness across partitioning (host pairs shuffle)
+    t = pa.table({
+        "url": ["https://a.example.org/1", "https://a.example.org/2",
+                "https://b.example.org/3"],
+        "html": [b'<a href="/x">go</a>', b'<a href="/y">go</a>',
+                 b'<a href="/z">go</a><a href="/w">stay</a>'],
+    })
+    for parts in (1, 5):
+        out = (anchor_text_stats(rd.from_arrow(t).repartition(parts))
+               .to_pandas().set_index("anchor"))
+        assert int(out.loc["go", "n_links"]) == 3
+        assert int(out.loc["go", "n_hosts"]) == 2
+        assert int(out.loc["stay", "n_hosts"]) == 1
