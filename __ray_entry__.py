@@ -1565,6 +1565,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         # LLM-pipeline additions (round 4)
         "line_dedup": _q_line_dedup,
         "top_terms": rel.top_terms,
+        "cms_freq_estimates": rel.cms_freq_estimates,
         "doc_length_quantiles": rel.doc_length_quantiles,
         "hopping_hour_counts": win.hopping_hour_counts,
         "domain_cap": rel.domain_cap,
@@ -2266,6 +2267,33 @@ def oracle_sql() -> dict[str, str]:
               FROM toks WHERE token <> '' GROUP BY token
             )
             SELECT token, n FROM counted ORDER BY n DESC, token LIMIT 20
+        """,
+        # Count-Min sketch rebuilt CELL-FOR-CELL: same tokenization as
+        # top_terms, same md5_number_lower hash family, d=4 w=1024; the
+        # exact top-10 probe set next to its sketch estimate
+        "cms_freq_estimates": r"""
+            WITH toks AS (
+              SELECT unnest(regexp_split_to_array(
+                       lower(coalesce(text,'')), '\s+')) AS token
+              FROM documents
+            ), cnt AS MATERIALIZED (
+              SELECT token, CAST(count(*) AS BIGINT) AS n
+              FROM toks WHERE token <> '' GROUP BY token
+            ), topk AS MATERIALIZED (
+              SELECT token, n FROM cnt ORDER BY n DESC, token LIMIT 10
+            ), cells AS MATERIALIZED (
+              SELECT r.i AS ri,
+                     md5_number_lower(token || '|' || r.i) % 1024 AS cell,
+                     CAST(SUM(n) AS BIGINT) AS c
+              FROM cnt, unnest(range(0, 4)) AS r(i)
+              GROUP BY 1, 2
+            )
+            SELECT tk.token, tk.n AS n_exact,
+                   CAST(MIN(ce.c) AS BIGINT) AS n_est,
+                   CAST(MIN(ce.c) - tk.n AS BIGINT) AS overcount
+            FROM topk tk JOIN cells ce
+              ON ce.cell = md5_number_lower(tk.token || '|' || ce.ri) % 1024
+            GROUP BY tk.token, tk.n
         """,
         "doc_length_quantiles": """
             WITH l AS MATERIALIZED (

@@ -6016,3 +6016,81 @@ def grouped_split_audit(sf_dir: str):
                    Sum("sum_tokens", alias_name="sum_tokens"),
                    Sum("n_leaky_docs", alias_name="n_leaky_docs"))
     )
+
+
+def cms_freq_estimates(sf_dir: str, k: int = 10, d: int = 4, w: int = 1024):
+    """COUNT-MIN SKETCH term-frequency estimation (Cormode & Muthukrishnan
+    2005 — public method; the fixed-memory frequency sketch a streaming
+    corpus profiler keeps when exact per-term counts don't fit): build a
+    d×w CMS over every token of the corpus, then report, for the exact
+    global top-``k`` tokens, the exact count next to the sketch estimate
+    and its (always non-negative) overcount:
+
+      ``(token, n_exact, n_est, overcount)``
+
+    Hash family: ``md5_number_lower(token || '|' || row) % w`` — the
+    repo-wide DuckDB-reproducible hash (:func:`_md5_u64`), so the oracle
+    rebuilds the sketch CELL-FOR-CELL, not just statistically.
+
+    Scale shape: the sketch is the whole point — per batch, one Counter
+    pass then a LOCAL d×w fold, so the shuffle carries at most d·w
+    partial cell rows per batch regardless of token volume, and the
+    groupby sees exactly d·w keys (4096 — far under the high-cardinality
+    groupby pathology).  The exact top-k side reuses the
+    :func:`top_terms` two-level exchange.  Driver state is the folded
+    d·w cell table plus k probe rows — fixed-size at any corpus scale
+    (the CMS guarantee).
+    """
+    cms_tbl = _concat_nonempty(_cms_cells(sf_dir, d, w))
+    cells = np.zeros((d, w), dtype=np.int64)
+    cells[cms_tbl["row"].to_numpy(), cms_tbl["cell"].to_numpy()] = (
+        cms_tbl["c"].to_numpy())
+
+    top = _concat_nonempty(top_terms(sf_dir, k=k))
+    toks = top["token"].to_pylist()
+    n_exact = top["n"].to_numpy()
+    est = np.zeros(len(toks), dtype=np.int64)
+    for i, tok in enumerate(toks):
+        h = (_md5_u64([f"{tok}|{r}" for r in range(d)])
+             % np.uint64(w)).astype(np.int64)
+        est[i] = cells[np.arange(d), h].min()
+    return pa.table({
+        "token": pa.array(toks, pa.string()),
+        "n_exact": pa.array(n_exact, pa.int64()),
+        "n_est": pa.array(est, pa.int64()),
+        "overcount": pa.array(est - n_exact, pa.int64()),
+    })
+
+
+def _cms_cells(sf_dir: str, d: int, w: int):
+    """The distributed CMS build: (row, cell, c) — d·w rows total."""
+    import collections
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        for txt in t["text"].to_pylist():
+            c.update((txt or "").lower().split())
+        local = np.zeros((d, w), dtype=np.int64)
+        toks = list(c.keys())
+        if toks:
+            ns = np.fromiter((c[tk] for tk in toks), dtype=np.int64,
+                             count=len(toks))
+            for r in range(d):
+                h = (_md5_u64([f"{tk}|{r}" for tk in toks])
+                     % np.uint64(w)).astype(np.int64)
+                np.add.at(local[r], h, ns)
+        rows, cols = np.nonzero(local)
+        return pa.table({
+            "row": pa.array(rows.astype(np.int64), pa.int64()),
+            "cell": pa.array(cols.astype(np.int64), pa.int64()),
+            "c": pa.array(local[rows, cols], pa.int64()),
+        })
+
+    return (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["row", "cell"])
+        .aggregate(Sum("c", alias_name="c"))
+    )

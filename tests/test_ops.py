@@ -3804,3 +3804,20 @@ def test_anchor_text_stats(ray_session):
         assert int(out.loc["go", "n_links"]) == 3
         assert int(out.loc["go", "n_hosts"]) == 2
         assert int(out.loc["stay", "n_hosts"]) == 1
+
+
+def test_cms_freq_estimates(ray_session):
+    import __ray_entry__ as e
+    from ocr_ray.pipelines.relational import _cms_cells, _concat_nonempty
+
+    got = e.queries()["cms_freq_estimates"]("/root/testdata/sf0.001")
+    got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+    assert len(got) == 10
+    # the CMS one-sided error guarantee: estimates never undercount
+    assert (got["overcount"] >= 0).all()
+    assert (got["n_est"] == got["n_exact"] + got["overcount"]).all()
+    # every row of the sketch conserves the total token mass
+    cells = _concat_nonempty(
+        _cms_cells("/root/testdata/sf0.001", d=4, w=1024)).to_pandas()
+    totals = cells.groupby("row")["c"].sum()
+    assert totals.nunique() == 1 and len(totals) == 4
