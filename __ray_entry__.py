@@ -1071,6 +1071,33 @@ def _q_outlink_stats(sf_dir: str):
         rd.read_parquet(_pages_dir(sf_dir), columns=["url", "html"]))
 
 
+def _q_url_template_stats(sf_dir: str):
+    """URL TEMPLATE mining over the crawl frontier (digit runs in the
+    path fold to 'N') — the pattern inventory behind crawl dedup rules
+    and sitemap inference.  Fully vectorized (two Arrow regex kernels per
+    batch), per-batch pre-count, ≤ hosts×templates keys at the groupby."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        host = pc.fill_null(pc.struct_field(
+            pc.extract_regex(t["url"], r"^[a-z]+://(?P<h>[^/]+)/"), "h"), "")
+        tmpl = pc.replace_substring_regex(
+            pc.replace_substring_regex(t["url"], r"^[a-z]+://[^/]+", ""),
+            r"[0-9]+", "N")
+        df = pa.table({"host": host, "template": tmpl}).to_pandas()
+        g = df.groupby(["host", "template"], as_index=False).size()
+        g["n_pages"] = g.pop("size").astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (rd.read_parquet(_pages_dir(sf_dir), columns=["url"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["host", "template"])
+            .aggregate(Sum("n_pages", alias_name="n_pages")))
+
+
 def _q_anchor_text_stats(sf_dir: str):
     """Anchor-text corpus rollup (the ranking-signal half of the
     web-graph build; semantics + scale shape in
@@ -1562,6 +1589,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "video_features": _q_video_features,
         "outlink_stats": _q_outlink_stats,
         "anchor_text_stats": _q_anchor_text_stats,
+        "url_template_stats": _q_url_template_stats,
         # LLM-pipeline additions (round 4)
         "line_dedup": _q_line_dedup,
         "top_terms": rel.top_terms,
@@ -1814,6 +1842,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_filter_stats": _po.robots_filter_sql(),
         "outlink_stats": _po.outlink_stats_sql(),
         "anchor_text_stats": _po.anchor_text_stats_sql(),
+        "url_template_stats": _po.url_template_stats_sql(),
         "training_corpus": _po.training_corpus_sql(),
         "qc_rollup": _po.qc_rollup_sql(),
         "filter_stats": _po.filter_stats_sql(),

@@ -807,3 +807,18 @@ def anchor_text_stats_sql() -> str:
                CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
         FROM la GROUP BY anchor
     """, need_blocks=False)
+
+
+def url_template_stats_sql() -> str:
+    """URL template mining re-derived in SQL: digit runs in the url PATH
+    fold to 'N'; one row per (host, template) with page-row counts —
+    COUNT(*) because re-crawl duplicate rows are separate frontier
+    entries (the crawl-rule view of the corpus)."""
+    return _with_pages("""
+        SELECT regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
+               regexp_replace(regexp_replace(url, '^[a-z]+://[^/]+', ''),
+                              '[0-9]+', 'N', 'g') AS template,
+               CAST(COUNT(*) AS BIGINT) AS n_pages
+        FROM pages
+        GROUP BY 1, 2
+    """, need_blocks=False)

@@ -3821,3 +3821,12 @@ def test_cms_freq_estimates(ray_session):
         _cms_cells("/root/testdata/sf0.001", d=4, w=1024)).to_pandas()
     totals = cells.groupby("row")["c"].sum()
     assert totals.nunique() == 1 and len(totals) == 4
+
+
+def test_url_template_stats(ray_session):
+    import __ray_entry__ as e
+
+    got = e.queries()["url_template_stats"]("/root/testdata/sf0.001").to_pandas()
+    assert got["n_pages"].sum() == 522            # every frontier row counted
+    assert set(got["template"]) == {"/doc/N", "/doc/N.pdf"}
+    assert not got["template"].str.contains(r"[0-9]").any()
