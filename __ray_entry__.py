@@ -1696,6 +1696,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "nb_lang_confusion": rel.nb_lang_confusion,
         "robots_filter_stats": _q_robots_filter_stats,
         "linear_attribution": win.linear_attribution,
+        "record_event_stats": win.record_event_stats,
     }
 
 
@@ -2162,6 +2163,21 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id) AS keep_doc_id,
                    COUNT(*) AS n_copies
             FROM documents GROUP BY md5(coalesce(text, ''))
+        """,
+        # global prefix-scan: strict high-water-mark records in arrival
+        # (event_id) order; the first event overall is a record (hw NULL)
+        "record_event_stats": """
+            WITH e AS (
+              SELECT event_id, event_type, value,
+                     max(value) OVER (ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS hw
+              FROM events
+            )
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(*) FILTER (hw IS NULL OR value > hw)
+                        AS BIGINT) AS n_records
+            FROM e GROUP BY event_type
         """,
         "tumbling_hour_counts": """
             SELECT event_type, date_trunc('hour', ts) AS window_start,

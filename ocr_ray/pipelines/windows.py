@@ -604,3 +604,84 @@ def linear_attribution(sf_dir: str):
         # no final fold: a user lives in exactly ONE bucket, so the
         # per-bucket rollup is already the final answer
     )
+
+
+def record_event_stats(sf_dir: str, n_parts: int = 64):
+    """GLOBAL PREFIX-SCAN over the event log: per event_type, how many
+    events set a new all-time high ``value`` at their arrival (arrival
+    order = event_id; the first event overall is a record by
+    definition) — the high-water-mark / record-breaking detector of a
+    monitoring stream, and the canonical DISTRIBUTED PREFIX-SCAN shape
+    Ray Data lacks natively.
+
+    Topology (range-partition + boundary carry, two bounded exchanges):
+
+      1. part = event_id·P // N (contiguous ranges from parquet row
+         count metadata — no data pass); per-batch Max partials →
+         ``groupby(part).aggregate(Max)`` → the driver folds exactly P
+         rows into EXCLUSIVE prefix maxima (the carry-in per part) and
+         broadcasts them via ray.put — driver state is P floats at any
+         log size;
+      2. ``groupby(part).map_groups``: sort the part by event_id,
+         exclusive local cummax ∨ carry-in, strict ``>`` compare, then
+         per-type partial counts — only (event_type, n, n_records)
+         rows leave a group; a tiny |types|-key groupby sums them.
+
+    Comparisons are raw float64 ``>`` on stored values (no arithmetic,
+    no rounding) — bit-identical to the SQL window
+    ``max(value) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING)``.
+    """
+    import ray
+    from ray.data.aggregate import Max, Sum
+
+    from ocr_ray.pipelines.relational import _table_num_rows
+
+    n = max(1, _table_num_rows(sf_dir, "events"))
+    p = min(n_parts, n)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.divide(
+            pc.multiply(t["event_id"], p), n), pa.int32())
+        return t.append_column("part", part)
+
+    src = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "value"],
+    ).map_batches(add_part, batch_format="pyarrow")
+
+    maxes = (src.map_batches(
+        lambda t: pa.Table.from_pandas(
+            t.select(["part", "value"]).to_pandas()
+            .groupby("part", as_index=False)["value"].max(),
+            preserve_index=False),
+        batch_format="pyarrow")
+        .groupby("part").aggregate(Max("value", alias_name="value"))
+        .to_pandas())
+    carry = np.full(p, -np.inf)
+    if len(maxes):
+        m = np.full(p, -np.inf)
+        m[maxes["part"].to_numpy()] = maxes["value"].to_numpy()
+        carry[1:] = np.maximum.accumulate(m)[:-1]
+    carry_ref = ray.put(carry)
+
+    def scan_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id")
+        v = g["value"].to_numpy()
+        prev = np.empty_like(v)
+        prev[0] = -np.inf
+        if len(v) > 1:
+            prev[1:] = np.maximum.accumulate(v)[:-1]
+        prev = np.maximum(prev, ray.get(carry_ref)[int(g["part"].iloc[0])])
+        g = pd.DataFrame({"event_type": g["event_type"].to_numpy(),
+                          "rec": (v > prev) | np.isneginf(prev)})
+        out = g.groupby("event_type", as_index=False).agg(
+            n_events=("rec", "size"), n_records=("rec", "sum"))
+        out["n_events"] = out["n_events"].astype("int64")
+        out["n_records"] = out["n_records"].astype("int64")
+        return out
+
+    return (src.groupby("part").map_groups(scan_part, batch_format="pandas")
+            .groupby("event_type")
+            .aggregate(Sum("n_events", alias_name="n_events"),
+                       Sum("n_records", alias_name="n_records")))

@@ -3830,3 +3830,29 @@ def test_url_template_stats(ray_session):
     assert got["n_pages"].sum() == 522            # every frontier row counted
     assert set(got["template"]) == {"/doc/N", "/doc/N.pdf"}
     assert not got["template"].str.contains(r"[0-9]").any()
+
+
+def test_record_event_stats_prefix_scan(ray_session):
+    from ocr_ray.pipelines.windows import record_event_stats
+
+    sf = "/root/testdata/sf0.001"
+    got = (record_event_stats(sf).to_pandas()
+           .set_index("event_type").sort_index())
+    # local replication of the global scan
+    import pyarrow.parquet as pq
+    df = (pq.read_table(f"{sf}/events.parquet",
+                        columns=["event_id", "event_type", "value"])
+          .to_pandas().sort_values("event_id"))
+    v = df["value"].to_numpy()
+    prev = np.empty_like(v); prev[0] = -np.inf
+    prev[1:] = np.maximum.accumulate(v)[:-1]
+    df["rec"] = (v > prev) | np.isneginf(prev)
+    want = (df.groupby("event_type").agg(
+        n_events=("rec", "size"), n_records=("rec", "sum")).sort_index())
+    assert got["n_events"].to_dict() == want["n_events"].to_dict()
+    assert got["n_records"].to_dict() == want["n_records"].to_dict()
+    assert got["n_records"].sum() >= 1          # non-degenerate
+    # the boundary-carry must make the answer partition-count invariant
+    got3 = (record_event_stats(sf, n_parts=3).to_pandas()
+            .set_index("event_type").sort_index())
+    pd.testing.assert_frame_equal(got, got3)
