@@ -806,6 +806,41 @@ def _q_knn_ivf_indexed(sf_dir: str):
     return knn_ivf_indexed(_ann_index(sf_dir, "ivf"), _query_vec(sf_dir), k=10)
 
 
+def _q_knn_ivf_updated(sf_dir: str):
+    """CONTINUOUS-INGESTION probe of the IVF layout: build the index on
+    the vec_id < 256 base slice (quantizer trained on that prefix),
+    APPEND the rest with update_ivf_index (frozen quantizer, no
+    old-index read), then run the partition-pruned probe.  The oracle is
+    the full-corpus IVF oracle at train_sample=256 — pinning that
+    append-only ingestion equals a full rebuild."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from ocr_ray.pipelines.simsearch import (build_ivf_index,
+                                             knn_ivf_indexed,
+                                             update_ivf_index)
+
+    t_split = 256
+    src = os.path.join(sf_dir, "embeddings.parquet")
+
+    def build(tmp: str) -> None:
+        base = rd.read_parquet(
+            src, columns=["vec_id", "embedding"],
+            filter=(pads.field("vec_id") < pads.scalar(t_split)))
+        build_ivf_index(base, tmp, train_sample=t_split)
+        new = rd.read_parquet(
+            src, columns=["vec_id", "embedding"],
+            filter=(pads.field("vec_id") >= pads.scalar(t_split)))
+        update_ivf_index(tmp, new)
+
+    from ocr_ray.config import DEFAULT_CONFIG
+
+    idx = _cached_build(
+        "ann_ivfupd", src,
+        f"g{DEFAULT_CONFIG.ivf_clusters}_t{t_split}", build)
+    return knn_ivf_indexed(idx, _query_vec(sf_dir), k=10)
+
+
 def _q_ann_recall(sf_dir: str):
     """Recall@k of the LSH ANN path vs exact brute-force cosine: both
     top-10 sets come from the existing distributed pipelines; only the
@@ -1555,6 +1590,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _q_knn_ivf,
         "knn_lsh_indexed": _q_knn_lsh_indexed,
         "knn_ivf_indexed": _q_knn_ivf_indexed,
+        "knn_ivf_updated": _q_knn_ivf_updated,
         "ann_recall_at_k": _q_ann_recall,
         "semdedup_stats": _q_semdedup_stats,
         "bitext_mining_margin": _q_bitext_mining_margin,
@@ -1815,6 +1851,7 @@ def oracle_sql() -> dict[str, str]:
         # twins (partition pruning changes bytes read, not results)
         "knn_lsh_indexed": _do.knn_lsh_sql(),
         "knn_ivf_indexed": _do.knn_ivf_sql(),
+        "knn_ivf_updated": _do.knn_ivf_sql(train_sample=256),
         "ann_recall_at_k": _do.ann_recall_sql(),
         "semdedup_stats": _do.semdedup_stats_sql(),
         "kmeans_embeddings": _do.kmeans_embeddings_sql(),

@@ -1293,3 +1293,50 @@ def bitext_margin_pairs(ds, k: int | None = None,
         .groupby("cbucket")
         .map_groups(mine_group, batch_format="pandas")
     )
+
+
+def update_ivf_index(index_dir: str, new_ds,
+                     vec_col: str = "embedding",
+                     key_col: str = "vec_id") -> str:
+    """INGEST new vectors into an existing :func:`build_ivf_index` layout
+    WITHOUT retraining the quantizer — the ANN sibling of
+    ``update_minhash_index``, completing continuous ingestion on the
+    similarity-search side: load the frozen ``_centroids`` sidecar once,
+    assign each new vector to its nearest cell with the same exact
+    argmin kernel as the build, and append uuid-named parquet files
+    inside the same ``cell=`` partitions (Ray's write_parquet never
+    touches existing files, so a concurrent reader sees either the old
+    or the extended index).  One embarrassingly-parallel pass over the
+    NEW slice only — the existing index is never read or shuffled.
+
+    Because the quantizer is frozen, ``build(base) + update(rest)`` is
+    CONTENT-equal to ``build(all)`` whenever the k-means training
+    prefix lives inside the base slice — the equivalence the
+    ``knn_ivf_updated`` oracle pins end-to-end (probe of the updated
+    layout == the full-corpus IVF oracle)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    import ray
+
+    cents_tbl = pq.read_table(os.path.join(index_dir, "_centroids.parquet"))
+    order = np.argsort(cents_tbl["cell_id"].to_numpy(zero_copy_only=False))
+    centroids = np.stack(
+        cents_tbl["centroid"].to_numpy(zero_copy_only=False)[order])
+    cents_ref = ray.put(centroids)
+
+    def add_cell(t: pa.Table) -> pa.Table:
+        cents = ray.get(cents_ref)
+        mat = _to_matrix(t[vec_col])
+        if mat.shape[0]:
+            d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            cells = d.argmin(axis=1).astype(np.int32)
+        else:
+            cells = np.zeros(0, np.int32)
+        return t.select([key_col, vec_col]).append_column(
+            "cell", pa.array(cells, pa.int32()))
+
+    new_ds.map_batches(add_cell, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["cell"])
+    return index_dir

@@ -3856,3 +3856,40 @@ def test_record_event_stats_prefix_scan(ray_session):
     got3 = (record_event_stats(sf, n_parts=3).to_pandas()
             .set_index("event_type").sort_index())
     pd.testing.assert_frame_equal(got, got3)
+
+
+def test_update_ivf_index_equals_full_build(ray_session, tmp_path):
+    import glob
+    import os
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ocr_ray.pipelines.simsearch import build_ivf_index, update_ivf_index
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    full_dir, upd_dir = str(tmp_path / "full"), str(tmp_path / "upd")
+    all_ds = rd.read_parquet(src, columns=["vec_id", "embedding"])
+    build_ivf_index(all_ds, full_dir, train_sample=256)
+    base = rd.read_parquet(src, columns=["vec_id", "embedding"],
+                           filter=(pads.field("vec_id") < pads.scalar(256)))
+    build_ivf_index(base, upd_dir, train_sample=256)
+    pre_files = set(glob.glob(os.path.join(upd_dir, "cell=*", "*.parquet")))
+    new = rd.read_parquet(src, columns=["vec_id", "embedding"],
+                          filter=(pads.field("vec_id") >= pads.scalar(256)))
+    update_ivf_index(upd_dir, new)
+    # append-only: every pre-existing file is still there, untouched
+    assert pre_files <= set(glob.glob(os.path.join(upd_dir, "cell=*", "*.parquet")))
+
+    def content(d):
+        t = pads.dataset(d, partitioning="hive").to_table(
+            columns=["vec_id", "cell"])
+        return sorted(zip(t["vec_id"].to_pylist(),
+                          [int(c) for c in t["cell"].to_pylist()]))
+
+    # frozen quantizer => append-only ingestion IS a full rebuild
+    assert content(upd_dir) == content(full_dir)
+    cf = pq.read_table(os.path.join(full_dir, "_centroids.parquet"))
+    cu = pq.read_table(os.path.join(upd_dir, "_centroids.parquet"))
+    assert cf.equals(cu)
