@@ -789,6 +789,40 @@ def _q_term_search_indexed(sf_dir: str):
     return term_search_indexed(_term_index(sf_dir), "vector")
 
 
+def _q_term_search_updated(sf_dir: str):
+    """Posting lookup over an INCREMENTALLY-built term index: base index
+    from the doc_id < 256 slice, the rest appended with
+    update_term_index (uuid files inside the same bucket partitions),
+    then the same pruned 'vector' lookup — the oracle is the full-corpus
+    postings, pinning that appended segments are immediately and
+    completely searchable."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from ocr_ray.config import DEFAULT_CONFIG
+    from ocr_ray.pipelines.textsearch import (build_term_index,
+                                              term_search_indexed,
+                                              update_term_index)
+
+    t_split = 256
+    src = os.path.join(sf_dir, "documents.parquet")
+
+    def build(tmp: str) -> None:
+        base = rd.read_parquet(
+            src, columns=["doc_id", "text"],
+            filter=(pads.field("doc_id") < pads.scalar(t_split)))
+        build_term_index(base, tmp)
+        new = rd.read_parquet(
+            src, columns=["doc_id", "text"],
+            filter=(pads.field("doc_id") >= pads.scalar(t_split)))
+        update_term_index(tmp, new)
+
+    idx = _cached_build(
+        "term_upd", src,
+        f"b{DEFAULT_CONFIG.term_index_buckets}_t{t_split}", build)
+    return term_search_indexed(idx, "vector")
+
+
 def _q_knn_lsh_indexed(sf_dir: str):
     """knn_lsh over the hive-partitioned LSH layout: only the query's
     bucket partition is read (storage-level pruning) — result identical
@@ -1642,6 +1676,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": rel.approx_distinct_users,
         "top_terms_per_lang": rel.top_terms_per_lang,
         "term_search_indexed": _q_term_search_indexed,
+        "term_search_updated": _q_term_search_updated,
         "bool_search_indexed": _q_bool_search_indexed,
         "knn_join_lsh": _q_knn_join,
         "doc_length_quantiles_by_lang": rel.doc_length_quantiles_by_lang,
@@ -2418,6 +2453,18 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn <= 10
         """,
         "term_search_indexed": r"""
+            SELECT doc_id, tf FROM (
+              SELECT doc_id,
+                     CAST(len(list_filter(
+                       list_filter(string_split_regex(lower(coalesce(text,'')),
+                                                      '\s+'), x -> x <> ''),
+                       x -> x = 'vector')) AS BIGINT) AS tf
+              FROM documents
+            ) WHERE tf > 0
+        """,
+        # identical full-corpus postings oracle: the appended index must
+        # be indistinguishable from a full build at the lookup surface
+        "term_search_updated": r"""
             SELECT doc_id, tf FROM (
               SELECT doc_id,
                      CAST(len(list_filter(

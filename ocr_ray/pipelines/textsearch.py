@@ -237,3 +237,21 @@ def bool_search_indexed(index_dir: str, terms: list[str],
                    Sum("tf", alias_name="sum_tf"))
         .map_batches(keep_full_match, batch_format="pyarrow")
     )
+
+
+def update_term_index(index_dir: str, new_ds, text_col: str = "text",
+                      key_col: str = "doc_id",
+                      n_buckets: int | None = None) -> str:
+    """INGEST a new document slice's postings into an existing
+    :func:`build_term_index` layout — the retrieval sibling of
+    ``update_minhash_index`` / ``update_ivf_index``, completing
+    append-only continuous ingestion across all three persisted index
+    families.  Same one-pass postings kernel, same hive partitioning;
+    Ray's write_parquet adds uuid-named files inside the existing
+    ``bucket=`` partitions (old files untouched — a concurrent reader
+    sees either the old or the extended index), and every lookup
+    (term/phrase/bool) already reads ALL files of a probed bucket, so
+    appended segments are immediately searchable.  ``n_buckets`` must
+    match the build (the layout contract shared by the lookups)."""
+    return build_term_index(new_ds, index_dir, text_col=text_col,
+                            key_col=key_col, n_buckets=n_buckets)

@@ -3893,3 +3893,32 @@ def test_update_ivf_index_equals_full_build(ray_session, tmp_path):
     cf = pq.read_table(os.path.join(full_dir, "_centroids.parquet"))
     cu = pq.read_table(os.path.join(upd_dir, "_centroids.parquet"))
     assert cf.equals(cu)
+
+
+def test_update_term_index_appends_searchable(ray_session, tmp_path):
+    import glob
+    import os
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from ocr_ray.pipelines.textsearch import (build_term_index,
+                                              term_search_indexed,
+                                              update_term_index)
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    idx = str(tmp_path / "terms")
+    base = rd.read_parquet(src, columns=["doc_id", "text"],
+                           filter=(pads.field("doc_id") < pads.scalar(256)))
+    build_term_index(base, idx)
+    pre = term_search_indexed(idx, "vector").to_pandas()
+    pre_files = set(glob.glob(os.path.join(idx, "bucket=*", "*.parquet")))
+    assert (pre["doc_id"] < 256).all()
+    new = rd.read_parquet(src, columns=["doc_id", "text"],
+                          filter=(pads.field("doc_id") >= pads.scalar(256)))
+    update_term_index(idx, new)
+    # append-only files; the merged lookup covers both slices
+    assert pre_files <= set(glob.glob(os.path.join(idx, "bucket=*", "*.parquet")))
+    post = term_search_indexed(idx, "vector").to_pandas()
+    assert set(pre["doc_id"]) <= set(post["doc_id"])
+    assert (post["doc_id"] >= 256).any()
