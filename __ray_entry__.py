@@ -875,6 +875,39 @@ def _q_knn_ivf_updated(sf_dir: str):
     return knn_ivf_indexed(idx, _query_vec(sf_dir), k=10)
 
 
+def _q_dim_truncation_recall(sf_dir: str):
+    """Matryoshka-style DIMENSION-TRUNCATION retrieval eval (Kusupati et
+    al. 2022 MRL — public method): exact cosine top-10 using only the
+    first 16 embedding coordinates vs the full-dimension top-10 — the
+    quality probe behind shipping truncated embeddings to cut ANN
+    index bytes 4×.  Truncation is one vectorized list_slice per batch;
+    both searches are the existing distributed knn_cosine; the driver
+    compares two 10-row sets (O(k))."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
+    from ocr_ray.pipelines.simsearch import ann_recall_at_k, knn_cosine
+
+    trunc = 16
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    q = _query_vec(sf_dir)
+    exact = knn_cosine(
+        rd.read_parquet(src, columns=["vec_id", "embedding"]), q, k=10)
+
+    def slice_vecs(t):
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "embedding": _pc.list_slice(t["embedding"], 0, trunc),
+        })
+
+    approx = knn_cosine(
+        rd.read_parquet(src, columns=["vec_id", "embedding"])
+        .map_batches(slice_vecs, batch_format="pyarrow"),
+        q[:trunc], k=10)
+    return ann_recall_at_k(exact, approx, k=10)
+
+
 def _q_ann_recall(sf_dir: str):
     """Recall@k of the LSH ANN path vs exact brute-force cosine: both
     top-10 sets come from the existing distributed pipelines; only the
@@ -1626,6 +1659,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "knn_ivf_indexed": _q_knn_ivf_indexed,
         "knn_ivf_updated": _q_knn_ivf_updated,
         "ann_recall_at_k": _q_ann_recall,
+        "ann_dim_truncation_recall": _q_dim_truncation_recall,
         "semdedup_stats": _q_semdedup_stats,
         "bitext_mining_margin": _q_bitext_mining_margin,
         "kmeans_embeddings": _q_kmeans_embeddings,
@@ -1888,6 +1922,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf_indexed": _do.knn_ivf_sql(),
         "knn_ivf_updated": _do.knn_ivf_sql(train_sample=256),
         "ann_recall_at_k": _do.ann_recall_sql(),
+        "ann_dim_truncation_recall": _do.dim_truncation_recall_sql(),
         "semdedup_stats": _do.semdedup_stats_sql(),
         "kmeans_embeddings": _do.kmeans_embeddings_sql(),
         "kmeans_cluster_profile": _do.kmeans_cluster_profile_sql(),

@@ -964,3 +964,39 @@ def bitext_margin_sql(k: int = 4, threshold_bp: int = 10_000,
                sim_micro, CAST(m_bp AS BIGINT) AS margin_bp
         FROM scored WHERE m_bp >= {threshold_bp}
     """
+
+
+def dim_truncation_recall_sql(k: int = 10, trunc: int = 16) -> str:
+    """ann_dim_truncation_recall re-derived in SQL: the exact cosine
+    top-k at full dimension vs at the first ``trunc`` coordinates
+    (DuckDB list slice, 1-based inclusive), intersected, with the
+    half-away basis-point recall."""
+    return f"""
+        WITH exactk AS MATERIALIZED (
+          SELECT e.vec_id
+          FROM embeddings e,
+               (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+          ORDER BY ROUND(list_cosine_similarity(
+                     CAST(e.embedding AS DOUBLE[]),
+                     CAST(q.embedding AS DOUBLE[])), 6) DESC, e.vec_id
+          LIMIT {k}
+        ),
+        trunck AS MATERIALIZED (
+          SELECT e.vec_id
+          FROM embeddings e,
+               (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+          ORDER BY ROUND(list_cosine_similarity(
+                     CAST(e.embedding[1:{trunc}] AS DOUBLE[]),
+                     CAST(q.embedding[1:{trunc}] AS DOUBLE[])), 6)
+                   DESC, e.vec_id
+          LIMIT {k}
+        ),
+        common AS (SELECT count(*) AS c FROM exactk JOIN trunck USING (vec_id))
+        SELECT CAST({k} AS BIGINT) AS k,
+               CAST((SELECT count(*) FROM exactk) AS BIGINT) AS n_exact,
+               CAST((SELECT count(*) FROM trunck) AS BIGINT) AS n_approx,
+               CAST((SELECT c FROM common) AS BIGINT) AS n_common,
+               CAST(FLOOR(10000.0 * (SELECT c FROM common)
+                          / (SELECT count(*) FROM exactk) + 0.5) AS BIGINT)
+                 AS recall_bp
+    """

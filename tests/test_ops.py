@@ -3922,3 +3922,15 @@ def test_update_term_index_appends_searchable(ray_session, tmp_path):
     post = term_search_indexed(idx, "vector").to_pandas()
     assert set(pre["doc_id"]) <= set(post["doc_id"])
     assert (post["doc_id"] >= 256).any()
+
+
+def test_ann_dim_truncation_recall(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["ann_dim_truncation_recall"]("/root/testdata/sf0.001")
+           .to_pandas().iloc[0])
+    assert got["k"] == 10 and got["n_exact"] == 10 and got["n_approx"] == 10
+    assert 0 <= got["n_common"] <= 10
+    # vec 0 itself survives any coordinate truncation (self-cos == 1)
+    assert got["n_common"] >= 1
+    assert got["recall_bp"] == int(np.floor(10000 * got["n_common"] / 10 + 0.5))
