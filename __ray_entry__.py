@@ -1160,6 +1160,62 @@ def _q_host_freshness(sf_dir: str):
             .map_batches(final, batch_format="pandas", batch_size=None))
 
 
+def _zipf_pages_dir(sf_dir: str) -> str:
+    """Cached ZIPF-skewed pages corpus — the generator's skew knob
+    (synth._zipf_host: host-k owns ~2^-(k+1) of the corpus)."""
+    import pyarrow.parquet as pq
+
+    from ocr_ray.sources.synth import CORPUS_VERSION, _single_rep_table
+
+    src = os.path.join(sf_dir, "documents.parquet")
+
+    def build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        table = _single_rep_table(sf_dir, 0, zipf_hosts=True)
+        rows_per_file = 8192
+        nfiles = max(1, (len(table) + rows_per_file - 1) // rows_per_file)
+        for i in range(nfiles):
+            pq.write_table(table.slice(i * rows_per_file, rows_per_file),
+                           os.path.join(tmp, f"pages-{i:05d}.parquet"))
+
+    return _cached_build("pages_zipf", src, f"v{CORPUS_VERSION}", build)
+
+
+def _q_zipf_host_rollup(sf_dir: str):
+    """Per-host frontier rollup under ZIPF HOST SKEW (host-00 owns ~50%
+    of every corpus) — the skew-robustness probe the north rule's
+    'repartition by url-hash to defuse host-level skew' asks for: the
+    per-batch pandas pre-agg collapses each batch to ≤13 host partial
+    rows BEFORE any exchange, so the hot host's volume never
+    concentrates on one worker; the groupby only ever sums partials."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        host = pc.fill_null(pc.struct_field(
+            pc.extract_regex(t["url"], r"^[a-z]+://(?P<h>[^.]+)\."), "h"), "")
+        df = pa.table({
+            "host": host,
+            "pdf": pc.cast(pc.ends_with(t["url"], ".pdf"), pa.int64()),
+            "bytes_in": pc.cast(pc.binary_length(t["html"]), pa.int64()),
+        }).to_pandas()
+        g = df.groupby("host", as_index=False).agg(
+            n_pages=("pdf", "size"), n_pdf=("pdf", "sum"),
+            bytes_in=("bytes_in", "sum"))
+        for c in ("n_pages", "n_pdf", "bytes_in"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (rd.read_parquet(_zipf_pages_dir(sf_dir), columns=["url", "html"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("host")
+            .aggregate(Sum("n_pages", alias_name="n_pages"),
+                       Sum("n_pdf", alias_name="n_pdf"),
+                       Sum("bytes_in", alias_name="bytes_in")))
+
+
 def _q_outlink_stats(sf_dir: str):
     """Web-graph OUTLINK edge counts from the raw html payloads (the
     hyperlink-graph build step of a crawl pipeline; semantics + scale
@@ -1694,6 +1750,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "outlink_stats": _q_outlink_stats,
         "anchor_text_stats": _q_anchor_text_stats,
         "url_template_stats": _q_url_template_stats,
+        "zipf_host_rollup": _q_zipf_host_rollup,
         # LLM-pipeline additions (round 4)
         "line_dedup": _q_line_dedup,
         "top_terms": rel.top_terms,
@@ -1951,6 +2008,7 @@ def oracle_sql() -> dict[str, str]:
         "outlink_stats": _po.outlink_stats_sql(),
         "anchor_text_stats": _po.anchor_text_stats_sql(),
         "url_template_stats": _po.url_template_stats_sql(),
+        "zipf_host_rollup": _po.zipf_host_rollup_sql(),
         "training_corpus": _po.training_corpus_sql(),
         "qc_rollup": _po.qc_rollup_sql(),
         "filter_stats": _po.filter_stats_sql(),

@@ -56,11 +56,17 @@ def _lit(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
-def pages_cte() -> str:
+def pages_cte(zipf_hosts: bool = False) -> str:
     """CTEs ending in ``pages(doc_id, url, warc_ts, html, rawtext, lang,
     is_pdf, two_col)`` — the derived corpus, one row per page row
-    (including the doc_id%23 duplicate rows)."""
+    (including the doc_id%23 duplicate rows).  ``zipf_hosts`` switches
+    the url host to the generator's skew knob (synth._zipf_host: host-k
+    owns ~2^-(k+1) of the corpus; k = trailing zeros of doc_id+1 capped
+    at 12 — the bit identity tz(x) = bit_count((x & -x) - 1))."""
     nav, footer, linkfarm, head = map(_lit, (_NAV, _FOOTER, _LINKFARM, _HEAD))
+    host = ("'host-' || lpad(CAST(least(12, bit_count(((w.doc_id + 1) "
+            "& -(w.doc_id + 1)) - 1)) AS VARCHAR), 2, '0')"
+            if zipf_hosts else "w.source")
     return f"""
 w0 AS (
   SELECT doc_id, coalesce(text, '') AS text, lang, source,
@@ -123,7 +129,7 @@ charjson AS (  -- compact charbox JSON for pdf docs (synth.make_charbox)
 ),
 page0 AS (
   SELECT w.doc_id,
-    'https://' || w.source || '.example.org/doc/' || w.doc_id
+    'https://' || {host} || '.example.org/doc/' || w.doc_id
       || CASE WHEN w.is_pdf THEN '.pdf' ELSE '' END AS url,
     TIMESTAMP '2024-01-01' + w.doc_id * INTERVAL 1 SECOND AS warc_ts,
     CASE WHEN w.is_pdf THEN cj.payload
@@ -293,8 +299,9 @@ extracted AS (
 )"""
 
 
-def _with_pages(body: str, need_blocks: bool = True) -> str:
-    parts = [pages_cte(), gates_cte()]
+def _with_pages(body: str, need_blocks: bool = True,
+                zipf_hosts: bool = False) -> str:
+    parts = [pages_cte(zipf_hosts=zipf_hosts), gates_cte()]
     if need_blocks:
         parts.append(blocks_cte())
         parts.append(extracted_cte())
@@ -822,3 +829,17 @@ def url_template_stats_sql() -> str:
         FROM pages
         GROUP BY 1, 2
     """, need_blocks=False)
+
+
+def zipf_host_rollup_sql() -> str:
+    """Per-host frontier rollup over the ZIPF-SKEWED corpus variant
+    (host-00 owns ~50% of all pages): page rows, pdf rows, and total
+    payload bytes (strlen — bytes, matching the engine's len(html))."""
+    return _with_pages("""
+        SELECT regexp_extract(url, '^[a-z]+://([^.]+)\\.', 1) AS host,
+               CAST(COUNT(*) AS BIGINT) AS n_pages,
+               CAST(COUNT(*) FILTER (is_pdf) AS BIGINT) AS n_pdf,
+               CAST(SUM(strlen(html)) AS BIGINT) AS bytes_in
+        FROM pages
+        GROUP BY 1
+    """, need_blocks=False, zipf_hosts=True)

@@ -3934,3 +3934,16 @@ def test_ann_dim_truncation_recall(ray_session):
     # vec 0 itself survives any coordinate truncation (self-cos == 1)
     assert got["n_common"] >= 1
     assert got["recall_bp"] == int(np.floor(10000 * got["n_common"] / 10 + 0.5))
+
+
+def test_zipf_host_rollup_skew_shape(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["zipf_host_rollup"]("/root/testdata/sf0.001")
+           .to_pandas().set_index("host").sort_index())
+    assert got["n_pages"].sum() == 522
+    # the generator's Zipf law: host-00 owns ~half, each next halves
+    share0 = got.loc["host-00", "n_pages"] / got["n_pages"].sum()
+    assert 0.45 < share0 < 0.55
+    ordered = got.sort_index()["n_pages"].to_numpy()
+    assert (ordered[:4] > ordered[1:5]).all()      # monotone head
