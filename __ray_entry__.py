@@ -1216,6 +1216,44 @@ def _q_zipf_host_rollup(sf_dir: str):
                        Sum("bytes_in", alias_name="bytes_in")))
 
 
+def _q_zipf_partition_balance(sf_dir: str):
+    """URL-HASH PARTITION BALANCE under Zipf host skew — direct evidence
+    for the flagship's skew defusal: the same stable_part_id hash the
+    extraction writer shards by (md5-lower-64(url) % P), applied to a
+    frontier where host-00 owns ~50% of rows, spreads pages near-
+    uniformly (pytest pins max/median < 1.5) and mixes hosts into every
+    partition.  Per-batch pre-count; ≤ P groupby keys; n_hosts is an
+    exact distinct via (part, host) partial pairs (≤ P×13)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.pipelines.extract import stable_part_id
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        urls = t["url"].to_pylist()
+        parts = stable_part_id(urls, 16)
+        hosts = [u.split("://", 1)[1].split(".", 1)[0] for u in urls]
+        df = pd.DataFrame({"part_id": parts, "host": hosts})
+        g = df.groupby(["part_id", "host"], as_index=False).size()
+        g["n"] = g.pop("size").astype("int64")
+        g["part_id"] = g["part_id"].astype("int32")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def fold(df):
+        out = df.groupby("part_id", as_index=False).agg(
+            n_pages=("n", "sum"), n_hosts=("host", "nunique"))
+        out["n_pages"] = out["n_pages"].astype("int64")
+        out["n_hosts"] = out["n_hosts"].astype("int64")
+        return out
+
+    return (rd.read_parquet(_zipf_pages_dir(sf_dir), columns=["url"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("part_id")
+            .map_groups(fold, batch_format="pandas"))
+
+
 def _q_outlink_stats(sf_dir: str):
     """Web-graph OUTLINK edge counts from the raw html payloads (the
     hyperlink-graph build step of a crawl pipeline; semantics + scale
@@ -1751,6 +1789,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "anchor_text_stats": _q_anchor_text_stats,
         "url_template_stats": _q_url_template_stats,
         "zipf_host_rollup": _q_zipf_host_rollup,
+        "zipf_partition_balance": _q_zipf_partition_balance,
         # LLM-pipeline additions (round 4)
         "line_dedup": _q_line_dedup,
         "top_terms": rel.top_terms,
@@ -2009,6 +2048,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_text_stats": _po.anchor_text_stats_sql(),
         "url_template_stats": _po.url_template_stats_sql(),
         "zipf_host_rollup": _po.zipf_host_rollup_sql(),
+        "zipf_partition_balance": _po.zipf_partition_balance_sql(),
         "training_corpus": _po.training_corpus_sql(),
         "qc_rollup": _po.qc_rollup_sql(),
         "filter_stats": _po.filter_stats_sql(),

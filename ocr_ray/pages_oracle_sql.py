@@ -843,3 +843,18 @@ def zipf_host_rollup_sql() -> str:
         FROM pages
         GROUP BY 1
     """, need_blocks=False, zipf_hosts=True)
+
+
+def zipf_partition_balance_sql(num_parts: int = 16) -> str:
+    """Rows per url-hash partition over the ZIPF-SKEWED frontier — the
+    north rule's 'repartition by url-hash to defuse host-level skew',
+    verified: host-00 owns ~half the corpus, yet md5_number_lower(url)
+    % P spreads it near-uniformly."""
+    return _with_pages(f"""
+        SELECT CAST(md5_number_lower(url) % {num_parts} AS INT) AS part_id,
+               CAST(COUNT(*) AS BIGINT) AS n_pages,
+               CAST(COUNT(DISTINCT regexp_extract(
+                      url, '^[a-z]+://([^.]+)\\.', 1)) AS BIGINT) AS n_hosts
+        FROM pages
+        GROUP BY 1
+    """, need_blocks=False, zipf_hosts=True)

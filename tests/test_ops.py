@@ -3947,3 +3947,15 @@ def test_zipf_host_rollup_skew_shape(ray_session):
     assert 0.45 < share0 < 0.55
     ordered = got.sort_index()["n_pages"].to_numpy()
     assert (ordered[:4] > ordered[1:5]).all()      # monotone head
+
+
+def test_zipf_partition_balance(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["zipf_partition_balance"]("/root/testdata/sf0.001")
+           .to_pandas())
+    assert got["n_pages"].sum() == 522 and len(got) == 16
+    # url-hash sharding defuses the 50%-host skew: near-uniform parts
+    assert got["n_pages"].max() / got["n_pages"].median() < 1.5
+    # and every partition mixes several hosts
+    assert (got["n_hosts"] >= 3).all()
