@@ -908,6 +908,41 @@ def _q_dim_truncation_recall(sf_dir: str):
     return ann_recall_at_k(exact, approx, k=10)
 
 
+def _q_knn_ivf_compacted(sf_dir: str):
+    """Probe of the COMPACTED incrementally-built IVF layout: base build
+    + append + compact_ivf_index (one sorted file per cell via the
+    atomic two-rename swap) — the oracle is the same full-corpus IVF
+    oracle, pinning that compaction is content-neutral at the probe
+    surface."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from ocr_ray.config import DEFAULT_CONFIG
+    from ocr_ray.pipelines.simsearch import (build_ivf_index,
+                                             compact_ivf_index,
+                                             knn_ivf_indexed,
+                                             update_ivf_index)
+
+    t_split = 256
+    src = os.path.join(sf_dir, "embeddings.parquet")
+
+    def build(tmp: str) -> None:
+        base = rd.read_parquet(
+            src, columns=["vec_id", "embedding"],
+            filter=(pads.field("vec_id") < pads.scalar(t_split)))
+        build_ivf_index(base, tmp, train_sample=t_split)
+        new = rd.read_parquet(
+            src, columns=["vec_id", "embedding"],
+            filter=(pads.field("vec_id") >= pads.scalar(t_split)))
+        update_ivf_index(tmp, new)
+        compact_ivf_index(tmp)
+
+    idx = _cached_build(
+        "ann_ivfcmp", src,
+        f"g{DEFAULT_CONFIG.ivf_clusters}_t{t_split}", build)
+    return knn_ivf_indexed(idx, _query_vec(sf_dir), k=10)
+
+
 def _q_ann_recall(sf_dir: str):
     """Recall@k of the LSH ANN path vs exact brute-force cosine: both
     top-10 sets come from the existing distributed pipelines; only the
@@ -1752,6 +1787,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "knn_lsh_indexed": _q_knn_lsh_indexed,
         "knn_ivf_indexed": _q_knn_ivf_indexed,
         "knn_ivf_updated": _q_knn_ivf_updated,
+        "knn_ivf_compacted": _q_knn_ivf_compacted,
         "ann_recall_at_k": _q_ann_recall,
         "ann_dim_truncation_recall": _q_dim_truncation_recall,
         "semdedup_stats": _q_semdedup_stats,
@@ -2017,6 +2053,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh_indexed": _do.knn_lsh_sql(),
         "knn_ivf_indexed": _do.knn_ivf_sql(),
         "knn_ivf_updated": _do.knn_ivf_sql(train_sample=256),
+        "knn_ivf_compacted": _do.knn_ivf_sql(train_sample=256),
         "ann_recall_at_k": _do.ann_recall_sql(),
         "ann_dim_truncation_recall": _do.dim_truncation_recall_sql(),
         "semdedup_stats": _do.semdedup_stats_sql(),

@@ -1340,3 +1340,56 @@ def update_ivf_index(index_dir: str, new_ds,
     new_ds.map_batches(add_cell, batch_format="pyarrow").write_parquet(
         index_dir, partition_cols=["cell"])
     return index_dir
+
+
+def compact_ivf_index(index_dir: str, key_col: str = "vec_id") -> dict:
+    """COMPACT an IVF layout after append-only ingestion — the
+    maintenance op every uuid-file-appending index eventually needs
+    (small-file proliferation is the classic lakehouse tax): each
+    ``cell=`` partition's files are rewritten as ONE parquet file,
+    sorted by ``key_col`` for byte determinism, via the same two-rename
+    atomic swap as ``manifest.replace_partition`` (a crash between
+    renames leaves the ``_old-`` copy; readers see the old or the new
+    file set, never a mix).  Content is bit-equal before/after — the
+    ``knn_ivf_compacted`` oracle pins it at the probe surface.
+
+    Scale shape: one Ray task per cell (cells are independent), each
+    reading only its own partition — compaction cost is proportional to
+    the index, never the corpus, and cells compact in parallel.
+    Returns ``{"cells": n, "files_before": a, "files_after": b}``."""
+    import glob as _glob
+    import os
+    import shutil
+    import uuid as _uuid
+
+    import ray
+
+    cell_dirs = sorted(_glob.glob(os.path.join(index_dir, "cell=*")))
+    files_before = sum(
+        len(_glob.glob(os.path.join(d, "*.parquet"))) for d in cell_dirs)
+
+    @ray.remote(num_cpus=1)
+    def compact_cell(cell_dir: str) -> int:
+        import pyarrow as pa_
+        import pyarrow.parquet as pq
+
+        pa_.set_cpu_count(1)
+        files = sorted(_glob.glob(os.path.join(cell_dir, "*.parquet")))
+        if len(files) <= 1:
+            return len(files)
+        t = pa.concat_tables([pq.read_table(f) for f in files])
+        t = t.take(pa.compute.sort_indices(t, sort_keys=[(key_col, "ascending")]))
+        parent = os.path.dirname(cell_dir)
+        base = os.path.basename(cell_dir)
+        tmp = os.path.join(parent, f"_tmp-{base}-{_uuid.uuid4().hex}")
+        os.makedirs(tmp)
+        pq.write_table(t.combine_chunks(), os.path.join(tmp, "compact-0.parquet"))
+        old = os.path.join(parent, f"_old-{base}-{_uuid.uuid4().hex}")
+        os.rename(cell_dir, old)
+        os.rename(tmp, cell_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        return 1
+
+    after = ray.get([compact_cell.remote(d) for d in cell_dirs])
+    return {"cells": len(cell_dirs), "files_before": files_before,
+            "files_after": int(sum(after))}

@@ -3959,3 +3959,41 @@ def test_zipf_partition_balance(ray_session):
     assert got["n_pages"].max() / got["n_pages"].median() < 1.5
     # and every partition mixes several hosts
     assert (got["n_hosts"] >= 3).all()
+
+
+def test_compact_ivf_index_content_neutral(ray_session, tmp_path):
+    import glob
+    import os
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from ocr_ray.pipelines.simsearch import (build_ivf_index,
+                                             compact_ivf_index,
+                                             update_ivf_index)
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    idx = str(tmp_path / "ivf")
+    base = rd.read_parquet(src, columns=["vec_id", "embedding"],
+                           filter=(pads.field("vec_id") < pads.scalar(256)))
+    build_ivf_index(base, idx, train_sample=256)
+    new = rd.read_parquet(src, columns=["vec_id", "embedding"],
+                          filter=(pads.field("vec_id") >= pads.scalar(256)))
+    update_ivf_index(idx, new)
+
+    def content(d):
+        t = pads.dataset(d, partitioning="hive").to_table(
+            columns=["vec_id", "cell"])
+        return sorted(zip(t["vec_id"].to_pylist(),
+                          [int(c) for c in t["cell"].to_pylist()]))
+
+    before = content(idx)
+    stats = compact_ivf_index(idx)
+    assert content(idx) == before                      # content-neutral
+    files = glob.glob(os.path.join(idx, "cell=*", "*.parquet"))
+    assert stats["files_after"] == len(files)
+    assert stats["files_after"] <= stats["cells"]      # one file per cell
+    assert stats["files_before"] > stats["files_after"]
+    # no swap debris left behind
+    assert not glob.glob(os.path.join(idx, "_tmp-*"))
+    assert not glob.glob(os.path.join(idx, "_old-*"))
