@@ -136,7 +136,9 @@ def main() -> None:
                      "near_dup_filter_stats", "bpe_merges",
                      "dup_span_stats", "semdedup_stats",
                      "near_dup_agreement", "kmeans_embeddings",
-                     "dsir_select_stats"):
+                     "dsir_select_stats", "outlink_stats",
+                     "bitext_mining_margin", "cms_freq_estimates",
+                     "record_event_stats"):
             t0 = time.monotonic()
             res = q[name](SF_DIR)
             if hasattr(res, "to_pandas"):
