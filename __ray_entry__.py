@@ -1830,6 +1830,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "line_dedup": _q_line_dedup,
         "top_terms": rel.top_terms,
         "cms_freq_estimates": rel.cms_freq_estimates,
+        "bottomk_quantile_estimates": rel.bottomk_quantile_estimates,
         "doc_length_quantiles": rel.doc_length_quantiles,
         "hopping_hour_counts": win.hopping_hour_counts,
         "domain_cap": rel.domain_cap,
@@ -2590,6 +2591,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(qv.q AS DOUBLE) AS q, CAST(l.vs[qv.i] AS BIGINT) AS value
             FROM l, (VALUES (1, 0.25), (2, 0.5), (3, 0.75),
                             (4, 0.9), (5, 0.99)) qv(i, q)
+        """,
+        # bottom-k hash sample (deterministic: smallest md5 hashes) vs
+        # the exact corpus quantiles — the sketch oracle recomputes the
+        # identical sample with the identical hash
+        "bottomk_quantile_estimates": """
+            WITH sample AS MATERIALIZED (
+              SELECT n_chars FROM documents
+              ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id
+              LIMIT 64
+            ),
+            est AS MATERIALIZED (
+              SELECT quantile_disc(n_chars, [0.25, 0.5, 0.75, 0.9, 0.99]) AS vs
+              FROM sample
+            ),
+            ex AS MATERIALIZED (
+              SELECT quantile_disc(n_chars, [0.25, 0.5, 0.75, 0.9, 0.99]) AS vs
+              FROM documents
+            )
+            SELECT CAST(qv.q AS DOUBLE) AS q,
+                   CAST(est.vs[qv.i] AS BIGINT) AS est_value,
+                   CAST(ex.vs[qv.i] AS BIGINT) AS exact_value,
+                   CAST(abs(est.vs[qv.i] - ex.vs[qv.i]) AS BIGINT) AS abs_err
+            FROM est, ex, (VALUES (1, 0.25), (2, 0.5), (3, 0.75),
+                                  (4, 0.9), (5, 0.99)) qv(i, q)
         """,
         "doc_length_quantiles_by_lang": """
             WITH l AS MATERIALIZED (

@@ -6094,3 +6094,62 @@ def _cms_cells(sf_dir: str, d: int, w: int):
         .groupby(["row", "cell"])
         .aggregate(Sum("c", alias_name="c"))
     )
+
+
+def bottomk_quantile_estimates(sf_dir: str, k: int = 64):
+    """MERGEABLE BOTTOM-K HASH-SAMPLE quantile estimation (the KMV /
+    bottom-k sampling sketch of Cohen & Kaplan 2007 applied to order
+    statistics — public method; the third sketch family next to
+    Count-Min and the KMV distinct counter): the k docs with the
+    smallest ``md5-lower-64(doc_id)`` hashes form a deterministic,
+    partition- and order-invariant uniform sample, and the sample's
+    quantile_disc order statistics estimate the corpus quantiles with
+    O(k) state.  Returns, per q in ``_QUANTILES``:
+
+      ``(q, est_value, exact_value, abs_err)``
+
+    Scale shape: per-batch PARTIAL bottom-k (one lexsort over the
+    batch) means the exchange carries ≤ k rows per batch; one
+    ``repartition(1)`` task keeps the global k minima (the sketch's
+    mergeability).  The exact side is the doc_length_quantiles
+    value-count reduce (tiny distinct-value partials).  Driver state:
+    two bounded tables (k sample rows + |quantiles| exact rows)."""
+    import math
+
+    def sample_partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        h = _md5_u64([str(i) for i in ids])
+        order = np.lexsort((np.asarray(ids, dtype=np.int64), h))[:k]
+        return pa.table({
+            "h": pa.array(h[order], pa.uint64()),
+            "doc_id": pa.array(np.asarray(ids, dtype=np.int64)[order],
+                               pa.int64()),
+            "n_chars": t["n_chars"].take(pa.array(order, pa.int64())),
+        })
+
+    def sample_final(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["h", "doc_id"]).head(k)
+        vals = np.sort(df["n_chars"].to_numpy(dtype=np.int64))
+        n = len(vals)
+        est = [int(vals[max(1, math.ceil(q * n)) - 1]) for q in _QUANTILES]
+        return pa.table({
+            "q": pa.array(list(_QUANTILES), pa.float64()),
+            "est_value": pa.array(est, pa.int64()),
+        })
+
+    est_tbl = _concat_nonempty(
+        _read(sf_dir, "documents", ["doc_id", "n_chars"])
+        .map_batches(sample_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(sample_final, batch_format="pyarrow", batch_size=None))
+    exact_tbl = _concat_nonempty(doc_length_quantiles(sf_dir))
+    exact = dict(zip(exact_tbl["q"].to_pylist(),
+                     exact_tbl["value"].to_pylist()))
+    est = dict(zip(est_tbl["q"].to_pylist(), est_tbl["est_value"].to_pylist()))
+    qs = list(_QUANTILES)
+    return pa.table({
+        "q": pa.array(qs, pa.float64()),
+        "est_value": pa.array([est[q] for q in qs], pa.int64()),
+        "exact_value": pa.array([exact[q] for q in qs], pa.int64()),
+        "abs_err": pa.array([abs(est[q] - exact[q]) for q in qs], pa.int64()),
+    })

@@ -3997,3 +3997,16 @@ def test_compact_ivf_index_content_neutral(ray_session, tmp_path):
     # no swap debris left behind
     assert not glob.glob(os.path.join(idx, "_tmp-*"))
     assert not glob.glob(os.path.join(idx, "_old-*"))
+
+
+def test_bottomk_quantile_estimates(ray_session):
+    import __ray_entry__ as e
+
+    got = e.queries()["bottomk_quantile_estimates"]("/root/testdata/sf0.001")
+    got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+    assert list(got["q"]) == [0.25, 0.5, 0.75, 0.9, 0.99]
+    assert (got["abs_err"] == (got["est_value"] - got["exact_value"]).abs()).all()
+    # estimates are monotone in q (order statistics of one sorted sample)
+    assert got["est_value"].is_monotonic_increasing
+    # a 64-doc uniform sample should land in the right ballpark
+    assert (got["abs_err"] <= got["exact_value"].clip(lower=1)).all()
