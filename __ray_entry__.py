@@ -1831,6 +1831,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "top_terms": rel.top_terms,
         "cms_freq_estimates": rel.cms_freq_estimates,
         "bottomk_quantile_estimates": rel.bottomk_quantile_estimates,
+        "cms_join_size_estimate": rel.cms_join_size_estimate,
         "doc_length_quantiles": rel.doc_length_quantiles,
         "hopping_hour_counts": win.hopping_hour_counts,
         "domain_cap": rel.domain_cap,
@@ -1935,6 +1936,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "robots_filter_stats": _q_robots_filter_stats,
         "linear_attribution": win.linear_attribution,
         "record_event_stats": win.record_event_stats,
+        "median_event_value_refined": win.median_event_value_refined,
     }
 
 
@@ -2407,6 +2409,14 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_copies
             FROM documents GROUP BY md5(coalesce(text, ''))
         """,
+        # exact per-type median (quantile_disc element), cents-scaled
+        # half-away — the histogram-refine result must hit it exactly
+        "median_event_value_refined": """
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(ROUND(quantile_disc(value, 0.5) * 100) AS BIGINT)
+                     AS median_cents
+            FROM events GROUP BY event_type
+        """,
         # global prefix-scan: strict high-water-mark records in arrival
         # (event_id) order; the first event overall is a record (hw NULL)
         "record_event_stats": """
@@ -2591,6 +2601,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(qv.q AS DOUBLE) AS q, CAST(l.vs[qv.i] AS BIGINT) AS value
             FROM l, (VALUES (1, 0.25), (2, 0.5), (3, 0.75),
                             (4, 0.9), (5, 0.99)) qv(i, q)
+        """,
+        # Count-Min inner-product join-size estimate, both sketches
+        # rebuilt cell-for-cell; exact side is the per-user count product
+        "cms_join_size_estimate": """
+            WITH ca AS MATERIALIZED (
+              SELECT r.i AS ri,
+                     md5_number_lower(CAST(user_id AS VARCHAR) || '|' || r.i)
+                       % 1024 AS cell,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM events, unnest(range(0, 4)) AS r(i)
+              WHERE event_type = 'click'
+              GROUP BY 1, 2
+            ),
+            cb AS MATERIALIZED (
+              SELECT r.i AS ri,
+                     md5_number_lower(CAST(user_id AS VARCHAR) || '|' || r.i)
+                       % 1024 AS cell,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM events, unnest(range(0, 4)) AS r(i)
+              WHERE event_type = 'purchase'
+              GROUP BY 1, 2
+            ),
+            rowsum AS (
+              SELECT ca.ri, CAST(SUM(ca.c * cb.c) AS BIGINT) AS s
+              FROM ca JOIN cb ON cb.ri = ca.ri AND cb.cell = ca.cell
+              GROUP BY ca.ri
+            ),
+            est AS (
+              SELECT CAST(MIN(coalesce(t.s, 0)) AS BIGINT) AS est_size
+              FROM unnest(range(0, 4)) AS rr(i)
+              LEFT JOIN rowsum t ON t.ri = rr.i
+            ),
+            ex AS (
+              SELECT CAST(coalesce(SUM(a.c1 * b.c2), 0) AS BIGINT)
+                       AS exact_size
+              FROM (SELECT user_id, count(*) AS c1 FROM events
+                    WHERE event_type = 'click' GROUP BY 1) a
+              JOIN (SELECT user_id, count(*) AS c2 FROM events
+                    WHERE event_type = 'purchase' GROUP BY 1) b
+                USING (user_id)
+            )
+            SELECT CAST((SELECT count(*) FROM events
+                         WHERE event_type = 'click') AS BIGINT) AS n_clicks,
+                   CAST((SELECT count(*) FROM events
+                         WHERE event_type = 'purchase') AS BIGINT)
+                     AS n_purchases,
+                   ex.exact_size, est.est_size,
+                   CAST(est.est_size - ex.exact_size AS BIGINT) AS overcount
+            FROM ex, est
         """,
         # bottom-k hash sample (deterministic: smallest md5 hashes) vs
         # the exact corpus quantiles — the sketch oracle recomputes the

@@ -6153,3 +6153,99 @@ def bottomk_quantile_estimates(sf_dir: str, k: int = 64):
         "exact_value": pa.array([exact[q] for q in qs], pa.int64()),
         "abs_err": pa.array([abs(est[q] - exact[q]) for q in qs], pa.int64()),
     })
+
+
+def cms_join_size_estimate(sf_dir: str, d: int = 4, w: int = 1024):
+    """JOIN-SIZE ESTIMATION via the Count-Min INNER PRODUCT (Cormode &
+    Muthukrishnan 2005 §4.2 — public method; the fixed-memory cardinality
+    estimate a distributed planner consults before picking a join
+    strategy): |clicks ⋈ purchases on user_id| = Σ_u c(u)·p(u) is
+    estimated by min_i Σ_cell A_i[cell]·B_i[cell] over two d×w sketches —
+    a ONE-SIDED overestimate (colliding keys only add non-negative cross
+    terms).  Returns one row:
+
+      ``(n_clicks, n_purchases, exact_size, est_size, overcount)``
+
+    Hash family ``md5_number_lower(user_id || '|' || row) % w`` so the
+    oracle rebuilds both sketches cell-for-cell; every quantity is int64.
+
+    Scale shape: each sketch build carries ≤ d·w cell partials per batch
+    (per-batch value_counts then a LOCAL fold — never key instances);
+    the exact side co-partitions (user, side) COUNTS on a 64-way user
+    bucket and emits ONE partial product-sum row per bucket.  Driver
+    state: 2·d·w cells + ≤64 partial rows, fixed at any log size."""
+    import collections
+
+    from ray.data.aggregate import Sum
+
+    sides = {"click": "A", "purchase": "B"}
+
+    def cms_partial(t: pa.Table) -> pa.Table:
+        df = pa.table({"et": t["event_type"],
+                       "uid": t["user_id"]}).to_pandas()
+        out_side, out_row, out_cell, out_c = [], [], [], []
+        for et, tag in sides.items():
+            counts = df.loc[df["et"] == et, "uid"].value_counts()
+            if not len(counts):
+                continue
+            uids = counts.index.to_numpy()
+            ns = counts.to_numpy(dtype=np.int64)
+            local = np.zeros((d, w), dtype=np.int64)
+            for r in range(d):
+                h = (_md5_u64([f"{u}|{r}" for u in uids])
+                     % np.uint64(w)).astype(np.int64)
+                np.add.at(local[r], h, ns)
+            rows, cols = np.nonzero(local)
+            out_side.extend([tag] * len(rows))
+            out_row.extend(rows.tolist())
+            out_cell.extend(cols.tolist())
+            out_c.extend(local[rows, cols].tolist())
+        return pa.table({
+            "side": pa.array(out_side, pa.string()),
+            "ri": pa.array(out_row, pa.int64()),
+            "cell": pa.array(out_cell, pa.int64()),
+            "c": pa.array(out_c, pa.int64()),
+        })
+
+    cells = _concat_nonempty(
+        _read(sf_dir, "events", ["event_type", "user_id"])
+        .map_batches(cms_partial, batch_format="pyarrow")
+        .groupby(["side", "ri", "cell"])
+        .aggregate(Sum("c", alias_name="c"))).to_pandas()
+    mats = {tag: np.zeros((d, w), dtype=np.int64) for tag in sides.values()}
+    for tag, g in cells.groupby("side"):
+        mats[tag][g["ri"].to_numpy(), g["cell"].to_numpy()] = g["c"].to_numpy()
+    a, b = mats["A"], mats["B"]
+    est = int(min(int((a[r] * b[r]).sum()) for r in range(d)))
+    n_clicks = int(a[0].sum())
+    n_purchases = int(b[0].sum())
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        df = pa.table({"et": t["event_type"],
+                       "uid": t["user_id"]}).to_pandas()
+        df = df[df["et"].isin(list(sides))]
+        g = df.groupby(["uid", "et"], as_index=False).size()
+        g["n"] = g.pop("size").astype("int64")
+        g["bucket"] = (g["uid"].to_numpy() % 64).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def bucket_product(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["uid", "et"])["n"].sum().unstack(fill_value=0)
+        ca = s["click"].to_numpy() if "click" in s else np.zeros(len(s))
+        cb = s["purchase"].to_numpy() if "purchase" in s else np.zeros(len(s))
+        return pd.DataFrame({"x": np.array([int((ca * cb).sum())],
+                                           dtype=np.int64)})
+
+    exact_tbl = _concat_nonempty(
+        _read(sf_dir, "events", ["event_type", "user_id"])
+        .map_batches(exact_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_product, batch_format="pandas"))
+    exact = int(pc.sum(exact_tbl["x"]).as_py() or 0)
+    return pa.table({
+        "n_clicks": pa.array([n_clicks], pa.int64()),
+        "n_purchases": pa.array([n_purchases], pa.int64()),
+        "exact_size": pa.array([exact], pa.int64()),
+        "est_size": pa.array([est], pa.int64()),
+        "overcount": pa.array([est - exact], pa.int64()),
+    })

@@ -685,3 +685,93 @@ def record_event_stats(sf_dir: str, n_parts: int = 64):
             .groupby("event_type")
             .aggregate(Sum("n_events", alias_name="n_events"),
                        Sum("n_records", alias_name="n_records")))
+
+
+def median_event_value_refined(sf_dir: str, n_bins: int = 4096):
+    """EXACT per-type median of an UNBOUNDED-DOMAIN double column by
+    HISTOGRAM REFINEMENT — the two-pass distributed order-statistic
+    pattern for columns where the value-count reduce
+    (doc_length_quantiles) would not compress: pass 1 builds a fixed
+    n_bins histogram per event_type (per-batch partials ≤ types×bins
+    rows); the driver walks the cumulative histogram to the bin holding
+    the rank-⌈n/2⌉ element (quantile_disc convention); pass 2 collects
+    ONLY that bin's values per type (expected n/bins rows — pushed as a
+    vectorized filter) and takes the exact in-bin order statistic.
+    Returns ``(event_type, n_events, median_cents)``.
+
+    Driver state: types×bins int partials + the candidate-bin values
+    (E[n/bins] per type — at 10^12 rows raise n_bins or recurse one more
+    refinement level, same topology).  Bin bounds come from a min/max
+    partial pass, so three bounded passes total, each embarrassingly
+    parallel."""
+    import ray
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    src = os.path.join(sf_dir, "events.parquet")
+
+    bounds = (rd.read_parquet(src, columns=["event_type", "value"])
+              .groupby("event_type")
+              .aggregate(Min("value", alias_name="lo"),
+                         Max("value", alias_name="hi"))
+              .to_pandas().set_index("event_type"))
+    lo = bounds["lo"].to_dict()
+    hi = bounds["hi"].to_dict()
+    b_ref = ray.put((lo, hi))
+
+    def bin_of(types: np.ndarray, vals: np.ndarray) -> np.ndarray:
+        l, h = ray.get(b_ref)
+        lo_v = np.array([l[t] for t in types])
+        hi_v = np.array([h[t] for t in types])
+        span = np.maximum(hi_v - lo_v, 1e-12)
+        return np.clip(((vals - lo_v) / span * n_bins).astype(np.int64),
+                       0, n_bins - 1)
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        df = pa.table({"et": t["event_type"], "v": t["value"]}).to_pandas()
+        df["bin"] = bin_of(df["et"].to_numpy(), df["v"].to_numpy())
+        g = df.groupby(["et", "bin"], as_index=False).size()
+        g["n"] = g.pop("size").astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (rd.read_parquet(src, columns=["event_type", "value"])
+            .map_batches(hist_partial, batch_format="pyarrow")
+            .groupby(["et", "bin"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+
+    import math
+    target = {}
+    for et, g in hist.groupby("et"):
+        g = g.sort_values("bin")
+        total = int(g["n"].sum())
+        rank = max(1, math.ceil(0.5 * total))          # 1-based
+        cum = g["n"].cumsum().to_numpy()
+        i = int(np.searchsorted(cum, rank))
+        # rank WITHIN the candidate bin (1-based)
+        target[et] = (int(g["bin"].iloc[i]), rank - (int(cum[i - 1]) if i else 0),
+                      total)
+    t_ref = ray.put({et: b for et, (b, _, _) in target.items()})
+
+    def in_bin(t: pa.Table) -> pa.Table:
+        df = pa.table({"et": t["event_type"], "v": t["value"]}).to_pandas()
+        want = ray.get(t_ref)
+        keep = bin_of(df["et"].to_numpy(), df["v"].to_numpy()) == np.array(
+            [want[x] for x in df["et"]])
+        return pa.Table.from_pandas(df[keep], preserve_index=False)
+
+    cand = (rd.read_parquet(src, columns=["event_type", "value"])
+            .map_batches(in_bin, batch_format="pyarrow").to_pandas())
+    types, ns, meds = [], [], []
+    for et in sorted(target):
+        _, in_rank, total = target[et]
+        vals = np.sort(cand.loc[cand["et"] == et, "v"].to_numpy())
+        med = float(vals[in_rank - 1])
+        types.append(et)
+        ns.append(total)
+        meds.append(int(np.copysign(np.floor(abs(med) * 100 + 0.5), med)))
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "n_events": pa.array(ns, pa.int64()),
+        "median_cents": pa.array(meds, pa.int64()),
+    })

@@ -4010,3 +4010,42 @@ def test_bottomk_quantile_estimates(ray_session):
     assert got["est_value"].is_monotonic_increasing
     # a 64-doc uniform sample should land in the right ballpark
     assert (got["abs_err"] <= got["exact_value"].clip(lower=1)).all()
+
+
+def test_cms_join_size_estimate(ray_session):
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    got = (e.queries()["cms_join_size_estimate"]("/root/testdata/sf0.001")
+           .to_pandas().iloc[0])
+    # local replication of the exact join size
+    df = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                       columns=["event_type", "user_id"]).to_pandas()
+    clicks = df[df["event_type"] == "click"]["user_id"].value_counts()
+    buys = df[df["event_type"] == "purchase"]["user_id"].value_counts()
+    want = int((clicks * buys).dropna().sum())
+    assert int(got["exact_size"]) == want
+    assert int(got["n_clicks"]) == int((df["event_type"] == "click").sum())
+    # CMS inner product never undercounts
+    assert int(got["overcount"]) >= 0
+    assert int(got["est_size"]) == int(got["exact_size"]) + int(got["overcount"])
+
+
+def test_median_event_value_refined(ray_session):
+    import math
+
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    got = (e.queries()["median_event_value_refined"]("/root/testdata/sf0.001")
+           .to_pandas().set_index("event_type"))
+    df = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    for et, g in df.groupby("event_type"):
+        vals = np.sort(g["value"].to_numpy())
+        med = vals[max(1, math.ceil(0.5 * len(vals))) - 1]
+        assert int(got.loc[et, "median_cents"]) == int(
+            np.floor(abs(med) * 100 + 0.5) * np.sign(med))
+        assert int(got.loc[et, "n_events"]) == len(vals)
