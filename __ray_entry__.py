@@ -1832,6 +1832,8 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "cms_freq_estimates": rel.cms_freq_estimates,
         "bottomk_quantile_estimates": rel.bottomk_quantile_estimates,
         "cms_join_size_estimate": rel.cms_join_size_estimate,
+        "hits_scores": rel.hits_scores,
+        "corpus_log_odds": rel.corpus_log_odds,
         "doc_length_quantiles": rel.doc_length_quantiles,
         "hopping_hour_counts": win.hopping_hour_counts,
         "domain_cap": rel.domain_cap,
@@ -2650,6 +2652,75 @@ def oracle_sql() -> dict[str, str]:
                    ex.exact_size, est.est_size,
                    CAST(est.est_size - ex.exact_size AS BIGINT) AS overcount
             FROM ex, est
+        """,
+        # HITS over the same derived link graph as pagerank_two_iter:
+        # h0 = 1e6, a1 = incoming-h0 sums, h1 = gather of a1 at the two
+        # out-neighbors, a2 = incoming-h1 sums — all BIGINT-exact
+        "hits_scores": """
+            WITH n AS (SELECT count(*) AS cnt FROM documents),
+            edges AS MATERIALIZED (
+                SELECT doc_id AS src, (doc_id * 2 + 1) % n.cnt AS dst
+                FROM documents, n
+                UNION ALL
+                SELECT doc_id, (doc_id * 3 + 2) % n.cnt FROM documents, n
+            ),
+            a1 AS MATERIALIZED (
+                SELECT d.doc_id, CAST(coalesce(s.x, 0) AS BIGINT) AS a
+                FROM documents d LEFT JOIN (
+                    SELECT dst, SUM(CAST(1000000 AS BIGINT)) AS x
+                    FROM edges GROUP BY 1) s ON s.dst = d.doc_id
+            ),
+            h1 AS MATERIALIZED (
+                SELECT e.src AS doc_id, CAST(SUM(a1.a) AS BIGINT) AS h
+                FROM edges e JOIN a1 ON a1.doc_id = e.dst GROUP BY 1
+            ),
+            a2 AS (
+                SELECT e.dst, SUM(h1.h) AS x
+                FROM edges e JOIN h1 ON h1.doc_id = e.src GROUP BY 1
+            )
+            SELECT d.doc_id, CAST(h1.h AS BIGINT) AS hub_scaled,
+                   CAST(coalesce(a2.x, 0) AS BIGINT) AS auth_scaled
+            FROM documents d
+            JOIN h1 ON h1.doc_id = d.doc_id
+            LEFT JOIN a2 ON a2.dst = d.doc_id
+        """,
+        # Monroe/Colaresi/Quinn log-odds with add-one Dirichlet prior,
+        # en vs rest; each ln term rounds to integer micro-nats
+        # separately (the bigram_lm float discipline)
+        "corpus_log_odds": r"""
+            WITH toks AS (
+                SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'rest' END AS s,
+                       unnest(regexp_split_to_array(
+                           lower(coalesce(text, '')), '\s+')) AS term
+                FROM documents
+            ), cnt AS MATERIALIZED (
+                SELECT term,
+                       CAST(SUM(CASE WHEN s = 'en' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS y_en,
+                       CAST(SUM(CASE WHEN s = 'rest' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS y_rest
+                FROM toks WHERE term <> '' GROUP BY term
+            ), tot AS MATERIALIZED (
+                SELECT CAST(SUM(y_en) AS BIGINT) AS n_en,
+                       CAST(SUM(y_rest) AS BIGINT) AS n_rest,
+                       CAST(count(*) AS BIGINT) AS v
+                FROM cnt
+            ), scored AS (
+                SELECT term, y_en, y_rest,
+                       CAST(ROUND(1000000.0 * ln((y_en + 1.0)
+                           / (tot.n_en + tot.v - y_en - 1.0)))
+                           AS BIGINT) AS lo_en_micro,
+                       CAST(ROUND(1000000.0 * ln((y_rest + 1.0)
+                           / (tot.n_rest + tot.v - y_rest - 1.0)))
+                           AS BIGINT) AS lo_rest_micro
+                FROM cnt, tot
+                WHERE y_en + y_rest >= 5
+            )
+            SELECT term, y_en, y_rest, lo_en_micro, lo_rest_micro,
+                   CAST(lo_en_micro - lo_rest_micro AS BIGINT) AS delta_micro
+            FROM scored
+            ORDER BY delta_micro DESC, term
+            LIMIT 25
         """,
         # bottom-k hash sample (deterministic: smallest md5 hashes) vs
         # the exact corpus quantiles — the sketch oracle recomputes the

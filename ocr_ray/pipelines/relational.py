@@ -6249,3 +6249,255 @@ def cms_join_size_estimate(sf_dir: str, d: int = 4, w: int = 1024):
         "est_size": pa.array([est], pa.int64()),
         "overcount": pa.array([est - exact], pa.int64()),
     })
+
+
+def hits_scores(sf_dir: str):
+    """HITS hubs-and-authorities (Kleinberg 1999 — public method; the
+    link-analysis score pair every web-crawl ranking stack computes
+    alongside PageRank) over the same derived doc→doc link graph as
+    :func:`pagerank_two_iter` (u → (2u+1) mod N and (3u+2) mod N), with
+    EXACT INTEGER arithmetic so the distributed result is bit-stable:
+
+      h0(u)  = 1e6                       (scaled unit hub vector)
+      a1(v)  = Σ_{u→v} h0(u)             (authority update)
+      h1(u)  = a1((2u+1)%N) + a1((3u+2)%N)   (hub update = gather of a1
+                                          at u's out-neighbors)
+      a2(v)  = Σ_{u→v} h1(u)             (second authority update)
+
+    Returns (doc_id, hub_scaled = h1, auth_scaled = a2).  Integer sums
+    commute, so block order and parallelism cannot perturb a bit.
+
+    Scale shape — FOUR coarse 64-way exchanges, nothing else:
+      forward passes (a from h) reuse the pagerank topology: one
+        map_batches emits each node's carry-row plus its out-edge
+        contributions keyed by destination (node and edge rows ride the
+        SAME pass — never a Dataset.union of a shared upstream, see
+        CLAUDE.md), then one vectorized per-bucket combine;
+      the backward GATHER (h from a) is a co-partitioned request/value
+        join: one map_batches over the a-table emits each node's value
+        row (key = doc_id) AND its two request rows (key = out-neighbor,
+        src = u); the first bucket combine resolves requests to values
+        vectorized (pandas merge), the second sums the two resolved
+        values per src.  No Dataset.join, no driver-side gather — the
+        request table is exactly 2 rows per node at any corpus size.
+    N comes from parquet metadata (no data read)."""
+    n_docs = _table_num_rows(sf_dir, "documents")
+
+    def _forward(ds):
+        """(doc_id, val) → (doc_id, carry=val, in_val=Σ incoming val)."""
+        def expand(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            val = t["val"].to_numpy(zero_copy_only=False)
+            key = np.concatenate(
+                [ids, (ids * 2 + 1) % n_docs, (ids * 3 + 2) % n_docs])
+            out = pd.DataFrame({
+                "key": key,
+                "is_node": np.concatenate(
+                    [np.ones(len(ids), np.int8),
+                     np.zeros(2 * len(ids), np.int8)]),
+                "contrib": np.concatenate(
+                    [np.zeros(len(ids), np.int64), val, val]),
+                "carry": np.concatenate(
+                    [val, np.zeros(2 * len(ids), np.int64)]),
+            })
+            # pre-aggregate edge contributions per (key, role) before the
+            # exchange — the shuffle carries partials, never edge instances
+            out = out.groupby(["key", "is_node"], as_index=False).agg(
+                contrib=("contrib", "sum"), carry=("carry", "sum"))
+            out["bucket"] = (out["key"].to_numpy() & 63).astype(np.int32)
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        def combine(g: pd.DataFrame) -> pd.DataFrame:
+            c = (g[g["is_node"] == 0]
+                 .groupby("key", as_index=False)["contrib"].sum())
+            nodes = g.loc[g["is_node"] == 1, ["key", "carry"]]
+            m = nodes.merge(c, on="key", how="left")
+            return pd.DataFrame({
+                "doc_id": m["key"].astype("int64"),
+                "carry": m["carry"].astype("int64"),
+                "in_val": m["contrib"].fillna(0).astype("int64"),
+            })
+
+        return (ds.map_batches(expand, batch_format="pyarrow")
+                .groupby("bucket").map_groups(combine, batch_format="pandas"))
+
+    seed = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "val": pa.nulls(t.num_rows, pa.int64()).fill_null(1_000_000),
+        }), batch_format="pyarrow")
+
+    a1 = _forward(seed).map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "a": t["in_val"]}),
+        batch_format="pyarrow")
+
+    # backward gather: h1(u) = a1(2u+1 % N) + a1(3u+2 % N)
+    def gather_expand(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        a = t["a"].to_numpy(zero_copy_only=False)
+        out = pd.DataFrame({
+            "key": np.concatenate(
+                [ids, (ids * 2 + 1) % n_docs, (ids * 3 + 2) % n_docs]),
+            "kind": np.concatenate(
+                [np.zeros(len(ids), np.int8),
+                 np.ones(2 * len(ids), np.int8)]),
+            "val": np.concatenate([a, np.zeros(2 * len(ids), np.int64)]),
+            "src": np.concatenate(
+                [np.full(len(ids), -1, np.int64), ids, ids]),
+        })
+        out["bucket"] = (out["key"].to_numpy() & 63).astype(np.int32)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        vals = g.loc[g["kind"] == 0, ["key", "val"]]
+        req = g.loc[g["kind"] == 1, ["key", "src"]]
+        m = req.merge(vals, on="key", how="left")
+        out = pd.DataFrame({
+            "src": m["src"].astype("int64"),
+            "val": m["val"].fillna(0).astype("int64"),
+        })
+        out["bucket"] = (out["src"].to_numpy() & 63).astype(np.int32)
+        return out
+
+    def sum_per_src(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("src", as_index=False)["val"].sum()
+        return pd.DataFrame({"doc_id": s["src"].astype("int64"),
+                             "val": s["val"].astype("int64")})
+
+    h1 = (a1.map_batches(gather_expand, batch_format="pyarrow")
+          .groupby("bucket").map_groups(resolve, batch_format="pandas")
+          .groupby("bucket").map_groups(sum_per_src, batch_format="pandas"))
+
+    return _forward(h1).map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "hub_scaled": t["carry"],
+                            "auth_scaled": t["in_val"]}),
+        batch_format="pyarrow")
+
+
+def corpus_log_odds(sf_dir: str, k: int = 25, min_count: int = 5):
+    """TERM LOG-ODDS between two corpus slices (Monroe, Colaresi &
+    Quinn 2008, "Fightin' Words" — public method; the standard
+    what-distinguishes-corpus-A-from-corpus-B diagnostic a curation
+    pipeline runs when comparing a language/domain slice against the
+    rest).  Slices: ``lang = 'en'`` vs everything else; add-one
+    Dirichlet prior (α_w = 1, α_0 = V).  For each term w:
+
+      lo_s(w)  = round(1e6 · ln((y_sw + 1) / (n_s + V − y_sw − 1)))
+      delta(w) = lo_en(w) − lo_rest(w)      (integer micro-nats)
+
+    Each ln term rounds to integer micro-nats SEPARATELY (half-away,
+    the :func:`bigram_lm_scores` float discipline) so Ray == DuckDB
+    bit-for-bit.  Terms with y_en + y_rest < min_count are dropped;
+    returns the top-k by delta desc, term asc — the most
+    en-distinctive vocabulary.  Tokenization is lower().split()
+    (= :func:`top_terms`).
+
+    Scale shape: per-batch Counter partials keyed (term, slice) with
+    bucket = crc32(term) % 64 (a term lives entirely in ONE bucket);
+    one vectorized per-bucket combine emits exact (term, y_en, y_rest)
+    rows PLUS one per-bucket totals row (Σy_en, Σy_rest, vocab count) —
+    the driver folds ≤ 64 totals rows into the three scalars (n_en,
+    n_rest, V), broadcasts them into a vectorized scoring map_batches
+    over the reduced term table, and a per-batch partial top-k +
+    repartition(1) final top-k hands the driver exactly k rows.  The
+    corpus-sized exchange carries (term, slice, count) partials only."""
+    import collections
+    import zlib
+
+    n_buckets = DEFAULT_CONFIG.near_dup_coarse_buckets
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        for lang, txt in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            s = "en" if lang == "en" else "rest"
+            for tok in (txt or "").lower().split():
+                c[(s, tok)] += 1
+        keys = list(c.keys())
+        return pa.table({
+            "s": pa.array([x[0] for x in keys], pa.string()),
+            "term": pa.array([x[1] for x in keys], pa.string()),
+            "n": pa.array([c[x] for x in keys], pa.int64()),
+            "bucket": pa.array(
+                [zlib.crc32(x[1].encode()) % n_buckets for x in keys],
+                pa.int32()),
+        })
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        p = (g.groupby(["term", "s"])["n"].sum().unstack(fill_value=0))
+        y_en = (p["en"] if "en" in p else pd.Series(0, index=p.index))
+        y_rest = (p["rest"] if "rest" in p else pd.Series(0, index=p.index))
+        out = pd.DataFrame({
+            "term": p.index.astype(str),
+            "y_en": y_en.to_numpy(np.int64),
+            "y_rest": y_rest.to_numpy(np.int64),
+            "is_total": np.int8(0),
+        })
+        total = pd.DataFrame({
+            "term": [""], "y_en": [out["y_en"].sum()],
+            "y_rest": [out["y_rest"].sum()], "is_total": [np.int8(1)],
+        })
+        # vocab size rides in the totals row's term slot as a count
+        total["v"] = np.int64(len(out))
+        out["v"] = np.int64(0)
+        return pd.concat([out, total], ignore_index=True)
+
+    # vocabulary-sized after the reduce — safe (and cheap) to pin once so
+    # the totals fold and the scoring pass don't re-run the tokenize pass
+    counted = (_read(sf_dir, "documents", ["lang", "text"])
+               .map_batches(partial, batch_format="pyarrow")
+               .groupby("bucket")
+               .map_groups(bucket_counts, batch_format="pandas")
+               .materialize())
+
+    # fold the ≤64 per-bucket totals rows into the three global scalars
+    tot = _concat_nonempty(
+        counted.map_batches(
+            lambda t: t.filter(pc.equal(t["is_total"], 1)).select(
+                ["y_en", "y_rest", "v"]),
+            batch_format="pyarrow"))
+    n_en = int(pc.sum(tot["y_en"]).as_py() or 0)
+    n_rest = int(pc.sum(tot["y_rest"]).as_py() or 0)
+    vocab = int(pc.sum(tot["v"]).as_py() or 0)
+
+    def _r6(x: np.ndarray) -> np.ndarray:
+        return np.copysign(np.floor(np.abs(x) + 0.5), x).astype(np.int64)
+
+    def score(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[(df["is_total"] == 0)
+                & (df["y_en"] + df["y_rest"] >= min_count)]
+        if not len(df):
+            return pa.table({
+                "term": pa.array([], pa.string()),
+                "y_en": pa.array([], pa.int64()),
+                "y_rest": pa.array([], pa.int64()),
+                "lo_en_micro": pa.array([], pa.int64()),
+                "lo_rest_micro": pa.array([], pa.int64()),
+                "delta_micro": pa.array([], pa.int64()),
+            })
+        ye = df["y_en"].to_numpy(np.float64)
+        yr = df["y_rest"].to_numpy(np.float64)
+        lo_en = _r6(1e6 * np.log((ye + 1.0) / (n_en + vocab - ye - 1.0)))
+        lo_rest = _r6(1e6 * np.log((yr + 1.0) / (n_rest + vocab - yr - 1.0)))
+        out = pd.DataFrame({
+            "term": df["term"].astype(str),
+            "y_en": df["y_en"].astype("int64"),
+            "y_rest": df["y_rest"].astype("int64"),
+            "lo_en_micro": lo_en, "lo_rest_micro": lo_rest,
+            "delta_micro": lo_en - lo_rest,
+        })
+        # partial top-k per batch — the final reduce sees ≤ k per batch
+        out = out.sort_values(["delta_micro", "term"],
+                              ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def final(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("delta_micro", "descending"),
+                          ("term", "ascending")])[:k]
+        return t.take(idx)
+
+    return (counted.map_batches(score, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow", batch_size=None))

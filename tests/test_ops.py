@@ -4049,3 +4049,64 @@ def test_median_event_value_refined(ray_session):
         assert int(got.loc[et, "median_cents"]) == int(
             np.floor(abs(med) * 100 + 0.5) * np.sign(med))
         assert int(got.loc[et, "n_events"]) == len(vals)
+
+
+def test_hits_scores(ray_session):
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    got = (e.queries()["hits_scores"]("/root/testdata/sf0.001")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    n = pq.read_metadata("/root/testdata/sf0.001/documents.parquet").num_rows
+    ids = np.arange(n, dtype=np.int64)
+    # local dense replication of the two HITS half-iterations
+    a1 = np.zeros(n, dtype=np.int64)
+    np.add.at(a1, (ids * 2 + 1) % n, 1_000_000)
+    np.add.at(a1, (ids * 3 + 2) % n, 1_000_000)
+    h1 = a1[(ids * 2 + 1) % n] + a1[(ids * 3 + 2) % n]
+    a2 = np.zeros(n, dtype=np.int64)
+    np.add.at(a2, (ids * 2 + 1) % n, h1)
+    np.add.at(a2, (ids * 3 + 2) % n, h1)
+    assert len(got) == n
+    assert (got["doc_id"].to_numpy() == ids).all()
+    assert (got["hub_scaled"].to_numpy() == h1).all()
+    assert (got["auth_scaled"].to_numpy() == a2).all()
+
+
+def test_corpus_log_odds(ray_session):
+    import collections
+
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    got = (e.queries()["corpus_log_odds"]("/root/testdata/sf0.001")
+           .to_pandas().reset_index(drop=True))
+    df = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                       columns=["lang", "text"]).to_pandas()
+    cnt: collections.Counter = collections.Counter()
+    for lang, txt in zip(df["lang"], df["text"]):
+        s = "en" if lang == "en" else "rest"
+        for tok in (txt or "").lower().split():
+            cnt[(s, tok)] += 1
+    terms = sorted({t for _, t in cnt})
+    y_en = np.array([cnt[("en", t)] for t in terms], dtype=np.float64)
+    y_rest = np.array([cnt[("rest", t)] for t in terms], dtype=np.float64)
+    n_en, n_rest, v = y_en.sum(), y_rest.sum(), len(terms)
+
+    def r6(x):
+        return np.copysign(np.floor(np.abs(x) + 0.5), x).astype(np.int64)
+
+    lo_en = r6(1e6 * np.log((y_en + 1.0) / (n_en + v - y_en - 1.0)))
+    lo_rest = r6(1e6 * np.log((y_rest + 1.0) / (n_rest + v - y_rest - 1.0)))
+    keep = (y_en + y_rest) >= 5
+    want = (pd.DataFrame({
+        "term": np.array(terms, dtype=object)[keep],
+        "y_en": y_en[keep].astype(np.int64),
+        "y_rest": y_rest[keep].astype(np.int64),
+        "lo_en_micro": lo_en[keep], "lo_rest_micro": lo_rest[keep],
+        "delta_micro": (lo_en - lo_rest)[keep],
+    }).sort_values(["delta_micro", "term"], ascending=[False, True])
+      .head(25).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
