@@ -304,6 +304,141 @@ def _q_near_dup_filter_stats(sf_dir: str):
     )
 
 
+def _q_near_dup_keep_best_stats(sf_dir: str):
+    """near_dup_filter_stats with the QUALITY representative: per minhash
+    cluster keep the max-n_chars member (tie -> min doc_id) instead of
+    keep-first — the drop-the-truncated-mirror retention rule."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ocr_ray.pipelines.dedup import minhash_near_dup, near_dup_keep_best
+
+    labels = minhash_near_dup(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"]))
+    corpus = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "lang", "n_chars"])
+    return (
+        near_dup_keep_best(corpus, labels=labels, quality_col="n_chars")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"),
+                   Sum("n_chars", alias_name="sum_chars"))
+    )
+
+
+def _q_soft_dedup_commonness(sf_dir: str):
+    """SoftDedup per-doc commonness (mean global window-hash count) —
+    the reweight-instead-of-drop dedup signal; top-25 most common docs."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.dedup import soft_dedup_commonness
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return soft_dedup_commonness(ds)
+
+
+def _kcore_sql(k: int = 4, rounds: int = 6) -> str:
+    """Unrolled k-core peel: per round keep nodes with >= k surviving
+    distinct neighbors in the simple undirected derived link graph
+    (the embedding_top_component chained-CTE unroll precedent)."""
+    parts = ["""n AS (SELECT count(*) AS cnt FROM documents),
+        e AS MATERIALIZED (
+          SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM (
+            SELECT doc_id AS u, (doc_id * 2 + 1) % n.cnt AS v
+            FROM documents, n
+            UNION ALL
+            SELECT doc_id, (doc_id * 3 + 2) % n.cnt FROM documents, n
+          ) AS t0 WHERE u <> v
+        ),
+        s0 AS MATERIALIZED (SELECT doc_id AS id FROM documents)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""s{r} AS MATERIALIZED (
+          SELECT id FROM (
+            SELECT e.a AS id FROM e
+              JOIN s{r - 1} x ON e.a = x.id JOIN s{r - 1} y ON e.b = y.id
+            UNION ALL
+            SELECT e.b FROM e
+              JOIN s{r - 1} x ON e.a = x.id JOIN s{r - 1} y ON e.b = y.id
+          ) AS t{r} GROUP BY id HAVING count(*) >= {k}
+        )""")
+    selects = "\n            UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM s{r}) AS n_surviving"
+        for r in range(rounds + 1))
+    return "WITH " + ",\n        ".join(parts) + "\n            " + selects
+
+
+_BM25_SQL = r"""
+            WITH d AS MATERIALIZED (
+              SELECT doc_id, regexp_split_to_array(
+                       lower(coalesce(text, '')), '\s+') AS arr
+              FROM documents
+            ), toks AS MATERIALIZED (
+              SELECT doc_id, unnest(arr) AS term FROM d
+            ), lens AS MATERIALIZED (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+              FROM toks WHERE term <> '' GROUP BY doc_id
+            ), q AS (
+              SELECT * FROM (VALUES ('table'), ('hash'), ('join')) t(term)
+            ), tf AS MATERIALIZED (
+              SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM toks JOIN q USING (term) GROUP BY doc_id, term
+            ), stats AS MATERIALIZED (
+              SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+                         AS n_docs,
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM toks
+                      WHERE term <> '') AS sum_dl
+            ), df AS MATERIALIZED (
+              SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM toks JOIN q USING (term) GROUP BY term
+            ), contrib AS (
+              SELECT tf.doc_id,
+                CAST(ROUND(1000000.0 * (
+                  (ln(((CAST(s.n_docs AS DOUBLE) - df.df) + 0.5)
+                      / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+                   * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)))
+                  / (CAST(tf.tf AS DOUBLE)
+                     + 1.2 * ((1.0 - 0.75)
+                              + (0.75 * CAST(l.dl AS DOUBLE))
+                                / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+                )) AS BIGINT) AS c
+              FROM tf
+                JOIN df USING (term)
+                JOIN lens l ON tf.doc_id = l.doc_id,
+                stats s
+            )
+            SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_e6
+            FROM contrib GROUP BY doc_id
+            ORDER BY score_e6 DESC, doc_id LIMIT 20
+        """
+
+_RRF_SQL = f"""
+            WITH bm AS MATERIALIZED ({_BM25_SQL}),
+            kn AS MATERIALIZED (
+              SELECT e.vec_id,
+                     ROUND(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.embedding AS DOUBLE[])), 6) AS sim
+              FROM embeddings e,
+                   (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+              ORDER BY sim DESC, e.vec_id LIMIT 20
+            ),
+            bmr AS (SELECT doc_id, row_number()
+                      OVER (ORDER BY score_e6 DESC, doc_id) AS r FROM bm),
+            knr AS (SELECT vec_id AS doc_id, row_number()
+                      OVER (ORDER BY sim DESC, vec_id) AS r FROM kn)
+            SELECT coalesce(b.doc_id, n.doc_id) AS doc_id,
+                   CAST(coalesce(1000000000 // (60 + b.r), 0)
+                        + coalesce(1000000000 // (60 + n.r), 0)
+                        AS BIGINT) AS rrf_e9,
+                   CAST(coalesce(b.r, 0) AS BIGINT) AS bm25_rank,
+                   CAST(coalesce(n.r, 0) AS BIGINT) AS knn_rank
+            FROM bmr b FULL JOIN knr n ON b.doc_id = n.doc_id
+            ORDER BY rrf_e9 DESC, doc_id LIMIT 10
+"""
+
+
 _BIGRAM_LM_SQL = r"""
             WITH d AS MATERIALIZED (
               SELECT doc_id, regexp_split_to_array(
@@ -1776,6 +1911,10 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "winnow_near_dup": _q_winnow_near_dup,
         "ngram_jaccard_near_dup": _q_ngram_jaccard,
         "near_dup_filter_stats": _q_near_dup_filter_stats,
+        "near_dup_keep_best_stats": _q_near_dup_keep_best_stats,
+        "soft_dedup_commonness": _q_soft_dedup_commonness,
+        "kcore_peel_counts": rel.kcore_peel_counts,
+        "rrf_hybrid_search": rel.rrf_hybrid_search,
         "near_dup_agreement": _q_near_dup_agreement,
         "dup_span_stats": _q_dup_span_stats,
         "dup_span_filter_stats": _q_dup_span_filter_stats,
@@ -2048,6 +2187,10 @@ def oracle_sql() -> dict[str, str]:
         "winnow_near_dup": _do.winnow_near_dup_sql(),
         "ngram_jaccard_near_dup": _do.ngram_jaccard_sql(),
         "near_dup_filter_stats": _do.near_dup_filter_stats_sql(),
+        "near_dup_keep_best_stats": _do.near_dup_keep_best_stats_sql(),
+        "soft_dedup_commonness": _do.soft_dedup_commonness_sql(),
+        "kcore_peel_counts": _kcore_sql(),
+        "rrf_hybrid_search": _RRF_SQL,
         "near_dup_agreement": _do.near_dup_agreement_sql(),
         "dup_span_stats": _do.dup_span_stats_sql(),
         "dup_span_filter_stats": _do.dup_span_filter_stats_sql(),
@@ -4062,49 +4205,7 @@ def oracle_sql() -> dict[str, str]:
         # the per-doc sum; float sub-expressions parenthesized to match
         # the Ray kernel op-for-op (k1=1.2, b=0.75 written as literals
         # combined the same way)
-        "bm25_search": r"""
-            WITH d AS MATERIALIZED (
-              SELECT doc_id, regexp_split_to_array(
-                       lower(coalesce(text, '')), '\s+') AS arr
-              FROM documents
-            ), toks AS MATERIALIZED (
-              SELECT doc_id, unnest(arr) AS term FROM d
-            ), lens AS MATERIALIZED (
-              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
-              FROM toks WHERE term <> '' GROUP BY doc_id
-            ), q AS (
-              SELECT * FROM (VALUES ('table'), ('hash'), ('join')) t(term)
-            ), tf AS MATERIALIZED (
-              SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-              FROM toks JOIN q USING (term) GROUP BY doc_id, term
-            ), stats AS MATERIALIZED (
-              SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
-                         AS n_docs,
-                     (SELECT CAST(COUNT(*) AS BIGINT) FROM toks
-                      WHERE term <> '') AS sum_dl
-            ), df AS MATERIALIZED (
-              SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
-              FROM toks JOIN q USING (term) GROUP BY term
-            ), contrib AS (
-              SELECT tf.doc_id,
-                CAST(ROUND(1000000.0 * (
-                  (ln(((CAST(s.n_docs AS DOUBLE) - df.df) + 0.5)
-                      / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
-                   * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)))
-                  / (CAST(tf.tf AS DOUBLE)
-                     + 1.2 * ((1.0 - 0.75)
-                              + (0.75 * CAST(l.dl AS DOUBLE))
-                                / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
-                )) AS BIGINT) AS c
-              FROM tf
-                JOIN df USING (term)
-                JOIN lens l ON tf.doc_id = l.doc_id,
-                stats s
-            )
-            SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_e6
-            FROM contrib GROUP BY doc_id
-            ORDER BY score_e6 DESC, doc_id LIMIT 20
-        """,
+        "bm25_search": _BM25_SQL,
         # exact integer Gram entries over e6-scaled components (d1 <= d2)
         "embedding_gram_matrix": """
             WITH e AS MATERIALIZED (

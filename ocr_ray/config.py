@@ -122,6 +122,10 @@ class PipelineConfig:
     ivf_train_sample: int = 2048        # ...quantizer training prefix size
     # ---- connected-components knobs (pipelines/graph.py) ----
     cc_small_graph_edges: int = 4_000_000  # single-task union-find ceiling
+    kcore_fuse_nodes: int = 2_000_000   # kcore_peel_counts: at or below this
+                                        # node count the peel runs fused in
+                                        # ONE task (ids are 8 bytes; above it
+                                        # the 2-exchange message rounds win)
     cc_message_buckets: int = 64        # label-propagation delivery buckets
                                         # (POWER OF TWO — bucketing is key & (n-1))
 

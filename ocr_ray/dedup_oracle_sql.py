@@ -1000,3 +1000,62 @@ def dim_truncation_recall_sql(k: int = 10, trunc: int = 16) -> str:
                           / (SELECT count(*) FROM exactk) + 0.5) AS BIGINT)
                  AS recall_bp
     """
+
+
+def near_dup_keep_best_stats_sql(threshold: float = 0.8,
+                                 max_bucket: int = 512) -> str:
+    """Survivor-corpus stats after fuzzy dedup with the QUALITY-based
+    representative (near_dup_keep_best): per cluster keep the member
+    with max n_chars (tie -> min doc_id) — rn = 1 under the window —
+    plus every unclustered doc, then the per-lang rollup."""
+    return f"""
+        WITH lab AS MATERIALIZED ({minhash_near_dup_sql(threshold, max_bucket)}),
+        rep AS MATERIALIZED (
+          SELECT l.doc_id,
+                 row_number() OVER (PARTITION BY l.dup_of
+                                    ORDER BY d.n_chars DESC, l.doc_id) AS rn
+          FROM lab l JOIN documents d ON d.doc_id = l.doc_id
+        )
+        SELECT d.lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+        FROM documents d
+        LEFT JOIN rep r ON r.doc_id = d.doc_id
+        WHERE r.doc_id IS NULL OR r.rn = 1
+        GROUP BY d.lang
+    """
+
+
+def soft_dedup_commonness_sql(k: int = 8, top_k: int = 25) -> str:
+    """SoftDedup commonness re-derived in SQL: the dup_span window CTEs
+    (md5_number_lower over every space-joined word k-window), global
+    occurrence counts joined back onto every window position, and the
+    exact-integer half-away mean (2e6*sum + n) // (2n)."""
+    return f"""
+        WITH mw AS MATERIALIZED (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                             w -> w <> '') AS ws
+          FROM documents
+        ),
+        wins AS MATERIALIZED (
+          SELECT doc_id, i.i AS i,
+                 md5_number_lower(array_to_string(ws[i.i:i.i + {k - 1}], ' ')) AS h
+          FROM mw, unnest(range(1, len(ws) - {k} + 2)) AS i(i)
+        ),
+        cnt AS MATERIALIZED (
+          SELECT h, CAST(count(*) AS BIGINT) AS c FROM wins GROUP BY h
+        ),
+        per_doc AS (
+          SELECT w.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_windows,
+                 CAST(sum(c.c) AS BIGINT) AS dup_sum
+          FROM wins w JOIN cnt c ON c.h = w.h
+          GROUP BY w.doc_id
+        )
+        SELECT doc_id, n_windows, dup_sum,
+               CAST((2 * 1000000 * dup_sum + n_windows)
+                    // (2 * n_windows) AS BIGINT) AS commonness_e6
+        FROM per_doc
+        ORDER BY commonness_e6 DESC, doc_id LIMIT {top_k}
+    """

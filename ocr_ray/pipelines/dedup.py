@@ -1328,3 +1328,231 @@ def _verify_pairs_task(pair_tbl: pa.Table, threshold: float, key_col: str,
             keep_b.append(int(ib))
     return pa.table({"id_a": pa.array(keep_a, pa.int64()),
                      "id_b": pa.array(keep_b, pa.int64())})
+
+
+def near_dup_keep_best(ds, labels=None, quality_col: str = "n_chars",
+                       text_col: str = "text", key_col: str = "doc_id",
+                       threshold: float = 0.8,
+                       cfg: PipelineConfig = DEFAULT_CONFIG):
+    """:func:`near_dup_filter` with a QUALITY-BASED representative: per
+    near-dup cluster keep the member with the highest ``quality_col``
+    (tie → min id) instead of keep-first — the retention rule real
+    curation pipelines prefer (drop the truncated mirror, keep the full
+    page; the reference's best-input-wins coalesce, llm_pl.py:484-500,
+    applied to cluster members).
+
+    Scale shape: everything cluster-sized stays worker-side.  The
+    (member, cluster) labeling merge-sorts in ONE task (the
+    _drop_ids_ref discipline — O(dup docs) 8-byte id pairs); a corpus
+    map pass projects (id, quality) for MEMBERS ONLY (searchsorted
+    membership, no shuffle — quality rows for non-dups never move); one
+    worker task aligns qualities to the labeling and picks each
+    cluster's argmax, returning the sorted drop set, which broadcasts by
+    ObjectRef into the same embarrassingly parallel anti-filter as
+    near_dup_filter.  The representative is a pure function of (pair
+    graph, quality column) — partition-invariant.
+    """
+    import ray
+
+    if labels is None:
+        labels = minhash_near_dup(ds, text_col=text_col, key_col=key_col,
+                                  threshold=threshold, cfg=cfg)
+
+    if isinstance(labels, pa.Table):
+        lab_blocks = [ray.put(labels)]
+    else:
+        lab_blocks = labels.map_batches(
+            lambda t: pa.table({
+                key_col: pc.cast(t[key_col], pa.int64()),
+                "dup_of": pc.cast(t["dup_of"], pa.int64()),
+            }), batch_format="pyarrow").to_arrow_refs()
+
+    @ray.remote(num_cpus=1)
+    def merge_labels(*blocks):
+        ks, cs = [], []
+        for b in blocks:
+            if b.num_columns and b.num_rows:
+                ks.append(b[key_col].to_numpy(zero_copy_only=False)
+                          .astype(np.int64))
+                cs.append(b["dup_of"].to_numpy(zero_copy_only=False)
+                          .astype(np.int64))
+        if not ks:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        k = np.concatenate(ks)
+        c = np.concatenate(cs)
+        order = np.argsort(k, kind="stable")   # member ids are unique
+        return k[order], c[order]
+
+    lab_ref = merge_labels.remote(*lab_blocks)
+
+    def member_quality(t: pa.Table) -> pa.Table:
+        members, _ = ray.get(lab_ref)
+        ids = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if members.size == 0:
+            mask = np.zeros(ids.size, bool)
+        else:
+            pos = np.searchsorted(members, ids)
+            pos[pos == members.size] = 0
+            mask = members[pos] == ids
+        kept = t.filter(pa.array(mask))
+        return pa.table({
+            key_col: pc.cast(kept[key_col], pa.int64()),
+            "q": pc.cast(kept[quality_col], pa.int64()),
+        })
+
+    q_refs = ds.map_batches(member_quality,
+                            batch_format="pyarrow").to_arrow_refs()
+
+    @ray.remote(num_cpus=1)
+    def pick_drop(lab, *qblocks):
+        members, clusters = lab
+        if members.size == 0:
+            return np.zeros(0, np.int64)
+        qual = np.zeros(members.size, np.int64)
+        for b in qblocks:
+            if not (b.num_columns and b.num_rows):
+                continue
+            ids = b[key_col].to_numpy(zero_copy_only=False)
+            q = b["q"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(members, ids)
+            qual[pos] = q
+        # cluster-major, quality desc, id asc: first row per cluster wins
+        order = np.lexsort((members, -qual, clusters))
+        c_sorted = clusters[order]
+        rep = np.ones(c_sorted.size, bool)
+        rep[1:] = c_sorted[1:] != c_sorted[:-1]
+        return np.sort(members[order][~rep])
+
+    drop_ref = pick_drop.remote(lab_ref, *q_refs)
+
+    def keep(t: pa.Table) -> pa.Table:
+        drop = ray.get(drop_ref)
+        if drop.size == 0:
+            return t
+        ids = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(drop, ids)
+        pos[pos == drop.size] = 0
+        return t.filter(pa.array(drop[pos] != ids))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def soft_dedup_commonness(ds, text_col: str = "text",
+                          key_col: str = "doc_id", k: int | None = None,
+                          top_k: int = 25,
+                          cfg: PipelineConfig = DEFAULT_CONFIG):
+    """SoftDeDup DOC COMMONNESS (He et al. 2024, "SoftDedup" — reweight
+    common documents instead of dropping them): per doc, the mean global
+    occurrence count of its word k-windows,
+
+        commonness_e6 = round_half_away(1e6 · Σ_i c(h_i) / n_windows)
+
+    where c(h) counts every occurrence of window-hash h corpus-wide
+    (within-doc repeats included — the :func:`dup_span_stats` counting).
+    A doc of entirely unique text scores exactly 1e6; boilerplate-heavy
+    and mirrored docs score higher, and a training loader would weight
+    each doc ∝ 1/commonness.  Returns the top-``top_k`` most common docs
+    (doc_id, n_windows, dup_sum, commonness_e6), ordered commonness
+    desc, id asc.  Docs shorter than k words have no windows and are
+    excluded (both sides).
+
+    Scale shape: pass 1 is dup_span_stats' count exchange (per-batch
+    Counter partials, coarse h%B buckets, short uint64 keys) KEEPING the
+    counts: only hashes with global count >= 2 survive the bucket filter
+    — for a unique hash c(h) = 1, so Σc(h_i) = n_windows + Σ_{dup}(c−1)
+    and the broadcast (hash, count) table is boilerplate-sized, exactly
+    dup_span_stats' duplicated set with one extra int64 column.  Pass 2
+    is an embarrassingly parallel searchsorted lookup + integer
+    arithmetic with a per-batch partial top-k; one repartition(1) task
+    folds the partials, so the driver receives exactly ``top_k`` rows.
+    Integer discipline: (2·1e6·dup_sum + n) // (2n) half-away rounding —
+    Ray == DuckDB bit-for-bit.
+    """
+    import ray
+
+    if k is None:
+        k = cfg.dup_span_window
+    n_buckets = cfg.near_dup_coarse_buckets
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        c: dict = {}
+        for txt in t[text_col].to_pylist():
+            hs, cnts = np.unique(window_hashes(txt or "", k),
+                                 return_counts=True)
+            for h, m in zip(hs, cnts):
+                c[int(h)] = c.get(int(h), 0) + int(m)
+        keys = np.fromiter(c.keys(), dtype=np.uint64, count=len(c))
+        return pa.table({
+            "h": pa.array(keys, pa.uint64()),
+            "m": pa.array(list(c.values()), pa.int64()),
+            "bucket": pa.array(
+                (keys % np.uint64(n_buckets)).astype(np.int32), pa.int32()),
+        })
+
+    def dup_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("h", as_index=False)["m"].sum()
+        s = s[s["m"] >= 2]
+        return pd.DataFrame({"h": s["h"].astype(np.uint64),
+                             "m": s["m"].astype(np.int64)})
+
+    refs = (ds.map_batches(count_partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(dup_in_bucket, batch_format="pandas")
+            .to_arrow_refs())
+
+    @ray.remote(num_cpus=1)
+    def merge(*blocks):
+        hs, ms = [], []
+        for b in blocks:
+            if b.num_columns and b.num_rows:
+                hs.append(b["h"].to_numpy())
+                ms.append(b["m"].to_numpy())
+        if not hs:
+            return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+        h = np.concatenate(hs)
+        m = np.concatenate(ms)
+        order = np.argsort(h, kind="stable")   # a hash lives in one bucket
+        return h[order], m[order]
+
+    cnt_ref = merge.remote(*refs)
+
+    def score(t: pa.Table) -> pa.Table:
+        dup_h, dup_m = ray.get(cnt_ref)
+        ids, n_win, dup_sum = [], [], []
+        for did, txt in zip(t[key_col].to_pylist(),
+                            t[text_col].to_pylist()):
+            hs = window_hashes(txt or "", k)
+            if hs.size == 0:
+                continue
+            s = hs.size
+            if dup_h.size:
+                pos = np.searchsorted(dup_h, hs)
+                pos[pos == dup_h.size] = 0
+                hit = dup_h[pos] == hs
+                s += int((dup_m[pos[hit]] - 1).sum())
+            ids.append(did)
+            n_win.append(int(hs.size))
+            dup_sum.append(s)
+        df = pd.DataFrame({
+            key_col: pd.array(ids, "int64"),
+            "n_windows": pd.array(n_win, "int64"),
+            "dup_sum": pd.array(dup_sum, "int64"),
+        })
+        nw = df["n_windows"].to_numpy(np.int64)
+        ds_ = df["dup_sum"].to_numpy(np.int64)
+        df["commonness_e6"] = ((2 * 1_000_000 * ds_ + nw) // (2 * nw)
+                               if len(df) else
+                               pd.array([], "int64"))
+        df = df.sort_values(["commonness_e6", key_col],
+                            ascending=[False, True]).head(top_k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("commonness_e6", "descending"),
+                          (key_col, "ascending")])[:top_k]
+        return t.take(idx)
+
+    return (ds.map_batches(score, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow", batch_size=None))

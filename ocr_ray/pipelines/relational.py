@@ -6501,3 +6501,171 @@ def corpus_log_odds(sf_dir: str, k: int = 25, min_count: int = 5):
     return (counted.map_batches(score, batch_format="pyarrow")
             .repartition(1)
             .map_batches(final, batch_format="pyarrow", batch_size=None))
+
+
+def kcore_peel_counts(sf_dir: str, k: int = 4, rounds: int = 6,
+                      fuse_nodes: int | None = None):
+    """k-CORE DEGREE PEEL (Seidman 1983, cores in social networks — the
+    standard crawl-graph density screen: pages outside the k-core are
+    link-sparse periphery a quality-focused crawl can deprioritize) over
+    the derived doc→doc link graph shared with :func:`pagerank_two_iter`
+    and :func:`hits_scores` (u → (2u+1) mod N and (3u+2) mod N), treated
+    as a SIMPLE UNDIRECTED graph (self-loops dropped, parallel edges and
+    duplicate directions collapse to one edge).  Each round removes every
+    node whose surviving-neighbor count is < k; the result is the peel
+    trajectory (round, n_surviving) for rounds 0..``rounds`` — a fixed
+    round count (not peel-to-fixpoint) so the operator is deterministic
+    whether or not the cascade has converged.
+
+    Scale shape — size-adaptive like :func:`bpe_merges`: at or below
+    ``kcore_fuse_nodes`` (node ids are 8 bytes; the edge set is <= 2N)
+    the whole peel runs vectorized in ONE Ray task on the id vector.
+    Above it, each round is TWO coarse 64-way exchanges with no
+    Dataset.join and no driver-side graph state (the hits_scores
+    request/value discipline): exchange 1 keys node-presence rows and
+    out-edge request rows by the TARGET id — a request resolving against
+    a present target emits both directions' neighbor-claim rows;
+    exchange 2 keys claims by node and counts DISTINCT neighbors (exact:
+    a node lives in one bucket), keeping count >= k.  The survivor id
+    table (8 bytes/node) materializes per round — the iterative-
+    algorithm exception (kmeans_embeddings precedent); counts come from
+    dataset metadata, never a driver-side collect.
+    """
+    cfg = DEFAULT_CONFIG
+    if fuse_nodes is None:
+        fuse_nodes = cfg.kcore_fuse_nodes
+    n_docs = _table_num_rows(sf_dir, "documents")
+
+    def _out(counts: list) -> pa.Table:
+        return pa.table({
+            "round": pa.array(range(len(counts)), pa.int64()),
+            "n_surviving": pa.array(counts, pa.int64()),
+        })
+
+    ids = _read(sf_dir, "documents", ["doc_id"])
+
+    if n_docs <= fuse_nodes:
+        # fused tail: one task holds the 8-byte id vector + derived edges
+        def peel_all(t: pa.Table) -> pa.Table:
+            u = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            e = np.concatenate([
+                np.stack([u, (2 * u + 1) % n_docs], 1),
+                np.stack([u, (3 * u + 2) % n_docs], 1)])
+            e = e[e[:, 0] != e[:, 1]]
+            lo = np.minimum(e[:, 0], e[:, 1])
+            hi = np.maximum(e[:, 0], e[:, 1])
+            pair = np.unique(lo * np.int64(n_docs) + hi)
+            a, b = pair // n_docs, pair % n_docs
+            alive = np.zeros(n_docs, bool)
+            alive[u] = True
+            counts = [int(alive.sum())]
+            for _ in range(rounds):
+                m = alive[a] & alive[b]
+                deg = (np.bincount(a[m], minlength=n_docs)
+                       + np.bincount(b[m], minlength=n_docs))
+                alive = deg >= k
+                counts.append(int(alive.sum()))
+            return _out(counts)
+
+        return ids.repartition(1).map_batches(
+            peel_all, batch_format="pyarrow", batch_size=None)
+
+    n_b = 64
+    counts = [n_docs]
+    cur = ids
+    for _ in range(rounds):
+        def expand(t: pa.Table) -> pa.Table:
+            u = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v1 = (2 * u + 1) % n_docs
+            v2 = (3 * u + 2) % n_docs
+            key = np.concatenate([u, v1, v2])
+            src = np.concatenate([u, u, u])
+            kind = np.concatenate([np.zeros(u.size, np.int8),
+                                   np.ones(2 * u.size, np.int8)])
+            keep = (kind == 0) | (key != src)     # drop self-loops
+            out = pd.DataFrame({"key": key[keep], "src": src[keep],
+                                "kind": kind[keep]})
+            out["bucket"] = (out["key"].to_numpy() & (n_b - 1)).astype(np.int32)
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        def resolve(g: pd.DataFrame) -> pd.DataFrame:
+            present = g.loc[g["kind"] == 0, ["key"]].drop_duplicates()
+            req = g.loc[g["kind"] == 1, ["key", "src"]]
+            hit = req.merge(present, on="key", how="inner")
+            # both directions of each surviving edge claim a neighbor
+            out = pd.DataFrame({
+                "node": np.concatenate([hit["src"].to_numpy(np.int64),
+                                        hit["key"].to_numpy(np.int64)]),
+                "nb": np.concatenate([hit["key"].to_numpy(np.int64),
+                                      hit["src"].to_numpy(np.int64)]),
+            })
+            out["bucket"] = (out["node"].to_numpy() & (n_b - 1)).astype(np.int32)
+            return out
+
+        def degree_keep(g: pd.DataFrame) -> pd.DataFrame:
+            d = (g.drop_duplicates(["node", "nb"])
+                 .groupby("node", as_index=False)["nb"].count())
+            d = d[d["nb"] >= k]
+            return pd.DataFrame({"doc_id": d["node"].astype("int64")})
+
+        cur = (cur.map_batches(expand, batch_format="pyarrow")
+               .groupby("bucket").map_groups(resolve, batch_format="pandas")
+               .groupby("bucket").map_groups(degree_keep,
+                                             batch_format="pandas")
+               .materialize())
+        counts.append(cur.count())
+
+    return _out(counts)
+
+
+def rrf_hybrid_search(sf_dir: str, query: str = "table hash join",
+                      depth: int = 20, k: int = 10, rrf_k: int = 60):
+    """HYBRID LEXICAL+SEMANTIC RETRIEVAL via Reciprocal Rank Fusion
+    (Cormack, Clarke & Buettcher 2009 — the standard way production
+    search stacks combine a BM25 list with an embedding-ANN list without
+    score calibration): fuse the :func:`bm25_search` top-``depth`` and
+    the :func:`ocr_ray.pipelines.simsearch.knn_cosine` top-``depth``
+    (query = vec_id 0's embedding; doc_id and vec_id share the id
+    space) by integer RRF credit 10^9 // (rrf_k + rank).  Ranks are
+    dense 1-based positions under each list's own deterministic order
+    (BM25: score_e6 desc, doc_id asc; kNN: 6-dp-rounded sim desc,
+    vec_id asc — the rounding both sides already pin), so the fused
+    scores are exact integer sums and bit-stable at any parallelism.
+    Returns the top-``k`` by (rrf_e9 desc, doc_id asc) with each
+    source's rank (0 = absent from that list).
+
+    Scale shape: both inputs are the existing distributed searches whose
+    bounded reduces hand the driver exactly ``depth`` rows each; fusion
+    is O(depth) driver arithmetic — nothing corpus-sized moves.
+    """
+    from .simsearch import knn_cosine
+
+    bm_blocks = ray.get(bm25_search(sf_dir, query, k=depth).to_arrow_refs())
+    bm = pa.concat_tables([b for b in bm_blocks
+                           if b.num_columns and b.num_rows])
+    import pyarrow.parquet as pq
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qvec = pq.read_table(emb_path, columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "==", 0)])["embedding"][0].as_py()
+    kn = knn_cosine(
+        rd.read_parquet(emb_path, columns=["vec_id", "embedding"]),
+        qvec, k=depth)
+
+    credit = {}
+    bm_rank, kn_rank = {}, {}
+    for r, did in enumerate(bm["doc_id"].to_pylist(), start=1):
+        bm_rank[did] = r
+        credit[did] = credit.get(did, 0) + 10**9 // (rrf_k + r)
+    for r, did in enumerate(kn["vec_id"].to_pylist(), start=1):
+        kn_rank[did] = r
+        credit[did] = credit.get(did, 0) + 10**9 // (rrf_k + r)
+    fused = sorted(credit.items(), key=lambda x: (-x[1], x[0]))[:k]
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in fused], pa.int64()),
+        "rrf_e9": pa.array([c for _, c in fused], pa.int64()),
+        "bm25_rank": pa.array([bm_rank.get(d, 0) for d, _ in fused],
+                              pa.int64()),
+        "knn_rank": pa.array([kn_rank.get(d, 0) for d, _ in fused],
+                             pa.int64()),
+    })

@@ -4110,3 +4110,78 @@ def test_corpus_log_odds(ray_session):
     }).sort_values(["delta_micro", "term"], ascending=[False, True])
       .head(25).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_near_dup_keep_best_quality_representative(ray_session):
+    """near_dup_keep_best keeps the max-quality member (tie -> min id)
+    per cluster, is partition-invariant, and accepts both label forms."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.pipelines.dedup import near_dup_keep_best
+
+    rows = {  # doc_id -> (text, n_chars quality)
+        1: ("cluster one text", 10),
+        2: ("cluster one text longer", 23),   # highest quality -> kept
+        9: ("cluster one text", 10),
+        5: ("cluster two text", 16),          # tie with 7 -> min id kept
+        7: ("cluster two text", 16),
+        3: ("unique alpha", 12), 4: ("unique beta", 11),
+    }
+    t = pa.table({
+        "doc_id": pa.array(list(rows), pa.int64()),
+        "text": pa.array([v[0] for v in rows.values()], pa.string()),
+        "n_chars": pa.array([v[1] for v in rows.values()], pa.int64()),
+    })
+    labels = pa.table({
+        "doc_id": pa.array([1, 2, 9, 5, 7], pa.int64()),
+        "dup_of": pa.array([1, 1, 1, 5, 5], pa.int64()),
+    })
+    expected = {2, 5, 3, 4}
+    for n_parts in (1, 5):
+        surv = near_dup_keep_best(
+            rd.from_arrow(t).repartition(n_parts), labels=labels)
+        assert set(surv.to_pandas()["doc_id"]) == expected
+
+    # Dataset-form labels (the minhash_near_dup output shape)
+    surv = near_dup_keep_best(rd.from_arrow(t),
+                              labels=rd.from_arrow(labels))
+    assert set(surv.to_pandas()["doc_id"]) == expected
+
+
+def test_soft_dedup_commonness_exact_values(ray_session):
+    """A doc of entirely unique text scores exactly 1e6; a doc whose
+    every window occurs twice corpus-wide scores exactly 2e6."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.pipelines.dedup import soft_dedup_commonness
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota"   # 9 words
+    uniq = "one two three four five six seven eight nine"
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([dup, dup, uniq], pa.string()),
+    })
+    out = (soft_dedup_commonness(rd.from_arrow(t).repartition(3))
+           .to_pandas().set_index("doc_id"))
+    assert out.loc[0, "commonness_e6"] == 2_000_000
+    assert out.loc[1, "commonness_e6"] == 2_000_000
+    assert out.loc[2, "commonness_e6"] == 1_000_000
+    assert out.loc[0, "n_windows"] == 2 and out.loc[0, "dup_sum"] == 4
+
+
+def test_kcore_distributed_matches_fused(ray_session, tmp_path):
+    """The 2-exchange message-round k-core path (fuse_nodes=0) returns
+    the identical peel trajectory as the fused single-task path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import kcore_peel_counts
+
+    sf = str(tmp_path)
+    pq.write_table(pa.table({"doc_id": pa.array(range(137), pa.int64())}),
+                   f"{sf}/documents.parquet")
+    fused = kcore_peel_counts(sf, k=4, rounds=3).to_pandas()
+    dist = kcore_peel_counts(sf, k=4, rounds=3, fuse_nodes=0).to_pandas()
+    assert fused.values.tolist() == dist.values.tolist()
