@@ -1983,6 +1983,9 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "tfidf_top_docs": rel.tfidf_top_docs,
         "range_join_purchase_clicks": win.range_join_purchase_clicks,
         "approx_distinct_users": rel.approx_distinct_users,
+        "hll_distinct_users": rel.hll_distinct_users,
+        "pii_scrub_stats": rel.pii_scrub_stats,
+        "oov_rate_by_lang": rel.oov_rate_by_lang,
         "top_terms_per_lang": rel.top_terms_per_lang,
         "term_search_indexed": _q_term_search_indexed,
         "term_search_updated": _q_term_search_updated,
@@ -2992,6 +2995,115 @@ def oracle_sql() -> dict[str, str]:
                         END AS BIGINT) AS approx_distinct
             FROM r
             WHERE rn = CASE WHEN nd < 256 THEN nd ELSE 256 END
+        """,
+        # HyperLogLog rebuilt REGISTER-FOR-REGISTER: same md5 hash family,
+        # register j = h % 256, rank = trailing-zero-count(h >> 8) + 1,
+        # raw estimate as ONE HUGEINT floor division with the rational
+        # alpha_256 = 1846528/2570790 (no float anywhere)
+        "hll_distinct_users": """
+            WITH h AS (
+              SELECT DISTINCT event_type,
+                     md5_number_lower(CAST(user_id AS VARCHAR)) AS hv
+              FROM events
+            ), b AS (
+              SELECT event_type, CAST(hv % 256 AS BIGINT) AS j,
+                     CAST(hv // 256 AS BIGINT) AS w
+              FROM h
+            ), r AS MATERIALIZED (
+              SELECT event_type, j,
+                     MAX(CASE WHEN w = 0 THEN 57
+                         ELSE bit_count((w & (-w)) - 1) + 1 END) AS rho
+              FROM b GROUP BY 1, 2
+            ), regs AS MATERIALIZED (
+              SELECT et.event_type, g.j, coalesce(r.rho, 0) AS rho
+              FROM (SELECT DISTINCT event_type FROM events) et
+              CROSS JOIN unnest(range(0, 256)) AS g(j)
+              LEFT JOIN r ON r.event_type = et.event_type AND r.j = g.j
+            ), s AS (
+              SELECT event_type,
+                     SUM(CAST(1 AS HUGEINT) << (57 - rho)) AS s2,
+                     CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS v_zero
+              FROM regs GROUP BY 1
+            ), ex AS (
+              SELECT event_type,
+                     CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+              FROM events GROUP BY 1
+            )
+            SELECT s.event_type, ex.n_exact,
+                   CAST((CAST(1846528 AS HUGEINT) * 65536 *
+                         (CAST(1 AS HUGEINT) << 57))
+                        // (CAST(2570790 AS HUGEINT) * s.s2)
+                        AS BIGINT) AS hll_est,
+                   s.v_zero
+            FROM s JOIN ex USING (event_type)
+        """,
+        # PII scrub audit over the SAME injected text both sides rebuild;
+        # patterns are the RE2-and-Python-re common dialect
+        "pii_scrub_stats": """
+            WITH aug AS MATERIALIZED (
+              SELECT doc_id,
+                coalesce(text, '')
+                || CASE WHEN doc_id % 7 = 0
+                   THEN ' contact user' || doc_id || '@example.com'
+                   ELSE '' END
+                || CASE WHEN doc_id % 11 = 0
+                   THEN ' call 555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   ELSE '' END
+                || CASE WHEN doc_id % 13 = 0
+                   THEN ' ref '
+                        || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                        || '-'
+                        || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                        || '-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   ELSE '' END AS t
+              FROM documents
+            ), pats AS (
+              SELECT * FROM (VALUES
+                ('email', '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+'),
+                ('phone', '\\b555-[0-9][0-9][0-9][0-9]\\b'),
+                ('ssn',
+                 '\\b[0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9][0-9][0-9]\\b')
+              ) AS p(pii_type, pat)
+            ), m AS (
+              SELECT p.pii_type,
+                     len(regexp_extract_all(a.t, p.pat)) AS c,
+                     length(a.t) - length(regexp_replace(a.t, p.pat,
+                                                         '', 'g')) AS red
+              FROM aug a CROSS JOIN pats p
+            )
+            SELECT pii_type,
+                   CAST(SUM(c) AS BIGINT) AS n_matches,
+                   CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_docs,
+                   CAST(SUM(red) AS BIGINT) AS chars_redacted
+            FROM m GROUP BY 1
+        """,
+        # OOV rate vs the corpus's own top-200 vocabulary; top_terms
+        # tokenization and (n DESC, token ASC) tie-break
+        "oov_rate_by_lang": r"""
+            WITH toks AS (
+              SELECT lang, unnest(regexp_split_to_array(
+                       lower(coalesce(text, '')), '\s+')) AS token
+              FROM documents
+            ), t2 AS MATERIALIZED (
+              SELECT lang, token FROM toks WHERE token <> ''
+            ), vocab AS MATERIALIZED (
+              SELECT token FROM (
+                SELECT token, count(*) AS n FROM t2 GROUP BY token
+                ORDER BY n DESC, token LIMIT 200)
+            )
+            SELECT t2.lang,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_oov,
+                   CAST((SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                         * 10000) // GREATEST(count(*), 1)
+                        AS BIGINT) AS oov_bp
+            FROM t2 LEFT JOIN vocab v USING (token)
+            GROUP BY t2.lang
         """,
         "rollup_customer_balance": """
             SELECT COALESCE(r_name, 'ALL') AS r_name,

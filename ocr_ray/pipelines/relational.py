@@ -6669,3 +6669,250 @@ def rrf_hybrid_search(sf_dir: str, query: str = "table hash join",
         "knn_rank": pa.array([kn_rank.get(d, 0) for d, _ in fused],
                              pa.int64()),
     })
+
+
+def hll_distinct_users(sf_dir: str, p: int = 8):
+    """HYPERLOGLOG count-distinct (Flajolet et al. 2007 — public method;
+    the industry-standard fixed-memory cardinality sketch) per
+    event_type over ``events.user_id``, INTEGER-EXACT so the DuckDB
+    oracle reproduces the estimate bit-for-bit — the one thing the KMV
+    docstring (:func:`approx_distinct_users`) said HLL couldn't do.
+    The trick is twofold:
+
+      * the harmonic-mean denominator Σ 2^-M_j is scaled by 2^57 into
+        the integer S = Σ 2^(57-M_j) (≤ 2^65 — HUGEINT territory, and
+        arbitrary-precision Python int here);
+      * the bias constant alpha_256 = 0.7213/(1 + 1.079/256) is kept as
+        the exact RATIONAL 1846528/2570790, so the raw estimate is one
+        floor division: (1846528 · m² · 2^57) // (2570790 · S).
+
+    Register assignment: h = md5-lower-64(user_id) (:func:`_md5_u64`,
+    the repo-wide DuckDB twin of ``md5_number_lower``), register
+    j = h % 256, payload w = h >> 8 (56 bits), rank
+    rho = trailing-zero-count(w) + 1 (w = 0 → 57).  Trailing zeros
+    (not HLL's textbook leading zeros) because both sides compute them
+    branch-free from the SAME integers: numpy ``log2(w & -w)`` (exact —
+    the operand is a power of two) and DuckDB
+    ``bit_count((w & (-w)) - 1)``.  Returns per event_type:
+
+      ``(event_type, n_exact, hll_est, v_zero)``
+
+    with the RAW estimator only (no small/large-range correction —
+    documented operator semantics; v_zero, the untouched-register
+    count, is emitted so a consumer can apply linear counting).
+
+    Scale shape: the register table is the whole point — per batch, a
+    drop_duplicates + one vectorized hash pass emits ≤ types·256
+    (event_type, j, rho) partial rows, and ``groupby().max()`` sees
+    ≤ types·256 keys; sketches merge by register max, so the result is
+    partition- and order-invariant.  The exact side co-partitions
+    DISTINCT (user, type) pairs on the standing 64-way user bucket and
+    ships per-bucket nunique counts only.  Driver state: two bounded
+    tables (types·256 registers + types·64 partial counts)."""
+    from ray.data.aggregate import Max, Sum
+
+    m = 1 << p
+    rmax = 64 - p + 1  # 57 at p=8
+
+    def reg_partial(t: pa.Table) -> pa.Table:
+        df = (pa.table({"event_type": t["event_type"],
+                        "user_id": t["user_id"]}).to_pandas()
+                .drop_duplicates())
+        h = _md5_u64(df["user_id"])
+        j = (h % np.uint64(m)).astype(np.int64)
+        w = (h >> np.uint64(p)).astype(np.int64)
+        lsb = (w & -w).astype(np.float64)
+        with np.errstate(divide="ignore"):
+            rho = np.where(w == 0, rmax,
+                           np.log2(lsb).round().astype(np.int64) + 1)
+        out = (pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                             "j": j, "rho": rho.astype(np.int64)})
+                 .groupby(["event_type", "j"], as_index=False)["rho"].max())
+        return pa.table({
+            "event_type": pa.array(out["event_type"].tolist(), pa.string()),
+            "j": pa.array(out["j"].to_numpy(), pa.int64()),
+            "rho": pa.array(out["rho"].to_numpy(), pa.int64()),
+        })
+
+    regs = _concat_nonempty(
+        _read(sf_dir, "events", ["event_type", "user_id"])
+        .map_batches(reg_partial, batch_format="pyarrow")
+        .groupby(["event_type", "j"])
+        .aggregate(Max("rho", alias_name="rho"))).to_pandas()
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        df = (pa.table({"event_type": t["event_type"],
+                        "user_id": t["user_id"]}).to_pandas()
+                .drop_duplicates())
+        df["bucket"] = (df["user_id"].to_numpy() % 64).astype(np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def bucket_nd(g: pd.DataFrame) -> pd.DataFrame:
+        nd = (g.drop_duplicates(["event_type", "user_id"])
+                .groupby("event_type", as_index=False)["user_id"].count())
+        return pd.DataFrame({"event_type": nd["event_type"],
+                             "nd": nd["user_id"].astype("int64")})
+
+    exact_tbl = _concat_nonempty(
+        _read(sf_dir, "events", ["event_type", "user_id"])
+        .map_batches(exact_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_nd, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("nd", alias_name="n_exact"))).to_pandas()
+    exact = dict(zip(exact_tbl["event_type"], exact_tbl["n_exact"]))
+
+    types = sorted(exact)
+    n_exact, ests, vzeros = [], [], []
+    for et in types:
+        g = regs[regs["event_type"] == et]
+        mj = np.zeros(m, dtype=np.int64)
+        mj[g["j"].to_numpy()] = g["rho"].to_numpy()
+        s = int(sum(1 << (rmax - int(r)) for r in mj))
+        est = (1846528 * m * m << rmax) // (2570790 * s)
+        n_exact.append(int(exact[et]))
+        ests.append(est)
+        vzeros.append(int((mj == 0).sum()))
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "n_exact": pa.array(n_exact, pa.int64()),
+        "hll_est": pa.array(ests, pa.int64()),
+        "v_zero": pa.array(vzeros, pa.int64()),
+    })
+
+
+_PII_PATTERNS = (
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+"),
+    ("phone", r"\b555-[0-9][0-9][0-9][0-9]\b"),
+    ("ssn", r"\b[0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9][0-9][0-9]\b"),
+)
+
+
+def pii_scrub_stats(sf_dir: str):
+    """PII DETECTION/REDACTION audit (the scrub pass every public
+    training-data pipeline runs — C4's and CCNet's published cleanup
+    stage; reference analogue: the regex structured-field extractors,
+    ``additional_step_2.py`` field regexes): count, per PII class, the
+    matches, the documents touched, and the characters a redaction
+    would remove.  Returns per class:
+
+      ``(pii_type, n_matches, n_docs, chars_redacted)``
+
+    The synthetic corpus contains no organic PII, so deterministic
+    payloads are INJECTED before scanning (the dup_cluster_sizes /
+    line_dedup oracle-injection convention): doc_id % 7 == 0 appends
+    `` contact user<doc_id>@example.com``, % 11 == 0 appends
+    `` call 555-<doc_id % 10000, 4 digits>``, % 13 == 0 appends
+    `` ref <3>-<2>-<4 digits of doc_id padded>`` — so every class has
+    non-trivial, overlapping-document coverage and the oracle rebuilds
+    the exact same text in SQL.
+
+    Patterns are the RE2∩Python-re common dialect (character classes
+    and explicit repeats only — no lookaround, no {m,n} ambiguity), so
+    ``Series.str.count`` here and ``regexp_extract_all`` in DuckDB see
+    identical non-overlapping left-to-right matches.
+
+    Scale shape: embarrassingly parallel — one vectorized
+    str.count/str.contains/str.replace pass per batch emits |classes|
+    partial rows; the groupby sums |classes| keys; the driver receives
+    three rows.  Payload text never crosses the exchange."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        txt = pd.Series(t["text"].to_pylist()).fillna("")
+        add = pd.Series([""] * len(txt))
+        m7 = ids % 7 == 0
+        add[m7] = add[m7] + pd.Series(
+            [f" contact user{i}@example.com" for i in ids[m7]],
+            index=add.index[m7])
+        m11 = ids % 11 == 0
+        add[m11] = add[m11] + pd.Series(
+            [f" call 555-{i % 10000:04d}" for i in ids[m11]],
+            index=add.index[m11])
+        m13 = ids % 13 == 0
+        add[m13] = add[m13] + pd.Series(
+            [f" ref {i % 1000:03d}-{i % 100:02d}-{i % 10000:04d}"
+             for i in ids[m13]], index=add.index[m13])
+        txt = txt + add
+        names, n_match, n_doc, n_red = [], [], [], []
+        for name, pat in _PII_PATTERNS:
+            c = txt.str.count(pat)
+            names.append(name)
+            n_match.append(int(c.sum()))
+            n_doc.append(int((c > 0).sum()))
+            n_red.append(int((txt.str.len()
+                              - txt.str.replace(pat, "", regex=True)
+                                   .str.len()).sum()))
+        return pa.table({
+            "pii_type": pa.array(names, pa.string()),
+            "n_matches": pa.array(n_match, pa.int64()),
+            "n_docs": pa.array(n_doc, pa.int64()),
+            "chars_redacted": pa.array(n_red, pa.int64()),
+        })
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("pii_type")
+        .aggregate(Sum("n_matches", alias_name="n_matches"),
+                   Sum("n_docs", alias_name="n_docs"),
+                   Sum("chars_redacted", alias_name="chars_redacted"))
+    )
+
+
+def oov_rate_by_lang(sf_dir: str, vocab_size: int = 200):
+    """TOKENIZER-COVERAGE evaluation: out-of-vocabulary rate per
+    language against the corpus's own global top-``vocab_size``
+    token vocabulary (the eval a tokenizer-training pipeline runs
+    before committing to a vocab — SentencePiece's coverage report,
+    public method).  Returns per lang:
+
+      ``(lang, n_tokens, n_oov, oov_bp)``
+
+    with oov_bp the integer basis points (n_oov · 10000) // n_tokens
+    (the repo-wide integer-parity convention — no float rates).
+
+    Scale shape: two bounded passes sharing the :func:`top_terms`
+    machinery — pass 1's heavy-hitter reduce hands the driver exactly
+    ``vocab_size`` rows (count desc, token asc tie-break, mirrored in
+    SQL); the vocabulary rides into the pass-2 closure as a frozenset
+    (tiny — broadcast by value), where one Counter pass per batch
+    emits ≤ |langs| (lang, n_tokens, n_oov) partial rows; the final
+    groupby sees |langs| keys.  Token instances never cross the wire."""
+    from ray.data.aggregate import Sum
+
+    vocab_tbl = _concat_nonempty(top_terms(sf_dir, k=vocab_size))
+    vocab = frozenset(vocab_tbl["token"].to_pylist())
+
+    def partial(t: pa.Table) -> pa.Table:
+        langs, n_tok, n_oov = [], [], []
+        agg: dict[str, list[int]] = {}
+        for lang, txt in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            toks = (txt or "").lower().split()
+            cur = agg.setdefault(lang or "", [0, 0])
+            cur[0] += len(toks)
+            cur[1] += sum(1 for tk in toks if tk not in vocab)
+        for lang in agg:
+            langs.append(lang)
+            n_tok.append(agg[lang][0])
+            n_oov.append(agg[lang][1])
+        return pa.table({
+            "lang": pa.array(langs, pa.string()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_oov": pa.array(n_oov, pa.int64()),
+        })
+
+    def finalize(t: pa.Table) -> pa.Table:
+        bp = ((t["n_oov"].to_numpy() * 10000)
+              // np.maximum(t["n_tokens"].to_numpy(), 1))
+        return t.append_column("oov_bp", pa.array(bp, pa.int64()))
+
+    return (
+        _read(sf_dir, "documents", ["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                   Sum("n_oov", alias_name="n_oov"))
+        .map_batches(finalize, batch_format="pyarrow")
+    )

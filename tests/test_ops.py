@@ -4185,3 +4185,97 @@ def test_kcore_distributed_matches_fused(ray_session, tmp_path):
     fused = kcore_peel_counts(sf, k=4, rounds=3).to_pandas()
     dist = kcore_peel_counts(sf, k=4, rounds=3, fuse_nodes=0).to_pandas()
     assert fused.values.tolist() == dist.values.tolist()
+
+
+def test_hll_distinct_users(ray_session):
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    got = (e.queries()["hll_distinct_users"]("/root/testdata/sf0.001")
+           .to_pandas().set_index("event_type"))
+    df = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                       columns=["event_type", "user_id"]).to_pandas()
+    # exact side really is exact
+    want_nd = df.groupby("event_type")["user_id"].nunique()
+    assert got["n_exact"].to_dict() == want_nd.to_dict()
+    # recompute the registers + the integer-exact raw estimate locally
+    for et, g in df.groupby("event_type"):
+        regs = [0] * 256
+        for u in g["user_id"].unique():
+            h = int.from_bytes(
+                hashlib.md5(str(u).encode()).digest()[8:16], "little")
+            w = h >> 8
+            rho = 57 if w == 0 else (w & -w).bit_length()
+            if rho > regs[h % 256]:
+                regs[h % 256] = rho
+        s = sum(1 << (57 - r) for r in regs)
+        want = (1846528 * 256 * 256 << 57) // (2570790 * s)
+        assert int(got.loc[et, "hll_est"]) == want
+        assert int(got.loc[et, "v_zero"]) == sum(1 for r in regs if r == 0)
+    # the HLL accuracy promise (sigma ~ 1.04/sqrt(256) = 6.5%) holds
+    big = got[got["n_exact"] >= 1000]
+    if len(big):
+        rel = (big["hll_est"] - big["n_exact"]).abs() / big["n_exact"]
+        assert (rel < 0.25).all()
+
+
+def test_pii_scrub_stats(ray_session, tmp_path):
+    import re
+
+    import pandas as pd
+
+    from ocr_ray.pipelines.relational import _PII_PATTERNS, pii_scrub_stats
+
+    n = 144
+    df = pd.DataFrame({"doc_id": range(n), "text": ["lorem ipsum"] * n,
+                       "lang": ["en"] * n})
+    sf = str(tmp_path)
+    df.to_parquet(f"{sf}/documents.parquet", index=False)
+    got = (pii_scrub_stats(sf).to_pandas().set_index("pii_type"))
+    # local replication of the injected corpus + the scrub
+    for name, pat in _PII_PATTERNS:
+        rx = re.compile(pat)
+        nm = nd = red = 0
+        for i in range(n):
+            t = "lorem ipsum"
+            if i % 7 == 0:
+                t += f" contact user{i}@example.com"
+            if i % 11 == 0:
+                t += f" call 555-{i % 10000:04d}"
+            if i % 13 == 0:
+                t += f" ref {i % 1000:03d}-{i % 100:02d}-{i % 10000:04d}"
+            ms = rx.findall(t)
+            nm += len(ms)
+            nd += bool(ms)
+            red += sum(len(m) for m in ms)
+        assert int(got.loc[name, "n_matches"]) == nm
+        assert int(got.loc[name, "n_docs"]) == nd
+        assert int(got.loc[name, "chars_redacted"]) == red
+    # every injected class fired (the corpus is non-degenerate)
+    assert (got["n_matches"] > 0).all()
+
+
+def test_oov_rate_by_lang(ray_session, tmp_path):
+    import pandas as pd
+
+    from ocr_ray.pipelines.relational import oov_rate_by_lang
+
+    df = pd.DataFrame({
+        "doc_id": range(4),
+        "lang": ["en", "en", "de", "de"],
+        "text": ["aa aa bb", "aa cc", "aa bb dd", "EE aa"],
+    })
+    sf = str(tmp_path)
+    df.to_parquet(f"{sf}/documents.parquet", index=False)
+    # vocab_size=2 -> counts: aa=5 bb=2 cc=1 dd=1 ee=1 -> vocab {aa, bb}
+    got = (oov_rate_by_lang(sf, vocab_size=2).to_pandas()
+           .set_index("lang"))
+    assert int(got.loc["en", "n_tokens"]) == 5    # aa aa bb aa cc
+    assert int(got.loc["en", "n_oov"]) == 1       # cc
+    assert int(got.loc["en", "oov_bp"]) == 2000
+    assert int(got.loc["de", "n_tokens"]) == 5    # aa bb dd ee(lower) aa
+    assert int(got.loc["de", "n_oov"]) == 2       # dd, ee
+    assert int(got.loc["de", "oov_bp"]) == 4000
