@@ -1986,6 +1986,8 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": rel.hll_distinct_users,
         "pii_scrub_stats": rel.pii_scrub_stats,
         "oov_rate_by_lang": rel.oov_rate_by_lang,
+        "unicode_normalize_stats": rel.unicode_normalize_stats,
+        "ewma_hourly_anomalies": win.ewma_hourly_anomalies,
         "top_terms_per_lang": rel.top_terms_per_lang,
         "term_search_indexed": _q_term_search_indexed,
         "term_search_updated": _q_term_search_updated,
@@ -3080,6 +3082,60 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_docs,
                    CAST(SUM(red) AS BIGINT) AS chars_redacted
             FROM m GROUP BY 1
+        """,
+        # NFC audit over the SAME injected text both sides rebuild;
+        # nfc_normalize is DuckDB's utf8proc NFC, Series.str.normalize
+        # is Python's unicodedata — same Unicode standard, and length()
+        # counts code points on both sides
+        "unicode_normalize_stats": """
+            WITH aug AS MATERIALIZED (
+              SELECT coalesce(text, '')
+                || CASE WHEN doc_id % 17 = 0
+                   THEN ' cafe' || chr(769) ELSE '' END
+                || CASE WHEN doc_id % 19 = 0
+                   THEN chr(8203) || 'x' || chr(8203) ELSE '' END AS t
+              FROM documents
+            ), m AS (
+              SELECT t, nfc_normalize(t) AS nt,
+                     length(t) - length(replace(t, chr(8203), '')) AS zw
+              FROM aug
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN nt <> t THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nfc_changed,
+                   CAST(SUM(length(t) - length(nt))
+                        AS BIGINT) AS chars_delta_nfc,
+                   CAST(SUM(zw) AS BIGINT) AS n_zero_width,
+                   CAST(SUM(CASE WHEN zw > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS docs_with_zw
+            FROM m
+        """,
+        # integer-exact EWMA (alpha = 1/8 dyadic, micro-units) over the
+        # hourly count series via a linear recursive CTE; anomaly flag
+        # compares against the PREVIOUS hour's smoothed value
+        "ewma_hourly_anomalies": """
+            WITH RECURSIVE h AS MATERIALIZED (
+              SELECT date_trunc('hour', ts) AS window_start,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1
+            ), o AS MATERIALIZED (
+              SELECT window_start, n,
+                     row_number() OVER (ORDER BY window_start) AS rn
+              FROM h
+            ), r AS (
+              SELECT window_start, n, rn,
+                     CAST(n * 1000000 AS BIGINT) AS e,
+                     CAST(0 AS BIGINT) AS flag
+              FROM o WHERE rn = 1
+              UNION ALL
+              SELECT o.window_start, o.n, o.rn,
+                     CAST((7 * r.e + o.n * 1000000) // 8 AS BIGINT),
+                     CAST(CASE WHEN o.n * 10000000 > r.e * 15
+                          THEN 1 ELSE 0 END AS BIGINT)
+              FROM r JOIN o ON o.rn = r.rn + 1
+            )
+            SELECT window_start, n, e AS ewma_micro, flag AS is_anomaly
+            FROM r
         """,
         # OOV rate vs the corpus's own top-200 vocabulary; top_terms
         # tokenization and (n DESC, token ASC) tie-break

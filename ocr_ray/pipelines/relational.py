@@ -6916,3 +6916,57 @@ def oov_rate_by_lang(sf_dir: str, vocab_size: int = 200):
                    Sum("n_oov", alias_name="n_oov"))
         .map_batches(finalize, batch_format="pyarrow")
     )
+
+
+def unicode_normalize_stats(sf_dir: str):
+    """UNICODE NFC-NORMALIZATION audit (the cleanup pass every public
+    text pipeline runs before tokenization — CCNet's and OSCAR's
+    published normalization stage): how many documents change under
+    NFC, how many code points composition saves, and how much
+    zero-width junk a cleanup would strip.  Returns ONE row:
+
+      ``(n_docs, n_nfc_changed, chars_delta_nfc, n_zero_width,
+         docs_with_zw)``
+
+    The synthetic corpus is ASCII (NFC-invariant), so deterministic
+    non-ASCII payloads are INJECTED before scanning (the
+    pii_scrub_stats convention): doc_id % 17 == 0 appends
+    `` cafe<U+0301>`` (combining acute — NFC composes it, one code
+    point shorter) and doc_id % 19 == 0 appends ``<U+200B>x<U+200B>``
+    (two zero-width spaces).  Both sides rebuild the same text: here
+    with the vectorized ``Series.str.normalize("NFC")``, the oracle
+    with DuckDB ``nfc_normalize`` — both implement the same Unicode
+    standard and ``length()`` counts code points on both sides.
+
+    Scale shape: embarrassingly parallel — one vectorized normalize +
+    count pass per batch emits a single 5-int partial row; the final
+    fold sums ≤ #blocks tiny rows.  Text never crosses the exchange."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        txt = pd.Series(t["text"].to_pylist()).fillna("")
+        m17 = ids % 17 == 0
+        txt[m17] = txt[m17] + " cafe\u0301"
+        m19 = ids % 19 == 0
+        txt[m19] = txt[m19] + "\u200bx\u200b"
+        norm = txt.str.normalize("NFC")
+        changed = norm != txt
+        delta = (txt.str.len() - norm.str.len()).sum()
+        zw = txt.str.count("\u200b")
+        return pa.table({
+            "n_docs": pa.array([len(txt)], pa.int64()),
+            "n_nfc_changed": pa.array([int(changed.sum())], pa.int64()),
+            "chars_delta_nfc": pa.array([int(delta)], pa.int64()),
+            "n_zero_width": pa.array([int(zw.sum())], pa.int64()),
+            "docs_with_zw": pa.array([int((zw > 0).sum())], pa.int64()),
+        })
+
+    cols = ["n_docs", "n_nfc_changed", "chars_delta_nfc",
+            "n_zero_width", "docs_with_zw"]
+    agg = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+    )
+    return pa.table({c: pa.array([int(agg[c])], pa.int64()) for c in cols})

@@ -775,3 +775,68 @@ def median_event_value_refined(sf_dir: str, n_bins: int = 4096):
         "n_events": pa.array(ns, pa.int64()),
         "median_cents": pa.array(meds, pa.int64()),
     })
+
+
+def ewma_hourly_anomalies(sf_dir: str):
+    """EWMA RATE-ANOMALY detection over the hourly event-count series —
+    the streaming traffic monitor a crawl scheduler runs (exponentially
+    weighted moving average, Roberts 1959 / Hunter's EWMA control chart
+    — public method), INTEGER-EXACT so the DuckDB oracle reproduces
+    every smoothed value bit-for-bit:
+
+      e_0 = n_0 · 10^6;  e_t = (7·e_{t-1} + n_t · 10^6) // 8
+      anomaly_t (t ≥ 1)  ⇔  n_t · 10^7 > e_{t-1} · 15     (n_t > 1.5×EWMA)
+
+    (alpha = 1/8 as an exact dyadic rational — one shift-and-divide,
+    no float; the 1.5× threshold as a cross-multiplication).  Returns
+    per hour: ``(window_start, n, ewma_micro, is_anomaly)``.
+
+    Scale shape: the heavy part — counting events per hour — is the
+    tumbling-window exchange (per-batch partial counts, groupby over
+    #hours keys, bounded: a year of log is 8.8k rows at ANY event
+    volume).  The recurrence is inherently sequential, so it folds on
+    the driver over that bounded hourly table — O(#hours) integer ops
+    on ≤ 10^4 rows, never the event log.  Oracle: linear recursive CTE
+    over the same hourly counts."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pa.table(
+            {"window_start": pc.floor_temporal(t["ts"], unit="hour")}
+        ).to_pandas()
+        g = df.groupby("window_start", as_index=False).size()
+        out = pa.table({
+            "window_start": pa.Array.from_pandas(
+                g["window_start"]).cast(pa.timestamp("us")),
+            "n": pa.array(g["size"].to_numpy(), pa.int64()),
+        })
+        return out
+
+    hourly = (
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                        columns=["ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    rows = sorted(
+        ((r["window_start"], int(r["n"])) for r in hourly.take_all()),
+        key=lambda x: x[0])
+    ws = [r[0] for r in rows]
+    ns = [r[1] for r in rows]
+    ewma, flags = [], []
+    e = 0
+    for t, n in enumerate(ns):
+        if t == 0:
+            e = n * 1_000_000
+            flags.append(0)
+        else:
+            flags.append(1 if n * 10_000_000 > e * 15 else 0)
+            e = (7 * e + n * 1_000_000) // 8
+        ewma.append(e)
+    return pa.table({
+        "window_start": pa.array(ws, pa.timestamp("us")),
+        "n": pa.array(ns, pa.int64()),
+        "ewma_micro": pa.array(ewma, pa.int64()),
+        "is_anomaly": pa.array(flags, pa.int64()),
+    })

@@ -4279,3 +4279,51 @@ def test_oov_rate_by_lang(ray_session, tmp_path):
     assert int(got.loc["de", "n_tokens"]) == 5    # aa bb dd ee(lower) aa
     assert int(got.loc["de", "n_oov"]) == 2       # dd, ee
     assert int(got.loc["de", "oov_bp"]) == 4000
+
+
+def test_ewma_hourly_anomalies(ray_session, tmp_path):
+    import pandas as pd
+
+    from ocr_ray.pipelines.windows import ewma_hourly_anomalies
+
+    # hourly counts 8, 8, 8, 100 (spike), 8 — built from per-event rows
+    counts = [8, 8, 8, 100, 8]
+    ts = []
+    for h, n in enumerate(counts):
+        ts += [pd.Timestamp("2024-01-01") + pd.Timedelta(hours=h)] * n
+    df = pd.DataFrame({"ts": pd.Series(ts).astype("datetime64[us]")})
+    sf = str(tmp_path)
+    df.to_parquet(f"{sf}/events.parquet", index=False)
+    got = (ewma_hourly_anomalies(sf).to_pandas()
+           .sort_values("window_start").reset_index(drop=True))
+    assert got["n"].tolist() == counts
+    # replicate the integer recurrence
+    e, ewma, flags = 0, [], []
+    for t, n in enumerate(counts):
+        if t == 0:
+            e, f = n * 1_000_000, 0
+        else:
+            f = 1 if n * 10_000_000 > e * 15 else 0
+            e = (7 * e + n * 1_000_000) // 8
+        ewma.append(e)
+        flags.append(f)
+    assert got["ewma_micro"].tolist() == ewma
+    assert got["is_anomaly"].tolist() == flags
+    assert flags == [0, 0, 0, 1, 0]  # only the spike flags
+
+
+def test_unicode_normalize_stats(ray_session, tmp_path):
+    import pandas as pd
+
+    from ocr_ray.pipelines.relational import unicode_normalize_stats
+
+    n = 100  # doc_ids 0..99: %17 -> 6 docs, %19 -> 6 docs, doc 0 both
+    df = pd.DataFrame({"doc_id": range(n), "text": ["plain ascii"] * n})
+    sf = str(tmp_path)
+    df.to_parquet(f"{sf}/documents.parquet", index=False)
+    got = unicode_normalize_stats(sf).to_pandas().iloc[0]
+    assert int(got["n_docs"]) == n
+    assert int(got["n_nfc_changed"]) == 6          # 0,17,34,51,68,85
+    assert int(got["chars_delta_nfc"]) == 6        # one composition each
+    assert int(got["n_zero_width"]) == 12          # 2 per %19 doc
+    assert int(got["docs_with_zw"]) == 6           # 0,19,38,57,76,95
