@@ -2083,6 +2083,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "linear_attribution": win.linear_attribution,
         "record_event_stats": win.record_event_stats,
         "median_event_value_refined": win.median_event_value_refined,
+        "global_row_id_stats": rel.global_row_id_stats,
     }
 
 
@@ -2566,6 +2567,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(quantile_disc(value, 0.5) * 100) AS BIGINT)
                      AS median_cents
             FROM events GROUP BY event_type
+        """,
+        # distributed zipWithIndex audit: global id == dense 0-based
+        # rank(doc_id); sum_global_id is the cross-bucket checksum
+        "global_row_id_stats": """
+            WITH r AS (
+              SELECT lang,
+                     CAST(row_number() OVER (ORDER BY doc_id) - 1
+                          AS BIGINT) AS gid
+              FROM documents
+            )
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(gid) AS BIGINT) AS sum_global_id,
+                   CAST(MIN(gid) AS BIGINT) AS min_global_id,
+                   CAST(MAX(gid) AS BIGINT) AS max_global_id
+            FROM r GROUP BY lang
         """,
         # global prefix-scan: strict high-water-mark records in arrival
         # (event_id) order; the first event overall is a record (hw NULL)

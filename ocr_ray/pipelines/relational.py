@@ -6970,3 +6970,88 @@ def unicode_normalize_stats(sf_dir: str):
         .aggregate(*[Sum(c, alias_name=c) for c in cols])
     )
     return pa.table({c: pa.array([int(agg[c])], pa.int64()) for c in cols})
+
+
+def global_row_id_stats(sf_dir: str, n_buckets: int = 64):
+    """GLOBAL MONOTONIC ROW-ID assignment (the distributed zipWithIndex
+    — the primitive behind "give every document a stable contiguous id
+    before sharding", which Ray Data has no native operator for) via
+    the classic two-pass RANGE-BUCKET PREFIX-SUM:
+
+      pass 1: per-batch counts per range bucket of doc_id (min/max from
+        a cheap aggregate; width = ceil(span / n_buckets)) — the driver
+        folds n_buckets count rows into exclusive prefix OFFSETS;
+      pass 2: one shuffle on the range bucket (rows carry (doc_id,
+        lang, bucket) — ids only, never text); inside each bucket one
+        vectorized argsort assigns id = offset[bucket] + local_rank,
+        then per-(bucket, lang) partials reduce to per-lang stats.
+
+    Assigned id == rank(doc_id) (0-based, dense over the corpus), BY
+    CONSTRUCTION identical at any partitioning/parallelism — the ids
+    themselves stay distributed; the query returns the per-lang audit:
+
+      ``(lang, n_docs, sum_global_id, min_global_id, max_global_id)``
+
+    (sum_global_id is the checksum that catches any off-by-one or
+    overlap between buckets; it is Σ over ~N²/2 at corpus scale, so a
+    10^12-doc run would need the int128 variant — documented bound).
+
+    Scale shape: pass 1 ships n_buckets ints per batch; the pass-2
+    exchange is the ONE shuffle and carries two ints per row; map_groups
+    sees exactly n_buckets groups (the coarse-bucket discipline); the
+    driver holds n_buckets offsets + |langs| result rows."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    mm = ds.aggregate(Min("doc_id"), Max("doc_id"))
+    lo, hi = int(mm["min(doc_id)"]), int(mm["max(doc_id)"])
+    width = max(1, (hi - lo + n_buckets) // n_buckets)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        b = ((t["doc_id"].to_numpy() - lo) // width).astype(np.int64)
+        u, c = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(u, pa.int64()),
+                         "c": pa.array(c.astype(np.int64), pa.int64())})
+
+    counts = _concat_nonempty(
+        ds.map_batches(count_partial, batch_format="pyarrow")
+          .groupby("bucket").aggregate(Sum("c", alias_name="c"))).to_pandas()
+    offs = np.zeros(n_buckets + 1, dtype=np.int64)
+    offs[counts["bucket"].to_numpy() + 1] = counts["c"].to_numpy()
+    offs = np.cumsum(offs)
+    offsets = {int(b): int(offs[b]) for b in range(n_buckets + 1)}
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = ((t["doc_id"].to_numpy() - lo) // width).astype(np.int32)
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
+                         "bucket": pa.array(b, pa.int32())})
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        gid = np.empty(len(ids), dtype=np.int64)
+        gid[order] = offsets[int(g["bucket"].iloc[0])] + np.arange(len(ids))
+        out = pd.DataFrame({"lang": g["lang"].to_numpy(), "gid": gid})
+        return (out.groupby("lang", as_index=False)
+                   .agg(n_docs=("gid", "size"), sum_global_id=("gid", "sum"),
+                        min_global_id=("gid", "min"),
+                        max_global_id=("gid", "max"))
+                   .astype({"n_docs": "int64", "sum_global_id": "int64"}))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        df = (t.to_pandas().groupby("lang", as_index=False)
+                .agg(n_docs=("n_docs", "sum"),
+                     sum_global_id=("sum_global_id", "sum"),
+                     min_global_id=("min_global_id", "min"),
+                     max_global_id=("max_global_id", "max")))
+        return pa.Table.from_pandas(
+            df.astype({c: "int64" for c in df.columns if c != "lang"}),
+            preserve_index=False)
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(assign, batch_format="pandas")
+        .repartition(1)
+        .map_batches(finalize, batch_format="pyarrow", batch_size=None)
+    )

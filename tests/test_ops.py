@@ -4327,3 +4327,46 @@ def test_unicode_normalize_stats(ray_session, tmp_path):
     assert int(got["chars_delta_nfc"]) == 6        # one composition each
     assert int(got["n_zero_width"]) == 12          # 2 per %19 doc
     assert int(got["docs_with_zw"]) == 6           # 0,19,38,57,76,95
+
+
+def test_global_row_id_stats_partition_invariant(ray_session, tmp_path):
+    """The distributed zipWithIndex must assign id == dense 0-based
+    rank(doc_id) regardless of file layout or bucket count; the
+    sum/min/max checksums pin it exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from ocr_ray.pipelines.relational import global_row_id_stats
+
+    rng = np.random.default_rng(7)
+    n = 1000
+    # non-contiguous, shuffled doc_ids so rank != doc_id
+    ids = np.sort(rng.choice(50_000, size=n, replace=False))
+    langs = np.array(["en", "de", "fr"])[ids % 3]
+    df = pd.DataFrame({"doc_id": ids, "lang": langs})
+    perm = rng.permutation(n)
+
+    def expected():
+        rank = pd.Series(np.arange(n, dtype=np.int64), index=ids)
+        g = pd.DataFrame({"lang": langs, "gid": np.arange(n)})
+        return (g.groupby("lang")["gid"]
+                 .agg(["count", "sum", "min", "max"]).sort_index())
+
+    exp = expected()
+    results = []
+    for layout, nb in ((1, 64), (7, 64), (7, 5)):
+        sf = str(tmp_path / f"l{layout}_b{nb}")
+        import os
+        os.makedirs(f"{sf}/documents.parquet")
+        shuffled = df.iloc[perm].reset_index(drop=True)
+        for i, part in enumerate(np.array_split(shuffled, layout)):
+            part.to_parquet(f"{sf}/documents.parquet/part_{i}.parquet",
+                            index=False)
+        got = (global_row_id_stats(sf, n_buckets=nb).to_pandas()
+               .set_index("lang").sort_index())
+        results.append(got)
+    for got in results:
+        assert list(got["n_docs"]) == list(exp["count"])
+        assert list(got["sum_global_id"]) == list(exp["sum"])
+        assert list(got["min_global_id"]) == list(exp["min"])
+        assert list(got["max_global_id"]) == list(exp["max"])
