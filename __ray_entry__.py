@@ -2084,6 +2084,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "record_event_stats": win.record_event_stats,
         "median_event_value_refined": win.median_event_value_refined,
         "global_row_id_stats": rel.global_row_id_stats,
+        "table_profile": rel.table_profile,
     }
 
 
@@ -2582,6 +2583,66 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(gid) AS BIGINT) AS min_global_id,
                    CAST(MAX(gid) AS BIGINT) AS max_global_id
             FROM r GROUP BY lang
+        """,
+        # data profiler: per-column null/distinct/min/max/length stats
+        # over events + a derived nullable k (numerics integer-canonical:
+        # doubles -> cents, timestamps -> epoch micros; strings by length)
+        "table_profile": """
+            WITH e AS MATERIALIZED (
+              SELECT event_id, user_id, event_type, props,
+                     CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+                     epoch_us(ts) AS ts_us,
+                     CASE WHEN CAST(regexp_extract(props, '"k": (\\d+)', 1)
+                               AS BIGINT) % 5 = 0 THEN NULL
+                          ELSE CAST(regexp_extract(props, '"k": (\\d+)', 1)
+                               AS BIGINT) END AS k_nullable
+              FROM events
+            )
+            SELECT 'event_id' AS col_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_null,
+                   CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+                   CAST(MIN(event_id) AS BIGINT) AS min_int,
+                   CAST(MAX(event_id) AS BIGINT) AS max_int,
+                   CAST(0 AS BIGINT) AS sum_len FROM e
+            UNION ALL
+            SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(user_id) AS BIGINT),
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT),
+                   CAST(MIN(user_id) AS BIGINT),
+                   CAST(MAX(user_id) AS BIGINT), CAST(0 AS BIGINT) FROM e
+            UNION ALL
+            SELECT 'value_cents', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(value_cents) AS BIGINT),
+                   CAST(COUNT(DISTINCT value_cents) AS BIGINT),
+                   CAST(MIN(value_cents) AS BIGINT),
+                   CAST(MAX(value_cents) AS BIGINT), CAST(0 AS BIGINT) FROM e
+            UNION ALL
+            SELECT 'ts_us', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(ts_us) AS BIGINT),
+                   CAST(COUNT(DISTINCT ts_us) AS BIGINT),
+                   CAST(MIN(ts_us) AS BIGINT),
+                   CAST(MAX(ts_us) AS BIGINT), CAST(0 AS BIGINT) FROM e
+            UNION ALL
+            SELECT 'k_nullable', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(k_nullable) AS BIGINT),
+                   CAST(COUNT(DISTINCT k_nullable) AS BIGINT),
+                   CAST(MIN(k_nullable) AS BIGINT),
+                   CAST(MAX(k_nullable) AS BIGINT), CAST(0 AS BIGINT) FROM e
+            UNION ALL
+            SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(event_type) AS BIGINT),
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT),
+                   CAST(MIN(length(event_type)) AS BIGINT),
+                   CAST(MAX(length(event_type)) AS BIGINT),
+                   CAST(SUM(length(event_type)) AS BIGINT) FROM e
+            UNION ALL
+            SELECT 'props', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(props) AS BIGINT),
+                   CAST(COUNT(DISTINCT props) AS BIGINT),
+                   CAST(MIN(length(props)) AS BIGINT),
+                   CAST(MAX(length(props)) AS BIGINT),
+                   CAST(SUM(length(props)) AS BIGINT) FROM e
         """,
         # global prefix-scan: strict high-water-mark records in arrival
         # (event_id) order; the first event overall is a record (hw NULL)

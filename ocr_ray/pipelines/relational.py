@@ -7055,3 +7055,105 @@ def global_row_id_stats(sf_dir: str, n_buckets: int = 64):
         .repartition(1)
         .map_batches(finalize, batch_format="pyarrow", batch_size=None)
     )
+
+
+def table_profile(sf_dir: str, n_buckets: int = 64):
+    """DATA-PROFILING operator (the Deequ/Great-Expectations analyzer a
+    curation engine runs before trusting a new crawl drop): per column of
+    ``events`` — plus a derived NULLABLE column ``k_nullable`` (props.k,
+    nulled where k % 5 == 0, so the null path is exercised) — emit
+
+      ``(col_name, n_rows, n_null, n_distinct, min_int, max_int, sum_len)``
+
+    with numerics integer-canonical (doubles → cents, timestamps → epoch
+    micros) and strings profiled by LENGTH (min/max/sum).  n_distinct is
+    EXACT and distributed: per-batch ``np.unique`` pre-dedup, then one
+    coarse-bucket exchange of (col, key) pairs — each distinct pair lands
+    in exactly one md5 bucket, so per-bucket nunique sums are exact.
+
+    Scale shape: pass 1 ships ≤7 partial rows per batch into a 7-key
+    groupby; pass 2's exchange carries only per-batch-UNIQUE short keys
+    (bounded by column cardinality × n_batches, the classic exact-distinct
+    topology); the driver folds ≤ n_buckets×7 + 7 rows.  Two passes are
+    two independent read lineages (no shared-upstream union)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def derived(t: pa.Table) -> "pd.DataFrame":
+        df = t.to_pandas()
+        k = df["props"].str.extract(r'"k": (\d+)', expand=False).astype("int64")
+        df["k_nullable"] = k.where(k % 5 != 0)
+        df["value_cents"] = _cents(t["value"]).to_pandas()
+        df["ts_us"] = t["ts"].cast(pa.int64()).to_pandas()
+        return df
+
+    INT_COLS = ("event_id", "user_id", "value_cents", "ts_us", "k_nullable")
+    STR_COLS = ("event_type", "props")
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        df = derived(t)
+        rows = []
+        for c in INT_COLS:
+            s = df[c]
+            nn = s.dropna()
+            rows.append((c, len(s), int(s.isna().sum()),
+                         int(nn.min()) if len(nn) else None,
+                         int(nn.max()) if len(nn) else None, 0))
+        for c in STR_COLS:
+            ln = df[c].str.len()
+            rows.append((c, len(df), int(df[c].isna().sum()),
+                         int(ln.min()), int(ln.max()), int(ln.sum())))
+        out = pd.DataFrame(rows, columns=[
+            "col_name", "n_rows", "n_null", "mn", "mx", "slen"])
+        # None (all-null batch) must stay a nullable float, not object
+        out["mn"] = out["mn"].astype("float64")
+        out["mx"] = out["mx"].astype("float64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    stats = _concat_nonempty(
+        _read(sf_dir, "events")
+        .map_batches(stat_partial, batch_format="pyarrow")
+        .groupby("col_name")
+        .aggregate(Sum("n_rows", alias_name="n_rows"),
+                   Sum("n_null", alias_name="n_null"),
+                   Min("mn", alias_name="min_int"),
+                   Max("mx", alias_name="max_int"),
+                   Sum("slen", alias_name="sum_len"))).to_pandas()
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        df = derived(t)
+        cols, keys = [], []
+        for c in INT_COLS + STR_COLS:
+            u = df[c].dropna().astype(str).unique()
+            cols.extend([c] * len(u))
+            keys.extend(u.tolist())
+        b = _md5_mod([f"{c}\x00{k}" for c, k in zip(cols, keys)], n_buckets)
+        return pa.table({"col_name": pa.array(cols, pa.string()),
+                         "key": pa.array(keys, pa.string()),
+                         "bucket": pa.array(b, pa.int64())})
+
+    def bucket_nunique(g: "pd.DataFrame") -> "pd.DataFrame":
+        d = (g.drop_duplicates(["col_name", "key"])
+              .groupby("col_name", as_index=False).size()
+              .rename(columns={"size": "d"}))
+        return d.astype({"d": "int64"})
+
+    dcounts = _concat_nonempty(
+        _read(sf_dir, "events")
+        .map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_nunique, batch_format="pandas")
+        .repartition(1)).to_pandas()
+    dist = dcounts.groupby("col_name", as_index=False)["d"].sum().rename(
+        columns={"d": "n_distinct"})
+
+    out = stats.merge(dist, on="col_name", how="left")
+    out["n_distinct"] = out["n_distinct"].fillna(0).astype("int64")
+    out = out[["col_name", "n_rows", "n_null", "n_distinct",
+               "min_int", "max_int", "sum_len"]].sort_values("col_name")
+    for c in ("n_rows", "n_null", "sum_len"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False).cast(pa.schema([
+        ("col_name", pa.string()), ("n_rows", pa.int64()),
+        ("n_null", pa.int64()), ("n_distinct", pa.int64()),
+        ("min_int", pa.int64()), ("max_int", pa.int64()),
+        ("sum_len", pa.int64())]))

@@ -4370,3 +4370,44 @@ def test_global_row_id_stats_partition_invariant(ray_session, tmp_path):
         assert list(got["sum_global_id"]) == list(exp["sum"])
         assert list(got["min_global_id"]) == list(exp["min"])
         assert list(got["max_global_id"]) == list(exp["max"])
+
+
+def test_table_profile(ray_session, tmp_path):
+    """Profiler must count nulls, EXACT distincts, canonical min/max and
+    string lengths correctly on a hand-checkable events table."""
+    import numpy as np
+    import pandas as pd
+
+    from ocr_ray.pipelines.relational import table_profile
+
+    n = 200
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime("2024-01-01")
+              + pd.to_timedelta(np.arange(n) % 48, unit="h"),
+        "user_id": (np.arange(n, dtype=np.int64) % 7) * 3,
+        "event_type": np.array(["click", "view"])[np.arange(n) % 2],
+        "value": (np.arange(n) % 25) / 4.0,       # 25 distinct cents values
+        "props": [f'{{"k": {i % 10}}}' for i in range(n)],
+    })
+    sf = str(tmp_path)
+    df.to_parquet(f"{sf}/events.parquet", index=False)
+    got = table_profile(sf).to_pandas().set_index("col_name")
+
+    assert (got["n_rows"] == n).all()
+    assert int(got.loc["event_id", "n_distinct"]) == n
+    assert int(got.loc["user_id", "n_distinct"]) == 7
+    assert int(got.loc["user_id", "max_int"]) == 18
+    assert int(got.loc["value_cents", "n_distinct"]) == 25
+    assert int(got.loc["value_cents", "max_int"]) == 600
+    assert int(got.loc["ts_us", "n_distinct"]) == 48
+    # k in 0..9; k%5==0 (k=0,5) nulled -> 2/10 of rows null, 8 distinct
+    assert int(got.loc["k_nullable", "n_null"]) == n // 10 * 2
+    assert int(got.loc["k_nullable", "n_distinct"]) == 8
+    assert int(got.loc["k_nullable", "min_int"]) == 1
+    assert int(got.loc["k_nullable", "max_int"]) == 9
+    assert int(got.loc["event_type", "n_distinct"]) == 2
+    assert int(got.loc["event_type", "min_int"]) == 4   # "view"
+    assert int(got.loc["event_type", "max_int"]) == 5   # "click"
+    assert int(got.loc["event_type", "sum_len"]) == 100 * 5 + 100 * 4
+    assert (got["n_null"].drop("k_nullable") == 0).all()
