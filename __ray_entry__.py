@@ -220,6 +220,24 @@ def _q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_near_dup(ds)
 
 
+def _q_minhash_param_recall(sf_dir: str):
+    """LSH band-config sweep: candidate sets for 4 rows-per-band layouts
+    sliced from one shared 64-perm signature pass, scored exactly against
+    the df-capped n-gram-Jaccard ground truth (recall/precision in bp)."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.dedup import (
+        minhash_param_recall, ngram_jaccard_near_dup,
+    )
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    exact = ngram_jaccard_near_dup(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"]))
+    return minhash_param_recall(ds, exact)
+
+
 def _q_near_dup_agreement(sf_dir: str):
     """Method agreement: the minhash+LSH flagged-doc set vs the exact
     n-gram-Jaccard one (pairs → components) — recall/precision of the
@@ -1916,6 +1934,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "kcore_peel_counts": rel.kcore_peel_counts,
         "rrf_hybrid_search": rel.rrf_hybrid_search,
         "near_dup_agreement": _q_near_dup_agreement,
+        "minhash_param_recall": _q_minhash_param_recall,
         "dup_span_stats": _q_dup_span_stats,
         "dup_span_filter_stats": _q_dup_span_filter_stats,
         # similarity search
@@ -2199,6 +2218,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore_peel_counts": _kcore_sql(),
         "rrf_hybrid_search": _RRF_SQL,
         "near_dup_agreement": _do.near_dup_agreement_sql(),
+        "minhash_param_recall": _do.minhash_param_recall_sql(),
         "dup_span_stats": _do.dup_span_stats_sql(),
         "dup_span_filter_stats": _do.dup_span_filter_stats_sql(),
         "knn_lsh": _do.knn_lsh_sql(),

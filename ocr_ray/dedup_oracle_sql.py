@@ -1059,3 +1059,125 @@ def soft_dedup_commonness_sql(k: int = 8, top_k: int = 25) -> str:
         FROM per_doc
         ORDER BY commonness_e6 DESC, doc_id LIMIT {top_k}
     """
+
+
+def minhash_param_recall_sql(rows_list: tuple[int, ...] = (2, 4, 8, 16),
+                             max_bucket: int = 512,
+                             threshold_pct: int = 80,
+                             max_postings: int = 256) -> str:
+    """minhash_param_recall re-derived in SQL: one shared signature chain
+    (seeded permutations as a VALUES table, HUGEINT mod-2^64 == numpy
+    uint64 wraparound), one band layout + bucket-capped candidate set per
+    rows-per-band config, the df-capped exact n-gram-Jaccard pair set as
+    ground truth, and integer-bp recall/precision.  Every multiply-
+    referenced CTE is AS MATERIALIZED (the chained-CTE inlining sharp
+    edge)."""
+    from ocr_ray.pipelines.dedup import _A, _B, _MERSENNE, _N_PERM
+
+    perm_rows = ", ".join(
+        f"({k}, {int(a)}, {int(b)})" for k, (a, b) in enumerate(zip(_A, _B))
+    )
+    p = _MERSENNE
+    per_cfg = []
+    selects = []
+    for r in rows_list:
+        per_cfg.append(f"""bands_{r} AS MATERIALIZED (
+          SELECT doc_id, k // {r} AS band_id,
+            substr(md5(string_agg(CAST(v AS VARCHAR), '-' ORDER BY k)), 1, 16)
+              AS band_hash
+          FROM sig_full GROUP BY doc_id, k // {r}
+        ),
+        bsz_{r} AS MATERIALIZED (
+          SELECT band_id, band_hash, count(*) AS n, min(doc_id) AS mn
+          FROM bands_{r} GROUP BY band_id, band_hash
+        ),
+        cand_{r} AS MATERIALIZED (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands_{r} a
+          JOIN bands_{r} b ON a.band_id = b.band_id
+                           AND a.band_hash = b.band_hash
+                           AND a.doc_id < b.doc_id
+          JOIN bsz_{r} s ON s.band_id = a.band_id
+                         AND s.band_hash = a.band_hash
+          WHERE s.n <= {max_bucket} OR a.doc_id = s.mn
+        ),
+        stat_{r} AS MATERIALIZED (
+          SELECT (SELECT count(*) FROM cand_{r}) AS n_candidates,
+                 (SELECT count(*) FROM cand_{r} c
+                    JOIN exact e ON e.id_a = c.id_a AND e.id_b = c.id_b)
+                   AS n_hit,
+                 (SELECT count(*) FROM exact) AS n_exact
+        )""")
+        selects.append(f"""
+            SELECT CAST({_N_PERM // r} AS BIGINT) AS bands,
+                   CAST({r} AS BIGINT) AS rows_per_band,
+                   CAST(n_candidates AS BIGINT) AS n_candidates,
+                   CAST(n_hit AS BIGINT) AS n_hit,
+                   CAST(n_exact AS BIGINT) AS n_exact,
+                   CAST(CASE WHEN n_exact > 0
+                        THEN (10000 * n_hit) // n_exact
+                        ELSE 10000 END AS BIGINT) AS recall_bp,
+                   CAST(CASE WHEN n_candidates > 0
+                        THEN (10000 * n_hit) // n_candidates
+                        ELSE 10000 END AS BIGINT) AS precision_bp
+            FROM stat_{r}""")
+    cfg_chain = ",\n        ".join(per_cfg)
+    body = "\n            UNION ALL".join(selects)
+    return f"""
+        WITH mw AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                             w -> w <> '') AS ws
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, g FROM (
+            SELECT doc_id,
+              CASE WHEN len(ws) = 0 THEN []
+                   WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                   ELSE list_transform(range(1, len(ws) - 1),
+                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+              END AS gs
+            FROM mw
+          ), unnest(gs) AS t(g)
+        ),
+        shingles AS MATERIALIZED (
+          SELECT DISTINCT doc_id, md5_number_lower(g) AS h FROM grams
+        ),
+        perm(k, a, b) AS (VALUES {perm_rows}),
+        sigs AS (
+          SELECT s.doc_id, p.k,
+            min((((p.a::HUGEINT * s.h::HUGEINT + p.b::HUGEINT)
+                  % 18446744073709551616::HUGEINT) % {p})::UBIGINT) AS v
+          FROM shingles s CROSS JOIN perm p
+          GROUP BY s.doc_id, p.k
+        ),
+        sig_full AS MATERIALIZED (
+          SELECT d.doc_id, p.k, coalesce(s.v, {p}::UBIGINT) AS v
+          FROM documents d CROSS JOIN perm p
+          LEFT JOIN sigs s ON s.doc_id = d.doc_id AND s.k = p.k
+        ),
+        sz AS (
+          SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+        ),
+        dfc AS (
+          SELECT h, count(*) AS c FROM shingles GROUP BY h
+        ),
+        expairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+          FROM shingles a
+          JOIN shingles b ON a.h = b.h AND a.doc_id < b.doc_id
+          JOIN dfc ON dfc.h = a.h
+          WHERE dfc.c BETWEEN 2 AND {max_postings}
+          GROUP BY a.doc_id, b.doc_id
+        ),
+        exact AS MATERIALIZED (
+          SELECT p.id_a, p.id_b
+          FROM expairs p
+          JOIN sz sa ON sa.doc_id = p.id_a
+          JOIN sz sb ON sb.doc_id = p.id_b
+          WHERE p.shared * 100 >= {threshold_pct} * (sa.n + sb.n - p.shared)
+        ),
+        {cfg_chain}
+        {body}
+    """

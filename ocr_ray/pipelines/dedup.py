@@ -1556,3 +1556,128 @@ def soft_dedup_commonness(ds, text_col: str = "text",
     return (ds.map_batches(score, batch_format="pyarrow")
             .repartition(1)
             .map_batches(final, batch_format="pyarrow", batch_size=None))
+
+
+def minhash_param_recall(ds, exact_pairs, rows_list: tuple[int, ...] = (2, 4, 8, 16),
+                         cfg: PipelineConfig = DEFAULT_CONFIG):
+    """LSH PARAMETER SWEEP — the tuning eval a dedup rollout runs before
+    committing to a (bands x rows-per-band) config: all ``rows_list``
+    band layouts are sliced from ONE shared 64-perm signature pass, and
+    each config's candidate set is scored against the EXACT df-capped
+    n-gram-Jaccard ground truth (``exact_pairs`` =
+    :func:`ngram_jaccard_near_dup` output, an independent lineage so the
+    union below never shares an upstream — the deadlock sharp edge).
+
+    Output, one row per config, every column integer-exact and
+    SQL-re-derivable (the seeded permutations are a VALUES table in the
+    oracle): ``(bands, rows_per_band, n_candidates, n_hit, n_exact,
+    recall_bp, precision_bp)`` — the realized S-curve: fewer rows per
+    band => higher recall, lower precision.
+
+    Scale shape: one signature map_batches (embarrassingly parallel,
+    sigs never shuffled); band rows carry (cfg, band_id, 16-hex hash,
+    id); the degenerate-bucket star cap bounds per-bucket pair output;
+    pair streams from all configs and the exact set co-partition on ONE
+    splitmix pair bucket where per-config dedup + intersection are
+    vectorized pandas; the driver folds <= n_buckets x |configs| partial
+    rows."""
+    n_buckets = cfg.near_dup_coarse_buckets
+    max_bucket = cfg.near_dup_max_bucket
+    pair_buckets = cfg.pair_dedup_buckets
+
+    def to_cfg_bands(batch: pa.Table) -> pa.Table:
+        cfgs, bids, hashes, ids = [], [], [], []
+        for did, txt in zip(batch["doc_id"].to_pylist(),
+                            batch["text"].to_pylist()):
+            sig = minhash_signature(txt or "")
+            for r in rows_list:
+                for b in range(_N_PERM // r):
+                    key = "-".join(str(int(v)) for v in sig[b * r:(b + 1) * r])
+                    cfgs.append(r)
+                    bids.append(b)
+                    hashes.append(hashlib.md5(key.encode()).hexdigest()[:16])
+                    ids.append(did)
+        return pa.table({
+            "cfg": pa.array(cfgs, pa.int32()),
+            "band_id": pa.array(bids, pa.int32()),
+            "band_hash": pa.array(hashes, pa.string()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "bucket": pa.array(
+                [zlib.crc32(f"{c}-{h}".encode()) % n_buckets
+                 for c, h in zip(cfgs, hashes)], pa.int32()),
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        cs, a, b = [], [], []
+        for (c, _bid, _h), grp in g.groupby(["cfg", "band_id", "band_hash"],
+                                            sort=True):
+            ids = sorted(grp["doc_id"].tolist())
+            if len(ids) < 2:
+                continue
+            if len(ids) > max_bucket:
+                for j in ids[1:]:
+                    cs.append(c); a.append(ids[0]); b.append(j)
+            else:
+                for i in range(len(ids)):
+                    for j in range(i + 1, len(ids)):
+                        cs.append(c); a.append(ids[i]); b.append(ids[j])
+        return (pd.DataFrame({"cfg": np.array(cs, dtype=np.int32),
+                              "id_a": np.array(a, dtype=np.int64),
+                              "id_b": np.array(b, dtype=np.int64)})
+                .drop_duplicates())
+
+    lsh_pairs = (
+        ds.map_batches(to_cfg_bands, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(lambda t: pair_bucket(t.select(["cfg", "id_a", "id_b"]),
+                                           pair_buckets),
+                     batch_format="pyarrow")
+    )
+    exact_tagged = exact_pairs.map_batches(
+        lambda t: pair_bucket(pa.table({
+            "cfg": pa.array(np.full(t.num_rows, -1, np.int32), pa.int32()),
+            "id_a": t["id_a"], "id_b": t["id_b"]}), pair_buckets),
+        batch_format="pyarrow",
+    # a sparse upstream emits schema-less empty blocks that poison the
+    # union; repartition coalesces them away (CLAUDE.md sharp edge)
+    ).repartition(8)
+
+    def tally(g: pd.DataFrame) -> pd.DataFrame:
+        ex = (g[g["cfg"] == -1][["id_a", "id_b"]]
+              .drop_duplicates())
+        rows = []
+        for r in rows_list:
+            sub = (g[g["cfg"] == r][["id_a", "id_b"]].drop_duplicates())
+            hit = sub.merge(ex, on=["id_a", "id_b"])
+            rows.append((r, len(sub), len(hit), len(ex)))
+        return pd.DataFrame(rows, columns=["cfg", "n_cand", "n_hit", "n_ex"]
+                            ).astype("int64")
+
+    def finalize(t: pd.DataFrame) -> pa.Table:
+        df = (t.groupby("cfg", as_index=False)
+              [["n_cand", "n_hit", "n_ex"]].sum())
+        out = pd.DataFrame({
+            "bands": (_N_PERM // df["cfg"]).astype("int64"),
+            "rows_per_band": df["cfg"].astype("int64"),
+            "n_candidates": df["n_cand"].astype("int64"),
+            "n_hit": df["n_hit"].astype("int64"),
+            "n_exact": df["n_ex"].astype("int64"),
+        })
+        out["recall_bp"] = np.where(
+            out["n_exact"] > 0, 10000 * out["n_hit"] // out["n_exact"],
+            10000).astype("int64")
+        out["precision_bp"] = np.where(
+            out["n_candidates"] > 0,
+            10000 * out["n_hit"] // out["n_candidates"], 10000
+        ).astype("int64")
+        return pa.Table.from_pandas(out.sort_values("rows_per_band"),
+                                    preserve_index=False)
+
+    return (
+        lsh_pairs.union(exact_tagged)
+        .groupby("pbucket")
+        .map_groups(tally, batch_format="pandas")
+        .repartition(1)
+        .map_batches(finalize, batch_format="pandas", batch_size=None)
+    )
