@@ -2104,6 +2104,8 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "median_event_value_refined": win.median_event_value_refined,
         "global_row_id_stats": rel.global_row_id_stats,
         "table_profile": rel.table_profile,
+        "decision_stump_train": rel.decision_stump_train,
+        "psi_feature_drift": rel.psi_feature_drift,
     }
 
 
@@ -2663,6 +2665,128 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(length(props)) AS BIGINT),
                    CAST(MAX(length(props)) AS BIGINT),
                    CAST(SUM(length(props)) AS BIGINT) FROM e
+        """,
+        # decision stump: exhaustive integer-exact split search over
+        # quantized shallow-feature histograms; criterion = majority-vote
+        # accuracy (pure counts, no Gini rationals); top-10 leaderboard
+        "decision_stump_train": r"""
+            WITH f AS MATERIALIZED (
+              SELECT coalesce(text, '') AS t,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+              FROM documents
+            ), v AS MATERIALIZED (
+              SELECT length(t) AS chars,
+                     length(regexp_replace(t, '[^0-9]', '', 'g')) AS digit,
+                     length(regexp_replace(t, '[^A-Z]', '', 'g')) AS upper_n,
+                     length(t) - length(regexp_replace(t, '[^\x00-\x7F]',
+                                                       '', 'g')) AS nonascii,
+                     pos
+              FROM f
+            ), long AS MATERIALIZED (
+              SELECT 'chars' AS feature, LEAST(chars // 256, 63) AS bucket,
+                     pos FROM v
+              UNION ALL SELECT 'digit', LEAST(digit // 8, 63), pos FROM v
+              UNION ALL SELECT 'upper', LEAST(upper_n // 8, 63), pos FROM v
+              UNION ALL SELECT 'nonascii', LEAST(nonascii // 4, 63), pos
+                FROM v
+            ), hist AS MATERIALIZED (
+              SELECT feature, bucket, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(pos) AS BIGINT) AS p
+              FROM long GROUP BY feature, bucket
+            ), tot AS MATERIALIZED (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_tot,
+                     CAST(SUM(pos) AS BIGINT) AS p_tot FROM v
+            ), grid AS (
+              SELECT g.feature, CAST(r.range AS BIGINT) AS threshold
+              FROM (SELECT DISTINCT feature FROM hist) g, range(0, 63) r
+            ), cum AS (
+              SELECT g.feature, g.threshold,
+                     CAST(coalesce(SUM(h.n), 0) AS BIGINT) AS n_left,
+                     CAST(coalesce(SUM(h.p), 0) AS BIGINT) AS p_left
+              FROM grid g LEFT JOIN hist h
+                ON h.feature = g.feature AND h.bucket <= g.threshold
+              GROUP BY g.feature, g.threshold
+            ), scored AS (
+              SELECT c.feature, c.threshold, c.n_left,
+                     t.n_tot - c.n_left AS n_right,
+                     GREATEST(c.p_left, c.n_left - c.p_left)
+                     + GREATEST(t.p_tot - c.p_left,
+                                (t.n_tot - c.n_left)
+                                - (t.p_tot - c.p_left)) AS n_correct,
+                     t.n_tot AS n_tot
+              FROM cum c, tot t
+            ), ranked AS (
+              SELECT feature, threshold, n_left, n_right, n_correct,
+                     CAST(10000 * n_correct // n_tot AS BIGINT)
+                       AS accuracy_bp,
+                     row_number() OVER (ORDER BY n_correct DESC,
+                                        feature, threshold) AS rnk
+              FROM scored
+            )
+            SELECT feature, threshold, n_left, n_right,
+                   CAST(n_correct AS BIGINT) AS n_correct, accuracy_bp,
+                   CAST(rnk AS BIGINT) AS rk
+            FROM ranked WHERE rnk <= 10 ORDER BY rk
+        """,
+        # PSI drift of each source slice vs the pooled corpus, per
+        # shallow feature; density gap in 1e-9 units x log-ratio in
+        # micro-nats, each rounded half-away BEFORE the product-sum
+        "psi_feature_drift": r"""
+            WITH v AS MATERIALIZED (
+              SELECT source, coalesce(text, '') AS t FROM documents
+            ), w AS MATERIALIZED (
+              SELECT source,
+                     length(t) AS chars,
+                     length(regexp_replace(t, '[^0-9]', '', 'g')) AS digit,
+                     length(t) - length(regexp_replace(t, '[^\x00-\x7F]',
+                                                       '', 'g')) AS nonascii
+              FROM v
+            ), long AS MATERIALIZED (
+              SELECT source, 'chars' AS feature,
+                     LEAST(chars // 256, 15) AS bucket FROM w
+              UNION ALL SELECT source, 'digit', LEAST(digit // 8, 15) FROM w
+              UNION ALL SELECT source, 'nonascii', LEAST(nonascii // 4, 15)
+                FROM w
+            ), hist AS MATERIALIZED (
+              SELECT source, feature, bucket, CAST(COUNT(*) AS BIGINT) AS n
+              FROM long GROUP BY source, feature, bucket
+            ), ns AS MATERIALIZED (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+              FROM v GROUP BY source
+            ), ntot AS MATERIALIZED (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v
+            ), grid AS (
+              SELECT s.source, f.feature, CAST(r.range AS BIGINT) AS bucket
+              FROM (SELECT DISTINCT source FROM v) s,
+                   (VALUES ('chars'), ('digit'), ('nonascii')) f(feature),
+                   range(0, 16) r
+            ), filled AS MATERIALIZED (
+              SELECT g.source, g.feature, g.bucket,
+                     CAST(coalesce(h.n, 0) AS BIGINT) AS cnt
+              FROM grid g LEFT JOIN hist h
+                ON h.source = g.source AND h.feature = g.feature
+               AND h.bucket = g.bucket
+            ), pooled AS MATERIALIZED (
+              SELECT feature, bucket, CAST(SUM(cnt) AS BIGINT) AS call
+              FROM filled GROUP BY feature, bucket
+            ), terms AS (
+              SELECT fl.source, fl.feature,
+                     CAST(ROUND(1000000.0 * ln(
+                       ((fl.cnt + 1.0) / (ns.n_s + 16))
+                       / ((p.call + 1.0) / (nt.n + 16)))) AS BIGINT)
+                     * CAST(ROUND(1000000000.0 * (
+                       (fl.cnt + 1.0) / (ns.n_s + 16)
+                       - (p.call + 1.0) / (nt.n + 16))) AS BIGINT) AS term
+              FROM filled fl
+                JOIN pooled p ON p.feature = fl.feature
+                             AND p.bucket = fl.bucket
+                JOIN ns ON ns.source = fl.source, ntot nt
+            )
+            SELECT t.source, t.feature, ns.n_s AS n_docs,
+                   CAST(SUM(t.term) // 1000000 AS BIGINT) AS psi_e9
+            FROM terms t JOIN ns ON ns.source = t.source
+            GROUP BY t.source, t.feature, ns.n_s
+            ORDER BY t.source, t.feature
         """,
         # global prefix-scan: strict high-water-mark records in arrival
         # (event_id) order; the first event overall is a record (hw NULL)

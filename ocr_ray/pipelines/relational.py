@@ -7157,3 +7157,199 @@ def table_profile(sf_dir: str, n_buckets: int = 64):
         ("n_null", pa.int64()), ("n_distinct", pa.int64()),
         ("min_int", pa.int64()), ("max_int", pa.int64()),
         ("sum_len", pa.int64())]))
+
+
+# ---------------------------------------------------------------------------
+# shallow text features shared by the stump trainer / PSI drift monitor
+# ---------------------------------------------------------------------------
+
+_SHALLOW_FEATS = (("chars", 256), ("digit", 8), ("upper", 8), ("nonascii", 4))
+
+
+def _shallow_feature_values(txt) -> dict:
+    """Per-doc integer text features, all RE2-counted so the DuckDB
+    regexp_replace oracle counts the identical codepoints: total length,
+    digit count, uppercase-ASCII count, non-ASCII codepoint count."""
+    return {
+        "chars": pc.utf8_length(txt).to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+        "digit": pc.count_substring_regex(txt, pattern="[0-9]")
+            .to_numpy(zero_copy_only=False).astype(np.int64),
+        "upper": pc.count_substring_regex(txt, pattern="[A-Z]")
+            .to_numpy(zero_copy_only=False).astype(np.int64),
+        "nonascii": pc.count_substring_regex(txt, pattern=r"[^\x00-\x7F]")
+            .to_numpy(zero_copy_only=False).astype(np.int64),
+    }
+
+
+def decision_stump_train(sf_dir: str, top_k: int = 10, n_bins: int = 64):
+    """SUPERVISED ML — EXACT SPLIT SEARCH: train a decision stump (the
+    1-level tree every boosting round fits) predicting ``lang == 'en'``
+    from shallow text-count features, by exhaustive search over every
+    (feature, threshold) candidate on quantized feature histograms.
+
+    The search criterion is STUMP ACCURACY — the integer count of docs a
+    majority-vote leaf pair classifies correctly — so the whole
+    selection is integer arithmetic with zero float anywhere (unlike
+    Gini, whose cross-feature comparison needs rational cross-products).
+    Output: the ``top_k`` candidate splits ranked by
+    (n_correct desc, feature, threshold) with their leaf counts and
+    accuracy in basis points.
+
+    Scale shape: ONE embarrassingly-parallel pass histograms each batch
+    locally (``np.bincount`` per feature → ≤ |features|·n_bins rows per
+    batch); the groupby sees only (feature, bucket) keys; the driver
+    folds a ≤ 256-row table and sweeps all thresholds with cumulative
+    sums.  Nothing corpus-sized moves: at 10^12 docs the exchange still
+    carries ≤ 256 rows per input block.  Mirrors the reference's
+    filter-threshold tuning loop (policy_filter.py dollar/keyword
+    thresholds) as a principled trained gate."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t["text"], "")
+        vals = _shallow_feature_values(txt)
+        pos = pc.cast(pc.fill_null(pc.equal(t["lang"], "en"), False),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        feats, buckets, ns, nps = [], [], [], []
+        for name, width in _SHALLOW_FEATS:
+            b = np.minimum(vals[name] // width, n_bins - 1)
+            n = np.bincount(b, minlength=n_bins)
+            p = np.bincount(b, weights=pos, minlength=n_bins)
+            occ = np.nonzero(n)[0]
+            feats.extend([name] * len(occ))
+            buckets.extend(occ.tolist())
+            ns.extend(n[occ].tolist())
+            nps.extend(p[occ].astype(np.int64).tolist())
+        return pa.table({
+            "feature": pa.array(feats, pa.string()),
+            "bucket": pa.array(buckets, pa.int64()),
+            "n": pa.array(ns, pa.int64()),
+            "n_pos": pa.array(nps, pa.int64()),
+        })
+
+    hist = _concat_nonempty(
+        _read(sf_dir, "documents", ["text", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["feature", "bucket"])
+        .aggregate(Sum("n", alias_name="n"), Sum("n_pos", alias_name="n_pos"))
+    ).to_pandas()
+
+    n_tot = int(hist[hist["feature"] == "chars"]["n"].sum())
+    p_tot = int(hist[hist["feature"] == "chars"]["n_pos"].sum())
+    rows = []
+    for name, _w in _SHALLOW_FEATS:
+        sub = hist[hist["feature"] == name]
+        n = np.zeros(n_bins, dtype=np.int64)
+        p = np.zeros(n_bins, dtype=np.int64)
+        n[sub["bucket"].to_numpy()] = sub["n"].to_numpy()
+        p[sub["bucket"].to_numpy()] = sub["n_pos"].to_numpy()
+        cn, cp = np.cumsum(n), np.cumsum(p)
+        for t in range(n_bins - 1):
+            n_l, p_l = int(cn[t]), int(cp[t])
+            n_r, p_r = n_tot - n_l, p_tot - p_l
+            correct = max(p_l, n_l - p_l) + max(p_r, n_r - p_r)
+            rows.append((name, t, n_l, n_r, correct))
+    rows.sort(key=lambda r: (-r[4], r[0], r[1]))
+    rows = rows[:top_k]
+    return pa.table({
+        "feature": pa.array([r[0] for r in rows], pa.string()),
+        "threshold": pa.array([r[1] for r in rows], pa.int64()),
+        "n_left": pa.array([r[2] for r in rows], pa.int64()),
+        "n_right": pa.array([r[3] for r in rows], pa.int64()),
+        "n_correct": pa.array([r[4] for r in rows], pa.int64()),
+        "accuracy_bp": pa.array(
+            [10000 * r[4] // n_tot for r in rows], pa.int64()),
+        "rk": pa.array(list(range(1, len(rows) + 1)), pa.int64()),
+    })
+
+
+def psi_feature_drift(sf_dir: str, n_bins: int = 16):
+    """DATA-QUALITY DRIFT MONITOR: population stability index of each
+    corpus slice (``source``) against the pooled corpus, per shallow
+    text feature — the production check that a new crawl batch hasn't
+    shifted the length/digit/non-ASCII distribution before it enters the
+    training mix.
+
+    PSI(f, s) = Σ_b (p_b − q_b) · ln(p_b / q_b) over ``n_bins``
+    fixed-width buckets, add-1 smoothed on both sides.  Integer
+    discipline: per bucket, the density gap rounds to 1e-9 units and the
+    log-ratio to micro-nats SEPARATELY (half-away, ``math.log`` = libm =
+    DuckDB ``ln``), the product sums exactly in int64 (each term ≥ 0 —
+    rounding preserves the shared sign), and the reported ``psi_e9``
+    floors the 1e-15-unit sum.  Output: (source, feature, n_docs,
+    psi_e9), one row per slice × feature.
+
+    Scale shape: one histogram pass (per-batch ``np.bincount`` per
+    (source, feature) via a composite key), a groupby over ≤
+    |sources|·|features|·n_bins keys, and a driver fold of that bounded
+    table — the corpus never shuffles."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    feats = tuple((f, w) for f, w in _SHALLOW_FEATS if f != "upper")
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t["text"], "")
+        vals = _shallow_feature_values(txt)
+        src = np.asarray(t["source"].to_pylist())
+        order = np.argsort(src, kind="stable")
+        s_sorted = src[order]
+        bounds = np.flatnonzero(
+            np.r_[True, s_sorted[1:] != s_sorted[:-1], True])
+        srcs, fnames, buckets, ns = [], [], [], []
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            idx = order[lo:hi]
+            for name, width in feats:
+                b = np.minimum(vals[name][idx] // width, n_bins - 1)
+                n = np.bincount(b, minlength=n_bins)
+                occ = np.nonzero(n)[0]
+                srcs.extend([s_sorted[lo]] * len(occ))
+                fnames.extend([name] * len(occ))
+                buckets.extend(occ.tolist())
+                ns.extend(n[occ].tolist())
+        return pa.table({
+            "source": pa.array(srcs, pa.string()),
+            "feature": pa.array(fnames, pa.string()),
+            "bucket": pa.array(buckets, pa.int64()),
+            "n": pa.array(ns, pa.int64()),
+        })
+
+    hist = _concat_nonempty(
+        _read(sf_dir, "documents", ["text", "source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "feature", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+    ).to_pandas()
+
+    def _half_away(x: float) -> int:
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    pooled = hist.groupby(["feature", "bucket"])["n"].sum().to_dict()
+    n_by_src = (hist[hist["feature"] == feats[0][0]]
+                .groupby("source")["n"].sum().to_dict())
+    n_all = int(sum(n_by_src.values()))
+    per_sf = hist.groupby(["source", "feature", "bucket"])["n"].sum().to_dict()
+
+    out_rows = []
+    for s in sorted(n_by_src):
+        n_s = int(n_by_src[s])
+        for name, _w in feats:
+            psi_e15 = 0
+            for b in range(n_bins):
+                cnt = int(per_sf.get((s, name, b), 0))
+                call = int(pooled.get((name, b), 0))
+                p = (cnt + 1.0) / (n_s + n_bins)
+                q = (call + 1.0) / (n_all + n_bins)
+                l_e6 = _half_away(1000000.0 * math.log(p / q))
+                d_e9 = _half_away(1000000000.0 * (p - q))
+                psi_e15 += d_e9 * l_e6
+            out_rows.append((s, name, n_s, psi_e15 // 1_000_000))
+    return pa.table({
+        "source": pa.array([r[0] for r in out_rows], pa.string()),
+        "feature": pa.array([r[1] for r in out_rows], pa.string()),
+        "n_docs": pa.array([r[2] for r in out_rows], pa.int64()),
+        "psi_e9": pa.array([r[3] for r in out_rows], pa.int64()),
+    })

@@ -4411,3 +4411,86 @@ def test_table_profile(ray_session, tmp_path):
     assert int(got.loc["event_type", "max_int"]) == 5   # "click"
     assert int(got.loc["event_type", "sum_len"]) == 100 * 5 + 100 * 4
     assert (got["n_null"].drop("k_nullable") == 0).all()
+
+
+def test_decision_stump_train_known_split(ray_session, tmp_path):
+    """On a corpus where 'en' docs are exactly the ones with < 8 digits,
+    the exhaustive split search must rank the perfect digit stump first
+    (threshold bucket 0 => digit count <= 7), identically across file
+    layouts."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from ocr_ray.pipelines.relational import decision_stump_train
+
+    rng = np.random.default_rng(11)
+    n = 600
+    is_en = np.arange(n) % 3 != 0
+    texts = [("word " * int(rng.integers(5, 40))
+              + ("7" * (3 if en else 20)))
+             for en, _ in zip(is_en, range(n))]
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": texts,
+        "lang": np.where(is_en, "en", "zh"),
+    })
+
+    results = []
+    for layout in (1, 9):
+        sf = str(tmp_path / f"l{layout}")
+        os.makedirs(f"{sf}/documents.parquet")
+        shuffled = df.sample(frac=1.0, random_state=layout)
+        for i, part in enumerate(np.array_split(shuffled, layout)):
+            part.to_parquet(f"{sf}/documents.parquet/p{i}.parquet",
+                            index=False)
+        results.append(decision_stump_train(sf).to_pandas())
+
+    a, b = results
+    pd.testing.assert_frame_equal(a, b)
+    top = a.iloc[0]
+    assert (top["feature"], top["threshold"]) == ("digit", 0)
+    assert top["n_correct"] == n and top["accuracy_bp"] == 10000
+    assert top["n_left"] == int(is_en.sum())
+
+
+def test_psi_feature_drift_detects_shifted_source(ray_session, tmp_path):
+    """A source whose length distribution is shifted far from the pool
+    must score a larger psi_e9 than in-distribution sources; all PSI
+    values are >= 0 and partition-invariant."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from ocr_ray.pipelines.relational import psi_feature_drift
+
+    rng = np.random.default_rng(5)
+    n = 900
+    src = np.where(np.arange(n) % 10 == 0, "c",
+                   np.where(np.arange(n) % 2 == 0, "a", "b"))
+    lens = np.where(src == "c",
+                    rng.integers(3000, 3900, n),   # shifted slice
+                    rng.integers(10, 500, n))      # pooled majority
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": ["x" * int(k) for k in lens],
+        "source": src,
+    })
+
+    results = []
+    for layout in (1, 8):
+        sf = str(tmp_path / f"l{layout}")
+        os.makedirs(f"{sf}/documents.parquet")
+        shuffled = df.sample(frac=1.0, random_state=layout)
+        for i, part in enumerate(np.array_split(shuffled, layout)):
+            part.to_parquet(f"{sf}/documents.parquet/p{i}.parquet",
+                            index=False)
+        results.append(psi_feature_drift(sf).to_pandas())
+
+    a, b = results
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["psi_e9"] >= 0).all()
+    chars = a[a["feature"] == "chars"].set_index("source")["psi_e9"]
+    assert chars["c"] > 10 * max(chars["a"], chars["b"])
