@@ -942,6 +942,35 @@ def _q_term_search_indexed(sf_dir: str):
     return term_search_indexed(_term_index(sf_dir), "vector")
 
 
+def _bm25_index(sf_dir: str) -> str:
+    """Hive-partitioned BM25 postings layout (dl-on-the-posting-row) for
+    sf_dir's documents, cached (bucket count in the fingerprint — the
+    _term_index stance)."""
+    import ray.data as rd
+
+    from ocr_ray.config import DEFAULT_CONFIG
+    from ocr_ray.pipelines.textsearch import build_bm25_index
+
+    src = os.path.join(sf_dir, "documents.parquet")
+
+    def build(tmp: str) -> None:
+        build_bm25_index(rd.read_parquet(src, columns=["doc_id", "text"]),
+                         tmp)
+
+    return _cached_build(
+        "bm25", src, f"b{DEFAULT_CONFIG.term_index_buckets}", build)
+
+
+def _q_bm25_search_indexed(sf_dir: str):
+    """BM25 top-20 for 'table hash join' over the partition-pruned
+    postings layout — reads only the 3 query-term buckets + the one-row
+    stats file, never the corpus; pinned to the same oracle (and the
+    same integer micro-unit scores) as the full-scan bm25_search."""
+    from ocr_ray.pipelines.textsearch import bm25_search_indexed
+
+    return bm25_search_indexed(_bm25_index(sf_dir), "table hash join", k=20)
+
+
 def _q_term_search_updated(sf_dir: str):
     """Posting lookup over an INCREMENTALLY-built term index: base index
     from the doc_id < 256 slice, the rest appended with
@@ -2010,6 +2039,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "top_terms_per_lang": rel.top_terms_per_lang,
         "term_search_indexed": _q_term_search_indexed,
         "term_search_updated": _q_term_search_updated,
+        "bm25_search_indexed": _q_bm25_search_indexed,
         "bool_search_indexed": _q_bool_search_indexed,
         "knn_join_lsh": _q_knn_join,
         "doc_length_quantiles_by_lang": rel.doc_length_quantiles_by_lang,
@@ -4595,6 +4625,7 @@ def oracle_sql() -> dict[str, str]:
         # the Ray kernel op-for-op (k1=1.2, b=0.75 written as literals
         # combined the same way)
         "bm25_search": _BM25_SQL,
+        "bm25_search_indexed": _BM25_SQL,
         # exact integer Gram entries over e6-scaled components (d1 <= d2)
         "embedding_gram_matrix": """
             WITH e AS MATERIALIZED (

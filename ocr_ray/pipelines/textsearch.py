@@ -239,6 +239,171 @@ def bool_search_indexed(index_dir: str, terms: list[str],
     )
 
 
+def build_bm25_index(ds, index_dir: str, text_col: str = "text",
+                     key_col: str = "doc_id",
+                     n_buckets: int | None = None) -> str:
+    """BM25-ready sibling of :func:`build_term_index`: each posting row
+    additionally carries the DOCUMENT LENGTH (``dl`` — the Lucene-norms
+    trick), so a query-time scorer needs NO doc-length join: everything
+    per-candidate (tf, dl) is on the posting row it already reads.  A
+    tiny ``stats.parquet`` (one row: n_docs, sum_dl) sits beside the
+    hive-bucketed ``postings/`` layout; the scorer broadcasts it as two
+    driver scalars.  Cost: +8 bytes/posting vs the tf-only index —
+    bytes-read per query stays ~|query buckets|/n_buckets of the corpus
+    postings.  Two build passes over the corpus (postings, then the
+    n_docs/sum_dl fold); both stream."""
+    import pyarrow.parquet as pq
+
+    if n_buckets is None:
+        n_buckets = DEFAULT_CONFIG.term_index_buckets
+
+    def postings(t: pa.Table) -> pa.Table:
+        toks, ids, tfs, dls = [], [], [], []
+        for did, txt in zip(t[key_col].to_pylist(), t[text_col].to_pylist()):
+            c = collections.Counter((txt or "").lower().split())
+            dl = sum(c.values())
+            for tok, n in c.items():
+                toks.append(tok)
+                ids.append(did)
+                tfs.append(n)
+                dls.append(dl)
+        return pa.table({
+            "token": pa.array(toks, pa.string()),
+            key_col: pa.array(ids, pa.int64()),
+            "tf": pa.array(tfs, pa.int64()),
+            "dl": pa.array(dls, pa.int64()),
+            "bucket": pa.array(
+                [zlib.crc32(x.encode()) % n_buckets for x in toks],
+                pa.int32()),
+        })
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        sum_dl = sum(len((txt or "").lower().split())
+                     for txt in t[text_col].to_pylist())
+        return pa.table({"n_docs": pa.array([t.num_rows], pa.int64()),
+                         "sum_dl": pa.array([sum_dl], pa.int64())})
+
+    def stat_add(t: pa.Table) -> pa.Table:
+        if t.num_rows <= 1:
+            return t
+        return pa.table({c: pa.array([int(pc.sum(t[c]).as_py() or 0)],
+                                     pa.int64())
+                         for c in t.column_names})
+
+    ds.map_batches(postings, batch_format="pyarrow").write_parquet(
+        os.path.join(index_dir, "postings"), partition_cols=["bucket"])
+    # n_docs counts EVERY document (empty-text docs too — the oracle's
+    # COUNT(*) FROM documents), so it can't be derived from postings
+    srows = (ds.map_batches(stat_partial, batch_format="pyarrow")
+             .repartition(DEFAULT_CONFIG.driver_fold_buckets)
+             .map_batches(stat_add, batch_format="pyarrow",
+                          batch_size=None).take_all())
+    pq.write_table(
+        pa.table({"n_docs": pa.array([sum(r["n_docs"] for r in srows)],
+                                     pa.int64()),
+                  "sum_dl": pa.array([sum(r["sum_dl"] for r in srows)],
+                                     pa.int64())}),
+        os.path.join(index_dir, "stats.parquet"))
+    return index_dir
+
+
+def bm25_search_indexed(index_dir: str, query: str, k: int = 20,
+                        n_buckets: int | None = None,
+                        key_col: str = "doc_id"):
+    """BM25 (k1=1.2, b=0.75) top-k over a :func:`build_bm25_index`
+    layout — the partition-pruned sibling of
+    :func:`ocr_ray.pipelines.relational.bm25_search` (float expression
+    shape matches it and the shared DuckDB oracle op-for-op; per-term
+    contributions round to integer micro-units BEFORE the per-doc sum).
+
+    Scale shape: reads ONLY the query terms' bucket partitions plus the
+    one-row stats file — never the corpus or the other buckets.  The
+    candidate postings (df-bounded) are materialized once and reused for
+    the df count and the scoring pass; the single exchange carries one
+    (doc, score-contribution) row per candidate posting into a coarse
+    64-way doc bucket where the per-doc sum and per-group top-k run
+    vectorized, then a repartition(1) tail returns exactly k rows.
+    Ordering: score_e6 desc, key asc."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    if n_buckets is None:
+        n_buckets = DEFAULT_CONFIG.term_index_buckets
+    K1, B = 1.2, 0.75
+    qs = sorted({t for t in query.lower().split() if t})
+    assert qs, "bm25_search_indexed needs at least one query term"
+
+    def _empty():
+        return rd.from_arrow(pa.table({key_col: pa.array([], pa.int64()),
+                                       "score_e6": pa.array([], pa.int64())}))
+
+    files: list[str] = []
+    for b in sorted({zlib.crc32(t.encode()) % n_buckets for t in qs}):
+        files.extend(sorted(glob.glob(
+            os.path.join(index_dir, "postings", f"bucket={b}", "*.parquet"))))
+    if not files:
+        return _empty()
+
+    stats = pq.read_table(os.path.join(index_dir, "stats.parquet"))
+    n_docs = int(stats["n_docs"][0].as_py())
+    sum_dl = int(stats["sum_dl"][0].as_py())
+    avgdl = float(sum_dl) / n_docs
+
+    def pick(tab: pa.Table) -> pa.Table:
+        sub = tab.filter(pc.is_in(tab["token"], pa.array(qs, pa.string())))
+        return sub.select(["token", key_col, "tf", "dl"])
+
+    cand = (rd.read_parquet(files, columns=["token", key_col, "tf", "dl"])
+            .map_batches(pick, batch_format="pyarrow").materialize())
+    if cand.count() == 0:
+        return _empty()
+
+    # per-term df: tiny aggregate (<= |query| rows reach the driver);
+    # a (doc, term) posting row is unique, so a plain count IS the df
+    from ray.data.aggregate import Count
+    dfs = {r["token"]: r["count()"]
+           for r in cand.groupby("token").aggregate(Count()).take_all()}
+    idf = {t: float(np.log((n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0))
+           for t in qs if t in dfs}
+
+    def contrib(tab: pa.Table) -> pa.Table:
+        toks = np.asarray(tab["token"].to_pylist(), dtype=object)
+        tfv = tab["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dlv = tab["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        idfv = np.select([toks == t for t in qs],
+                         [idf.get(t, 0.0) for t in qs], default=0.0)
+        x = 1e6 * (idfv * (tfv * (K1 + 1.0))
+                   / (tfv + K1 * (1.0 - B + B * dlv / avgdl)))
+        keys = tab[key_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            key_col: pa.array(keys, pa.int64()),
+            "c": pa.array(np.copysign(np.floor(np.abs(x) + 0.5),
+                                      x).astype(np.int64), pa.int64()),
+            "dbucket": pa.array((keys & 63).astype(np.int32), pa.int32()),
+        })
+
+    def group_topk(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(key_col, as_index=False)["c"].sum()
+        agg = agg.rename(columns={"c": "score_e6"})
+        agg = agg.sort_values(["score_e6", key_col],
+                              ascending=[False, True]).head(k)
+        return pd.DataFrame({
+            key_col: agg[key_col].astype("int64"),
+            "score_e6": agg["score_e6"].astype("int64")})
+
+    def final(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("score_e6", "descending"),
+                                            (key_col, "ascending")])[:k]
+        return t.take(idx)
+
+    return (cand.map_batches(contrib, batch_format="pyarrow")
+            .groupby("dbucket")
+            .map_groups(group_topk, batch_format="pandas")
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow", batch_size=None))
+
+
 def update_term_index(index_dir: str, new_ds, text_col: str = "text",
                       key_col: str = "doc_id",
                       n_buckets: int | None = None) -> str:

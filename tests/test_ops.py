@@ -4494,3 +4494,27 @@ def test_psi_feature_drift_detects_shifted_source(ray_session, tmp_path):
     assert (a["psi_e9"] >= 0).all()
     chars = a[a["feature"] == "chars"].set_index("source")["psi_e9"]
     assert chars["c"] > 10 * max(chars["a"], chars["b"])
+
+
+def test_bm25_indexed_equals_full_scan(ray_session, tmp_path):
+    """The partition-pruned BM25 path is pinned row-for-row (ids AND
+    integer micro-unit scores) to the full-scan scorer, and a query
+    whose terms have no postings returns an empty schema-typed result."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.relational import bm25_search
+    from ocr_ray.pipelines.textsearch import (bm25_search_indexed,
+                                              build_bm25_index)
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "bm25")
+    build_bm25_index(
+        rd.read_parquet(sf + "/documents.parquet",
+                        columns=["doc_id", "text"]), idx)
+    got = bm25_search_indexed(idx, "table hash join", k=20).to_pandas()
+    want = bm25_search(sf, "table hash join", k=20).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True))
+
+    miss = bm25_search_indexed(idx, "zzzznotaterm", k=5).to_pandas()
+    assert len(miss) == 0
