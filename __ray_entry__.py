@@ -2136,6 +2136,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "table_profile": rel.table_profile,
         "decision_stump_train": rel.decision_stump_train,
         "psi_feature_drift": rel.psi_feature_drift,
+        "score_auc_eval": rel.score_auc_eval,
     }
 
 
@@ -2761,6 +2762,34 @@ def oracle_sql() -> dict[str, str]:
         # PSI drift of each source slice vs the pooled corpus, per
         # shallow feature; density gap in 1e-9 units x log-ratio in
         # micro-nats, each rounded half-away BEFORE the product-sum
+        "score_auc_eval": r"""
+            WITH s AS (
+              SELECT n_chars AS v,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+              FROM documents
+            ), pv AS (
+              SELECT v, CAST(SUM(pos) AS BIGINT) AS p,
+                     CAST(SUM(1 - pos) AS BIGINT) AS n
+              FROM s GROUP BY v
+            ), c AS (
+              SELECT v, p, n,
+                     CAST(COALESCE(SUM(n) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS nb
+              FROM pv
+            ), agg AS (
+              SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+                     CAST(SUM(n) AS BIGINT) AS n_neg,
+                     CAST(SUM(p * (2 * nb + n)) AS BIGINT) AS pair_num_x2
+              FROM c
+            )
+            SELECT n_pos, n_neg, pair_num_x2,
+                   CAST((2 * 1000000000 * CAST(pair_num_x2 AS HUGEINT)
+                         + 2 * CAST(n_pos AS HUGEINT) * n_neg)
+                        // (2 * (2 * CAST(n_pos AS HUGEINT) * n_neg))
+                        AS BIGINT) AS auc_e9
+            FROM agg
+        """,
         "psi_feature_drift": r"""
             WITH v AS MATERIALIZED (
               SELECT source, coalesce(text, '') AS t FROM documents

@@ -7353,3 +7353,81 @@ def psi_feature_drift(sf_dir: str, n_bins: int = 16):
         "n_docs": pa.array([r[2] for r in out_rows], pa.int64()),
         "psi_e9": pa.array([r[3] for r in out_rows], pa.int64()),
     })
+
+
+def score_auc_eval(sf_dir: str, pos_lang: str = "en", n_buckets: int = 64):
+    """EXACT tie-aware ROC-AUC (the Mann-Whitney U form — the standard
+    eval for every quality/classifier score a curation pipeline trains)
+    of ``n_chars`` as a predictor of ``lang == pos_lang``, computed
+    distributed and INTEGER-EXACT:
+
+      AUC = (#(pos > neg) + 0.5 · #ties) / (n_pos · n_neg)
+          = pair_num_x2 / (2 · n_pos · n_neg),
+      pair_num_x2 = Σ_v pos_v · (2 · neg_below(v) + neg_v)
+
+    over distinct score values v — all integers, no float until the one
+    final division (reported half-away-rounded as ``auc_e9``).
+
+    Topology (the global_row_id_stats range-bucket prefix-carry): a
+    cheap min/max aggregate fixes score range buckets; per-batch
+    np.unique partials ship (bucket, score, pos, neg) counts — bounded
+    by per-batch score cardinality, never rows; ONE coarse exchange
+    groups by range bucket where each group's in-bucket cumulative term
+    and (n_pos, n_neg) totals compute vectorized; the repartition(1)
+    tail (≤ n_buckets rows) applies the exclusive cross-bucket
+    neg-below carries in score order.  Output one row:
+    ``(n_pos, n_neg, pair_num_x2, auc_e9)``."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _read(sf_dir, "documents", ["n_chars", "lang"])
+    mm = ds.aggregate(Min("n_chars"), Max("n_chars"))
+    lo, hi = int(mm["min(n_chars)"]), int(mm["max(n_chars)"])
+    width = max(1, (hi - lo + n_buckets) // n_buckets)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["n_chars"].to_numpy().astype(np.int64)
+        p = pc.equal(t["lang"], pos_lang).to_numpy(zero_copy_only=False)
+        key = v * 2 + p.astype(np.int64)      # (score, label) pair key
+        u, c = np.unique(key, return_counts=True)
+        uv, up = u >> 1, (u & 1).astype(bool)
+        return pa.table({
+            "bucket": pa.array((uv - lo) // width, pa.int64()),
+            "v": pa.array(uv, pa.int64()),
+            "pos": pa.array(np.where(up, c, 0).astype(np.int64), pa.int64()),
+            "neg": pa.array(np.where(up, 0, c).astype(np.int64), pa.int64()),
+        })
+
+    def bucket_term(g: pd.DataFrame) -> pd.DataFrame:
+        m = (g.groupby("v", as_index=False)[["pos", "neg"]].sum()
+              .sort_values("v"))
+        posv = m["pos"].to_numpy(np.int64)
+        negv = m["neg"].to_numpy(np.int64)
+        neg_below = np.concatenate(([0], np.cumsum(negv)[:-1]))
+        t_local = int((posv * (2 * neg_below + negv)).sum())
+        return pd.DataFrame({
+            "bucket": pd.array([int(g["bucket"].iloc[0])], "int64"),
+            "n_pos": pd.array([int(posv.sum())], "int64"),
+            "n_neg": pd.array([int(negv.sum())], "int64"),
+            "t_local": pd.array([t_local], "int64")})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values("bucket")
+        n_pos = int(df["n_pos"].sum())
+        n_neg = int(df["n_neg"].sum())
+        neg_before = np.concatenate(
+            ([0], np.cumsum(df["n_neg"].to_numpy(np.int64))[:-1]))
+        # Python ints from here: pair_num_x2 · 1e9 exceeds int64 at scale
+        num2 = int(df["t_local"].sum()) + 2 * int(
+            (df["n_pos"].to_numpy(np.int64) * neg_before).sum())
+        d = 2 * n_pos * n_neg
+        auc_e9 = (2 * 10**9 * num2 + d) // (2 * d)
+        return pa.table({"n_pos": pa.array([n_pos], pa.int64()),
+                         "n_neg": pa.array([n_neg], pa.int64()),
+                         "pair_num_x2": pa.array([num2], pa.int64()),
+                         "auc_e9": pa.array([auc_e9], pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(bucket_term, batch_format="pandas")
+            .repartition(1)
+            .map_batches(finalize, batch_format="pyarrow", batch_size=None))

@@ -4518,3 +4518,33 @@ def test_bm25_indexed_equals_full_scan(ray_session, tmp_path):
 
     miss = bm25_search_indexed(idx, "zzzznotaterm", k=5).to_pandas()
     assert len(miss) == 0
+
+
+def test_score_auc_eval_exact(ray_session, tmp_path):
+    """AUC on a hand-computable corpus (ties included) matches the
+    sklearn-style rank formula exactly, and is invariant to the file's
+    row order (partitioning / batch boundaries)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import score_auc_eval
+
+    # scores: pos {3, 5, 5}, neg {1, 3, 5, 7}
+    # wins: 3>1; 5>1,5>3 (x2) -> 5 ; ties: (3,3), (5,5) x2 -> 3
+    # num2 = 2*5 + 3 = 13 ; AUC = 13 / (2*3*4) = 0.5416666...
+    scores = [3, 5, 5, 1, 3, 5, 7]
+    langs = ["en", "en", "en", "fr", "de", "es", "zh"]
+    results = []
+    for order in (range(7), (3, 0, 4, 1, 5, 2, 6)):
+        d = str(tmp_path / f"sf_{order[0]}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(pa.table({
+            "doc_id": pa.array(list(range(7)), pa.int64()),
+            "n_chars": pa.array([scores[i] for i in order], pa.int64()),
+            "lang": pa.array([langs[i] for i in order], pa.string()),
+        }), os.path.join(d, "documents.parquet"), row_group_size=2)
+        results.append(score_auc_eval(d, n_buckets=4).to_pandas())
+    a, b = results
+    pd.testing.assert_frame_equal(a, b)
+    assert a.iloc[0].tolist() == [3, 4, 13, 541666667]
