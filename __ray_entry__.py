@@ -2137,6 +2137,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "decision_stump_train": rel.decision_stump_train,
         "psi_feature_drift": rel.psi_feature_drift,
         "score_auc_eval": rel.score_auc_eval,
+        "ndcg_eval": rel.ndcg_eval,
     }
 
 
@@ -2762,6 +2763,42 @@ def oracle_sql() -> dict[str, str]:
         # PSI drift of each source slice vs the pooled corpus, per
         # shallow feature; density gap in 1e-9 units x log-ratio in
         # micro-nats, each rounded half-away BEFORE the product-sum
+        "ndcg_eval": f"""
+            WITH nd_d AS MATERIALIZED (
+              SELECT doc_id, regexp_split_to_array(
+                       lower(coalesce(text, '')), '\\s+') AS arr
+              FROM documents
+            ), nd_rel AS MATERIALIZED (
+              SELECT doc_id,
+                     CAST(list_contains(arr, 'table') AS BIGINT)
+                     + CAST(list_contains(arr, 'hash') AS BIGINT)
+                     + CAST(list_contains(arr, 'join') AS BIGINT) AS rel
+              FROM nd_d
+            ), bm AS MATERIALIZED ({_BM25_SQL}),
+            top AS (
+              SELECT doc_id, r FROM (
+                SELECT doc_id, row_number()
+                  OVER (ORDER BY score_e6 DESC, doc_id) AS r FROM bm
+              ) WHERE r <= 10
+            ), dcg AS (
+              SELECT CAST(SUM(CAST(ROUND(
+                       1000000000.0 * (pow(2, nd_rel.rel) - 1)
+                       / ln(t.r + 1)) AS BIGINT)) AS BIGINT) AS dcg_e9
+              FROM top t JOIN nd_rel ON t.doc_id = nd_rel.doc_id
+            ), ideal AS (
+              SELECT rel, row_number() OVER (ORDER BY rel DESC) AS r
+              FROM nd_rel ORDER BY rel DESC LIMIT 10
+            ), idcg AS (
+              SELECT CAST(SUM(CAST(ROUND(
+                       1000000000.0 * (pow(2, rel) - 1)
+                       / ln(r + 1)) AS BIGINT)) AS BIGINT) AS idcg_e9
+              FROM ideal
+            )
+            SELECT dcg_e9, idcg_e9,
+                   CAST((2 * 1000000000 * CAST(dcg_e9 AS HUGEINT) + idcg_e9)
+                        // (2 * CAST(idcg_e9 AS HUGEINT)) AS BIGINT) AS ndcg_e9
+            FROM dcg, idcg
+        """,
         "score_auc_eval": r"""
             WITH s AS (
               SELECT n_chars AS v,

@@ -7431,3 +7431,69 @@ def score_auc_eval(sf_dir: str, pos_lang: str = "en", n_buckets: int = 64):
             .map_groups(bucket_term, batch_format="pandas")
             .repartition(1)
             .map_batches(finalize, batch_format="pyarrow", batch_size=None))
+
+
+def ndcg_eval(sf_dir: str, query: str = "table hash join", k: int = 10):
+    """NDCG@k of the BM25 ranking — the standard graded ranking-quality
+    eval closing the retrieval loop (bm25_search produces the ranking,
+    this scores it).  Graded relevance is deterministic: rel(doc) =
+    number of DISTINCT query terms present (0..|query|).  Gains use the
+    natural-log DCG variant (2^rel − 1)/ln(r + 1), each position's gain
+    rounded half-away to integer e9-units BEFORE the sum (the repo's
+    integer-parity convention — Ray and the oracle sum identical ints),
+    and NDCG is the one final integer division.
+
+    Topology: the ranking is the already-bounded bm25_search top-k (k
+    rows to the driver — the 'pre-reduced bounded table' convention);
+    ONE corpus pass then emits ≤ 2k short rows per batch — the ranked
+    docs' relevance (kind 0) and the per-batch top-k relevance partial
+    for the ideal ranking (kind 1) — into a repartition(1) tail that
+    assembles DCG, IDCG and their ratio.  Output one row:
+    ``(dcg_e9, idcg_e9, ndcg_e9)``."""
+    import math
+
+    terms = sorted({t for t in query.lower().split() if t})
+    top = bm25_search(sf_dir, query, k=k).to_pandas()
+    rank = {int(d): i + 1 for i, d in enumerate(top["doc_id"])}
+
+    def _half_away(x: float) -> int:
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    tset = set(terms)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        rels = np.fromiter(
+            (len(tset & set((tx or "").lower().split()))
+             for tx in t["text"].to_pylist()), np.int64, len(ids))
+        out_id = [did for did in ids if did in rank]
+        out_rel = [int(rels[i]) for i, did in enumerate(ids) if did in rank]
+        out_kind = [0] * len(out_id)
+        for rv in np.sort(rels)[::-1][:k]:
+            out_id.append(-1)
+            out_rel.append(int(rv))
+            out_kind.append(1)
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "rel": pa.array(out_rel, pa.int64()),
+                         "kind": pa.array(out_kind, pa.int8())})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ranked = df[df["kind"] == 0]
+        relmap = dict(zip(ranked["doc_id"], ranked["rel"]))
+        dcg = sum(_half_away(1e9 * (2.0 ** float(relmap[d]) - 1.0)
+                             / float(np.log(r + 1.0)))
+                  for d, r in rank.items())
+        ideal = np.sort(df[df["kind"] == 1]["rel"].to_numpy(np.int64))[::-1][:k]
+        idcg = sum(_half_away(1e9 * (2.0 ** float(rv) - 1.0)
+                              / float(np.log(i + 2.0)))
+                   for i, rv in enumerate(ideal))
+        ndcg = (2 * 10**9 * dcg + idcg) // (2 * idcg)
+        return pa.table({"dcg_e9": pa.array([dcg], pa.int64()),
+                         "idcg_e9": pa.array([idcg], pa.int64()),
+                         "ndcg_e9": pa.array([ndcg], pa.int64())})
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(finalize, batch_format="pyarrow", batch_size=None))

@@ -4548,3 +4548,24 @@ def test_score_auc_eval_exact(ray_session, tmp_path):
     a, b = results
     pd.testing.assert_frame_equal(a, b)
     assert a.iloc[0].tolist() == [3, 4, 13, 541666667]
+
+
+def test_ndcg_eval_perfect_ranking(ray_session, tmp_path):
+    """When every document is identical, any ranking is ideal: DCG ==
+    IDCG and ndcg_e9 == 1e9 exactly — also exercises the corpus-smaller-
+    than-k path (5 docs, k=10)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import ndcg_eval
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(5)), pa.int64()),
+        "text": pa.array(["table hash join plan"] * 5, pa.string()),
+    }), os.path.join(d, "documents.parquet"), row_group_size=2)
+    out = ndcg_eval(d).to_pandas()
+    assert out["dcg_e9"].iloc[0] == out["idcg_e9"].iloc[0] > 0
+    assert out["ndcg_e9"].iloc[0] == 1_000_000_000
