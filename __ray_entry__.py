@@ -1471,6 +1471,150 @@ def _q_zipf_partition_balance(sf_dir: str):
             .map_groups(fold, batch_format="pandas"))
 
 
+def _q_crawl_schedule_plan(sf_dir: str, n_salts: int = 64,
+                           n_buckets: int = 64):
+    """POLITENESS-WAVE crawl scheduling over the ZIPF-SKEWED frontier:
+    a polite crawler fetches at most one url per host per wave, so each
+    page's wave is its 0-based ``row_number() OVER (PARTITION BY host
+    ORDER BY warc_ts, url)`` — a windowed rank over a key where ONE
+    partition (host-00) owns ~50% of all rows.  This is the repo's
+    SKEW-PROOF grouped zipWithIndex: order_price_rank's plain
+    coarse-bucket shuffle would funnel the hot host into one group, so
+    instead the host's order is RANGE-SPLIT by warc_ts into n_salts
+    sub-groups (order-preserving — every ts in salt s precedes every ts
+    in salt s+1), local ranks assign vectorized per (host, salt), and
+    exclusive per-host salt offsets (a tiny counts exchange, ≤
+    hosts × n_salts rows) shift them to the global rank.  The hot
+    host's rows spread across ~n_salts groups (~n_salts× flatter).
+
+    Offsets meet rows via the kind-tagged single-exchange template
+    (CLAUDE.md): both land in the same crc32(host)⊕salt bucket; two
+    INDEPENDENT read lineages, the groupby branch repartitioned before
+    union (empty-block scrub).  Output per host: ``(host, n_pages,
+    last_wave, wave_ts_checksum)`` — the checksum Σ wave·(ts_us mod
+    1000003) pins the complete assignment against the oracle's
+    row_number (int64-safe to ~10^7 pages/host; the e-notation bound is
+    documented rather than hit at test scale)."""
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    pages = _zipf_pages_dir(sf_dir)
+    MOD = 1000003
+
+    def _host_salt(t: pa.Table, lo: int, width: int):
+        host = pc.fill_null(pc.struct_field(
+            pc.extract_regex(t["url"], r"^[a-z]+://(?P<h>[^.]+)\."), "h"),
+            "").to_pandas()
+        ts = t["warc_ts"].cast(pa.int64()).to_numpy()
+        salt = (ts - lo) // width
+        return host, ts, salt
+
+    def _bucket(host: pd.Series, salt: np.ndarray) -> np.ndarray:
+        # per-UNIQUE-host crc32, then mix the salt in — vectorized, no
+        # per-row hashing; identical in the counts and rows kernels
+        codes, uniq = pd.factorize(host)
+        hcrc = np.asarray([zlib.crc32(str(u).encode()) for u in uniq],
+                          np.uint64)
+        mixed = (hcrc[codes] ^ (salt.astype(np.uint64) * np.uint64(
+            0x9E3779B1))) % np.uint64(n_buckets)
+        return mixed.astype(np.int32)
+
+    mm = (rd.read_parquet(pages, columns=["warc_ts"])
+          .map_batches(lambda t: pa.table(
+              {"ts_us": pc.cast(t["warc_ts"], pa.int64())}),
+              batch_format="pyarrow")
+          .aggregate(Min("ts_us"), Max("ts_us")))
+    lo, hi = int(mm["min(ts_us)"]), int(mm["max(ts_us)"])
+    width = max(1, (hi - lo + n_salts) // n_salts)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        host, _ts, salt = _host_salt(t, lo, width)
+        g = (pd.DataFrame({"host": host, "salt": salt})
+             .groupby(["host", "salt"], as_index=False).size())
+        g["n"] = g.pop("size").astype("int64")
+        g["salt"] = g["salt"].astype("int64")
+        g["hbucket"] = np.asarray(
+            [zlib.crc32(h.encode()) % n_buckets for h in g["host"]],
+            np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def offsets_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        m = (g.groupby(["host", "salt"], as_index=False)["n"].sum()
+             .sort_values(["host", "salt"]))
+        m["off"] = m.groupby("host")["n"].cumsum() - m["n"]
+        return pd.DataFrame({
+            "kind": pd.array([1] * len(m), "int8"),
+            "host": m["host"].astype(str),
+            "salt": m["salt"].astype("int64"),
+            "ts_us": pd.array([0] * len(m), "int64"),
+            "url": pd.array([""] * len(m), "string").astype(str),
+            "off": m["off"].astype("int64"),
+            "b": pd.array(_bucket(m["host"], m["salt"].to_numpy()),
+                          "int32"),
+        })
+
+    offsets = (rd.read_parquet(pages, columns=["url", "warc_ts"])
+               .map_batches(count_partial, batch_format="pyarrow")
+               .groupby("hbucket")
+               .map_groups(offsets_kernel, batch_format="pandas")
+               # coerce to arrow blocks — union requires both branches
+               # to carry the same block type
+               .map_batches(lambda t: t, batch_format="pyarrow")
+               .repartition(4))
+
+    def tag_rows(t: pa.Table) -> pa.Table:
+        host, ts, salt = _host_salt(t, lo, width)
+        return pa.table({
+            "kind": pa.array(np.zeros(len(host), np.int8), pa.int8()),
+            "host": pa.array(host, pa.string()),
+            "salt": pa.array(salt, pa.int64()),
+            "ts_us": pa.array(ts, pa.int64()),
+            "url": t["url"],
+            "off": pa.array(np.zeros(len(host), np.int64), pa.int64()),
+            "b": pa.array(_bucket(host, salt), pa.int32()),
+        })
+
+    rows = (rd.read_parquet(pages, columns=["url", "warc_ts"])
+            .map_batches(tag_rows, batch_format="pyarrow"))
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        offs = g[g["kind"] == 1]
+        omap = dict(zip(zip(offs["host"], offs["salt"]), offs["off"]))
+        r = (g[g["kind"] == 0]
+             .sort_values(["host", "salt", "ts_us", "url"],
+                          kind="mergesort"))
+        local = r.groupby(["host", "salt"]).cumcount().to_numpy(np.int64)
+        base = np.asarray([omap[k] for k in zip(r["host"], r["salt"])],
+                          np.int64)
+        wave = base + local
+        out = pd.DataFrame({"host": r["host"].to_numpy(),
+                            "wave": wave,
+                            "chk": wave * (r["ts_us"].to_numpy(np.int64)
+                                           % MOD)})
+        agg = out.groupby("host", as_index=False).agg(
+            n_pages=("wave", "size"), last_wave=("wave", "max"),
+            wave_ts_checksum=("chk", "sum"))
+        for c in ("n_pages", "last_wave", "wave_ts_checksum"):
+            agg[c] = agg[c].astype("int64")
+        return agg
+
+    return (rows.union(offsets)
+            .groupby("b")
+            .map_groups(assign, batch_format="pandas")
+            .repartition(8)
+            .groupby("host")
+            .aggregate(Sum("n_pages", alias_name="n_pages"),
+                       Max("last_wave", alias_name="last_wave"),
+                       Sum("wave_ts_checksum",
+                           alias_name="wave_ts_checksum")))
+
+
 def _q_outlink_stats(sf_dir: str):
     """Web-graph OUTLINK edge counts from the raw html payloads (the
     hyperlink-graph build step of a crawl pipeline; semantics + scale
@@ -2012,6 +2156,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "anchor_text_stats": _q_anchor_text_stats,
         "url_template_stats": _q_url_template_stats,
         "zipf_host_rollup": _q_zipf_host_rollup,
+        "crawl_schedule_plan": _q_crawl_schedule_plan,
         "zipf_partition_balance": _q_zipf_partition_balance,
         # LLM-pipeline additions (round 4)
         "line_dedup": _q_line_dedup,
@@ -2294,6 +2439,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_text_stats": _po.anchor_text_stats_sql(),
         "url_template_stats": _po.url_template_stats_sql(),
         "zipf_host_rollup": _po.zipf_host_rollup_sql(),
+        "crawl_schedule_plan": _po.crawl_schedule_plan_sql(),
         "zipf_partition_balance": _po.zipf_partition_balance_sql(),
         "training_corpus": _po.training_corpus_sql(),
         "qc_rollup": _po.qc_rollup_sql(),

@@ -858,3 +858,23 @@ def zipf_partition_balance_sql(num_parts: int = 16) -> str:
         FROM pages
         GROUP BY 1
     """, need_blocks=False, zipf_hosts=True)
+
+
+def crawl_schedule_plan_sql() -> str:
+    """Politeness-wave assignment over the ZIPF-SKEWED frontier: wave =
+    0-based row_number per host ordered by (warc_ts, url); the per-host
+    checksum Σ wave·(epoch_us mod 1000003) pins the complete assignment."""
+    return _with_pages("""
+        SELECT host,
+               CAST(COUNT(*) AS BIGINT) AS n_pages,
+               CAST(MAX(wave) AS BIGINT) AS last_wave,
+               CAST(SUM(wave * ts_mod) AS BIGINT) AS wave_ts_checksum
+        FROM (
+          SELECT regexp_extract(url, '^[a-z]+://([^.]+)\\.', 1) AS host,
+                 row_number() OVER (
+                   PARTITION BY regexp_extract(url, '^[a-z]+://([^.]+)\\.', 1)
+                   ORDER BY warc_ts, url) - 1 AS wave,
+                 CAST(epoch_us(warc_ts) % 1000003 AS BIGINT) AS ts_mod
+          FROM pages
+        ) GROUP BY host
+    """, need_blocks=False, zipf_hosts=True)

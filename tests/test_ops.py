@@ -4569,3 +4569,33 @@ def test_ndcg_eval_perfect_ranking(ray_session, tmp_path):
     out = ndcg_eval(d).to_pandas()
     assert out["dcg_e9"].iloc[0] == out["idcg_e9"].iloc[0] > 0
     assert out["ndcg_e9"].iloc[0] == 1_000_000_000
+
+
+def test_crawl_schedule_plan_matches_pandas_reference(ray_session):
+    """The salted grouped prefix-scan reproduces row_number() OVER
+    (PARTITION BY host ORDER BY ts, url) exactly on the Zipf-skewed
+    frontier (host-00 ~50% of rows), including the duplicate-ts rows."""
+    import pyarrow.dataset as pads
+
+    import __ray_entry__ as e
+
+    got = (e._q_crawl_schedule_plan("/root/testdata/sf0.001")
+           .to_pandas().sort_values("host").reset_index(drop=True))
+
+    at = pads.dataset(e._zipf_pages_dir("/root/testdata/sf0.001")).to_table(
+        columns=["url", "warc_ts"])
+    t = pd.DataFrame({"url": at["url"].to_pandas(),
+                      "ts_us": at["warc_ts"].cast(pa.int64()).to_pandas()})
+    t["host"] = t["url"].str.extract(r"^[a-z]+://([^.]+)\.")
+    t = t.sort_values(["host", "ts_us", "url"], kind="mergesort")
+    t["wave"] = t.groupby("host").cumcount()
+    t["chk"] = t["wave"] * (t["ts_us"] % 1000003)
+    want = (t.groupby("host", as_index=False)
+            .agg(n_pages=("wave", "size"), last_wave=("wave", "max"),
+                 wave_ts_checksum=("chk", "sum"))
+            .astype({"n_pages": "int64", "last_wave": "int64",
+                     "wave_ts_checksum": "int64"})
+            .sort_values("host").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    # the skew is real: the hot host owns ~half the corpus
+    assert want["n_pages"].max() > 0.4 * want["n_pages"].sum()
