@@ -2283,6 +2283,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "psi_feature_drift": rel.psi_feature_drift,
         "score_auc_eval": rel.score_auc_eval,
         "ndcg_eval": rel.ndcg_eval,
+        "source_vocab_jaccard": rel.source_vocab_jaccard,
     }
 
 
@@ -2909,6 +2910,35 @@ def oracle_sql() -> dict[str, str]:
         # PSI drift of each source slice vs the pooled corpus, per
         # shallow feature; density gap in 1e-9 units x log-ratio in
         # micro-nats, each rounded half-away BEFORE the product-sum
+        "source_vocab_jaccard": r"""
+            WITH sv_d AS MATERIALIZED (
+              SELECT source, unnest(list_filter(string_split_regex(
+                       lower(coalesce(text, '')), '\s+'),
+                       x -> x <> '')) AS token
+              FROM documents
+            ), st AS MATERIALIZED (
+              SELECT DISTINCT source, token FROM sv_d
+            ), v AS MATERIALIZED (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+              FROM st GROUP BY source
+            ), inter AS (
+              SELECT a.source AS src_a, b.source AS src_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_common
+              FROM st a JOIN st b
+                ON a.token = b.token AND a.source < b.source
+              GROUP BY 1, 2
+            )
+            SELECT v1.source AS src_a, v2.source AS src_b,
+                   v1.n AS n_a, v2.n AS n_b,
+                   CAST(coalesce(i.n_common, 0) AS BIGINT) AS n_common,
+                   CAST((2 * 1000000000 * coalesce(i.n_common, 0)
+                         + (v1.n + v2.n - coalesce(i.n_common, 0)))
+                        // (2 * (v1.n + v2.n - coalesce(i.n_common, 0)))
+                        AS BIGINT) AS jaccard_e9
+            FROM v v1 JOIN v v2 ON v1.source < v2.source
+            LEFT JOIN inter i
+              ON i.src_a = v1.source AND i.src_b = v2.source
+        """,
         "ndcg_eval": f"""
             WITH nd_d AS MATERIALIZED (
               SELECT doc_id, regexp_split_to_array(

@@ -7497,3 +7497,102 @@ def ndcg_eval(sf_dir: str, query: str = "table hash join", k: int = 10):
             .map_batches(partial, batch_format="pyarrow")
             .repartition(1)
             .map_batches(finalize, batch_format="pyarrow", batch_size=None))
+
+
+def source_vocab_jaccard(sf_dir: str, n_buckets: int = 64):
+    """CORPUS-SLICE SIMILARITY: exact pairwise Jaccard between the
+    distinct-token VOCABULARIES of the ``source`` slices — the
+    slice-comparison a curation pipeline runs to judge how much two
+    crawls / dumps overlap before mixing them (the set-similarity
+    sibling of corpus_log_odds' frequency comparison).
+
+    Exactness topology (the table_profile distinct discipline): each
+    batch pre-dedups its (source, token) pairs, ONE coarse exchange on
+    crc32(token) % n_buckets — a token lives in exactly ONE bucket, so
+    the per-bucket pandas kernel sees every (source, token) pair of
+    that token and its per-source-pair intersection / per-source vocab
+    partials SUM globally; the repartition(1) tail folds ≤ n_buckets ×
+    (|sources|² + |sources|) short rows into
+
+      ``(src_a, src_b, n_a, n_b, n_common, jaccard_e9)``  (src_a < src_b)
+
+    with jaccard_e9 the one half-away integer division of exact counts.
+    The exchange carries per-batch-unique short (source, token) rows —
+    bounded by vocabulary × batches, never token instances."""
+    import zlib
+    from itertools import combinations
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pairs = set()
+        for src, txt in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+            for tok in set((txt or "").lower().split()):
+                pairs.add((src, tok))
+        srcs = [p[0] for p in pairs]
+        toks = [p[1] for p in pairs]
+        return pa.table({
+            "source": pa.array(srcs, pa.string()),
+            "token": pa.array(toks, pa.string()),
+            "bucket": pa.array(
+                [zlib.crc32(x.encode()) % n_buckets for x in toks],
+                pa.int32()),
+        })
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.drop_duplicates(["source", "token"])
+        # vocab sizes per source in this bucket
+        vocab = m.groupby("source").size()
+        # token -> sorted source list; count each co-occurring pair once
+        by_tok = m.groupby("token")["source"].agg(
+            lambda s: tuple(sorted(set(s))))
+        pair_counts: dict = {}
+        for srcs in by_tok:
+            for a, b in combinations(srcs, 2):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + 1
+        rows_a, rows_b, rows_n = [], [], []
+        for s, n in vocab.items():
+            rows_a.append(s)
+            rows_b.append("")          # vocab-size partial row
+            rows_n.append(int(n))
+        for (a, b), n in pair_counts.items():
+            rows_a.append(a)
+            rows_b.append(b)
+            rows_n.append(int(n))
+        return pd.DataFrame({"src_a": pd.array(rows_a, "string").astype(str),
+                             "src_b": pd.array(rows_b, "string").astype(str),
+                             "n": pd.array(rows_n, "int64")})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        df = (t.to_pandas().groupby(["src_a", "src_b"], as_index=False)
+              ["n"].sum())
+        vocab = dict(zip(df[df["src_b"] == ""]["src_a"],
+                         df[df["src_b"] == ""]["n"]))
+        inter = df[df["src_b"] != ""]
+        a_l, b_l, na_l, nb_l, nc_l, j_l = [], [], [], [], [], []
+        for a in sorted(vocab):
+            for b in sorted(vocab):
+                if a >= b:
+                    continue
+                common = int(inter[(inter["src_a"] == a)
+                                   & (inter["src_b"] == b)]["n"].sum())
+                na, nb = int(vocab[a]), int(vocab[b])
+                union = na + nb - common
+                a_l.append(a)
+                b_l.append(b)
+                na_l.append(na)
+                nb_l.append(nb)
+                nc_l.append(common)
+                j_l.append((2 * 10**9 * common + union) // (2 * union))
+        return pa.table({"src_a": pa.array(a_l, pa.string()),
+                         "src_b": pa.array(b_l, pa.string()),
+                         "n_a": pa.array(na_l, pa.int64()),
+                         "n_b": pa.array(nb_l, pa.int64()),
+                         "n_common": pa.array(nc_l, pa.int64()),
+                         "jaccard_e9": pa.array(j_l, pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(bucket_counts, batch_format="pandas")
+            .repartition(1)
+            .map_batches(finalize, batch_format="pyarrow", batch_size=None))

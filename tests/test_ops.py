@@ -4599,3 +4599,28 @@ def test_crawl_schedule_plan_matches_pandas_reference(ray_session):
     pd.testing.assert_frame_equal(got, want)
     # the skew is real: the hot host owns ~half the corpus
     assert want["n_pages"].max() > 0.4 * want["n_pages"].sum()
+
+
+def test_source_vocab_jaccard_exact(ray_session, tmp_path):
+    """Hand-computable vocab sets, including a zero-overlap pair and
+    batch-boundary invariance (row_group_size=1 forces per-doc blocks)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import source_vocab_jaccard
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(pa.table({
+        "source": pa.array(["a", "a", "b", "c"], pa.string()),
+        "text": pa.array(["x y z", "y q", "y z w", "pp qq"], pa.string()),
+    }), os.path.join(d, "documents.parquet"), row_group_size=1)
+    out = (source_vocab_jaccard(d).to_pandas()
+           .set_index(["src_a", "src_b"]))
+    # a={x,y,z,q} b={y,z,w} c={pp,qq}
+    ab = out.loc[("a", "b")]
+    assert (ab["n_a"], ab["n_b"], ab["n_common"]) == (4, 3, 2)
+    assert ab["jaccard_e9"] == 400_000_000        # 2/5
+    ac = out.loc[("a", "c")]
+    assert ac["n_common"] == 0 and ac["jaccard_e9"] == 0
