@@ -2284,6 +2284,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "score_auc_eval": rel.score_auc_eval,
         "ndcg_eval": rel.ndcg_eval,
         "source_vocab_jaccard": rel.source_vocab_jaccard,
+        "mi_term_selection": rel.mi_term_selection,
     }
 
 
@@ -2910,6 +2911,55 @@ def oracle_sql() -> dict[str, str]:
         # PSI drift of each source slice vs the pooled corpus, per
         # shallow feature; density gap in 1e-9 units x log-ratio in
         # micro-nats, each rounded half-away BEFORE the product-sum
+        "mi_term_selection": r"""
+            WITH mi_d AS MATERIALIZED (
+              SELECT lang, unnest(list_distinct(list_filter(
+                       string_split_regex(lower(coalesce(text, '')),
+                                          '\s+'), x -> x <> ''))) AS term
+              FROM documents
+            ), tot AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(COUNT(*) FILTER (lang = 'en') AS BIGINT) AS n1
+              FROM documents
+            ), tc AS MATERIALIZED (
+              SELECT term,
+                     CAST(COUNT(*) FILTER (lang = 'en') AS BIGINT) AS n11,
+                     CAST(COUNT(*) FILTER (lang <> 'en') AS BIGINT) AS n10
+              FROM mi_d GROUP BY term
+            ), cells AS (
+              SELECT term, n11, n10,
+                CASE WHEN n11 = 0 THEN 0 ELSE CAST(ROUND(1000000000.0 * (
+                  (CAST(n11 AS DOUBLE) / t.n) * ln(
+                    (CAST(t.n AS DOUBLE) * CAST(n11 AS DOUBLE))
+                    / (CAST(n11 + n10 AS DOUBLE) * CAST(t.n1 AS DOUBLE)))
+                )) AS BIGINT) END
+                + CASE WHEN n10 = 0 THEN 0 ELSE CAST(ROUND(1000000000.0 * (
+                  (CAST(n10 AS DOUBLE) / t.n) * ln(
+                    (CAST(t.n AS DOUBLE) * CAST(n10 AS DOUBLE))
+                    / (CAST(n11 + n10 AS DOUBLE)
+                       * CAST(t.n - t.n1 AS DOUBLE)))
+                )) AS BIGINT) END
+                + CASE WHEN t.n1 - n11 = 0 THEN 0
+                  ELSE CAST(ROUND(1000000000.0 * (
+                  (CAST(t.n1 - n11 AS DOUBLE) / t.n) * ln(
+                    (CAST(t.n AS DOUBLE) * CAST(t.n1 - n11 AS DOUBLE))
+                    / (CAST(t.n - (n11 + n10) AS DOUBLE)
+                       * CAST(t.n1 AS DOUBLE)))
+                )) AS BIGINT) END
+                + CASE WHEN (t.n - t.n1) - n10 = 0 THEN 0
+                  ELSE CAST(ROUND(1000000000.0 * (
+                  (CAST((t.n - t.n1) - n10 AS DOUBLE) / t.n) * ln(
+                    (CAST(t.n AS DOUBLE)
+                     * CAST((t.n - t.n1) - n10 AS DOUBLE))
+                    / (CAST(t.n - (n11 + n10) AS DOUBLE)
+                       * CAST(t.n - t.n1 AS DOUBLE)))
+                )) AS BIGINT) END AS mi_e9
+              FROM tc, tot t
+            )
+            SELECT term, n11, n10, CAST(mi_e9 AS BIGINT) AS mi_e9
+            FROM cells
+            ORDER BY mi_e9 DESC, term LIMIT 25
+        """,
         "source_vocab_jaccard": r"""
             WITH sv_d AS MATERIALIZED (
               SELECT source, unnest(list_filter(string_split_regex(

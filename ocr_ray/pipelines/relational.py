@@ -7596,3 +7596,100 @@ def source_vocab_jaccard(sf_dir: str, n_buckets: int = 64):
             .map_groups(bucket_counts, batch_format="pandas")
             .repartition(1)
             .map_batches(finalize, batch_format="pyarrow", batch_size=None))
+
+
+def mi_term_selection(sf_dir: str, pos_lang: str = "en", k: int = 25,
+                      n_buckets: int = 64):
+    """MUTUAL-INFORMATION term selection (Manning IR ch.13 — the
+    feature-selection step before training a text classifier; the
+    information-theoretic sibling of corpus_log_odds): for each term,
+    MI between doc-level term PRESENCE and the ``lang == pos_lang``
+    class over the 2×2 contingency table, each of the four cells
+    rounded half-away to integer e9-units BEFORE the sum (zero cells
+    contribute exactly 0 on both sides), top-k by (mi_e9 desc, term).
+
+    Topology: a two-scalar class-count pass (N, N_pos) folds to the
+    driver; per-batch Counter partials over per-doc DISTINCT tokens
+    ship (term, n11, n10) rows into ONE crc32(term) coarse exchange — a
+    term lives in one bucket, so per-bucket sums are global and the
+    vectorized MI + per-bucket top-k make the repartition(1) tail fold
+    ≤ n_buckets × k rows.  Output ``(term, n11, n10, mi_e9)``."""
+    import collections
+    import zlib
+
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+
+    def class_partial(t: pa.Table) -> pa.Table:
+        pos = int(pc.sum(pc.cast(pc.equal(t["lang"], pos_lang),
+                                 pa.int64())).as_py() or 0)
+        return pa.table({"n": pa.array([t.num_rows], pa.int64()),
+                         "n1": pa.array([pos], pa.int64())})
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows <= 1:
+            return t
+        return pa.table({c: pa.array([int(pc.sum(t[c]).as_py() or 0)],
+                                     pa.int64())
+                         for c in t.column_names})
+
+    srows = _prefold(ds.map_batches(class_partial, batch_format="pyarrow"),
+                     fold).take_all()
+    n = sum(r["n"] for r in srows)
+    n1 = sum(r["n1"] for r in srows)
+
+    def partial(t: pa.Table) -> pa.Table:
+        c11: collections.Counter = collections.Counter()
+        c10: collections.Counter = collections.Counter()
+        for txt, lg in zip(t["text"].to_pylist(), t["lang"].to_pylist()):
+            toks = set((txt or "").lower().split())
+            (c11 if lg == pos_lang else c10).update(toks)
+        terms = sorted(set(c11) | set(c10))
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "n11": pa.array([c11.get(x, 0) for x in terms], pa.int64()),
+            "n10": pa.array([c10.get(x, 0) for x in terms], pa.int64()),
+            "bucket": pa.array(
+                [zlib.crc32(x.encode()) % n_buckets for x in terms],
+                pa.int32()),
+        })
+
+    n_f, n1_f, n0_f = float(n), float(n1), float(n - n1)
+
+    def _cells(n11: np.ndarray, n10: np.ndarray) -> np.ndarray:
+        row1 = (n11 + n10).astype(np.float64)
+        row0 = n_f - row1
+        mi = np.zeros(len(n11), np.int64)
+        for cnt, row, col in (
+                (n11.astype(np.float64), row1, n1_f),
+                (n10.astype(np.float64), row1, n0_f),
+                (n1_f - n11.astype(np.float64), row0, n1_f),
+                (n0_f - n10.astype(np.float64), row0, n0_f)):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                x = np.where(cnt > 0,
+                             1e9 * ((cnt / n_f)
+                                    * np.log((n_f * cnt)
+                                             / np.where(row * col > 0,
+                                                        row * col, 1.0))),
+                             0.0)
+            mi += np.copysign(np.floor(np.abs(x) + 0.5), x).astype(np.int64)
+        return mi
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("term", as_index=False)[["n11", "n10"]].sum()
+        m["mi_e9"] = _cells(m["n11"].to_numpy(np.int64),
+                            m["n10"].to_numpy(np.int64))
+        m = m.sort_values(["mi_e9", "term"],
+                          ascending=[False, True]).head(k)
+        return m[["term", "n11", "n10", "mi_e9"]].astype(
+            {"n11": "int64", "n10": "int64", "mi_e9": "int64"})
+
+    def final(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("mi_e9", "descending"),
+                                            ("term", "ascending")])[:k]
+        return t.take(idx)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(bucket_topk, batch_format="pandas")
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow", batch_size=None))

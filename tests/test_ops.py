@@ -4624,3 +4624,30 @@ def test_source_vocab_jaccard_exact(ray_session, tmp_path):
     assert ab["jaccard_e9"] == 400_000_000        # 2/5
     ac = out.loc[("a", "c")]
     assert ac["n_common"] == 0 and ac["jaccard_e9"] == 0
+
+
+def test_mi_term_selection_properties(ray_session, tmp_path):
+    """A perfectly class-separating term maxes MI; a term present in
+    every document carries zero information; batch boundaries don't
+    change anything (row_group_size=1)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import mi_term_selection
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(pa.table({
+        "text": pa.array(["aa common", "aa common", "bb common",
+                          "bb common"], pa.string()),
+        "lang": pa.array(["en", "en", "fr", "de"], pa.string()),
+    }), os.path.join(d, "documents.parquet"), row_group_size=1)
+    out = mi_term_selection(d, k=10).to_pandas().set_index("term")
+    # aa <-> en perfectly: MI = ln 2 (two cells of 0.5·ln2, each
+    # e9-rounded before the sum: 2 × 346573590)
+    assert out.loc["aa", "mi_e9"] == 693147180
+    assert out.loc["bb", "mi_e9"] == 693147180
+    assert out.loc["common", "mi_e9"] == 0
+    assert (out.loc["aa", ["n11", "n10"]].tolist() == [2, 0]
+            and out.loc["bb", ["n11", "n10"]].tolist() == [0, 2])
