@@ -2285,6 +2285,8 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "ndcg_eval": rel.ndcg_eval,
         "source_vocab_jaccard": rel.source_vocab_jaccard,
         "mi_term_selection": rel.mi_term_selection,
+        "kwic_snippets": rel.kwic_snippets,
+        "calibration_bins": rel.calibration_bins,
     }
 
 
@@ -2911,6 +2913,37 @@ def oracle_sql() -> dict[str, str]:
         # PSI drift of each source slice vs the pooled corpus, per
         # shallow feature; density gap in 1e-9 units x log-ratio in
         # micro-nats, each rounded half-away BEFORE the product-sum
+        "calibration_bins": r"""
+            WITH cb_s AS (
+              SELECT least(n_chars, 500) AS m,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+              FROM documents
+            )
+            SELECT CAST(least(9, (m * 10) // 500) AS BIGINT) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(pos) AS BIGINT) AS n_pos,
+                   CAST(SUM(CAST(m AS BIGINT) * 2000000) AS BIGINT)
+                     AS sum_p_e9,
+                   CAST((2000000000 * CAST(SUM(pos) AS HUGEINT)
+                         + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+                     AS frac_pos_e9
+            FROM cb_s GROUP BY 1
+        """,
+        "kwic_snippets": r"""
+            WITH kw_d AS (
+              SELECT doc_id, list_filter(string_split_regex(
+                       lower(coalesce(text, '')), '\s+'),
+                       x -> x <> '') AS ws
+              FROM documents
+            ), m AS (
+              SELECT doc_id, ws, list_position(ws, 'vector') AS p
+              FROM kw_d
+            )
+            SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
+                   array_to_string(list_slice(
+                     ws, greatest(1, p - 3), p + 3), ' ') AS snippet
+            FROM m WHERE p IS NOT NULL AND p > 0
+        """,
         "mi_term_selection": r"""
             WITH mi_d AS MATERIALIZED (
               SELECT lang, unnest(list_distinct(list_filter(

@@ -7693,3 +7693,79 @@ def mi_term_selection(sf_dir: str, pos_lang: str = "en", k: int = 25,
             .map_groups(bucket_topk, batch_format="pandas")
             .repartition(1)
             .map_batches(final, batch_format="pyarrow", batch_size=None))
+
+
+def kwic_snippets(sf_dir: str, term: str = "vector", window: int = 3):
+    """KEYWORD-IN-CONTEXT snippet generation — the search-result
+    presentation step over a matched corpus (every hit of
+    term_search_indexed needs the ±window tokens around its first
+    occurrence).  Embarrassingly parallel single pass: per doc, the
+    first occurrence index of ``term`` in the lower().split() token
+    stream and the inclusive ±window token slice joined by single
+    spaces.  Output ``(doc_id, pos, snippet)`` for matching docs only;
+    ``pos`` is the 0-based token index."""
+    t_lower = term.lower()
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids, poss, snips = [], [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = (txt or "").lower().split()
+            try:
+                i = toks.index(t_lower)
+            except ValueError:
+                continue
+            ids.append(did)
+            poss.append(i)
+            snips.append(" ".join(toks[max(0, i - window): i + window + 1]))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "pos": pa.array(poss, pa.int64()),
+                         "snippet": pa.array(snips, pa.string())})
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(partial, batch_format="pyarrow"))
+
+
+def calibration_bins(sf_dir: str, pos_lang: str = "en", cap: int = 500,
+                     n_bins: int = 10):
+    """RELIABILITY-DIAGRAM bins (the calibration eval beside
+    score_auc_eval's ranking eval): treating p = min(n_chars, cap)/cap
+    as a predicted probability of ``lang == pos_lang``, bucket docs
+    into n_bins equal-width probability bins and report per bin the
+    count, positives, Σ predicted (exactly 10^9·p per doc — an integer
+    because 10^9/cap divides evenly at cap=500), and the observed
+    positive fraction as one half-away integer division.
+
+    Embarrassingly parallel per-batch pre-agg (≤ n_bins short rows per
+    batch) into an n_bins-key groupby; a final vectorized map computes
+    the fraction.  Output ``(bin, n, n_pos, sum_p_e9, frac_pos_e9)``."""
+    from ray.data.aggregate import Sum
+
+    scale = 10**9 // cap
+    assert scale * cap == 10**9, "cap must divide 1e9 for exact sums"
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = np.minimum(t["n_chars"].to_numpy().astype(np.int64), cap)
+        pos = pc.equal(t["lang"], pos_lang).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        b = np.minimum(n_bins - 1, (m * n_bins) // cap)
+        df = (pd.DataFrame({"bin": b, "pos": pos, "p_e9": m * scale})
+              .groupby("bin", as_index=False)
+              .agg(n=("pos", "size"), n_pos=("pos", "sum"),
+                   sum_p_e9=("p_e9", "sum")))
+        return pa.Table.from_pandas(
+            df.astype({c: "int64" for c in df.columns}),
+            preserve_index=False)
+
+    def final(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy()
+        npos = t["n_pos"].to_numpy()
+        frac = (2 * 10**9 * npos + n) // (2 * n)
+        return t.append_column("frac_pos_e9", pa.array(frac, pa.int64()))
+
+    return (_read(sf_dir, "documents", ["n_chars", "lang"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("bin")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("n_pos", alias_name="n_pos"),
+                       Sum("sum_p_e9", alias_name="sum_p_e9"))
+            .map_batches(final, batch_format="pyarrow"))

@@ -4651,3 +4651,37 @@ def test_mi_term_selection_properties(ray_session, tmp_path):
     assert out.loc["common", "mi_e9"] == 0
     assert (out.loc["aa", ["n11", "n10"]].tolist() == [2, 0]
             and out.loc["bb", ["n11", "n10"]].tolist() == [0, 2])
+
+
+def test_kwic_and_calibration(ray_session, tmp_path):
+    """KWIC takes the FIRST occurrence and clamps the window at both
+    edges; calibration bins are pure-integer and account every row."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import calibration_bins, kwic_snippets
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["vector at start only",
+                          "a b c d vector e f g h vector",
+                          "no match here"], pa.string()),
+        "n_chars": pa.array([10, 250, 600], pa.int64()),
+        "lang": pa.array(["en", "fr", "en"], pa.string()),
+    }), os.path.join(d, "documents.parquet"))
+
+    kw = kwic_snippets(d).to_pandas().set_index("doc_id")
+    assert len(kw) == 2
+    assert kw.loc[0, "pos"] == 0
+    assert kw.loc[0, "snippet"] == "vector at start only"
+    assert kw.loc[1, "pos"] == 4      # first occurrence, not the second
+    assert kw.loc[1, "snippet"] == "b c d vector e f g"
+
+    cb = calibration_bins(d).to_pandas().set_index("bin")
+    assert int(cb["n"].sum()) == 3
+    assert cb.loc[0, "sum_p_e9"] == 10 * 2_000_000
+    assert cb.loc[9, "n_pos"] == 1 and cb.loc[9, "frac_pos_e9"] == 10**9
+    assert cb.loc[5, "frac_pos_e9"] == 0
