@@ -696,7 +696,7 @@ def _q_knn_lsh(sf_dir: str):
     return knn_lsh(ds, _query_vec(sf_dir), k=10)
 
 
-_ANN_INDEX_VERSION = 1
+_ANN_INDEX_VERSION = 2   # v2: bm25 stats moved to summable stats/ segments
 
 
 def _cached_build(prefix: str, src: str, fp_extra: str, build_fn) -> str:
@@ -969,6 +969,41 @@ def _q_bm25_search_indexed(sf_dir: str):
     from ocr_ray.pipelines.textsearch import bm25_search_indexed
 
     return bm25_search_indexed(_bm25_index(sf_dir), "table hash join", k=20)
+
+
+def _q_bm25_search_updated(sf_dir: str):
+    """BM25 over an INCREMENTALLY-built postings layout: base index
+    from the doc_id < 256 slice, the rest ingested with
+    update_bm25_index (posting files inside the same bucket partitions
+    + one more summable stats segment), then the same pruned top-20
+    lookup — the oracle is the FULL-corpus BM25, pinning that an
+    updated index scores identically to a rebuild (idf/avgdl re-derived
+    from the summed segments)."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from ocr_ray.config import DEFAULT_CONFIG
+    from ocr_ray.pipelines.textsearch import (bm25_search_indexed,
+                                              build_bm25_index,
+                                              update_bm25_index)
+
+    t_split = 256
+    src = os.path.join(sf_dir, "documents.parquet")
+
+    def build(tmp: str) -> None:
+        base = rd.read_parquet(
+            src, columns=["doc_id", "text"],
+            filter=(pads.field("doc_id") < pads.scalar(t_split)))
+        build_bm25_index(base, tmp)
+        new = rd.read_parquet(
+            src, columns=["doc_id", "text"],
+            filter=(pads.field("doc_id") >= pads.scalar(t_split)))
+        update_bm25_index(tmp, new)
+
+    idx = _cached_build(
+        "bm25_upd", src,
+        f"b{DEFAULT_CONFIG.term_index_buckets}_t{t_split}", build)
+    return bm25_search_indexed(idx, "table hash join", k=20)
 
 
 def _q_term_search_updated(sf_dir: str):
@@ -2185,6 +2220,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "term_search_indexed": _q_term_search_indexed,
         "term_search_updated": _q_term_search_updated,
         "bm25_search_indexed": _q_bm25_search_indexed,
+        "bm25_search_updated": _q_bm25_search_updated,
         "bool_search_indexed": _q_bool_search_indexed,
         "knn_join_lsh": _q_knn_join,
         "doc_length_quantiles_by_lang": rel.doc_length_quantiles_by_lang,
@@ -4951,6 +4987,7 @@ def oracle_sql() -> dict[str, str]:
         # combined the same way)
         "bm25_search": _BM25_SQL,
         "bm25_search_indexed": _BM25_SQL,
+        "bm25_search_updated": _BM25_SQL,
         # exact integer Gram entries over e6-scaled components (d1 <= d2)
         "embedding_gram_matrix": """
             WITH e AS MATERIALIZED (

@@ -251,9 +251,13 @@ def build_bm25_index(ds, index_dir: str, text_col: str = "text",
     driver scalars.  Cost: +8 bytes/posting vs the tf-only index —
     bytes-read per query stays ~|query buckets|/n_buckets of the corpus
     postings.  Two build passes over the corpus (postings, then the
-    n_docs/sum_dl fold); both stream."""
-    import pyarrow.parquet as pq
+    n_docs/sum_dl fold); both stream.
 
+    Stats live as append-only one-row SEGMENTS (``stats/*.parquet``)
+    that the reader SUMS — so :func:`update_bm25_index` can ingest a
+    new corpus slice by adding posting files + one stats segment
+    without touching existing files (a concurrent reader sees either
+    the old or the extended index, never a torn one)."""
     if n_buckets is None:
         n_buckets = DEFAULT_CONFIG.term_index_buckets
 
@@ -298,13 +302,54 @@ def build_bm25_index(ds, index_dir: str, text_col: str = "text",
              .repartition(DEFAULT_CONFIG.driver_fold_buckets)
              .map_batches(stat_add, batch_format="pyarrow",
                           batch_size=None).take_all())
-    pq.write_table(
-        pa.table({"n_docs": pa.array([sum(r["n_docs"] for r in srows)],
-                                     pa.int64()),
-                  "sum_dl": pa.array([sum(r["sum_dl"] for r in srows)],
-                                     pa.int64())}),
-        os.path.join(index_dir, "stats.parquet"))
+    _write_stats_segment(index_dir,
+                         sum(r["n_docs"] for r in srows),
+                         sum(r["sum_dl"] for r in srows))
     return index_dir
+
+
+def _write_stats_segment(index_dir: str, n_docs: int, sum_dl: int) -> None:
+    """Append one (n_docs, sum_dl) stats segment — uuid-named so
+    concurrent ingests never collide; readers sum every segment."""
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    d = os.path.join(index_dir, "stats")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.table({"n_docs": pa.array([n_docs], pa.int64()),
+                  "sum_dl": pa.array([sum_dl], pa.int64())}),
+        os.path.join(d, f"seg-{uuid.uuid4().hex}.parquet"))
+
+
+def _read_stats(index_dir: str) -> tuple:
+    """Sum every stats segment (exact ints — segment order irrelevant)."""
+    import pyarrow.parquet as pq
+
+    n_docs = sum_dl = 0
+    for f in sorted(glob.glob(os.path.join(index_dir, "stats",
+                                           "*.parquet"))):
+        t = pq.read_table(f)
+        n_docs += int(pc.sum(t["n_docs"]).as_py() or 0)
+        sum_dl += int(pc.sum(t["sum_dl"]).as_py() or 0)
+    return n_docs, sum_dl
+
+
+def update_bm25_index(index_dir: str, new_ds, text_col: str = "text",
+                      key_col: str = "doc_id",
+                      n_buckets: int | None = None) -> str:
+    """INGEST a new document slice into an existing
+    :func:`build_bm25_index` layout — completing append-only continuous
+    ingestion across all FOUR persisted index families (minhash bands,
+    IVF cells, term postings, BM25 postings).  New posting files land
+    inside the existing ``bucket=`` hive partitions (uuid names, old
+    files untouched) and ONE new stats segment carries the slice's
+    (n_docs, sum_dl); the scorer re-derives idf/avgdl from the summed
+    segments, so an updated index scores IDENTICALLY to a full rebuild
+    over the merged corpus.  ``n_buckets`` must match the build."""
+    return build_bm25_index(new_ds, index_dir, text_col=text_col,
+                            key_col=key_col, n_buckets=n_buckets)
 
 
 def bm25_search_indexed(index_dir: str, query: str, k: int = 20,
@@ -317,7 +362,7 @@ def bm25_search_indexed(index_dir: str, query: str, k: int = 20,
     contributions round to integer micro-units BEFORE the per-doc sum).
 
     Scale shape: reads ONLY the query terms' bucket partitions plus the
-    one-row stats file — never the corpus or the other buckets.  The
+    tiny stats segments — never the corpus or the other buckets.  The
     candidate postings (df-bounded) are materialized once and reused for
     the df count and the scoring pass; the single exchange carries one
     (doc, score-contribution) row per candidate posting into a coarse
@@ -326,7 +371,6 @@ def bm25_search_indexed(index_dir: str, query: str, k: int = 20,
     Ordering: score_e6 desc, key asc."""
     import numpy as np
     import pandas as pd
-    import pyarrow.parquet as pq
 
     if n_buckets is None:
         n_buckets = DEFAULT_CONFIG.term_index_buckets
@@ -345,9 +389,7 @@ def bm25_search_indexed(index_dir: str, query: str, k: int = 20,
     if not files:
         return _empty()
 
-    stats = pq.read_table(os.path.join(index_dir, "stats.parquet"))
-    n_docs = int(stats["n_docs"][0].as_py())
-    sum_dl = int(stats["sum_dl"][0].as_py())
+    n_docs, sum_dl = _read_stats(index_dir)
     avgdl = float(sum_dl) / n_docs
 
     def pick(tab: pa.Table) -> pa.Table:

@@ -4685,3 +4685,39 @@ def test_kwic_and_calibration(ray_session, tmp_path):
     assert cb.loc[0, "sum_p_e9"] == 10 * 2_000_000
     assert cb.loc[9, "n_pos"] == 1 and cb.loc[9, "frac_pos_e9"] == 10**9
     assert cb.loc[5, "frac_pos_e9"] == 0
+
+
+def test_update_bm25_index_equals_full_build(ray_session, tmp_path):
+    """Append-only BM25 ingestion scores bit-identically to a full
+    rebuild over the merged corpus (idf/avgdl from summed stats
+    segments), and ingestion only ADDS files."""
+    import glob
+    import os
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from ocr_ray.pipelines.textsearch import (bm25_search_indexed,
+                                              build_bm25_index,
+                                              update_bm25_index)
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    base = rd.read_parquet(src, columns=["doc_id", "text"],
+                           filter=(pads.field("doc_id") < pads.scalar(256)))
+    build_bm25_index(base, inc)
+    pre_files = set(glob.glob(os.path.join(inc, "postings", "bucket=*",
+                                           "*.parquet")))
+    new = rd.read_parquet(src, columns=["doc_id", "text"],
+                          filter=(pads.field("doc_id") >= pads.scalar(256)))
+    update_bm25_index(inc, new)
+    assert pre_files <= set(glob.glob(
+        os.path.join(inc, "postings", "bucket=*", "*.parquet")))
+    assert len(glob.glob(os.path.join(inc, "stats", "*.parquet"))) == 2
+
+    build_bm25_index(rd.read_parquet(src, columns=["doc_id", "text"]), full)
+    got = bm25_search_indexed(inc, "table hash join", k=20).to_pandas()
+    want = bm25_search_indexed(full, "table hash join", k=20).to_pandas()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True))
