@@ -387,30 +387,33 @@ def _kcore_sql(k: int = 4, rounds: int = 6) -> str:
     return "WITH " + ",\n        ".join(parts) + "\n            " + selects
 
 
-_BM25_SQL = r"""
-            WITH d AS MATERIALIZED (
+def _bm25_cte_block(p: str, q_sql: str, k: int) -> str:
+    """BM25 CTE chain with prefixed names (embedded WITHs share one
+    namespace in DuckDB) over an arbitrary query-term source ``q_sql``;
+    ends in ``{p}bm(doc_id, score_e6)`` — top-k, score desc / doc asc.
+    The float expression shape matches bm25_search op-for-op."""
+    return f"""{p}d AS MATERIALIZED (
               SELECT doc_id, regexp_split_to_array(
-                       lower(coalesce(text, '')), '\s+') AS arr
+                       lower(coalesce(text, '')), '\\s+') AS arr
               FROM documents
-            ), toks AS MATERIALIZED (
-              SELECT doc_id, unnest(arr) AS term FROM d
-            ), lens AS MATERIALIZED (
+            ), {p}toks AS MATERIALIZED (
+              SELECT doc_id, unnest(arr) AS term FROM {p}d
+            ), {p}lens AS MATERIALIZED (
               SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
-              FROM toks WHERE term <> '' GROUP BY doc_id
-            ), q AS (
-              SELECT * FROM (VALUES ('table'), ('hash'), ('join')) t(term)
-            ), tf AS MATERIALIZED (
+              FROM {p}toks WHERE term <> '' GROUP BY doc_id
+            ), {p}q AS ({q_sql}
+            ), {p}tf AS MATERIALIZED (
               SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-              FROM toks JOIN q USING (term) GROUP BY doc_id, term
-            ), stats AS MATERIALIZED (
+              FROM {p}toks JOIN {p}q USING (term) GROUP BY doc_id, term
+            ), {p}stats AS MATERIALIZED (
               SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
                          AS n_docs,
-                     (SELECT CAST(COUNT(*) AS BIGINT) FROM toks
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM {p}toks
                       WHERE term <> '') AS sum_dl
-            ), df AS MATERIALIZED (
+            ), {p}df AS MATERIALIZED (
               SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
-              FROM toks JOIN q USING (term) GROUP BY term
-            ), contrib AS (
+              FROM {p}toks JOIN {p}q USING (term) GROUP BY term
+            ), {p}contrib AS (
               SELECT tf.doc_id,
                 CAST(ROUND(1000000.0 * (
                   (ln(((CAST(s.n_docs AS DOUBLE) - df.df) + 0.5)
@@ -421,15 +424,39 @@ _BM25_SQL = r"""
                               + (0.75 * CAST(l.dl AS DOUBLE))
                                 / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
                 )) AS BIGINT) AS c
-              FROM tf
-                JOIN df USING (term)
-                JOIN lens l ON tf.doc_id = l.doc_id,
-                stats s
-            )
-            SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_e6
-            FROM contrib GROUP BY doc_id
-            ORDER BY score_e6 DESC, doc_id LIMIT 20
-        """
+              FROM {p}tf tf
+                JOIN {p}df df USING (term)
+                JOIN {p}lens l ON tf.doc_id = l.doc_id,
+                {p}stats s
+            ), {p}bm AS (
+              SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_e6
+              FROM {p}contrib GROUP BY doc_id
+              ORDER BY score_e6 DESC, doc_id LIMIT {k}
+            )"""
+
+
+_BM25_Q = "SELECT * FROM (VALUES ('table'), ('hash'), ('join')) t(term)"
+
+_BM25_SQL = ("WITH " + _bm25_cte_block("", _BM25_Q, 20)
+             + "\n            SELECT doc_id, score_e6 FROM bm"
+             + "\n            ORDER BY score_e6 DESC, doc_id")
+
+_PRF_SQL = (
+    "WITH " + _bm25_cte_block("p1", _BM25_Q, 10) + """,
+            prf_fb AS (SELECT doc_id FROM p1bm),
+            prf_ftoks AS (
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM p1toks JOIN prf_fb USING (doc_id)
+              WHERE term <> '' AND term NOT IN ('table', 'hash', 'join')
+              GROUP BY term
+            ),
+            prf_exp AS (
+              SELECT term FROM prf_ftoks ORDER BY tf DESC, term LIMIT 3
+            ),
+            """ + _bm25_cte_block(
+        "p2", "SELECT term FROM prf_exp UNION " + _BM25_Q, 10)
+    + "\n            SELECT doc_id, score_e6 FROM p2bm"
+    + "\n            ORDER BY score_e6 DESC, doc_id")
 
 _RRF_SQL = f"""
             WITH bm AS MATERIALIZED ({_BM25_SQL}),
@@ -2322,6 +2349,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "source_vocab_jaccard": rel.source_vocab_jaccard,
         "mi_term_selection": rel.mi_term_selection,
         "kwic_snippets": rel.kwic_snippets,
+        "prf_expanded_search": rel.prf_expanded_search,
         "calibration_bins": rel.calibration_bins,
     }
 
@@ -4988,6 +5016,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _BM25_SQL,
         "bm25_search_indexed": _BM25_SQL,
         "bm25_search_updated": _BM25_SQL,
+        "prf_expanded_search": _PRF_SQL,
         # exact integer Gram entries over e6-scaled components (d1 <= d2)
         "embedding_gram_matrix": """
             WITH e AS MATERIALIZED (

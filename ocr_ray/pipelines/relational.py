@@ -7769,3 +7769,43 @@ def calibration_bins(sf_dir: str, pos_lang: str = "en", cap: int = 500,
                        Sum("n_pos", alias_name="n_pos"),
                        Sum("sum_p_e9", alias_name="sum_p_e9"))
             .map_batches(final, batch_format="pyarrow"))
+
+
+def prf_expanded_search(sf_dir: str, query: str = "table hash join",
+                        k: int = 10, n_expand: int = 3):
+    """PSEUDO-RELEVANCE-FEEDBACK query expansion (Rocchio/RM1-lite —
+    the classic two-round retrieval loop): run BM25 top-k, mine the
+    n_expand highest-total-tf terms from those feedback docs (original
+    query terms excluded; ties break on the term), and re-run BM25 with
+    the expanded term set.  Deterministic end to end.
+
+    Scale shape: the feedback set is k rows (bounded driver take); the
+    mining pass streams the corpus once but emits rows ONLY for the k
+    feedback docs (per-batch Counter over their tokens — the take_all
+    is bounded by the feedback vocabulary, not the corpus); both BM25
+    rounds are the documented two-pass bm25_search.  Output
+    ``(doc_id, score_e6)`` of the expanded query's top-k."""
+    import collections
+
+    fb = bm25_search(sf_dir, query, k=k).to_pandas()
+    fb_ids = set(int(x) for x in fb["doc_id"])
+    qterms = set(query.lower().split())
+
+    def mine(t: pa.Table) -> pa.Table:
+        ctr: collections.Counter = collections.Counter()
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if did in fb_ids:
+                ctr.update(w for w in (txt or "").lower().split()
+                           if w not in qterms)
+        terms = sorted(ctr)
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "tf": pa.array([ctr[x] for x in terms],
+                                        pa.int64())})
+
+    rows = (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(mine, batch_format="pyarrow").to_pandas())
+    tot = rows.groupby("term", as_index=False)["tf"].sum()
+    tot = tot.sort_values(["tf", "term"], ascending=[False, True])
+    expansion = list(tot["term"].head(n_expand))
+    expanded_query = " ".join(sorted(qterms | set(expansion)))
+    return bm25_search(sf_dir, expanded_query, k=k)

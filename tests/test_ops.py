@@ -4721,3 +4721,18 @@ def test_update_bm25_index_equals_full_build(ray_session, tmp_path):
     want = bm25_search_indexed(full, "table hash join", k=20).to_pandas()
     pd.testing.assert_frame_equal(got.reset_index(drop=True),
                                   want.reset_index(drop=True))
+
+
+def test_prf_expanded_search_changes_ranking(ray_session):
+    """PRF is deterministic across runs and the expanded query actually
+    retrieves with more terms (scores differ from the base BM25 run
+    unless expansion was empty)."""
+    from ocr_ray.pipelines.relational import bm25_search, prf_expanded_search
+
+    sf = "/root/testdata/sf0.001"
+    a = prf_expanded_search(sf).to_pandas()
+    b = prf_expanded_search(sf).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    base = bm25_search(sf, "table hash join", k=10).to_pandas()
+    assert len(a) == 10
+    assert not a["score_e6"].equals(base["score_e6"])
