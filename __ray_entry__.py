@@ -198,6 +198,16 @@ def _q_simhash_near_dup(sf_dir: str):
     return simhash_near_dup(ds)
 
 
+def _q_simhash_hamming_histogram(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.pipelines.dedup import simhash_hamming_histogram
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return simhash_hamming_histogram(ds)
+
+
 def _q_winnow_near_dup(sf_dir: str):
     """Rolling-hash (winnowing) fingerprint near-copy pairs."""
     import ray.data as rd
@@ -2161,6 +2171,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup": _q_minhash,
         "simhash_table": _q_simhash,
         "simhash_near_dup": _q_simhash_near_dup,
+        "simhash_hamming_histogram": _q_simhash_hamming_histogram,
         "winnow_near_dup": _q_winnow_near_dup,
         "ngram_jaccard_near_dup": _q_ngram_jaccard,
         "near_dup_filter_stats": _q_near_dup_filter_stats,
@@ -2456,6 +2467,7 @@ def oracle_sql() -> dict[str, str]:
         # entity matching (ocr_ray/dedup_oracle_sql.py)
         "simhash_table": _do.simhash_table_sql(),
         "simhash_near_dup": _do.simhash_near_dup_sql(),
+        "simhash_hamming_histogram": _do.simhash_hamming_histogram_sql(),
         "minhash_near_dup": _do.minhash_near_dup_sql(),
         "winnow_near_dup": _do.winnow_near_dup_sql(),
         "ngram_jaccard_near_dup": _do.ngram_jaccard_sql(),

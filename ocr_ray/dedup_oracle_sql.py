@@ -1181,3 +1181,32 @@ def minhash_param_recall_sql(rows_list: tuple[int, ...] = (2, 4, 8, 16),
         {cfg_chain}
         {body}
     """
+
+
+def simhash_hamming_histogram_sql(max_bucket: int = 512) -> str:
+    """Hamming-distance histogram over ALL distinct simhash candidate
+    pairs (shared 16-bit chunk, star-capped degenerate buckets) — the
+    unfiltered sibling of simhash_near_dup_sql's pair CTE."""
+    return f"""
+        WITH {_SIMHASH_CTES},
+        chunks AS (
+          SELECT doc_id, v, c.c, (v >> (16 * c.c)) & 65535 AS chunk
+          FROM sh, unnest(range(0, 4)) AS c(c)
+        ),
+        bsize AS (
+          SELECT c, chunk, count(*) AS n, min(doc_id) AS mn
+          FROM chunks GROUP BY c, chunk
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 bit_count(xor(a.v, b.v)) AS hamming
+          FROM chunks a
+          JOIN chunks b ON a.c = b.c AND a.chunk = b.chunk
+                        AND a.doc_id < b.doc_id
+          JOIN bsize s ON s.c = a.c AND s.chunk = a.chunk
+          WHERE (s.n <= {max_bucket} OR a.doc_id = s.mn)
+        )
+        SELECT CAST(hamming AS BIGINT) AS hamming,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM pairs GROUP BY hamming
+    """

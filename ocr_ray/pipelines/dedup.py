@@ -1681,3 +1681,86 @@ def minhash_param_recall(ds, exact_pairs, rows_list: tuple[int, ...] = (2, 4, 8,
         .repartition(1)
         .map_batches(finalize, batch_format="pandas", batch_size=None)
     )
+
+
+def simhash_hamming_histogram(ds, text_col: str = "text",
+                              key_col: str = "doc_id",
+                              cfg: PipelineConfig = DEFAULT_CONFIG):
+    """THRESHOLD-MARGIN DIAGNOSTIC for the simhash family: the histogram
+    of hamming distances over ALL candidate pairs (pairs sharing at
+    least one exact 16-bit chunk, star-capped in degenerate buckets
+    exactly like :func:`simhash_near_dup`) — how a curation run picks
+    ``max_hamming`` with evidence instead of folklore: a bimodal
+    histogram separates near-dups from chunk-collision noise.
+
+    Same topology as the near-dup op (chunk rows → coarse bucket →
+    in-bucket vectorized pairing) except no hamming filter; the pair
+    stream dedups through the splitmix64 pair-bucket exchange carrying
+    (id_a, id_b, hamming), then per-batch histogram partials reduce over
+    ≤ 65 keys.  Output ``(hamming, n_pairs)``."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    n_buckets = cfg.near_dup_coarse_buckets
+    MAX_BUCKET = cfg.near_dup_max_bucket
+
+    def to_chunks(batch: pa.Table) -> pa.Table:
+        ids, chunks, chunk_ids, sims = [], [], [], []
+        for did, txt in zip(batch[key_col].to_pylist(),
+                            batch[text_col].to_pylist()):
+            sh = simhash64(txt or "")
+            for c in range(4):
+                ids.append(did)
+                chunk_ids.append(c)
+                chunks.append((sh >> (16 * c)) & 0xFFFF)
+                sims.append(sh)
+        return pa.table({
+            key_col: pa.array(ids, pa.int64()),
+            "chunk_id": pa.array(chunk_ids, pa.int32()),
+            "chunk": pa.array(chunks, pa.int32()),
+            "sh": pa.array([format(s, "016x") for s in sims], pa.string()),
+            "bucket": pa.array(
+                [(c * 65536 + v) % n_buckets
+                 for c, v in zip(chunk_ids, chunks)], pa.int32()),
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a, b, h = [], [], []
+        for _, grp in g.groupby(["chunk_id", "chunk"], sort=True):
+            rows = grp.drop_duplicates(subset=[key_col]).sort_values(key_col)
+            ids = rows[key_col].tolist()
+            if len(ids) < 2:
+                continue
+            shs = [int(s, 16) for s in rows["sh"].tolist()]
+            if len(ids) > MAX_BUCKET:
+                h0 = shs[0]
+                for j in range(1, len(ids)):
+                    a.append(ids[0])
+                    b.append(ids[j])
+                    h.append(hamming64(h0, shs[j]))
+            else:
+                for i in range(len(ids)):
+                    for j in range(i + 1, len(ids)):
+                        a.append(ids[i])
+                        b.append(ids[j])
+                        h.append(hamming64(shs[i], shs[j]))
+        return pd.DataFrame({"id_a": np.array(a, dtype=np.int64),
+                             "id_b": np.array(b, dtype=np.int64),
+                             "hamming": np.array(h, dtype=np.int64)})
+
+    pairs = (ds.map_batches(to_chunks, batch_format="pyarrow")
+             .groupby("bucket")
+             .map_groups(bucket_pairs, batch_format="pandas"))
+    # a pair surfaces once per shared chunk (up to 4x) — ALWAYS dedup
+    # before counting (the near-dup op may skip this; a histogram can't)
+    distinct = dedupe_pairs(pairs, extra_cols=("hamming",))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        vals, counts = np.unique(t["hamming"].to_numpy(), return_counts=True)
+        return pa.table({"hamming": pa.array(vals, pa.int64()),
+                         "n_pairs": pa.array(counts.astype(np.int64),
+                                             pa.int64())})
+
+    return (distinct.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("hamming")
+            .aggregate(Sum("n_pairs", alias_name="n_pairs")))
