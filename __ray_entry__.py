@@ -2361,6 +2361,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "mi_term_selection": rel.mi_term_selection,
         "kwic_snippets": rel.kwic_snippets,
         "prf_expanded_search": rel.prf_expanded_search,
+        "fd_audit": rel.fd_audit,
         "calibration_bins": rel.calibration_bins,
     }
 
@@ -2989,6 +2990,25 @@ def oracle_sql() -> dict[str, str]:
         # PSI drift of each source slice vs the pooled corpus, per
         # shallow feature; density gap in 1e-9 units x log-ratio in
         # micro-nats, each rounded half-away BEFORE the product-sum
+        "fd_audit": r"""
+            WITH fd_c AS MATERIALIZED (
+              SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+              FROM documents GROUP BY 1, 2
+            ), fd_m AS (
+              SELECT source, lang AS majority_rhs, n AS n_majority,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n DESC, lang) AS r
+              FROM fd_c
+            )
+            SELECT c.source AS lhs,
+                   CAST(SUM(c.n) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct_rhs,
+                   m.majority_rhs,
+                   CAST(m.n_majority AS BIGINT) AS n_majority,
+                   CAST(SUM(c.n) - m.n_majority AS BIGINT) AS n_violations
+            FROM fd_c c JOIN fd_m m ON m.source = c.source AND m.r = 1
+            GROUP BY c.source, m.majority_rhs, m.n_majority
+        """,
         "calibration_bins": r"""
             WITH cb_s AS (
               SELECT least(n_chars, 500) AS m,

@@ -7809,3 +7809,51 @@ def prf_expanded_search(sf_dir: str, query: str = "table hash join",
     expansion = list(tot["term"].head(n_expand))
     expanded_query = " ".join(sorted(qterms | set(expansion)))
     return bm25_search(sf_dir, expanded_query, k=k)
+
+
+def fd_audit(sf_dir: str, lhs: str = "source", rhs: str = "lang",
+             n_buckets: int = 64):
+    """FUNCTIONAL-DEPENDENCY audit (the data-quality rule family beside
+    pk_uniqueness_audit / fk_integrity_audit): does ``lhs → rhs`` hold
+    on ``documents``, and where it doesn't, how badly?  Per lhs value:
+    row count, distinct rhs count, the majority rhs (ties break on the
+    smaller rhs string) and the violation count (rows outside the
+    majority — the repair cost of enforcing the FD).
+
+    Exactness topology: per-batch (lhs, rhs) pre-counts, ONE coarse
+    crc32(lhs) exchange — an lhs value lives wholly in one bucket, so
+    the per-bucket pandas kernel computes global totals / nunique /
+    majority vectorized.  The exchange carries short partial-count
+    rows bounded by |lhs×rhs| × batches, never data rows.  Output
+    ``(lhs, n_rows, n_distinct_rhs, majority_rhs, n_majority,
+    n_violations)``."""
+    import zlib
+
+    ds = _read(sf_dir, "documents", [lhs, rhs])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = (t.to_pandas().groupby([lhs, rhs], as_index=False).size())
+        df["n"] = df.pop("size").astype("int64")
+        df["bucket"] = np.asarray(
+            [zlib.crc32(str(x).encode()) % n_buckets for x in df[lhs]],
+            np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def audit(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby([lhs, rhs], as_index=False)["n"].sum()
+        m = m.sort_values(["n", rhs], ascending=[False, True])
+        top = m.drop_duplicates(subset=[lhs], keep="first")
+        tot = m.groupby(lhs, as_index=False).agg(
+            n_rows=("n", "sum"), n_distinct_rhs=(rhs, "size"))
+        out = tot.merge(top[[lhs, rhs, "n"]], on=lhs)
+        out = out.rename(columns={lhs: "lhs", rhs: "majority_rhs",
+                                  "n": "n_majority"})
+        out["n_violations"] = out["n_rows"] - out["n_majority"]
+        for c in ("n_rows", "n_distinct_rhs", "n_majority", "n_violations"):
+            out[c] = out[c].astype("int64")
+        return out[["lhs", "n_rows", "n_distinct_rhs", "majority_rhs",
+                    "n_majority", "n_violations"]]
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(audit, batch_format="pandas"))

@@ -4758,3 +4758,26 @@ def test_simhash_hamming_histogram_consistent_with_near_dup(ray_session):
     pd.testing.assert_frame_equal(
         h.sort_values("hamming").reset_index(drop=True),
         h2.sort_values("hamming").reset_index(drop=True))
+
+
+def test_fd_audit_majority_and_ties(ray_session, tmp_path):
+    """A held FD reports zero violations; ties pick the lexicographically
+    smaller rhs; violation count is rows minus majority."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import fd_audit
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(pa.table({
+        "source": pa.array(["s1"] * 3 + ["s2"] * 4 + ["s3"] * 2),
+        "lang": pa.array(["en", "en", "en",          # held FD
+                          "en", "en", "fr", "de",    # majority en
+                          "fr", "en"]),              # tie -> en
+    }), os.path.join(d, "documents.parquet"), row_group_size=2)
+    out = fd_audit(d).to_pandas().set_index("lhs")
+    assert out.loc["s1"].tolist() == [3, 1, "en", 3, 0]
+    assert out.loc["s2"].tolist() == [4, 3, "en", 2, 2]
+    assert out.loc["s3"].tolist() == [2, 2, "en", 1, 1]
