@@ -3924,6 +3924,45 @@ def test_update_term_index_appends_searchable(ray_session, tmp_path):
     assert (post["doc_id"] >= 256).any()
 
 
+def test_delete_from_term_index_equals_rebuild(ray_session, tmp_path):
+    import glob
+    import os
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from ocr_ray.pipelines.textsearch import (build_term_index,
+                                              delete_from_term_index,
+                                              term_search_indexed)
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    full = str(tmp_path / "full")
+    build_term_index(rd.read_parquet(src, columns=["doc_id", "text"]), full)
+    pre = term_search_indexed(full, "vector").to_pandas()
+    pre_files = set(glob.glob(os.path.join(full, "bucket=*", "*.parquet")))
+    dead = rd.read_parquet(src, columns=["doc_id"],
+                           filter=(pads.field("doc_id") >= pads.scalar(256)))
+    delete_from_term_index(full, dead)
+    # postings files untouched — delete is an append-only tombstone segment
+    assert pre_files == set(glob.glob(os.path.join(full, "bucket=*",
+                                                   "*.parquet")))
+    assert glob.glob(os.path.join(full, "_tombstones", "*.parquet"))
+    got = (term_search_indexed(full, "vector").to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # indistinguishable from an index built without the deleted docs
+    surv = str(tmp_path / "surv")
+    build_term_index(
+        rd.read_parquet(src, columns=["doc_id", "text"],
+                        filter=(pads.field("doc_id") < pads.scalar(256))),
+        surv)
+    want = (term_search_indexed(surv, "vector").to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert got.equals(want)
+    assert (got["doc_id"] < 256).all() and len(got) > 0
+    # the full-index lookup still sees the (now-deleted) tail
+    assert (pre["doc_id"] >= 256).any()
+
+
 def test_ann_dim_truncation_recall(ray_session):
     import __ray_entry__ as e
 
