@@ -2335,6 +2335,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles_cont": rel.doc_length_quantiles_cont,
         "user_event_paths": rel.user_event_paths,
         "crawl_delta": rel.crawl_delta,
+        "scd2_doc_history": rel.scd2_doc_history,
         "pagerank_two_iter": rel.pagerank_two_iter,
         "triangle_counts": rel.triangle_counts,
         "tree_depths": rel.tree_depths,
@@ -4457,6 +4458,45 @@ def oracle_sql() -> dict[str, str]:
                         WHEN a.fp <> b.fp THEN 'changed'
                         ELSE 'unchanged' END AS status
             FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        """,
+        # SCD-2 validity rows from three cumulative snapshots; valid_to
+        # sentinel 3 (= n_snaps) marks the current version (no nullable ints)
+        "scd2_doc_history": """
+            WITH snaps AS (
+                SELECT doc_id, 0 AS snap,
+                       md5(coalesce(text, '')) AS fp FROM documents
+                UNION ALL
+                SELECT doc_id, 1,
+                       md5(coalesce(text, '')
+                           || CASE WHEN doc_id % 17 = 0
+                                   THEN ' v2' ELSE '' END)
+                FROM documents
+                UNION ALL
+                SELECT doc_id, 2,
+                       md5(coalesce(text, '')
+                           || CASE WHEN doc_id % 17 = 0
+                                   THEN ' v2' ELSE '' END
+                           || CASE WHEN doc_id % 11 = 0
+                                   THEN ' v3' ELSE '' END)
+                FROM documents
+            ), hist AS (
+                SELECT doc_id, snap, fp,
+                       lag(fp) OVER (PARTITION BY doc_id
+                                     ORDER BY snap) AS prev
+                FROM snaps
+            ), starts AS (
+                SELECT doc_id, snap,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY snap) AS version
+                FROM hist WHERE prev IS NULL OR fp <> prev
+            )
+            SELECT doc_id,
+                   CAST(snap AS BIGINT) AS valid_from,
+                   CAST(coalesce(lead(snap) OVER (PARTITION BY doc_id
+                                                  ORDER BY snap),
+                                 3) AS BIGINT) AS valid_to,
+                   CAST(version AS BIGINT) AS version
+            FROM starts
         """,
         "pagerank_two_iter": """
             WITH n AS (SELECT count(*) AS cnt FROM documents),

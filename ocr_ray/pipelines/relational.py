@@ -2758,6 +2758,78 @@ def crawl_delta(sf_dir: str):
     )
 
 
+def scd2_doc_history(sf_dir: str):
+    """Slowly-changing-dimension TYPE-2 history (the warehouse-history
+    sibling of :func:`crawl_delta`'s one-step diff): three deterministic
+    crawl snapshots of the corpus (snap 1 appends ``' v2'`` to the text
+    of ``doc_id % 17 == 0``, snap 2 further appends ``' v3'`` to
+    ``doc_id % 11 == 0`` — cumulative revisions, no add/remove, which
+    the delta op already covers) are collapsed into one validity row
+    per distinct consecutive content version: ``(doc_id, valid_from,
+    valid_to, version)`` with valid_to = next change's snapshot index
+    and the 3 (= n_snaps) sentinel for the current version (the oracle
+    parity convention bans nullable ints).
+
+    Scale shape: ONE read and one coarse 64-way shuffle; the exchange
+    carries only (doc_id, snap, 32-hex md5) — three short rows per doc,
+    never text — and the per-bucket collapse (sort, per-doc shift
+    compare, cumcount versioning, next-start lookahead) is one
+    vectorized pandas pass.  This is how a 100 TB crawl's revision
+    history is maintained without re-shipping payloads."""
+    from ocr_ray.functions.textstats import md5_fingerprint
+
+    def snaps(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        text = pc.coalesce(t["text"], pa.scalar(""))
+        mod17 = pc.subtract(ids, pc.multiply(pc.divide(ids, 17), 17))
+        t1 = pc.binary_join_element_wise(
+            text,
+            pc.if_else(pc.equal(mod17, 0), pa.scalar(" v2"), pa.scalar("")),
+            "")
+        mod11 = pc.subtract(ids, pc.multiply(pc.divide(ids, 11), 11))
+        t2 = pc.binary_join_element_wise(
+            t1,
+            pc.if_else(pc.equal(mod11, 0), pa.scalar(" v3"), pa.scalar("")),
+            "")
+        n = t.num_rows
+        out_ids, out_snap, out_fp = [], [], []
+        for snap, txt in enumerate((text, t1, t2)):
+            out_ids.append(ids.combine_chunks()
+                           if isinstance(ids, pa.ChunkedArray) else ids)
+            out_snap.append(pa.nulls(n, pa.int32()).fill_null(snap)
+                            if n else pa.array([], pa.int32()))
+            out_fp.append(md5_fingerprint(txt))
+        tbl = pa.table({
+            "doc_id": pa.concat_arrays(out_ids),
+            "snap": pa.concat_arrays(
+                [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                 for c in out_snap]),
+            "fp": pa.concat_arrays(out_fp),
+        })
+        return tbl.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(tbl["doc_id"], 63), pa.int32()))
+
+    def collapse(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "snap"], kind="mergesort")
+        prev = g.groupby("doc_id")["fp"].shift()
+        starts = g[prev.isna() | (g["fp"] != prev)].copy()
+        starts["version"] = starts.groupby("doc_id").cumcount() + 1
+        nxt = starts.groupby("doc_id")["snap"].shift(-1)
+        return pd.DataFrame({
+            "doc_id": starts["doc_id"].astype("int64"),
+            "valid_from": starts["snap"].astype("int64"),
+            "valid_to": nxt.fillna(3).astype("int64"),
+            "version": starts["version"].astype("int64"),
+        })
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(snaps, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(collapse, batch_format="pandas")
+    )
+
+
 def pagerank_two_iter(sf_dir: str):
     """Two unrolled PageRank iterations over a derived doc→doc link graph
     (each doc links to ``(2·id+1) mod N`` and ``(3·id+2) mod N``) — the

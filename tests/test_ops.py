@@ -3963,6 +3963,30 @@ def test_delete_from_term_index_equals_rebuild(ray_session, tmp_path):
     assert (pre["doc_id"] >= 256).any()
 
 
+def test_scd2_doc_history_versions(ray_session):
+    import __ray_entry__ as e
+
+    got = (e.queries()["scd2_doc_history"]("/root/testdata/sf0.001")
+           .to_pandas())
+    n_docs = 500
+    per_doc = got.groupby("doc_id").size()
+    assert len(per_doc) == n_docs
+    # expected versions: 1 + [17 | id] + [11 | id] (cumulative revisions)
+    for did, n in ((0, 3), (1, 1), (17, 2), (11, 2), (187, 3)):
+        assert per_doc.get(did, 0) == n, did
+    # version 1 always spans from snap 0; current rows carry sentinel 3
+    v1 = got[got["version"] == 1]
+    assert (v1["valid_from"] == 0).all() and len(v1) == n_docs
+    cur = got.sort_values(["doc_id", "version"]).groupby("doc_id").tail(1)
+    assert (cur["valid_to"] == 3).all()
+    # validity intervals chain: next valid_from == previous valid_to
+    g = got.sort_values(["doc_id", "version"])
+    nxt_from = g.groupby("doc_id")["valid_from"].shift(-1)
+    inner = g[nxt_from.notna()]
+    assert (inner["valid_to"].to_numpy()
+            == nxt_from.dropna().to_numpy()).all()
+
+
 def test_ann_dim_truncation_recall(ray_session):
     import __ray_entry__ as e
 
