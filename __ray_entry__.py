@@ -1167,6 +1167,45 @@ def _q_knn_ivf_updated(sf_dir: str):
     return knn_ivf_indexed(idx, _query_vec(sf_dir), k=10)
 
 
+def _q_knn_ivf_deleted(sf_dir: str):
+    """Partition-pruned probe of an IVF layout with TOMBSTONED deletes
+    (the ANN sibling of term_search_deleted, completing the delete verb
+    across both index families): full-corpus index and quantizer, the
+    vec_id % 5 == 2 slice deleted via an append-only tombstone segment
+    (cells and centroids untouched), then the standard probe — the
+    oracle is the full-corpus IVF oracle with the deleted slice excluded
+    from retrieval, pinning that deleted vectors are invisible without a
+    rebuild."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ocr_ray.config import DEFAULT_CONFIG
+    from ocr_ray.pipelines.simsearch import (build_ivf_index,
+                                             delete_from_ivf_index,
+                                             knn_ivf_indexed)
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+
+    def build(tmp: str) -> None:
+        build_ivf_index(
+            rd.read_parquet(src, columns=["vec_id", "embedding"]), tmp)
+
+        def dead(t: pa.Table) -> pa.Table:
+            ids = t["vec_id"]
+            mod5 = pc.subtract(ids, pc.multiply(pc.divide(ids, 5), 5))
+            return t.filter(pc.equal(mod5, 2))
+
+        delete_from_ivf_index(
+            tmp,
+            rd.read_parquet(src, columns=["vec_id"]).map_batches(
+                dead, batch_format="pyarrow"))
+
+    idx = _cached_build(
+        "ann_ivfdel", src, f"g{DEFAULT_CONFIG.ivf_clusters}_d5m2", build)
+    return knn_ivf_indexed(idx, _query_vec(sf_dir), k=10)
+
+
 def _q_dim_truncation_recall(sf_dir: str):
     """Matryoshka-style DIMENSION-TRUNCATION retrieval eval (Kusupati et
     al. 2022 MRL — public method): exact cosine top-10 using only the
@@ -2229,6 +2268,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "knn_lsh_indexed": _q_knn_lsh_indexed,
         "knn_ivf_indexed": _q_knn_ivf_indexed,
         "knn_ivf_updated": _q_knn_ivf_updated,
+        "knn_ivf_deleted": _q_knn_ivf_deleted,
         "knn_ivf_compacted": _q_knn_ivf_compacted,
         "ann_recall_at_k": _q_ann_recall,
         "ann_dim_truncation_recall": _q_dim_truncation_recall,
@@ -2528,6 +2568,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh_indexed": _do.knn_lsh_sql(),
         "knn_ivf_indexed": _do.knn_ivf_sql(),
         "knn_ivf_updated": _do.knn_ivf_sql(train_sample=256),
+        "knn_ivf_deleted": _do.knn_ivf_sql(delete_mod=(5, 2)),
         "knn_ivf_compacted": _do.knn_ivf_sql(train_sample=256),
         "ann_recall_at_k": _do.ann_recall_sql(),
         "ann_dim_truncation_recall": _do.dim_truncation_recall_sql(),

@@ -516,12 +516,18 @@ def _kmeans_assign_parts(n_clusters: int, train_sample: int, n_iter: int,
 
 def knn_ivf_sql(k: int = 10, n_clusters: int = 16, n_probe: int = 2,
                 train_sample: int = 2048, n_iter: int = 10,
-                dim: int = 64) -> str:
+                dim: int = 64,
+                delete_mod: tuple[int, int] | None = None) -> str:
     """knn_ivf re-derived in SQL: the shared k-means unroll
     (:func:`_kmeans_assign_parts`), then probe-cell selection and the
-    cell-filtered cosine top-k."""
+    cell-filtered cosine top-k.  ``delete_mod=(m, r)`` drops the
+    ``vec_id % m == r`` slice from the candidate set (the tombstoned
+    IVF delete: quantizer and cell assignment are computed on the FULL
+    corpus, only retrieval excludes the deleted keys)."""
     parts = _kmeans_assign_parts(n_clusters, train_sample, n_iter, dim)
     final = f"cent{n_iter}"
+    where = (f"WHERE e.vec_id % {delete_mod[0]} <> {delete_mod[1]}"
+             if delete_mod else "")
     parts.append(f"""
         qdim AS (
           SELECT j, val FROM adim WHERE vec_id = 0
@@ -541,6 +547,7 @@ def knn_ivf_sql(k: int = 10, n_clusters: int = 16, n_probe: int = 2,
         JOIN assign_all a ON a.vec_id = e.vec_id
         JOIN probe p ON p.cid = a.cid,
         (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        {where}
         ORDER BY sim DESC, e.vec_id
         LIMIT {k}""")
     return "WITH " + ",".join(parts)

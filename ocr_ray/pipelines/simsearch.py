@@ -633,7 +633,45 @@ def knn_ivf_indexed(index_dir: str, query_vec, k: int = 10, n_probe: int = 2,
     if not files:
         return _empty_topk(key_col)
     ds = rd.read_parquet(files, columns=[key_col, vec_col])
+
+    # tombstone-aware (delete_from_ivf_index): subtract deleted keys
+    # from the probed cells before the cosine — zero cost when the
+    # layout has no deletes
+    from ocr_ray.state.tombstones import read_tombstones
+
+    dead = read_tombstones(index_dir, key_col)
+    if dead is not None:
+        import ray
+
+        dead_ref = ray.put(dead)
+
+        def drop_dead(t: pa.Table) -> pa.Table:
+            if not t.num_rows:
+                return t
+            dd = ray.get(dead_ref)
+            keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = np.searchsorted(dd, keys)
+            idx[idx == dd.size] = 0
+            return t.filter(pa.array(dd[idx] != keys))
+
+        ds = ds.map_batches(drop_dead, batch_format="pyarrow")
     return knn_cosine(ds, query_vec, k=k, vec_col=vec_col, key_col=key_col)
+
+
+def delete_from_ivf_index(index_dir: str, deleted_ds,
+                          key_col: str = "vec_id") -> str:
+    """DELETE vectors from an IVF layout via append-only tombstones —
+    the ANN sibling of
+    :func:`~ocr_ray.pipelines.textsearch.delete_from_term_index`,
+    completing the delete verb across both persisted index families.
+    Cell partitions and the frozen quantizer (``_centroids.parquet``)
+    are NOT touched; :func:`knn_ivf_indexed` subtracts the set inside
+    the probed cells at query time, and the
+    :func:`compact_ivf_index`-style partition rewrite is the at-scale
+    reclamation path (:mod:`ocr_ray.state.tombstones`)."""
+    from ocr_ray.state.tombstones import append_tombstones
+
+    return append_tombstones(index_dir, deleted_ds, key_col)
 
 
 def knn_join_lsh(ds, k: int = 5, n_bits: int | None = None,

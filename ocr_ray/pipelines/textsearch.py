@@ -83,6 +83,8 @@ def term_search_indexed(index_dir: str, term: str,
         return rd.from_arrow(pa.table({key_col: pa.array([], pa.int64()),
                                        "tf": pa.array([], pa.int64())}))
 
+    from ocr_ray.state.tombstones import read_tombstones
+
     dead = read_tombstones(index_dir, key_col)
     dead_ref = ray.put(dead) if dead is not None else None
 
@@ -107,38 +109,12 @@ def delete_from_term_index(index_dir: str, deleted_ds,
     """DELETE documents from a term-index layout via append-only
     TOMBSTONES — the third index-maintenance verb beside append
     (:func:`update_term_index`) and rewrite (the ``compact_ivf_index``
-    analogue).  The deleted keys are written as uuid-named parquet
-    segments under ``<index_dir>/_tombstones/`` (hive partitions are
-    ``bucket=``-prefixed dirs, so the underscore dir never collides and
-    the glob-based bucket probes never read it); postings files are NOT
-    touched — a concurrent reader sees either the old or the extended
-    tombstone set, the same atomicity stance as the append path, and
-    repeated deletes just add segments (set-union semantics).
+    analogue); postings files are NOT touched and lookups subtract the
+    set at query time (:func:`term_search_indexed`).  Semantics and the
+    at-scale compaction story: :mod:`ocr_ray.state.tombstones`."""
+    from ocr_ray.state.tombstones import append_tombstones
 
-    Lookups subtract the set at query time (:func:`term_search_indexed`);
-    tombstones carry int64 keys only, so even a billion deletes is ~8 GB
-    — far past the point a real deployment compacts the layout (rewrite
-    bucket partitions dropping dead postings, clear ``_tombstones/``)."""
-    deleted_ds.select_columns([key_col]).write_parquet(
-        os.path.join(index_dir, "_tombstones"))
-    return index_dir
-
-
-def read_tombstones(index_dir: str, key_col: str = "doc_id"):
-    """SORTED distinct tombstoned keys of a layout as an int64 numpy
-    array, or None when the layout has none (the zero-cost common case).
-    Small-side driver read (key column only) intended for a one-shot
-    ``ray.put`` broadcast into the lookup's map_batches."""
-    import numpy as np
-    import pyarrow.parquet as pq
-
-    files = sorted(glob.glob(
-        os.path.join(index_dir, "_tombstones", "*.parquet")))
-    if not files:
-        return None
-    arrs = [pq.read_table(f, columns=[key_col])[key_col]
-            .to_numpy(zero_copy_only=False) for f in files]
-    return np.unique(np.concatenate(arrs).astype(np.int64))
+    return append_tombstones(index_dir, deleted_ds, key_col)
 
 
 def build_positional_index(ds, index_dir: str, text_col: str = "text",

@@ -3963,6 +3963,42 @@ def test_delete_from_term_index_equals_rebuild(ray_session, tmp_path):
     assert (pre["doc_id"] >= 256).any()
 
 
+def test_delete_from_ivf_index_tombstones(ray_session, tmp_path):
+    import glob
+    import os
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from ocr_ray.pipelines.simsearch import (build_ivf_index,
+                                             delete_from_ivf_index,
+                                             knn_ivf_indexed)
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(rd.read_parquet(src, columns=["vec_id", "embedding"]),
+                    idx)
+    q = [0.0] * 64
+    q[0] = 1.0
+    pre = knn_ivf_indexed(idx, q, k=50).to_pandas()
+    pre_files = set(glob.glob(os.path.join(idx, "cell=*", "*.parquet")))
+    dead_ids = set(pre["vec_id"].iloc[:5])  # the pre-delete top-5
+    delete_from_ivf_index(
+        idx, rd.read_parquet(src, columns=["vec_id"],
+                             filter=pads.field("vec_id").isin(
+                                 [int(v) for v in dead_ids])))
+    # cells and quantizer untouched — delete is a tombstone segment
+    assert pre_files == set(glob.glob(os.path.join(idx, "cell=*",
+                                                   "*.parquet")))
+    assert os.path.exists(os.path.join(idx, "_centroids.parquet"))
+    got = knn_ivf_indexed(idx, q, k=10).to_pandas()
+    assert dead_ids.isdisjoint(set(got["vec_id"]))
+    # survivors backfill: result == pre-delete ranking minus deleted keys
+    want = pre[~pre["vec_id"].isin(dead_ids)].head(10)
+    assert list(got["vec_id"]) == list(want["vec_id"])
+    assert list(got["sim"]) == list(want["sim"])
+
+
 def test_scd2_doc_history_versions(ray_session):
     import __ray_entry__ as e
 
