@@ -1115,6 +1115,45 @@ def _q_term_search_deleted(sf_dir: str):
     return term_search_indexed(idx, "vector")
 
 
+def _q_term_search_compacted(sf_dir: str):
+    """Posting lookup after COMPACTION physically applies the tombstone
+    set (delete → search-time subtraction → compact → tombstones
+    cleared, the full delete lifecycle): same surviving-corpus oracle as
+    term_search_deleted — the rewrite must be invisible at the search
+    surface while bucket partitions shrink to one sorted file each."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ocr_ray.config import DEFAULT_CONFIG
+    from ocr_ray.pipelines.textsearch import (build_term_index,
+                                              compact_term_index,
+                                              delete_from_term_index,
+                                              term_search_indexed)
+
+    src = os.path.join(sf_dir, "documents.parquet")
+
+    def build(tmp: str) -> None:
+        build_term_index(rd.read_parquet(src, columns=["doc_id", "text"]),
+                         tmp)
+
+        def dead(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"]
+            mod7 = pc.subtract(ids, pc.multiply(pc.divide(ids, 7), 7))
+            return t.filter(pc.equal(mod7, 3))
+
+        delete_from_term_index(
+            tmp,
+            rd.read_parquet(src, columns=["doc_id"]).map_batches(
+                dead, batch_format="pyarrow"))
+        compact_term_index(tmp)
+
+    idx = _cached_build(
+        "term_cmp", src, f"b{DEFAULT_CONFIG.term_index_buckets}_d7m3c",
+        build)
+    return term_search_indexed(idx, "vector")
+
+
 def _q_knn_lsh_indexed(sf_dir: str):
     """knn_lsh over the hive-partitioned LSH layout: only the query's
     bucket partition is read (storage-level pruning) — result identical
@@ -2336,6 +2375,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "term_search_indexed": _q_term_search_indexed,
         "term_search_updated": _q_term_search_updated,
         "term_search_deleted": _q_term_search_deleted,
+        "term_search_compacted": _q_term_search_compacted,
         "bm25_search_indexed": _q_bm25_search_indexed,
         "bm25_search_updated": _q_bm25_search_updated,
         "bool_search_indexed": _q_bool_search_indexed,
@@ -3703,6 +3743,18 @@ def oracle_sql() -> dict[str, str]:
         # surviving-corpus postings: a tombstoned delete must be
         # indistinguishable from an index built without the deleted docs
         "term_search_deleted": r"""
+            SELECT doc_id, tf FROM (
+              SELECT doc_id,
+                     CAST(len(list_filter(
+                       list_filter(string_split_regex(lower(coalesce(text,'')),
+                                                      '\s+'), x -> x <> ''),
+                       x -> x = 'vector')) AS BIGINT) AS tf
+              FROM documents WHERE doc_id % 7 <> 3
+            ) WHERE tf > 0
+        """,
+        # compaction must be invisible at the search surface: same
+        # surviving-corpus oracle as the tombstoned delete
+        "term_search_compacted": r"""
             SELECT doc_id, tf FROM (
               SELECT doc_id,
                      CAST(len(list_filter(

@@ -104,6 +104,84 @@ def term_search_indexed(index_dir: str, term: str,
         pick, batch_format="pyarrow")
 
 
+def compact_term_index(index_dir: str, key_col: str = "doc_id") -> dict:
+    """COMPACT a term/positional-index layout: rewrite each ``bucket=``
+    partition's uuid-appended files as ONE parquet file sorted by
+    (token, key) — the small-file reclamation every append-only index
+    eventually needs — and PHYSICALLY APPLY the tombstone set
+    (:func:`delete_from_term_index`) by dropping dead postings during
+    the rewrite, then clear ``_tombstones/``.  The
+    ``compact_ivf_index`` two-rename atomic swap per partition; the
+    tombstone clear happens strictly AFTER every bucket is rewritten,
+    so a crash at any point leaves a correct index (subtracting
+    tombstones from already-cleaned postings is a no-op).
+
+    Scale shape: one Ray task per bucket (buckets are independent,
+    each reads only its own partition — cost proportional to the index,
+    never the corpus) with the deleted-key set broadcast once via
+    ``ray.put``.  Returns ``{"buckets", "files_before", "files_after",
+    "rows_dropped"}``."""
+    import shutil
+    import uuid as _uuid
+
+    import numpy as np
+    import ray
+
+    from ocr_ray.state.tombstones import TOMBSTONE_DIR, read_tombstones
+
+    bucket_dirs = sorted(glob.glob(os.path.join(index_dir, "bucket=*")))
+    files_before = sum(
+        len(glob.glob(os.path.join(d, "*.parquet"))) for d in bucket_dirs)
+    dead = read_tombstones(index_dir, key_col)
+    dead_ref = ray.put(dead if dead is not None
+                       else np.zeros(0, np.int64))
+
+    @ray.remote(num_cpus=1)
+    def compact_bucket(bucket_dir: str) -> tuple:
+        import pyarrow as pa_
+        import pyarrow.compute as pc_
+        import pyarrow.parquet as pq
+
+        pa_.set_cpu_count(1)
+        files = sorted(glob.glob(os.path.join(bucket_dir, "*.parquet")))
+        dd = ray.get(dead_ref)
+        if not files or (len(files) == 1 and not dd.size):
+            return (len(files), 0)
+        t = pa_.concat_tables([pq.read_table(f) for f in files])
+        dropped = 0
+        if dd.size and t.num_rows:
+            keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = np.searchsorted(dd, keys)
+            idx[idx == dd.size] = 0
+            alive = dd[idx] != keys
+            dropped = int(t.num_rows - alive.sum())
+            t = t.filter(pa_.array(alive))
+        t = t.take(pc_.sort_indices(
+            t, sort_keys=[("token", "ascending"), (key_col, "ascending")]))
+        parent = os.path.dirname(bucket_dir)
+        base = os.path.basename(bucket_dir)
+        tmp = os.path.join(parent, f"_tmp-{base}-{_uuid.uuid4().hex}")
+        os.makedirs(tmp)
+        pq.write_table(t.combine_chunks(),
+                       os.path.join(tmp, "compact-0.parquet"))
+        old = os.path.join(parent, f"_old-{base}-{_uuid.uuid4().hex}")
+        os.rename(bucket_dir, old)
+        os.rename(tmp, bucket_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        return (1, dropped)
+
+    res = ray.get([compact_bucket.remote(d) for d in bucket_dirs])
+    # all buckets rewritten — the tombstones are applied, clear them
+    ts_dir = os.path.join(index_dir, TOMBSTONE_DIR)
+    if os.path.isdir(ts_dir):
+        old = ts_dir + f"-old-{_uuid.uuid4().hex}"
+        os.rename(ts_dir, old)
+        shutil.rmtree(old, ignore_errors=True)
+    return {"buckets": len(bucket_dirs), "files_before": files_before,
+            "files_after": int(sum(r[0] for r in res)),
+            "rows_dropped": int(sum(r[1] for r in res))}
+
+
 def delete_from_term_index(index_dir: str, deleted_ds,
                            key_col: str = "doc_id") -> str:
     """DELETE documents from a term-index layout via append-only

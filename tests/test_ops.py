@@ -3963,6 +3963,49 @@ def test_delete_from_term_index_equals_rebuild(ray_session, tmp_path):
     assert (pre["doc_id"] >= 256).any()
 
 
+def test_compact_term_index_applies_tombstones(ray_session, tmp_path):
+    import glob
+    import os
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from ocr_ray.pipelines.textsearch import (build_term_index,
+                                              compact_term_index,
+                                              delete_from_term_index,
+                                              term_search_indexed,
+                                              update_term_index)
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    idx = str(tmp_path / "terms")
+    # two-segment build so compaction has files to merge
+    build_term_index(
+        rd.read_parquet(src, columns=["doc_id", "text"],
+                        filter=(pads.field("doc_id") < pads.scalar(256))),
+        idx)
+    update_term_index(
+        idx, rd.read_parquet(src, columns=["doc_id", "text"],
+                             filter=(pads.field("doc_id")
+                                     >= pads.scalar(256))))
+    delete_from_term_index(
+        idx, rd.read_parquet(src, columns=["doc_id"],
+                             filter=(pads.field("doc_id")
+                                     >= pads.scalar(400))))
+    want = (term_search_indexed(idx, "vector").to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    summary = compact_term_index(idx)
+    assert summary["rows_dropped"] > 0
+    assert summary["files_after"] <= summary["files_before"]
+    # tombstones physically applied and cleared; one file per bucket
+    assert not glob.glob(os.path.join(idx, "_tombstones", "*.parquet"))
+    for d in glob.glob(os.path.join(idx, "bucket=*")):
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1
+    got = (term_search_indexed(idx, "vector").to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got.equals(want)
+    assert (got["doc_id"] < 400).all() and len(got) > 0
+
+
 def test_delete_from_ivf_index_tombstones(ray_session, tmp_path):
     import glob
     import os
