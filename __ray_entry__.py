@@ -908,6 +908,16 @@ def _q_phrase_search(sf_dir: str):
     return phrase_search_indexed(_phrase_index(sf_dir), "table hash")
 
 
+def _q_phrase_search_multi(sf_dir: str):
+    """THREE-token phrase search ('table hash join') via the n-token
+    generalization (repeated tokens allowed) over the same positional
+    layout — only the distinct terms' bucket partitions are read; the
+    start-position chain is verified per document."""
+    from ocr_ray.pipelines.textsearch import phrase_search_n_indexed
+
+    return phrase_search_n_indexed(_phrase_index(sf_dir), "table hash join")
+
+
 def _event_snapshot(sf_dir: str) -> str:
     """Materialized base aggregate for incremental_event_counts
     (cached; the split timestamp is part of the fingerprint)."""
@@ -2444,6 +2454,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "winsorized_revenue_by_priority": rel.winsorized_revenue_by_priority,
         "price_size_slope_by_brand": rel.price_size_slope_by_brand,
         "phrase_search": _q_phrase_search,
+        "phrase_search_multi": _q_phrase_search_multi,
         "incremental_event_counts": _q_incremental_event_counts,
         "schema_evolution_read": _q_schema_evolution_read,
         "range_partition_plan": rel.range_partition_plan,
@@ -5035,6 +5046,27 @@ def oracle_sql() -> dict[str, str]:
             FROM toks a JOIN toks b
               ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
             WHERE a.term = 'table' AND b.term = 'hash'
+            GROUP BY a.doc_id
+        """,
+        # n-token generalization: all start positions whose i-th
+        # successor matches the i-th token (overlaps count)
+        "phrase_search_multi": r"""
+            WITH d AS MATERIALIZED (
+              SELECT doc_id, regexp_split_to_array(
+                       lower(coalesce(text, '')), '\s+') AS arr
+              FROM documents
+            ), toks AS MATERIALIZED (
+              SELECT doc_id, unnest(arr) AS term,
+                     generate_subscripts(arr, 1) AS ord
+              FROM d
+            )
+            SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ
+            FROM toks a JOIN toks b
+              ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+            JOIN toks c
+              ON a.doc_id = c.doc_id AND c.ord = a.ord + 2
+            WHERE a.term = 'table' AND b.term = 'hash'
+              AND c.term = 'join'
             GROUP BY a.doc_id
         """,
         # the full recompute the snapshot+delta merge must equal

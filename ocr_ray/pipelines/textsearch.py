@@ -298,6 +298,81 @@ def phrase_search_indexed(index_dir: str, phrase: str,
             .map_groups(adjacency, batch_format="pandas"))
 
 
+def phrase_search_n_indexed(index_dir: str, phrase: str,
+                            n_buckets: int | None = None,
+                            key_col: str = "doc_id"):
+    """ARBITRARY-LENGTH exact phrase search over a
+    :func:`build_positional_index` layout — the n-token generalization
+    of the 2-token :func:`phrase_search_indexed`, and it permits
+    REPEATED tokens (``"batch batch batch"``), which the pairwise
+    side-tag scheme cannot express.  Counts every start position ``p``
+    with ``p + i`` in the position list of token ``i`` for all i
+    (overlapping occurrences all count).
+
+    Scale shape: ONE read over the distinct query tokens' bucket
+    partitions (bytes ≈ |distinct buckets| / n_buckets of the postings
+    — no union of lineages, no driver-side posting list), one
+    vectorized is_in filter to the query vocabulary, one coarse 64-way
+    doc-bucket groupby; the per-doc position intersection is a chain of
+    np.isin over the query's k position lists (df-bounded work)."""
+    import numpy as np
+    import pandas as pd
+
+    if n_buckets is None:
+        n_buckets = DEFAULT_CONFIG.term_index_buckets
+    toks = phrase.lower().split()
+    assert len(toks) >= 2, "phrase_search_n_indexed needs >= 2 tokens"
+    distinct = sorted(set(toks))
+
+    def _empty():
+        return rd.from_arrow(pa.table({key_col: pa.array([], pa.int64()),
+                                       "n_occ": pa.array([], pa.int64())}))
+
+    files: list[str] = []
+    for b in sorted({zlib.crc32(t.encode()) % n_buckets for t in distinct}):
+        probe = sorted(glob.glob(
+            os.path.join(index_dir, f"bucket={b}", "*.parquet")))
+        if not probe:
+            return _empty()   # some token has no postings -> no match
+        files.extend(probe)
+
+    def pick(tab: pa.Table) -> pa.Table:
+        sub = tab.filter(pc.is_in(tab["token"],
+                                  pa.array(distinct, pa.string())))
+        keys = sub[key_col]
+        return pa.table({
+            key_col: keys,
+            "token": sub["token"],
+            "positions": sub["positions"],
+            "dbucket": pc.cast(
+                pc.bit_wise_and(pc.cast(keys, pa.int64()), 63), pa.int32()),
+        })
+
+    def count_occ(g: pd.DataFrame) -> pd.DataFrame:
+        ids, occs = [], []
+        for did, grp in g.groupby(key_col, sort=True):
+            pos = {t: np.asarray(p, np.int64)
+                   for t, p in zip(grp["token"], grp["positions"])}
+            if len(pos) < len(distinct):
+                continue
+            starts = pos[toks[0]]
+            for i, t in enumerate(toks[1:], 1):
+                if not starts.size:
+                    break
+                starts = starts[np.isin(starts + i, pos[t])]
+            n = int(starts.size)
+            if n:
+                ids.append(did)
+                occs.append(n)
+        return pd.DataFrame({key_col: pd.array(ids, "int64"),
+                             "n_occ": pd.array(occs, "int64")})
+
+    return (rd.read_parquet(files, columns=["token", key_col, "positions"])
+            .map_batches(pick, batch_format="pyarrow")
+            .groupby("dbucket")
+            .map_groups(count_occ, batch_format="pandas"))
+
+
 def bool_search_indexed(index_dir: str, terms: list[str],
                         n_buckets: int | None = None,
                         key_col: str = "doc_id"):

@@ -3963,6 +3963,32 @@ def test_delete_from_term_index_equals_rebuild(ray_session, tmp_path):
     assert (pre["doc_id"] >= 256).any()
 
 
+def test_phrase_search_n_indexed(ray_session, tmp_path):
+    import ray.data as rd
+
+    from ocr_ray.pipelines.textsearch import (build_positional_index,
+                                              phrase_search_indexed,
+                                              phrase_search_n_indexed)
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    idx = str(tmp_path / "pos")
+    build_positional_index(rd.read_parquet(src, columns=["doc_id", "text"]),
+                           idx)
+    # 2-token parity with the pairwise implementation
+    got2 = (phrase_search_n_indexed(idx, "table hash").to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    want2 = (phrase_search_indexed(idx, "table hash").to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    assert got2.equals(want2) and len(got2) > 0
+    # REPEATED tokens (inexpressible in the pairwise side-tag scheme):
+    # sf0.001 has exactly 4 docs with 'batch batch batch', 1 occ each
+    got3 = phrase_search_n_indexed(idx, "batch batch batch").to_pandas()
+    assert len(got3) == 4 and (got3["n_occ"] == 1).all()
+    # a missing token short-circuits to an empty, schema-typed result
+    miss = phrase_search_n_indexed(idx, "table zzznotoken").to_pandas()
+    assert len(miss) == 0
+
+
 def test_compact_term_index_applies_tombstones(ray_session, tmp_path):
     import glob
     import os
