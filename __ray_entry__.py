@@ -908,6 +908,24 @@ def _q_phrase_search(sf_dir: str):
     return phrase_search_indexed(_phrase_index(sf_dir), "table hash")
 
 
+def _q_standing_query_matches(sf_dir: str):
+    """Percolator / reverse search: six standing AND-term queries
+    broadcast once and matched against the full document stream; per
+    query the match count and min/max doc — only per-batch partials
+    cross the exchange.  'quantum flux' matches nothing and is absent
+    from the result on both sides."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.textsearch import standing_query_matches
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return standing_query_matches(ds, [
+        "data join", "vector window", "slow query",
+        "hash merge sort", "customer filter big", "quantum flux",
+    ])
+
+
 def _q_phrase_search_multi(sf_dir: str):
     """THREE-token phrase search ('table hash join') via the n-token
     generalization (repeated tokens allowed) over the same positional
@@ -2455,6 +2473,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "price_size_slope_by_brand": rel.price_size_slope_by_brand,
         "phrase_search": _q_phrase_search,
         "phrase_search_multi": _q_phrase_search_multi,
+        "standing_query_matches": _q_standing_query_matches,
         "incremental_event_counts": _q_incremental_event_counts,
         "schema_evolution_read": _q_schema_evolution_read,
         "range_partition_plan": rel.range_partition_plan,
@@ -5047,6 +5066,38 @@ def oracle_sql() -> dict[str, str]:
               ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
             WHERE a.term = 'table' AND b.term = 'hash'
             GROUP BY a.doc_id
+        """,
+        # percolator: one UNION ALL arm per standing query; zero-match
+        # queries (quantum flux) are absent from the result on both sides
+        "standing_query_matches": r"""
+            WITH d AS MATERIALIZED (
+              SELECT doc_id, regexp_split_to_array(
+                       lower(coalesce(text, '')), '\s+') AS arr
+              FROM documents
+            ), m AS (
+              SELECT 0 AS query_id, doc_id FROM d
+              WHERE list_has_all(arr, ['data', 'join'])
+              UNION ALL
+              SELECT 1, doc_id FROM d
+              WHERE list_has_all(arr, ['vector', 'window'])
+              UNION ALL
+              SELECT 2, doc_id FROM d
+              WHERE list_has_all(arr, ['slow', 'query'])
+              UNION ALL
+              SELECT 3, doc_id FROM d
+              WHERE list_has_all(arr, ['hash', 'merge', 'sort'])
+              UNION ALL
+              SELECT 4, doc_id FROM d
+              WHERE list_has_all(arr, ['customer', 'filter', 'big'])
+              UNION ALL
+              SELECT 5, doc_id FROM d
+              WHERE list_has_all(arr, ['quantum', 'flux'])
+            )
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(count(*) AS BIGINT) AS n_matches,
+                   MIN(doc_id) AS min_doc_id,
+                   MAX(doc_id) AS max_doc_id
+            FROM m GROUP BY query_id
         """,
         # n-token generalization: all start positions whose i-th
         # successor matches the i-th token (overlaps count)

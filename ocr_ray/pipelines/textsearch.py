@@ -632,6 +632,68 @@ def bm25_search_indexed(index_dir: str, query: str, k: int = 20,
             .map_batches(final, batch_format="pyarrow", batch_size=None))
 
 
+def standing_query_matches(ds, queries: list[str], text_col: str = "text",
+                           key_col: str = "doc_id"):
+    """PERCOLATOR / reverse search (the alerting primitive): a fixed set
+    of standing AND-term queries is matched against every document of
+    the stream — per query, how many documents match and the min/max
+    matching key.  ``query_id`` is the list index of the query; queries
+    with zero matches are absent from the result (the oracle convention).
+
+    Scale shape: the query set is the SMALL side — parsed once,
+    broadcast via ``ray.put`` — and the corpus pass is one
+    embarrassingly-parallel map_batches emitting per-batch PARTIALS
+    (query_id, n, min, max), so the final exchange carries at most
+    |queries| rows per batch into a tiny groupby.  No corpus shuffle at
+    any scale.  At thousands of standing queries, invert the broadcast
+    side (term → query postings, match via candidate counting) inside
+    the same partial kernel; the exchange shape is unchanged."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    parsed = [frozenset(q.lower().split()) for q in queries]
+    q_ref = ray.put(parsed)
+
+    def partial(t: pa.Table) -> pa.Table:
+        qs = ray.get(q_ref)
+        counts = np.zeros(len(qs), np.int64)
+        mins = np.full(len(qs), np.iinfo(np.int64).max)
+        maxs = np.full(len(qs), np.iinfo(np.int64).min)
+        for did, txt in zip(t[key_col].to_pylist(),
+                            t[text_col].to_pylist()):
+            toks = frozenset((txt or "").lower().split())
+            for qi, terms in enumerate(qs):
+                if terms <= toks:
+                    counts[qi] += 1
+                    if did < mins[qi]:
+                        mins[qi] = did
+                    if did > maxs[qi]:
+                        maxs[qi] = did
+        hit = np.flatnonzero(counts)
+        return pa.table({
+            "query_id": pa.array(hit.astype(np.int64), pa.int64()),
+            "n": pa.array(counts[hit], pa.int64()),
+            "mn": pa.array(mins[hit], pa.int64()),
+            "mx": pa.array(maxs[hit], pa.int64()),
+        })
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "query_id": t["query_id"],
+            "n_matches": t["sum(n)"],
+            "min_" + key_col: t["min(mn)"],
+            "max_" + key_col: t["max(mx)"],
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("query_id")
+            .aggregate(Sum("n", alias_name="sum(n)"),
+                       Min("mn", alias_name="min(mn)"),
+                       Max("mx", alias_name="max(mx)"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
 def update_term_index(index_dir: str, new_ds, text_col: str = "text",
                       key_col: str = "doc_id",
                       n_buckets: int | None = None) -> str:

@@ -3963,6 +3963,31 @@ def test_delete_from_term_index_equals_rebuild(ray_session, tmp_path):
     assert (pre["doc_id"] >= 256).any()
 
 
+def test_standing_query_matches(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.pipelines.textsearch import standing_query_matches
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": ["alpha beta gamma", "beta gamma", "alpha Beta", None],
+    })
+    qs = ["beta gamma", "alpha beta", "alpha beta gamma", "nomatch beta"]
+    got = (standing_query_matches(rd.from_arrow(docs), qs).to_pandas()
+           .sort_values("query_id").set_index("query_id"))
+    assert list(got.index) == [0, 1, 2]      # zero-match query absent
+    assert got.loc[0, "n_matches"] == 2      # docs 1, 2
+    assert (got.loc[0, "min_doc_id"], got.loc[0, "max_doc_id"]) == (1, 2)
+    assert got.loc[1, "n_matches"] == 2      # docs 1, 3 (case-folded)
+    assert got.loc[2, "n_matches"] == 1      # doc 1 only
+    # partition invariance of the partial-aggregate merge
+    sharded = (standing_query_matches(
+        rd.from_arrow(docs).repartition(4), qs).to_pandas()
+        .sort_values("query_id").set_index("query_id"))
+    assert sharded.equals(got)
+
+
 def test_phrase_search_n_indexed(ray_session, tmp_path):
     import ray.data as rd
 
