@@ -397,15 +397,18 @@ def _kcore_sql(k: int = 4, rounds: int = 6) -> str:
     return "WITH " + ",\n        ".join(parts) + "\n            " + selects
 
 
-def _bm25_cte_block(p: str, q_sql: str, k: int) -> str:
+def _bm25_cte_block(p: str, q_sql: str, k: int,
+                    src: str = "documents") -> str:
     """BM25 CTE chain with prefixed names (embedded WITHs share one
     namespace in DuckDB) over an arbitrary query-term source ``q_sql``;
     ends in ``{p}bm(doc_id, score_e6)`` — top-k, score desc / doc asc.
-    The float expression shape matches bm25_search op-for-op."""
+    The float expression shape matches bm25_search op-for-op.
+    ``src`` swaps the corpus (e.g. a deleted-slice filter) — it feeds
+    n_docs/sum_dl/df too, so the whole scorer re-derives."""
     return f"""{p}d AS MATERIALIZED (
               SELECT doc_id, regexp_split_to_array(
                        lower(coalesce(text, '')), '\\s+') AS arr
-              FROM documents
+              FROM {src}
             ), {p}toks AS MATERIALIZED (
               SELECT doc_id, unnest(arr) AS term FROM {p}d
             ), {p}lens AS MATERIALIZED (
@@ -416,7 +419,7 @@ def _bm25_cte_block(p: str, q_sql: str, k: int) -> str:
               SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
               FROM {p}toks JOIN {p}q USING (term) GROUP BY doc_id, term
             ), {p}stats AS MATERIALIZED (
-              SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+              SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM {p}d)
                          AS n_docs,
                      (SELECT CAST(COUNT(*) AS BIGINT) FROM {p}toks
                       WHERE term <> '') AS sum_dl
@@ -450,6 +453,15 @@ _BM25_Q = "SELECT * FROM (VALUES ('table'), ('hash'), ('join')) t(term)"
 _BM25_SQL = ("WITH " + _bm25_cte_block("", _BM25_Q, 20)
              + "\n            SELECT doc_id, score_e6 FROM bm"
              + "\n            ORDER BY score_e6 DESC, doc_id")
+
+# surviving-corpus BM25: the whole scorer (n_docs, avgdl, df) re-derives
+# over the filtered source — what a stats-corrected tombstoned delete
+# must reproduce exactly
+_BM25_DEL_SQL = ("WITH " + _bm25_cte_block(
+                     "", _BM25_Q, 20,
+                     src="(SELECT * FROM documents WHERE doc_id % 7 <> 3)")
+                 + "\n            SELECT doc_id, score_e6 FROM bm"
+                 + "\n            ORDER BY score_e6 DESC, doc_id")
 
 _PRF_SQL = (
     "WITH " + _bm25_cte_block("p1", _BM25_Q, 10) + """,
@@ -1068,6 +1080,45 @@ def _q_bm25_search_updated(sf_dir: str):
     idx = _cached_build(
         "bm25_upd", src,
         f"b{DEFAULT_CONFIG.term_index_buckets}_t{t_split}", build)
+    return bm25_search_indexed(idx, "table hash join", k=20)
+
+
+def _q_bm25_search_deleted(sf_dir: str):
+    """BM25 over a layout with TOMBSTONED deletes — the hard case of the
+    delete verb: scores depend on COLLECTION statistics, so the delete
+    appends a negative stats segment (n_docs/avgdl re-derive by summing)
+    and the scorer drops dead candidates before the df count (idf
+    self-corrects).  The oracle is the full BM25 over the surviving
+    corpus — a tombstoned delete must be score-identical to a rebuild
+    without the deleted docs."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ocr_ray.config import DEFAULT_CONFIG
+    from ocr_ray.pipelines.textsearch import (bm25_search_indexed,
+                                              build_bm25_index,
+                                              delete_from_bm25_index)
+
+    src = os.path.join(sf_dir, "documents.parquet")
+
+    def build(tmp: str) -> None:
+        build_bm25_index(rd.read_parquet(src, columns=["doc_id", "text"]),
+                         tmp)
+
+        def dead(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"]
+            mod7 = pc.subtract(ids, pc.multiply(pc.divide(ids, 7), 7))
+            return t.filter(pc.equal(mod7, 3))
+
+        delete_from_bm25_index(
+            tmp,
+            rd.read_parquet(src, columns=["doc_id"]).map_batches(
+                dead, batch_format="pyarrow"))
+
+    idx = _cached_build(
+        "bm25_del", src,
+        f"b{DEFAULT_CONFIG.term_index_buckets}_d7m3", build)
     return bm25_search_indexed(idx, "table hash join", k=20)
 
 
@@ -2406,6 +2457,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "term_search_compacted": _q_term_search_compacted,
         "bm25_search_indexed": _q_bm25_search_indexed,
         "bm25_search_updated": _q_bm25_search_updated,
+        "bm25_search_deleted": _q_bm25_search_deleted,
         "bool_search_indexed": _q_bool_search_indexed,
         "knn_join_lsh": _q_knn_join,
         "doc_length_quantiles_by_lang": rel.doc_length_quantiles_by_lang,
@@ -5315,6 +5367,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _BM25_SQL,
         "bm25_search_indexed": _BM25_SQL,
         "bm25_search_updated": _BM25_SQL,
+        "bm25_search_deleted": _BM25_DEL_SQL,
         "prf_expanded_search": _PRF_SQL,
         # exact integer Gram entries over e6-scaled components (d1 <= d2)
         "embedding_gram_matrix": """

@@ -538,6 +538,81 @@ def update_bm25_index(index_dir: str, new_ds, text_col: str = "text",
                             key_col=key_col, n_buckets=n_buckets)
 
 
+def delete_from_bm25_index(index_dir: str, deleted_ds,
+                           key_col: str = "doc_id") -> str:
+    """DELETE documents from a BM25 layout — tombstones alone are NOT
+    enough here: the scorer's idf/avgdl derive from the summed stats
+    segments, so a delete must also CORRECT the collection statistics
+    or every surviving score drifts.  Three steps, all append-only:
+
+    1. the delete batch's keys (a SMALL side by contract — the corpus
+       never deletes itself wholesale) are collected, deduped, and
+       keys already tombstoned are dropped (repeat deletes are
+       idempotent — the stats can never be double-corrected);
+    2. one bounded pass over the index's own postings recovers the
+       deleted docs' total token length (every posting row of a doc
+       carries its ``dl``, so the per-doc length is any one row;
+       empty-text docs have no postings and correctly contribute 0)
+       and ONE NEGATIVE stats segment (-n_dead, -sum_dl_dead) is
+       appended — readers sum segments, so n_docs/avgdl re-derive
+       exactly as if the index had been built without the deleted
+       docs;
+    3. the tombstone segment is appended; :func:`bm25_search_indexed`
+       drops dead candidate rows BEFORE computing per-term df, so idf
+       self-corrects from the surviving postings.
+
+    Cost: the stats-recovery pass reads the postings' (key, dl)
+    columns once per delete batch — proportional to the index, never
+    the corpus (batch deletes; at scale amortize by accumulating keys
+    and deleting once per ingestion cycle)."""
+    import numpy as np
+    import ray
+
+    from ocr_ray.state.tombstones import append_tombstones, read_tombstones
+
+    rows = deleted_ds.select_columns([key_col]).take_all()
+    keys = np.unique(np.asarray([r[key_col] for r in rows], np.int64))
+    prior = read_tombstones(index_dir, key_col)
+    if prior is not None:
+        idx = np.searchsorted(prior, keys)
+        idx[idx == prior.size] = 0
+        keys = keys[prior[idx] != keys]
+    if not keys.size:
+        return index_dir
+    keys_ref = ray.put(keys)
+
+    def dead_dl(t: pa.Table) -> pa.Table:
+        kk = ray.get(keys_ref)
+        ids = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(kk, ids)
+        pos[pos == kk.size] = 0
+        m = kk[pos] == ids
+        sub_ids = ids[m]
+        sub_dl = t["dl"].to_numpy(zero_copy_only=False)[m]
+        uniq, first = np.unique(sub_ids, return_index=True)
+        return pa.table({key_col: pa.array(uniq, pa.int64()),
+                         "dl": pa.array(sub_dl[first], pa.int64())})
+
+    posting_files = sorted(glob.glob(
+        os.path.join(index_dir, "postings", "bucket=*", "*.parquet")))
+    sum_dl_dead = 0
+    if posting_files:
+        seen: dict = {}
+        parts = (rd.read_parquet(posting_files, columns=[key_col, "dl"])
+                 .map_batches(dead_dl, batch_format="pyarrow")
+                 .take_all())
+        for r in parts:
+            seen[r[key_col]] = r["dl"]
+        sum_dl_dead = int(sum(seen.values()))
+
+    _write_stats_segment(index_dir, -int(keys.size), -sum_dl_dead)
+    append_tombstones(
+        index_dir,
+        rd.from_arrow(pa.table({key_col: pa.array(keys, pa.int64())})),
+        key_col)
+    return index_dir
+
+
 def bm25_search_indexed(index_dir: str, query: str, k: int = 20,
                         n_buckets: int | None = None,
                         key_col: str = "doc_id"):
@@ -578,8 +653,24 @@ def bm25_search_indexed(index_dir: str, query: str, k: int = 20,
     n_docs, sum_dl = _read_stats(index_dir)
     avgdl = float(sum_dl) / n_docs
 
+    # tombstone-aware (delete_from_bm25_index): dead candidates drop
+    # BEFORE the df count, so idf self-corrects from surviving postings
+    # (n_docs/avgdl are already corrected by the negative stats segment)
+    import ray
+
+    from ocr_ray.state.tombstones import read_tombstones
+
+    dead = read_tombstones(index_dir, key_col)
+    dead_ref = ray.put(dead) if dead is not None else None
+
     def pick(tab: pa.Table) -> pa.Table:
         sub = tab.filter(pc.is_in(tab["token"], pa.array(qs, pa.string())))
+        if dead_ref is not None and sub.num_rows:
+            dd = ray.get(dead_ref)
+            keys = sub[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            di = np.searchsorted(dd, keys)
+            di[di == dd.size] = 0
+            sub = sub.filter(pa.array(dd[di] != keys))
         return sub.select(["token", key_col, "tf", "dl"])
 
     cand = (rd.read_parquet(files, columns=["token", key_col, "tf", "dl"])

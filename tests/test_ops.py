@@ -3963,6 +3963,37 @@ def test_delete_from_term_index_equals_rebuild(ray_session, tmp_path):
     assert (pre["doc_id"] >= 256).any()
 
 
+def test_delete_from_bm25_index_equals_rebuild(ray_session, tmp_path):
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from ocr_ray.pipelines.textsearch import (bm25_search_indexed,
+                                              build_bm25_index,
+                                              delete_from_bm25_index)
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    full = str(tmp_path / "full")
+    build_bm25_index(rd.read_parquet(src, columns=["doc_id", "text"]), full)
+    dead = rd.read_parquet(src, columns=["doc_id"],
+                           filter=(pads.field("doc_id") >= pads.scalar(300)))
+    delete_from_bm25_index(full, dead)
+    got = bm25_search_indexed(full, "table hash join", k=20).to_pandas()
+    # score-identical to an index BUILT without the deleted docs:
+    # n_docs/avgdl from the negative stats segment, idf from surviving df
+    surv = str(tmp_path / "surv")
+    build_bm25_index(
+        rd.read_parquet(src, columns=["doc_id", "text"],
+                        filter=(pads.field("doc_id") < pads.scalar(300))),
+        surv)
+    want = bm25_search_indexed(surv, "table hash join", k=20).to_pandas()
+    assert got.equals(want) and len(got) == 20
+    assert (got["doc_id"] < 300).all()
+    # repeat delete of the same keys is a no-op (idempotent stats)
+    delete_from_bm25_index(full, dead)
+    again = bm25_search_indexed(full, "table hash join", k=20).to_pandas()
+    assert again.equals(want)
+
+
 def test_standing_query_matches(ray_session):
     import pyarrow as pa
     import ray.data as rd
