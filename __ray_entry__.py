@@ -874,6 +874,57 @@ def _q_near_dup_incremental(sf_dir: str):
     return near_dup_incremental(_minhash_index(sf_dir), new_ds, docs)
 
 
+def _q_near_dup_incremental_deleted(sf_dir: str):
+    """Incremental near-dup screen against an index with TOMBSTONED
+    deletes (retracted docs must stop producing candidates): the old
+    slice's doc_id % 5 == 1 docs are deleted from the band layout
+    (partitions untouched), then the same probe — the oracle drops that
+    slice from the old side, pinning that the candidate set, the
+    degenerate-bucket cap stats and the verified pair counts all
+    re-derive over the surviving index."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ocr_ray.config import DEFAULT_CONFIG
+    from ocr_ray.pipelines.dedup import (build_minhash_index,
+                                         delete_from_minhash_index,
+                                         near_dup_incremental)
+
+    src = os.path.join(sf_dir, "documents.parquet")
+
+    def build(tmp: str) -> None:
+        def keep_old(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 7 != 0))
+
+        build_minhash_index(
+            rd.read_parquet(src, columns=["doc_id", "text"]).map_batches(
+                keep_old, batch_format="pyarrow"), tmp)
+
+        def dead(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((ids % 7 != 0) & (ids % 5 == 1)))
+
+        delete_from_minhash_index(
+            tmp,
+            rd.read_parquet(src, columns=["doc_id"]).map_batches(
+                dead, batch_format="pyarrow"))
+
+    idx = _cached_build(
+        "mh_del", src,
+        f"b{DEFAULT_CONFIG.near_dup_coarse_buckets}_s7_d5m1", build)
+
+    def keep_new(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 7 == 0))
+
+    new_ds = rd.read_parquet(src, columns=["doc_id", "text"]).map_batches(
+        keep_new, batch_format="pyarrow")
+    docs = rd.read_parquet(src, columns=["doc_id", "text"])
+    return near_dup_incremental(idx, new_ds, docs)
+
+
 def _zorder_layout(sf_dir: str) -> str:
     """Z-order clustered orders layout for sf_dir (cached).  Bin geometry
     is part of the fingerprint: cells computed for one width would prune
@@ -2397,6 +2448,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "knn_label_eval": _q_knn_label_eval,
         "kmeans_inertia_stats": _q_kmeans_inertia_stats,
         "near_dup_incremental": _q_near_dup_incremental,
+        "near_dup_incremental_deleted": _q_near_dup_incremental_deleted,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         # entity matching (H3)
@@ -2701,6 +2753,8 @@ def oracle_sql() -> dict[str, str]:
         "bitext_mining_margin": _do.bitext_margin_sql(),
         "kmeans_inertia_stats": _do.kmeans_inertia_stats_sql(),
         "near_dup_incremental": _do.near_dup_incremental_sql(),
+        "near_dup_incremental_deleted":
+            _do.near_dup_incremental_sql(delete_mod=(5, 1)),
         "knn_join_lsh": _do.knn_join_lsh_sql(),
         "entity_match": _do.entity_match_sql(),
         "qc_field_compare": _v.qc_field_compare_sql(),

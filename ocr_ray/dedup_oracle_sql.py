@@ -189,18 +189,24 @@ def minhash_near_dup_sql(threshold: float = 0.8, max_bucket: int = 512) -> str:
 
 def near_dup_incremental_sql(threshold: float = 0.8,
                              max_bucket: int = 512,
-                             split_mod: int = 7) -> str:
+                             split_mod: int = 7,
+                             delete_mod: tuple[int, int] | None = None) -> str:
     """near_dup_incremental re-derived in SQL: the shared band chain,
     docs split into NEW (doc_id % split_mod = 0) and OLD (the indexed
     corpus), band-equality candidates with the degenerate-bucket cap on
-    the OLD side, exact shingle-set Jaccard verify, one stats row."""
+    the OLD side, exact shingle-set Jaccard verify, one stats row.
+    ``delete_mod=(m, r)`` additionally drops the ``doc_id % m == r``
+    slice from the OLD side (the tombstoned index delete — cap stats
+    re-derive over the survivors)."""
+    del_pred = (f" AND NOT (doc_id % {delete_mod[0]} = {delete_mod[1]})"
+                if delete_mod else "")
     return f"""
         WITH {_minhash_band_parts()},
         nb AS MATERIALIZED (
           SELECT * FROM bands WHERE doc_id % {split_mod} = 0
         ),
         ob AS MATERIALIZED (
-          SELECT * FROM bands WHERE doc_id % {split_mod} <> 0
+          SELECT * FROM bands WHERE doc_id % {split_mod} <> 0{del_pred}
         ),
         osize AS (
           SELECT band_id, band_hash, count(*) AS n, min(doc_id) AS mn

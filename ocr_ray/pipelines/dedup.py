@@ -1164,6 +1164,22 @@ def update_minhash_index(index_dir: str, new_ds, text_col: str = "text",
     return index_dir
 
 
+def delete_from_minhash_index(index_dir: str, deleted_ds,
+                              key_col: str = "doc_id") -> str:
+    """DELETE documents from a minhash band layout via append-only
+    tombstones — the dedup-family member of the delete verb (term /
+    BM25 / IVF siblings), needed when indexed docs are retracted
+    (takedowns, re-crawl replacements): their band rows must stop
+    producing candidates.  Band partitions are untouched;
+    :func:`near_dup_incremental` drops dead rows from the probed old
+    side (cap stats re-derive over survivors), and a bucket-partition
+    rewrite is the at-scale reclamation path
+    (:mod:`ocr_ray.state.tombstones`)."""
+    from ocr_ray.state.tombstones import append_tombstones
+
+    return append_tombstones(index_dir, deleted_ds, key_col)
+
+
 def near_dup_incremental(index_dir: str, new_ds, docs_ds,
                          text_col: str = "text", key_col: str = "doc_id",
                          threshold: float = 0.8,
@@ -1220,9 +1236,26 @@ def near_dup_incremental(index_dir: str, new_ds, docs_ds,
             "n_new_flagged": pa.array([0], pa.int64()),
         })
 
+    # tombstone-aware (delete_from_minhash_index): deleted docs' band
+    # rows drop from the OLD side before candidate generation, so the
+    # degenerate-bucket cap stats (size, min) also re-derive over the
+    # surviving index — identical to an index built without them
+    import ray
+
+    from ocr_ray.state.tombstones import read_tombstones
+
+    dead = read_tombstones(index_dir, key_col)
+    dead_ref = ray.put(dead) if dead is not None else None
+
     def tag_old(t: pa.Table) -> pa.Table:
         # re-derive bucket (the partition column round-trips as its
         # value) and tag the side
+        if dead_ref is not None and t.num_rows:
+            dd = ray.get(dead_ref)
+            keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            di = np.searchsorted(dd, keys)
+            di[di == dd.size] = 0
+            t = t.filter(pa.array(dd[di] != keys))
         return pa.table({
             "band_id": pc.cast(t["band_id"], pa.int32()),
             key_col: t[key_col],

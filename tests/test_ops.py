@@ -3963,6 +3963,44 @@ def test_delete_from_term_index_equals_rebuild(ray_session, tmp_path):
     assert (pre["doc_id"] >= 256).any()
 
 
+def test_delete_from_minhash_index_equals_rebuild(ray_session, tmp_path):
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.pipelines.dedup import (build_minhash_index,
+                                         delete_from_minhash_index,
+                                         near_dup_incremental)
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+
+    def slice_ds(pred):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(pred(ids)))
+
+        return rd.read_parquet(src, columns=["doc_id", "text"]).map_batches(
+            f, batch_format="pyarrow")
+
+    docs = rd.read_parquet(src, columns=["doc_id", "text"])
+    new_ds = slice_ds(lambda i: i % 7 == 0)
+
+    full = str(tmp_path / "full")
+    build_minhash_index(slice_ds(lambda i: i % 7 != 0), full)
+    delete_from_minhash_index(
+        full, slice_ds(lambda i: (i % 7 != 0) & (i % 3 == 1)))
+    assert os.path.isdir(os.path.join(full, "_tombstones"))
+    got = near_dup_incremental(full, new_ds, docs).to_pandas()
+
+    surv = str(tmp_path / "surv")
+    build_minhash_index(
+        slice_ds(lambda i: (i % 7 != 0) & ~((i % 3 == 1))), surv)
+    want = near_dup_incremental(surv, new_ds, docs).to_pandas()
+    assert got.equals(want)
+    assert int(got["n_new"].iloc[0]) > 0
+
+
 def test_delete_from_bm25_index_equals_rebuild(ray_session, tmp_path):
     import pyarrow.dataset as pads
     import ray.data as rd
