@@ -1389,12 +1389,19 @@ def compact_ivf_index(index_dir: str, key_col: str = "vec_id") -> dict:
     atomic swap as ``manifest.replace_partition`` (a crash between
     renames leaves the ``_old-`` copy; readers see the old or the new
     file set, never a mix).  Content is bit-equal before/after — the
-    ``knn_ivf_compacted`` oracle pins it at the probe surface.
+    ``knn_ivf_compacted`` oracle pins it at the probe surface — EXCEPT
+    rows tombstoned by :func:`delete_from_ivf_index`, which the rewrite
+    physically drops before clearing ``_tombstones/`` (the clear
+    happens strictly after every cell lands, so a crash at any point
+    leaves a correct index — subtracting tombstones from
+    already-cleaned cells is a no-op).
 
     Scale shape: one Ray task per cell (cells are independent), each
     reading only its own partition — compaction cost is proportional to
-    the index, never the corpus, and cells compact in parallel.
-    Returns ``{"cells": n, "files_before": a, "files_after": b}``."""
+    the index, never the corpus, and cells compact in parallel; the
+    deleted-key set is broadcast once via ``ray.put``.
+    Returns ``{"cells", "files_before", "files_after",
+    "rows_dropped"}``."""
     import glob as _glob
     import os
     import shutil
@@ -1402,20 +1409,33 @@ def compact_ivf_index(index_dir: str, key_col: str = "vec_id") -> dict:
 
     import ray
 
+    from ocr_ray.state.tombstones import TOMBSTONE_DIR, read_tombstones
+
     cell_dirs = sorted(_glob.glob(os.path.join(index_dir, "cell=*")))
     files_before = sum(
         len(_glob.glob(os.path.join(d, "*.parquet"))) for d in cell_dirs)
+    dead = read_tombstones(index_dir, key_col)
+    dead_ref = ray.put(dead if dead is not None else np.zeros(0, np.int64))
 
     @ray.remote(num_cpus=1)
-    def compact_cell(cell_dir: str) -> int:
+    def compact_cell(cell_dir: str) -> tuple:
         import pyarrow as pa_
         import pyarrow.parquet as pq
 
         pa_.set_cpu_count(1)
         files = sorted(_glob.glob(os.path.join(cell_dir, "*.parquet")))
-        if len(files) <= 1:
-            return len(files)
+        dd = ray.get(dead_ref)
+        if not files or (len(files) <= 1 and not dd.size):
+            return (len(files), 0)
         t = pa.concat_tables([pq.read_table(f) for f in files])
+        dropped = 0
+        if dd.size and t.num_rows:
+            keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            di = np.searchsorted(dd, keys)
+            di[di == dd.size] = 0
+            alive = dd[di] != keys
+            dropped = int(t.num_rows - alive.sum())
+            t = t.filter(pa.array(alive))
         t = t.take(pa.compute.sort_indices(t, sort_keys=[(key_col, "ascending")]))
         parent = os.path.dirname(cell_dir)
         base = os.path.basename(cell_dir)
@@ -1426,8 +1446,15 @@ def compact_ivf_index(index_dir: str, key_col: str = "vec_id") -> dict:
         os.rename(cell_dir, old)
         os.rename(tmp, cell_dir)
         shutil.rmtree(old, ignore_errors=True)
-        return 1
+        return (1, dropped)
 
-    after = ray.get([compact_cell.remote(d) for d in cell_dirs])
+    res = ray.get([compact_cell.remote(d) for d in cell_dirs])
+    # every cell rewritten — the tombstones are applied, clear them
+    ts_dir = os.path.join(index_dir, TOMBSTONE_DIR)
+    if os.path.isdir(ts_dir):
+        old = ts_dir + f"-old-{_uuid.uuid4().hex}"
+        os.rename(ts_dir, old)
+        shutil.rmtree(old, ignore_errors=True)
     return {"cells": len(cell_dirs), "files_before": files_before,
-            "files_after": int(sum(after))}
+            "files_after": int(sum(r[0] for r in res)),
+            "rows_dropped": int(sum(r[1] for r in res))}

@@ -4160,6 +4160,15 @@ def test_delete_from_ivf_index_tombstones(ray_session, tmp_path):
     want = pre[~pre["vec_id"].isin(dead_ids)].head(10)
     assert list(got["vec_id"]) == list(want["vec_id"])
     assert list(got["sim"]) == list(want["sim"])
+    # compaction physically applies the tombstones, clears them, and is
+    # invisible at the probe surface
+    from ocr_ray.pipelines.simsearch import compact_ivf_index
+
+    stats = compact_ivf_index(idx)
+    assert stats["rows_dropped"] == len(dead_ids)
+    assert not os.path.isdir(os.path.join(idx, "_tombstones"))
+    after = knn_ivf_indexed(idx, q, k=10).to_pandas()
+    assert after.equals(got)
 
 
 def test_scd2_doc_history_versions(ray_session):
