@@ -138,7 +138,8 @@ def main() -> None:
                      "near_dup_agreement", "kmeans_embeddings",
                      "dsir_select_stats", "outlink_stats",
                      "bitext_mining_margin", "cms_freq_estimates",
-                     "record_event_stats"):
+                     "record_event_stats", "scd2_doc_history",
+                     "standing_query_matches", "bm25_search_deleted"):
             t0 = time.monotonic()
             res = q[name](SF_DIR)
             if hasattr(res, "to_pandas"):
