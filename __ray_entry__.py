@@ -2355,6 +2355,101 @@ def _q_dual_engine_compare(sf_dir: str):
         f, batch_format="pyarrow", batch_size=256)
 
 
+def _q_dual_engine_bleu(sf_dir: str):
+    """Corpus BLEU-style clipped n-gram precision (n=1,2) of the
+    vectorized tag-strip engine (candidate) against the DOM-walk engine
+    (reference), per lang — the quantitative eval form of the G1
+    dual-engine agreement signal (reference: combine_extractions.py's
+    page-aligned engine compare; dual_engine_compare gives the per-page
+    view, this gives the corpus-level metric an extraction-quality
+    dashboard tracks).  PDF payloads have no DOM side and are excluded.
+
+    Integer-exact: clipped matches and token totals are int64 sums;
+    precisions are floor basis points (match * 10000 // total), so Ray
+    == DuckDB bit-for-bit.  Scale shape: one embarrassingly-parallel
+    pass emits <= |langs| partial rows per batch (six int64 sums each);
+    the groupby carries ~5 keys — no corpus-sized exchange at any scale.
+    """
+    import collections
+
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.stages.extract import decode_html
+    from ocr_ray.stages.html_extract import extract_html
+    from ocr_ray.stages.pdf_layout import is_pdf_payload
+    from ocr_ray.stages.tagstrip import tagstrip_array
+
+    def partial(t: pa.Table) -> pa.Table:
+        html_bin = (t["html"].combine_chunks()
+                    if isinstance(t["html"], pa.ChunkedArray) else t["html"])
+        strs = decode_html(html_bin)
+        strip = tagstrip_array(strs).to_pylist()
+        payloads = html_bin.to_pylist()
+        strs_l = strs.to_pylist()
+        langs = t["lang"].to_pylist()
+        acc: dict[str, list[int]] = {}
+        for lang, s, p, st in zip(langs, strs_l, payloads, strip):
+            if p is not None and is_pdf_payload(p):
+                continue  # no DOM side for pdf payloads
+            try:
+                dom_text = extract_html(s or "")["extracted_text"]
+            except Exception:
+                dom_text = ""
+            if not dom_text:
+                continue
+            cand = (st or "").lower().split()
+            ref = dom_text.lower().split()
+            m1 = sum((collections.Counter(cand)
+                      & collections.Counter(ref)).values())
+            candb = [a + " " + b for a, b in zip(cand, cand[1:])]
+            refb = [a + " " + b for a, b in zip(ref, ref[1:])]
+            m2 = sum((collections.Counter(candb)
+                      & collections.Counter(refb)).values())
+            a = acc.setdefault(lang or "", [0] * 6)
+            a[0] += 1
+            a[1] += len(cand)
+            a[2] += len(ref)
+            a[3] += m1
+            a[4] += len(candb)
+            a[5] += m2
+        ks = sorted(acc)
+        return pa.table({
+            "lang": pa.array(ks, pa.string()),
+            "n_docs": pa.array([acc[k][0] for k in ks], pa.int64()),
+            "cand_tokens": pa.array([acc[k][1] for k in ks], pa.int64()),
+            "ref_tokens": pa.array([acc[k][2] for k in ks], pa.int64()),
+            "match_1": pa.array([acc[k][3] for k in ks], pa.int64()),
+            "cand_bigrams": pa.array([acc[k][4] for k in ks], pa.int64()),
+            "match_2": pa.array([acc[k][5] for k in ks], pa.int64()),
+        })
+
+    def finish(t: pa.Table) -> pa.Table:
+        ct = t["cand_tokens"].to_pylist()
+        cb = t["cand_bigrams"].to_pylist()
+        m1 = t["match_1"].to_pylist()
+        m2 = t["match_2"].to_pylist()
+        return t.append_column(
+            "p1_bp", pa.array([m * 10000 // c if c else 0
+                               for m, c in zip(m1, ct)], pa.int64()),
+        ).append_column(
+            "p2_bp", pa.array([m * 10000 // c if c else 0
+                               for m, c in zip(m2, cb)], pa.int64()),
+        )
+
+    return (rd.read_parquet(_pages_dir(sf_dir), columns=["html", "lang"])
+            .map_batches(partial, batch_format="pyarrow", batch_size=256)
+            .groupby("lang")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("cand_tokens", alias_name="cand_tokens"),
+                       Sum("ref_tokens", alias_name="ref_tokens"),
+                       Sum("match_1", alias_name="match_1"),
+                       Sum("cand_bigrams", alias_name="cand_bigrams"),
+                       Sum("match_2", alias_name="match_2"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
 def _val():
     from ocr_ray.pipelines import validation
 
@@ -2412,6 +2507,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "pii_redact": rel.pii_redact,
         "hash_sample": rel.hash_sample,
         "dual_engine_compare": _q_dual_engine_compare,
+        "dual_engine_bleu": _q_dual_engine_bleu,
         # dedup family
         "exact_dedup": _q_exact_dedup,
         "minhash_near_dup": _q_minhash,
@@ -2786,6 +2882,7 @@ def oracle_sql() -> dict[str, str]:
         "heading_windows": _po.heading_windows_sql(),
         "declarations_head": _po.declarations_head_sql(),
         "dual_engine_compare": _po.dual_engine_compare_sql(),
+        "dual_engine_bleu": _po.dual_engine_bleu_sql(),
         "lang_gate_counts": f"""
             SELECT lang, COUNT(*) AS n_docs FROM documents
             WHERE lang IN {_ALLOW} AND n_chars >= 10 GROUP BY lang

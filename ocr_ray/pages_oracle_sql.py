@@ -595,6 +595,94 @@ def dual_engine_compare_sql() -> str:
     """)
 
 
+def dual_engine_bleu_sql() -> str:
+    """Corpus BLEU components (clipped n-gram precision, n=1,2) of the
+    tag-strip candidate against the DOM-walk reference, per lang.  The
+    tagstrip chain is the dual_engine_compare one; clipped matches are
+    per-doc SUM(least(cand_count, ref_count)) over the doc's distinct
+    grams; precisions are floor basis points, matching the Ray side's
+    integer arithmetic exactly."""
+    strip = "html"
+    for tag in ("script", "style", "noscript", "template"):
+        strip = (f"regexp_replace({strip}, "
+                 f"'(?is)<{tag}\\b[^>]*>.*?</{tag}\\s*>', ' ', 'g')")
+    strip = f"regexp_replace({strip}, '(?s)<!--.*?-->', ' ', 'g')"
+    strip = f"regexp_replace({strip}, '<[^>]*>', ' ', 'g')"
+    for ent, rep in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                     ("&#39;", "''"), ("&apos;", "''"), ("&nbsp;", " "),
+                     ("&amp;", "&")):
+        strip = f"replace({strip}, '{ent}', '{rep}')"
+    strip = f"trim(regexp_replace({strip}, '\\s+', ' ', 'g'))"
+    return _with_pages(f"""
+        , dom AS (
+          SELECT g.url, g.warc_ts, g.lang,
+            CASE WHEN g.is_pdf THEN '' ELSE coalesce(b.ext, '') END AS dom_text,
+            {strip} AS striptext
+          FROM gated g
+          LEFT JOIN (
+            SELECT url, warc_ts, string_agg(btext, chr(10) ORDER BY ord) AS ext
+            FROM qblocks GROUP BY url, warc_ts
+          ) b ON b.url = g.url AND b.warc_ts = g.warc_ts
+        ),
+        db AS MATERIALIZED (
+          SELECT url, warc_ts, lang, cand, ref,
+            list_transform(range(1, len(cand)),
+                           i -> cand[i] || ' ' || cand[i + 1]) AS candb,
+            list_transform(range(1, len(ref)),
+                           i -> ref[i] || ' ' || ref[i + 1]) AS refb
+          FROM (
+            SELECT url, warc_ts, lang,
+              list_filter(string_split_regex(lower(striptext), '\\s+'),
+                          x -> x <> '') AS cand,
+              list_filter(string_split_regex(lower(dom_text), '\\s+'),
+                          x -> x <> '') AS ref
+            FROM dom WHERE dom_text <> ''
+          )
+        ),
+        c1 AS (SELECT url, warc_ts, u.x AS gr, count(*) AS c
+               FROM db, unnest(cand) AS u(x) GROUP BY ALL),
+        r1 AS (SELECT url, warc_ts, u.x AS gr, count(*) AS c
+               FROM db, unnest(ref) AS u(x) GROUP BY ALL),
+        m1 AS (
+          SELECT c1.url, c1.warc_ts,
+                 SUM(least(c1.c, coalesce(r1.c, 0))) AS m
+          FROM c1 LEFT JOIN r1 ON r1.url = c1.url
+            AND r1.warc_ts = c1.warc_ts AND r1.gr = c1.gr
+          GROUP BY c1.url, c1.warc_ts
+        ),
+        c2 AS (SELECT url, warc_ts, u.x AS gr, count(*) AS c
+               FROM db, unnest(candb) AS u(x) GROUP BY ALL),
+        r2 AS (SELECT url, warc_ts, u.x AS gr, count(*) AS c
+               FROM db, unnest(refb) AS u(x) GROUP BY ALL),
+        m2 AS (
+          SELECT c2.url, c2.warc_ts,
+                 SUM(least(c2.c, coalesce(r2.c, 0))) AS m
+          FROM c2 LEFT JOIN r2 ON r2.url = c2.url
+            AND r2.warc_ts = c2.warc_ts AND r2.gr = c2.gr
+          GROUP BY c2.url, c2.warc_ts
+        ),
+        per AS (
+          SELECT db.lang, len(db.cand) AS nc, len(db.ref) AS nr,
+                 len(db.candb) AS ncb,
+                 coalesce(m1.m, 0) AS m1v, coalesce(m2.m, 0) AS m2v
+          FROM db
+          LEFT JOIN m1 ON m1.url = db.url AND m1.warc_ts = db.warc_ts
+          LEFT JOIN m2 ON m2.url = db.url AND m2.warc_ts = db.warc_ts
+        )
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(nc) AS BIGINT) AS cand_tokens,
+               CAST(SUM(nr) AS BIGINT) AS ref_tokens,
+               CAST(SUM(m1v) AS BIGINT) AS match_1,
+               CAST(SUM(ncb) AS BIGINT) AS cand_bigrams,
+               CAST(SUM(m2v) AS BIGINT) AS match_2,
+               CAST(CASE WHEN SUM(nc) = 0 THEN 0
+                    ELSE SUM(m1v) * 10000 // SUM(nc) END AS BIGINT) AS p1_bp,
+               CAST(CASE WHEN SUM(ncb) = 0 THEN 0
+                    ELSE SUM(m2v) * 10000 // SUM(ncb) END AS BIGINT) AS p2_bp
+        FROM per GROUP BY lang
+    """)
+
+
 def audio_features_sql() -> str:
     # The derived WAV corpus (stages/multimodal.synth_audio_payload) is
     # rebuilt HEX-FOR-HEX (RIFF/WAVE + PCM fmt chunk + the doc text as the

@@ -5052,3 +5052,26 @@ def test_fd_audit_majority_and_ties(ray_session, tmp_path):
     assert out.loc["s1"].tolist() == [3, 1, "en", 3, 0]
     assert out.loc["s2"].tolist() == [4, 3, "en", 2, 2]
     assert out.loc["s3"].tolist() == [2, 2, "en", 1, 1]
+
+
+def test_dual_engine_bleu_invariants(ray_session):
+    """Corpus BLEU of strip-vs-DOM: every non-pdf page participates, the
+    DOM reference's tokens are (near-)contained in the strip candidate
+    (clipped unigram matches ~= ref_tokens), precision columns are the
+    exact floor-bp of the integer sums, and boilerplate (nav / footer /
+    linkfarm) keeps candidate precision well below 100%."""
+    import __ray_entry__ as e
+
+    got = (e.queries()["dual_engine_bleu"]("/root/testdata/sf0.001")
+           .to_pandas().sort_values("lang").reset_index(drop=True))
+    # 522 page rows - 53 pdf rows (doc_id%10 plus the %230 duplicates)
+    assert got["n_docs"].sum() == 469
+    assert (got["match_1"] <= got["cand_tokens"]).all()
+    assert (got["match_1"] <= got["ref_tokens"]).all()
+    assert (got["match_2"] <= got["cand_bigrams"]).all()
+    # DOM text is assembled from the same visible content tagstrip keeps
+    assert (got["match_1"] * 100 >= got["ref_tokens"] * 95).all()
+    # boilerplate dilutes the candidate: precision sits in the mid band
+    assert (got["p1_bp"] > 4000).all() and (got["p1_bp"] < 9000).all()
+    assert (got["p1_bp"] == got["match_1"] * 10000 // got["cand_tokens"]).all()
+    assert (got["p2_bp"] == got["match_2"] * 10000 // got["cand_bigrams"]).all()
