@@ -230,6 +230,17 @@ def _q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_near_dup(ds)
 
 
+def _q_dup_ngram_coverage(sf_dir: str):
+    """Duplicate-text fraction per lang (Lee et al. dedup diagnostic)."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.dedup import dup_ngram_coverage
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text", "lang"])
+    return dup_ngram_coverage(ds)
+
+
 def _q_minhash_param_recall(sf_dir: str):
     """LSH band-config sweep: candidate sets for 4 rows-per-band layouts
     sliced from one shared 64-perm signature pass, scored exactly against
@@ -2516,6 +2527,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "simhash_hamming_histogram": _q_simhash_hamming_histogram,
         "winnow_near_dup": _q_winnow_near_dup,
         "ngram_jaccard_near_dup": _q_ngram_jaccard,
+        "dup_ngram_coverage": _q_dup_ngram_coverage,
         "near_dup_filter_stats": _q_near_dup_filter_stats,
         "near_dup_keep_best_stats": _q_near_dup_keep_best_stats,
         "soft_dedup_commonness": _q_soft_dedup_commonness,
@@ -2822,6 +2834,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dup": _do.minhash_near_dup_sql(),
         "winnow_near_dup": _do.winnow_near_dup_sql(),
         "ngram_jaccard_near_dup": _do.ngram_jaccard_sql(),
+        "dup_ngram_coverage": _do.dup_ngram_coverage_sql(),
         "near_dup_filter_stats": _do.near_dup_filter_stats_sql(),
         "near_dup_keep_best_stats": _do.near_dup_keep_best_stats_sql(),
         "soft_dedup_commonness": _do.soft_dedup_commonness_sql(),

@@ -1223,3 +1223,54 @@ def simhash_hamming_histogram_sql(max_bucket: int = 512) -> str:
                CAST(COUNT(*) AS BIGINT) AS n_pairs
         FROM pairs GROUP BY hamming
     """
+
+
+def dup_ngram_coverage_sql() -> str:
+    """Duplicate-text-fraction per lang re-derived in SQL: the same
+    word-3-gram md5_number_lower distinct shingles as ngram_jaccard_sql,
+    doc frequency over the whole corpus, per-doc duplicated-shingle
+    counts, per-lang integer sums with floor-bp ratios (matching the
+    engine's dup_shingles * 10000 // shingles arithmetic exactly)."""
+    return """
+        WITH mw AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                             w -> w <> '') AS ws
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, g FROM (
+            SELECT doc_id,
+              CASE WHEN len(ws) = 0 THEN []
+                   WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                   ELSE list_transform(range(1, len(ws) - 1),
+                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+              END AS gs
+            FROM mw
+          ), unnest(gs) AS t(g)
+        ),
+        shingles AS MATERIALIZED (
+          SELECT DISTINCT doc_id, md5_number_lower(g) AS h FROM grams
+        ),
+        df AS (
+          SELECT h, count(*) AS c FROM shingles GROUP BY h
+        ),
+        per AS (
+          SELECT s.doc_id, count(*) AS n_sh,
+                 SUM(CASE WHEN df.c >= 2 THEN 1 ELSE 0 END) AS n_dup
+          FROM shingles s JOIN df ON df.h = s.h
+          GROUP BY s.doc_id
+        )
+        SELECT coalesce(d.lang, '') AS lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN per.n_dup > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_docs_dup,
+               CAST(SUM(per.n_sh) AS BIGINT) AS shingles,
+               CAST(SUM(per.n_dup) AS BIGINT) AS dup_shingles,
+               CAST(SUM(per.n_dup) * 10000 // SUM(per.n_sh)
+                    AS BIGINT) AS coverage_bp,
+               CAST(SUM(CASE WHEN per.n_dup > 0 THEN 1 ELSE 0 END) * 10000
+                    // COUNT(*) AS BIGINT) AS docs_dup_bp
+        FROM per JOIN documents d USING (doc_id)
+        GROUP BY d.lang
+    """

@@ -1797,3 +1797,101 @@ def simhash_hamming_histogram(ds, text_col: str = "text",
     return (distinct.map_batches(hist_partial, batch_format="pyarrow")
             .groupby("hamming")
             .aggregate(Sum("n_pairs", alias_name="n_pairs")))
+
+
+def dup_ngram_coverage(ds, text_col: str = "text", key_col: str = "doc_id",
+                       lang_col: str = "lang", w: int = _SHINGLE_W,
+                       cfg: PipelineConfig = DEFAULT_CONFIG):
+    """DUPLICATE-TEXT FRACTION per lang — the corpus diagnostic of Lee et
+    al.'s "Deduplicating Training Data Makes Language Models Better"
+    (substring-dedup family): for every document, the share of its
+    distinct word-w-gram shingles that occur in >= 2 documents, rolled up
+    per lang as (docs, docs touched by duplication, total / duplicated
+    shingles, floor-bp coverage).  This is the measurement a curation
+    pipeline runs BEFORE choosing a dedup threshold; same shingle
+    convention as :func:`minhash_near_dup` / :func:`ngram_jaccard_near_dup`
+    (md5_number_lower word-3-grams) so the verdicts compose.
+
+    Scale shape: postings (doc_id, lang, h) bucket by h %% B — every
+    posting of a shingle lands in ONE bucket, so per-bucket doc frequency
+    IS global df; the bucket kernel collapses postings to <= one partial
+    row per (doc, bucket); a coarse doc_id %% B exchange folds per-doc
+    totals and emits <= |langs| rows per group; the final groupby carries
+    ~5 keys.  Text never crosses an exchange, no all-pairs work, no
+    df cap needed (counting, not pairing).
+    Reference semantics: dedup family of SURVEY §2 J2/LLM-ops.
+    """
+    from ray.data.aggregate import Sum
+
+    n_buckets = cfg.near_dup_coarse_buckets
+
+    def to_postings(batch: pa.Table) -> pa.Table:
+        ids_out, langs_out, hs = [], [], []
+        for did, lang, txt in zip(batch[key_col].to_pylist(),
+                                  batch[lang_col].to_pylist(),
+                                  batch[text_col].to_pylist()):
+            h = shingle_hashes(txt or "", w)
+            if h.size == 0:
+                continue
+            ids_out.extend([did] * h.size)
+            langs_out.extend([lang or ""] * h.size)
+            hs.append(h)
+        hcat = np.concatenate(hs) if hs else np.zeros(0, dtype=np.uint64)
+        return pa.table({
+            key_col: pa.array(ids_out, pa.int64()),
+            "lang": pa.array(langs_out, pa.string()),
+            "h": pa.array(hcat, pa.uint64()),
+            "bucket": pa.array(
+                (hcat % np.uint64(n_buckets)).astype(np.int32), pa.int32()),
+        })
+
+    def bucket_doc_partials(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.groupby("h")["h"].transform("size")
+        g = g.assign(dup=(df >= 2).astype(np.int64))
+        out = g.groupby([key_col, "lang"], as_index=False).agg(
+            n_sh=("h", "size"), n_dup=("dup", "sum"))
+        out["n_sh"] = out["n_sh"].astype(np.int64)
+        out["n_dup"] = out["n_dup"].astype(np.int64)
+        out["dbucket"] = (out[key_col].to_numpy(np.int64)
+                          % n_buckets).astype(np.int32)
+        return out
+
+    def lang_partials(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby([key_col, "lang"], as_index=False).agg(
+            n_sh=("n_sh", "sum"), n_dup=("n_dup", "sum"))
+        per["has"] = (per["n_dup"] > 0).astype(np.int64)
+        out = per.groupby("lang", as_index=False).agg(
+            n_docs=(key_col, "size"), n_docs_dup=("has", "sum"),
+            shingles=("n_sh", "sum"), dup_shingles=("n_dup", "sum"))
+        for c in ("n_docs", "n_docs_dup", "shingles", "dup_shingles"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    def finish(t: pa.Table) -> pa.Table:
+        sh = t["shingles"].to_pylist()
+        du = t["dup_shingles"].to_pylist()
+        nd = t["n_docs"].to_pylist()
+        ndd = t["n_docs_dup"].to_pylist()
+        return t.append_column(
+            "coverage_bp",
+            pa.array([d * 10000 // s if s else 0
+                      for d, s in zip(du, sh)], pa.int64()),
+        ).append_column(
+            "docs_dup_bp",
+            pa.array([d * 10000 // n if n else 0
+                      for d, n in zip(ndd, nd)], pa.int64()),
+        )
+
+    return (
+        ds.map_batches(to_postings, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_doc_partials, batch_format="pandas")
+        .groupby("dbucket")
+        .map_groups(lang_partials, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_docs_dup", alias_name="n_docs_dup"),
+                   Sum("shingles", alias_name="shingles"),
+                   Sum("dup_shingles", alias_name="dup_shingles"))
+        .map_batches(finish, batch_format="pyarrow")
+    )

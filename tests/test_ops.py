@@ -5075,3 +5075,39 @@ def test_dual_engine_bleu_invariants(ray_session):
     assert (got["p1_bp"] > 4000).all() and (got["p1_bp"] < 9000).all()
     assert (got["p1_bp"] == got["match_1"] * 10000 // got["cand_tokens"]).all()
     assert (got["p2_bp"] == got["match_2"] * 10000 // got["cand_bigrams"]).all()
+
+
+def test_dup_ngram_coverage_exact_and_partition_invariant(ray_session):
+    """Hand-computed duplicate-shingle coverage: doc 0 and doc 1 share
+    their full 4-shingle set (exact dup), doc 2 overlaps them on 2 of its
+    4 shingles, doc 3 is unique, doc 4 is a short (<3 words) whole-text
+    gram unique to itself — and the result is invariant to input
+    partitioning."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.pipelines.dedup import dup_ngram_coverage
+
+    common = "alpha beta gamma delta epsilon zeta"      # 4 shingles
+    partial = "alpha beta gamma delta nine ten"         # shares 2 of 4
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array([common, common, partial,
+                          "one two three four five six", "hi there"],
+                         pa.string()),
+        "lang": pa.array(["en", "en", "en", "en", "fr"], pa.string()),
+    })
+    want = {
+        # lang: (n_docs, n_docs_dup, shingles, dup_shingles)
+        "en": (4, 3, 16, 10),   # docs 0,1 all-4 dup; doc 2 has 2 dup
+        "fr": (1, 0, 1, 0),
+    }
+    for parts in (1, 5):
+        out = (dup_ngram_coverage(rd.from_arrow(t).repartition(parts))
+               .to_pandas().set_index("lang").sort_index())
+        for lang, (nd, ndd, sh, du) in want.items():
+            row = out.loc[lang]
+            assert (row["n_docs"], row["n_docs_dup"],
+                    row["shingles"], row["dup_shingles"]) == (nd, ndd, sh, du)
+            assert row["coverage_bp"] == du * 10000 // sh
+            assert row["docs_dup_bp"] == ndd * 10000 // nd
