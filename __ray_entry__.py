@@ -2712,6 +2712,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "robots_filter_stats": _q_robots_filter_stats,
         "linear_attribution": win.linear_attribution,
         "record_event_stats": win.record_event_stats,
+        "late_event_stats": win.late_event_stats,
         "median_event_value_refined": win.median_event_value_refined,
         "global_row_id_stats": rel.global_row_id_stats,
         "table_profile": rel.table_profile,
@@ -3620,6 +3621,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) FILTER (hw IS NULL OR value > hw)
                         AS BIGINT) AS n_records
             FROM e GROUP BY event_type
+        """,
+        "late_event_stats": """
+            WITH e AS (
+              SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+                     epoch_us(ts)
+                       + CAST(md5_number_lower(CAST(event_id AS VARCHAR))
+                              % 7200 AS BIGINT) * 1000000 AS arr_us
+              FROM events
+            ), w AS (
+              SELECT event_type, ts_us,
+                     max(ts_us) OVER (ORDER BY arr_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prevmax
+              FROM e
+            )
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(*) FILTER (prevmax - 600000000 > ts_us)
+                        AS BIGINT) AS n_late,
+                   CAST(coalesce(MAX(CASE WHEN prevmax - 600000000 > ts_us
+                                          THEN prevmax - ts_us END), 0)
+                        AS BIGINT) AS max_lag_us
+            FROM w GROUP BY event_type
         """,
         "tumbling_hour_counts": """
             SELECT event_type, date_trunc('hour', ts) AS window_start,

@@ -840,3 +840,112 @@ def ewma_hourly_anomalies(sf_dir: str):
         "ewma_micro": pa.array(ewma, pa.int64()),
         "is_anomaly": pa.array(flags, pa.int64()),
     })
+
+
+def late_event_stats(sf_dir: str, lateness_s: int = 600,
+                     max_delay_s: int = 7200, n_parts: int = 64):
+    """WATERMARK / LATE-DATA ACCOUNTING — the bounded-out-of-orderness
+    watermark of a streaming engine (Flink's
+    ``BoundedOutOfOrdernessWatermarks`` semantics), replayed over the
+    event log: each event ARRIVES at ``arr_us = ts + md5(event_id) %
+    max_delay_s seconds`` (a deterministic network-delay model both
+    engines reproduce bit-for-bit, the hash_sample convention); the
+    watermark before an arrival is the running max EVENT time over
+    earlier arrivals minus ``lateness_s``; an event is LATE if its event
+    time is below that watermark.  Returns per event_type
+    ``(n_events, n_late, max_lag_us)`` where lag is prev-max − ts.
+
+    Topology = record_event_stats' distributed prefix-scan, keyed on the
+    ARRIVAL order: range-partition on arr_us (bounds from one bounded
+    min/max pass), per-part Max(ts) partials fold into P exclusive
+    carry-in maxima on the driver (P ints at any log size, broadcast via
+    ray.put), then one groupby(part) pass does the exclusive local
+    cummax ∨ carry compare vectorized and emits ≤ |types| partial rows
+    per part.  All arithmetic is int64 microseconds — no float anywhere,
+    so Ray == DuckDB's window-function oracle exactly.
+    """
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ocr_ray.pipelines.relational import _md5_u64
+
+    l_us = lateness_s * 1_000_000
+    sent = -(1 << 62)
+    src_path = os.path.join(sf_dir, "events.parquet")
+
+    def add_arr(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(t["ts"], pa.int64())
+        delay = (_md5_u64(t["event_id"].to_pylist())
+                 % np.uint64(max_delay_s)).astype(np.int64) * 1_000_000
+        return pa.table({
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "ts_us": ts_us,
+            "arr_us": pc.add(ts_us, pa.array(delay, pa.int64())),
+        })
+
+    def base():
+        return (rd.read_parquet(src_path,
+                                columns=["event_id", "event_type", "ts"])
+                .map_batches(add_arr, batch_format="pyarrow"))
+
+    b = base().aggregate(Min("arr_us"), Max("arr_us"))
+    lo = b.get("min(arr_us)")
+    hi = b.get("max(arr_us)")
+    if lo is None:
+        return rd.from_arrow(pa.table({
+            "event_type": pa.array([], pa.string()),
+            "n_events": pa.array([], pa.int64()),
+            "n_late": pa.array([], pa.int64()),
+            "max_lag_us": pa.array([], pa.int64())}))
+    span = max(1, int(hi) - int(lo) + 1)
+    p = n_parts
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pc.cast(pc.divide(
+            pc.multiply(pc.subtract(t["arr_us"], lo), p), span), pa.int32())
+        return t.append_column("part", part)
+
+    src = base().map_batches(add_part, batch_format="pyarrow")
+
+    maxes = (src.map_batches(
+        lambda t: pa.Table.from_pandas(
+            t.select(["part", "ts_us"]).to_pandas()
+            .groupby("part", as_index=False)["ts_us"].max(),
+            preserve_index=False),
+        batch_format="pyarrow")
+        .groupby("part").aggregate(Max("ts_us", alias_name="ts_us"))
+        .to_pandas())
+    carry = np.full(p, sent, dtype=np.int64)
+    if len(maxes):
+        m = np.full(p, sent, dtype=np.int64)
+        m[maxes["part"].to_numpy()] = maxes["ts_us"].to_numpy()
+        carry[1:] = np.maximum.accumulate(m)[:-1]
+    carry_ref = ray.put(carry)
+
+    def scan_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["arr_us", "event_id"])
+        v = g["ts_us"].to_numpy()
+        prev = np.empty_like(v)
+        prev[0] = sent
+        if len(v) > 1:
+            prev[1:] = np.maximum.accumulate(v)[:-1]
+        prev = np.maximum(prev, ray.get(carry_ref)[int(g["part"].iloc[0])])
+        late = prev - l_us > v
+        out = pd.DataFrame({
+            "event_type": g["event_type"].to_numpy(),
+            "late": late.astype(np.int64),
+            "lag": np.where(late, prev - v, 0).astype(np.int64)})
+        res = out.groupby("event_type", as_index=False).agg(
+            n_events=("late", "size"), n_late=("late", "sum"),
+            max_lag_us=("lag", "max"))
+        res["n_events"] = res["n_events"].astype(np.int64)
+        res["n_late"] = res["n_late"].astype(np.int64)
+        res["max_lag_us"] = res["max_lag_us"].astype(np.int64)
+        return res
+
+    return (src.groupby("part").map_groups(scan_part, batch_format="pandas")
+            .groupby("event_type")
+            .aggregate(Sum("n_events", alias_name="n_events"),
+                       Sum("n_late", alias_name="n_late"),
+                       Max("max_lag_us", alias_name="max_lag_us")))

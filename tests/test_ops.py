@@ -5111,3 +5111,57 @@ def test_dup_ngram_coverage_exact_and_partition_invariant(ray_session):
                     row["shingles"], row["dup_shingles"]) == (nd, ndd, sh, du)
             assert row["coverage_bp"] == du * 10000 // sh
             assert row["docs_dup_bp"] == ndd * 10000 // nd
+
+
+def test_late_event_stats_matches_reference_scan(ray_session, tmp_path):
+    """Watermark late-data accounting equals a plain single-process replay
+    (arrival = ts + md5 jitter, running-max watermark minus lateness), and
+    is invariant to the range-partition width."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.windows import late_event_stats
+
+    rng = np.random.RandomState(7)
+    n = 500
+    ts_us = (1_700_000_000_000_000
+             + np.sort(rng.randint(0, 30 * 86400, n)) * 1_000_000)
+    types = np.array(["a", "b", "c"])[rng.randint(0, 3, n)]
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(ts_us, pa.timestamp("us")),
+        "user_id": pa.array(np.zeros(n), pa.int64()),
+        "event_type": pa.array(types, pa.string()),
+        "value": pa.array(np.zeros(n), pa.float64()),
+        "props": pa.array(["{}"] * n, pa.string()),
+    }), tmp_path / "events.parquet")
+
+    # independent replay
+    delay = np.array([int.from_bytes(
+        hashlib.md5(str(i).encode()).digest()[8:16], "little") % 7200
+        for i in range(n)], dtype=np.int64) * 1_000_000
+    arr = ts_us + delay
+    order = np.lexsort((np.arange(n), arr))
+    v = ts_us[order]
+    prev = np.empty(n, dtype=np.int64)
+    prev[0] = -(1 << 62)
+    if n > 1:
+        prev[1:] = np.maximum.accumulate(v)[:-1]
+    late = prev - 600_000_000 > v
+    exp = (pd.DataFrame({"event_type": types[order],
+                         "late": late.astype(np.int64),
+                         "lag": np.where(late, prev - v, 0)})
+           .groupby("event_type")
+           .agg(n_events=("late", "size"), n_late=("late", "sum"),
+                max_lag_us=("lag", "max")))
+    assert exp["n_late"].sum() > 0  # the jitter model must produce lates
+
+    for parts in (5, 64):
+        got = (late_event_stats(str(tmp_path), n_parts=parts)
+               .to_pandas().set_index("event_type").sort_index())
+        assert got[["n_events", "n_late", "max_lag_us"]].equals(
+            exp[["n_events", "n_late", "max_lag_us"]].sort_index())
