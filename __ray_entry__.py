@@ -2602,6 +2602,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "contamination_check": _q_contamination,
         "keep_best_per_url": rel.keep_best_per_url,
         "stratified_sample": rel.stratified_sample,
+        "weighted_sample_topk": rel.weighted_sample_topk,
         "tfidf_top_docs": rel.tfidf_top_docs,
         "range_join_purchase_clicks": win.range_join_purchase_clicks,
         "approx_distinct_users": rel.approx_distinct_users,
@@ -3179,6 +3180,16 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": """
             SELECT doc_id, lang, n_chars FROM documents
             WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 10
+        """,
+        "weighted_sample_topk": """
+            SELECT doc_id, lang, n_chars,
+                   CAST(CAST(ROUND(-1000000.0 * ln(
+                          (CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+                                AS DOUBLE) + 1)
+                          / 18446744073709551616.0)) AS BIGINT)
+                        * 1000000 // n_chars AS BIGINT) AS key_e12
+            FROM documents WHERE n_chars >= 1
+            ORDER BY key_e12 ASC, doc_id ASC LIMIT 25
         """,
         "stratified_sample": """
             SELECT doc_id, lang, n_chars FROM documents

@@ -7929,3 +7929,62 @@ def fd_audit(sf_dir: str, lhs: str = "source", rhs: str = "lang",
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(audit, batch_format="pandas"))
+
+
+def weighted_sample_topk(sf_dir: str, k: int = 25):
+    """EFRAIMIDIS-SPIRAKIS WEIGHTED SAMPLING without replacement — the
+    distributed one-pass weighted reservoir (A-ES): each doc gets
+    priority ``u^(1/w)`` with ``u`` uniform and ``w = n_chars``; the k
+    LARGEST priorities are exactly a weight-proportional sample without
+    replacement (Efraimidis & Spirakis 2006).  The training-mix sampler
+    for "sample documents proportional to length" — the byte-weighted
+    sibling of :func:`hash_sample` / :func:`stratified_sample`.
+
+    Determinism discipline: ``u = (md5_64(doc_id)+1) / 2^64`` (the
+    repo-wide md5 convention — stable across runs, partitioning, resume
+    and engines, NEVER random()); ranking by u^(1/w) == ranking by
+    ln(u)/w, so the stored key is the POSITIVE magnitude
+    ``key_e12 = round(−1e6·ln u) * 1e6 // w`` taken ASCENDING — one ln
+    is the only float op, rounded to integer micro-nats before the
+    integer divide (the bigram_lm convention; parity vs DuckDB verified
+    on 10^5 md5 uniforms), and keeping the dividend positive sidesteps
+    DuckDB's TRUNCATING ``//`` vs Python's floor division on negatives.
+
+    Scale shape: embarrassingly parallel per-batch local top-k, then the
+    repartition(1) bounded reduce — the driver sees exactly k rows at
+    any corpus size (tfidf_top_docs' two-level reduce).  Zero-weight
+    (n_chars = 0) docs are unsampleable and drop on both sides.
+    """
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["n_chars"], 1))
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "lang": pa.array([], pa.string()),
+                             "n_chars": pa.array([], pa.int64()),
+                             "key_e12": pa.array([], pa.int64())})
+        h = _md5_u64(t["doc_id"].to_pylist())
+        u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0
+        mag = np.trunc(-np.log(u) * 1e6 + 0.5).astype(np.int64)
+        w = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tab = pa.table({"doc_id": t["doc_id"],
+                        "lang": t["lang"],
+                        "n_chars": t["n_chars"],
+                        "key_e12": pa.array(mag * 1_000_000 // w, pa.int64())})
+        idx = pc.sort_indices(
+            tab, sort_keys=[("key_e12", "ascending"),
+                            ("doc_id", "ascending")])[:k]
+        return tab.take(idx)
+
+    def final(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("key_e12", "ascending"),
+                          ("doc_id", "ascending")])[:k]
+        return t.take(idx)
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+        .map_batches(score_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

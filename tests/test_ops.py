@@ -5165,3 +5165,48 @@ def test_late_event_stats_matches_reference_scan(ray_session, tmp_path):
                .to_pandas().set_index("event_type").sort_index())
         assert got[["n_events", "n_late", "max_lag_us"]].equals(
             exp[["n_events", "n_late", "max_lag_us"]].sort_index())
+
+
+def test_weighted_sample_topk_matches_replay_and_weights(ray_session, tmp_path):
+    """A-ES weighted sample equals a single-process brute-force replay of
+    the md5-uniform priority keys; zero-weight docs never appear; heavier
+    docs are over-represented vs a uniform md5 sample on the same ids."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import weighted_sample_topk
+
+    n = 2000
+    rng = np.random.RandomState(3)
+    # bimodal weights: 100 heavy docs (10000 chars) among 1-char docs
+    w = np.ones(n, dtype=np.int64)
+    heavy = rng.choice(n, 100, replace=False)
+    w[heavy] = 10000
+    w[rng.choice(np.setdiff1d(np.arange(n), heavy), 50, replace=False)] = 0
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "text": pa.array(["x"] * n, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array(["s"] * n, pa.string()),
+        "n_chars": pa.array(w, pa.int64()),
+    }), tmp_path / "documents.parquet")
+
+    h = np.array([int.from_bytes(
+        hashlib.md5(str(i).encode()).digest()[8:16], "little")
+        for i in range(n)], dtype=np.uint64)
+    u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0
+    mag = np.trunc(-np.log(u) * 1e6 + 0.5).astype(np.int64)
+    ok = w >= 1
+    key = np.where(ok, mag * 1_000_000 // np.maximum(w, 1), np.int64(2**62))
+    order = np.lexsort((np.arange(n), key))
+    expect = [i for i in order if ok[i]][:25]
+
+    got = weighted_sample_topk(str(tmp_path), k=25).to_pandas()
+    assert got["doc_id"].tolist() == expect
+    assert (got["n_chars"] >= 1).all()
+    # weight-proportionality: heavy docs are 5% of the corpus but should
+    # dominate the sample (each is 10000x likelier than a 1-char doc)
+    assert (got["n_chars"] == 10000).sum() >= 20
