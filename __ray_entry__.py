@@ -2679,6 +2679,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "grouped_split_audit": rel.grouped_split_audit,
         "pack_context_windows": rel.pack_context_windows,
         "heavy_hitter_terms": rel.heavy_hitter_terms,
+        "rake_keyphrases": rel.rake_keyphrases,
         "name_edit_near_dup": rel.name_edit_near_dup,
         "zorder_range_revenue": _q_zorder_range_revenue,
         "revenue_by_region": rel.revenue_by_region,
@@ -5203,6 +5204,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, shard, bin_idx, n_tokens FROM walk
         """,
         # integer threshold (n*k > N) so no float division can disagree
+        "rake_keyphrases": r"""
+            WITH toks AS MATERIALIZED (
+              SELECT doc_id, term, ord FROM (
+                SELECT doc_id, unnest(arr) AS term,
+                       generate_subscripts(arr, 1) AS ord
+                FROM (SELECT doc_id, regexp_split_to_array(
+                        lower(coalesce(text, '')), '\s+') AS arr
+                      FROM documents)
+              ) WHERE term <> ''
+            ), nw AS MATERIALIZED (
+              SELECT doc_id, term, ord,
+                     ord - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                              ORDER BY ord) AS grp
+              FROM toks
+              WHERE term NOT IN ('the', 'and', 'of', 'a', 'to')
+            ), isl AS MATERIALIZED (
+              SELECT doc_id, grp,
+                     string_agg(term, ' ' ORDER BY ord) AS phrase,
+                     count(*) AS len
+              FROM nw GROUP BY doc_id, grp
+            ), wscore AS MATERIALIZED (
+              SELECT term,
+                     CAST(SUM(len) * 1000 // COUNT(*) AS BIGINT) AS score
+              FROM nw JOIN isl USING (doc_id, grp)
+              GROUP BY term
+            ), pocc AS (
+              SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences
+              FROM isl GROUP BY phrase
+            ), pwords AS (
+              SELECT dp.phrase, t.term, count(*) AS m
+              FROM (SELECT DISTINCT phrase FROM isl) dp,
+                   unnest(string_split(dp.phrase, ' ')) AS t(term)
+              GROUP BY dp.phrase, t.term
+            ), pscore AS (
+              SELECT pw.phrase,
+                     CAST(SUM(pw.m * ws.score) AS BIGINT) AS score_milli
+              FROM pwords pw JOIN wscore ws ON ws.term = pw.term
+              GROUP BY pw.phrase
+            )
+            SELECT p.phrase, o.n_occurrences, p.score_milli
+            FROM pscore p JOIN pocc o USING (phrase)
+            ORDER BY score_milli DESC, phrase LIMIT 25
+        """,
         "heavy_hitter_terms": r"""
             WITH toks AS (
               SELECT unnest(regexp_split_to_array(

@@ -7988,3 +7988,145 @@ def weighted_sample_topk(sf_dir: str, k: int = 25):
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def rake_keyphrases(sf_dir: str, k: int = 25, n_buckets: int = 64):
+    """RAKE KEYPHRASE EXTRACTION (Rose et al. 2010) at corpus level —
+    the multiword upgrade of the single-token keyword ops (E6 /
+    heavy_hitter_terms): candidate phrases are maximal stopword-free
+    token runs; word score = degree/freq over ALL candidate occurrences
+    (degree = Σ length of the phrases a word occurs in, with
+    multiplicity); phrase score = Σ member-word scores.  Returns the
+    top-k distinct phrases as ``(phrase, n_occurrences, score_milli)``.
+
+    Integer discipline: word score is milli-units ``degree * 1000 //
+    freq`` (positive, so DuckDB's truncating ``//`` == floor), phrase
+    score an int64 sum of those — float-free, bit-stable vs the oracle.
+
+    Scale shape (the bigram_lm single-exchange co-partition template —
+    three row kinds ride ONE crc32(word)-bucket exchange, CLAUDE.md's
+    side-tag rule):
+      side 1: per-batch word (freq, degree) partials — finalize in the
+        bucket (all partials of a word co-locate);
+      side 0: DISTINCT (phrase, word, multiplicity) instance rows — a
+        static property of the phrase TEXT, deduped globally in the
+        bucket, joined to the finalized word scores vectorized;
+      side 2: per-batch (phrase, n) occurrence counts — pass through on
+        a phrase-keyed bucket.
+    The second exchange groups by crc32(phrase) %% B, sums contributions
+    and occurrence counts per phrase, and emits its LOCAL top-k; a
+    repartition(1) reduce hands the driver exactly k rows.  Text leaves
+    a task only as candidate phrases (short word runs), never documents.
+    """
+    import collections
+    import zlib
+
+    from ocr_ray.functions.textstats import STOPWORDS_EN
+
+    stops = frozenset(STOPWORDS_EN)
+
+    def _phrases(txt: str):
+        out, cur = [], []
+        for tok in (txt or "").lower().split():
+            if tok in stops:
+                if cur:
+                    out.append(cur)
+                    cur = []
+            else:
+                cur.append(tok)
+        if cur:
+            out.append(cur)
+        return out
+
+    def partials(t: pa.Table) -> pa.Table:
+        freq: collections.Counter = collections.Counter()
+        deg: collections.Counter = collections.Counter()
+        occ: collections.Counter = collections.Counter()
+        pw: dict[tuple[str, str], int] = {}
+        for txt in t["text"].to_pylist():
+            for ph in _phrases(txt):
+                text_ph = " ".join(ph)
+                occ[text_ph] += 1
+                n = len(ph)
+                for w in ph:
+                    freq[w] += 1
+                    deg[w] += n
+                if (text_ph, ph[0]) not in pw:
+                    c = collections.Counter(ph)
+                    for w, m in c.items():
+                        pw[(text_ph, w)] = m
+        side, word, phrase, m, fr, dg = [], [], [], [], [], []
+        bucket = []
+        for w in freq:
+            side.append(1); word.append(w); phrase.append("")
+            m.append(0); fr.append(freq[w]); dg.append(deg[w])
+            bucket.append(zlib.crc32(w.encode()) % n_buckets)
+        for (text_ph, w), mult in pw.items():
+            side.append(0); word.append(w); phrase.append(text_ph)
+            m.append(mult); fr.append(0); dg.append(0)
+            bucket.append(zlib.crc32(w.encode()) % n_buckets)
+        for text_ph, n in occ.items():
+            side.append(2); word.append(""); phrase.append(text_ph)
+            m.append(n); fr.append(0); dg.append(0)
+            bucket.append(zlib.crc32(text_ph.encode()) % n_buckets)
+        return pa.table({
+            "side": pa.array(side, pa.int8()),
+            "word": pa.array(word, pa.string()),
+            "phrase": pa.array(phrase, pa.string()),
+            "m": pa.array(m, pa.int64()),
+            "freq": pa.array(fr, pa.int64()),
+            "degree": pa.array(dg, pa.int64()),
+            "bucket": pa.array(bucket, pa.int32()),
+        })
+
+    def word_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        stats = (g[g["side"] == 1].groupby("word", as_index=False)
+                 [["freq", "degree"]].sum())
+        stats["score"] = (stats["degree"] * 1000 // stats["freq"]).astype(np.int64)
+        inst = (g[g["side"] == 0]
+                .drop_duplicates(subset=["phrase", "word"])
+                .merge(stats[["word", "score"]], on="word", how="inner"))
+        contrib = pd.DataFrame({
+            "phrase": inst["phrase"].to_numpy(),
+            "kind": np.zeros(len(inst), dtype=np.int8),
+            "val": (inst["m"] * inst["score"]).astype(np.int64).to_numpy()})
+        thru = g[g["side"] == 2]
+        out = pd.concat([contrib, pd.DataFrame({
+            "phrase": thru["phrase"].to_numpy(),
+            "kind": np.ones(len(thru), dtype=np.int8),
+            "val": thru["m"].astype(np.int64).to_numpy()})],
+            ignore_index=True)
+        out["pbucket"] = np.fromiter(
+            (zlib.crc32(p.encode()) % n_buckets for p in out["phrase"]),
+            dtype=np.int32, count=len(out))
+        return out
+
+    def phrase_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.pivot_table(index="phrase", columns="kind", values="val",
+                             aggfunc="sum", fill_value=0)
+               .rename(columns={0: "score_milli", 1: "n_occurrences"})
+               .reset_index())
+        for c in ("score_milli", "n_occurrences"):
+            if c not in agg.columns:
+                agg[c] = np.int64(0)
+            agg[c] = agg[c].astype(np.int64)
+        agg = agg.sort_values(["score_milli", "phrase"],
+                              ascending=[False, True]).head(k)
+        return agg[["phrase", "n_occurrences", "score_milli"]]
+
+    def final(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("score_milli", "descending"),
+                          ("phrase", "ascending")])[:k]
+        return t.take(idx)
+
+    return (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(word_bucket, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(phrase_bucket, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

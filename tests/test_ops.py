@@ -5210,3 +5210,37 @@ def test_weighted_sample_topk_matches_replay_and_weights(ray_session, tmp_path):
     # weight-proportionality: heavy docs are 5% of the corpus but should
     # dominate the sample (each is 10000x likelier than a 1-char doc)
     assert (got["n_chars"] == 10000).sum() >= 20
+
+
+def test_rake_keyphrases_hand_example(ray_session, tmp_path):
+    """Textbook RAKE on two docs: word score = degree/freq over all
+    candidate occurrences, phrase score = sum of member-word scores —
+    hand-computed, and invariant to input file layout."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import rake_keyphrases
+
+    docs = ["deep learning of deep systems",
+            "deep learning and the systems"]
+    for i, rows_per_file in enumerate((2, 1)):
+        d = tmp_path / f"v{i}"
+        part_dir = d / "documents.parquet"
+        part_dir.mkdir(parents=True)
+        for j in range(0, len(docs), rows_per_file):
+            chunk = docs[j:j + rows_per_file]
+            pq.write_table(pa.table({
+                "doc_id": pa.array(range(j, j + len(chunk)), pa.int64()),
+                "text": pa.array(chunk, pa.string()),
+                "lang": pa.array(["en"] * len(chunk), pa.string()),
+                "source": pa.array(["s"] * len(chunk), pa.string()),
+                "n_chars": pa.array([len(c) for c in chunk], pa.int64()),
+            }), part_dir / f"part{j}.parquet")
+        # islands: "deep learning" x2, "deep systems", "systems"
+        # deep: freq 3 degree 6 -> 2000; learning: 2/4 -> 2000;
+        # systems: 2/3 -> 1500
+        got = rake_keyphrases(str(d)).to_pandas()
+        assert got["phrase"].tolist() == [
+            "deep learning", "deep systems", "systems"]
+        assert got["score_milli"].tolist() == [4000, 3500, 1500]
+        assert got["n_occurrences"].tolist() == [2, 1, 1]
