@@ -1506,6 +1506,19 @@ def _q_kmeans_embeddings(sf_dir: str):
     return kmeans_embeddings(ds, k=8, n_iter=3)
 
 
+def _q_pq_adc_search(sf_dir: str):
+    """Product-quantization ADC top-10 (Jégou et al. 2011) with the
+    exact-top-10 recall flags riding in the result; 4 subspaces × 16
+    Lloyd-trained codewords, all integer-exact."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.simsearch import pq_adc_search
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return pq_adc_search(ds, _query_vec(sf_dir), k=10)
+
+
 def _q_kmeans_inertia_stats(sf_dir: str):
     """Per-cluster cohesion (inertia + worst member) under the final
     full-corpus Lloyd centroids."""
@@ -2552,6 +2565,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "semdedup_stats": _q_semdedup_stats,
         "bitext_mining_margin": _q_bitext_mining_margin,
         "kmeans_embeddings": _q_kmeans_embeddings,
+        "pq_adc_search": _q_pq_adc_search,
         "kmeans_cluster_profile": _q_kmeans_cluster_profile,
         "knn_label_eval": _q_knn_label_eval,
         "kmeans_inertia_stats": _q_kmeans_inertia_stats,
@@ -2860,6 +2874,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_dim_truncation_recall": _do.dim_truncation_recall_sql(),
         "semdedup_stats": _do.semdedup_stats_sql(),
         "kmeans_embeddings": _do.kmeans_embeddings_sql(),
+        "pq_adc_search": _do.pq_adc_search_sql(),
         "kmeans_cluster_profile": _do.kmeans_cluster_profile_sql(),
         "knn_label_eval": _do.knn_label_eval_sql(),
         "bitext_mining_margin": _do.bitext_margin_sql(),

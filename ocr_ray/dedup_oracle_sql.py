@@ -1274,3 +1274,115 @@ def dup_ngram_coverage_sql() -> str:
         FROM per JOIN documents d USING (doc_id)
         GROUP BY d.lang
     """
+
+
+def pq_adc_search_sql(m_sub: int = 4, k_cw: int = 16, n_iter: int = 2,
+                      dim: int = 64, k: int = 10,
+                      shortlist: int = 100) -> str:
+    """PQ-ADC + exact-refine top-k re-derived in SQL
+    (simsearch.pq_adc_search): per subspace, the _kmeans_int_parts
+    unroll (micro-unit ints, HUGEINT exact distances, argmin ties to
+    lowest cid, ROUND(sum/count) updates) trains the codebook; codes
+    assign against the final centroids; the query's per-codeword
+    distance table and the ADC sum are the same exact integer sums; the
+    ADC top-`shortlist` re-ranks by exact int-L2; in_exact marks the
+    exact top-k over the whole corpus."""
+    sub = dim // m_sub
+    parts = [f"""
+        sv AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        adim AS MATERIALIZED (
+          SELECT vec_id, j.j AS j,
+                 CAST(ROUND(e[j.j + 1] * 1000000.0) AS BIGINT) AS iv
+          FROM sv, unnest(range(0, {dim})) AS j(j)
+        )"""]
+    for m in range(m_sub):
+        lo = m * sub
+        parts.append(f"""
+        s{m}d AS MATERIALIZED (
+          SELECT vec_id, j - {lo} AS j, iv FROM adim
+          WHERE j >= {lo} AND j < {lo + sub}
+        ),
+        c{m}_0 AS MATERIALIZED (
+          SELECT vec_id AS cid, j, iv AS cv FROM s{m}d WHERE vec_id < {k_cw}
+        )""")
+        for i in range(n_iter):
+            parts.append(f"""
+        d{m}_{i} AS MATERIALIZED (
+          SELECT ad.vec_id, c.cid,
+                 SUM(CAST(ad.iv - c.cv AS HUGEINT) * (ad.iv - c.cv)) AS d
+          FROM s{m}d ad JOIN c{m}_{i} c ON c.j = ad.j
+          GROUP BY ad.vec_id, c.cid
+        ),
+        a{m}_{i} AS MATERIALIZED (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cid) AS rn
+            FROM d{m}_{i}
+          ) WHERE rn = 1
+        ),
+        c{m}_{i + 1} AS MATERIALIZED (
+          SELECT c.cid, c.j,
+                 coalesce(CAST(ROUND(CAST(mm.s AS DOUBLE)
+                                     / CAST(mm.n AS DOUBLE)) AS BIGINT),
+                          c.cv) AS cv
+          FROM c{m}_{i} c
+          LEFT JOIN (
+            SELECT a.cid, ad.j, SUM(ad.iv) AS s, COUNT(*) AS n
+            FROM a{m}_{i} a JOIN s{m}d ad ON ad.vec_id = a.vec_id
+            GROUP BY a.cid, ad.j
+          ) mm ON mm.cid = c.cid AND mm.j = c.j
+        )""")
+        parts.append(f"""
+        code{m} AS MATERIALIZED (
+          SELECT vec_id, cid FROM (
+            SELECT dd.vec_id, dd.cid,
+                   row_number() OVER (PARTITION BY dd.vec_id
+                                      ORDER BY dd.d, dd.cid) AS rn
+            FROM (
+              SELECT ad.vec_id, c.cid,
+                     SUM(CAST(ad.iv - c.cv AS HUGEINT) * (ad.iv - c.cv)) AS d
+              FROM s{m}d ad JOIN c{m}_{n_iter} c ON c.j = ad.j
+              GROUP BY ad.vec_id, c.cid
+            ) dd
+          ) WHERE rn = 1
+        ),
+        dtq{m} AS (
+          SELECT c.cid,
+                 SUM(CAST(q.iv - c.cv AS HUGEINT) * (q.iv - c.cv)) AS d
+          FROM c{m}_{n_iter} c
+          JOIN s{m}d q ON q.j = c.j AND q.vec_id = 0
+          GROUP BY c.cid
+        )""")
+    adc_sum = " + ".join(f"t{m}.d" for m in range(m_sub))
+    joins = " ".join(
+        f"JOIN code{m} k{m} ON k{m}.vec_id = v.vec_id "
+        f"JOIN dtq{m} t{m} ON t{m}.cid = k{m}.cid"
+        for m in range(m_sub))
+    parts.append(f"""
+        exd AS MATERIALIZED (
+          SELECT ad.vec_id,
+                 SUM(CAST(ad.iv - q.iv AS HUGEINT) * (ad.iv - q.iv)) AS d
+          FROM adim ad JOIN adim q ON q.j = ad.j AND q.vec_id = 0
+          GROUP BY ad.vec_id
+        ),
+        ex AS MATERIALIZED (
+          SELECT vec_id FROM exd ORDER BY d, vec_id LIMIT {k}
+        ),
+        vids AS (SELECT DISTINCT vec_id FROM adim),
+        adc AS MATERIALIZED (
+          SELECT v.vec_id, CAST({adc_sum} AS BIGINT) AS adc_d
+          FROM vids v {joins}
+        ),
+        short AS MATERIALIZED (
+          SELECT a.vec_id, a.adc_d, CAST(exd.d AS BIGINT) AS exact_d
+          FROM adc a JOIN exd ON exd.vec_id = a.vec_id
+          ORDER BY a.adc_d, a.vec_id LIMIT {shortlist}
+        )
+        SELECT vec_id, adc_d, exact_d,
+               CAST(CASE WHEN vec_id IN (SELECT vec_id FROM ex)
+                    THEN 1 ELSE 0 END AS BIGINT) AS in_exact
+        FROM short ORDER BY exact_d, vec_id LIMIT {k}""")
+    return "WITH " + ",".join(parts)

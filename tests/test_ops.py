@@ -5244,3 +5244,36 @@ def test_rake_keyphrases_hand_example(ray_session, tmp_path):
             "deep learning", "deep systems", "systems"]
         assert got["score_milli"].tolist() == [4000, 3500, 1500]
         assert got["n_occurrences"].tolist() == [2, 1, 1]
+
+
+def test_pq_adc_search_refine_and_recall(ray_session):
+    """PQ-ADC with exact re-rank: result is exact-distance ordered, the
+    exact_d column matches an independent integer-L2 computation, the
+    in_exact flags match the true exact top-10, and the shortlist-100
+    refine recovers most of the exact neighbours."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ocr_ray.pipelines.simsearch import pq_adc_search
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(sf + "/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    vids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    iv = np.copysign(np.floor(np.abs(mat * 1e6) + 0.5), mat).astype(np.int64)
+    q = iv[int(np.where(vids == 0)[0][0])]
+    d = ((iv - q[None, :]) ** 2).sum(1)
+    exact10 = set(vids[np.lexsort((vids, d))[:10]])
+
+    got = pq_adc_search(
+        rd.read_parquet(sf + "/embeddings.parquet",
+                        columns=["vec_id", "embedding"]),
+        mat[int(np.where(vids == 0)[0][0])].tolist(), k=10).to_pandas()
+    assert got["exact_d"].is_monotonic_increasing
+    lookup = dict(zip(vids.tolist(), d.tolist()))
+    assert got["exact_d"].tolist() == [lookup[v] for v in got["vec_id"]]
+    assert got["in_exact"].tolist() == [
+        1 if v in exact10 else 0 for v in got["vec_id"]]
+    assert got["in_exact"].sum() >= 8  # shortlist-100 refine recall floor
