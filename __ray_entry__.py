@@ -2643,6 +2643,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "order_price_rank": rel.order_price_rank,
         "rollup_customer_balance": rel.rollup_customer_balance,
         "price_quantity_corr": rel.price_quantity_corr,
+        "ols_price_model": rel.ols_price_model,
         "chunk_documents": rel.chunk_documents,
         "part_pair_counts": rel.part_pair_counts,
         "orders_above_cust_avg": rel.orders_above_cust_avg,
@@ -4485,6 +4486,53 @@ def oracle_sql() -> dict[str, str]:
                    substr(text, CAST(char_start + 1 AS INTEGER), 120)
                        AS chunk_text
             FROM c
+        """,
+        "ols_price_model": """
+            WITH m AS (
+              SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x1,
+                     CAST(ROUND(l_discount * 10000) AS BIGINT) AS x2,
+                     CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+              FROM lineitem
+            ), s AS (
+              SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                     CAST(SUM(x1) AS HUGEINT) AS s1,
+                     CAST(SUM(x2) AS HUGEINT) AS s2,
+                     CAST(SUM(x1 * x1) AS HUGEINT) AS s11,
+                     CAST(SUM(x1 * x2) AS HUGEINT) AS s12,
+                     CAST(SUM(x2 * x2) AS HUGEINT) AS s22,
+                     CAST(SUM(y) AS HUGEINT) AS sy,
+                     CAST(SUM(x1 * y) AS HUGEINT) AS s1y,
+                     CAST(SUM(x2 * y) AS HUGEINT) AS s2y
+              FROM m
+            ), d AS (
+              SELECT n,
+                n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+                  + s2*(s1*s12 - s11*s2) AS det,
+                sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+                  + s2*(s1y*s12 - s11*s2y) AS det0,
+                n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+                  + s2*(s1*s2y - s1y*s2) AS det1,
+                n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+                  + sy*(s1*s12 - s11*s2) AS det2
+              FROM s
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+              CAST(CASE WHEN det = 0 THEN 0
+                WHEN (det0 < 0) <> (det < 0)
+                  THEN -((2*ABS(det0)*1000 + ABS(det)) // (2*ABS(det)))
+                ELSE (2*ABS(det0)*1000 + ABS(det)) // (2*ABS(det))
+                END AS BIGINT) AS intercept_milli,
+              CAST(CASE WHEN det = 0 THEN 0
+                WHEN (det1 < 0) <> (det < 0)
+                  THEN -((2*ABS(det1)*1000 + ABS(det)) // (2*ABS(det)))
+                ELSE (2*ABS(det1)*1000 + ABS(det)) // (2*ABS(det))
+                END AS BIGINT) AS qty_coef_milli,
+              CAST(CASE WHEN det = 0 THEN 0
+                WHEN (det2 < 0) <> (det < 0)
+                  THEN -((2*ABS(det2)*1000 + ABS(det)) // (2*ABS(det)))
+                ELSE (2*ABS(det2)*1000 + ABS(det)) // (2*ABS(det))
+                END AS BIGINT) AS disc_coef_milli
+            FROM d
         """,
         "price_quantity_corr": """
             WITH m AS (

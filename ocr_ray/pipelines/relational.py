@@ -8130,3 +8130,84 @@ def rake_keyphrases(sf_dir: str, k: int = 25, n_buckets: int = 64):
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def _div_half_away(num: int, den: int) -> int:
+    """Exact integer round-half-away-from-zero of num/den (Python
+    bigints — no float, no overflow)."""
+    if den == 0:
+        return 0
+    sign = -1 if (num < 0) != (den < 0) else 1
+    num, den = abs(num), abs(den)
+    return sign * ((2 * num + den) // (2 * den))
+
+
+def ols_price_model(sf_dir: str):
+    """DISTRIBUTED ORDINARY LEAST SQUARES by exact normal equations —
+    the classic one-pass linear-model fit (Spark-MLlib's
+    ``LinearRegression(solver=normal)`` shape): fit
+    ``extendedprice_cents ~ quantity + discount_bp`` over lineitem.
+    One embarrassingly-parallel pass emits NINE integer moment sums per
+    batch (n, Σx1, Σx2, Σx1², Σx1x2, Σx2², Σy, Σx1y, Σx2y); the driver
+    solves the 3×3 system by CRAMER'S RULE in arbitrary-precision
+    Python ints and emits coefficients as half-away-rounded MILLI-units
+    via exact integer division — zero floats end to end, so Ray ==
+    DuckDB (which carries the same determinants in HUGEINT) bit for
+    bit.  Returns one row ``(n, intercept_milli, qty_coef_milli,
+    disc_coef_milli)``.
+
+    Scale shape: the shuffle carries nine int64 partials per batch and
+    nothing else; driver state is nine big-ints.  Determinant
+    magnitudes stay inside HUGEINT through ~10^10 rows at these value
+    ranges (the oracle's verification envelope); the Ray side is
+    unbounded (Python ints).  Multicollinearity guard: a singular
+    system returns zero coefficients on both sides.
+    """
+    from ray.data.aggregate import Sum
+
+    def _ha(x: np.ndarray) -> np.ndarray:
+        return np.copysign(np.floor(np.abs(x) + 0.5), x).astype(np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        x1 = _ha(t["l_quantity"].to_numpy(zero_copy_only=False))
+        x2 = _ha(t["l_discount"].to_numpy(zero_copy_only=False) * 10000)
+        y = _ha(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100)
+        return pa.table({
+            "n": pa.array([len(x1)], pa.int64()),
+            "s1": pa.array([int(x1.sum())], pa.int64()),
+            "s2": pa.array([int(x2.sum())], pa.int64()),
+            "s11": pa.array([int((x1 * x1).sum())], pa.int64()),
+            "s12": pa.array([int((x1 * x2).sum())], pa.int64()),
+            "s22": pa.array([int((x2 * x2).sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "s1y": pa.array([int((x1 * y).sum())], pa.int64()),
+            "s2y": pa.array([int((x2 * y).sum())], pa.int64()),
+        })
+
+    agg = (_read(sf_dir, "lineitem",
+                 ["l_quantity", "l_discount", "l_extendedprice"])
+           .map_batches(partial, batch_format="pyarrow")
+           .aggregate(*[Sum(c, alias_name=c) for c in
+                        ("n", "s1", "s2", "s11", "s12", "s22",
+                         "sy", "s1y", "s2y")]))
+    n, s1, s2 = int(agg["n"]), int(agg["s1"]), int(agg["s2"])
+    s11, s12, s22 = int(agg["s11"]), int(agg["s12"]), int(agg["s22"])
+    sy, s1y, s2y = int(agg["sy"]), int(agg["s1y"]), int(agg["s2y"])
+
+    def det3(a, b, c, d, e, f, g, h, i):
+        return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+
+    det = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    det0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+    det1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)
+    det2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y)
+
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "intercept_milli": pa.array(
+            [_div_half_away(det0 * 1000, det)], pa.int64()),
+        "qty_coef_milli": pa.array(
+            [_div_half_away(det1 * 1000, det)], pa.int64()),
+        "disc_coef_milli": pa.array(
+            [_div_half_away(det2 * 1000, det)], pa.int64()),
+    })

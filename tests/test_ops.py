@@ -5277,3 +5277,42 @@ def test_pq_adc_search_refine_and_recall(ray_session):
     assert got["in_exact"].tolist() == [
         1 if v in exact10 else 0 for v in got["vec_id"]]
     assert got["in_exact"].sum() >= 8  # shortlist-100 refine recall floor
+
+
+def test_ols_price_model_exact_fit_and_lstsq_agreement(ray_session, tmp_path):
+    """Normal-equations OLS: on an exactly-linear synthetic corpus the
+    integer Cramer solve recovers the generating coefficients to the
+    milli-unit; on noisy data it agrees with numpy lstsq."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import ols_price_model
+
+    rng = np.random.RandomState(11)
+    n = 4000
+    qty = rng.randint(1, 51, n).astype(np.float64)
+    disc = rng.randint(0, 11, n) / 100.0
+    # exact linear: y_cents = 1250 + 300*qty + 7*disc_bp  (ints)
+    y_cents = 1250 + 300 * qty + 7 * np.round(disc * 10000)
+    for label, yc in (("exact", y_cents),
+                      ("noisy", y_cents + rng.randint(-500, 501, n))):
+        d = tmp_path / label
+        d.mkdir()
+        pq.write_table(pa.table({
+            "l_quantity": pa.array(qty, pa.float64()),
+            "l_discount": pa.array(disc, pa.float64()),
+            "l_extendedprice": pa.array(yc / 100.0, pa.float64()),
+        }), d / "lineitem.parquet")
+        got = ols_price_model(str(d)).to_pandas().iloc[0]
+        X = np.column_stack([np.ones(n), qty, np.round(disc * 10000)])
+        beta = np.linalg.lstsq(X, yc, rcond=None)[0]
+        assert got["n"] == n
+        if label == "exact":
+            assert got["intercept_milli"] == 1250_000
+            assert got["qty_coef_milli"] == 300_000
+            assert got["disc_coef_milli"] == 7_000
+        else:
+            assert abs(got["intercept_milli"] - beta[0] * 1000) <= 1
+            assert abs(got["qty_coef_milli"] - beta[1] * 1000) <= 1
+            assert abs(got["disc_coef_milli"] - beta[2] * 1000) <= 1
