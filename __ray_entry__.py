@@ -1740,6 +1740,65 @@ def _zipf_pages_dir(sf_dir: str) -> str:
     return _cached_build("pages_zipf", src, f"v{CORPUS_VERSION}", build)
 
 
+def _q_rendezvous_shard_plan(sf_dir: str, n_shards: int = 16):
+    """RENDEZVOUS / HIGHEST-RANDOM-WEIGHT consistent sharding of the
+    crawl's hosts (Thaler & Ravishankar 1998 — the cluster-membership
+    primitive behind consistent-hash crawl frontiers and cache rings):
+    ``shard(h) = argmax_s md5(h || '|' || s)`` over shards 0..N-1, ties
+    to the lowest s (argmax first occurrence == the oracle's
+    row_number ORDER BY weight DESC, s).  The result also assigns every
+    host under N+1 shards and counts movers per shard — pinning HRW's
+    minimal-disruption property: growing the ring relocates ONLY hosts
+    whose new argmax IS the added shard (expected 1/(N+1) of them),
+    never a host between surviving shards.
+
+    Scale shape: per-batch host dedup partials, one coarse md5-bucket
+    exchange dedupes hosts globally and computes both assignments
+    vectorized (one md5 matrix per bucket, argmax over columns), ≤ N
+    partial rows leave each bucket; the final groupby carries N keys.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.pipelines.relational import _md5_u64
+
+    def host_partial(t: pa.Table) -> pa.Table:
+        host = pc.fill_null(pc.struct_field(
+            pc.extract_regex(t["url"], r"^[a-z]+://(?P<h>[^.]+)\."), "h"), "")
+        uniq = pc.unique(host).to_pylist()
+        return pa.table({
+            "host": pa.array(uniq, pa.string()),
+            "bucket": pa.array(_md5_u64(uniq) % np.uint64(64), pa.int64()),
+        })
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        hosts = sorted(set(g["host"]))
+        w = _md5_u64([f"{h}|{s}" for h in hosts
+                      for s in range(n_shards + 1)])
+        w = w.reshape(len(hosts), n_shards + 1)
+        s_old = w[:, :n_shards].argmax(axis=1)
+        s_new = w.argmax(axis=1)
+        out = pd.DataFrame({"shard": s_old.astype(np.int64),
+                            "moved": (s_old != s_new).astype(np.int64)})
+        res = out.groupby("shard", as_index=False).agg(
+            n_hosts=("moved", "size"), n_moved=("moved", "sum"))
+        res["n_hosts"] = res["n_hosts"].astype(np.int64)
+        res["n_moved"] = res["n_moved"].astype(np.int64)
+        return res
+
+    return (rd.read_parquet(_pages_dir(sf_dir), columns=["url"])
+            .map_batches(host_partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(assign, batch_format="pandas")
+            .groupby("shard")
+            .aggregate(Sum("n_hosts", alias_name="n_hosts"),
+                       Sum("n_moved", alias_name="n_moved")))
+
+
 def _q_zipf_host_rollup(sf_dir: str):
     """Per-host frontier rollup under ZIPF HOST SKEW (host-00 owns ~50%
     of every corpus) — the skew-robustness probe the north rule's
@@ -2599,6 +2658,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "anchor_text_stats": _q_anchor_text_stats,
         "url_template_stats": _q_url_template_stats,
         "zipf_host_rollup": _q_zipf_host_rollup,
+        "rendezvous_shard_plan": _q_rendezvous_shard_plan,
         "crawl_schedule_plan": _q_crawl_schedule_plan,
         "zipf_partition_balance": _q_zipf_partition_balance,
         # LLM-pipeline additions (round 4)
@@ -2905,6 +2965,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_text_stats": _po.anchor_text_stats_sql(),
         "url_template_stats": _po.url_template_stats_sql(),
         "zipf_host_rollup": _po.zipf_host_rollup_sql(),
+        "rendezvous_shard_plan": _po.rendezvous_shard_plan_sql(),
         "crawl_schedule_plan": _po.crawl_schedule_plan_sql(),
         "zipf_partition_balance": _po.zipf_partition_balance_sql(),
         "training_corpus": _po.training_corpus_sql(),

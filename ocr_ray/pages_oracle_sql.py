@@ -966,3 +966,42 @@ def crawl_schedule_plan_sql() -> str:
           FROM pages
         ) GROUP BY host
     """, need_blocks=False, zipf_hosts=True)
+
+
+def rendezvous_shard_plan_sql(n_shards: int = 16) -> str:
+    """HRW shard plan re-derived in SQL: per distinct host, weight =
+    md5_number_lower(host || '|' || s); assignment = row_number ORDER BY
+    weight DESC, s (argmax ties to lowest s); movers = hosts whose
+    argmax under n_shards+1 differs from the n_shards assignment."""
+    return _with_pages(f"""
+        , hosts AS (
+          SELECT DISTINCT coalesce(regexp_extract(
+                   url, '^[a-z]+://([^.]+)\\.', 1), '') AS h
+          FROM pages
+        ),
+        hw AS MATERIALIZED (
+          SELECT h, s.s AS s,
+                 md5_number_lower(h || '|' || CAST(s.s AS VARCHAR)) AS wgt
+          FROM hosts, unnest(range(0, {n_shards + 1})) AS s(s)
+        ),
+        a_old AS (
+          SELECT h, s AS shard FROM (
+            SELECT h, s, row_number() OVER (PARTITION BY h
+                     ORDER BY wgt DESC, s) AS rn
+            FROM hw WHERE s < {n_shards}
+          ) WHERE rn = 1
+        ),
+        a_new AS (
+          SELECT h, s AS shard FROM (
+            SELECT h, s, row_number() OVER (PARTITION BY h
+                     ORDER BY wgt DESC, s) AS rn
+            FROM hw
+          ) WHERE rn = 1
+        )
+        SELECT CAST(a_old.shard AS BIGINT) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_hosts,
+               CAST(COUNT(*) FILTER (a_old.shard <> a_new.shard)
+                    AS BIGINT) AS n_moved
+        FROM a_old JOIN a_new USING (h)
+        GROUP BY a_old.shard
+    """, need_blocks=False)

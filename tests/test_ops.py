@@ -5316,3 +5316,46 @@ def test_ols_price_model_exact_fit_and_lstsq_agreement(ray_session, tmp_path):
             assert abs(got["intercept_milli"] - beta[0] * 1000) <= 1
             assert abs(got["qty_coef_milli"] - beta[1] * 1000) <= 1
             assert abs(got["disc_coef_milli"] - beta[2] * 1000) <= 1
+
+
+def test_rendezvous_shard_plan_minimal_disruption(ray_session):
+    """HRW assignment matches an independent argmax replay per host, and
+    the ring-growth movers are exactly the hosts whose 17-shard argmax is
+    the NEW shard (consistent hashing's minimal-disruption property)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    got = (e._q_rendezvous_shard_plan("/root/testdata/sf0.001")
+           .to_pandas().set_index("shard").sort_index())
+
+    import glob
+    import re
+    files = glob.glob(e._pages_dir("/root/testdata/sf0.001") + "/*.parquet") \
+        or [e._pages_dir("/root/testdata/sf0.001")]
+    urls = []
+    for f in files:
+        urls.extend(pq.read_table(f, columns=["url"])["url"].to_pylist())
+    hosts = sorted({(re.match(r"^[a-z]+://([^.]+)\.", u) or [None, ""])[1]
+                    for u in urls})
+
+    def md5u(s):
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
+
+    n_hosts = np.zeros(16, dtype=np.int64)
+    n_moved = np.zeros(16, dtype=np.int64)
+    for h in hosts:
+        w = [md5u(f"{h}|{s}") for s in range(17)]
+        old = int(np.argmax(w[:16]))
+        new = int(np.argmax(w))
+        n_hosts[old] += 1
+        if new != old:
+            assert new == 16  # movers ONLY go to the added shard
+            n_moved[old] += 1
+    present = np.nonzero(n_hosts)[0]
+    assert got.index.tolist() == present.tolist()
+    assert got["n_hosts"].tolist() == n_hosts[present].tolist()
+    assert got["n_moved"].tolist() == n_moved[present].tolist()
