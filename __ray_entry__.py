@@ -241,6 +241,17 @@ def _q_dup_ngram_coverage(sf_dir: str):
     return dup_ngram_coverage(ds)
 
 
+def _q_cdc_chunk_stats(sf_dir: str):
+    """Content-defined chunking (Rabin) storage-dedup stats per lang."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.dedup import cdc_chunk_stats
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text", "lang"])
+    return cdc_chunk_stats(ds)
+
+
 def _q_minhash_param_recall(sf_dir: str):
     """LSH band-config sweep: candidate sets for 4 rows-per-band layouts
     sliced from one shared 64-perm signature pass, scored exactly against
@@ -2600,6 +2611,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "winnow_near_dup": _q_winnow_near_dup,
         "ngram_jaccard_near_dup": _q_ngram_jaccard,
         "dup_ngram_coverage": _q_dup_ngram_coverage,
+        "cdc_chunk_stats": _q_cdc_chunk_stats,
         "near_dup_filter_stats": _q_near_dup_filter_stats,
         "near_dup_keep_best_stats": _q_near_dup_keep_best_stats,
         "soft_dedup_commonness": _q_soft_dedup_commonness,
@@ -2913,6 +2925,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_near_dup": _do.winnow_near_dup_sql(),
         "ngram_jaccard_near_dup": _do.ngram_jaccard_sql(),
         "dup_ngram_coverage": _do.dup_ngram_coverage_sql(),
+        "cdc_chunk_stats": _do.cdc_chunk_stats_sql(),
         "near_dup_filter_stats": _do.near_dup_filter_stats_sql(),
         "near_dup_keep_best_stats": _do.near_dup_keep_best_stats_sql(),
         "soft_dedup_commonness": _do.soft_dedup_commonness_sql(),

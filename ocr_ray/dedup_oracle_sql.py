@@ -1386,3 +1386,68 @@ def pq_adc_search_sql(m_sub: int = 4, k_cw: int = 16, n_iter: int = 2,
                     THEN 1 ELSE 0 END AS BIGINT) AS in_exact
         FROM short ORDER BY exact_d, vec_id LIMIT {k}""")
     return "WITH " + ",".join(parts)
+
+
+def cdc_chunk_stats_sql(k: int = 16, divisor: int = 64) -> str:
+    """Content-defined chunking dedup stats re-derived in SQL: the same
+    per-position Rabin-Karp hash as winnow_near_dup_sql (raw text, not
+    lowercased — CDC is content-level), a cut after every window with
+    h %% divisor == 0, chunks rebuilt via lag() over the distinct cut
+    positions (plus the end-of-text boundary), md5-keyed distinct-chunk
+    dedup per lang, floor-bp savings."""
+    p = (1 << 61) - 1
+    expr = " + ".join(
+        f"unicode(substr(t, i.i + {j + 1}, 1))::HUGEINT * {pow(257, k - 1 - j, p)}"
+        for j in range(k)
+    )
+    return f"""
+        WITH dt AS (
+          SELECT doc_id, coalesce(lang, '') AS lang,
+                 coalesce(text, '') AS t,
+                 length(coalesce(text, '')) AS n
+          FROM documents
+        ),
+        wins AS (
+          SELECT doc_id, i.i AS i, (({expr}) % {p})::UBIGINT AS h
+          FROM dt, unnest(range(0, greatest(n - {k} + 1, 0))) AS i(i)
+        ),
+        cuts AS (
+          SELECT DISTINCT doc_id, cut FROM (
+            SELECT doc_id, i + {k} AS cut FROM wins
+            WHERE h % {divisor} = 0
+            UNION ALL
+            SELECT doc_id, n AS cut FROM dt
+          )
+        ),
+        chunks AS MATERIALIZED (
+          SELECT c.doc_id, dt.lang,
+                 substr(dt.t, prev + 1, cut - prev) AS seg,
+                 cut - prev AS len
+          FROM (
+            SELECT doc_id, cut,
+                   lag(cut, 1, 0) OVER (PARTITION BY doc_id
+                                        ORDER BY cut) AS prev
+            FROM cuts
+          ) c JOIN dt ON dt.doc_id = c.doc_id
+          WHERE cut > prev
+        ),
+        hashed AS MATERIALIZED (
+          SELECT lang, md5_number_lower(seg) AS h, len FROM chunks
+        ),
+        uniq AS (
+          SELECT lang, h, any_value(len) AS len
+          FROM hashed GROUP BY lang, h
+        )
+        SELECT t.lang,
+               CAST(t.n_chunks AS BIGINT) AS n_chunks,
+               CAST(u.n_unique_chunks AS BIGINT) AS n_unique_chunks,
+               CAST(t.total_chars AS BIGINT) AS total_chars,
+               CAST(u.unique_chars AS BIGINT) AS unique_chars,
+               CAST((t.total_chars - u.unique_chars) * 10000
+                    // t.total_chars AS BIGINT) AS savings_bp
+        FROM (SELECT lang, count(*) AS n_chunks, SUM(len) AS total_chars
+              FROM hashed GROUP BY lang) t
+        JOIN (SELECT lang, count(*) AS n_unique_chunks,
+                     SUM(len) AS unique_chars
+              FROM uniq GROUP BY lang) u USING (lang)
+    """

@@ -1895,3 +1895,93 @@ def dup_ngram_coverage(ds, text_col: str = "text", key_col: str = "doc_id",
                    Sum("dup_shingles", alias_name="dup_shingles"))
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def cdc_chunk_stats(ds, text_col: str = "text", lang_col: str = "lang",
+                    k: int = 16, divisor: int = 64,
+                    cfg: PipelineConfig = DEFAULT_CONFIG):
+    """CONTENT-DEFINED CHUNKING dedup stats (the Rabin-fingerprint
+    chunker of LBFS/restic/data-lake storage dedup): a chunk boundary
+    falls after every k-char window whose Rabin-Karp rolling hash ≡ 0
+    (mod ``divisor``) — boundaries move WITH content, so an insertion
+    re-chunks only its neighbourhood (the property fixed-size blocks
+    lack).  Per lang: chunk instances vs distinct chunks (md5-keyed) and
+    the byte savings a content-addressed store would realize, as
+    ``(lang, n_chunks, n_unique_chunks, total_chars, unique_chars,
+    savings_bp)``.
+
+    Same rolling hash as :func:`winnow_near_dup`
+    (textstats.rolling_hashes — 61-bit Rabin-Karp the oracle recomputes
+    per window position), same exchange topology as
+    :func:`dup_ngram_coverage`: chunk postings (lang, h, len) bucket by
+    h %% B so per-bucket distinct IS global distinct; each bucket emits
+    ≤ |langs| partial rows; the final groupby carries ~5 keys.  Chunk
+    TEXT never crosses an exchange — only (hash, len).
+    """
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.functions.textstats import rolling_hashes
+    from ocr_ray.pipelines.relational import _md5_u64
+
+    n_buckets = cfg.near_dup_coarse_buckets
+
+    def to_chunks(t: pa.Table) -> pa.Table:
+        langs, segs, lens = [], [], []
+        for lang, txt in zip(t[lang_col].to_pylist(),
+                             t[text_col].to_pylist()):
+            txt = txt or ""
+            if not txt:
+                continue
+            h = rolling_hashes(txt, k)
+            cuts = ((np.nonzero(h % np.uint64(divisor) == 0)[0] + k)
+                    .tolist() if h.size else [])
+            prev = 0
+            for c in cuts + [len(txt)]:
+                if c <= prev:
+                    continue
+                seg = txt[prev:c]
+                langs.append(lang or "")
+                segs.append(seg)
+                lens.append(len(seg))
+                prev = c
+        hs = _md5_u64(segs)
+        return pa.table({
+            "lang": pa.array(langs, pa.string()),
+            "h": pa.array(hs, pa.uint64()),
+            "len": pa.array(lens, pa.int64()),
+            "bucket": pa.array((hs % np.uint64(n_buckets)).astype(np.int32),
+                               pa.int32()),
+        })
+
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("lang", as_index=False).agg(
+            n_chunks=("len", "size"), total_chars=("len", "sum"))
+        uniq = (g.drop_duplicates(subset=["lang", "h"])
+                .groupby("lang", as_index=False)
+                .agg(n_unique_chunks=("len", "size"),
+                     unique_chars=("len", "sum")))
+        out = tot.merge(uniq, on="lang")
+        for c in ("n_chunks", "total_chars", "n_unique_chunks",
+                  "unique_chars"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    def finish(t: pa.Table) -> pa.Table:
+        tot = t["total_chars"].to_pylist()
+        un = t["unique_chars"].to_pylist()
+        return t.append_column(
+            "savings_bp",
+            pa.array([(a - b) * 10000 // a if a else 0
+                      for a, b in zip(tot, un)], pa.int64()))
+
+    return (
+        ds.map_batches(to_chunks, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_stats, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(Sum("n_chunks", alias_name="n_chunks"),
+                   Sum("n_unique_chunks", alias_name="n_unique_chunks"),
+                   Sum("total_chars", alias_name="total_chars"),
+                   Sum("unique_chars", alias_name="unique_chars"))
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -5359,3 +5359,65 @@ def test_rendezvous_shard_plan_minimal_disruption(ray_session):
     assert got.index.tolist() == present.tolist()
     assert got["n_hosts"].tolist() == n_hosts[present].tolist()
     assert got["n_moved"].tolist() == n_moved[present].tolist()
+
+
+def test_cdc_chunk_stats_resync_and_replay(ray_session, tmp_path):
+    """Content-defined chunking: an exact duplicate dedupes fully, a
+    PREFIX-shifted copy still shares almost all chunks (boundary resync —
+    the property fixed-size blocks lack), and the per-lang sums equal an
+    independent single-process replay."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ocr_ray.functions.textstats import rolling_hashes
+    from ocr_ray.pipelines.dedup import cdc_chunk_stats
+
+    rng = np.random.RandomState(5)
+    base = "".join(chr(97 + c) + (" " if c % 7 == 0 else "")
+                   for c in rng.randint(0, 26, 3000))
+    docs = [("en", base), ("en", base), ("en", "INSERTED PREFIX " + base),
+            ("fr", "tiny")]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array([d[1] for d in docs], pa.string()),
+        "lang": pa.array([d[0] for d in docs], pa.string()),
+    }), tmp_path / "documents.parquet")
+
+    def replay(txt):
+        h = rolling_hashes(txt, 16)
+        cuts = ((np.nonzero(h % np.uint64(64) == 0)[0] + 16).tolist()
+                if h.size else [])
+        prev, segs = 0, []
+        for c in cuts + [len(txt)]:
+            if c <= prev:
+                continue
+            segs.append(txt[prev:c])
+            prev = c
+        return segs
+
+    exp = {}
+    for lang, txt in docs:
+        for seg in replay(txt):
+            key = (lang, hashlib.md5(seg.encode()).digest()[8:16])
+            n, tot, uniq_len = exp.get(lang, (0, 0, {}))
+            uniq_len[key] = len(seg)
+            exp[lang] = (n + 1, tot + len(seg), uniq_len)
+
+    got = (cdc_chunk_stats(
+        rd.read_parquet(str(tmp_path / "documents.parquet")).repartition(3))
+        .to_pandas().set_index("lang").sort_index())
+    for lang, (n, tot, uniq_len) in exp.items():
+        row = got.loc[lang]
+        assert row["n_chunks"] == n
+        assert row["total_chars"] == tot
+        assert row["n_unique_chunks"] == len(uniq_len)
+        assert row["unique_chars"] == sum(uniq_len.values())
+    # three ~3000-char en docs, two identical + one prefix-shifted:
+    # resync keeps unique_chars barely above one copy's length
+    en = got.loc["en"]
+    assert en["unique_chars"] < len(base) + 200
+    assert en["savings_bp"] > 6000
