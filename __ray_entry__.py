@@ -2767,6 +2767,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "pack_context_windows": rel.pack_context_windows,
         "heavy_hitter_terms": rel.heavy_hitter_terms,
         "rake_keyphrases": rel.rake_keyphrases,
+        "zipf_slope_fit": rel.zipf_slope_fit,
         "name_edit_near_dup": rel.name_edit_near_dup,
         "zorder_range_revenue": _q_zorder_range_revenue,
         "revenue_by_region": rel.revenue_by_region,
@@ -5341,6 +5342,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, shard, bin_idx, n_tokens FROM walk
         """,
         # integer threshold (n*k > N) so no float division can disagree
+        "zipf_slope_fit": r"""
+            WITH tc AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS n FROM (
+                SELECT unnest(list_filter(string_split_regex(
+                         lower(coalesce(text, '')), '\s+'),
+                         x -> x <> '')) AS term
+                FROM documents
+              ) GROUP BY term
+            ),
+            top AS MATERIALIZED (
+              SELECT n, row_number() OVER (ORDER BY n DESC, term) AS r
+              FROM tc ORDER BY n DESC, term LIMIT 500
+            ),
+            xy AS (
+              SELECT CAST(ROUND(1000000.0 * ln(CAST(r AS DOUBLE)))
+                          AS BIGINT) AS x,
+                     CAST(ROUND(1000000.0 * ln(CAST(n AS DOUBLE)))
+                          AS BIGINT) AS y
+              FROM top
+            ),
+            s AS (
+              SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                     CAST(SUM(x) AS HUGEINT) AS sx,
+                     CAST(SUM(y) AS HUGEINT) AS sy,
+                     CAST(SUM(x * x) AS HUGEINT) AS sxx,
+                     CAST(SUM(x * y) AS HUGEINT) AS sxy
+              FROM xy
+            ),
+            d AS (
+              SELECT n, sy, sx,
+                     n * sxy - sx * sy AS nm,
+                     n * sxx - sx * sx AS dd
+              FROM s
+            )
+            SELECT CAST(n AS BIGINT) AS n_terms,
+              CAST(CASE WHEN dd = 0 THEN 0
+                WHEN (nm * 1000 < 0) <> (dd < 0)
+                  THEN -((2*ABS(nm * 1000) + ABS(dd)) // (2*ABS(dd)))
+                ELSE (2*ABS(nm * 1000) + ABS(dd)) // (2*ABS(dd))
+                END AS BIGINT) AS slope_milli,
+              CAST(CASE WHEN n * dd = 0 THEN 0
+                WHEN ((sy * dd - nm * sx) < 0) <> ((n * dd) < 0)
+                  THEN -((2*ABS(sy * dd - nm * sx) + ABS(n * dd))
+                         // (2*ABS(n * dd)))
+                ELSE (2*ABS(sy * dd - nm * sx) + ABS(n * dd))
+                     // (2*ABS(n * dd))
+                END AS BIGINT) AS intercept_unats
+            FROM d
+        """,
         "rake_keyphrases": r"""
             WITH toks AS MATERIALIZED (
               SELECT doc_id, term, ord FROM (

@@ -8211,3 +8211,80 @@ def ols_price_model(sf_dir: str):
         "disc_coef_milli": pa.array(
             [_div_half_away(det2 * 1000, det)], pa.int64()),
     })
+
+
+def zipf_slope_fit(sf_dir: str, k: int = 500):
+    """ZIPF'S-LAW FIT of the corpus vocabulary — the log-log linear fit
+    ``ln(freq) ~ ln(rank)`` over the top-k tokens (slope ≈ −1 is
+    Zipf's law; the diagnostic behind vocabulary sizing and the
+    heavy-hitter salting decisions this repo documents).  Returns one
+    row ``(n_terms, slope_milli, intercept_unats)``.
+
+    Float discipline: the ONLY float op is one ln per point, rounded to
+    integer micro-nats (the bigram_lm convention, numpy/DuckDB parity
+    pinned on 10^5 values); the least-squares solve is exact integer
+    Cramer over those ints (:func:`_div_half_away` — no float solve, so
+    Ray == DuckDB bit for bit).
+
+    Scale shape: :func:`top_terms`' two-level exact reduce (per-batch
+    Counter partials, crc32-bucket exchange, per-bucket top-k,
+    repartition(1) final top-k) hands the driver exactly k (token,
+    freq) rows; the fit itself is driver-side big-int arithmetic on
+    2k ints.
+    """
+    import collections
+    import zlib
+
+    n_buckets = DEFAULT_CONFIG.near_dup_coarse_buckets
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        for txt in t["text"].to_pylist():
+            c.update((txt or "").lower().split())
+        toks = list(c.keys())
+        return pa.table({
+            "token": pa.array(toks, pa.string()),
+            "n": pa.array([c[tk] for tk in toks], pa.int64()),
+            "bucket": pa.array(
+                [zlib.crc32(tk.encode()) % n_buckets for tk in toks],
+                pa.int32()),
+        })
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("token", as_index=False)["n"].sum()
+        s["n"] = s["n"].astype("int64")
+        return s.sort_values(["n", "token"],
+                             ascending=[False, True]).head(k)
+
+    def final(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("n", "descending"), ("token", "ascending")])[:k]
+        return t.take(idx).select(["token", "n"])
+
+    top = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    freqs = top["n"].to_numpy()
+    ranks = np.arange(1, len(freqs) + 1, dtype=np.float64)
+    x = np.copysign(np.floor(np.abs(np.log(ranks) * 1e6) + 0.5),
+                    1.0).astype(np.int64)
+    y = np.copysign(np.floor(np.abs(np.log(freqs.astype(np.float64))
+                                    * 1e6) + 0.5), 1.0).astype(np.int64)
+    n = len(x)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx, sxy = int((x * x).sum()), int((x * y).sum())
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    return pa.table({
+        "n_terms": pa.array([n], pa.int64()),
+        "slope_milli": pa.array(
+            [_div_half_away(num * 1000, den)], pa.int64()),
+        "intercept_unats": pa.array(
+            [_div_half_away(sy * den - num * sx, n * den)], pa.int64()),
+    })

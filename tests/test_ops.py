@@ -5421,3 +5421,33 @@ def test_cdc_chunk_stats_resync_and_replay(ray_session, tmp_path):
     en = got.loc["en"]
     assert en["unique_chars"] < len(base) + 200
     assert en["savings_bp"] > 6000
+
+
+def test_zipf_slope_fit_recovers_power_law(ray_session, tmp_path):
+    """On a corpus whose token frequencies follow freq = C / rank
+    exactly, the integer log-log fit recovers slope -1 (milli-units) and
+    intercept ln(C) (micro-nats) to rounding."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import zipf_slope_fit
+
+    n_terms, c = 100, 2000
+    words = []
+    for r in range(1, n_terms + 1):
+        words.extend([f"w{r:04d}"] * (c // r))
+    rng = np.random.RandomState(1)
+    rng.shuffle(words)
+    docs = [" ".join(words[i:i + 200]) for i in range(0, len(words), 200)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+        "lang": pa.array(["en"] * len(docs), pa.string()),
+    }), tmp_path / "documents.parquet")
+
+    got = zipf_slope_fit(str(tmp_path), k=n_terms).to_pandas().iloc[0]
+    assert got["n_terms"] == n_terms
+    # freq = floor(2000/r): slope ~ -1000 milli, intercept ~ ln(2000)
+    assert -1050 <= got["slope_milli"] <= -950
+    assert abs(got["intercept_unats"] - 1e6 * np.log(c)) < 3e4
