@@ -2768,6 +2768,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_terms": rel.heavy_hitter_terms,
         "rake_keyphrases": rel.rake_keyphrases,
         "zipf_slope_fit": rel.zipf_slope_fit,
+        "span_corruption_plan": rel.span_corruption_plan,
         "name_edit_near_dup": rel.name_edit_near_dup,
         "zorder_range_revenue": _q_zorder_range_revenue,
         "revenue_by_region": rel.revenue_by_region,
@@ -5342,6 +5343,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, shard, bin_idx, n_tokens FROM walk
         """,
         # integer threshold (n*k > N) so no float division can disagree
+        "span_corruption_plan": r"""
+            WITH d1 AS (
+              SELECT doc_id, coalesce(lang, '') AS lang, n FROM (
+                SELECT doc_id, lang,
+                       len(list_filter(string_split_regex(
+                         lower(coalesce(text, '')), '\s+'),
+                         x -> x <> '')) AS n
+                FROM documents
+              ) WHERE n > 0
+            ),
+            starts AS MATERIALIZED (
+              SELECT doc_id, i.i AS i, n,
+                     2 + CAST(md5_number_lower(CAST(doc_id AS VARCHAR)
+                           || ':' || CAST(i.i AS VARCHAR) || ':L') % 3
+                         AS BIGINT) AS sl
+              FROM d1, unnest(range(0, n)) AS i(i)
+              WHERE md5_number_lower(CAST(doc_id AS VARCHAR) || ':'
+                      || CAST(i.i AS VARCHAR)) % 100 < 15
+            ),
+            mpos AS MATERIALIZED (
+              SELECT DISTINCT doc_id, p.p AS mp
+              FROM starts, unnest(range(i, least(i + sl, n))) AS p(p)
+            ),
+            isl AS (
+              SELECT doc_id,
+                     mp - row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY mp) AS g
+              FROM mpos
+            ),
+            per AS (
+              SELECT doc_id, count(*) AS masked,
+                     count(DISTINCT g) AS sent
+              FROM isl GROUP BY doc_id
+            )
+            SELECT d1.lang,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(d1.n) AS BIGINT) AS total_tokens,
+              CAST(SUM(coalesce(per.masked, 0)) AS BIGINT) AS masked_tokens,
+              CAST(SUM(coalesce(per.sent, 0)) AS BIGINT) AS n_sentinels,
+              CAST(SUM(coalesce(per.masked, 0)) * 10000 // SUM(d1.n)
+                   AS BIGINT) AS mask_ratio_bp
+            FROM d1 LEFT JOIN per USING (doc_id)
+            GROUP BY d1.lang
+        """,
         "zipf_slope_fit": r"""
             WITH tc AS (
               SELECT term, CAST(count(*) AS BIGINT) AS n FROM (

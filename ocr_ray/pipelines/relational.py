@@ -8288,3 +8288,79 @@ def zipf_slope_fit(sf_dir: str, k: int = 500):
         "intercept_unats": pa.array(
             [_div_half_away(sy * den - num * sx, n * den)], pa.int64()),
     })
+
+
+def span_corruption_plan(sf_dir: str, noise_pct: int = 15,
+                         min_len: int = 2, len_mod: int = 3):
+    """T5-STYLE SPAN-CORRUPTION PLANNING (Raffel et al. 2020 §3.1.4 —
+    the masking math every denoising-objective pipeline runs before
+    packing): each token position starts a candidate noise span with
+    probability ``noise_pct``%% (md5-driven, NEVER random()); span
+    length is ``min_len + md5 %% len_mod`` (2-4, mean 3); the masked set
+    is the UNION of candidate spans clamped at the doc end, and each
+    maximal masked run becomes one SENTINEL token.  Per lang:
+    ``(n_docs, total_tokens, masked_tokens, n_sentinels,
+    mask_ratio_bp)`` — the numbers that size the encoder/decoder
+    sequence budget (inputs shrink by masked−sentinels, targets are
+    masked+sentinels).
+
+    Determinism: position i of doc d masks iff
+    ``md5(d:i) %% 100 < noise_pct``; length = ``min_len +
+    md5(d:i:L) %% len_mod`` — the hash_sample convention, stable across
+    runs/partitioning/engines; sentinel runs counted vectorized
+    (boolean diff).  Embarrassingly parallel per-batch partials; the
+    only exchange carries ≤ |langs| rows per batch.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        acc: dict[str, list[int]] = {}
+        for did, lang, txt in zip(t["doc_id"].to_pylist(),
+                                  t["lang"].to_pylist(),
+                                  t["text"].to_pylist()):
+            toks = (txt or "").lower().split()
+            n = len(toks)
+            if n == 0:
+                continue
+            h = _md5_u64([f"{did}:{i}" for i in range(n)])
+            starts = np.nonzero(h % np.uint64(100) < noise_pct)[0]
+            masked = np.zeros(n, dtype=bool)
+            if starts.size:
+                lens = (min_len
+                        + _md5_u64([f"{did}:{i}:L" for i in starts])
+                        % np.uint64(len_mod)).astype(np.int64)
+                for i, ln in zip(starts, lens):
+                    masked[i:i + ln] = True
+            m = int(masked.sum())
+            sent = int(masked[0]) + int(
+                (masked[1:] & ~masked[:-1]).sum()) if n else 0
+            a = acc.setdefault(lang or "", [0, 0, 0, 0])
+            a[0] += 1
+            a[1] += n
+            a[2] += m
+            a[3] += sent
+        ks = sorted(acc)
+        return pa.table({
+            "lang": pa.array(ks, pa.string()),
+            "n_docs": pa.array([acc[x][0] for x in ks], pa.int64()),
+            "total_tokens": pa.array([acc[x][1] for x in ks], pa.int64()),
+            "masked_tokens": pa.array([acc[x][2] for x in ks], pa.int64()),
+            "n_sentinels": pa.array([acc[x][3] for x in ks], pa.int64()),
+        })
+
+    def finish(t: pa.Table) -> pa.Table:
+        tot = t["total_tokens"].to_pylist()
+        m = t["masked_tokens"].to_pylist()
+        return t.append_column(
+            "mask_ratio_bp",
+            pa.array([a * 10000 // b if b else 0
+                      for a, b in zip(m, tot)], pa.int64()))
+
+    return (_read(sf_dir, "documents", ["doc_id", "text", "lang"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("total_tokens", alias_name="total_tokens"),
+                       Sum("masked_tokens", alias_name="masked_tokens"),
+                       Sum("n_sentinels", alias_name="n_sentinels"))
+            .map_batches(finish, batch_format="pyarrow"))

@@ -5451,3 +5451,49 @@ def test_zipf_slope_fit_recovers_power_law(ray_session, tmp_path):
     # freq = floor(2000/r): slope ~ -1000 milli, intercept ~ ln(2000)
     assert -1050 <= got["slope_milli"] <= -950
     assert abs(got["intercept_unats"] - 1e6 * np.log(c)) < 3e4
+
+
+def test_span_corruption_plan_replay_and_ratio(ray_session, tmp_path):
+    """T5 span-corruption plan equals an independent single-doc replay
+    (union of clamped md5-driven spans, sentinel = maximal run), the
+    mask ratio sits near the 15% * mean-len-3 expectation, and sentinels
+    never exceed masked tokens."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import span_corruption_plan
+
+    rng = np.random.RandomState(9)
+    docs = [" ".join(f"t{j}" for j in range(rng.randint(50, 300)))
+            for _ in range(40)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+        "lang": pa.array(["en"] * len(docs), pa.string()),
+    }), tmp_path / "documents.parquet")
+
+    def md5u(s):
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[8:16],
+                              "little")
+
+    tot = mask = sent = 0
+    for did, txt in enumerate(docs):
+        n = len(txt.split())
+        m = np.zeros(n, dtype=bool)
+        for i in range(n):
+            if md5u(f"{did}:{i}") % 100 < 15:
+                ln = 2 + md5u(f"{did}:{i}:L") % 3
+                m[i:i + ln] = True
+        tot += n
+        mask += int(m.sum())
+        sent += int(m[0]) + int((m[1:] & ~m[:-1]).sum())
+
+    got = span_corruption_plan(str(tmp_path)).to_pandas().iloc[0]
+    assert (got["n_docs"], got["total_tokens"], got["masked_tokens"],
+            got["n_sentinels"]) == (len(docs), tot, mask, sent)
+    assert got["mask_ratio_bp"] == mask * 10000 // tot
+    assert 2500 < got["mask_ratio_bp"] < 5000  # ~15% starts x mean len 3
+    assert got["n_sentinels"] <= got["masked_tokens"]
