@@ -2769,6 +2769,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "rake_keyphrases": rel.rake_keyphrases,
         "zipf_slope_fit": rel.zipf_slope_fit,
         "span_corruption_plan": rel.span_corruption_plan,
+        "langid_rank_profile": rel.langid_rank_profile,
         "name_edit_near_dup": rel.name_edit_near_dup,
         "zorder_range_revenue": _q_zorder_range_revenue,
         "revenue_by_region": rel.revenue_by_region,
@@ -5343,6 +5344,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, shard, bin_idx, n_tokens FROM walk
         """,
         # integer threshold (n*k > N) so no float division can disagree
+        "langid_rank_profile": r"""
+            WITH dt AS (
+              SELECT doc_id, coalesce(lang, '') AS lang,
+                     lower(coalesce(text, '')) AS t,
+                     length(lower(coalesce(text, ''))) AS n
+              FROM documents
+            ),
+            g AS MATERIALIZED (
+              SELECT doc_id, lang, substr(t, i.i + 1, 3) AS gr
+              FROM dt, unnest(range(0, greatest(n - 2, 0))) AS i(i)
+            ),
+            lp AS MATERIALIZED (
+              SELECT lang, gr, rk FROM (
+                SELECT lang, gr, row_number() OVER (
+                         PARTITION BY lang ORDER BY c DESC, gr) AS rk
+                FROM (SELECT lang, gr, count(*) AS c FROM g
+                      GROUP BY lang, gr)
+              ) WHERE rk <= 200
+            ),
+            dp AS MATERIALIZED (
+              SELECT doc_id, gr, rk FROM (
+                SELECT doc_id, gr, row_number() OVER (
+                         PARTITION BY doc_id ORDER BY c DESC, gr) AS rk
+                FROM (SELECT doc_id, gr, count(*) AS c FROM g
+                      GROUP BY doc_id, gr)
+              ) WHERE rk <= 200
+            ),
+            dist AS MATERIALIZED (
+              SELECT dp.doc_id, l.lang AS cand,
+                     SUM(CASE WHEN lp.rk IS NULL THEN 200
+                          ELSE ABS(dp.rk - lp.rk) END) AS d
+              FROM dp
+              CROSS JOIN (SELECT DISTINCT lang FROM g) l
+              LEFT JOIN lp ON lp.lang = l.lang AND lp.gr = dp.gr
+              GROUP BY dp.doc_id, l.lang
+            ),
+            pred AS (
+              SELECT doc_id, cand AS predicted FROM (
+                SELECT doc_id, cand, row_number() OVER (
+                         PARTITION BY doc_id ORDER BY d, cand) AS rn
+                FROM dist
+              ) WHERE rn = 1
+            )
+            SELECT dt.lang, pred.predicted,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM pred JOIN dt USING (doc_id)
+            GROUP BY dt.lang, pred.predicted
+        """,
         "span_corruption_plan": r"""
             WITH d1 AS (
               SELECT doc_id, coalesce(lang, '') AS lang, n FROM (

@@ -8364,3 +8364,117 @@ def span_corruption_plan(sf_dir: str, noise_pct: int = 15,
                        Sum("masked_tokens", alias_name="masked_tokens"),
                        Sum("n_sentinels", alias_name="n_sentinels"))
             .map_batches(finish, batch_format="pyarrow"))
+
+
+def langid_rank_profile(sf_dir: str, profile_k: int = 200):
+    """CAVNAR-TRENKLE N-GRAM RANK-PROFILE LANGUAGE ID (Cavnar &
+    Trenkle 1994, "N-Gram-Based Text Categorization" — the classic
+    langid textcat ships): per lang, the top-``profile_k`` char
+    3-grams by frequency form a RANK profile; a document classifies to
+    the lang minimizing the OUT-OF-PLACE distance — Σ over the doc's
+    own top-``profile_k`` grams of |doc_rank − lang_rank|, with a
+    ``profile_k`` penalty for grams absent from the lang profile.
+    Returns the confusion matrix ``(lang, predicted, n_docs)`` against
+    the stored labels — the evaluation a curation pipeline runs before
+    trusting a langid gate (the rank-method sibling of
+    :func:`langid_confusion`'s heuristic).
+
+    Ordering discipline: all ranks are row_number over (count DESC,
+    gram ASC); argmin ties break to the lexically first lang — both
+    mirrored in SQL, so the matrix is bit-stable.
+
+    Scale shape: training is :func:`top_terms`' two-level exact reduce
+    per lang (per-batch (lang, gram) Counter partials, crc32(gram)
+    bucket exchange — a gram's counts for ALL langs co-locate, per-lang
+    top-k inside, bounded final reduce); the |langs|·profile_k profile
+    table broadcasts by value into one embarrassingly-parallel classify
+    pass emitting ≤ |langs|² partial rows per batch.  Docs shorter than
+    3 chars have no profile and are excluded on both sides.
+    """
+    import collections
+    import zlib
+
+    n_buckets = DEFAULT_CONFIG.near_dup_coarse_buckets
+
+    def _grams(txt: str):
+        t = (txt or "").lower()
+        return [t[i:i + 3] for i in range(len(t) - 2)]
+
+    def train_partial(t: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        for lang, txt in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            for g in _grams(txt):
+                c[(lang or "", g)] += 1
+        keys = list(c.keys())
+        return pa.table({
+            "lang": pa.array([k[0] for k in keys], pa.string()),
+            "gr": pa.array([k[1] for k in keys], pa.string()),
+            "n": pa.array([c[k] for k in keys], pa.int64()),
+            "bucket": pa.array(
+                [zlib.crc32(k[1].encode()) % n_buckets for k in keys],
+                pa.int32()),
+        })
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["lang", "gr"], as_index=False)["n"].sum()
+        s["n"] = s["n"].astype(np.int64)
+        return (s.sort_values(["lang", "n", "gr"],
+                              ascending=[True, False, True])
+                .groupby("lang", as_index=False).head(profile_k))
+
+    def final_profiles(t: pa.Table) -> pa.Table:
+        df = (t.to_pandas()
+              .sort_values(["lang", "n", "gr"],
+                           ascending=[True, False, True])
+              .groupby("lang", as_index=False).head(profile_k))
+        df["rk"] = df.groupby("lang").cumcount() + 1
+        return pa.Table.from_pandas(df[["lang", "gr", "rk"]],
+                                    preserve_index=False)
+
+    prof = (
+        _read(sf_dir, "documents", ["text", "lang"])
+        .map_batches(train_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final_profiles, batch_format="pyarrow",
+                     batch_size=None)
+        .to_pandas()
+    )
+    profiles: dict[str, dict[str, int]] = {}
+    for lang, gr, rk in prof.itertuples(index=False):
+        profiles.setdefault(lang, {})[gr] = int(rk)
+    langs = sorted(profiles)
+
+    from ray.data.aggregate import Sum
+
+    def classify(t: pa.Table) -> pa.Table:
+        conf: collections.Counter = collections.Counter()
+        for lang, txt in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            gs = _grams(txt)
+            if not gs:
+                continue
+            c = collections.Counter(gs)
+            ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+            ranked = ranked[:profile_k]
+            best, best_d = None, None
+            for cand in langs:
+                p = profiles[cand]
+                d = 0
+                for rk, (g, _) in enumerate(ranked, 1):
+                    lr = p.get(g)
+                    d += abs(rk - lr) if lr is not None else profile_k
+                if best_d is None or d < best_d:
+                    best, best_d = cand, d
+            conf[(lang or "", best)] += 1
+        keys = sorted(conf)
+        return pa.table({
+            "lang": pa.array([k[0] for k in keys], pa.string()),
+            "predicted": pa.array([k[1] for k in keys], pa.string()),
+            "n_docs": pa.array([conf[k] for k in keys], pa.int64()),
+        })
+
+    return (_read(sf_dir, "documents", ["text", "lang"])
+            .map_batches(classify, batch_format="pyarrow")
+            .groupby(["lang", "predicted"])
+            .aggregate(Sum("n_docs", alias_name="n_docs")))

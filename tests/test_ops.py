@@ -5497,3 +5497,34 @@ def test_span_corruption_plan_replay_and_ratio(ray_session, tmp_path):
     assert got["mask_ratio_bp"] == mask * 10000 // tot
     assert 2500 < got["mask_ratio_bp"] < 5000  # ~15% starts x mean len 3
     assert got["n_sentinels"] <= got["masked_tokens"]
+
+
+def test_langid_rank_profile_separable_corpus(ray_session, tmp_path):
+    """Cavnar-Trenkle rank profiles: on a corpus with disjoint per-lang
+    character inventories the classifier is perfect; self-training on
+    the labels never invents a lang absent from the corpus."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import langid_rank_profile
+
+    rng = np.random.RandomState(2)
+    pools = {"aa": "abcdefg", "bb": "hijklmn", "cc": "opqrstu"}
+    rows = []
+    for lang, pool in pools.items():
+        for _ in range(30):
+            words = ["".join(rng.choice(list(pool), rng.randint(3, 8)))
+                     for _ in range(rng.randint(20, 60))]
+            rows.append((lang, " ".join(words)))
+    rng.shuffle(rows)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(rows)), pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[0] for r in rows], pa.string()),
+    }), tmp_path / "documents.parquet")
+
+    got = langid_rank_profile(str(tmp_path)).to_pandas()
+    assert set(got["predicted"]) <= set(pools)
+    assert (got["lang"] == got["predicted"]).all()   # fully separable
+    assert got["n_docs"].sum() == len(rows)
