@@ -2770,6 +2770,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "zipf_slope_fit": rel.zipf_slope_fit,
         "span_corruption_plan": rel.span_corruption_plan,
         "langid_rank_profile": rel.langid_rank_profile,
+        "bloom_fpp_audit": rel.bloom_fpp_audit,
         "name_edit_near_dup": rel.name_edit_near_dup,
         "zorder_range_revenue": _q_zorder_range_revenue,
         "revenue_by_region": rel.revenue_by_region,
@@ -5344,6 +5345,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, shard, bin_idx, n_tokens FROM walk
         """,
         # integer threshold (n*k > N) so no float division can disagree
+        "bloom_fpp_audit": r"""
+            WITH mem AS (
+              SELECT DISTINCT o_custkey AS k FROM orders
+              WHERE o_orderpriority = '1-URGENT'
+            ),
+            pos AS MATERIALIZED (
+              SELECT DISTINCT CAST(md5_number_lower(CAST(k AS VARCHAR)
+                || ':' || CAST(j.j AS VARCHAR)) % 16384 AS BIGINT) AS p
+              FROM mem, unnest(range(0, 4)) AS j(j)
+            ),
+            probes AS (
+              SELECT c_custkey + 1000000000 AS k FROM customer
+            ),
+            pb AS (
+              SELECT probes.k,
+                     CAST(md5_number_lower(CAST(probes.k AS VARCHAR)
+                       || ':' || CAST(j.j AS VARCHAR)) % 16384
+                       AS BIGINT) AS b
+              FROM probes, unnest(range(0, 4)) AS j(j)
+            ),
+            hit AS (
+              SELECT pb.k, count(*) AS c
+              FROM pb JOIN pos ON pos.p = pb.b GROUP BY pb.k
+            ),
+            agg AS (
+              SELECT (SELECT COUNT(*) FROM mem) AS n_members,
+                     (SELECT COUNT(*) FROM pos) AS n_bits_set,
+                     (SELECT COUNT(*) FROM probes) AS n_probes,
+                     (SELECT COUNT(*) FROM hit WHERE c = 4) AS n_false_pos
+            )
+            SELECT CAST(n_members AS BIGINT) AS n_members,
+                   CAST(n_bits_set AS BIGINT) AS n_bits_set,
+                   CAST(n_probes AS BIGINT) AS n_probes,
+                   CAST(n_false_pos AS BIGINT) AS n_false_pos,
+                   CAST(CASE WHEN n_probes = 0 THEN 0
+                        ELSE n_false_pos * 10000 // n_probes END
+                        AS BIGINT) AS fp_bp,
+                   CAST(CAST(n_bits_set AS HUGEINT) * n_bits_set
+                        * n_bits_set * n_bits_set * 10000
+                        // (CAST(16384 AS HUGEINT) * 16384 * 16384
+                            * 16384) AS BIGINT) AS expected_fp_bp
+            FROM agg
+        """,
         "langid_rank_profile": r"""
             WITH dt AS (
               SELECT doc_id, coalesce(lang, '') AS lang,

@@ -8478,3 +8478,102 @@ def langid_rank_profile(sf_dir: str, profile_k: int = 200):
             .map_batches(classify, batch_format="pyarrow")
             .groupby(["lang", "predicted"])
             .aggregate(Sum("n_docs", alias_name="n_docs")))
+
+
+def bloom_fpp_audit(sf_dir: str, priority: str = "1-URGENT",
+                    n_bits: int = 16384, n_hashes: int = 4):
+    """BLOOM-FILTER FALSE-POSITIVE AUDIT, bit-for-bit oracle-checked —
+    the verification a pipeline runs before trusting a bloom-pruned
+    semi join (:func:`bloom_semi_join_revenue` uses the filter; this
+    op pins the FILTER ITSELF): members are the distinct custkeys
+    holding a ``priority`` order, hashed into an ``n_bits`` bloom via
+    the md5 family ``pos_j = md5(key:j) % n_bits`` (oracle-recomputable,
+    unlike the splitmix64 hot path — functions/bloom.py documents the
+    family split); probes are customer keys shifted OUTSIDE the key
+    domain (+10^9), so every probe is a TRUE negative and every hit a
+    false positive.  Returns one row ``(n_members, n_bits_set,
+    n_probes, n_false_pos, fp_bp, expected_fp_bp)`` where expected =
+    (bits_set/n_bits)^k in exact integer bp — observed should sit near
+    it (the standard bloom occupancy estimate).
+
+    Scale shape: the build emits one fixed-size bitmap partial per
+    batch OR-folded on the driver (the bloom_semi_join discipline —
+    driver holds KB, never keys); the member count is the coarse-bucket
+    exact-distinct reduce; the probe pass broadcasts the bitmap via
+    ray.put and emits one count per batch.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    nb = n_bits
+
+    def _positions(keys: list) -> np.ndarray:
+        return (_md5_u64([f"{k}:{j}" for k in keys
+                          for j in range(n_hashes)])
+                % np.uint64(nb)).astype(np.int64)
+
+    def build_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderpriority"], priority))
+        keys = pc.unique(t["o_custkey"]).to_pylist()
+        bits = np.zeros(nb, dtype=bool)
+        if keys:
+            bits[_positions(keys)] = True
+        return pa.table({"bits": pa.array([np.packbits(bits).tobytes()],
+                                          pa.binary())})
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    bits = np.zeros(nb, dtype=bool)
+    for ref in orders.map_batches(build_partial,
+                                  batch_format="pyarrow").to_arrow_refs():
+        b = ray.get(ref)
+        if b.num_columns and b.num_rows:
+            for blob in b["bits"].to_pylist():
+                bits |= np.unpackbits(
+                    np.frombuffer(blob, np.uint8)).astype(bool)[:nb]
+    n_bits_set = int(bits.sum())
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderpriority"], priority))
+        u = pc.unique(t["o_custkey"])
+        return pa.table({
+            "k": u,
+            "bucket": pa.array(
+                (u.to_numpy(zero_copy_only=False).astype(np.int64) % 64)
+                .astype(np.int32), pa.int32()),
+        })
+
+    n_members = int(
+        orders.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda g: pd.DataFrame(
+            {"n": [g["k"].nunique()]}), batch_format="pandas")
+        .aggregate(Sum("n"))["sum(n)"] or 0)
+
+    bits_ref = ray.put(np.packbits(bits))
+
+    def probe_partial(t: pa.Table) -> pa.Table:
+        keys = [k + 1_000_000_000 for k in t["c_custkey"].to_pylist()]
+        if not keys:
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "fp": pa.array([0], pa.int64())})
+        bm = np.unpackbits(ray.get(bits_ref)).astype(bool)[:nb]
+        pos = _positions(keys).reshape(len(keys), n_hashes)
+        hit = bm[pos].all(axis=1)
+        return pa.table({"n": pa.array([len(keys)], pa.int64()),
+                         "fp": pa.array([int(hit.sum())], pa.int64())})
+
+    pr = (_read(sf_dir, "customer", ["c_custkey"])
+          .map_batches(probe_partial, batch_format="pyarrow")
+          .aggregate(Sum("n", alias_name="n"), Sum("fp", alias_name="fp")))
+    n_probes, n_fp = int(pr["n"] or 0), int(pr["fp"] or 0)
+
+    return pa.table({
+        "n_members": pa.array([n_members], pa.int64()),
+        "n_bits_set": pa.array([n_bits_set], pa.int64()),
+        "n_probes": pa.array([n_probes], pa.int64()),
+        "n_false_pos": pa.array([n_fp], pa.int64()),
+        "fp_bp": pa.array([n_fp * 10000 // n_probes if n_probes else 0],
+                          pa.int64()),
+        "expected_fp_bp": pa.array(
+            [n_bits_set ** n_hashes * 10000 // nb ** n_hashes], pa.int64()),
+    })

@@ -5528,3 +5528,50 @@ def test_langid_rank_profile_separable_corpus(ray_session, tmp_path):
     assert set(got["predicted"]) <= set(pools)
     assert (got["lang"] == got["predicted"]).all()   # fully separable
     assert got["n_docs"].sum() == len(rows)
+
+
+def test_bloom_fpp_audit_replay(ray_session, tmp_path):
+    """Bloom FP audit equals a single-process replay of the md5-family
+    filter (members' bits, probe hits), members themselves never miss
+    (no false negatives), and the observed FP count is within the
+    occupancy-estimate ballpark."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import bloom_fpp_audit
+
+    rng = np.random.RandomState(4)
+    n_orders, n_cust = 3000, 800
+    cust = np.arange(n_cust, dtype=np.int64)
+    ok = np.array(["1-URGENT", "2-HIGH"])[rng.randint(0, 2, n_orders)]
+    okeys = rng.randint(0, n_cust, n_orders).astype(np.int64)
+    pq.write_table(pa.table({"o_custkey": pa.array(okeys),
+                             "o_orderpriority": pa.array(ok)}),
+                   tmp_path / "orders.parquet")
+    pq.write_table(pa.table({"c_custkey": pa.array(cust)}),
+                   tmp_path / "customer.parquet")
+
+    def md5u(s):
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[8:16],
+                              "little")
+
+    members = sorted({int(k) for k, p in zip(okeys, ok) if p == "1-URGENT"})
+    bits = np.zeros(16384, dtype=bool)
+    for k in members:
+        for j in range(4):
+            bits[md5u(f"{k}:{j}") % 16384] = True
+    for k in members:  # no false negatives by construction
+        assert all(bits[md5u(f"{k}:{j}") % 16384] for j in range(4))
+    fp = sum(1 for k in cust
+             if all(bits[md5u(f"{int(k) + 1_000_000_000}:{j}") % 16384]
+                    for j in range(4)))
+
+    got = bloom_fpp_audit(str(tmp_path)).to_pandas().iloc[0]
+    assert (got["n_members"], got["n_bits_set"],
+            got["n_probes"], got["n_false_pos"]) == (
+        len(members), int(bits.sum()), n_cust, fp)
+    assert got["expected_fp_bp"] == (
+        int(bits.sum()) ** 4 * 10000 // 16384 ** 4)
