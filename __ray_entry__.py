@@ -2771,6 +2771,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "span_corruption_plan": rel.span_corruption_plan,
         "langid_rank_profile": rel.langid_rank_profile,
         "bloom_fpp_audit": rel.bloom_fpp_audit,
+        "lang_unigram_kl": rel.lang_unigram_kl,
         "name_edit_near_dup": rel.name_edit_near_dup,
         "zorder_range_revenue": _q_zorder_range_revenue,
         "revenue_by_region": rel.revenue_by_region,
@@ -5345,6 +5346,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, shard, bin_idx, n_tokens FROM walk
         """,
         # integer threshold (n*k > N) so no float division can disagree
+        "lang_unigram_kl": r"""
+            WITH tok AS MATERIALIZED (
+              SELECT coalesce(lang, '') AS lang,
+                     unnest(list_filter(string_split_regex(
+                       lower(coalesce(text, '')), '\s+'),
+                       x -> x <> '')) AS term
+              FROM documents
+            ),
+            lc AS MATERIALIZED (
+              SELECT lang, term, CAST(count(*) AS BIGINT) AS c
+              FROM tok GROUP BY lang, term
+            ),
+            tl AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t
+                   FROM lc GROUP BY lang),
+            vv AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v
+                   FROM lc),
+            terms AS (SELECT DISTINCT term FROM lc),
+            pairs AS (SELECT a.lang AS la, b.lang AS lb,
+                             a.t AS ta, b.t AS tb
+                      FROM tl a, tl b WHERE a.lang <> b.lang),
+            grid AS (
+              SELECT p.la, p.lb, p.ta, p.tb,
+                     coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb,
+                     vv.v
+              FROM pairs p CROSS JOIN terms t CROSS JOIN vv
+              LEFT JOIN lc ca ON ca.lang = p.la AND ca.term = t.term
+              LEFT JOIN lc cb ON cb.lang = p.lb AND cb.term = t.term
+            )
+            SELECT la AS lang_a, lb AS lang_b,
+              CAST(SUM(CAST(ROUND(
+                1000000000000.0 * ((ca + 1) / (ta + v))
+                * ln(((ca + 1) * (tb + v)) / ((cb + 1) * (ta + v)))
+              ) AS BIGINT)) AS BIGINT) AS kl_pico
+            FROM grid GROUP BY la, lb
+        """,
         "bloom_fpp_audit": r"""
             WITH mem AS (
               SELECT DISTINCT o_custkey AS k FROM orders

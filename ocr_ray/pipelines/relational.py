@@ -8577,3 +8577,105 @@ def bloom_fpp_audit(sf_dir: str, priority: str = "1-URGENT",
         "expected_fp_bp": pa.array(
             [n_bits_set ** n_hashes * 10000 // nb ** n_hashes], pa.int64()),
     })
+
+
+def lang_unigram_kl(sf_dir: str):
+    """PAIRWISE KL DIVERGENCE between per-lang unigram LMs — the
+    distribution-shift measurement behind corpus mixing and domain
+    adaptation (the directed sibling of :func:`psi_feature_drift` /
+    :func:`corpus_log_odds`): ``KL(a‖b) = Σ_t p_a(t)·ln(p_a(t)/p_b(t))``
+    over the UNION vocabulary with add-1 smoothing
+    ``p_l(t) = (c_l(t)+1)/(T_l+V)``.  Returns all ordered pairs as
+    ``(lang_a, lang_b, kl_pico)`` in integer pico-nats.
+
+    Float discipline: the per-term contribution is ONE fixed-shape
+    float expression — ``(1e12 · (c_a+1)/(T_a+V)) · ln(((c_a+1)(T_b+V))
+    / ((c_b+1)(T_a+V)))`` with both ln operands exact int64 products
+    (< 2^53, so the double division is the only rounding) — rounded
+    half-away to an int BEFORE summation, so the distributed sum is
+    order-independent and DuckDB reproduces it term for term.
+
+    Scale shape: pass 1 reduces (T_l per lang, V) to a handful of
+    driver ints (per-batch Counter partials, term-bucket distinct
+    sums); pass 2 re-exchanges (lang, term, c) partials on the same
+    crc32(term) bucket — every lang's count for a term co-locates, so
+    the bucket kernel pivots terms × langs and emits 20 pair-partial
+    rows; the final groupby carries |langs|² keys.  Term strings cross
+    the exchange once, counts otherwise.
+    """
+    import collections
+    import zlib
+
+    from ray.data.aggregate import Sum
+
+    n_buckets = DEFAULT_CONFIG.near_dup_coarse_buckets
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        for lang, txt in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            for tok in (txt or "").lower().split():
+                c[(lang or "", tok)] += 1
+        keys = list(c.keys())
+        return pa.table({
+            "lang": pa.array([k[0] for k in keys], pa.string()),
+            "term": pa.array([k[1] for k in keys], pa.string()),
+            "c": pa.array([c[k] for k in keys], pa.int64()),
+            "bucket": pa.array(
+                [zlib.crc32(k[1].encode()) % n_buckets for k in keys],
+                pa.int32()),
+        })
+
+    def counts():
+        return (_read(sf_dir, "documents", ["text", "lang"])
+                .map_batches(count_partial, batch_format="pyarrow"))
+
+    def totals_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("lang", as_index=False)["c"].sum()
+        s["c"] = s["c"].astype(np.int64)
+        s["v"] = np.int64(0)
+        vrow = pd.DataFrame({"lang": ["\x00vocab"], "c": [np.int64(0)],
+                             "v": [np.int64(g["term"].nunique())]})
+        return pd.concat([s, vrow], ignore_index=True)
+
+    tot = (counts().groupby("bucket")
+           .map_groups(totals_kernel, batch_format="pandas")
+           .groupby("lang")
+           .aggregate(Sum("c", alias_name="c"), Sum("v", alias_name="v"))
+           .to_pandas())
+    t_l = {r["lang"]: int(r["c"]) for _, r in tot.iterrows()
+           if r["lang"] != "\x00vocab"}
+    v = int(tot["v"].sum())
+    langs = sorted(t_l)
+
+    def _ha(x: np.ndarray) -> np.ndarray:
+        return np.copysign(np.floor(np.abs(x) + 0.5), x).astype(np.int64)
+
+    def pair_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        mat = (g.groupby(["term", "lang"], as_index=False)["c"].sum()
+               .pivot_table(index="term", columns="lang", values="c",
+                            fill_value=0))
+        out_a, out_b, out_v = [], [], []
+        for a in langs:
+            ca = (mat[a].to_numpy(dtype=np.int64)
+                  if a in mat.columns else np.zeros(len(mat), np.int64))
+            da = t_l[a] + v
+            for b in langs:
+                if a == b:
+                    continue
+                cb = (mat[b].to_numpy(dtype=np.int64)
+                      if b in mat.columns else np.zeros(len(mat), np.int64))
+                db = t_l[b] + v
+                arg = ((ca + 1) * db).astype(np.float64) \
+                    / ((cb + 1) * da).astype(np.float64)
+                contrib = _ha((1e12 * ((ca + 1).astype(np.float64) / da))
+                              * np.log(arg))
+                out_a.append(a)
+                out_b.append(b)
+                out_v.append(int(contrib.sum()))
+        return pd.DataFrame({"lang_a": out_a, "lang_b": out_b,
+                             "kl_pico": np.array(out_v, dtype=np.int64)})
+
+    return (counts().groupby("bucket")
+            .map_groups(pair_kernel, batch_format="pandas")
+            .groupby(["lang_a", "lang_b"])
+            .aggregate(Sum("kl_pico", alias_name="kl_pico")))

@@ -5575,3 +5575,34 @@ def test_bloom_fpp_audit_replay(ray_session, tmp_path):
         len(members), int(bits.sum()), n_cust, fp)
     assert got["expected_fp_bp"] == (
         int(bits.sum()) ** 4 * 10000 // 16384 ** 4)
+
+
+def test_lang_unigram_kl_properties(ray_session, tmp_path):
+    """Smoothed unigram KL: non-negative everywhere, zero between langs
+    with identical token distributions, large and asymmetric between
+    disjoint-vocabulary langs, and partition-invariant."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import lang_unigram_kl
+
+    same = "alpha beta gamma delta " * 20
+    rows = [("a1", same), ("a2", same),
+            ("zz", "omega psi chi phi " * 30)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(rows)), pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[0] for r in rows], pa.string()),
+    }), tmp_path / "documents.parquet")
+
+    got = (lang_unigram_kl(str(tmp_path)).to_pandas()
+           .set_index(["lang_a", "lang_b"]).sort_index())
+    assert (got["kl_pico"] >= 0).all()
+    assert got.loc[("a1", "a2"), "kl_pico"] == 0  # identical dists
+    assert got.loc[("a2", "a1"), "kl_pico"] == 0
+    assert got.loc[("a1", "zz"), "kl_pico"] > 10**11  # disjoint vocab
+    assert got.loc[("zz", "a1"), "kl_pico"] > 10**11
+    # asymmetry: zz has more tokens over fewer types than a1
+    assert (got.loc[("a1", "zz"), "kl_pico"]
+            != got.loc[("zz", "a1"), "kl_pico"])
