@@ -139,7 +139,10 @@ def main() -> None:
                      "dsir_select_stats", "outlink_stats",
                      "bitext_mining_margin", "cms_freq_estimates",
                      "record_event_stats", "scd2_doc_history",
-                     "standing_query_matches", "bm25_search_deleted"):
+                     "standing_query_matches", "bm25_search_deleted",
+                     "cdc_chunk_stats", "pq_adc_search",
+                     "late_event_stats", "rake_keyphrases",
+                     "dup_ngram_coverage", "langid_rank_profile"):
             t0 = time.monotonic()
             res = q[name](SF_DIR)
             if hasattr(res, "to_pandas"):
