@@ -2772,6 +2772,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "langid_rank_profile": rel.langid_rank_profile,
         "bloom_fpp_audit": rel.bloom_fpp_audit,
         "lang_unigram_kl": rel.lang_unigram_kl,
+        "postings_varint_size": rel.postings_varint_size,
         "name_edit_near_dup": rel.name_edit_near_dup,
         "zorder_range_revenue": _q_zorder_range_revenue,
         "revenue_by_region": rel.revenue_by_region,
@@ -5380,6 +5381,54 @@ def oracle_sql() -> dict[str, str]:
                 * ln(((ca + 1) * (tb + v)) / ((cb + 1) * (ta + v)))
               ) AS BIGINT)) AS BIGINT) AS kl_pico
             FROM grid GROUP BY la, lb
+        """,
+        "postings_varint_size": r"""
+            WITH pairs AS MATERIALIZED (
+              SELECT DISTINCT doc_id, term FROM (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(
+                         lower(coalesce(text, '')), '\s+'),
+                         x -> x <> '')) AS term
+                FROM documents
+              )
+            ),
+            gaps AS (
+              SELECT term,
+                     doc_id - lag(doc_id, 1, -1) OVER (
+                       PARTITION BY term ORDER BY doc_id) AS gap
+              FROM pairs
+            ),
+            vb AS (
+              SELECT term,
+                CASE WHEN gap < 128 THEN 1
+                     WHEN gap < 16384 THEN 2
+                     WHEN gap < 2097152 THEN 3
+                     WHEN gap < 268435456 THEN 4
+                     WHEN gap < 34359738368 THEN 5
+                     WHEN gap < 4398046511104 THEN 6
+                     WHEN gap < 562949953421312 THEN 7
+                     WHEN gap < 72057594037927936 THEN 8
+                     ELSE 9 END AS b
+              FROM gaps
+            ),
+            pt AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df,
+                     CAST(SUM(b) AS BIGINT) AS vbt
+              FROM vb GROUP BY term
+            ),
+            cls AS (
+              SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS df_log2,
+                     df, vbt
+              FROM pt
+            )
+            SELECT df_log2,
+              CAST(COUNT(*) AS BIGINT) AS n_terms,
+              CAST(SUM(df) AS BIGINT) AS n_postings,
+              CAST(SUM(vbt) AS BIGINT) AS varint_bytes,
+              CAST(SUM(df) * 4 AS BIGINT) AS fixed_bytes,
+              CAST(SUM(vbt) * 10000 // (SUM(df) * 4) AS BIGINT)
+                AS compressed_bp
+            FROM cls GROUP BY df_log2 ORDER BY df_log2
         """,
         "bloom_fpp_audit": r"""
             WITH mem AS (

@@ -8679,3 +8679,99 @@ def lang_unigram_kl(sf_dir: str):
             .map_groups(pair_kernel, batch_format="pandas")
             .groupby(["lang_a", "lang_b"])
             .aggregate(Sum("kl_pico", alias_name="kl_pico")))
+
+
+def postings_varint_size(sf_dir: str, n_buckets: int = 64):
+    """INVERTED-INDEX COMPRESSION ACCOUNTING — delta-gap + LEB128 varint
+    size of every term's postings list (the d-gap encoding every
+    production index uses: Lucene, and the textbook treatment in
+    Witten/Moffat/Bell "Managing Gigabytes").  Postings are the sorted
+    distinct doc_ids per whitespace token; gaps are ``first+1, then
+    successive differences`` (so every gap ≥ 1); a gap of v costs
+    ``ceil(bit_length(v)/7)`` bytes.  Rows, one per df magnitude class
+    ``df_log2 = floor(log2(df))``::
+
+        (df_log2, n_terms, n_postings, varint_bytes, fixed_bytes,
+         compressed_bp)
+
+    where fixed_bytes = 4·df (uncompressed int32 postings) and
+    compressed_bp = varint_bytes·10000 // fixed_bytes — the number that
+    says WHICH df classes pay for compression (rare terms barely
+    compress, head terms approach 1 byte/posting as gaps shrink).
+
+    Scale shape: the one exchange carries distinct (term, doc_id)
+    pairs bucketed by crc32(term) — the same build cost as the
+    term-index family (pipelines/textsearch.py); a term lives entirely
+    in one bucket, so df, gaps and byte costs are all computed
+    vectorized inside the bucket kernel (sort + run-boundary reduceat,
+    no per-term Python), which emits ≤ ~40 partial rows per bucket.
+    Integer discipline: df_log2 via exact power-of-two searchsorted
+    (never float log2); the oracle mirrors it with length(bin(df))-1.
+    """
+    import zlib
+
+    # LEB128 byte-count boundaries: gap < 2^(7k) costs k bytes.
+    vbounds = np.array([1 << (7 * k) for k in range(1, 9)], np.int64)
+    pow2 = np.array([1 << k for k in range(63)], np.int64)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        terms: list[str] = []
+        dids: list[int] = []
+        for did, txt in zip(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist()):
+            for tk in set((txt or "").lower().split()):
+                terms.append(tk)
+                dids.append(did)
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "doc_id": pa.array(dids, pa.int64()),
+            "bucket": pa.array(
+                [zlib.crc32(tk.encode()) % n_buckets for tk in terms],
+                pa.int32()),
+        })
+
+    def bucket_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["term", "doc_id"], kind="mergesort")
+        term = g["term"].to_numpy()
+        doc = g["doc_id"].to_numpy(np.int64)
+        new = np.r_[True, term[1:] != term[:-1]]
+        prev = np.r_[np.int64(-1), doc[:-1]]
+        gap = np.where(new, doc + 1, doc - prev)
+        vb = (np.searchsorted(vbounds, gap, side="right") + 1)
+        starts = np.nonzero(new)[0]
+        df = np.diff(np.r_[starts, len(doc)]).astype(np.int64)
+        vbt = np.add.reduceat(vb.astype(np.int64), starts)
+        cls = (np.searchsorted(pow2, df, side="right") - 1).astype(np.int64)
+        out = (pd.DataFrame({"df_log2": cls, "df": df, "vb": vbt})
+               .groupby("df_log2", as_index=False)
+               .agg(n_terms=("df", "size"), n_postings=("df", "sum"),
+                    varint_bytes=("vb", "sum")))
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    def final(t: pa.Table) -> pa.Table:
+        df_ = t.to_pandas()
+        out = (df_.groupby("df_log2", as_index=False)
+               [["n_terms", "n_postings", "varint_bytes"]].sum()
+               .sort_values("df_log2"))
+        fixed = out["n_postings"].to_numpy(np.int64) * 4
+        return pa.table({
+            "df_log2": pa.array(out["df_log2"].to_numpy(np.int64)),
+            "n_terms": pa.array(out["n_terms"].to_numpy(np.int64)),
+            "n_postings": pa.array(out["n_postings"].to_numpy(np.int64)),
+            "varint_bytes": pa.array(
+                out["varint_bytes"].to_numpy(np.int64)),
+            "fixed_bytes": pa.array(fixed),
+            "compressed_bp": pa.array(
+                out["varint_bytes"].to_numpy(np.int64) * 10000 // fixed),
+        })
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_kernel, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

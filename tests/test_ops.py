@@ -5606,3 +5606,69 @@ def test_lang_unigram_kl_properties(ray_session, tmp_path):
     # asymmetry: zz has more tokens over fewer types than a1
     assert (got.loc[("a1", "zz"), "kl_pico"]
             != got.loc[("zz", "a1"), "kl_pico"])
+
+
+def test_postings_varint_size_leb128_replay(ray_session, tmp_path):
+    """The per-class varint accounting equals a pure-Python LEB128
+    replay (sorted distinct doc_ids per term, gaps = first+1 then
+    diffs), df classes are exact powers of two, and the result is
+    invariant to input file partitioning."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import postings_varint_size
+
+    rng = np.random.RandomState(7)
+    vocab = [f"t{i:03d}" for i in range(40)]
+    docs = []
+    for d in range(300):
+        # zipf-ish doc membership: term i appears in ~300/(i+1) docs
+        words = [w for i, w in enumerate(vocab)
+                 if rng.randint(0, i + 1) == 0]
+        docs.append(" ".join(words * (1 + d % 3)))  # repeats: df dedup
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    def leb128_bytes(v: int) -> int:
+        n = 1
+        while v >= 128:
+            v >>= 7
+            n += 1
+        return n
+
+    postings: dict[str, list[int]] = collections.defaultdict(list)
+    for did, txt in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        for tk in sorted(set(txt.split())):
+            postings[tk].append(did)
+    expect: dict[int, list[int]] = {}
+    for tk, plist in postings.items():
+        plist = sorted(set(plist))
+        gaps = [plist[0] + 1] + [b - a for a, b in zip(plist, plist[1:])]
+        vb = sum(leb128_bytes(g) for g in gaps)
+        cls = len(plist).bit_length() - 1
+        e = expect.setdefault(cls, [0, 0, 0])
+        e[0] += 1
+        e[1] += len(plist)
+        e[2] += vb
+    got = postings_varint_size(str(tmp_path)).to_pandas()
+    assert sorted(got["df_log2"]) == sorted(expect)
+    for _, row in got.iterrows():
+        e = expect[row["df_log2"]]
+        assert (row["n_terms"], row["n_postings"], row["varint_bytes"]) \
+            == tuple(e)
+        assert row["fixed_bytes"] == e[1] * 4
+        assert row["compressed_bp"] == e[2] * 10000 // (e[1] * 4)
+
+    # partition invariance: same rows from a 7-file directory layout
+    ddir = tmp_path / "alt" / "documents.parquet"
+    ddir.mkdir(parents=True)
+    for i in range(7):
+        pq.write_table(tbl.slice(i * 43, 43), ddir / f"part-{i}.parquet")
+    got2 = postings_varint_size(str(tmp_path / "alt")).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("df_log2").reset_index(drop=True),
+        got2.sort_values("df_log2").reset_index(drop=True))
