@@ -2773,6 +2773,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "bloom_fpp_audit": rel.bloom_fpp_audit,
         "lang_unigram_kl": rel.lang_unigram_kl,
         "postings_varint_size": rel.postings_varint_size,
+        "wand_maxscore_stats": rel.wand_maxscore_stats,
         "name_edit_near_dup": rel.name_edit_near_dup,
         "zorder_range_revenue": _q_zorder_range_revenue,
         "revenue_by_region": rel.revenue_by_region,
@@ -5381,6 +5382,68 @@ def oracle_sql() -> dict[str, str]:
                 * ln(((ca + 1) * (tb + v)) / ((cb + 1) * (ta + v)))
               ) AS BIGINT)) AS BIGINT) AS kl_pico
             FROM grid GROUP BY la, lb
+        """,
+        "wand_maxscore_stats": r"""
+            WITH w(term, weight) AS (
+              VALUES ('table', 1), ('hash', 2), ('join', 5), ('dup', 9)
+            ),
+            toks AS MATERIALIZED (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(
+                       lower(coalesce(text, '')), '\s+'),
+                       x -> x <> '')) AS term
+              FROM documents
+            ),
+            tf AS MATERIALIZED (
+              SELECT t.doc_id, t.term, CAST(count(*) AS BIGINT) AS c
+              FROM toks t JOIN w ON w.term = t.term
+              GROUP BY t.doc_id, t.term
+            ),
+            contrib AS MATERIALIZED (
+              SELECT tf.doc_id, tf.term,
+                     CAST(tf.c * w.weight AS BIGINT) AS contr
+              FROM tf JOIN w USING (term)
+            ),
+            score AS MATERIALIZED (
+              SELECT doc_id, CAST(SUM(contr) AS BIGINT) AS s
+              FROM contrib GROUP BY doc_id
+            ),
+            nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_matching
+                   FROM score),
+            theta AS MATERIALIZED (
+              SELECT CAST(CASE WHEN (SELECT n_matching FROM nm) >= 10
+                THEN (SELECT MIN(s) FROM
+                      (SELECT s FROM score ORDER BY s DESC LIMIT 10))
+                ELSE 0 END AS BIGINT) AS th
+            ),
+            ub AS MATERIALIZED (
+              SELECT w.term, w.weight,
+                     CAST(coalesce(MAX(contrib.contr), 0) AS BIGINT)
+                       AS ub
+              FROM w LEFT JOIN contrib ON contrib.term = w.term
+              GROUP BY w.term, w.weight
+            ),
+            ess AS MATERIALIZED (
+              SELECT term, weight, ub,
+                CASE WHEN CAST(SUM(ub) OVER (
+                       ORDER BY ub ASC, term ASC
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     < (SELECT th FROM theta)
+                     THEN 0 ELSE 1 END AS is_ess
+              FROM ub
+            ),
+            skip AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_skippable FROM (
+                SELECT c.doc_id FROM contrib c JOIN ess e USING (term)
+                GROUP BY c.doc_id HAVING MAX(e.is_ess) = 0
+              )
+            )
+            SELECT e.term, CAST(e.weight AS BIGINT) AS weight, e.ub,
+              CAST(e.is_ess AS BIGINT) AS is_essential,
+              (SELECT th FROM theta) AS theta,
+              (SELECT n_matching FROM nm) AS n_matching,
+              (SELECT n_skippable FROM skip) AS n_skippable
+            FROM ess e
         """,
         "postings_varint_size": r"""
             WITH pairs AS MATERIALIZED (

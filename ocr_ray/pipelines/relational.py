@@ -8775,3 +8775,127 @@ def postings_varint_size(sf_dir: str, n_buckets: int = 64):
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def wand_maxscore_stats(sf_dir: str, k: int = 10):
+    """WAND / MAXSCORE PRUNING AUDIT (Broder et al. CIKM'03; Turtle &
+    Flood's MaxScore) — the index-traversal optimization every lexical
+    search engine runs: with per-term score UPPER BOUNDS
+    ``UB_t = max(w_t · tf_t)`` and the exact top-k threshold θ, terms
+    whose cumulative UB (ascending) stays below θ are NON-ESSENTIAL,
+    and a document containing only non-essential terms can be skipped
+    without scoring.  Scoring is pure-integer ``Σ w_t·tf_t`` with fixed
+    query weights, so Ray == DuckDB bit for bit.  One row per query
+    term::
+
+        (term, weight, ub, is_essential, theta, n_matching, n_skippable)
+
+    n_skippable / n_matching is the fraction of candidate documents a
+    MaxScore traversal never scores — the audit that justifies keeping
+    UB metadata in the posting headers.
+
+    Scale shape: pass 1 folds per-batch partials (n_matching, per-term
+    UB maxima, a fixed-width local top-k score vector) through the bm25
+    pre-fold pattern — the driver sees ONE row; pass 2 broadcasts
+    (θ, essential set) and counts skippable docs via a Sum aggregate.
+    No corpus shuffle; both passes are embarrassingly parallel.
+    """
+    import re
+
+    from ray.data.aggregate import Sum
+
+    terms = ["table", "hash", "join", "dup"]
+    weights = [1, 2, 5, 9]
+    nt = len(terms)
+    _ws = re.compile(r"[ \t\n\f\r]+")
+
+    def _scores(t: pa.Table):
+        """Per-doc integer scores + per-term contributions for a batch."""
+        contr = np.zeros((t.num_rows, nt), dtype=np.int64)
+        for r, txt in enumerate(t["text"].to_pylist()):
+            toks = [x for x in _ws.split((txt or "").lower()) if x]
+            for i, q in enumerate(terms):
+                c = toks.count(q)
+                if c:
+                    contr[r, i] = c * weights[i]
+        return contr
+
+    def partial(t: pa.Table) -> pa.Table:
+        contr = _scores(t)
+        score = contr.sum(axis=1)
+        match = score > 0
+        top = np.sort(score[match])[::-1][:k]
+        top = np.r_[top, np.full(k - len(top), -1, np.int64)]
+        cols = {"n_matching": pa.array([int(match.sum())], pa.int64())}
+        for i in range(nt):
+            cols[f"ub_{i}"] = pa.array([int(contr[:, i].max(initial=0))],
+                                       pa.int64())
+        for j in range(k):
+            cols[f"top_{j}"] = pa.array([int(top[j])], pa.int64())
+        return pa.table(cols)
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows <= 1:
+            return t
+        allt = np.sort(np.concatenate(
+            [t[f"top_{j}"].to_numpy() for j in range(k)]))[::-1][:k]
+        cols = {"n_matching": pa.array(
+            [int(pc.sum(t["n_matching"]).as_py() or 0)], pa.int64())}
+        for i in range(nt):
+            cols[f"ub_{i}"] = pa.array(
+                [int(pc.max(t[f"ub_{i}"]).as_py() or 0)], pa.int64())
+        for j in range(k):
+            cols[f"top_{j}"] = pa.array([int(allt[j])], pa.int64())
+        return pa.table(cols)
+
+    stats = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(fold, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(fold, batch_format="pyarrow", batch_size=None)
+        .to_pandas().iloc[0]
+    )
+    n_matching = int(stats["n_matching"])
+    ubs = np.array([stats[f"ub_{i}"] for i in range(nt)], np.int64)
+    tops = np.array([stats[f"top_{j}"] for j in range(k)], np.int64)
+    tops = tops[tops >= 0]
+    theta = int(tops[-1]) if len(tops) == k else 0
+
+    order = sorted(range(nt), key=lambda i: (ubs[i], terms[i]))
+    essential = np.ones(nt, dtype=bool)
+    cum = 0
+    for i in order:
+        cum += int(ubs[i])
+        if cum < theta:
+            essential[i] = False
+
+    ess_ref = ray.put(essential)
+
+    def skip_partial(t: pa.Table) -> pa.Table:
+        ess = ray.get(ess_ref)
+        contr = _scores(t)
+        match = contr.sum(axis=1) > 0
+        has_ess = (contr[:, ess] > 0).any(axis=1) if ess.any() else \
+            np.zeros(len(contr), dtype=bool)
+        return pa.table({
+            "g": pa.array([0], pa.int32()),
+            "n_skip": pa.array([int((match & ~has_ess).sum())],
+                               pa.int64()),
+        })
+
+    n_skippable = int(
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(skip_partial, batch_format="pyarrow")
+        .groupby("g").aggregate(Sum("n_skip", alias_name="n_skip"))
+        .to_pandas()["n_skip"].iloc[0])
+
+    return pa.table({
+        "term": pa.array(terms, pa.string()),
+        "weight": pa.array(weights, pa.int64()),
+        "ub": pa.array(ubs),
+        "is_essential": pa.array(essential.astype(np.int64)),
+        "theta": pa.array([theta] * nt, pa.int64()),
+        "n_matching": pa.array([n_matching] * nt, pa.int64()),
+        "n_skippable": pa.array([n_skippable] * nt, pa.int64()),
+    })

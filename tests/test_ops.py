@@ -5672,3 +5672,41 @@ def test_postings_varint_size_leb128_replay(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got.sort_values("df_log2").reset_index(drop=True),
         got2.sort_values("df_log2").reset_index(drop=True))
+
+
+def test_wand_maxscore_stats_hand_corpus(ray_session, tmp_path):
+    """On a corpus with 15 low-weight-only docs and 12 high-weight
+    docs, MaxScore marks exactly the rare heavy term essential and the
+    15 light docs skippable; a brute-force replay agrees row for row."""
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import wand_maxscore_stats
+
+    texts = (["table"] * 15) + (["dup dup"] * 12) + ["noise only"] * 5
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), tmp_path / "documents.parquet")
+
+    got = wand_maxscore_stats(str(tmp_path)).to_pandas() \
+        .set_index("term")
+    # θ = 10th best score = 18 (twelve dup-docs at 2*9)
+    assert (got["theta"] == 18).all()
+    assert (got["n_matching"] == 27).all()
+    # only 'dup' is essential; the 15 table-only docs are skippable
+    assert got.loc["dup", "is_essential"] == 1
+    assert got.loc["table", "is_essential"] == 0
+    assert got.loc["hash", "is_essential"] == 0
+    assert got.loc["join", "is_essential"] == 0
+    assert (got["n_skippable"] == 15).all()
+    assert got.loc["dup", "ub"] == 18
+    assert got.loc["table", "ub"] == 1
+
+    # brute-force replay: no skippable doc can reach θ
+    terms = {"table": 1, "hash": 2, "join": 5, "dup": 9}
+    ess = set(got.index[got["is_essential"] == 1])
+    for txt in texts:
+        toks = txt.split()
+        score = sum(w * toks.count(t) for t, w in terms.items())
+        if score > 0 and not any(t in ess for t in toks if t in terms):
+            assert score < 18
