@@ -2774,6 +2774,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "lang_unigram_kl": rel.lang_unigram_kl,
         "postings_varint_size": rel.postings_varint_size,
         "wand_maxscore_stats": rel.wand_maxscore_stats,
+        "mmr_diverse_rerank": _q_mmr_diverse_rerank,
         "name_edit_near_dup": rel.name_edit_near_dup,
         "zorder_range_revenue": _q_zorder_range_revenue,
         "revenue_by_region": rel.revenue_by_region,
@@ -2860,6 +2861,70 @@ def _coverage_classify_sql() -> str:
         )
         SELECT doc_id, coverage_name, {classify_case_sql('nm')} AS family FROM n
     """
+
+
+def _q_mmr_diverse_rerank(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.pipelines.simsearch import mmr_diverse_rerank
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return mmr_diverse_rerank(ds, _query_vec(sf_dir), k=10, m=50)
+
+
+def _mmr_rerank_sql(k: int = 10, m: int = 50) -> str:
+    """Unrolled greedy-MMR oracle (the chained-MATERIALIZED precedent):
+    shortlist top-m by micro-rel, m×m micro-cosine pair matrix, then k
+    selection steps each picking argmax(7·rel − 3·maxsim) over the
+    not-yet-selected shortlist, matching
+    :func:`ocr_ray.pipelines.simsearch.mmr_diverse_rerank` op-for-op."""
+    steps = [f"""WITH q AS MATERIALIZED (
+              SELECT CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id = 0
+            ),
+            rel AS MATERIALIZED (
+              SELECT vec_id, v, r FROM (
+                SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+                       CAST(ROUND(1000000.0 * list_cosine_similarity(
+                         CAST(e.embedding AS DOUBLE[]), q.v))
+                         AS BIGINT) AS r
+                FROM embeddings e, q)
+              ORDER BY r DESC, vec_id LIMIT {m}
+            ),
+            ps AS MATERIALIZED (
+              SELECT a.vec_id AS ai, b.vec_id AS bi,
+                     CAST(ROUND(1000000.0 * list_cosine_similarity(
+                       a.v, b.v)) AS BIGINT) AS s
+              FROM rel a, rel b
+            ),
+            s1 AS MATERIALIZED (
+              SELECT 1 AS mmr_rank, vec_id, r AS rel_micro,
+                     CAST(0 AS BIGINT) AS maxsim_micro, 7 * r AS mmr
+              FROM rel ORDER BY 7 * r DESC, vec_id LIMIT 1
+            ),
+            sel1 AS (SELECT vec_id FROM s1)"""]
+    for i in range(2, k + 1):
+        steps.append(f"""s{i} AS MATERIALIZED (
+              SELECT {i} AS mmr_rank, c.vec_id, c.r AS rel_micro,
+                     mm.ms AS maxsim_micro, 7 * c.r - 3 * mm.ms AS mmr
+              FROM rel c JOIN (
+                SELECT ps.ai AS vec_id, CAST(MAX(ps.s) AS BIGINT) AS ms
+                FROM ps JOIN sel{i - 1} ON ps.bi = sel{i - 1}.vec_id
+                GROUP BY ps.ai) mm
+              ON mm.vec_id = c.vec_id
+              WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+              ORDER BY 7 * c.r - 3 * mm.ms DESC, c.vec_id LIMIT 1
+            ),
+            sel{i} AS (SELECT vec_id FROM sel{i - 1}
+                       UNION ALL SELECT vec_id FROM s{i})""")
+    union = "\n              UNION ALL ".join(
+        f"SELECT * FROM s{i}" for i in range(1, k + 1))
+    return (",\n            ".join(steps) + f"""
+            SELECT CAST(mmr_rank AS BIGINT) AS mmr_rank, vec_id,
+                   rel_micro, maxsim_micro,
+                   CAST(mmr AS BIGINT) AS mmr_score
+            FROM ({union})""")
 
 
 def _top_component_sql(n_iter: int = 64) -> str:
@@ -6102,6 +6167,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY a.dim, b.dim
         """,
         "embedding_top_component": _top_component_sql(64),
+        "mmr_diverse_rerank": _mmr_rerank_sql(10, 50),
         "embedding_pca_projection": _pca_projection_sql(64),
         # the langid CTE is the langid oracle's heuristic verbatim,
         # cross-tabulated against the labeled lang column

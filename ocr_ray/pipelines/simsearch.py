@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ocr_ray.config import DEFAULT_CONFIG
 
@@ -1575,3 +1576,86 @@ def pq_adc_search(ds, query_vec, k: int = 10, m_sub: int = 4,
     return (ds.map_batches(adc_partial, batch_format="pyarrow")
             .repartition(1)
             .map_batches(final, batch_format="pyarrow", batch_size=None))
+
+
+def mmr_diverse_rerank(ds, query_vec, k: int = 10, m: int = 50):
+    """MAXIMAL MARGINAL RELEVANCE diversified re-rank (Carbonell &
+    Goldstein, SIGIR'98) — the standard post-retrieval diversifier:
+    select k results greedily maximizing ``λ·rel(d) − (1−λ)·max_{s∈S}
+    sim(d, s)`` with λ = 0.7, so near-duplicate hits are pushed down in
+    favor of novel ones.  Integer discipline: rel and pairwise cosine
+    are rounded to MICRO-units (half-away, DuckDB ROUND parity) before
+    any comparison, and the MMR score is the exact integer
+    ``7·rel_micro − 3·maxsim_micro`` (λ ×10) — Ray == SQL bit for bit.
+    Returns k rows ``(mmr_rank, vec_id, rel_micro, maxsim_micro,
+    mmr_score)``.
+
+    Scale shape: stage 1 is the knn_cosine distributed shortlist
+    (per-batch top-m by (rel desc, vec_id), ONE repartition(1) merge —
+    the driver sees exactly m rows WITH their vectors); stage 2 is the
+    greedy k-step loop over the m×m integer sim matrix, pure driver
+    arithmetic on m² ints (m=50 → 2500).  The corpus is scanned once,
+    never shuffled.
+    """
+    import ray
+
+    def _ha_i64(x: np.ndarray) -> np.ndarray:
+        return np.copysign(np.floor(np.abs(x) + 0.5), x).astype(np.int64)
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    q_ref = ray.put(q)
+
+    def partial_topm(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        mat = _to_matrix(batch["embedding"])
+        if mat.shape[0] == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "rel_micro": pa.array([], pa.int64()),
+                             "embedding": batch["embedding"][:0]})
+        rel = _ha_i64(1e6 * _cosine(mat, qv))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -rel))[:m]
+        return pa.table({
+            "vec_id": pa.array(ids[order], pa.int64()),
+            "rel_micro": pa.array(rel[order], pa.int64()),
+            "embedding": pc.take(batch["embedding"],
+                                 pa.array(order, pa.int64())),
+        })
+
+    def final_topm(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("rel_micro", "descending"),
+                                            ("vec_id", "ascending")])[:m]
+        return t.take(idx)
+
+    short = pa.concat_tables(ray.get(
+        ds.map_batches(partial_topm, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final_topm, batch_format="pyarrow", batch_size=None)
+        .to_arrow_refs()))
+    n = short.num_rows
+    ids = short["vec_id"].to_numpy(zero_copy_only=False)
+    rel_u = short["rel_micro"].to_numpy(zero_copy_only=False)
+    mat = _to_matrix(short["embedding"])
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    # dot / (|a|·|b|), the list_cosine_similarity op order
+    sims = _ha_i64(1e6 * ((mat @ mat.T)
+                          / (norms[:, None] * norms[None, :])))
+
+    avail = np.ones(n, dtype=bool)
+    maxsim = np.zeros(n, dtype=np.int64)
+    rows = {"mmr_rank": [], "vec_id": [], "rel_micro": [],
+            "maxsim_micro": [], "mmr_score": []}
+    for rank in range(1, min(k, n) + 1):
+        score = 7 * rel_u - 3 * maxsim
+        cand = np.nonzero(avail)[0]
+        pick = cand[np.lexsort((ids[cand], -score[cand]))[0]]
+        rows["mmr_rank"].append(rank)
+        rows["vec_id"].append(int(ids[pick]))
+        rows["rel_micro"].append(int(rel_u[pick]))
+        rows["maxsim_micro"].append(int(maxsim[pick]))
+        rows["mmr_score"].append(int(score[pick]))
+        avail[pick] = False
+        maxsim = np.maximum(maxsim, sims[:, pick])
+    return pa.table({c: pa.array(v, pa.int64())
+                     for c, v in rows.items()})

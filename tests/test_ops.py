@@ -5710,3 +5710,66 @@ def test_wand_maxscore_stats_hand_corpus(ray_session, tmp_path):
         score = sum(w * toks.count(t) for t, w in terms.items())
         if score > 0 and not any(t in ess for t in toks if t in terms):
             assert score < 18
+
+
+def test_mmr_diverse_rerank_diversifies_and_replays(ray_session):
+    """Two tight clusters: plain top-k would fill with the
+    higher-relevance cluster; MMR must pull in the other cluster by
+    rank 2. A pure-Python greedy replay over the same integer sim
+    matrix reproduces the distributed result exactly."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.simsearch import mmr_diverse_rerank
+
+    rng = np.random.RandomState(3)
+    q = np.array([1.0, 1.0, 0.0, 0.0]) / np.sqrt(2)
+    rows = []
+    # two tight clusters flanking the query symmetrically: both have
+    # rel ~ .993 to q, intra-cluster sim ~ 1, cross-cluster sim ~ .976
+    # — so after one pick from a cluster, MMR (7·rel − 3·maxsim) must
+    # jump to the other cluster.
+    a = np.array([1.0, 0.8, 0.0, 0.0])
+    b = np.array([0.8, 1.0, 0.0, 0.0])
+    for i in range(6):
+        v = a + 0.002 * rng.standard_normal(4)
+        rows.append((i, v / np.linalg.norm(v)))
+    for i in range(6, 12):
+        v = b + 0.002 * rng.standard_normal(4)
+        rows.append((i, v / np.linalg.norm(v)))
+    tbl = pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([r[1].tolist() for r in rows],
+                              pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tbl).repartition(4)
+    got = mmr_diverse_rerank(ds, q.tolist(), k=6, m=12).to_pandas()
+
+    # ranks 1 and 2 must come from DIFFERENT clusters
+    assert (got.loc[0, "vec_id"] < 6) != (got.loc[1, "vec_id"] < 6)
+    # both clusters represented in the top 6
+    sel = set(got["vec_id"])
+    assert sel & set(range(6)) and sel & set(range(6, 12))
+
+    # pure-python greedy replay
+    def ha(x):
+        return np.copysign(np.floor(np.abs(x) + 0.5), x).astype(np.int64)
+
+    mat = np.array([r[1] for r in rows], np.float64)
+    mat32 = mat.astype(np.float32).astype(np.float64)
+    qn = q / np.linalg.norm(q)
+    rel = ha(1e6 * (mat32 @ qn) / np.linalg.norm(mat32, axis=1))
+    norms = np.linalg.norm(mat32, axis=1)
+    sims = ha(1e6 * (mat32 @ mat32.T) / (norms[:, None] * norms[None, :]))
+    ids = np.arange(12)
+    avail = np.ones(12, bool)
+    maxsim = np.zeros(12, np.int64)
+    expect = []
+    for rank in range(1, 7):
+        score = 7 * rel - 3 * maxsim
+        cand = np.nonzero(avail)[0]
+        pick = cand[np.lexsort((ids[cand], -score[cand]))[0]]
+        expect.append((rank, int(ids[pick]), int(rel[pick]),
+                       int(maxsim[pick]), int(score[pick])))
+        avail[pick] = False
+        maxsim = np.maximum(maxsim, sims[:, pick])
+    assert [tuple(r) for r in got.itertuples(index=False)] == expect
