@@ -2823,6 +2823,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "prf_expanded_search": rel.prf_expanded_search,
         "fd_audit": rel.fd_audit,
         "calibration_bins": rel.calibration_bins,
+        "ab_conversion_lift": rel.ab_conversion_lift,
     }
 
 
@@ -3566,6 +3567,39 @@ def oracle_sql() -> dict[str, str]:
                          + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
                      AS frac_pos_e9
             FROM cb_s GROUP BY 1
+        """,
+        "ab_conversion_lift": r"""
+            WITH ab_u AS (
+              SELECT user_id,
+                     md5_number_lower(CAST(user_id AS VARCHAR)) % 2 AS arm,
+                     MAX(CASE WHEN event_type = 'purchase' AND value > 90
+                              THEN 1 ELSE 0 END) AS conv
+              FROM events GROUP BY user_id
+            ), ab_t AS (
+              SELECT
+                CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS ua,
+                CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+                  AS ca,
+                CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS ub,
+                CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+                  AS cb
+              FROM ab_u
+            )
+            SELECT ua AS users_a, ca AS conv_a, ub AS users_b, cb AS conv_b,
+                   CAST((1000000 * ca + ua // 2) // ua AS BIGINT)
+                     AS rate_a_micro,
+                   CAST((1000000 * cb + ub // 2) // ub AS BIGINT)
+                     AS rate_b_micro,
+                   CAST((1000000 * cb + ub // 2) // ub
+                        - (1000000 * ca + ua // 2) // ua AS BIGINT)
+                     AS lift_micro,
+                   ROUND((CAST(cb AS DOUBLE) / ub - CAST(ca AS DOUBLE) / ua)
+                         / sqrt((CAST(ca + cb AS DOUBLE) / (ua + ub))
+                                * (1 - CAST(ca + cb AS DOUBLE) / (ua + ub))
+                                * (1.0 / ua + 1.0 / ub)), 6) AS z_score
+            FROM ab_t
         """,
         "kwic_snippets": r"""
             WITH kw_d AS (

@@ -8899,3 +8899,78 @@ def wand_maxscore_stats(sf_dir: str, k: int = 10):
         "n_matching": pa.array([n_matching] * nt, pa.int64()),
         "n_skippable": pa.array([n_skippable] * nt, pa.int64()),
     })
+
+
+def ab_conversion_lift(sf_dir: str):
+    """A/B experiment read-out: users are deterministically assigned to
+    arm A/B by ``md5(user_id) % 2`` (the repo-wide oracle-reproducible
+    hash, `_md5_u64`), a user CONVERTS if they emitted at least one
+    ``purchase`` event with ``value > 90`` (every user has SOME purchase
+    in the synthetic data, so the raw predicate is degenerate; the
+    high-value variant separates the arms), and the query reports
+    per-arm user / conversion
+    counts, integer-micro conversion rates, the B−A lift, and the pooled
+    two-proportion z-score (reference analogue: the verdict roll-up
+    H4/I2 recomputation shape, ``qc/summary.py`` counts-from-rows).
+
+    Scale shape: one shuffle on ``md5(user_id) % 64`` carrying per-batch
+    pre-deduped (bucket, user, converted) rows; each bucket folds its
+    users vectorized and emits ONE partial row (users/conversions per
+    arm — arm is derivable from the bucket hash but is re-derived per
+    user for clarity), so the final fold sees ≤ n_buckets rows.  Rates
+    use exact integer half-up division ``(1e6·c + u//2) // u`` and the
+    z-score is IEEE double math over exact integers with the same
+    expression shape as the SQL oracle.
+    """
+    import math
+
+    n_buckets = DEFAULT_CONFIG.near_dup_coarse_buckets
+
+    def partial(t: pa.Table) -> pa.Table:
+        conv = pc.and_(pc.equal(t["event_type"], "purchase"),
+                       pc.greater(t["value"], 90.0))
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "conv": conv.to_numpy(zero_copy_only=False).astype(np.int64),
+        }).groupby("user_id", as_index=False)["conv"].max()
+        df["bucket"] = _md5_mod(df["user_id"], n_buckets).astype(np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.groupby("user_id", as_index=False)["conv"].max()
+        arm = (_md5_u64(d["user_id"]) % np.uint64(2)).astype(np.int64)
+        a, b = (arm == 0), (arm == 1)
+        return pd.DataFrame({
+            "users_a": [np.int64(a.sum())],
+            "conv_a": [np.int64(d["conv"][a].sum())],
+            "users_b": [np.int64(b.sum())],
+            "conv_b": [np.int64(d["conv"][b].sum())],
+        })
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        ua, ca = int(df["users_a"].sum()), int(df["conv_a"].sum())
+        ub, cb = int(df["users_b"].sum()), int(df["conv_b"].sum())
+        ra = (1_000_000 * ca + ua // 2) // ua
+        rb = (1_000_000 * cb + ub // 2) // ub
+        p = (ca + cb) / (ua + ub)
+        z = (cb / ub - ca / ua) / math.sqrt(
+            p * (1 - p) * (1.0 / ua + 1.0 / ub))
+        return pd.DataFrame({
+            "users_a": pd.array([ua], "int64"),
+            "conv_a": pd.array([ca], "int64"),
+            "users_b": pd.array([ub], "int64"),
+            "conv_b": pd.array([cb], "int64"),
+            "rate_a_micro": pd.array([ra], "int64"),
+            "rate_b_micro": pd.array([rb], "int64"),
+            "lift_micro": pd.array([rb - ra], "int64"),
+            "z_score": [float(np.round(z, 6))],
+        })
+
+    return (
+        _read(sf_dir, "events", ["user_id", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_fold, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )
