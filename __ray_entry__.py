@@ -2824,6 +2824,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "fd_audit": rel.fd_audit,
         "calibration_bins": rel.calibration_bins,
         "ab_conversion_lift": rel.ab_conversion_lift,
+        "columnar_encoding_audit": rel.columnar_encoding_audit,
     }
 
 
@@ -3600,6 +3601,41 @@ def oracle_sql() -> dict[str, str]:
                                 * (1 - CAST(ca + cb AS DOUBLE) / (ua + ub))
                                 * (1.0 / ua + 1.0 / ub)), 6) AS z_score
             FROM ab_t
+        """,
+        "columnar_encoding_audit": r"""
+            WITH cea_l AS (
+              SELECT doc_id, 'lang' AS col, lang AS val FROM documents
+              UNION ALL
+              SELECT doc_id, 'source' AS col, source AS val FROM documents
+            ), cea_r AS (
+              SELECT col, val, strlen(val) AS b,
+                     CASE WHEN val = lag(val) OVER (PARTITION BY col
+                                                    ORDER BY doc_id)
+                          THEN 0 ELSE 1 END AS chg
+              FROM cea_l
+            ), cea_a AS (
+              SELECT col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     CAST(COUNT(DISTINCT val) AS BIGINT) AS n_distinct,
+                     CAST(SUM(chg) AS BIGINT) AS n_runs,
+                     CAST(SUM(b) AS BIGINT) AS plain_bytes
+              FROM cea_r GROUP BY col
+            ), cea_d AS (
+              SELECT col, CAST(SUM(strlen(val)) AS BIGINT) AS dict_bytes
+              FROM (SELECT DISTINCT col, val FROM cea_l) GROUP BY col
+            ), cea_w AS (
+              SELECT a.col, n_rows, n_distinct, n_runs, plain_bytes,
+                     dict_bytes,
+                     CAST(length(bin(greatest(n_distinct - 1, 1)))
+                          AS BIGINT) AS width_bits
+              FROM cea_a a JOIN cea_d d ON a.col = d.col
+            )
+            SELECT col, n_rows, n_distinct, n_runs, plain_bytes, dict_bytes,
+                   width_bits,
+                   CAST((n_rows * width_bits + 7) // 8 + dict_bytes
+                        AS BIGINT) AS est_dict_bytes,
+                   CAST((n_runs * (width_bits + 32) + 7) // 8 + dict_bytes
+                        AS BIGINT) AS est_rle_bytes
+            FROM cea_w
         """,
         "kwic_snippets": r"""
             WITH kw_d AS (

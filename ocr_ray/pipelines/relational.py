@@ -8974,3 +8974,132 @@ def ab_conversion_lift(sf_dir: str):
         .repartition(1)
         .map_batches(final, batch_format="pandas", batch_size=None)
     )
+
+
+def columnar_encoding_audit(sf_dir: str, cols: tuple = ("lang", "source"),
+                            n_ranges: int = 16):
+    """Columnar-encoding audit (the storage-engine planning step a
+    web-scale corpus runs before choosing parquet encodings): for each
+    low-cardinality string column, the EXACT doc_id-ordered run count,
+    distinct-value count, plain vs dictionary vs RLE size estimates.
+
+    The interesting distributed bit is the exact global run count: each
+    contiguous batch slice folds to ONE row (internal_runs, first/last
+    value, first doc_id) — runs merge associatively by concatenating
+    ordered slices and subtracting junctions where ``prev.last ==
+    next.first`` — so the shuffle carries one constant-width row per
+    (col × slice), a coarse ``doc_id``-range groupby folds slices to one
+    row per (col × range), and the driver merges ≤ |cols|·n_ranges rows.
+    Nothing re-ships the column data, and no stage assumes a block count.
+
+    Width model: dict code width = bit_length(n_distinct−1) (min 1),
+    est_dict = ceil(n_rows·w / 8) + dict_bytes, est_rle = ceil(n_runs·(w
+    + 32) / 8) + dict_bytes (32-bit run lengths).  Byte sizes are UTF-8
+    octets (DuckDB ``strlen``).
+    """
+    n_rows_meta = _table_num_rows(sf_dir, "documents")
+    rng = max(1, -(-n_rows_meta // n_ranges))
+
+    def slice_partial(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        if len(doc) == 0:
+            return pa.table({
+                "grp": pa.array([], pa.string()),
+                "col": pa.array([], pa.string()),
+                "first_doc": pa.array([], pa.int64()),
+                "runs": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "nbytes": pa.array([], pa.int64()),
+                "first_val": pa.array([], pa.string()),
+                "last_val": pa.array([], pa.string()),
+            })
+        order = np.argsort(doc, kind="stable")
+        doc = doc[order]
+        rows = []
+        for c in cols:
+            v = t[c].to_numpy(zero_copy_only=False).astype(str)[order]
+            nbytes = int(pc.sum(pc.binary_length(
+                pc.cast(t[c], pa.binary()))).as_py() or 0)
+            runs = 1 + int((v[1:] != v[:-1]).sum()) if len(v) else 0
+            rows.append((f"{c}:{int(doc[0]) // rng:08d}", c,
+                         int(doc[0]), runs, len(v), nbytes,
+                         str(v[0]), str(v[-1])))
+        return pa.table({
+            "grp": pa.array([r[0] for r in rows], pa.string()),
+            "col": pa.array([r[1] for r in rows], pa.string()),
+            "first_doc": pa.array([r[2] for r in rows], pa.int64()),
+            "runs": pa.array([r[3] for r in rows], pa.int64()),
+            "n": pa.array([r[4] for r in rows], pa.int64()),
+            "nbytes": pa.array([r[5] for r in rows], pa.int64()),
+            "first_val": pa.array([r[6] for r in rows], pa.string()),
+            "last_val": pa.array([r[7] for r in rows], pa.string()),
+        })
+
+    def merge_slices(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("first_doc", kind="stable")
+        junc = int((df["first_val"].to_numpy()[1:]
+                    == df["last_val"].to_numpy()[:-1]).sum())
+        return pd.DataFrame({
+            "col": [df["col"].iloc[0]],
+            "first_doc": pd.array([int(df["first_doc"].iloc[0])], "int64"),
+            "runs": pd.array([int(df["runs"].sum()) - junc], "int64"),
+            "n": pd.array([int(df["n"].sum())], "int64"),
+            "nbytes": pd.array([int(df["nbytes"].sum())], "int64"),
+            "first_val": [df["first_val"].iloc[0]],
+            "last_val": [df["last_val"].iloc[-1]],
+        })
+
+    range_rows = (
+        _read(sf_dir, "documents", ["doc_id"] + list(cols))
+        .map_batches(slice_partial, batch_format="pyarrow")
+        .groupby("grp")
+        .map_groups(merge_slices, batch_format="pandas")
+        .repartition(1)
+    ).to_pandas()
+
+    def dict_measures(t: pa.Table) -> pa.Table:
+        parts = []
+        for c in cols:
+            parts.append(pa.table({
+                "col": pa.array([c] * t.num_rows, pa.string()),
+                "val": pc.cast(t[c], pa.string()),
+            }))
+        longt = pa.concat_tables(parts)
+        df = longt.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from ray.data.aggregate import Count
+
+    distinct = (
+        _read(sf_dir, "documents", list(cols))
+        .map_batches(dict_measures, batch_format="pyarrow")
+        .groupby(["col", "val"])
+        .aggregate(Count(alias_name="n_occurrences"))
+    ).to_pandas()
+
+    out = []
+    for c in sorted(cols):
+        g = range_rows[range_rows["col"] == c].sort_values("first_doc")
+        junc = int((g["first_val"].to_numpy()[1:]
+                    == g["last_val"].to_numpy()[:-1]).sum())
+        n_runs = int(g["runs"].sum()) - junc
+        n = int(g["n"].sum())
+        plain = int(g["nbytes"].sum())
+        dvals = distinct[distinct["col"] == c]["val"]
+        d = len(dvals)
+        dict_bytes = int(sum(len(s.encode()) for s in dvals))
+        w = max(1, (d - 1).bit_length())
+        out.append((c, n, d, n_runs, plain, dict_bytes, w,
+                    (n * w + 7) // 8 + dict_bytes,
+                    (n_runs * (w + 32) + 7) // 8 + dict_bytes))
+    return pa.table({
+        "col": pa.array([r[0] for r in out], pa.string()),
+        "n_rows": pa.array([r[1] for r in out], pa.int64()),
+        "n_distinct": pa.array([r[2] for r in out], pa.int64()),
+        "n_runs": pa.array([r[3] for r in out], pa.int64()),
+        "plain_bytes": pa.array([r[4] for r in out], pa.int64()),
+        "dict_bytes": pa.array([r[5] for r in out], pa.int64()),
+        "width_bits": pa.array([r[6] for r in out], pa.int64()),
+        "est_dict_bytes": pa.array([r[7] for r in out], pa.int64()),
+        "est_rle_bytes": pa.array([r[8] for r in out], pa.int64()),
+    })

@@ -5773,3 +5773,55 @@ def test_mmr_diverse_rerank_diversifies_and_replays(ray_session):
         avail[pick] = False
         maxsim = np.maximum(maxsim, sims[:, pick])
     assert [tuple(r) for r in got.itertuples(index=False)] == expect
+
+
+def test_columnar_encoding_audit_partition_invariant(ray_session, tmp_path):
+    """The exact run count must be invariant to how the contiguous
+    doc_id range is split into parquet files/blocks, and must equal a
+    pure-pandas replay of the ordered column."""
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import columnar_encoding_audit
+
+    rng = np.random.RandomState(11)
+    n = 311
+    lang = np.repeat(
+        [["en", "de", "fr"][i % 3] for i in range(40)],
+        rng.randint(1, 17, 40))[:n]
+    lang = np.concatenate([lang, np.array(["en"] * (n - len(lang)))])
+    source = np.array([f"s{i % 7}" for i in np.cumsum(
+        rng.randint(0, 2, n))])
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "lang": pa.array(lang[:n], pa.string()),
+        "source": pa.array(source, pa.string()),
+    })
+
+    def replay(col):
+        v = tbl[col].to_numpy(zero_copy_only=False)
+        runs = 1 + int((v[1:] != v[:-1]).sum())
+        d = len(set(v))
+        w = max(1, (d - 1).bit_length())
+        dict_b = sum(len(s.encode()) for s in set(v))
+        plain = sum(len(s.encode()) for s in v)
+        return (col, n, d, runs, plain, dict_b, w,
+                (n * w + 7) // 8 + dict_b,
+                (runs * (w + 32) + 7) // 8 + dict_b)
+
+    expect = [replay("lang"), replay("source")]
+
+    results = []
+    for splits in ([n], [100, 211], [37, 91, 60, 123]):
+        d = tmp_path / f"sf_{len(splits)}"
+        (d / "documents.parquet").mkdir(parents=True)
+        off = 0
+        for j, sz in enumerate(splits):
+            pq.write_table(tbl.slice(off, sz),
+                           d / "documents.parquet" / f"f{j:03d}.parquet")
+            off += sz
+        got = columnar_encoding_audit(str(d)).to_pandas()
+        results.append([tuple(r) for r in got.itertuples(index=False)])
+
+    assert results[0] == expect
+    assert results[1] == expect
+    assert results[2] == expect
