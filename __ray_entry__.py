@@ -2825,6 +2825,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "calibration_bins": rel.calibration_bins,
         "ab_conversion_lift": rel.ab_conversion_lift,
         "columnar_encoding_audit": rel.columnar_encoding_audit,
+        "map_at_k": rel.map_at_k,
     }
 
 
@@ -3636,6 +3637,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST((n_runs * (width_bits + 32) + 7) // 8 + dict_bytes
                         AS BIGINT) AS est_rle_bytes
             FROM cea_w
+        """,
+        "map_at_k": r"""
+            WITH mapk_q AS (
+              SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+                     label AS qlab
+              FROM embeddings WHERE vec_id % 25 = 0
+            ), mapk_lbl AS (
+              SELECT label, COUNT(*) AS c FROM embeddings GROUP BY label
+            ), mapk_s AS (
+              SELECT q.qid, q.qlab, e.vec_id, e.label,
+                     ROUND(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS sim
+              FROM embeddings e, mapk_q q WHERE e.vec_id <> q.qid
+            ), mapk_r AS (
+              SELECT qid, qlab, label,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                                        ORDER BY sim DESC, vec_id) AS rnk
+              FROM mapk_s
+            ), mapk_t AS (
+              SELECT qid, qlab, rnk,
+                     CASE WHEN label = qlab THEN 1 ELSE 0 END AS rel,
+                     SUM(CASE WHEN label = qlab THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY qid ORDER BY rnk) AS cum
+              FROM mapk_r WHERE rnk <= 10
+            ), mapk_ap AS (
+              SELECT qid, qlab,
+                     CAST(SUM(rel * cum * (2520 // rnk)) AS BIGINT)
+                       AS ap_num,
+                     CAST(SUM(rel) AS BIGINT) AS n_rel_at_k
+              FROM mapk_t GROUP BY qid, qlab
+            ), mapk_m AS (
+              SELECT a.qid AS query_id,
+                     CAST(least(l.c - 1, 10) AS BIGINT) AS m,
+                     n_rel_at_k,
+                     CAST((1000000 * ap_num
+                           + (2520 * least(l.c - 1, 10)) // 2)
+                          // (2520 * least(l.c - 1, 10)) AS BIGINT)
+                       AS ap_micro
+              FROM mapk_ap a JOIN mapk_lbl l ON a.qlab = l.label
+            )
+            SELECT query_id, m, n_rel_at_k, ap_micro,
+                   CAST((SUM(ap_micro) OVER () + COUNT(*) OVER () // 2)
+                        // COUNT(*) OVER () AS BIGINT) AS map_micro
+            FROM mapk_m
         """,
         "kwic_snippets": r"""
             WITH kw_d AS (

@@ -9103,3 +9103,109 @@ def columnar_encoding_audit(sf_dir: str, cols: tuple = ("lang", "source"),
         "est_dict_bytes": pa.array([r[7] for r in out], pa.int64()),
         "est_rle_bytes": pa.array([r[8] for r in out], pa.int64()),
     })
+
+
+def map_at_k(sf_dir: str, k: int = 10, stride: int = 25):
+    """MAP@k retrieval eval over the embedding corpus: every vector with
+    ``vec_id % stride == 0`` is a query, a candidate is RELEVANT if it
+    shares the query's ``label``, the ranking is exact cosine (rounded
+    6 dp, ties by vec_id — the knn_cosine convention), and average
+    precision is EXACT integer arithmetic: with L = lcm(1..10) = 2520,
+    ``ap_num = Σ_{i relevant} cum_i · (L // i)`` is an integer, so
+    ``AP = ap_num / (L·m)`` with m = min(|same-label| − 1, k) needs one
+    half-up integer division into micro units — both engines divide the
+    same integers, no float enters the rank math.
+
+    Topology: queries are ONE filtered scan (nq rows); per corpus batch
+    each query's top-k is pre-reduced (≤ nq·k short rows per batch, the
+    payload never re-ships), a ~nq-way groupby folds per-query, and the
+    driver sees nq bounded rows.  Label totals ride a separate tiny
+    count aggregate.
+    """
+    assert k <= 10, "L=2520 covers ranks 1..10"
+    L = 2520
+    from ocr_ray.pipelines.simsearch import _cosine, _to_matrix
+
+    def pick_queries(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % stride == 0))
+
+    qtbl = _concat_nonempty(
+        _read(sf_dir, "embeddings").map_batches(
+            pick_queries, batch_format="pyarrow"))
+    qids = qtbl["vec_id"].to_numpy(zero_copy_only=False)
+    qlabs = qtbl["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    qmat = _to_matrix(qtbl["embedding"])
+
+    lab_counts = _grouped_sum(
+        _read(sf_dir, "embeddings", ["label"]),
+        lambda t: pa.table({"label": t["label"]}),
+        keys=["label"], sum_cols=[], count_col="c",
+    ).to_pandas()
+    lab_map = dict(zip(lab_counts["label"].astype(int),
+                       lab_counts["c"].astype(int)))
+
+    q_ref = ray.put((qids, qlabs, qmat))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids_, labs_, qm = ray.get(q_ref)
+        mat = _to_matrix(t["embedding"])
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        labs = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_q, out_id, out_lab, out_sim = [], [], [], []
+        for j in range(len(ids_)):
+            sims = np.round(_cosine(mat, qm[j]), 6)
+            mask = ids != ids_[j]
+            sid, slab, ssim = ids[mask], labs[mask], sims[mask]
+            order = np.lexsort((sid, -ssim))[:k]
+            out_q.extend([int(ids_[j])] * len(order))
+            out_id.extend(sid[order].tolist())
+            out_lab.extend(slab[order].tolist())
+            out_sim.extend(ssim[order].tolist())
+        return pa.table({
+            "qid": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_id, pa.int64()),
+            "label": pa.array(out_lab, pa.int64()),
+            "sim": pa.array(out_sim, pa.float64()),
+        })
+
+    qlab_ref = ray.put(dict(zip(qids.tolist(), qlabs.tolist())))
+
+    def per_query(g: pd.DataFrame) -> pd.DataFrame:
+        qid = int(g["qid"].iloc[0])
+        qlab = ray.get(qlab_ref)[qid]
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True],
+                          kind="stable").head(k)
+        rel = (g["label"].to_numpy(np.int64) == qlab).astype(np.int64)
+        cum = np.cumsum(rel)
+        ranks = np.arange(1, len(rel) + 1)
+        ap_num = int((rel * cum * (L // ranks)).sum())
+        return pd.DataFrame({
+            "query_id": pd.array([qid], "int64"),
+            "ap_num": pd.array([ap_num], "int64"),
+            "n_rel_at_k": pd.array([int(rel.sum())], "int64"),
+        })
+
+    per_q = (
+        _read(sf_dir, "embeddings")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("qid")
+        .map_groups(per_query, batch_format="pandas")
+        .repartition(1)
+    ).to_pandas().sort_values("query_id")
+
+    rows = []
+    for r in per_q.itertuples(index=False):
+        qlab = int(qlabs[np.nonzero(qids == r.query_id)[0][0]])
+        m = min(lab_map[qlab] - 1, k)
+        ap_micro = (1_000_000 * int(r.ap_num) + (L * m) // 2) // (L * m)
+        rows.append((int(r.query_id), m, int(r.n_rel_at_k), ap_micro))
+    nq = len(rows)
+    map_micro = (sum(r[3] for r in rows) + nq // 2) // nq
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "m": pa.array([r[1] for r in rows], pa.int64()),
+        "n_rel_at_k": pa.array([r[2] for r in rows], pa.int64()),
+        "ap_micro": pa.array([r[3] for r in rows], pa.int64()),
+        "map_micro": pa.array([map_micro] * nq, pa.int64()),
+    })
