@@ -2826,6 +2826,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "ab_conversion_lift": rel.ab_conversion_lift,
         "columnar_encoding_audit": rel.columnar_encoding_audit,
         "map_at_k": rel.map_at_k,
+        "hourly_autocorr": rel.hourly_autocorr,
     }
 
 
@@ -3681,6 +3682,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST((SUM(ap_micro) OVER () + COUNT(*) OVER () // 2)
                         // COUNT(*) OVER () AS BIGINT) AS map_micro
             FROM mapk_m
+        """,
+        "hourly_autocorr": r"""
+            WITH hac_h AS (
+              SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS c
+              FROM events GROUP BY 1
+            ), hac_b AS (
+              SELECT MIN(hr) AS mn, MAX(hr) AS mx FROM hac_h
+            ), hac_g AS (
+              SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+              FROM hac_b
+            ), hac_s AS (
+              SELECT g.hr, CAST(COALESCE(h.c, 0) AS BIGINT) AS c
+              FROM hac_g g LEFT JOIN hac_h h ON g.hr = h.hr
+            ), hac_m AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(c) AS BIGINT) AS s
+              FROM hac_s
+            ), hac_d AS (
+              SELECT ROW_NUMBER() OVER (ORDER BY hr) AS t,
+                     CAST(m.n * c - m.s AS HUGEINT) AS d, m.n
+              FROM hac_s, hac_m m
+            ), hac_den AS (
+              SELECT SUM(d * d) AS den FROM hac_d
+            ), hac_lag AS (
+              SELECT lg.lag, d.n,
+                     d.d AS d0, lead(d.d, lg.lag)
+                       OVER (PARTITION BY lg.lag ORDER BY d.t) AS d1
+              FROM hac_d d, (SELECT unnest([1, 2, 3]) AS lag) lg
+            )
+            SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_hours,
+                   CAST(COUNT(d1) AS BIGINT) AS n_terms,
+                   ROUND(CAST(SUM(d0 * d1) AS DOUBLE)
+                         / CAST(den AS DOUBLE), 6) AS r_autocorr
+            FROM hac_lag, hac_den
+            WHERE d1 IS NOT NULL
+            GROUP BY lag, n, den
         """,
         "kwic_snippets": r"""
             WITH kw_d AS (

@@ -9209,3 +9209,61 @@ def map_at_k(sf_dir: str, k: int = 10, stride: int = 25):
         "ap_micro": pa.array([r[3] for r in rows], pa.int64()),
         "map_micro": pa.array([map_micro] * nq, pa.int64()),
     })
+
+
+def hourly_autocorr(sf_dir: str, max_lag: int = 3):
+    """Lag-1..max_lag autocorrelation of the densified hourly event-count
+    series — the seasonality probe a streaming pipeline runs before
+    picking window sizes.  The series is hour-truncated counts densified
+    to every hour between min and max (missing hours count 0), and the
+    sample autocorrelation is computed on EXACT integers: with n hours,
+    S = Σc, the centered terms scale by n (``n·c_t − S``), so
+
+      ``r_k = Σ_{t<n−k} (n·c_t − S)(n·c_{t+k} − S) / Σ_t (n·c_t − S)²``
+
+    is a ratio of exact int64 sums; the one float step is the final IEEE
+    division (same expression shape both engines, rounded 6 dp).
+
+    Topology: the only shuffle is the hour-count groupby (pre-combined
+    per batch by `_grouped_sum`, cardinality = #hours); densify + lag
+    products run on the bounded hourly series in one repartition(1)
+    task.  Output one row per lag: (lag, n_hours, n_terms, r_autocorr).
+    """
+
+    def measures(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "hr": pc.floor_temporal(t["ts"], unit="hour"),
+        })
+
+    counts = _grouped_sum(
+        _read(sf_dir, "events", ["ts"]), measures,
+        keys=["hr"], sum_cols=[], count_col="c",
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("hr")
+        hrs = df["hr"].to_numpy("datetime64[us]")
+        c_obs = df["c"].to_numpy(np.int64)
+        full = np.arange(hrs[0], hrs[-1] + np.timedelta64(1, "h"),
+                         np.timedelta64(1, "h"))
+        c = np.zeros(len(full), np.int64)
+        c[np.searchsorted(full, hrs)] = c_obs
+        n = len(c)
+        S = int(c.sum())
+        d = (n * c - S).astype(object)  # python ints: no int64 overflow
+        den = int(sum(x * x for x in d))
+        out = []
+        for lag in range(1, max_lag + 1):
+            num = int(sum(d[t] * d[t + lag] for t in range(n - lag)))
+            # float() each exact int FIRST (the SQL CAST-then-divide
+            # shape) so both engines round the same two doubles
+            r = float(np.round(float(num) / float(den), 6))
+            out.append((lag, n, n - lag, r))
+        res = pd.DataFrame(out, columns=["lag", "n_hours", "n_terms",
+                                         "r_autocorr"])
+        for col in ("lag", "n_hours", "n_terms"):
+            res[col] = res[col].astype("int64")
+        return res
+
+    return counts.repartition(1).map_batches(
+        finalize, batch_format="pandas", batch_size=None)
