@@ -2827,6 +2827,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "columnar_encoding_audit": rel.columnar_encoding_audit,
         "map_at_k": rel.map_at_k,
         "hourly_autocorr": rel.hourly_autocorr,
+        "dbscan_core_points": rel.dbscan_core_points,
     }
 
 
@@ -3718,6 +3719,44 @@ def oracle_sql() -> dict[str, str]:
             FROM hac_lag, hac_den
             WHERE d1 IS NOT NULL
             GROUP BY lag, n, den
+        """,
+        "dbscan_core_points": r"""
+            WITH dbs_n AS MATERIALIZED (
+              SELECT vec_id, CAST(label AS BIGINT) AS label,
+                     list_transform(embedding,
+                       x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000)
+                                 AS BIGINT)) AS v
+              FROM embeddings
+            ), dbs_m AS MATERIALIZED (
+              SELECT vec_id, label, v,
+                     CAST(list_sum(list_transform(v, x -> x * x))
+                          AS BIGINT) AS nn
+              FROM dbs_n
+            ), dbs_p AS (
+              SELECT a.vec_id AS ia, b.vec_id AS ib,
+                     CAST(SUM(a.v[r.i] * b.v[r.i]) AS BIGINT) AS dot,
+                     ANY_VALUE(a.nn) AS na, ANY_VALUE(b.nn) AS nb
+              FROM dbs_m a JOIN dbs_m b ON a.vec_id < b.vec_id,
+                   (SELECT unnest(range(1, 65)) AS i) r
+              GROUP BY a.vec_id, b.vec_id
+            ), dbs_e AS (
+              SELECT ia, ib FROM dbs_p
+              WHERE dot > 0
+                AND 100 * CAST(dot AS HUGEINT) * dot
+                    >= 9 * CAST(na AS HUGEINT) * nb
+            ), dbs_c AS (
+              SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS nbrs
+              FROM (SELECT ia AS vec_id FROM dbs_e
+                    UNION ALL SELECT ib FROM dbs_e)
+              GROUP BY vec_id
+            )
+            SELECT m.label,
+                   CAST(COUNT(*) AS BIGINT) AS n_points,
+                   CAST(SUM(CASE WHEN COALESCE(c.nbrs, 0) + 1 >= 5
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_core,
+                   CAST(SUM(COALESCE(c.nbrs, 0)) AS BIGINT) AS sum_nbrs
+            FROM dbs_m m LEFT JOIN dbs_c c ON m.vec_id = c.vec_id
+            GROUP BY m.label
         """,
         "kwic_snippets": r"""
             WITH kw_d AS (

@@ -9267,3 +9267,138 @@ def hourly_autocorr(sf_dir: str, max_lag: int = 3):
 
     return counts.repartition(1).map_batches(
         finalize, batch_format="pandas", batch_size=None)
+
+
+def dbscan_core_points(sf_dir: str, tau2_num: int = 9, tau2_den: int = 100,
+                       min_pts: int = 5, n_blocks: int | None = None,
+                       n_buckets: int = 64):
+    """DBSCAN density audit over the embedding corpus: a point's
+    eps-neighborhood is cosine similarity ≥ τ with τ² = tau2_num /
+    tau2_den, a point is CORE when |N(p)| + 1 ≥ min_pts (itself
+    included, standard DBSCAN), and the query rolls up per label:
+    ``(label, n_points, n_core, sum_nbrs)``.
+
+    The neighbor predicate is EXACT INTEGER: embeddings quantize to
+    milli-units q = half-away(1000·v) (float32→float64→round, both
+    engines bit-identical), and ``sim ≥ τ  ⇔  dot > 0 ∧ tau2_den·dot²
+    ≥ tau2_num·‖a‖²·‖b‖²`` — no float ever enters the comparison, so
+    the DuckDB oracle reproduces every neighbor decision from the same
+    int64s.
+
+    Topology = the block-partitioned all-pairs of
+    :func:`ocr_ray.pipelines.simsearch.embedding_near_dup` (vec_id %
+    n_blocks, unordered block-pair groups, per-group integer matmul),
+    but groups emit per-point neighbor-COUNT partials, never pairs: the
+    (b,b) group emits every point once (count ≥ 0, so isolated points
+    are covered) and cross groups emit only nonzero partials; a coarse
+    vec_id-bucket groupby folds per-point totals and per-label bucket
+    rows, and the driver sums ≤ n_buckets·|labels| rows.
+    """
+    from ocr_ray.pipelines.simsearch import _to_matrix
+
+    if n_blocks is None:
+        n_blocks = DEFAULT_CONFIG.near_dup_blocks
+
+    def quant(mat: np.ndarray) -> np.ndarray:
+        x = mat * 1000.0
+        return np.copysign(np.floor(np.abs(x) + 0.5), x).astype(np.int64)
+
+    def replicate(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        labs = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vecs = t["embedding"]
+        if isinstance(vecs, pa.ChunkedArray):
+            vecs = vecs.combine_chunks()
+        blk = ids % n_blocks
+        out = {"vec_id": [], "label": [], "blk": [], "lo": [], "hi": []}
+        vec_parts = []
+        for other in range(n_blocks):
+            out["vec_id"].append(ids)
+            out["label"].append(labs)
+            out["blk"].append(blk)
+            vec_parts.append(vecs)
+            out["lo"].append(np.minimum(blk, other))
+            out["hi"].append(np.maximum(blk, other))
+        return pa.table({
+            "vec_id": pa.array(np.concatenate(out["vec_id"]), pa.int64()),
+            "label": pa.array(np.concatenate(out["label"]), pa.int64()),
+            "blk": pa.array(np.concatenate(out["blk"]), pa.int32()),
+            "embedding": pa.concat_arrays(vec_parts),
+            "lo": pa.array(np.concatenate(out["lo"]), pa.int32()),
+            "hi": pa.array(np.concatenate(out["hi"]), pa.int32()),
+        })
+
+    def _pred(qa: np.ndarray, qb: np.ndarray) -> np.ndarray:
+        dot = qa @ qb.T
+        na = (qa * qa).sum(1)
+        nb = (qb * qb).sum(1)
+        return (dot > 0) & (tau2_den * dot * dot
+                            >= tau2_num * np.outer(na, nb))
+
+    def block_counts(g: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = int(g["lo"].iloc[0]), int(g["hi"].iloc[0])
+        g = g.drop_duplicates(subset=["vec_id", "blk"])
+        ga = g[g["blk"] == lo]
+        ids_a = ga["vec_id"].to_numpy(np.int64)
+        lab_a = ga["label"].to_numpy(np.int64)
+        qa = quant(np.stack(ga["embedding"].to_numpy()).astype(np.float64))
+        if lo == hi:
+            p = _pred(qa, qa)
+            np.fill_diagonal(p, False)
+            cnt = p.sum(1).astype(np.int64)
+            return pd.DataFrame({"vec_id": ids_a, "label": lab_a,
+                                 "nbrs": cnt})
+        gb = g[g["blk"] == hi]
+        ids_b = gb["vec_id"].to_numpy(np.int64)
+        lab_b = gb["label"].to_numpy(np.int64)
+        if len(ids_a) == 0 or len(ids_b) == 0:
+            return pd.DataFrame({"vec_id": np.array([], np.int64),
+                                 "label": np.array([], np.int64),
+                                 "nbrs": np.array([], np.int64)})
+        qb = quant(np.stack(gb["embedding"].to_numpy()).astype(np.float64))
+        p = _pred(qa, qb)
+        ca, cb = p.sum(1).astype(np.int64), p.sum(0).astype(np.int64)
+        ka, kb = ca > 0, cb > 0
+        return pd.DataFrame({
+            "vec_id": np.concatenate([ids_a[ka], ids_b[kb]]),
+            "label": np.concatenate([lab_a[ka], lab_b[kb]]),
+            "nbrs": np.concatenate([ca[ka], cb[kb]]),
+        })
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = (t["vec_id"].to_numpy(zero_copy_only=False)
+             % n_buckets).astype(np.int32)
+        return t.append_column("bucket", pa.array(b, pa.int32()))
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("vec_id", as_index=False).agg(
+            label=("label", "first"), nbrs=("nbrs", "sum"))
+        per["core"] = ((per["nbrs"] + 1) >= min_pts).astype("int64")
+        out = per.groupby("label", as_index=False).agg(
+            n_points=("vec_id", "size"), n_core=("core", "sum"),
+            sum_nbrs=("nbrs", "sum"))
+        for c in ("n_points", "n_core", "sum_nbrs"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("label", as_index=False)[
+            ["n_points", "n_core", "sum_nbrs"]].sum()
+        for c in ("n_points", "n_core", "sum_nbrs"):
+            out[c] = out[c].astype("int64")
+        return out.sort_values("label")
+
+    return (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+        .map_batches(replicate, batch_format="pyarrow")
+        .groupby(["lo", "hi"])
+        .map_groups(block_counts, batch_format="pandas")
+        # drop the sort-groupby's schema-less empty blocks before the
+        # next groupby (CLAUDE.md dedupe_pairs precedent)
+        .repartition(16)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_fold, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )
