@@ -2828,6 +2828,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "map_at_k": rel.map_at_k,
         "hourly_autocorr": rel.hourly_autocorr,
         "dbscan_core_points": rel.dbscan_core_points,
+        "dirichlet_ql_search": rel.dirichlet_ql_search,
     }
 
 
@@ -3757,6 +3758,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(COALESCE(c.nbrs, 0)) AS BIGINT) AS sum_nbrs
             FROM dbs_m m LEFT JOIN dbs_c c ON m.vec_id = c.vec_id
             GROUP BY m.label
+        """,
+        "dirichlet_ql_search": r"""
+            WITH dql_d AS MATERIALIZED (
+              SELECT doc_id, regexp_split_to_array(
+                       lower(coalesce(text, '')), '\s+') AS arr
+              FROM documents
+            ), dql_toks AS MATERIALIZED (
+              SELECT doc_id, unnest(arr) AS term FROM dql_d
+            ), dql_lens AS MATERIALIZED (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+              FROM dql_toks WHERE term <> '' GROUP BY doc_id
+            ), dql_q AS (
+              SELECT * FROM (VALUES ('table'), ('hash'), ('join')) t(term)
+            ), dql_c AS MATERIALIZED (
+              SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM dql_toks
+                      WHERE term <> '') AS total
+            ), dql_cf AS MATERIALIZED (
+              SELECT q.term, CAST(COUNT(tk.term) AS BIGINT) AS cf
+              FROM dql_q q LEFT JOIN dql_toks tk ON q.term = tk.term
+              GROUP BY q.term
+            ), dql_tf AS MATERIALIZED (
+              SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM dql_toks JOIN dql_q USING (term)
+              GROUP BY doc_id, term
+            ), dql_docs AS (
+              SELECT DISTINCT doc_id FROM dql_tf
+            ), dql_contrib AS (
+              SELECT d.doc_id,
+                CAST(ROUND(1000000.0 * ln(
+                  (CAST(COALESCE(tf.tf, 0) AS DOUBLE)
+                   + 2000.0 * (CAST(cf.cf AS DOUBLE)
+                               / CAST(c.total AS DOUBLE)))
+                  / (CAST(l.dl AS DOUBLE) + 2000.0))) AS BIGINT) AS x
+              FROM dql_docs d
+                CROSS JOIN dql_q q
+                JOIN dql_cf cf ON q.term = cf.term
+                JOIN dql_lens l ON d.doc_id = l.doc_id
+                LEFT JOIN dql_tf tf
+                  ON tf.doc_id = d.doc_id AND tf.term = q.term,
+                dql_c c
+            ), dql_s AS (
+              SELECT doc_id, CAST(SUM(x) AS BIGINT) AS score_e6
+              FROM dql_contrib GROUP BY doc_id
+              ORDER BY score_e6 DESC, doc_id LIMIT 20
+            )
+            SELECT doc_id, score_e6 FROM dql_s
+            ORDER BY score_e6 DESC, doc_id
         """,
         "kwic_snippets": r"""
             WITH kw_d AS (

@@ -9402,3 +9402,92 @@ def dbscan_core_points(sf_dir: str, tau2_num: int = 9, tau2_den: int = 100,
         .repartition(1)
         .map_batches(final, batch_format="pandas", batch_size=None)
     )
+
+
+def dirichlet_ql_search(sf_dir: str, query: str = "table hash join",
+                        k: int = 20, mu: float = 2000.0):
+    """Query-likelihood retrieval with Dirichlet smoothing (the language-
+    modeling scorer beside bm25_search / tfidf_top_docs / wand): a doc
+    with at least one query-term hit scores
+
+      ``Σ_q 1e6 · ln((tf_q + μ·(cf_q / C)) / (|D| + μ))``
+
+    over ALL query terms (tf = 0 terms contribute the background prob —
+    the defining difference from tf-only scorers), each term's
+    contribution half-away rounded to integer micro-nats BEFORE the sum
+    (the bm25 float-parity convention: both engines sum identical ints).
+
+    Same two-bounded-pass topology as bm25_search: (1) collection stats
+    (total token count C, per-term collection frequency cf) as per-batch
+    int partials `_prefold`-reduced to driver scalars; (2) broadcast
+    scalars score every batch, per-batch top-k, one repartition(1)
+    bounded reduce → exactly k rows (score desc, doc_id asc)."""
+    import collections
+    import re
+
+    _ws = re.compile(r"[ \t\n\f\r]+")
+    terms = query.lower().split()
+    MU = float(mu)
+
+    def _toks(txt: str) -> list:
+        return [x for x in _ws.split((txt or "").lower()) if x]
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        sum_dl = 0
+        cfs = [0] * len(terms)
+        for txt in t["text"].to_pylist():
+            toks = _toks(txt)
+            sum_dl += len(toks)
+            c = collections.Counter(toks)
+            for i, q in enumerate(terms):
+                cfs[i] += c.get(q, 0)
+        cols = {"sum_dl": pa.array([sum_dl], pa.int64())}
+        for i in range(len(terms)):
+            cols[f"cf_{i}"] = pa.array([cfs[i]], pa.int64())
+        return pa.table(cols)
+
+    def stat_add(t: pa.Table) -> pa.Table:
+        if t.num_rows <= 1:
+            return t
+        return pa.table({c: pa.array([int(pc.sum(t[c]).as_py() or 0)],
+                                     pa.int64())
+                         for c in t.column_names})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    srows = _prefold(ds.map_batches(stat_partial, batch_format="pyarrow"),
+                     stat_add).take_all()
+    total = sum(r["sum_dl"] for r in srows)
+    cfs = [sum(r[f"cf_{i}"] for r in srows) for i in range(len(terms))]
+    # background mass per term, same expression shape as the oracle:
+    # MU * (cf / C)
+    bg = [MU * (float(cf) / float(total)) for cf in cfs]
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        ids, scores = [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = _toks(txt)
+            c = collections.Counter(toks)
+            if not any(q in c for q in terms):
+                continue
+            dl = float(len(toks))
+            s = 0
+            for i, q in enumerate(terms):
+                x = 1e6 * float(np.log((float(c.get(q, 0)) + bg[i])
+                                       / (dl + MU)))
+                s += int(np.copysign(np.floor(abs(x) + 0.5), x))
+            ids.append(did)
+            scores.append(s)
+        df = pd.DataFrame({"doc_id": pd.array(ids, "int64"),
+                           "score_e6": pd.array(scores, "int64")})
+        df = df.sort_values(["score_e6", "doc_id"],
+                            ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("score_e6", "descending"),
+                                            ("doc_id", "ascending")])[:k]
+        return t.take(idx)
+
+    return (ds.map_batches(score_partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow", batch_size=None))
