@@ -2829,6 +2829,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "hourly_autocorr": rel.hourly_autocorr,
         "dbscan_core_points": rel.dbscan_core_points,
         "dirichlet_ql_search": rel.dirichlet_ql_search,
+        "bom_cost_rollup": rel.bom_cost_rollup,
     }
 
 
@@ -3805,6 +3806,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, score_e6 FROM dql_s
             ORDER BY score_e6 DESC, doc_id
+        """,
+        "bom_cost_rollup": r"""
+            WITH RECURSIVE bom_anc AS (
+              SELECT p_partkey AS node, p_partkey AS anc FROM part
+              UNION ALL
+              SELECT a.node,
+                     (a.anc * 2654435761 % 4294967296) % a.anc
+              FROM bom_anc a WHERE a.anc > 0
+            ), bom_cost AS (
+              SELECT p_partkey,
+                     CAST(ROUND(p_retailprice * 100) AS BIGINT) AS c
+              FROM part
+            )
+            SELECT a.anc AS node,
+                   CAST(COUNT(*) AS BIGINT) AS n_desc,
+                   CAST(SUM(c.c) AS BIGINT) AS subtree_cost_cents
+            FROM bom_anc a JOIN bom_cost c ON a.node = c.p_partkey
+            GROUP BY a.anc
+            ORDER BY subtree_cost_cents DESC, node
+            LIMIT 20
         """,
         "kwic_snippets": r"""
             WITH kw_d AS (

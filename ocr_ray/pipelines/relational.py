@@ -9491,3 +9491,74 @@ def dirichlet_ql_search(sf_dir: str, query: str = "table hash join",
     return (ds.map_batches(score_partial, batch_format="pyarrow")
             .repartition(1)
             .map_batches(final, batch_format="pyarrow", batch_size=None))
+
+
+def bom_cost_rollup(sf_dir: str, k: int = 20, n_buckets: int = 64):
+    """Bill-of-materials rollup over the derived part hierarchy
+    (``parent(v) = (v·2654435761 mod 2³²) mod v``, root 0 — the
+    tree_depths tree): every part's SUBTREE cost (sum of retail-price
+    cents over itself and all descendants) and subtree size, top-k by
+    cost.  The oracle is the ancestor-closure recursive CTE.
+
+    The scale trick: parent() is a pure FUNCTION of the key, so each
+    batch enumerates its rows' ENTIRE ancestor chains locally (a ~log-
+    depth vectorized loop, no index lookup, no per-round shuffle —
+    contrast tree_depths, whose pointer doubling exists because that
+    query needs per-node DATA from the directory).  Each batch then
+    pre-sums its (ancestor → cost, count) contributions, ONE coarse
+    bucket exchange co-locates each ancestor's partials, the per-bucket
+    pandas fold emits that bucket's top-k candidates only, and the
+    repartition(1) tail keeps the global top-k.  Shuffle volume is
+    per-batch-distinct ancestors × 3 ints — never the closure.
+    """
+
+    def chain_partial(t: pa.Table) -> pa.Table:
+        ids = t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cost = _cents(t["p_retailprice"], 100).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        anc_all, cost_all = [ids], [cost]
+        cur, live_cost = ids, cost
+        while True:
+            live = cur > 0
+            if not live.any():
+                break
+            cur = cur[live]
+            live_cost = live_cost[live]
+            cur = (cur * 2654435761 % 2**32) % cur
+            anc_all.append(cur)
+            cost_all.append(live_cost)
+        df = pd.DataFrame({
+            "anc": np.concatenate(anc_all),
+            "c": np.concatenate(cost_all),
+        }).groupby("anc", as_index=False).agg(
+            c=("c", "sum"), n=("c", "size"))
+        df["n"] = df["n"].astype("int64")
+        df["bucket"] = (df["anc"] % n_buckets).astype(np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("anc", as_index=False).agg(
+            subtree_cost_cents=("c", "sum"), n_desc=("n", "sum"))
+        agg = agg.sort_values(["subtree_cost_cents", "anc"],
+                              ascending=[False, True]).head(k)
+        out = pd.DataFrame({
+            "node": agg["anc"].astype("int64"),
+            "n_desc": agg["n_desc"].astype("int64"),
+            "subtree_cost_cents": agg["subtree_cost_cents"].astype("int64"),
+        })
+        return out
+
+    def final(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("subtree_cost_cents", "descending"),
+                          ("node", "ascending")])[:k]
+        return t.take(idx)
+
+    return (
+        _read(sf_dir, "part", ["p_partkey", "p_retailprice"])
+        .map_batches(chain_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
