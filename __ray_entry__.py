@@ -2830,6 +2830,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "dbscan_core_points": rel.dbscan_core_points,
         "dirichlet_ql_search": rel.dirichlet_ql_search,
         "bom_cost_rollup": rel.bom_cost_rollup,
+        "link_prediction_scores": rel.link_prediction_scores,
     }
 
 
@@ -3825,6 +3826,47 @@ def oracle_sql() -> dict[str, str]:
             FROM bom_anc a JOIN bom_cost c ON a.node = c.p_partkey
             GROUP BY a.anc
             ORDER BY subtree_cost_cents DESC, node
+            LIMIT 20
+        """,
+        "link_prediction_scores": r"""
+            WITH lp_cnt AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+            ), lp_e0 AS (
+              SELECT doc_id AS u,
+                     (2 * doc_id + 1) % (SELECT n FROM lp_cnt) AS v
+              FROM documents
+              UNION ALL
+              SELECT doc_id, (3 * doc_id + 2) % (SELECT n FROM lp_cnt)
+              FROM documents
+              UNION ALL
+              SELECT doc_id, (5 * doc_id + 3) % (SELECT n FROM lp_cnt)
+              FROM documents
+            ), lp_e AS MATERIALIZED (
+              SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+              FROM lp_e0 WHERE u <> v
+            ), lp_adj AS MATERIALIZED (
+              SELECT a AS node, b AS nbr FROM lp_e
+              UNION ALL
+              SELECT b, a FROM lp_e
+            ), lp_deg AS MATERIALIZED (
+              SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+              FROM lp_adj GROUP BY node
+            ), lp_w AS (
+              SELECT x.nbr AS a, y.nbr AS b, x.node AS apex
+              FROM lp_adj x JOIN lp_adj y
+                ON x.node = y.node AND x.nbr < y.nbr
+            ), lp_s AS (
+              SELECT w.a, w.b, CAST(COUNT(*) AS BIGINT) AS cn,
+                     CAST(SUM(CAST(ROUND(
+                       1000000.0 / ln(CAST(d.deg AS DOUBLE)))
+                       AS BIGINT)) AS BIGINT) AS aa_micro
+              FROM lp_w w JOIN lp_deg d ON w.apex = d.node
+              GROUP BY w.a, w.b
+            )
+            SELECT s.a AS u, s.b AS v, s.cn, s.aa_micro
+            FROM lp_s s LEFT JOIN lp_e e ON s.a = e.a AND s.b = e.b
+            WHERE e.a IS NULL
+            ORDER BY s.aa_micro DESC, u, v
             LIMIT 20
         """,
         "kwic_snippets": r"""

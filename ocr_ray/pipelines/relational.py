@@ -9562,3 +9562,93 @@ def bom_cost_rollup(sf_dir: str, k: int = 20, n_buckets: int = 64):
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def link_prediction_scores(sf_dir: str, k: int = 20, n_buckets: int = 64):
+    """Link prediction over the derived undirected doc graph (edges
+    ``u — (2u+1) mod N, (3u+2) mod N, (5u+3) mod N`` — the
+    triangle_counts graph): for every NON-adjacent pair with ≥1 common
+    neighbor, the common-neighbor count and Adamic-Adar score
+    ``Σ_w 1e6/ln(deg(w))`` (each apex term half-away rounded to micro
+    BEFORE the sum — the repo's float-parity convention; a wedge apex
+    always has deg ≥ 2 so ln never hits 0), top-k by (aa desc, u, v).
+
+    Two coarse exchanges: (1) node-bucket adjacency build — both edge
+    directions keyed by endpoint; per bucket a vectorized dedup +
+    degree + self-merge wedge fan-out (deg ≤ 6 ⇒ ≤ 15 wedges/node)
+    emits (a, b, apex_deg) rows keyed by the synthesized int64 pair key
+    a·2³² + b; (2) pair-bucket fold — cn / aa per pair, EXISTING edges
+    dropped by evaluating the pure edge function (no anti-join: ``b ∈
+    out(a) ∨ a ∈ out(b)`` is O(1) arithmetic), per-bucket top-k; a
+    repartition(1) tail keeps the global top-k.  No join operator, no
+    broadcast adjacency, shuffles carry short int rows only.
+    """
+    n_docs = _table_num_rows(sf_dir, "documents")
+    gens = ((2, 1), (3, 2), (5, 3))
+
+    def edges_partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dsts = [(m * ids + c) % n_docs for m, c in gens]
+        u = np.concatenate([ids] * len(gens) + dsts)
+        v = np.concatenate(dsts + [ids] * len(gens))
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pa.table({
+            "node": pa.array(u, pa.int64()),
+            "nbr": pa.array(v, pa.int64()),
+            "bucket": pa.array((u % n_buckets).astype(np.int32), pa.int32()),
+        })
+
+    def wedge_fold(g: pd.DataFrame) -> pd.DataFrame:
+        adj = g[["node", "nbr"]].drop_duplicates()
+        deg = adj.groupby("node")["nbr"].size().rename("deg")
+        adj = adj.merge(deg, left_on="node", right_index=True)
+        w = adj.merge(adj, on="node", suffixes=("_x", "_y"))
+        w = w[w["nbr_x"] < w["nbr_y"]]
+        a = w["nbr_x"].to_numpy(np.int64)
+        b = w["nbr_y"].to_numpy(np.int64)
+        pk = a * (2 ** 32) + b
+        return pd.DataFrame({
+            "a": a, "b": b,
+            "apex_deg": w["deg_x"].to_numpy(np.int64),
+            "pbucket": (pk % n_buckets).astype(np.int32),
+        })
+
+    def pair_fold(g: pd.DataFrame) -> pd.DataFrame:
+        x = 1e6 / np.log(g["apex_deg"].to_numpy(np.float64))
+        g = g.assign(aa=np.floor(x + 0.5).astype(np.int64))
+        agg = g.groupby(["a", "b"], as_index=False).agg(
+            cn=("aa", "size"), aa_micro=("aa", "sum"))
+        a = agg["a"].to_numpy(np.int64)
+        b = agg["b"].to_numpy(np.int64)
+        adjacent = np.zeros(len(a), bool)
+        for m, c in gens:
+            adjacent |= ((m * a + c) % n_docs) == b
+            adjacent |= ((m * b + c) % n_docs) == a
+        agg = agg[~adjacent]
+        agg = agg.sort_values(["aa_micro", "a", "b"],
+                              ascending=[False, True, True]).head(k)
+        return pd.DataFrame({
+            "u": agg["a"].astype("int64"),
+            "v": agg["b"].astype("int64"),
+            "cn": agg["cn"].astype("int64"),
+            "aa_micro": agg["aa_micro"].astype("int64"),
+        })
+
+    def final(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("aa_micro", "descending"), ("u", "ascending"),
+                          ("v", "ascending")])[:k]
+        return t.take(idx)
+
+    return (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(edges_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(wedge_fold, batch_format="pandas")
+        .repartition(16)
+        .groupby("pbucket")
+        .map_groups(pair_fold, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
