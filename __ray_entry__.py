@@ -2831,6 +2831,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "dirichlet_ql_search": rel.dirichlet_ql_search,
         "bom_cost_rollup": rel.bom_cost_rollup,
         "link_prediction_scores": rel.link_prediction_scores,
+        "feature_hash_collision_audit": rel.feature_hash_collision_audit,
     }
 
 
@@ -3868,6 +3869,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.a IS NULL
             ORDER BY s.aa_micro DESC, u, v
             LIMIT 20
+        """,
+        "feature_hash_collision_audit": r"""
+            WITH fh_t AS MATERIALIZED (
+              SELECT DISTINCT unnest(list_filter(string_split_regex(
+                       lower(coalesce(text, '')), '\s+'),
+                       x -> x <> '')) AS term
+              FROM documents
+            ), fh_dim AS (
+              SELECT unnest([256, 1024, 4096]) AS dim
+            ), fh_h AS (
+              SELECT d.dim, md5_number_lower(t.term) % d.dim AS fb
+              FROM fh_t t CROSS JOIN fh_dim d
+            ), fh_l AS (
+              SELECT dim, fb, CAST(COUNT(*) AS BIGINT) AS load
+              FROM fh_h GROUP BY dim, fb
+            ), fh_v AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS v FROM fh_t
+            )
+            SELECT CAST(l.dim AS BIGINT) AS dim, v.v AS n_terms,
+                   CAST(COUNT(*) AS BIGINT) AS n_used,
+                   CAST(SUM(CASE WHEN load >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_collision_buckets,
+                   CAST(MAX(load) AS BIGINT) AS max_load,
+                   CAST(SUM(CASE WHEN load >= 2 THEN load ELSE 0 END)
+                        AS BIGINT) AS n_collided_terms,
+                   CAST((1000000 * SUM(CASE WHEN load >= 2 THEN load
+                                            ELSE 0 END) + v.v // 2)
+                        // v.v AS BIGINT) AS collision_rate_micro,
+                   ROUND(l.dim * (1.0 - exp(v.v * ln(1.0 - 1.0 / l.dim))),
+                         6) AS expected_used_6dp
+            FROM fh_l l, fh_v v
+            GROUP BY l.dim, v.v
         """,
         "kwic_snippets": r"""
             WITH kw_d AS (

@@ -9652,3 +9652,86 @@ def link_prediction_scores(sf_dir: str, k: int = 20, n_buckets: int = 64):
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def feature_hash_collision_audit(sf_dir: str,
+                                 dims: tuple = (256, 1024, 4096),
+                                 n_buckets: int = 64):
+    """Hashing-trick audit: map the corpus VOCABULARY into D feature
+    buckets via ``md5(term) % D`` (the oracle-reproducible hash) for
+    each candidate dimensionality D and report, per D: vocab size,
+    buckets used, buckets with collisions, max load, terms losing
+    identity (bucket load ≥ 2), the exact integer collision rate in
+    micro units, and the birthday-model expected bucket usage
+    ``D·(1 − exp(V·ln(1 − 1/D)))`` (float, 6 dp, same expression shape
+    both engines) — the pre-flight a fastText-style featurizer runs
+    before fixing its hash dimension.
+
+    Exactness topology: every D is a multiple of the coarse bucket
+    count, so ``md5 % 64`` co-locates each FEATURE bucket's whole term
+    set in exactly one coarse bucket — per-batch distinct terms ride
+    ONE exchange, the per-coarse-bucket fold computes exact per-D load
+    histogram partials (n_used / n_collision_buckets / max_load /
+    n_collided_terms sum globally because feature buckets never span
+    coarse buckets), and the driver folds ≤ 64·|dims| short rows.
+    """
+    import math
+
+    for d in dims:
+        assert d % n_buckets == 0, "feature buckets must nest in coarse"
+
+    def term_partial(t: pa.Table) -> pa.Table:
+        vocab = set()
+        for txt in t["text"].to_pylist():
+            vocab.update(x for x in (txt or "").lower().split() if x)
+        terms = sorted(vocab)
+        u = _md5_u64(terms)
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "bucket": pa.array((u % np.uint64(n_buckets)).astype(np.int64),
+                               pa.int64()),
+        })
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        terms = g["term"].drop_duplicates().tolist()
+        u = _md5_u64(terms)
+        rows = []
+        for d in dims:
+            fb = u % np.uint64(d)
+            _, loads = np.unique(fb, return_counts=True)
+            rows.append((d, len(terms), len(loads),
+                         int((loads >= 2).sum()), int(loads.max()),
+                         int(loads[loads >= 2].sum())))
+        return pd.DataFrame(rows, columns=[
+            "dim", "n_terms", "n_used", "n_collision_buckets",
+            "max_load", "n_collided_terms"]).astype("int64")
+
+    parts = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(term_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_fold, batch_format="pandas")
+        .repartition(1)
+    ).to_pandas()
+
+    out = []
+    for d in sorted(dims):
+        g = parts[parts["dim"] == d]
+        v = int(g["n_terms"].sum())
+        n_coll = int(g["n_collided_terms"].sum())
+        expected = float(np.round(
+            d * (1.0 - math.exp(v * math.log(1.0 - 1.0 / d))), 6))
+        out.append((d, v, int(g["n_used"].sum()),
+                    int(g["n_collision_buckets"].sum()),
+                    int(g["max_load"].max()), n_coll,
+                    (1_000_000 * n_coll + v // 2) // v, expected))
+    return pa.table({
+        "dim": pa.array([r[0] for r in out], pa.int64()),
+        "n_terms": pa.array([r[1] for r in out], pa.int64()),
+        "n_used": pa.array([r[2] for r in out], pa.int64()),
+        "n_collision_buckets": pa.array([r[3] for r in out], pa.int64()),
+        "max_load": pa.array([r[4] for r in out], pa.int64()),
+        "n_collided_terms": pa.array([r[5] for r in out], pa.int64()),
+        "collision_rate_micro": pa.array([r[6] for r in out], pa.int64()),
+        "expected_used_6dp": pa.array([r[7] for r in out], pa.float64()),
+    })
