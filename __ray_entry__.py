@@ -2832,6 +2832,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "bom_cost_rollup": rel.bom_cost_rollup,
         "link_prediction_scores": rel.link_prediction_scores,
         "feature_hash_collision_audit": rel.feature_hash_collision_audit,
+        "pr_curve_points": rel.pr_curve_points,
     }
 
 
@@ -3901,6 +3902,37 @@ def oracle_sql() -> dict[str, str]:
                          6) AS expected_used_6dp
             FROM fh_l l, fh_v v
             GROUP BY l.dim, v.v
+        """,
+        "pr_curve_points": r"""
+            WITH prc_s AS (
+              SELECT least(n_chars, 500) AS m,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+              FROM documents
+            ), prc_k AS (
+              SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS k
+            ), prc_c AS (
+              SELECT k,
+                CAST(SUM(CASE WHEN pos = 1 AND m >= 50 * k
+                              THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                CAST(SUM(CASE WHEN pos = 0 AND m >= 50 * k
+                              THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                CAST(SUM(CASE WHEN pos = 1 AND m < 50 * k
+                              THEN 1 ELSE 0 END) AS BIGINT) AS fn
+              FROM prc_s, prc_k GROUP BY k
+            )
+            SELECT CAST(k * 100000 AS BIGINT) AS threshold_micro,
+                   tp, fp, fn,
+                   CAST(CASE WHEN tp + fp > 0 THEN
+                     (1000000 * tp + (tp + fp) // 2) // (tp + fp)
+                     ELSE 0 END AS BIGINT) AS precision_micro,
+                   CAST(CASE WHEN tp + fn > 0 THEN
+                     (1000000 * tp + (tp + fn) // 2) // (tp + fn)
+                     ELSE 0 END AS BIGINT) AS recall_micro,
+                   CAST(CASE WHEN 2 * tp + fp + fn > 0 THEN
+                     (2000000 * tp + (2 * tp + fp + fn) // 2)
+                       // (2 * tp + fp + fn)
+                     ELSE 0 END AS BIGINT) AS f1_micro
+            FROM prc_c
         """,
         "kwic_snippets": r"""
             WITH kw_d AS (

@@ -9735,3 +9735,61 @@ def feature_hash_collision_audit(sf_dir: str,
         "collision_rate_micro": pa.array([r[6] for r in out], pa.int64()),
         "expected_used_6dp": pa.array([r[7] for r in out], pa.float64()),
     })
+
+
+def pr_curve_points(sf_dir: str):
+    """Precision-recall curve at 9 thresholds for the repo's standard
+    deterministic classifier (score = min(n_chars, 500)/500, positive =
+    lang = 'en' — the calibration_bins / score_auc_eval classifier), so
+    the eval family (AUC, NDCG, MAP, calibration) gains its operating-
+    point sweep.  The threshold compare is EXACT INTEGER (score ≥ k/10
+    ⇔ min(n_chars,500) ≥ 50·k), confusion counts are per-batch int
+    partials summed by one 9-key groupby, and precision / recall / F1
+    are single half-up integer divisions into micro units (F1 directly
+    as 2·tp / (2·tp + fp + fn) — no float chaining).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = np.minimum(
+            t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64),
+            500)
+        pos = pc.equal(t["lang"], "en").to_numpy(zero_copy_only=False)
+        rows = []
+        for k in range(1, 10):
+            pred = m >= 50 * k
+            rows.append((k, int((pos & pred).sum()),
+                         int((~pos & pred).sum()),
+                         int((pos & ~pred).sum())))
+        df = pd.DataFrame(rows, columns=["k", "tp", "fp", "fn"])
+        return pa.Table.from_pandas(df.astype("int64"),
+                                    preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        _read(sf_dir, "documents", ["n_chars", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("tp", alias_name="tp"), Sum("fp", alias_name="fp"),
+                   Sum("fn", alias_name="fn"))
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("k")
+        out = []
+        for r in df.itertuples(index=False):
+            tp, fp, fn = int(r.tp), int(r.fp), int(r.fn)
+            prec = ((1_000_000 * tp + (tp + fp) // 2) // (tp + fp)
+                    if tp + fp else 0)
+            rec = ((1_000_000 * tp + (tp + fn) // 2) // (tp + fn)
+                   if tp + fn else 0)
+            f1 = ((2_000_000 * tp + (2 * tp + fp + fn) // 2)
+                  // (2 * tp + fp + fn) if 2 * tp + fp + fn else 0)
+            out.append((int(r.k) * 100_000, tp, fp, fn, prec, rec, f1))
+        res = pd.DataFrame(out, columns=[
+            "threshold_micro", "tp", "fp", "fn",
+            "precision_micro", "recall_micro", "f1_micro"])
+        return res.astype("int64")
+
+    return counts.repartition(1).map_batches(
+        finalize, batch_format="pandas", batch_size=None)
