@@ -2833,6 +2833,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "link_prediction_scores": rel.link_prediction_scores,
         "feature_hash_collision_audit": rel.feature_hash_collision_audit,
         "pr_curve_points": rel.pr_curve_points,
+        "kleinberg_burst_viterbi": rel.kleinberg_burst_viterbi,
     }
 
 
@@ -3933,6 +3934,72 @@ def oracle_sql() -> dict[str, str]:
                        // (2 * tp + fp + fn)
                      ELSE 0 END AS BIGINT) AS f1_micro
             FROM prc_c
+        """,
+        "kleinberg_burst_viterbi": r"""
+            WITH RECURSIVE kbv_h AS (
+              SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS c
+              FROM events GROUP BY 1
+            ), kbv_b AS (
+              SELECT MIN(hr) AS mn, MAX(hr) AS mx FROM kbv_h
+            ), kbv_g AS (
+              SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+              FROM kbv_b
+            ), kbv_s AS MATERIALIZED (
+              SELECT ROW_NUMBER() OVER (ORDER BY g.hr) AS t,
+                     CAST(COALESCE(h.c, 0) AS BIGINT) AS c
+              FROM kbv_g g LEFT JOIN kbv_h h ON g.hr = h.hr
+            ), kbv_m AS MATERIALIZED (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(c) AS BIGINT) AS s
+              FROM kbv_s
+            ), kbv_c AS MATERIALIZED (
+              SELECT t, c,
+                CAST(ROUND(1000000.0 * ((CAST(m.s AS DOUBLE)
+                       / CAST(m.n AS DOUBLE))
+                     - CAST(c AS DOUBLE) * ln(CAST(m.s AS DOUBLE)
+                       / CAST(m.n AS DOUBLE)))) AS BIGINT) AS cost0,
+                CAST(ROUND(1000000.0 * ((2.0 * (CAST(m.s AS DOUBLE)
+                       / CAST(m.n AS DOUBLE)))
+                     - CAST(c AS DOUBLE) * ln(2.0 * (CAST(m.s AS DOUBLE)
+                       / CAST(m.n AS DOUBLE))))) AS BIGINT) AS cost1,
+                CAST(ROUND(1000000.0 * ln(CAST(m.n AS DOUBLE)))
+                     AS BIGINT) AS gamma
+              FROM kbv_s, kbv_m m
+            ), kbv_dp AS (
+              SELECT t, cost0 AS d0, cost1 + gamma AS d1,
+                     '0' AS p0, '1' AS p1
+              FROM kbv_c WHERE t = 1
+              UNION ALL
+              SELECT c.t,
+                     c.cost0 + least(dp.d0, dp.d1),
+                     c.cost1 + least(dp.d1, dp.d0 + c.gamma),
+                     CASE WHEN dp.d0 <= dp.d1 THEN dp.p0 ELSE dp.p1 END
+                       || '0',
+                     CASE WHEN dp.d1 <= dp.d0 + c.gamma THEN dp.p1
+                          ELSE dp.p0 END || '1'
+              FROM kbv_dp dp JOIN kbv_c c ON c.t = dp.t + 1
+            ), kbv_path AS (
+              SELECT CASE WHEN dp.d0 <= dp.d1 THEN dp.p0 ELSE dp.p1 END
+                       AS path
+              FROM kbv_dp dp, kbv_m m WHERE dp.t = m.n
+            ), kbv_st AS (
+              SELECT s.t, s.c,
+                     CAST(substr(p.path, CAST(s.t AS INTEGER), 1)
+                          AS BIGINT) AS state
+              FROM kbv_s s, kbv_path p
+            ), kbv_r AS (
+              SELECT t, c, state,
+                     CASE WHEN state = 1
+                          AND COALESCE(lag(state) OVER (ORDER BY t), 0)
+                              = 0
+                          THEN 1 ELSE 0 END AS st
+              FROM kbv_st
+            )
+            SELECT t, c, state,
+                   CASE WHEN state = 1
+                        THEN CAST(SUM(st) OVER (ORDER BY t) - 1 AS BIGINT)
+                        ELSE -1 END AS burst_id
+            FROM kbv_r
         """,
         "kwic_snippets": r"""
             WITH kw_d AS (

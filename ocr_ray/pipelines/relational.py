@@ -9793,3 +9793,86 @@ def pr_curve_points(sf_dir: str):
 
     return counts.repartition(1).map_batches(
         finalize, batch_format="pandas", batch_size=None)
+
+
+def kleinberg_burst_viterbi(sf_dir: str):
+    """Kleinberg-style two-state burst detection over the densified
+    hourly event-count series: state q0 emits at the base rate λ0 =
+    S/n, state q1 at λ1 = 2·λ0, per-hour emission cost ``λ_s − c_t·ln
+    λ_s`` (the Poisson NLL with the state-independent ln c! term
+    dropped — it cancels in every comparison), entering a burst costs
+    γ = ln n, leaving is free.  The Viterbi path marks each hour 0/1.
+
+    Exactness: every emission cost and γ is half-away rounded to
+    integer micro-nats FIRST; the DP is then pure int64 adds and mins
+    (ties prefer staying low via ``≤``), so both engines walk identical
+    tables — the oracle is a recursive CTE that carries the argmin
+    path as a growing 0/1 string.  Topology: ONE hour-count exchange
+    (per-batch pre-agg, cardinality = #hours), then the bounded-series
+    DP in the repartition(1) tail (the hourly_autocorr shape).  Output
+    per hour: (t, c, state) plus the run-level burst id (-1 outside
+    bursts).
+    """
+
+    def measures(t: pa.Table) -> pa.Table:
+        return pa.table({"hr": pc.floor_temporal(t["ts"], unit="hour")})
+
+    counts = _grouped_sum(
+        _read(sf_dir, "events", ["ts"]), measures,
+        keys=["hr"], sum_cols=[], count_col="c",
+    )
+
+    def _ha(x: float) -> int:
+        return int(np.copysign(np.floor(abs(x) + 0.5), x))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("hr")
+        hrs = df["hr"].to_numpy("datetime64[us]")
+        c_obs = df["c"].to_numpy(np.int64)
+        full = np.arange(hrs[0], hrs[-1] + np.timedelta64(1, "h"),
+                         np.timedelta64(1, "h"))
+        c = np.zeros(len(full), np.int64)
+        c[np.searchsorted(full, hrs)] = c_obs
+        n = len(c)
+        S = int(c.sum())
+        lam0 = float(S) / float(n)
+        lam1 = 2.0 * (float(S) / float(n))
+        import math
+        cost0 = [_ha(1e6 * (lam0 - float(ci) * math.log(lam0)))
+                 for ci in c]
+        cost1 = [_ha(1e6 * (lam1 - float(ci) * math.log(lam1)))
+                 for ci in c]
+        gamma = _ha(1e6 * math.log(float(n)))
+        # viterbi over exact ints; tie prefers low state (<=)
+        d0, d1 = cost0[0], cost1[0] + gamma
+        bp = []  # (from_for_0, from_for_1)
+        for t in range(1, n):
+            f0 = 0 if d0 <= d1 else 1
+            nd0 = cost0[t] + (d0 if f0 == 0 else d1)
+            f1 = 1 if d1 <= d0 + gamma else 0
+            nd1 = cost1[t] + (d1 if f1 == 1 else d0 + gamma)
+            bp.append((f0, f1))
+            d0, d1 = nd0, nd1
+        states = np.zeros(n, np.int64)
+        s = 0 if d0 <= d1 else 1
+        states[n - 1] = s
+        for t in range(n - 2, -1, -1):
+            s = bp[t][s]
+            states[t] = s
+        # burst run ids (-1 outside)
+        burst_id = np.full(n, -1, np.int64)
+        bid = -1
+        for t in range(n):
+            if states[t] == 1:
+                if t == 0 or states[t - 1] == 0:
+                    bid += 1
+                burst_id[t] = bid
+        return pd.DataFrame({
+            "t": pd.array(range(1, n + 1), "int64"),
+            "c": pd.array(c, "int64"),
+            "state": pd.array(states, "int64"),
+            "burst_id": pd.array(burst_id, "int64"),
+        })
+
+    return counts.repartition(1).map_batches(
+        finalize, batch_format="pandas", batch_size=None)
