@@ -2834,6 +2834,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "feature_hash_collision_audit": rel.feature_hash_collision_audit,
         "pr_curve_points": rel.pr_curve_points,
         "kleinberg_burst_viterbi": rel.kleinberg_burst_viterbi,
+        "join_cardinality_estimate": rel.join_cardinality_estimate,
     }
 
 
@@ -4000,6 +4001,41 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(SUM(st) OVER (ORDER BY t) - 1 AS BIGINT)
                         ELSE -1 END AS burst_id
             FROM kbv_r
+        """,
+        "join_cardinality_estimate": r"""
+            WITH jce_c AS MATERIALIZED (
+              SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+              FROM events GROUP BY user_id
+            ), jce_s AS (
+              SELECT CAST(SUM(c) AS BIGINT) AS n,
+                     CAST(COUNT(*) AS BIGINT) AS d,
+                     CAST(SUM(c * c) AS BIGINT) AS actual
+              FROM jce_c
+            ), jce_t AS (
+              SELECT CAST(SUM(c) AS BIGINT) AS top_n,
+                     CAST(SUM(c * c) AS BIGINT) AS top_sq,
+                     CAST(COUNT(*) AS BIGINT) AS top_k
+              FROM (SELECT c FROM jce_c
+                    ORDER BY c DESC, user_id LIMIT 10)
+            ), jce_e AS (
+              SELECT s.n, s.d, s.actual,
+                     CAST((s.n * s.n + s.d // 2) // s.d AS BIGINT)
+                       AS est_uniform,
+                     CAST(t.top_sq + CASE WHEN s.d - t.top_k > 0 THEN
+                       ((s.n - t.top_n) * (s.n - t.top_n)
+                        + (s.d - t.top_k) // 2) // (s.d - t.top_k)
+                       ELSE 0 END AS BIGINT) AS est_endbiased
+              FROM jce_s s, jce_t t
+            )
+            SELECT n AS n_rows, d AS n_distinct, actual AS actual_pairs,
+                   est_uniform, est_endbiased,
+                   CAST((1000000 * abs(est_uniform - actual)
+                         + actual // 2) // actual AS BIGINT)
+                     AS err_uniform_micro,
+                   CAST((1000000 * abs(est_endbiased - actual)
+                         + actual // 2) // actual AS BIGINT)
+                     AS err_endbiased_micro
+            FROM jce_e
         """,
         "kwic_snippets": r"""
             WITH kw_d AS (

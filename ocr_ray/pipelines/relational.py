@@ -9876,3 +9876,82 @@ def kleinberg_burst_viterbi(sf_dir: str):
 
     return counts.repartition(1).map_batches(
         finalize, batch_format="pandas", batch_size=None)
+
+
+def join_cardinality_estimate(sf_dir: str, topk: int = 10,
+                              n_buckets: int = 64):
+    """Query-optimizer cardinality estimation audit for the skewed
+    self-equi-join ``events ⋈ events ON user_id``: the exact join size
+    Σ c_u², the uniform-histogram estimate N²/d, and the end-biased
+    estimate (top-k heavy keys exact + uniform remainder) — the
+    planner's classic error-vs-sketch-size trade-off, made auditable
+    because every estimate here is integer arithmetic over exact
+    distributed counts.
+
+    One coarse exchange on ``md5(user_id) % 64`` carrying per-batch
+    pre-aggregated (user, partial count) rows; each bucket owns its
+    users outright, so per-bucket Σc, Σc², d and the bucket's top-k
+    candidates are exact and SUM/merge globally (the global top-k is a
+    subset of the union of bucket top-k's); the driver folds ≤
+    64·(3 + k) short rows.  Estimates use half-up integer division;
+    relative errors are ``(1e6·|est − actual| + actual//2) // actual``.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+        }).groupby("user_id", as_index=False).size()
+        df["bucket"] = _md5_mod(df["user_id"], n_buckets).astype(np.int32)
+        df["size"] = df["size"].astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("user_id", as_index=False)["size"].sum()
+        c = per["size"].to_numpy(np.int64)
+        top = per.sort_values(["size", "user_id"],
+                              ascending=[False, True]).head(topk)
+        summary = pd.DataFrame({
+            "kind": [0], "user_id": [-1],
+            "n": [int(c.sum())], "d": [len(c)],
+            "sumsq": [int((c * c).sum())],
+        })
+        cand = pd.DataFrame({
+            "kind": 1, "user_id": top["user_id"].astype("int64"),
+            "n": top["size"].astype("int64"), "d": 0, "sumsq": 0,
+        })
+        out = pd.concat([summary, cand], ignore_index=True)
+        for col in ("kind", "user_id", "n", "d", "sumsq"):
+            out[col] = out[col].astype("int64")
+        return out
+
+    rows = (
+        _read(sf_dir, "events", ["user_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_fold, batch_format="pandas")
+        .repartition(1)
+    ).to_pandas()
+
+    summ = rows[rows["kind"] == 0]
+    n = int(summ["n"].sum())
+    d = int(summ["d"].sum())
+    actual = int(summ["sumsq"].sum())
+    cand = rows[rows["kind"] == 1].sort_values(
+        ["n", "user_id"], ascending=[False, True]).head(topk)
+    top_c = cand["n"].to_numpy(np.int64)
+    est_uniform = (n * n + d // 2) // d
+    n_rest = n - int(top_c.sum())
+    d_rest = d - len(top_c)
+    est_eb = int((top_c * top_c).sum()) + (
+        (n_rest * n_rest + d_rest // 2) // d_rest if d_rest > 0 else 0)
+    err_u = (1_000_000 * abs(est_uniform - actual) + actual // 2) // actual
+    err_e = (1_000_000 * abs(est_eb - actual) + actual // 2) // actual
+    return pa.table({
+        "n_rows": pa.array([n], pa.int64()),
+        "n_distinct": pa.array([d], pa.int64()),
+        "actual_pairs": pa.array([actual], pa.int64()),
+        "est_uniform": pa.array([est_uniform], pa.int64()),
+        "est_endbiased": pa.array([est_eb], pa.int64()),
+        "err_uniform_micro": pa.array([err_u], pa.int64()),
+        "err_endbiased_micro": pa.array([err_e], pa.int64()),
+    })
