@@ -142,7 +142,10 @@ def main() -> None:
                      "standing_query_matches", "bm25_search_deleted",
                      "cdc_chunk_stats", "pq_adc_search",
                      "late_event_stats", "rake_keyphrases",
-                     "dup_ngram_coverage", "langid_rank_profile"):
+                     "dup_ngram_coverage", "langid_rank_profile",
+                     "dbscan_core_points", "map_at_k",
+                     "kleinberg_burst_viterbi", "bom_cost_rollup",
+                     "link_prediction_scores"):
             t0 = time.monotonic()
             res = q[name](SF_DIR)
             if hasattr(res, "to_pandas"):
