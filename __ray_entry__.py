@@ -2835,6 +2835,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "pr_curve_points": rel.pr_curve_points,
         "kleinberg_burst_viterbi": rel.kleinberg_burst_viterbi,
         "join_cardinality_estimate": rel.join_cardinality_estimate,
+        "medoid_per_label": rel.medoid_per_label,
     }
 
 
@@ -4036,6 +4037,45 @@ def oracle_sql() -> dict[str, str]:
                          + actual // 2) // actual AS BIGINT)
                      AS err_endbiased_micro
             FROM jce_e
+        """,
+        "medoid_per_label": r"""
+            WITH med_n AS MATERIALIZED (
+              SELECT vec_id, CAST(label AS BIGINT) AS label,
+                     list_transform(embedding,
+                       x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000)
+                                 AS BIGINT)) AS v
+              FROM embeddings
+            ), med_m AS MATERIALIZED (
+              SELECT vec_id, label, v,
+                     CAST(list_sum(list_transform(v, x -> x * x))
+                          AS BIGINT) AS na2
+              FROM med_n
+            ), med_s AS MATERIALIZED (
+              SELECT label, CAST(COUNT(*) AS BIGINT) AS m,
+                     CAST(SUM(na2) AS BIGINT) AS s2
+              FROM med_m GROUP BY label
+            ), med_dim AS MATERIALIZED (
+              SELECT n.label, r.i, CAST(SUM(n.v[r.i]) AS BIGINT) AS s_i
+              FROM med_m n, (SELECT unnest(range(1, 65)) AS i) r
+              GROUP BY n.label, r.i
+            ), med_dot AS MATERIALIZED (
+              SELECT n.vec_id, n.label,
+                     CAST(SUM(n.v[d.i] * d.s_i) AS BIGINT) AS dot
+              FROM med_m n JOIN med_dim d ON n.label = d.label
+              GROUP BY n.vec_id, n.label
+            ), med_cost AS (
+              SELECT n.vec_id, n.label,
+                     CAST(s.m * n.na2 - 2 * t.dot + s.s2 AS BIGINT)
+                       AS cost
+              FROM med_m n
+                JOIN med_s s ON n.label = s.label
+                JOIN med_dot t ON n.vec_id = t.vec_id
+            )
+            SELECT label, vec_id AS medoid_vec_id, cost AS sum_sqdist
+            FROM med_cost
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY label
+                                       ORDER BY cost, vec_id) = 1
+            ORDER BY label
         """,
         "kwic_snippets": r"""
             WITH kw_d AS (

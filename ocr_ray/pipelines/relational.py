@@ -9955,3 +9955,120 @@ def join_cardinality_estimate(sf_dir: str, topk: int = 10,
         "err_uniform_micro": pa.array([err_u], pa.int64()),
         "err_endbiased_micro": pa.array([err_e], pa.int64()),
     })
+
+
+def medoid_per_label(sf_dir: str):
+    """Exact squared-euclidean MEDOID per embedding label — the cluster
+    exemplar selection step (kmeans gives centroids; a curation
+    pipeline ships the nearest REAL document).  The trick that keeps it
+    one-pass: with quantized integer vectors,
+
+      ``Σ_b ‖a − b‖² = m·‖a‖² − 2·a·s + S2``
+
+    (m = label size, s = Σ_b b the label's vector sum, S2 = Σ_b ‖b‖²),
+    so the medoid argmin needs only per-label sufficient statistics —
+    never a pairwise pass.  Vectors quantize to milli-units (the
+    dbscan_core_points convention) so every distance sum is an exact
+    int64 and the DuckDB oracle replays the same integers.
+
+    Topology: pass 1 folds per-batch (label → m, s, S2) partials
+    through `_prefold` (s is a dim-width int64 blob, constant per
+    batch×label); the driver broadcasts the ≤|labels| stats; pass 2
+    scores each batch vectorized and keeps a per-batch argmin per
+    label; the repartition(1) tail picks the global argmin (ties by
+    vec_id asc).  Output: (label, medoid_vec_id, sum_sqdist).
+    """
+    from ocr_ray.pipelines.simsearch import _to_matrix
+
+    def quant(mat: np.ndarray) -> np.ndarray:
+        x = mat * 1000.0
+        return np.copysign(np.floor(np.abs(x) + 0.5), x).astype(np.int64)
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        q = quant(_to_matrix(t["embedding"]))
+        labs = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = {"label": [], "m": [], "s2": [], "svec": []}
+        for lab in np.unique(labs):
+            sub = q[labs == lab]
+            rows["label"].append(int(lab))
+            rows["m"].append(sub.shape[0])
+            rows["s2"].append(int((sub * sub).sum()))
+            rows["svec"].append(sub.sum(axis=0).tobytes())
+        return pa.table({
+            "label": pa.array(rows["label"], pa.int64()),
+            "m": pa.array(rows["m"], pa.int64()),
+            "s2": pa.array(rows["s2"], pa.int64()),
+            "svec": pa.array(rows["svec"], pa.binary()),
+        })
+
+    def stat_add(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = {"label": [], "m": [], "s2": [], "svec": []}
+        for lab, g in df.groupby("label"):
+            out["label"].append(int(lab))
+            out["m"].append(int(g["m"].sum()))
+            out["s2"].append(int(g["s2"].sum()))
+            vecs = np.stack([np.frombuffer(b, np.int64)
+                             for b in g["svec"]])
+            out["svec"].append(vecs.sum(axis=0).tobytes())
+        return pa.table({
+            "label": pa.array(out["label"], pa.int64()),
+            "m": pa.array(out["m"], pa.int64()),
+            "s2": pa.array(out["s2"], pa.int64()),
+            "svec": pa.array(out["svec"], pa.binary()),
+        })
+
+    stats = _prefold(
+        _read(sf_dir, "embeddings", ["embedding", "label"])
+        .map_batches(stat_partial, batch_format="pyarrow"),
+        stat_add).to_pandas()
+    # final driver fold of <= n_buckets x |labels| rows
+    agg = {}
+    for r in stats.itertuples(index=False):
+        lab = int(r.label)
+        if lab not in agg:
+            agg[lab] = [0, 0, None]
+        agg[lab][0] += int(r.m)
+        agg[lab][1] += int(r.s2)
+        v = np.frombuffer(r.svec, np.int64)
+        agg[lab][2] = v if agg[lab][2] is None else agg[lab][2] + v
+    stats_ref = ray.put({lab: (m, s2, sv.tobytes())
+                         for lab, (m, s2, sv) in agg.items()})
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        st = ray.get(stats_ref)
+        q = quant(_to_matrix(t["embedding"]))
+        labs = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = {"label": [], "medoid_vec_id": [], "sum_sqdist": []}
+        for lab in np.unique(labs):
+            m, s2, svb = st[int(lab)]
+            s = np.frombuffer(svb, np.int64)
+            mask = labs == lab
+            sub, sid = q[mask], ids[mask]
+            na2 = (sub * sub).sum(axis=1)
+            cost = m * na2 - 2 * (sub @ s) + s2
+            j = np.lexsort((sid, cost))[0]
+            out["label"].append(int(lab))
+            out["medoid_vec_id"].append(int(sid[j]))
+            out["sum_sqdist"].append(int(cost[j]))
+        return pa.table({
+            "label": pa.array(out["label"], pa.int64()),
+            "medoid_vec_id": pa.array(out["medoid_vec_id"], pa.int64()),
+            "sum_sqdist": pa.array(out["sum_sqdist"], pa.int64()),
+        })
+
+    def final(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["label", "sum_sqdist", "medoid_vec_id"])
+        keep = df.drop_duplicates("label", keep="first")
+        return pa.Table.from_pandas(
+            keep.sort_values("label").reset_index(drop=True),
+            preserve_index=False)
+
+    return (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+        .map_batches(score_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
