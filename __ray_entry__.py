@@ -2836,6 +2836,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "kleinberg_burst_viterbi": rel.kleinberg_burst_viterbi,
         "join_cardinality_estimate": rel.join_cardinality_estimate,
         "medoid_per_label": rel.medoid_per_label,
+        "haar_wavelet_energy": rel.haar_wavelet_energy,
     }
 
 
@@ -4076,6 +4077,54 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY ROW_NUMBER() OVER (PARTITION BY label
                                        ORDER BY cost, vec_id) = 1
             ORDER BY label
+        """,
+        "haar_wavelet_energy": r"""
+            WITH RECURSIVE hwe_h AS (
+              SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS c
+              FROM events GROUP BY 1
+            ), hwe_b AS (
+              SELECT MIN(hr) AS mn, MAX(hr) AS mx FROM hwe_h
+            ), hwe_g AS (
+              SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+              FROM hwe_b
+            ), hwe_s AS (
+              SELECT ROW_NUMBER() OVER (ORDER BY g.hr) AS t,
+                     CAST(COALESCE(h.c, 0) AS BIGINT) AS c
+              FROM hwe_g g LEFT JOIN hwe_h h ON g.hr = h.hr
+            ), hwe_n AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n FROM hwe_s
+            ), hwe_a0 AS (
+              SELECT list_concat(
+                       (SELECT list(c ORDER BY t) FROM hwe_s),
+                       list_transform(
+                         range(1, CAST((CASE WHEN n <= 1 THEN 1
+                           ELSE (1 << length(bin(n - 1))) END) - n + 1
+                           AS INTEGER)),
+                         x -> CAST(0 AS BIGINT))) AS arr
+              FROM hwe_n
+            ), hwe_dp AS (
+              SELECT 0 AS lvl, arr,
+                     CAST(NULL AS BIGINT) AS energy,
+                     CAST(len(arr) AS BIGINT) AS n_coeffs
+              FROM hwe_a0
+              UNION ALL
+              SELECT lvl + 1,
+                     list_transform(
+                       range(1, CAST(len(arr) // 2 + 1 AS INTEGER)),
+                       i -> arr[2 * i - 1] + arr[2 * i]),
+                     CAST(list_sum(list_transform(
+                       range(1, CAST(len(arr) // 2 + 1 AS INTEGER)),
+                       i -> (arr[2 * i - 1] - arr[2 * i])
+                            * (arr[2 * i - 1] - arr[2 * i])))
+                       AS BIGINT),
+                     CAST(len(arr) // 2 AS BIGINT)
+              FROM hwe_dp WHERE len(arr) > 1
+            )
+            SELECT CAST(lvl AS BIGINT) AS level, n_coeffs, energy
+            FROM hwe_dp WHERE lvl > 0
+            UNION ALL
+            SELECT 0, 1, arr[1] * arr[1]
+            FROM hwe_dp WHERE len(arr) = 1
         """,
         "kwic_snippets": r"""
             WITH kw_d AS (

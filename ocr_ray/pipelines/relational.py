@@ -10072,3 +10072,58 @@ def medoid_per_label(sf_dir: str):
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def haar_wavelet_energy(sf_dir: str):
+    """Unnormalized Haar wavelet decomposition of the densified hourly
+    event-count series (zero-padded to the next power of two): per
+    detail level the coefficient count and EXACT integer energy
+    ``Σ (a[2i] − a[2i+1])²`` with ``a`` the previous level's pairwise
+    sums — the multi-resolution seasonality screen beside
+    hourly_autocorr's fixed-lag view (a spiky series loads the fine
+    levels, a slowly-drifting one loads the coarse levels).  Level 0
+    reports the final approximation coefficient's energy (the squared
+    grand total).  All arithmetic is int64 sums/differences of counts —
+    the oracle replays the identical pyramid through a single-row
+    recursive CTE carrying the level array as a LIST.
+
+    Topology: one hour-count exchange (per-batch pre-agg), then the
+    bounded-series pyramid in the repartition(1) tail (the
+    hourly_autocorr shape); log₂(n) levels of pure driver-free integer
+    math inside the final task.
+    """
+
+    def measures(t: pa.Table) -> pa.Table:
+        return pa.table({"hr": pc.floor_temporal(t["ts"], unit="hour")})
+
+    counts = _grouped_sum(
+        _read(sf_dir, "events", ["ts"]), measures,
+        keys=["hr"], sum_cols=[], count_col="c",
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("hr")
+        hrs = df["hr"].to_numpy("datetime64[us]")
+        c_obs = df["c"].to_numpy(np.int64)
+        full = np.arange(hrs[0], hrs[-1] + np.timedelta64(1, "h"),
+                         np.timedelta64(1, "h"))
+        c = np.zeros(len(full), np.int64)
+        c[np.searchsorted(full, hrs)] = c_obs
+        n = len(c)
+        n2 = 1 << max(0, (n - 1).bit_length()) if n > 1 else 1
+        a = np.zeros(n2, np.int64)
+        a[:n] = c
+        rows = []
+        lvl = 0
+        while len(a) > 1:
+            lvl += 1
+            s = a[0::2] + a[1::2]
+            d = a[0::2] - a[1::2]
+            rows.append((lvl, len(d), int((d * d).sum())))
+            a = s
+        rows.append((0, 1, int(a[0]) ** 2))
+        out = pd.DataFrame(rows, columns=["level", "n_coeffs", "energy"])
+        return out.astype("int64").sort_values("level")
+
+    return counts.repartition(1).map_batches(
+        finalize, batch_format="pandas", batch_size=None)
