@@ -2837,6 +2837,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "join_cardinality_estimate": rel.join_cardinality_estimate,
         "medoid_per_label": rel.medoid_per_label,
         "haar_wavelet_energy": rel.haar_wavelet_energy,
+        "front_coding_audit": rel.front_coding_audit,
     }
 
 
@@ -4125,6 +4126,41 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 0, 1, arr[1] * arr[1]
             FROM hwe_dp WHERE len(arr) = 1
+        """,
+        "front_coding_audit": r"""
+            WITH fc_l AS (
+              SELECT p_name AS s,
+                     lag(p_name) OVER (ORDER BY p_name) AS prv
+              FROM part
+            ), fc_p AS (
+              SELECT s, prv,
+                CAST(strlen(s) AS BIGINT) AS len,
+                CASE WHEN prv IS NULL THEN 0 ELSE COALESCE(
+                  (SELECT MAX(i)
+                   FROM unnest(range(1, least(strlen(s), strlen(prv))
+                                        + 1)) r(i)
+                   WHERE substr(s, 1, CAST(i AS INTEGER))
+                         = substr(prv, 1, CAST(i AS INTEGER))), 0)
+                END AS lcp
+              FROM fc_l
+            ), fc_e AS (
+              SELECT len, CAST(lcp AS BIGINT) AS lcp,
+                (len - lcp)
+                + (CASE WHEN lcp = 0 THEN 1
+                        ELSE (length(bin(lcp)) + 6) // 7 END)
+                + (CASE WHEN len - lcp = 0 THEN 1
+                        ELSE (length(bin(len - lcp)) + 6) // 7 END)
+                  AS enc
+              FROM fc_p
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_strings,
+                   CAST(SUM(len) AS BIGINT) AS plain_bytes,
+                   CAST(SUM(lcp) AS BIGINT) AS sum_lcp,
+                   CAST(SUM(enc) AS BIGINT) AS front_coded_bytes,
+                   CAST((1000000 * (SUM(len) - SUM(enc))
+                         + SUM(len) // 2) // SUM(len) AS BIGINT)
+                     AS saved_micro
+            FROM fc_e
         """,
         "kwic_snippets": r"""
             WITH kw_d AS (

@@ -10127,3 +10127,97 @@ def haar_wavelet_energy(sf_dir: str):
 
     return counts.repartition(1).map_batches(
         finalize, batch_format="pandas", batch_size=None)
+
+
+def _leb_len(x: int) -> int:
+    """LEB128 encoded byte length (the postings_varint_size model)."""
+    return max(1, (int(x).bit_length() + 6) // 7)
+
+
+def front_coding_audit(sf_dir: str):
+    """Front-coding (incremental/prefix) compression audit of the
+    SORTED ``p_name`` column — the dictionary-block layout every
+    search-engine term dictionary and sorted-string-table uses: each
+    entry after the first stores (LEB128 lcp, LEB128 suffix_len,
+    suffix bytes).  Reports exact totals: n_strings, plain_bytes,
+    Σ lcp, front-coded bytes, and the integer-micro savings ratio.
+
+    This is the repo's ``Dataset.sort`` showcase: the global string
+    sort range-partitions the column into ORDERED, DISJOINT blocks, so
+    each block audits its interior pairs locally and emits one
+    constant-width row (n, plain, Σlcp, front_bytes with the block's
+    first entry provisionally stored FULL, plus the boundary strings);
+    the driver merge re-encodes only the ≤ n_blocks boundary entries
+    against their global predecessor (the columnar_encoding_audit
+    ordered-slice-merge shape).  Equal keys may straddle blocks — the
+    lcp of equal strings is total either way, so tie placement cannot
+    change any sum.  ASCII byte semantics (strlen == char length) are
+    asserted per batch.
+    """
+
+    def lcp(a: bytes, b: bytes) -> int:
+        n = min(len(a), len(b))
+        i = 0
+        while i < n and a[i] == b[i]:
+            i += 1
+        return i
+
+    def slice_partial(t: pa.Table) -> pa.Table:
+        names = [s.encode() for s in t["p_name"].to_pylist()]
+        assert all(len(b) == len(b.decode())
+                   for b in names), "non-ascii p_name"
+        n = len(names)
+        if n == 0:
+            return pa.table({
+                "first": pa.array([], pa.string()),
+                "last": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "plain": pa.array([], pa.int64()),
+                "sum_lcp": pa.array([], pa.int64()),
+                "front": pa.array([], pa.int64()),
+            })
+        plain = sum(len(b) for b in names)
+        s_lcp, front = 0, len(names[0]) + _leb_len(0) + _leb_len(
+            len(names[0]))
+        for i in range(1, n):
+            p = lcp(names[i - 1], names[i])
+            s_lcp += p
+            rest = len(names[i]) - p
+            front += rest + _leb_len(p) + _leb_len(rest)
+        return pa.table({
+            "first": pa.array([names[0].decode()], pa.string()),
+            "last": pa.array([names[-1].decode()], pa.string()),
+            "n": pa.array([n], pa.int64()),
+            "plain": pa.array([plain], pa.int64()),
+            "sum_lcp": pa.array([s_lcp], pa.int64()),
+            "front": pa.array([front], pa.int64()),
+        })
+
+    slices = (
+        _read(sf_dir, "part", ["p_name"])
+        .sort("p_name")
+        .map_batches(slice_partial, batch_format="pyarrow")
+        .repartition(1)
+    ).to_pandas().sort_values(["first", "last"], kind="stable")
+
+    n = int(slices["n"].sum())
+    plain = int(slices["plain"].sum())
+    s_lcp = int(slices["sum_lcp"].sum())
+    front = int(slices["front"].sum())
+    lasts = slices["last"].tolist()
+    firsts = slices["first"].tolist()
+    for i in range(1, len(firsts)):
+        b = firsts[i].encode()
+        p = lcp(lasts[i - 1].encode(), b)
+        # re-encode the block-first entry as a continuation entry
+        front -= len(b) + _leb_len(0) + _leb_len(len(b))
+        front += (len(b) - p) + _leb_len(p) + _leb_len(len(b) - p)
+        s_lcp += p
+    saved = (1_000_000 * (plain - front) + plain // 2) // plain
+    return pa.table({
+        "n_strings": pa.array([n], pa.int64()),
+        "plain_bytes": pa.array([plain], pa.int64()),
+        "sum_lcp": pa.array([s_lcp], pa.int64()),
+        "front_coded_bytes": pa.array([front], pa.int64()),
+        "saved_micro": pa.array([saved], pa.int64()),
+    })

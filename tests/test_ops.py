@@ -5825,3 +5825,49 @@ def test_columnar_encoding_audit_partition_invariant(ray_session, tmp_path):
     assert results[0] == expect
     assert results[1] == expect
     assert results[2] == expect
+
+
+def test_front_coding_audit_tie_straddle(ray_session, tmp_path):
+    """Repeated sort keys straddling block boundaries must not change
+    any front-coding sum — verified against a single-sequence replay."""
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import _leb_len, front_coding_audit
+
+    names = (["alpha"] * 7 + ["alphabet"] * 5 + ["beta"] * 9
+             + ["betamax", "gamma", "gamma", "gammaray"] + ["delta"] * 6)
+    rng = np.random.RandomState(5)
+    shuffled = list(names)
+    rng.shuffle(shuffled)
+    tbl = pa.table({"p_partkey": pa.array(range(len(shuffled)), pa.int64()),
+                    "p_name": pa.array(shuffled, pa.string())})
+    d = tmp_path / "sf"
+    (d / "part.parquet").mkdir(parents=True)
+    off = 0
+    for j, sz in enumerate([5, 11, 9, 7]):
+        pq.write_table(tbl.slice(off, sz),
+                       d / "part.parquet" / f"f{j}.parquet")
+        off += sz
+
+    got = front_coding_audit(str(d)).to_pandas().iloc[0]
+
+    srt = sorted(s.encode() for s in names)
+
+    def lcp(a, b):
+        i = 0
+        while i < min(len(a), len(b)) and a[i] == b[i]:
+            i += 1
+        return i
+
+    plain = sum(len(b) for b in srt)
+    s_lcp = 0
+    front = len(srt[0]) + _leb_len(0) + _leb_len(len(srt[0]))
+    for i in range(1, len(srt)):
+        p = lcp(srt[i - 1], srt[i])
+        s_lcp += p
+        rest = len(srt[i]) - p
+        front += rest + _leb_len(p) + _leb_len(rest)
+    assert int(got["n_strings"]) == len(srt)
+    assert int(got["plain_bytes"]) == plain
+    assert int(got["sum_lcp"]) == s_lcp
+    assert int(got["front_coded_bytes"]) == front
