@@ -2838,6 +2838,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "medoid_per_label": rel.medoid_per_label,
         "haar_wavelet_energy": rel.haar_wavelet_energy,
         "front_coding_audit": rel.front_coding_audit,
+        "poisson_bootstrap_ci": rel.poisson_bootstrap_ci,
     }
 
 
@@ -4161,6 +4162,44 @@ def oracle_sql() -> dict[str, str]:
                          + SUM(len) // 2) // SUM(len) AS BIGINT)
                      AS saved_micro
             FROM fc_e
+        """,
+        "poisson_bootstrap_ci": r"""
+            WITH pbc_u AS (
+              SELECT b.b,
+                     md5_number_lower(CAST(o.o_orderkey AS VARCHAR)
+                       || '_' || CAST(b.b AS VARCHAR)) AS u,
+                     CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS x
+              FROM orders o
+              CROSS JOIN (SELECT unnest(range(0, 16)) AS b) b
+            ), pbc_w AS (
+              SELECT b, x, CASE
+                WHEN u < CAST('6786177901268885504' AS UBIGINT) THEN 0
+                WHEN u < CAST('13572355802537771008' AS UBIGINT) THEN 1
+                WHEN u < CAST('16965444753172213760' AS UBIGINT) THEN 2
+                WHEN u < CAST('18096474403383695360' AS UBIGINT) THEN 3
+                WHEN u < CAST('18379231815936565248' AS UBIGINT) THEN 4
+                WHEN u < CAST('18435783298447138816' AS UBIGINT) THEN 5
+                WHEN u < CAST('18445208545532233728' AS UBIGINT) THEN 6
+                ELSE 7 END AS w
+              FROM pbc_u
+            ), pbc_s AS (
+              SELECT CAST(b AS BIGINT) AS b,
+                     CAST(SUM(w) AS BIGINT) AS sw,
+                     CAST(SUM(w * x) AS BIGINT) AS swx
+              FROM pbc_w GROUP BY b
+            ), pbc_m AS (
+              SELECT b, sw AS n_eff,
+                     CAST((swx + sw // 2) // sw AS BIGINT) AS mean_cents
+              FROM pbc_s
+            )
+            SELECT b, n_eff, mean_cents,
+                   (SELECT mean_cents FROM pbc_m
+                    ORDER BY mean_cents LIMIT 1 OFFSET 1)
+                     AS ci_low_cents,
+                   (SELECT mean_cents FROM pbc_m
+                    ORDER BY mean_cents DESC LIMIT 1 OFFSET 1)
+                     AS ci_high_cents
+            FROM pbc_m
         """,
         "kwic_snippets": r"""
             WITH kw_d AS (

@@ -10221,3 +10221,73 @@ def front_coding_audit(sf_dir: str):
         "front_coded_bytes": pa.array([front], pa.int64()),
         "saved_micro": pa.array([saved], pa.int64()),
     })
+
+
+# Poisson(1) CDF thresholds scaled to 2^64 (floor(CDF_k * 2^64)), hard-
+# coded identically in the DuckDB oracle so the bootstrap weight of a
+# (row, resample) pair is a pure integer compare — no float parity risk.
+_POIS1_T = (
+    6786177901268885504, 13572355802537771008, 16965444753172213760,
+    18096474403383695360, 18379231815936565248, 18435783298447138816,
+    18445208545532233728,
+)
+
+
+def poisson_bootstrap_ci(sf_dir: str, n_resamples: int = 16):
+    """Poisson bootstrap of the mean order price — the streaming-
+    friendly bootstrap (Poisson(1) weights instead of multinomial
+    draws) a distributed pipeline uses because each row's weight is
+    independent of every other row: w(row, b) = Poisson⁻¹CDF of the
+    uniform ``md5(o_orderkey ∥ '_' ∥ b) / 2⁶⁴``, realized as pure
+    integer threshold compares against hard-coded ``⌊CDF_k·2⁶⁴⌋``
+    constants (`_POIS1_T`, weight capped at 7).  Per resample: the
+    effective row count Σw and the half-up integer mean of w-weighted
+    prices in cents; the CI columns are the 2nd-smallest / 2nd-largest
+    of the 16 resample means (the deterministic inner ~87% interval).
+
+    Topology: embarrassingly parallel — each batch folds its (b, Σw,
+    Σw·x) partials locally, one 16-key groupby sums them, and the
+    repartition(1) tail computes means + order-statistic CI.  Nothing
+    row-sized crosses the exchange.
+    """
+
+    B = n_resamples
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t["o_orderkey"].to_pylist()
+        x = _cents(t["o_totalprice"], 100).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rows = []
+        for b in range(B):
+            u = _md5_u64([f"{k}_{b}" for k in keys])
+            w = np.full(len(u), 7, np.int64)
+            for k in range(len(_POIS1_T) - 1, -1, -1):
+                w[u < np.uint64(_POIS1_T[k])] = k
+            rows.append((b, int(w.sum()), int((w * x).sum())))
+        df = pd.DataFrame(rows, columns=["b", "sw", "swx"]).astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    sums = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(Sum("sw", alias_name="sw"), Sum("swx", alias_name="swx"))
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("b")
+        means = []
+        for r in df.itertuples(index=False):
+            sw, swx = int(r.sw), int(r.swx)
+            means.append((int(r.b), sw, (swx + sw // 2) // sw))
+        srt = sorted(m[2] for m in means)
+        lo, hi = srt[1], srt[-2]
+        out = pd.DataFrame(means, columns=["b", "n_eff", "mean_cents"])
+        out["ci_low_cents"] = lo
+        out["ci_high_cents"] = hi
+        return out.astype("int64")
+
+    return sums.repartition(1).map_batches(
+        finalize, batch_format="pandas", batch_size=None)
