@@ -2839,6 +2839,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "haar_wavelet_energy": rel.haar_wavelet_energy,
         "front_coding_audit": rel.front_coding_audit,
         "poisson_bootstrap_ci": rel.poisson_bootstrap_ci,
+        "isotonic_calibration": rel.isotonic_calibration,
     }
 
 
@@ -4200,6 +4201,100 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY mean_cents DESC LIMIT 1 OFFSET 1)
                      AS ci_high_cents
             FROM pbc_m
+        """,
+        "isotonic_calibration": r"""
+            WITH RECURSIVE iso_c AS MATERIALIZED (
+              SELECT CAST(least(9, least(n_chars, 500) * 10 // 500)
+                          AS BIGINT) AS bin,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS p
+              FROM documents GROUP BY 1
+            ), iso_a AS MATERIALIZED (
+              SELECT list(bin ORDER BY bin) AS ab,
+                     list(n ORDER BY bin) AS an,
+                     list(p ORDER BY bin) AS ap,
+                     CAST(COUNT(*) AS BIGINT) AS nb
+              FROM iso_c
+            ), iso_dp AS (
+              SELECT CAST(2 AS BIGINT) AS i, [ab[1]] AS bs,
+                     [an[1]] AS bn, [ap[1]] AS bp
+              FROM iso_a
+              UNION ALL
+              SELECT
+                CASE WHEN len(dp.bn) >= 2
+                       AND dp.bp[CAST(len(dp.bp) - 1 AS INTEGER)]
+                           * dp.bn[CAST(len(dp.bn) AS INTEGER)]
+                         > dp.bp[CAST(len(dp.bp) AS INTEGER)]
+                           * dp.bn[CAST(len(dp.bn) - 1 AS INTEGER)]
+                     THEN dp.i ELSE dp.i + 1 END,
+                CASE WHEN len(dp.bn) >= 2
+                       AND dp.bp[CAST(len(dp.bp) - 1 AS INTEGER)]
+                           * dp.bn[CAST(len(dp.bn) AS INTEGER)]
+                         > dp.bp[CAST(len(dp.bp) AS INTEGER)]
+                           * dp.bn[CAST(len(dp.bn) - 1 AS INTEGER)]
+                     THEN list_slice(dp.bs, 1,
+                                     CAST(len(dp.bs) - 1 AS INTEGER))
+                     ELSE list_append(dp.bs,
+                                      a.ab[CAST(dp.i AS INTEGER)]) END,
+                CASE WHEN len(dp.bn) >= 2
+                       AND dp.bp[CAST(len(dp.bp) - 1 AS INTEGER)]
+                           * dp.bn[CAST(len(dp.bn) AS INTEGER)]
+                         > dp.bp[CAST(len(dp.bp) AS INTEGER)]
+                           * dp.bn[CAST(len(dp.bn) - 1 AS INTEGER)]
+                     THEN list_append(
+                            list_slice(dp.bn, 1,
+                                       CAST(len(dp.bn) - 2 AS INTEGER)),
+                            dp.bn[CAST(len(dp.bn) - 1 AS INTEGER)]
+                            + dp.bn[CAST(len(dp.bn) AS INTEGER)])
+                     ELSE list_append(dp.bn,
+                                      a.an[CAST(dp.i AS INTEGER)]) END,
+                CASE WHEN len(dp.bn) >= 2
+                       AND dp.bp[CAST(len(dp.bp) - 1 AS INTEGER)]
+                           * dp.bn[CAST(len(dp.bn) AS INTEGER)]
+                         > dp.bp[CAST(len(dp.bp) AS INTEGER)]
+                           * dp.bn[CAST(len(dp.bn) - 1 AS INTEGER)]
+                     THEN list_append(
+                            list_slice(dp.bp, 1,
+                                       CAST(len(dp.bp) - 2 AS INTEGER)),
+                            dp.bp[CAST(len(dp.bp) - 1 AS INTEGER)]
+                            + dp.bp[CAST(len(dp.bp) AS INTEGER)])
+                     ELSE list_append(dp.bp,
+                                      a.ap[CAST(dp.i AS INTEGER)]) END
+              FROM iso_dp dp, iso_a a
+              WHERE (len(dp.bn) >= 2
+                     AND dp.bp[CAST(len(dp.bp) - 1 AS INTEGER)]
+                         * dp.bn[CAST(len(dp.bn) AS INTEGER)]
+                       > dp.bp[CAST(len(dp.bp) AS INTEGER)]
+                         * dp.bn[CAST(len(dp.bn) - 1 AS INTEGER)])
+                    OR dp.i <= a.nb
+            ), iso_fin AS (
+              SELECT dp.bs, dp.bn, dp.bp
+              FROM iso_dp dp, iso_a a
+              WHERE dp.i = a.nb + 1
+                AND NOT (len(dp.bn) >= 2
+                         AND dp.bp[CAST(len(dp.bp) - 1 AS INTEGER)]
+                             * dp.bn[CAST(len(dp.bn) AS INTEGER)]
+                           > dp.bp[CAST(len(dp.bp) AS INTEGER)]
+                             * dp.bn[CAST(len(dp.bn) - 1 AS INTEGER)])
+            ), iso_blk AS (
+              SELECT f.bs[CAST(r.j AS INTEGER)] AS start_bin,
+                     CASE WHEN r.j < len(f.bs)
+                          THEN f.bs[CAST(r.j + 1 AS INTEGER)]
+                          ELSE 9223372036854775807 END AS next_start,
+                     CAST((1000000 * f.bp[CAST(r.j AS INTEGER)]
+                           + f.bn[CAST(r.j AS INTEGER)] // 2)
+                          // f.bn[CAST(r.j AS INTEGER)] AS BIGINT)
+                       AS iso_rate
+              FROM iso_fin f,
+                   unnest(range(1, CAST(len(f.bs) + 1 AS INTEGER))) r(j)
+            )
+            SELECT c.bin, c.n, c.p AS n_pos,
+                   CAST((1000000 * c.p + c.n // 2) // c.n AS BIGINT)
+                     AS raw_rate_micro,
+                   b.iso_rate AS iso_rate_micro
+            FROM iso_c c JOIN iso_blk b
+              ON c.bin >= b.start_bin AND c.bin < b.next_start
         """,
         "kwic_snippets": r"""
             WITH kw_d AS (

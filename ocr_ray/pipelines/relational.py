@@ -10291,3 +10291,76 @@ def poisson_bootstrap_ci(sf_dir: str, n_resamples: int = 16):
 
     return sums.repartition(1).map_batches(
         finalize, batch_format="pandas", batch_size=None)
+
+
+def isotonic_calibration(sf_dir: str):
+    """Isotonic (PAV) calibration of the repo's standard synthetic
+    classifier (score bin = ``least(9, min(n_chars,500)·10 // 500)``,
+    positive = lang = 'en' — the calibration_bins binning): pool-
+    adjacent-violators enforces a non-decreasing fitted rate over the
+    10 bins.  Every pooling decision is an EXACT integer test — blocks
+    (n_i, p_i), (n_j, p_j) violate iff ``p_i·n_j > p_j·n_i`` (cross-
+    multiplied rationals, no float ever compares) — and the fitted
+    rate is one half-up integer division per final block, so the
+    DuckDB oracle replays the identical left-to-right stack algorithm
+    through a list-carrying recursive CTE (push next bin, else merge
+    the violating top two).
+
+    Topology: one 10-key count exchange (per-batch partials), then the
+    ≤10-block PAV stack in the repartition(1) tail.  Output per bin:
+    (bin, n, n_pos, raw_rate_micro, iso_rate_micro).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = np.minimum(
+            t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64),
+            500)
+        b = np.minimum(9, m * 10 // 500)
+        pos = pc.equal(t["lang"], "en").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"bin": b, "pos": pos}).groupby(
+            "bin", as_index=False).agg(n=("pos", "size"),
+                                       n_pos=("pos", "sum"))
+        return pa.Table.from_pandas(df.astype("int64"),
+                                    preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        _read(sf_dir, "documents", ["n_chars", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"), Sum("n_pos", alias_name="n_pos"))
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("bin")
+        bins = df["bin"].to_numpy(np.int64)
+        ns = df["n"].to_numpy(np.int64)
+        ps = df["n_pos"].to_numpy(np.int64)
+        # PAV stack: blocks of (start_idx, n, pos)
+        stack: list = []
+        for i in range(len(bins)):
+            stack.append([i, int(ns[i]), int(ps[i])])
+            while (len(stack) >= 2
+                   and stack[-2][2] * stack[-1][1]
+                       > stack[-1][2] * stack[-2][1]):
+                s2 = stack.pop()
+                stack[-1][1] += s2[1]
+                stack[-1][2] += s2[2]
+        iso = np.zeros(len(bins), np.int64)
+        for j, (start, bn, bp) in enumerate(stack):
+            end = stack[j + 1][0] if j + 1 < len(stack) else len(bins)
+            iso[start:end] = (1_000_000 * bp + bn // 2) // bn
+        raw = np.array([(1_000_000 * int(p) + int(n) // 2) // int(n)
+                        for n, p in zip(ns, ps)], np.int64)
+        return pd.DataFrame({
+            "bin": pd.array(bins, "int64"),
+            "n": pd.array(ns, "int64"),
+            "n_pos": pd.array(ps, "int64"),
+            "raw_rate_micro": pd.array(raw, "int64"),
+            "iso_rate_micro": pd.array(iso, "int64"),
+        })
+
+    return counts.repartition(1).map_batches(
+        finalize, batch_format="pandas", batch_size=None)
