@@ -2840,6 +2840,9 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "front_coding_audit": rel.front_coding_audit,
         "poisson_bootstrap_ci": rel.poisson_bootstrap_ci,
         "isotonic_calibration": rel.isotonic_calibration,
+        "cohort_triangle": rel.cohort_triangle,
+        "conversion_delay_quantiles": rel.conversion_delay_quantiles,
+        "weekday_hour_profile": rel.weekday_hour_profile,
     }
 
 
@@ -4295,6 +4298,73 @@ def oracle_sql() -> dict[str, str]:
                    b.iso_rate AS iso_rate_micro
             FROM iso_c c JOIN iso_blk b
               ON c.bin >= b.start_bin AND c.bin < b.next_start
+        """,
+        "cohort_triangle": r"""
+            WITH ct_w AS MATERIALIZED (
+              SELECT DISTINCT user_id,
+                     CAST(datediff('day', DATE '2020-01-01',
+                                   CAST(ts AS DATE)) // 7 AS BIGINT)
+                       AS week_idx
+              FROM events
+            ), ct_c AS (
+              SELECT user_id, MIN(week_idx) AS cohort_week
+              FROM ct_w GROUP BY user_id
+            )
+            SELECT c.cohort_week,
+                   CAST(w.week_idx - c.cohort_week AS BIGINT) AS age,
+                   CAST(COUNT(*) AS BIGINT) AS n_active
+            FROM ct_w w JOIN ct_c c ON w.user_id = c.user_id
+            WHERE w.week_idx - c.cohort_week <= 3
+            GROUP BY 1, 2
+        """,
+        "conversion_delay_quantiles": r"""
+            WITH cdq_c AS (
+              SELECT user_id, MIN(epoch_us(ts)) AS first_click
+              FROM events WHERE event_type = 'click' GROUP BY user_id
+            ), cdq_p AS (
+              SELECT e.user_id, MIN(epoch_us(e.ts)) AS first_purchase,
+                     ANY_VALUE(c.first_click) AS first_click
+              FROM events e JOIN cdq_c c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase'
+                AND epoch_us(e.ts) >= c.first_click
+              GROUP BY e.user_id
+            ), cdq_d AS (
+              SELECT CAST((first_purchase - first_click) // 1000000
+                          AS BIGINT) AS delay_s
+              FROM cdq_p
+            ), cdq_n AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS total FROM cdq_d
+            ), cdq_q AS (
+              SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS q
+            ), cdq_r AS (
+              SELECT delay_s,
+                     ROW_NUMBER() OVER (ORDER BY delay_s) AS rn
+              FROM cdq_d
+            )
+            SELECT q.q, r.delay_s, n.total AS n_users
+            FROM cdq_q q, cdq_n n
+            JOIN cdq_r r
+              ON r.rn = greatest(CAST(ceil(q.q * n.total) AS BIGINT), 1)
+        """,
+        "weekday_hour_profile": r"""
+            WITH whp_s AS (
+              SELECT CAST((datediff('day', DATE '2020-01-01',
+                                    CAST(ts AS DATE)) + 2) % 7
+                          AS BIGINT) AS dow,
+                     CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT)
+                       AS hod
+              FROM events
+            ), whp_c AS (
+              SELECT dow, hod, CAST(COUNT(*) AS BIGINT) AS c
+              FROM whp_s GROUP BY dow, hod
+            ), whp_t AS (
+              SELECT CAST(SUM(c) AS BIGINT) AS total FROM whp_c
+            )
+            SELECT dow, hod, c,
+                   CAST((1000000 * CAST(168 * c - t.total AS HUGEINT)
+                         * (168 * c - t.total))
+                        // (168 * t.total) AS BIGINT) AS chi2_term_e6
+            FROM whp_c, whp_t t
         """,
         "kwic_snippets": r"""
             WITH kw_d AS (

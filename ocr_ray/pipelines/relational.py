@@ -10364,3 +10364,188 @@ def isotonic_calibration(sf_dir: str):
 
     return counts.repartition(1).map_batches(
         finalize, batch_format="pandas", batch_size=None)
+
+
+def cohort_triangle(sf_dir: str, max_age: int = 3):
+    """The full cohort-retention TRIANGLE (weekly_retention generalizes
+    from one lag to ages 0..max_age): users cohorted by their FIRST
+    active week (anchored week index, days-since-2020-01-01 // 7), and
+    for each (cohort_week, age) the count of cohort users active in
+    cohort_week + age.
+
+    One md5(user) % 64 exchange of per-batch-distinct (user, week)
+    pairs — a user's whole week set lands in one bucket, so cohort =
+    min(week) and the per-age membership are a vectorized in-bucket
+    merge; the second groupby sums per-(cohort, age) partial counts
+    (cardinality ≤ weeks × (max_age+1)).
+    """
+    n_buckets = DEFAULT_CONFIG.near_dup_coarse_buckets
+    anchor = np.datetime64("2020-01-01")
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        wk = ((ts.astype("datetime64[D]") - anchor).astype("int64")) // 7
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "week_idx": wk,
+        }).drop_duplicates()
+        df["bucket"] = _md5_mod(df["user_id"], n_buckets).astype(np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["user_id", "week_idx"]].drop_duplicates()
+        coh = d.groupby("user_id")["week_idx"].min().rename("cohort_week")
+        d = d.merge(coh, left_on="user_id", right_index=True)
+        d["age"] = d["week_idx"] - d["cohort_week"]
+        d = d[d["age"] <= max_age]
+        out = d.groupby(["cohort_week", "age"], as_index=False).agg(
+            n_active=("user_id", "size"))
+        return out.astype("int64")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["cohort_week", "age"], as_index=False)[
+            "n_active"].sum()
+        return out.astype("int64").sort_values(["cohort_week", "age"])
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_fold, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )
+
+
+def conversion_delay_quantiles(sf_dir: str):
+    """Exact quantiles (disc, the doc_length_quantiles rank rule
+    ``sorted[ceil(q·n)]``) of the per-user click→purchase delay: for
+    each user with both a click and a LATER-or-equal purchase, delay =
+    first purchase ts at-or-after the first click − first click ts, in
+    whole seconds (µs floor-divided — timestamps are already whole
+    seconds in the synthetic feed, so both engines see identical
+    integers).
+
+    One md5(user) % 64 exchange of per-batch pre-reduced (user,
+    min_click, per-batch candidate purchases) rows — inside a bucket
+    the user's first click and the min purchase ≥ it are exact; the
+    delays then ride the value-count quantile reduce (tiny count maps,
+    one repartition(1) walk).
+    """
+    n_buckets = DEFAULT_CONFIG.near_dup_coarse_buckets
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "ts": t["ts"].to_numpy(zero_copy_only=False).astype(
+                "datetime64[us]").astype(np.int64),
+            "et": t["event_type"].to_numpy(zero_copy_only=False),
+        })
+        df = df[np.isin(df["et"], ("click", "purchase"))]
+        # per-batch reduce: keep min click per user; ALL purchase times
+        # cannot be reduced below per-batch min-per-user-per-type safely
+        # (the qualifying purchase must be >= the GLOBAL first click,
+        # which a batch cannot know) — but a user's purchases BELOW the
+        # batch's min click could still qualify globally, so keep the
+        # per-(user, type) min only for clicks, and for purchases keep
+        # the full per-batch distinct set reduced to at most one per
+        # (user, ts).
+        clicks = df[df["et"] == "click"].groupby(
+            "user_id", as_index=False)["ts"].min()
+        clicks["et"] = "click"
+        purch = df[df["et"] == "purchase"][
+            ["user_id", "ts"]].drop_duplicates()
+        purch["et"] = "purchase"
+        out = pd.concat([clicks, purch], ignore_index=True)
+        out["bucket"] = _md5_mod(out["user_id"], n_buckets).astype(np.int32)
+        out["ts"] = out["ts"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        clicks = g[g["et"] == "click"].groupby("user_id")["ts"].min()
+        purch = g[g["et"] == "purchase"]
+        m = purch.merge(clicks.rename("first_click"), left_on="user_id",
+                        right_index=True)
+        m = m[m["ts"] >= m["first_click"]]
+        if not len(m):
+            return pd.DataFrame({"v": pd.array([], "int64"),
+                                 "c": pd.array([], "int64")})
+        first_p = m.groupby("user_id", as_index=False).agg(
+            ts=("ts", "min"), first_click=("first_click", "first"))
+        delay_s = (first_p["ts"] - first_p["first_click"]) // 1_000_000
+        out = pd.DataFrame({"v": delay_s}).groupby(
+            "v", as_index=False).size().rename(columns={"size": "c"})
+        return out.astype("int64")
+
+    def final(t: pa.Table) -> pa.Table:
+        import math
+        df = t.to_pandas().groupby("v", as_index=False)["c"].sum()
+        df = df.sort_values("v")
+        total = int(df["c"].sum())
+        cum = df["c"].cumsum().to_numpy()
+        vals = df["v"].to_numpy()
+        qs = (0.25, 0.5, 0.75, 0.9)
+        out_v = [int(vals[int(np.searchsorted(
+            cum, max(1, math.ceil(q * total))))]) for q in qs]
+        return pa.table({
+            "q": pa.array(list(qs), pa.float64()),
+            "delay_s": pa.array(out_v, pa.int64()),
+            "n_users": pa.array([total] * len(qs), pa.int64()),
+        })
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_fold, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def weekday_hour_profile(sf_dir: str):
+    """Day-of-week × hour-of-day activity profile with an exact
+    integer chi-square-vs-uniform load statistic: counts per (dow,
+    hod) cell (dow 0 = Monday, the ISO convention both engines share
+    via explicit arithmetic on days-since-2020-01-01 — an anchored
+    Wednesday, so dow = (days + 2) mod 7), plus each cell's
+    ``chi2_term_e6 = 1e6·(168·c − T)² // (168·T)`` (uniform expected
+    load T/168), floor integer division over unbounded Python ints
+    (the 1e6·dev² product overflows int64 at corpus scale — the SQL
+    twin goes through HUGEINT) — no calendar/locale functions and no
+    floats.
+
+    Embarrassingly parallel: per-batch (dow, hod) partial counts, one
+    168-key groupby, the tail adds the chi-square terms.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        days = (ts.astype("datetime64[D]")
+                - np.datetime64("2020-01-01")).astype(np.int64)
+        dow = (days + 2) % 7
+        hod = (ts.astype("datetime64[h]").astype(np.int64)) % 24
+        df = pd.DataFrame({"dow": dow, "hod": hod}).groupby(
+            ["dow", "hod"], as_index=False).size().rename(
+            columns={"size": "c"})
+        return pa.Table.from_pandas(df.astype("int64"),
+                                    preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["dow", "hod"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        total = int(df["c"].sum())
+        terms = [(1_000_000 * (168 * int(ci) - total) ** 2)
+                 // (168 * total) for ci in df["c"]]
+        df = df.assign(chi2_term_e6=pd.array(terms, "int64"))
+        return df.astype("int64").sort_values(["dow", "hod"])
+
+    return counts.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None)
