@@ -2843,6 +2843,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "cohort_triangle": rel.cohort_triangle,
         "conversion_delay_quantiles": rel.conversion_delay_quantiles,
         "weekday_hour_profile": rel.weekday_hour_profile,
+        "symspell_suggest": rel.symspell_suggest,
     }
 
 
@@ -4365,6 +4366,23 @@ def oracle_sql() -> dict[str, str]:
                          * (168 * c - t.total))
                         // (168 * t.total) AS BIGINT) AS chi2_term_e6
             FROM whp_c, whp_t t
+        """,
+        "symspell_suggest": r"""
+            WITH ss_t AS (
+              SELECT unnest(list_filter(string_split_regex(
+                       lower(coalesce(text, '')), '\s+'),
+                       x -> x <> '')) AS term
+              FROM documents
+            ), ss_f AS (
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+              FROM ss_t GROUP BY term
+            )
+            SELECT term, freq,
+                   CAST(levenshtein(term, 'sart') AS BIGINT) AS distance
+            FROM ss_f
+            WHERE levenshtein(term, 'sart') <= 1
+            ORDER BY distance, freq DESC, term
+            LIMIT 5
         """,
         "kwic_snippets": r"""
             WITH kw_d AS (

@@ -10549,3 +10549,71 @@ def weekday_hour_profile(sf_dir: str):
 
     return counts.repartition(1).map_batches(
         final, batch_format="pandas", batch_size=None)
+
+
+def _del1_keys(term: str) -> set:
+    """SymSpell delete-1 closure: the term plus every single-character
+    deletion (the index key set for max_edit_distance = 1)."""
+    return {term} | {term[:i] + term[i + 1:] for i in range(len(term))}
+
+
+def symspell_suggest(sf_dir: str, query: str = "sart", k: int = 5):
+    """Spelling suggestion via the SymSpell delete-1 scheme: a vocab
+    term is a candidate iff its delete-1 closure intersects the
+    query's (which over-generates — e.g. transpositions share keys at
+    distance 2 — so candidates are verified with the exact Levenshtein
+    DP, pinned to DuckDB ``levenshtein`` by `levenshtein_many`), then
+    ranked (distance asc, corpus frequency desc, term asc), top-k.
+
+    Topology: the query's key closure is broadcast, so the whole
+    operator is ONE corpus pass — each batch intersects its distinct
+    terms' closures locally and emits only (candidate, batch_count)
+    partials (a handful of rows), one tiny groupby sums exact corpus
+    frequencies, and verification + ranking run on the bounded
+    candidate table.  The persistent-index variant would hive-
+    partition keys exactly like term_search_indexed; a one-shot query
+    never needs it.
+    """
+    from ocr_ray.functions.textnorm import levenshtein_many
+
+    qkeys = _del1_keys(query)
+    qref = ray.put(qkeys)
+
+    def partial(t: pa.Table) -> pa.Table:
+        qk = ray.get(qref)
+        counts: dict = {}
+        for txt in t["text"].to_pylist():
+            for tok in (txt or "").lower().split():
+                counts[tok] = counts.get(tok, 0) + 1
+        cand = {tok: c for tok, c in counts.items()
+                if not qk.isdisjoint(_del1_keys(tok))}
+        return pa.table({
+            "term": pa.array(sorted(cand), pa.string()),
+            "c": pa.array([cand[t_] for t_ in sorted(cand)], pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    cands = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("c", alias_name="freq"))
+    ).to_pandas()
+
+    if len(cands):
+        dists = levenshtein_many([query] * len(cands),
+                                 cands["term"].tolist())
+        cands = cands.assign(distance=np.asarray(dists, dtype=np.int64))
+        cands = cands[cands["distance"] <= 1]
+    else:
+        cands = pd.DataFrame({"term": [], "freq": [], "distance": []})
+    cands = cands.sort_values(["distance", "freq", "term"],
+                              ascending=[True, False, True]).head(k)
+    return pa.table({
+        "term": pa.array(cands["term"].tolist(), pa.string()),
+        "freq": pa.array(cands["freq"].astype("int64").tolist(),
+                         pa.int64()),
+        "distance": pa.array(cands["distance"].astype("int64").tolist(),
+                             pa.int64()),
+    })
