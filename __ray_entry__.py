@@ -2844,6 +2844,8 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "conversion_delay_quantiles": rel.conversion_delay_quantiles,
         "weekday_hour_profile": rel.weekday_hour_profile,
         "symspell_suggest": rel.symspell_suggest,
+        "prefix_autocomplete_topk": rel.prefix_autocomplete_topk,
+        "crawl_makespan_plan": rel.crawl_makespan_plan,
     }
 
 
@@ -4383,6 +4385,45 @@ def oracle_sql() -> dict[str, str]:
             WHERE levenshtein(term, 'sart') <= 1
             ORDER BY distance, freq DESC, term
             LIMIT 5
+        """,
+        "prefix_autocomplete_topk": r"""
+            WITH pat_t AS (
+              SELECT unnest(list_filter(string_split_regex(
+                       lower(coalesce(text, '')), '\s+'),
+                       x -> x <> '')) AS term
+              FROM documents
+            ), pat_f AS (
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+              FROM pat_t WHERE length(term) >= 3 GROUP BY term
+            ), pat_r AS (
+              SELECT substr(term, 1, 3) AS prefix, term, freq,
+                     ROW_NUMBER() OVER (PARTITION BY substr(term, 1, 3)
+                                        ORDER BY freq DESC, term)
+                       AS rank
+              FROM pat_f
+            )
+            SELECT prefix, CAST(rank AS BIGINT) AS rank, term, freq
+            FROM pat_r WHERE rank <= 3
+        """,
+        "crawl_makespan_plan": r"""
+            WITH cmp_h AS (
+              SELECT source AS host, CAST(COUNT(*) AS BIGINT) AS pages
+              FROM documents GROUP BY source
+            ), cmp_t AS (
+              SELECT CAST(md5_number_lower(host) % 8 AS BIGINT) AS shard,
+                     pages,
+                     pages * (100 + CAST(md5_number_lower(
+                       host || '_delay') % 400 AS BIGINT)) AS t
+              FROM cmp_h
+            )
+            SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_hosts,
+                   CAST(SUM(pages) AS BIGINT) AS n_pages,
+                   CAST(SUM(t) AS BIGINT) AS total_ms,
+                   CAST(MAX(t) AS BIGINT) AS makespan_ms,
+                   CAST((1000000 * SUM(t) + (MAX(t) * COUNT(*)) // 2)
+                        // (MAX(t) * COUNT(*)) AS BIGINT)
+                     AS efficiency_micro
+            FROM cmp_t GROUP BY shard
         """,
         "kwic_snippets": r"""
             WITH kw_d AS (

@@ -10617,3 +10617,127 @@ def symspell_suggest(sf_dir: str, query: str = "sart", k: int = 5):
         "distance": pa.array(cands["distance"].astype("int64").tolist(),
                              pa.int64()),
     })
+
+
+def prefix_autocomplete_topk(sf_dir: str, plen: int = 3, k: int = 3,
+                             n_buckets: int = 64):
+    """Query-autocomplete table: for every ``plen``-character prefix of
+    the vocabulary, the top-k completions by exact corpus frequency
+    (ties by term asc) with per-prefix rank — the precomputed structure
+    a search box serves from.
+
+    Two coarse exchanges, both on oracle-free Ray-only keys: (1) term
+    totals — per-batch (term, count) partials to ``md5(term) % 64``
+    buckets, exact totals per term; the bucket fold re-keys each term
+    row by ``md5(prefix) % 64``; (2) per-prefix fold — a prefix's whole
+    completion set is co-located, so the vectorized pandas head-k per
+    prefix is exact, and only ≤ k rows per prefix reach the
+    repartition(1) ordering tail.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts: dict = {}
+        for txt in t["text"].to_pylist():
+            for tok in (txt or "").lower().split():
+                if len(tok) >= plen:
+                    counts[tok] = counts.get(tok, 0) + 1
+        terms = sorted(counts)
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "c": pa.array([counts[t_] for t_ in terms], pa.int64()),
+            "bucket": pa.array(_md5_mod(terms, n_buckets), pa.int64()),
+        })
+
+    def term_fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("term", as_index=False)["c"].sum()
+        agg["prefix"] = agg["term"].str[:plen]
+        agg["pbucket"] = _md5_mod(agg["prefix"], n_buckets)
+        agg["c"] = agg["c"].astype("int64")
+        return agg
+
+    def prefix_fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["prefix", "c", "term"],
+                          ascending=[True, False, True])
+        g = g.groupby("prefix").head(k).copy()
+        g["rank"] = g.groupby("prefix").cumcount() + 1
+        out = g[["prefix", "rank", "term", "c"]].rename(
+            columns={"c": "freq"})
+        out["rank"] = out["rank"].astype("int64")
+        out["freq"] = out["freq"].astype("int64")
+        return out
+
+    def final(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("prefix", "ascending"),
+                                            ("rank", "ascending")])
+        return t.take(idx)
+
+    return (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(term_fold, batch_format="pandas")
+        .repartition(16)
+        .groupby("pbucket")
+        .map_groups(prefix_fold, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def crawl_makespan_plan(sf_dir: str, n_shards: int = 8):
+    """Politeness-constrained crawl planning: hosts (= ``source``)
+    shard by ``md5(host) % n_shards``; each host fetches its pages
+    SEQUENTIALLY at its crawl delay ``100 + md5(host ∥ '_delay') % 400``
+    ms (per-host politeness), hosts within a shard run in parallel —
+    so a shard's MAKESPAN is its max host time while its WORK is the
+    sum.  Reports per shard: n_hosts, n_pages, total_ms, makespan_ms,
+    and the parallel efficiency ``(1e6·total + mk·h//2) // (mk·h)``
+    (work / (makespan × hosts), half-up micro).
+
+    One tiny exchange: per-batch (host, pages) partials → host-bucket
+    fold computes per-host times and per-shard partial (sum, max, n) —
+    a host lives in one bucket, so shard partials merge exactly; the
+    driver folds ≤ buckets × shards short rows.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "host": t["source"].to_numpy(zero_copy_only=False),
+        }).groupby("host", as_index=False).size()
+        df["size"] = df["size"].astype("int64")
+        df["bucket"] = _md5_mod(df["host"], 64).astype(np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("host", as_index=False)["size"].sum()
+        hosts = per["host"].tolist()
+        pages = per["size"].to_numpy(np.int64)
+        shard = _md5_mod(hosts, n_shards)
+        delay = 100 + (_md5_u64([h + "_delay" for h in hosts])
+                       % np.uint64(400)).astype(np.int64)
+        t_ms = pages * delay
+        df = pd.DataFrame({"shard": shard, "pages": pages, "t": t_ms})
+        out = df.groupby("shard", as_index=False).agg(
+            n_hosts=("t", "size"), n_pages=("pages", "sum"),
+            total_ms=("t", "sum"), makespan_ms=("t", "max"))
+        return out.astype("int64")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("shard", as_index=False).agg(
+            n_hosts=("n_hosts", "sum"), n_pages=("n_pages", "sum"),
+            total_ms=("total_ms", "sum"), makespan_ms=("makespan_ms", "max"))
+        eff = [(1_000_000 * int(r.total_ms)
+                + (int(r.makespan_ms) * int(r.n_hosts)) // 2)
+               // (int(r.makespan_ms) * int(r.n_hosts))
+               for r in out.itertuples(index=False)]
+        out["efficiency_micro"] = pd.array(eff, "int64")
+        return out.astype("int64").sort_values("shard")
+
+    return (
+        _read(sf_dir, "documents", ["source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_fold, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )
