@@ -2846,6 +2846,9 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "symspell_suggest": rel.symspell_suggest,
         "prefix_autocomplete_topk": rel.prefix_autocomplete_topk,
         "crawl_makespan_plan": rel.crawl_makespan_plan,
+        "decayed_event_counts": rel.decayed_event_counts,
+        "ks_two_sample": rel.ks_two_sample,
+        "benford_digit_audit": rel.benford_digit_audit,
     }
 
 
@@ -4424,6 +4427,77 @@ def oracle_sql() -> dict[str, str]:
                         // (MAX(t) * COUNT(*)) AS BIGINT)
                      AS efficiency_micro
             FROM cmp_t GROUP BY shard
+        """,
+        "decayed_event_counts": r"""
+            WITH dec_m AS (
+              SELECT MAX(ts) AS mx FROM events
+            ), dec_s AS (
+              SELECT event_type,
+                     (CAST(1 AS BIGINT) << CAST(40 - least(
+                        (epoch_us(m.mx) // 3600000000
+                         - epoch_us(ts) // 3600000000) // 24, 40)
+                        AS INTEGER)) AS w
+              FROM events, dec_m m
+            )
+            SELECT event_type,
+                   CAST(SUM(w) AS BIGINT) AS decayed_q40,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST((1000 * CAST(SUM(w) AS HUGEINT) + 549755813888)
+                        // 1099511627776 AS BIGINT) AS decayed_milli
+            FROM dec_s GROUP BY event_type
+        """,
+        "ks_two_sample": r"""
+            WITH ks_u AS (
+              SELECT value AS v,
+                CAST(SUM(CASE WHEN event_type = 'click'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                CAST(SUM(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS c2
+              FROM events
+              WHERE event_type IN ('click', 'purchase')
+              GROUP BY value
+            ), ks_cum AS (
+              SELECT SUM(c1) OVER (ORDER BY v) AS a1,
+                     SUM(c2) OVER (ORDER BY v) AS a2
+              FROM ks_u
+            ), ks_n AS (
+              SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                     CAST(SUM(c2) AS BIGINT) AS n2
+              FROM ks_u
+            )
+            SELECT n.n1 AS n_click, n.n2 AS n_purchase,
+                   CAST(MAX(abs(a1 * n.n2 - a2 * n.n1)) AS BIGINT)
+                     AS d_num,
+                   CAST(n.n1 * n.n2 AS BIGINT) AS d_den,
+                   CAST((1000000 * MAX(abs(a1 * n.n2 - a2 * n.n1))
+                         + (n.n1 * n.n2) // 2) // (n.n1 * n.n2)
+                        AS BIGINT) AS ks_micro
+            FROM ks_cum, ks_n n GROUP BY n.n1, n.n2
+        """,
+        "benford_digit_audit": r"""
+            WITH bda_g AS (
+              SELECT CAST(substr(CAST(abs(CAST(ROUND(o_totalprice * 100)
+                       AS BIGINT)) AS VARCHAR), 1, 1) AS BIGINT)
+                       AS digit,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM orders GROUP BY 1
+            ), bda_t AS (
+              SELECT CAST(SUM(c) AS BIGINT) AS total
+              FROM bda_g WHERE digit >= 1
+            )
+            SELECT g.digit, g.c,
+                   CAST((1000000 * g.c + t.total // 2) // t.total
+                        AS BIGINT) AS observed_micro,
+                   CAST(ben.b AS BIGINT) AS benford_micro,
+                   CAST((1000000 * g.c + t.total // 2) // t.total
+                        - ben.b AS BIGINT) AS deviation_micro
+            FROM bda_g g
+            JOIN (VALUES (1, 301029), (2, 176091), (3, 124938),
+                         (4, 96910), (5, 79181), (6, 66946),
+                         (7, 57991), (8, 51152), (9, 45757))
+                 ben(d, b) ON g.digit = ben.d,
+                 bda_t t
+            WHERE g.digit >= 1
         """,
         "kwic_snippets": r"""
             WITH kw_d AS (

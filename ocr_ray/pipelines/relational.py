@@ -10741,3 +10741,171 @@ def crawl_makespan_plan(sf_dir: str, n_shards: int = 8):
         .repartition(1)
         .map_batches(final, batch_format="pandas", batch_size=None)
     )
+
+
+def decayed_event_counts(sf_dir: str, half_life_h: int = 24,
+                         max_age_steps: int = 40):
+    """Time-decayed event counts — the freshness-weighted popularity
+    signal a ranking pipeline maintains — made EXACT: with the decay
+    anchored at the corpus max hour T, an event aged ``a`` half-lives
+    (whole ``half_life_h``-hour steps, capped at 40) weighs
+    ``2^(40 − a)`` in fixed-point units of 2⁻⁴⁰ — a pure int64, so the
+    per-type decayed totals are exact integer sums both engines
+    reproduce (no float pow, no summation-order hazard).  Reports per
+    event_type: n_events, decayed_q40 (the 2⁻⁴⁰-unit total) and
+    decayed_milli = half-up (1000·decayed) >> 40.
+
+    Two passes: the max-ts scalar (metadata-cheap aggregate), then
+    per-batch (type, age-bucketed weight sums) partials into a 5-key
+    groupby.  Everything before the exchange is vectorized arithmetic.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    mx = (_read(sf_dir, "events", ["ts"])
+          .aggregate(Max("ts", alias_name="mx")))["mx"]
+    t_ref = np.datetime64(mx, "us").astype("datetime64[h]").astype(
+        np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        hr = t["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[h]").astype(np.int64)
+        age = np.minimum((t_ref - hr) // half_life_h, max_age_steps)
+        w = np.int64(1) << (max_age_steps - age)
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "w": w,
+        }).groupby("event_type", as_index=False).agg(
+            decayed_q40=("w", "sum"), n_events=("w", "size"))
+        return pa.Table.from_pandas(df.astype(
+            {"decayed_q40": "int64", "n_events": "int64"}),
+            preserve_index=False)
+
+    sums = (
+        _read(sf_dir, "events", ["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("decayed_q40", alias_name="decayed_q40"),
+                   Sum("n_events", alias_name="n_events"))
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        milli = [(1000 * int(q) + (1 << 39)) >> 40
+                 for q in df["decayed_q40"]]
+        df = df.assign(decayed_milli=pd.array(milli, "int64"))
+        df["decayed_q40"] = df["decayed_q40"].astype("int64")
+        df["n_events"] = df["n_events"].astype("int64")
+        return df.sort_values("event_type")
+
+    return sums.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None)
+
+
+def ks_two_sample(sf_dir: str):
+    """Exact two-sample Kolmogorov-Smirnov distance between the
+    ``value`` distributions of purchase vs click events: D =
+    max |F₁ − F₂| over the union of observed values, computed on EXACT
+    integers — at each union point ``|c₁·n₂ − c₂·n₁|`` (cumulative
+    counts cross-multiplied) and one final half-up division by n₁·n₂
+    into micro units.  No float CDF ever forms.
+
+    Topology: per-batch (value, type) count-map partials (the
+    doc_length_quantiles distinct-value discipline — swap for fixed
+    histogram buckets at an unbounded domain), one value-keyed
+    groupby, and the repartition(1) tail walks the sorted union once.
+    Output one row: (n_click, n_purchase, d_num, d_den, ks_micro).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "v": t["value"].to_numpy(zero_copy_only=False),
+            "et": t["event_type"].to_numpy(zero_copy_only=False),
+        })
+        df = df[np.isin(df["et"], ("click", "purchase"))]
+        g = df.groupby(["v", "et"], as_index=False).size()
+        g["size"] = g["size"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        _read(sf_dir, "events", ["value", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["v", "et"])
+        .aggregate(Sum("size", alias_name="c"))
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        piv = df.pivot_table(index="v", columns="et", values="c",
+                             aggfunc="sum", fill_value=0).sort_index()
+        c1 = piv.get("click", pd.Series(0, index=piv.index)).to_numpy(
+            np.int64).cumsum()
+        c2 = piv.get("purchase", pd.Series(0, index=piv.index)).to_numpy(
+            np.int64).cumsum()
+        n1, n2 = int(c1[-1]), int(c2[-1])
+        num = np.abs(c1 * n2 - c2 * n1)
+        d_num = int(num.max())
+        d_den = n1 * n2
+        ks = (1_000_000 * d_num + d_den // 2) // d_den
+        return pd.DataFrame({
+            "n_click": pd.array([n1], "int64"),
+            "n_purchase": pd.array([n2], "int64"),
+            "d_num": pd.array([d_num], "int64"),
+            "d_den": pd.array([d_den], "int64"),
+            "ks_micro": pd.array([ks], "int64"),
+        })
+
+    return counts.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None)
+
+
+_BENFORD_E6 = (301029, 176091, 124938, 96910, 79181, 66946, 57991,
+               51152, 45757)  # floor(1e6 * log10(1 + 1/d)), d = 1..9
+
+
+def benford_digit_audit(sf_dir: str):
+    """Benford first-digit audit of order totals (in cents): observed
+    counts per leading digit vs the Benford expectation (hard-coded
+    ``⌊1e6·log₁₀(1 + 1/d)⌋`` constants `_BENFORD_E6` — no runtime
+    float), with the per-digit deviation ``observed_micro −
+    benford_micro`` where observed_micro is a half-up integer share.
+    Leading digit extraction is pure integer: divide by 10 until < 10.
+
+    Embarrassingly parallel 9-key count partials + one groupby; the
+    tail adds shares and deviations.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t["o_totalprice"], 100).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        d = np.abs(cents)
+        while (d >= 10).any():
+            d = np.where(d >= 10, d // 10, d)
+        df = pd.DataFrame({"digit": d}).groupby(
+            "digit", as_index=False).size().rename(columns={"size": "c"})
+        return pa.Table.from_pandas(df.astype("int64"),
+                                    preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        _read(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("digit")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["digit"] >= 1].sort_values("digit")
+        total = int(df["c"].sum())
+        obs = [(1_000_000 * int(c) + total // 2) // total
+               for c in df["c"]]
+        ben = [_BENFORD_E6[int(d) - 1] for d in df["digit"]]
+        out = df.assign(
+            observed_micro=pd.array(obs, "int64"),
+            benford_micro=pd.array(ben, "int64"),
+            deviation_micro=pd.array(
+                [o - b for o, b in zip(obs, ben)], "int64"))
+        return out.astype("int64")
+
+    return counts.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None)
