@@ -2849,6 +2849,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "decayed_event_counts": rel.decayed_event_counts,
         "ks_two_sample": rel.ks_two_sample,
         "benford_digit_audit": rel.benford_digit_audit,
+        "bfs_hops": rel.bfs_hops,
     }
 
 
@@ -4498,6 +4499,48 @@ def oracle_sql() -> dict[str, str]:
                  ben(d, b) ON g.digit = ben.d,
                  bda_t t
             WHERE g.digit >= 1
+        """,
+        "bfs_hops": r"""
+            WITH RECURSIVE bfs_cnt AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+            ), bfs_d0 AS MATERIALIZED (
+              SELECT u, v FROM (
+                SELECT doc_id AS u,
+                       (2 * doc_id + 1) % (SELECT n FROM bfs_cnt) AS v
+                FROM documents
+                UNION ALL
+                SELECT doc_id,
+                       (3 * doc_id + 2) % (SELECT n FROM bfs_cnt)
+                FROM documents
+                UNION ALL
+                SELECT doc_id,
+                       (5 * doc_id + 3) % (SELECT n FROM bfs_cnt)
+                FROM documents)
+              WHERE u <> v
+            ), bfs_e AS MATERIALIZED (
+              SELECT u, v FROM bfs_d0
+              UNION
+              SELECT v, u FROM bfs_d0
+            ), bfs_r AS (
+              SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS hop
+              UNION
+              SELECT e.v, r.hop + 1
+              FROM bfs_r r JOIN bfs_e e ON e.u = r.node
+              WHERE r.hop < 6
+            ), bfs_min AS (
+              SELECT node, CAST(MIN(hop) AS BIGINT) AS hop
+              FROM bfs_r GROUP BY node
+            ), bfs_hist AS (
+              SELECT hop, CAST(COUNT(*) AS BIGINT) AS n_nodes
+              FROM bfs_min GROUP BY hop
+            )
+            SELECT CAST(h.hop AS BIGINT) AS hop,
+                   CAST(COALESCE(bh.n_nodes, 0) AS BIGINT) AS n_nodes
+            FROM (SELECT unnest(range(0, 7)) AS hop) h
+            LEFT JOIN bfs_hist bh ON h.hop = bh.hop
+            UNION ALL
+            SELECT -1, (SELECT n FROM bfs_cnt)
+                       - (SELECT CAST(COUNT(*) AS BIGINT) FROM bfs_min)
         """,
         "kwic_snippets": r"""
             WITH kw_d AS (

@@ -10909,3 +10909,126 @@ def benford_digit_audit(sf_dir: str):
 
     return counts.repartition(1).map_batches(
         final, batch_format="pandas", batch_size=None)
+
+
+def bfs_hops(sf_dir: str, max_hops: int = 6, n_buckets: int = 64):
+    """BFS hop histogram from doc 0 over the derived undirected graph
+    (the triangle_counts / link_prediction edge set): per hop
+    0..max_hops the number of nodes FIRST reached at that hop, plus
+    the still-unreached count (hop = -1).
+
+    Level-synchronous distributed BFS.  The symmetric adjacency is
+    materialized ONCE (both orientations of every generator edge, one
+    exchange); each round then co-partitions state with adjacency by
+    ``union`` of two MATERIALIZED lineages (safe per CLAUDE.md — the
+    deadlock is only over a shared live upstream) into one node-bucket
+    groupby whose fold scatters (nbr, hop+1) candidates from the
+    frontier, and a second bucket groupby folds min-dist per node —
+    two coarse exchanges per round, state is 2 int64 columns, rounds
+    bounded by max_hops.  No edge list is ever rebuilt or broadcast.
+    The oracle is the (node, hop)-deduplicating recursive-CTE BFS.
+    """
+    import ray.data as rd
+
+    n_docs = _table_num_rows(sf_dir, "documents")
+    gens = ((2, 1), (3, 2), (5, 3))
+    UNSEEN = np.int64(max_hops + 1)
+
+    def adj_partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        outs = [(m * ids + c) % n_docs for m, c in gens]
+        u = np.concatenate([ids] * len(gens) + outs)
+        v = np.concatenate(outs + [ids] * len(gens))
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pa.table({
+            "bucket": pa.array((u % n_buckets).astype(np.int32),
+                               pa.int32()),
+            "node": pa.array(u, pa.int64()),
+            "nbr": pa.array(v, pa.int64()),
+            "dist": pa.array(np.full(len(u), -1, np.int64), pa.int64()),
+        })
+
+    adj = (_read(sf_dir, "documents", ["doc_id"])
+           .map_batches(adj_partial, batch_format="pyarrow")
+           .materialize())
+
+    def seed(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dist = np.where(ids == 0, 0, UNSEEN).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array((ids % n_buckets).astype(np.int32),
+                               pa.int32()),
+            "node": pa.array(ids, pa.int64()),
+            "nbr": pa.array(np.full(len(ids), -1, np.int64), pa.int64()),
+            "dist": pa.array(dist, pa.int64()),
+        })
+
+    state = (_read(sf_dir, "documents", ["doc_id"])
+             .map_batches(seed, batch_format="pyarrow").materialize())
+
+    for hop in range(max_hops):
+        def scatter(g: pd.DataFrame, hop=hop) -> pd.DataFrame:
+            st = g[g["nbr"] < 0]
+            front = set(st.loc[st["dist"] == hop, "node"].tolist())
+            out_n = st["node"].to_numpy(np.int64)
+            out_d = st["dist"].to_numpy(np.int64)
+            if front:
+                ed = g[(g["nbr"] >= 0) & g["node"].isin(front)]
+                cand = ed["nbr"].to_numpy(np.int64)
+                out_n = np.concatenate([out_n, cand])
+                out_d = np.concatenate(
+                    [out_d, np.full(len(cand), hop + 1, np.int64)])
+            return pd.DataFrame({
+                "bucket": (out_n % n_buckets).astype(np.int32),
+                "node": out_n, "dist": out_d})
+
+        def fold(g: pd.DataFrame) -> pa.Table:
+            out = g.groupby("node", as_index=False)["dist"].min()
+            # return ARROW so the round's blocks match adj's block type
+            # (union asserts homogeneous block types)
+            return pa.table({
+                "bucket": pa.array(
+                    (out["node"] % n_buckets).to_numpy(np.int32),
+                    pa.int32()),
+                "node": pa.array(out["node"].to_numpy(np.int64),
+                                 pa.int64()),
+                "nbr": pa.array(np.full(len(out), -1, np.int64),
+                                pa.int64()),
+                "dist": pa.array(out["dist"].to_numpy(np.int64),
+                                 pa.int64()),
+            })
+
+        state = (adj.union(state)
+                 .groupby("bucket")
+                 .map_groups(scatter, batch_format="pandas")
+                 .repartition(16)
+                 .groupby("bucket")
+                 .map_groups(fold, batch_format="pandas")
+                 .materialize())
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "dist": t["dist"].to_numpy(zero_copy_only=False),
+        }).groupby("dist", as_index=False).size().rename(
+            columns={"size": "c"})
+        return pa.Table.from_pandas(df.astype("int64"),
+                                    preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    hist = (state.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("dist").aggregate(Sum("c", alias_name="n_nodes"))
+            ).to_pandas()
+    hop_v, n_v = [], []
+    for h in range(max_hops + 1):
+        g = hist[hist["dist"] == h]
+        hop_v.append(h)
+        n_v.append(int(g["n_nodes"].sum()) if len(g) else 0)
+    un = hist[hist["dist"] == int(UNSEEN)]
+    hop_v.append(-1)
+    n_v.append(int(un["n_nodes"].sum()) if len(un) else 0)
+    return pa.table({
+        "hop": pa.array(hop_v, pa.int64()),
+        "n_nodes": pa.array(n_v, pa.int64()),
+    })
