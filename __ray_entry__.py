@@ -2850,6 +2850,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "ks_two_sample": rel.ks_two_sample,
         "benford_digit_audit": rel.benford_digit_audit,
         "bfs_hops": rel.bfs_hops,
+        "posting_intersection_costs": rel.posting_intersection_costs,
     }
 
 
@@ -4541,6 +4542,46 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT -1, (SELECT n FROM bfs_cnt)
                        - (SELECT CAST(COUNT(*) AS BIGINT) FROM bfs_min)
+        """,
+        "posting_intersection_costs": r"""
+            WITH pic_t AS MATERIALIZED (
+              SELECT doc_id, unnest(list_distinct(list_filter(
+                       string_split_regex(lower(coalesce(text, '')),
+                                          '\s+'),
+                       x -> x <> ''))) AS term
+              FROM documents
+            ), pic_df AS MATERIALIZED (
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+              FROM pic_t GROUP BY term
+            ), pic_top AS MATERIALIZED (
+              SELECT term, df FROM pic_df
+              ORDER BY df DESC, term LIMIT 6
+            ), pic_b AS (
+              SELECT x.term AS ta, y.term AS tb,
+                     CAST(COUNT(*) AS BIGINT) AS n_both
+              FROM pic_t x
+                JOIN pic_t y ON x.doc_id = y.doc_id AND x.term < y.term
+                JOIN pic_top tx ON x.term = tx.term
+                JOIN pic_top ty ON y.term = ty.term
+              GROUP BY x.term, y.term
+            )
+            SELECT a.term AS term_a, b.term AS term_b,
+                   a.df AS df_a, b.df AS df_b,
+                   CAST(COALESCE(nb.n_both, 0) AS BIGINT) AS n_both,
+                   CAST(a.df + b.df AS BIGINT) AS merge_cost,
+                   CAST(least(a.df, b.df)
+                        * (1 + length(bin(greatest(a.df, b.df)
+                                          // least(a.df, b.df))))
+                        AS BIGINT) AS gallop_cost,
+                   CAST(CASE WHEN a.df + b.df - COALESCE(nb.n_both, 0)
+                               > 0 THEN
+                     (1000000 * COALESCE(nb.n_both, 0)
+                      + (a.df + b.df - COALESCE(nb.n_both, 0)) // 2)
+                     // (a.df + b.df - COALESCE(nb.n_both, 0))
+                     ELSE 0 END AS BIGINT) AS jaccard_micro
+            FROM pic_top a
+              JOIN pic_top b ON a.term < b.term
+              LEFT JOIN pic_b nb ON nb.ta = a.term AND nb.tb = b.term
         """,
         "kwic_snippets": r"""
             WITH kw_d AS (

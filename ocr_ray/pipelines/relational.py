@@ -11032,3 +11032,112 @@ def bfs_hops(sf_dir: str, max_hops: int = 6, n_buckets: int = 64):
         "hop": pa.array(hop_v, pa.int64()),
         "n_nodes": pa.array(n_v, pa.int64()),
     })
+
+
+def posting_intersection_costs(sf_dir: str, n_terms: int = 6,
+                               n_buckets: int = 64):
+    """Boolean-AND query planning audit: for the top-``n_terms``
+    vocabulary terms by document frequency, every pair's exact posting
+    intersection size plus the two classic evaluation cost models —
+    linear merge ``df_a + df_b`` and galloping search ``min_df · (1 +
+    bit_length(max_df // min_df))`` (the integer log the planner
+    compares before choosing) — and the posting Jaccard in micro
+    units.  The pair with gallop < merge is where an engine switches
+    algorithms; exposing both makes the crossover auditable.
+
+    Pass 1 finds the top terms: per-batch distinct (term, df-partial)
+    rows through one md5(term)-bucket exchange, per-bucket top-k
+    candidates, bounded final top-k (ties df desc, term asc).  Pass 2
+    broadcasts the ≤ n_terms term list and counts, per batch, each
+    doc's term-presence BITMASK — pair co-occurrence is then a
+    vectorized popcount-style partial summed by one 15-key groupby.
+    Nothing larger than (pairs × batches) short rows is shuffled.
+    """
+    from ray.data.aggregate import Sum
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        counts: dict = {}
+        for txt in t["text"].to_pylist():
+            for tok in set((txt or "").lower().split()):
+                counts[tok] = counts.get(tok, 0) + 1
+        terms = sorted(counts)
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "df": pa.array([counts[x] for x in terms], pa.int64()),
+            "bucket": pa.array(_md5_mod(terms, n_buckets), pa.int64()),
+        })
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("term", as_index=False)["df"].sum()
+        agg = agg.sort_values(["df", "term"],
+                              ascending=[False, True]).head(n_terms)
+        agg["df"] = agg["df"].astype("int64")
+        return agg
+
+    top = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(df_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .repartition(1)
+    ).to_pandas().sort_values(["df", "term"],
+                              ascending=[False, True]).head(n_terms)
+    terms = top["term"].tolist()
+    dfs = dict(zip(terms, top["df"].astype(int)))
+    t_ref = ray.put(terms)
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        tl = ray.get(t_ref)
+        idx = {x: i for i, x in enumerate(tl)}
+        npairs = len(tl) * (len(tl) - 1) // 2
+        acc = np.zeros(npairs, np.int64)
+        pair_ix = {}
+        k = 0
+        for i in range(len(tl)):
+            for j in range(i + 1, len(tl)):
+                pair_ix[(i, j)] = k
+                k += 1
+        for txt in t["text"].to_pylist():
+            present = sorted({idx[x] for x in (txt or "").lower().split()
+                              if x in idx})
+            for a in range(len(present)):
+                for b in range(a + 1, len(present)):
+                    acc[pair_ix[(present[a], present[b])]] += 1
+        return pa.table({
+            "pair": pa.array(np.arange(npairs), pa.int64()),
+            "n_both": pa.array(acc, pa.int64()),
+        })
+
+    both = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("n_both", alias_name="n_both"))
+    ).to_pandas()
+    both_m = dict(zip(both["pair"].astype(int), both["n_both"].astype(int)))
+
+    rows = []
+    k = 0
+    for i in range(len(terms)):
+        for j in range(i + 1, len(terms)):
+            a, b = sorted((terms[i], terms[j]))
+            da, db = dfs[a], dfs[b]
+            nb = both_m.get(k, 0)
+            lo, hi = min(da, db), max(da, db)
+            merge = da + db
+            gallop = lo * (1 + (hi // lo).bit_length())
+            union = da + db - nb
+            jac = (1_000_000 * nb + union // 2) // union if union else 0
+            rows.append((a, b, da, db, nb, merge, gallop, jac))
+            k += 1
+    rows.sort(key=lambda r: (r[0], r[1]))
+    return pa.table({
+        "term_a": pa.array([r[0] for r in rows], pa.string()),
+        "term_b": pa.array([r[1] for r in rows], pa.string()),
+        "df_a": pa.array([r[2] for r in rows], pa.int64()),
+        "df_b": pa.array([r[3] for r in rows], pa.int64()),
+        "n_both": pa.array([r[4] for r in rows], pa.int64()),
+        "merge_cost": pa.array([r[5] for r in rows], pa.int64()),
+        "gallop_cost": pa.array([r[6] for r in rows], pa.int64()),
+        "jaccard_micro": pa.array([r[7] for r in rows], pa.int64()),
+    })
