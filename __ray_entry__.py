@@ -2851,6 +2851,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "benford_digit_audit": rel.benford_digit_audit,
         "bfs_hops": rel.bfs_hops,
         "posting_intersection_costs": rel.posting_intersection_costs,
+        "zonemap_pruning_audit": rel.zonemap_pruning_audit,
     }
 
 
@@ -4582,6 +4583,47 @@ def oracle_sql() -> dict[str, str]:
             FROM pic_top a
               JOIN pic_top b ON a.term < b.term
               LEFT JOIN pic_b nb ON nb.ta = a.term AND nb.tb = b.term
+        """,
+        "zonemap_pruning_audit": r"""
+            WITH zma_z AS (
+              SELECT l_orderkey // 512 AS zone,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(MIN(datediff('day', DATE '1970-01-01',
+                          CAST(l_shipdate AS DATE))) AS BIGINT) AS mn,
+                     CAST(MAX(datediff('day', DATE '1970-01-01',
+                          CAST(l_shipdate AS DATE))) AS BIGINT) AS mx,
+                     CAST(SUM(CASE WHEN CAST(l_shipdate AS DATE)
+                                        >= DATE '1997-01-01'
+                                    AND CAST(l_shipdate AS DATE)
+                                        <= DATE '1997-06-30'
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_match
+              FROM lineitem GROUP BY 1
+            ), zma_lim AS (
+              SELECT datediff('day', DATE '1970-01-01',
+                              DATE '1997-01-01') AS lo,
+                     datediff('day', DATE '1970-01-01',
+                              DATE '1997-06-30') AS hi
+            ), zma_c AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_zones,
+                     CAST(SUM(CASE WHEN mx < l.lo OR mn > l.hi
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_skippable,
+                     CAST(SUM(n) AS BIGINT) AS rows_total,
+                     CAST(SUM(CASE WHEN mx < l.lo OR mn > l.hi
+                                   THEN n ELSE 0 END) AS BIGINT)
+                       AS rows_skipped,
+                     CAST(SUM(n_match) AS BIGINT) AS rows_matching
+              FROM zma_z, zma_lim l GROUP BY l.lo, l.hi
+            )
+            SELECT n_zones, n_skippable,
+                   CAST(n_zones - n_skippable AS BIGINT)
+                     AS n_scanned_zones,
+                   rows_total, rows_skipped, rows_matching,
+                   CAST((1000000 * (rows_total - rows_skipped)
+                         + rows_total // 2) // rows_total AS BIGINT)
+                     AS scan_fraction_micro
+            FROM zma_c
         """,
         "kwic_snippets": r"""
             WITH kw_d AS (

@@ -11141,3 +11141,86 @@ def posting_intersection_costs(sf_dir: str, n_terms: int = 6,
         "gallop_cost": pa.array([r[6] for r in rows], pa.int64()),
         "jaccard_micro": pa.array([r[7] for r in rows], pa.int64()),
     })
+
+
+def zonemap_pruning_audit(sf_dir: str, zone_keys: int = 512,
+                          d_lo: str = "1997-01-01",
+                          d_hi: str = "1997-06-30"):
+    """Zone-map (min/max sketch) pruning audit for a shipdate range
+    predicate over lineitem clustered by order key: zones are
+    ``l_orderkey // zone_keys`` key blocks, each zone keeps only
+    (n_rows, min_ship, max_ship), and the audit reports how many zones
+    the predicate ``d_lo ≤ shipdate ≤ d_hi`` can SKIP outright
+    (max < lo or min > hi), how many it must scan, the exact rows in
+    each class, the true matching rows, and the scan fraction in micro
+    units — the storage-layout question ("does clustering by order key
+    help a date predicate?") answered with exact numbers.  Dates
+    compare as integer epoch-days on both engines.
+
+    Topology: per-batch (zone, n, min, max, n_match) pre-aggregates →
+    one zone-keyed groupby (Min/Max/Sum aggregates — cardinality =
+    #zones, the thing being built); zone classification is a
+    vectorized map over zone rows emitting count partials, so the
+    driver sees one row however many zones exist.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    lo = int(np.datetime64(d_lo).astype("datetime64[D]").astype(np.int64))
+    hi = int(np.datetime64(d_hi).astype("datetime64[D]").astype(np.int64))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[D]").astype(np.int64)
+        df = pd.DataFrame({
+            "zone": ok // zone_keys, "sd": sd,
+            "match": ((sd >= lo) & (sd <= hi)).astype(np.int64),
+        }).groupby("zone", as_index=False).agg(
+            n=("sd", "size"), mn=("sd", "min"), mx=("sd", "max"),
+            n_match=("match", "sum"))
+        return pa.Table.from_pandas(df.astype("int64"),
+                                    preserve_index=False)
+
+    zones = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("zone")
+        .aggregate(Sum("n", alias_name="n"), Min("mn", alias_name="mn"),
+                   Max("mx", alias_name="mx"),
+                   Sum("n_match", alias_name="n_match"))
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        mn = t["mn"].to_numpy(zero_copy_only=False)
+        mx = t["mx"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        nm = t["n_match"].to_numpy(zero_copy_only=False)
+        skip = (mx < lo) | (mn > hi)
+        return pa.table({
+            "g": pa.array([0], pa.int32()),
+            "n_zones": pa.array([len(mn)], pa.int64()),
+            "n_skippable": pa.array([int(skip.sum())], pa.int64()),
+            "rows_total": pa.array([int(n.sum())], pa.int64()),
+            "rows_skipped": pa.array([int(n[skip].sum())], pa.int64()),
+            "rows_matching": pa.array([int(nm.sum())], pa.int64()),
+        })
+
+    agg = (zones.map_batches(classify, batch_format="pyarrow")
+           .repartition(1)).to_pandas()
+    n_zones = int(agg["n_zones"].sum())
+    n_skip = int(agg["n_skippable"].sum())
+    total = int(agg["rows_total"].sum())
+    skipped = int(agg["rows_skipped"].sum())
+    matching = int(agg["rows_matching"].sum())
+    scanned = total - skipped
+    frac = (1_000_000 * scanned + total // 2) // total
+    return pa.table({
+        "n_zones": pa.array([n_zones], pa.int64()),
+        "n_skippable": pa.array([n_skip], pa.int64()),
+        "n_scanned_zones": pa.array([n_zones - n_skip], pa.int64()),
+        "rows_total": pa.array([total], pa.int64()),
+        "rows_skipped": pa.array([skipped], pa.int64()),
+        "rows_matching": pa.array([matching], pa.int64()),
+        "scan_fraction_micro": pa.array([frac], pa.int64()),
+    })
