@@ -2852,6 +2852,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "bfs_hops": rel.bfs_hops,
         "posting_intersection_costs": rel.posting_intersection_costs,
         "zonemap_pruning_audit": rel.zonemap_pruning_audit,
+        "gini_concentration": rel.gini_concentration,
     }
 
 
@@ -4624,6 +4625,40 @@ def oracle_sql() -> dict[str, str]:
                          + rows_total // 2) // rows_total AS BIGINT)
                      AS scan_fraction_micro
             FROM zma_c
+        """,
+        "gini_concentration": r"""
+            WITH gc_v AS MATERIALIZED (
+              SELECT o_custkey,
+                     CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS x
+              FROM orders GROUP BY o_custkey
+            ), gc_r AS (
+              SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn,
+                     ROW_NUMBER() OVER (ORDER BY x DESC) AS rd
+              FROM gc_v
+            ), gc_n AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(x) AS BIGINT) AS s
+              FROM gc_v
+            ), gc_s AS (
+              SELECT nn.n, nn.s,
+                     SUM(CAST(rn AS HUGEINT) * x) AS a,
+                     CAST(SUM(CASE WHEN rd <= (nn.n + 99) // 100
+                                   THEN x ELSE 0 END) AS BIGINT) AS t1,
+                     CAST(SUM(CASE WHEN rd <= (nn.n + 9) // 10
+                                   THEN x ELSE 0 END) AS BIGINT) AS t10
+              FROM gc_r, gc_n nn GROUP BY nn.n, nn.s
+            )
+            SELECT n AS n_customers, s AS sum_cents,
+                   CAST((1000000 * (2 * a - CAST(n + 1 AS HUGEINT) * s)
+                         + (CAST(n AS HUGEINT) * s) // 2)
+                        // (CAST(n AS HUGEINT) * s) AS BIGINT)
+                     AS gini_micro,
+                   CAST((1000000 * CAST(t1 AS HUGEINT) + s // 2) // s
+                        AS BIGINT) AS top1pct_share_micro,
+                   CAST((1000000 * CAST(t10 AS HUGEINT) + s // 2) // s
+                        AS BIGINT) AS top10pct_share_micro
+            FROM gc_s
         """,
         "kwic_snippets": r"""
             WITH kw_d AS (

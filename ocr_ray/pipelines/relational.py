@@ -11224,3 +11224,82 @@ def zonemap_pruning_audit(sf_dir: str, zone_keys: int = 512,
         "rows_matching": pa.array([matching], pa.int64()),
         "scan_fraction_micro": pa.array([frac], pa.int64()),
     })
+
+
+def gini_concentration(sf_dir: str):
+    """Exact Gini coefficient and top-1% / top-10% revenue shares over
+    per-customer order totals — the skew report that decides salting
+    and partition budgets.  With sorted per-customer revenues x (tie
+    order irrelevant: equal values contribute identically to the rank
+    sum), ``G = (2A − (N+1)S) / (N·S)`` where ``A = Σ rankᵢ·xᵢ`` — all
+    exact int64/Python ints, one half-up division into micro units;
+    top-k% shares take the ceil(N/k) highest customers' exact sum.
+
+    Topology: per-customer totals ride one md5(custkey)-bucket
+    exchange (per-batch pre-agg); each bucket emits its VALUE-COUNT
+    map partial (the doc_length_quantiles discipline — distinct
+    revenue values with counts), and the repartition(1) tail walks the
+    merged sorted counts once.  At an unbounded value domain the map
+    swaps for fixed histogram buckets, same topology.
+    """
+    n_buckets = DEFAULT_CONFIG.near_dup_coarse_buckets
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "cust": t["o_custkey"].to_numpy(zero_copy_only=False),
+            "x": _cents(t["o_totalprice"], 100).to_numpy(
+                zero_copy_only=False),
+        }).groupby("cust", as_index=False)["x"].sum()
+        df["bucket"] = _md5_mod(df["cust"], n_buckets).astype(np.int32)
+        df["x"] = df["x"].astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("cust", as_index=False)["x"].sum()
+        vc = per.groupby("x", as_index=False).size().rename(
+            columns={"size": "c"})
+        return vc.astype("int64")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df.groupby("x", as_index=False)["c"].sum().sort_values("x")
+        vals = vc["x"].to_numpy(np.int64)
+        cnts = vc["c"].to_numpy(np.int64)
+        N = int(cnts.sum())
+        S = int((vals.astype(object) * cnts.astype(object)).sum())
+        # rank sum A over runs: run of c equal v starting at rank r
+        # contributes v*(c*r + c*(c-1)//2)
+        A, r = 0, 1
+        for v, c in zip(vals.tolist(), cnts.tolist()):
+            A += v * (c * r + c * (c - 1) // 2)
+            r += c
+        num = 2 * A - (N + 1) * S
+        den = N * S
+        gini = (1_000_000 * num + den // 2) // den
+
+        def top_share(frac_den: int) -> int:
+            m = -(-N // frac_den)  # ceil(N / frac_den)
+            left, tot = m, 0
+            for v, c in zip(vals.tolist()[::-1], cnts.tolist()[::-1]):
+                take = min(left, c)
+                tot += take * v
+                left -= take
+                if not left:
+                    break
+            return (1_000_000 * tot + S // 2) // S
+
+        return pd.DataFrame({
+            "n_customers": pd.array([N], "int64"),
+            "sum_cents": pd.array([S], "int64"),
+            "gini_micro": pd.array([gini], "int64"),
+            "top1pct_share_micro": pd.array([top_share(100)], "int64"),
+            "top10pct_share_micro": pd.array([top_share(10)], "int64"),
+        })
+
+    return (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_fold, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )
