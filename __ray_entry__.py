@@ -2853,6 +2853,8 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "posting_intersection_costs": rel.posting_intersection_costs,
         "zonemap_pruning_audit": rel.zonemap_pruning_audit,
         "gini_concentration": rel.gini_concentration,
+        "jl_projection_audit": rel.jl_projection_audit,
+        "k_anonymity_audit": rel.k_anonymity_audit,
     }
 
 
@@ -4659,6 +4661,73 @@ def oracle_sql() -> dict[str, str]:
                    CAST((1000000 * CAST(t10 AS HUGEINT) + s // 2) // s
                         AS BIGINT) AS top10pct_share_micro
             FROM gc_s
+        """,
+        "jl_projection_audit": r"""
+            WITH jl_s AS MATERIALIZED (
+              SELECT i.i, j.j,
+                     CASE WHEN md5_number_lower('jl_'
+                            || CAST(i.i AS VARCHAR) || '_'
+                            || CAST(j.j AS VARCHAR)) % 2 = 0
+                          THEN 1 ELSE -1 END AS sg
+              FROM (SELECT unnest(range(0, 64)) AS i) i,
+                   (SELECT unnest(range(0, 16)) AS j) j
+            ), jl_q AS MATERIALIZED (
+              SELECT vec_id, list_transform(embedding,
+                       x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000)
+                                 AS BIGINT)) AS v
+              FROM embeddings WHERE vec_id < 50
+            ), jl_p AS MATERIALIZED (
+              SELECT q.vec_id, s.j,
+                     CAST(SUM(q.v[CAST(s.i + 1 AS INTEGER)] * s.sg)
+                          AS BIGINT) AS pj
+              FROM jl_q q, jl_s s GROUP BY q.vec_id, s.j
+            ), jl_do AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     CAST(SUM((a.v[r.i] - b.v[r.i])
+                              * (a.v[r.i] - b.v[r.i])) AS BIGINT)
+                       AS d2_orig
+              FROM jl_q a
+                JOIN jl_q b ON b.vec_id = a.vec_id + 1
+                           AND a.vec_id % 2 = 0,
+                (SELECT unnest(range(1, 65)) AS i) r
+              GROUP BY a.vec_id, b.vec_id
+            ), jl_dp AS (
+              SELECT a.vec_id AS id_a,
+                     CAST(SUM((a.pj - b.pj) * (a.pj - b.pj)) AS BIGINT)
+                       AS d2_proj
+              FROM jl_p a JOIN jl_p b
+                ON b.vec_id = a.vec_id + 1 AND a.vec_id % 2 = 0
+                   AND a.j = b.j
+              GROUP BY a.vec_id
+            )
+            SELECT o.id_a, o.id_b, o.d2_orig, p.d2_proj,
+                   CAST(CASE WHEN o.d2_orig > 0 THEN
+                     (1000000 * p.d2_proj + (16 * o.d2_orig) // 2)
+                     // (16 * o.d2_orig) ELSE 0 END AS BIGINT)
+                     AS ratio_micro
+            FROM jl_do o JOIN jl_dp p ON o.id_a = p.id_a
+        """,
+        "k_anonymity_audit": r"""
+            WITH ka_c AS (
+              SELECT lang, source, n_chars // 100 AS nb,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM documents GROUP BY 1, 2, 3
+            ), ka_s AS (
+              SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+                     CAST(COUNT(*) AS BIGINT) AS n_classes,
+                     CAST(SUM(CASE WHEN c < 5 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_unsafe_classes,
+                     CAST(SUM(CASE WHEN c < 5 THEN c ELSE 0 END)
+                          AS BIGINT) AS rows_at_risk,
+                     CAST(MIN(c) AS BIGINT) AS min_class,
+                     CAST(MAX(c) AS BIGINT) AS max_class
+              FROM ka_c
+            )
+            SELECT n_rows, n_classes, n_unsafe_classes, rows_at_risk,
+                   CAST((1000000 * rows_at_risk + n_rows // 2)
+                        // n_rows AS BIGINT) AS risk_micro,
+                   min_class, max_class
+            FROM ka_s
         """,
         "kwic_snippets": r"""
             WITH kw_d AS (

@@ -11303,3 +11303,145 @@ def gini_concentration(sf_dir: str):
         .repartition(1)
         .map_batches(final, batch_format="pandas", batch_size=None)
     )
+
+
+def jl_projection_audit(sf_dir: str, d_out: int = 16, n_pairs: int = 25):
+    """Johnson-Lindenstrauss distance-preservation audit: project the
+    milli-quantized embeddings through a DETERMINISTIC Rademacher ±1
+    matrix (``sign(i,j) = +1 iff md5('jl_i_j') is even`` — the
+    oracle-reproducible coin) down to d_out dims and compare, for
+    n_pairs fixed pairs (2t, 2t+1), the exact integer squared
+    distances: ``E[d²_proj] = d_out·d²_orig`` for Rademacher rows, so
+    ``ratio_micro = (1e6·d²_proj) / (d_out·d²_orig)`` (half-up) sits
+    near 1e6 when the projection preserves geometry.  Everything after
+    quantization is int64 adds — both engines replay identical sums.
+
+    Topology: the sign matrix (64×16 ints) broadcasts; one filtered
+    scan projects ONLY the 2·n_pairs sampled vectors (each batch keeps
+    its members, computes q and p locally, emits one short row per
+    vector); the repartition(1) tail pairs them.  The audit cost is
+    independent of corpus size.
+    """
+    from ocr_ray.pipelines.simsearch import _to_matrix
+
+    max_id = 2 * n_pairs
+
+    def quant(mat: np.ndarray) -> np.ndarray:
+        x = mat * 1000.0
+        return np.copysign(np.floor(np.abs(x) + 0.5), x).astype(np.int64)
+
+    def signs(d_in: int) -> np.ndarray:
+        keys = [f"jl_{i}_{j}" for i in range(d_in) for j in range(d_out)]
+        u = _md5_u64(keys)
+        s = np.where(u % np.uint64(2) == 0, 1, -1).astype(np.int64)
+        return s.reshape(d_in, d_out)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids < max_id
+        if not keep.any():
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "q": pa.array([], pa.binary()),
+                "p": pa.array([], pa.binary()),
+            })
+        mat = _to_matrix(t["embedding"])[keep]
+        q = quant(mat)
+        p = q @ signs(q.shape[1])
+        return pa.table({
+            "vec_id": pa.array(ids[keep], pa.int64()),
+            "q": pa.array([r.tobytes() for r in q], pa.binary()),
+            "p": pa.array([r.tobytes() for r in p], pa.binary()),
+        })
+
+    rows = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+    ).to_pandas().sort_values("vec_id")
+
+    by_id = {int(r.vec_id): (np.frombuffer(r.q, np.int64),
+                             np.frombuffer(r.p, np.int64))
+             for r in rows.itertuples(index=False)}
+    out = []
+    for t in range(n_pairs):
+        a, b = 2 * t, 2 * t + 1
+        if a not in by_id or b not in by_id:
+            continue
+        qa, pa_ = by_id[a]
+        qb, pb = by_id[b]
+        d2o = int(((qa - qb) ** 2).sum())
+        d2p = int(((pa_ - pb) ** 2).sum())
+        den = d_out * d2o
+        ratio = (1_000_000 * d2p + den // 2) // den if den else 0
+        out.append((a, b, d2o, d2p, ratio))
+    return pa.table({
+        "id_a": pa.array([r[0] for r in out], pa.int64()),
+        "id_b": pa.array([r[1] for r in out], pa.int64()),
+        "d2_orig": pa.array([r[2] for r in out], pa.int64()),
+        "d2_proj": pa.array([r[3] for r in out], pa.int64()),
+        "ratio_micro": pa.array([r[4] for r in out], pa.int64()),
+    })
+
+
+def k_anonymity_audit(sf_dir: str, k: int = 5):
+    """k-anonymity audit over the quasi-identifier tuple (lang,
+    source, n_chars // 100): equivalence-class size distribution and
+    the fraction of rows in classes smaller than k — the
+    re-identification risk screen a release pipeline runs before
+    publishing.  Reports (n_rows, n_classes, n_unsafe_classes,
+    rows_at_risk, risk_micro, min_class, max_class).
+
+    Pure partial-aggregation: per-batch (qid-tuple, count) partials,
+    one class-keyed groupby (cardinality = #classes), then a
+    vectorized classify-and-sum map emits one row per block for the
+    repartition(1) fold — the driver never sees per-class rows.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": t["lang"].to_numpy(zero_copy_only=False),
+            "source": t["source"].to_numpy(zero_copy_only=False),
+            "nb": (t["n_chars"].to_numpy(zero_copy_only=False)
+                   .astype(np.int64) // 100),
+        }).groupby(["lang", "source", "nb"], as_index=False).size()
+        df["size"] = df["size"].astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    classes = (
+        _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source", "nb"])
+        .aggregate(Sum("size", alias_name="c"))
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False)
+        unsafe = c < k
+        return pa.table({
+            "n_rows": pa.array([int(c.sum())], pa.int64()),
+            "n_classes": pa.array([len(c)], pa.int64()),
+            "n_unsafe_classes": pa.array([int(unsafe.sum())], pa.int64()),
+            "rows_at_risk": pa.array([int(c[unsafe].sum())], pa.int64()),
+            "min_class": pa.array([int(c.min()) if len(c) else 0],
+                                  pa.int64()),
+            "max_class": pa.array([int(c.max()) if len(c) else 0],
+                                  pa.int64()),
+        })
+
+    agg = (classes.map_batches(classify, batch_format="pyarrow")
+           .repartition(1)).to_pandas()
+    n = int(agg["n_rows"].sum())
+    risk = int(agg["rows_at_risk"].sum())
+    return pa.table({
+        "n_rows": pa.array([n], pa.int64()),
+        "n_classes": pa.array([int(agg["n_classes"].sum())], pa.int64()),
+        "n_unsafe_classes": pa.array(
+            [int(agg["n_unsafe_classes"].sum())], pa.int64()),
+        "rows_at_risk": pa.array([risk], pa.int64()),
+        "risk_micro": pa.array([(1_000_000 * risk + n // 2) // n],
+                               pa.int64()),
+        "min_class": pa.array([int(agg["min_class"].min())], pa.int64()),
+        "max_class": pa.array([int(agg["max_class"].max())], pa.int64()),
+    })
