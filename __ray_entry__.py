@@ -2855,6 +2855,7 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "gini_concentration": rel.gini_concentration,
         "jl_projection_audit": rel.jl_projection_audit,
         "k_anonymity_audit": rel.k_anonymity_audit,
+        "err_eval": rel.err_eval,
     }
 
 
@@ -4728,6 +4729,84 @@ def oracle_sql() -> dict[str, str]:
                         // n_rows AS BIGINT) AS risk_micro,
                    min_class, max_class
             FROM ka_s
+        """,
+        "err_eval": r"""
+            WITH RECURSIVE err_d AS MATERIALIZED (
+              SELECT doc_id, regexp_split_to_array(
+                       lower(coalesce(text, '')), '\s+') AS arr
+              FROM documents
+            ), err_rel AS MATERIALIZED (
+              SELECT doc_id,
+                     CAST(list_contains(arr, 'table') AS BIGINT)
+                     + CAST(list_contains(arr, 'hash') AS BIGINT)
+                     + CAST(list_contains(arr, 'join') AS BIGINT) AS g
+              FROM err_d
+            ), err_toks AS MATERIALIZED (
+              SELECT doc_id, unnest(arr) AS term FROM err_d
+            ), err_lens AS MATERIALIZED (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+              FROM err_toks WHERE term <> '' GROUP BY doc_id
+            ), err_q AS (
+              SELECT * FROM (VALUES ('table'), ('hash'), ('join')) t(term)
+            ), err_tf AS MATERIALIZED (
+              SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM err_toks JOIN err_q USING (term)
+              GROUP BY doc_id, term
+            ), err_st AS MATERIALIZED (
+              SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM err_d)
+                       AS n_docs,
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM err_toks
+                      WHERE term <> '') AS sum_dl
+            ), err_df AS MATERIALIZED (
+              SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM err_toks JOIN err_q USING (term) GROUP BY term
+            ), err_con AS (
+              SELECT tf.doc_id,
+                CAST(ROUND(1000000.0 * (
+                  (ln(((CAST(s.n_docs AS DOUBLE) - df.df) + 0.5)
+                      / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+                   * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)))
+                  / (CAST(tf.tf AS DOUBLE)
+                     + 1.2 * ((1.0 - 0.75)
+                              + (0.75 * CAST(l.dl AS DOUBLE))
+                                / (CAST(s.sum_dl AS DOUBLE)
+                                   / s.n_docs)))
+                )) AS BIGINT) AS c
+              FROM err_tf tf
+                JOIN err_df df USING (term)
+                JOIN err_lens l ON tf.doc_id = l.doc_id,
+                err_st s
+            ), err_top AS MATERIALIZED (
+              SELECT doc_id,
+                     ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id)
+                       AS r
+              FROM (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_e6
+                    FROM err_con GROUP BY doc_id
+                    ORDER BY score_e6 DESC, doc_id LIMIT 10)
+            ), err_g AS MATERIALIZED (
+              SELECT t.r, rel.g FROM err_top t
+              JOIN err_rel rel USING (doc_id)
+            ), err_n AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS nk FROM err_g
+            ), err_rec AS (
+              SELECT CAST(0 AS BIGINT) AS r, CAST(0 AS HUGEINT) AS acc,
+                     CAST(1 AS HUGEINT) AS pnum,
+                     CAST(1 AS HUGEINT) AS pden
+              UNION ALL
+              SELECT g.r,
+                     e.acc + (CAST(2705829396480 AS HUGEINT)
+                              // (g.r * 8 * e.pden))
+                             * ((CAST(1 AS BIGINT)
+                                 << CAST(g.g AS INTEGER)) - 1) * e.pnum,
+                     e.pnum * (8 - ((CAST(1 AS BIGINT)
+                                     << CAST(g.g AS INTEGER)) - 1)),
+                     e.pden * 8
+              FROM err_rec e JOIN err_g g ON g.r = e.r + 1
+            )
+            SELECT n.nk AS n_ranked,
+                   CAST((1000000 * e.acc + 2705829396480 // 2)
+                        // 2705829396480 AS BIGINT) AS err_micro
+            FROM err_rec e, err_n n WHERE e.r = n.nk
         """,
         "kwic_snippets": r"""
             WITH kw_d AS (

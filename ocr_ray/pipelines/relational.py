@@ -11445,3 +11445,70 @@ def k_anonymity_audit(sf_dir: str, k: int = 5):
         "min_class": pa.array([int(agg["min_class"].min())], pa.int64()),
         "max_class": pa.array([int(agg["max_class"].max())], pa.int64()),
     })
+
+
+def err_eval(sf_dir: str, query: str = "table hash join", k: int = 10):
+    """Expected Reciprocal Rank of the BM25 ranking (the cascade-model
+    eval beside ndcg_eval): with graded relevance g = #distinct query
+    terms present (0..3 here) and stop probability R = (2^g − 1) /
+    2^g_max = (2^g − 1)/8, ``ERR = Σ_r (1/r)·R_r·Π_{i<r}(1 − R_i)``.
+
+    The rational trick that keeps BOTH engines exact: every R has
+    denominator 8, so with S = lcm(1..k)·8^k each term
+    ``(S // (r·8^r))·num(R_r)·Π num(1 − R_i)`` is an exact integer
+    (Python unbounded ints / DuckDB HUGEINT), ERR_scaled sums them,
+    and ERR_micro is one half-up division by S.  The oracle walks the
+    same ranked list through a (rank, running product, accumulator)
+    recursive CTE.  Output one row: (n_ranked, err_micro).
+
+    Topology: the ranking is the bounded bm25_search top-k; ONE corpus
+    pass computes the k ranked docs' grades (short rows); the cascade
+    recursion runs on ≤ k rows in the repartition(1) tail.
+    """
+    import math
+
+    terms = sorted({t for t in query.lower().split() if t})
+    g_max = len(terms)
+    top = bm25_search(sf_dir, query, k=k).to_pandas()
+    rank = {int(d): i + 1 for i, d in enumerate(top["doc_id"])}
+    rref = ray.put((rank, set(terms)))
+
+    def grade_partial(t: pa.Table) -> pa.Table:
+        rk, tset = ray.get(rref)
+        ids, gr, rr = [], [], []
+        for did, txt in zip(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist()):
+            if did in rk:
+                ids.append(did)
+                gr.append(len(tset & set((txt or "").lower().split())))
+                rr.append(rk[did])
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "r": pa.array(rr, pa.int64()),
+            "g": pa.array(gr, pa.int64()),
+        })
+
+    def finalize(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values("r")
+        denom_r = 1 << g_max  # 2^g_max
+        L = math.lcm(*range(1, k + 1))
+        S = L * denom_r ** k
+        acc, pnum, pden = 0, 1, 1   # Π(1-R_i) = pnum / pden, pden=8^(r-1)
+        for row in df.itertuples(index=False):
+            r, g = int(row.r), int(row.g)
+            rn = (1 << g) - 1
+            # term = (1/r)·(rn/8)·(pnum/pden); S divisible by r·8·pden
+            acc += (S // (r * denom_r * pden)) * rn * pnum
+            pnum *= denom_r - rn
+            pden *= denom_r
+        err_micro = (1_000_000 * acc + S // 2) // S
+        return pa.table({
+            "n_ranked": pa.array([len(df)], pa.int64()),
+            "err_micro": pa.array([err_micro], pa.int64()),
+        })
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(grade_partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(finalize, batch_format="pyarrow",
+                         batch_size=None))
