@@ -2856,6 +2856,8 @@ def _raw_queries(rel, win) -> dict[str, Callable[[str], Any]]:
         "jl_projection_audit": rel.jl_projection_audit,
         "k_anonymity_audit": rel.k_anonymity_audit,
         "err_eval": rel.err_eval,
+        "salt_plan_audit": rel.salt_plan_audit,
+        "l_diversity_audit": rel.l_diversity_audit,
     }
 
 
@@ -4807,6 +4809,78 @@ def oracle_sql() -> dict[str, str]:
                    CAST((1000000 * e.acc + 2705829396480 // 2)
                         // 2705829396480 AS BIGINT) AS err_micro
             FROM err_rec e, err_n n WHERE e.r = n.nk
+        """,
+        "salt_plan_audit": r"""
+            WITH sp_c AS MATERIALIZED (
+              SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS c
+              FROM events GROUP BY user_id
+            ), sp_plain AS (
+              SELECT md5_number_lower(CAST(key AS VARCHAR)) % 16 AS p,
+                     CAST(SUM(c) AS BIGINT) AS load
+              FROM sp_c GROUP BY 1
+            ), sp_cold AS (
+              SELECT md5_number_lower(CAST(key AS VARCHAR)) % 16 AS p,
+                     CAST(SUM(c) AS BIGINT) AS load
+              FROM sp_c WHERE c <= 200 GROUP BY 1
+            ), sp_hot AS (
+              SELECT md5_number_lower(CAST(key AS VARCHAR) || '#'
+                       || CAST(s.i AS VARCHAR)) % 16 AS p,
+                     CAST(SUM(c // 8 + CASE WHEN s.i < c % 8
+                                            THEN 1 ELSE 0 END)
+                          AS BIGINT) AS load
+              FROM sp_c, (SELECT unnest(range(0, 8)) AS i) s
+              WHERE c > 200 GROUP BY 1
+            ), sp_salt AS (
+              SELECT p, CAST(SUM(load) AS BIGINT) AS load
+              FROM (SELECT * FROM sp_cold
+                    UNION ALL SELECT * FROM sp_hot)
+              GROUP BY p
+            ), sp_j AS (
+              SELECT CAST(pt.partition AS BIGINT) AS partition,
+                     CAST(COALESCE(pl.load, 0) AS BIGINT)
+                       AS load_plain,
+                     CAST(COALESCE(sl.load, 0) AS BIGINT)
+                       AS load_salted
+              FROM (SELECT unnest(range(0, 16)) AS partition) pt
+                LEFT JOIN sp_plain pl ON pt.partition = pl.p
+                LEFT JOIN sp_salt sl ON pt.partition = sl.p
+            )
+            SELECT partition, load_plain, load_salted,
+                   CAST(MAX(load_plain) OVER () AS BIGINT) AS max_plain,
+                   CAST(MAX(load_salted) OVER () AS BIGINT)
+                     AS max_salted,
+                   CAST((1000000 * (MAX(load_plain) OVER ()
+                                    - MAX(load_salted) OVER ())
+                         + MAX(load_plain) OVER () // 2)
+                        // MAX(load_plain) OVER () AS BIGINT)
+                     AS improvement_micro
+            FROM sp_j
+        """,
+        "l_diversity_audit": r"""
+            WITH ld_c AS (
+              SELECT source, n_chars // 100 AS nb, lang,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM documents GROUP BY 1, 2, 3
+            ), ld_cls AS (
+              SELECT source, nb, CAST(SUM(c) AS BIGINT) AS n,
+                     CAST(COUNT(DISTINCT lang) AS BIGINT) AS div
+              FROM ld_c GROUP BY 1, 2
+            ), ld_s AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+                     CAST(SUM(CASE WHEN div < 2 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_unsafe_classes,
+                     CAST(SUM(CASE WHEN div < 2 THEN n ELSE 0 END)
+                          AS BIGINT) AS rows_in_unsafe,
+                     CAST(SUM(n) AS BIGINT) AS rows_total,
+                     CAST(MIN(div) AS BIGINT) AS min_diversity,
+                     CAST(MAX(div) AS BIGINT) AS max_diversity
+              FROM ld_cls
+            )
+            SELECT n_classes, n_unsafe_classes, rows_in_unsafe,
+                   CAST((1000000 * rows_in_unsafe + rows_total // 2)
+                        // rows_total AS BIGINT) AS disclosure_micro,
+                   min_diversity, max_diversity
+            FROM ld_s
         """,
         "kwic_snippets": r"""
             WITH kw_d AS (

@@ -11512,3 +11512,138 @@ def err_eval(sf_dir: str, query: str = "table hash join", k: int = 10):
             .repartition(1)
             .map_batches(finalize, batch_format="pyarrow",
                          batch_size=None))
+
+
+def salt_plan_audit(sf_dir: str, n_parts: int = 16, hot_threshold: int = 200,
+                    n_salts: int = 8, n_buckets: int = 64):
+    """Hot-key salting plan audit — the skew mitigation this repo
+    applies to its own exchanges, quantified on the events user_id
+    distribution: partition loads under plain ``md5(key) % n_parts``,
+    then under the salted plan where every key with count >
+    hot_threshold splits round-robin into n_salts sub-keys
+    (``md5(key ∥ '#' ∥ salt)``, sub-load ``c//s + (i < c mod s)``), and
+    the max-load improvement in micro units.  Every load is an exact
+    integer; the salted assignment is deterministic, so the DuckDB
+    oracle rebuilds the identical plan.
+
+    One md5(key)-bucket exchange of per-batch (key, count) partials;
+    each bucket computes BOTH plans' per-partition load partials for
+    its keys (a key's whole count lives in one bucket) and emits ≤
+    2·n_parts short rows; the driver folds ≤ buckets·2·n_parts rows.
+    Output per partition: (partition, load_plain, load_salted) plus
+    the global (max_plain, max_salted, improvement_micro) repeated.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "key": t["user_id"].to_numpy(zero_copy_only=False),
+        }).groupby("key", as_index=False).size()
+        df["size"] = df["size"].astype("int64")
+        df["bucket"] = _md5_mod(df["key"], n_buckets).astype(np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("key", as_index=False)["size"].sum()
+        keys = per["key"].tolist()
+        cnt = per["size"].to_numpy(np.int64)
+        part = _md5_mod(keys, n_parts)
+        plain = np.zeros(n_parts, np.int64)
+        np.add.at(plain, part, cnt)
+        salted = np.zeros(n_parts, np.int64)
+        hot = cnt > hot_threshold
+        np.add.at(salted, part[~hot], cnt[~hot])
+        for k, c in zip(np.asarray(keys)[hot], cnt[hot]):
+            subs = _md5_mod([f"{k}#{i}" for i in range(n_salts)], n_parts)
+            for i, p in enumerate(subs):
+                salted[p] += c // n_salts + (1 if i < c % n_salts else 0)
+        return pd.DataFrame({
+            "partition": pd.array(range(n_parts), "int64"),
+            "load_plain": pd.array(plain, "int64"),
+            "load_salted": pd.array(salted, "int64"),
+        })
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("partition", as_index=False)[
+            ["load_plain", "load_salted"]].sum()
+        mp = int(out["load_plain"].max())
+        ms = int(out["load_salted"].max())
+        out = out.astype("int64").sort_values("partition")
+        out["max_plain"] = mp
+        out["max_salted"] = ms
+        out["improvement_micro"] = (1_000_000 * (mp - ms) + mp // 2) // mp
+        return out.astype("int64")
+
+    return (
+        _read(sf_dir, "events", ["user_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_fold, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )
+
+
+def l_diversity_audit(sf_dir: str, l_min: int = 2):
+    """l-diversity companion to k_anonymity_audit: equivalence classes
+    are (source, n_chars // 100) and the SENSITIVE attribute is lang —
+    a class is unsafe when it carries fewer than l_min distinct
+    sensitive values (every member's language is disclosed).  Reports
+    (n_classes, n_unsafe_classes, rows_in_unsafe, disclosure_micro,
+    min_diversity, max_diversity).
+
+    Per-batch (class, lang) pre-dedup + count partials, one
+    class+lang-keyed groupby, then a class-keyed fold (distinct langs
+    per class sum exactly — a (class, lang) pair lives in one row) and
+    one classify map; driver sees one row.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": t["source"].to_numpy(zero_copy_only=False),
+            "nb": (t["n_chars"].to_numpy(zero_copy_only=False)
+                   .astype(np.int64) // 100),
+            "lang": t["lang"].to_numpy(zero_copy_only=False),
+        }).groupby(["source", "nb", "lang"], as_index=False).size()
+        df["size"] = df["size"].astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = (
+        _read(sf_dir, "documents", ["source", "n_chars", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "nb", "lang"])
+        .aggregate(Sum("size", alias_name="c"))
+    )
+
+    def class_fold(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby(["source", "nb"]).agg(
+            n=("c", "sum"), div=("lang", "nunique")).reset_index()
+        unsafe = df["div"] < l_min
+        return pa.table({
+            "n_classes": pa.array([len(df)], pa.int64()),
+            "n_unsafe_classes": pa.array([int(unsafe.sum())], pa.int64()),
+            "rows_in_unsafe": pa.array([int(df["n"][unsafe].sum())],
+                                       pa.int64()),
+            "rows_total": pa.array([int(df["n"].sum())], pa.int64()),
+            "min_diversity": pa.array([int(df["div"].min())], pa.int64()),
+            "max_diversity": pa.array([int(df["div"].max())], pa.int64()),
+        })
+
+    agg = (pairs.repartition(1)
+           .map_batches(class_fold, batch_format="pyarrow",
+                        batch_size=None)).to_pandas()
+    n_total = int(agg["rows_total"].sum())
+    unsafe_rows = int(agg["rows_in_unsafe"].sum())
+    return pa.table({
+        "n_classes": pa.array([int(agg["n_classes"].sum())], pa.int64()),
+        "n_unsafe_classes": pa.array(
+            [int(agg["n_unsafe_classes"].sum())], pa.int64()),
+        "rows_in_unsafe": pa.array([unsafe_rows], pa.int64()),
+        "disclosure_micro": pa.array(
+            [(1_000_000 * unsafe_rows + n_total // 2) // n_total],
+            pa.int64()),
+        "min_diversity": pa.array([int(agg["min_diversity"].min())],
+                                  pa.int64()),
+        "max_diversity": pa.array([int(agg["max_diversity"].max())],
+                                  pa.int64()),
+    })
