@@ -4821,7 +4821,7 @@ def oracle_sql() -> dict[str, str]:
             ), sp_cold AS (
               SELECT md5_number_lower(CAST(key AS VARCHAR)) % 16 AS p,
                      CAST(SUM(c) AS BIGINT) AS load
-              FROM sp_c WHERE c <= 200 GROUP BY 1
+              FROM sp_c WHERE c <= 80 GROUP BY 1
             ), sp_hot AS (
               SELECT md5_number_lower(CAST(key AS VARCHAR) || '#'
                        || CAST(s.i AS VARCHAR)) % 16 AS p,
@@ -4829,7 +4829,7 @@ def oracle_sql() -> dict[str, str]:
                                             THEN 1 ELSE 0 END)
                           AS BIGINT) AS load
               FROM sp_c, (SELECT unnest(range(0, 8)) AS i) s
-              WHERE c > 200 GROUP BY 1
+              WHERE c > 80 GROUP BY 1
             ), sp_salt AS (
               SELECT p, CAST(SUM(load) AS BIGINT) AS load
               FROM (SELECT * FROM sp_cold
@@ -4851,7 +4851,11 @@ def oracle_sql() -> dict[str, str]:
                      AS max_salted,
                    CAST((1000000 * (MAX(load_plain) OVER ()
                                     - MAX(load_salted) OVER ())
-                         + MAX(load_plain) OVER () // 2)
+                         + CASE WHEN MAX(load_salted) OVER ()
+                                     <= MAX(load_plain) OVER ()
+                                THEN MAX(load_plain) OVER () // 2
+                                ELSE -(MAX(load_plain) OVER () // 2)
+                           END)
                         // MAX(load_plain) OVER () AS BIGINT)
                      AS improvement_micro
             FROM sp_j

@@ -11514,7 +11514,7 @@ def err_eval(sf_dir: str, query: str = "table hash join", k: int = 10):
                          batch_size=None))
 
 
-def salt_plan_audit(sf_dir: str, n_parts: int = 16, hot_threshold: int = 200,
+def salt_plan_audit(sf_dir: str, n_parts: int = 16, hot_threshold: int = 80,
                     n_salts: int = 8, n_buckets: int = 64):
     """Hot-key salting plan audit — the skew mitigation this repo
     applies to its own exchanges, quantified on the events user_id
@@ -11570,7 +11570,11 @@ def salt_plan_audit(sf_dir: str, n_parts: int = 16, hot_threshold: int = 200,
         out = out.astype("int64").sort_values("partition")
         out["max_plain"] = mp
         out["max_salted"] = ms
-        out["improvement_micro"] = (1_000_000 * (mp - ms) + mp // 2) // mp
+        # improvement may be NEGATIVE (salting one medium key can raise
+        # the max); half-away rounding with TRUNCATING division — the
+        # DuckDB `//` semantics for negatives (Python's floors)
+        q = 1_000_000 * (mp - ms) + (mp // 2 if ms <= mp else -(mp // 2))
+        out["improvement_micro"] = q // mp if q >= 0 else -((-q) // mp)
         return out.astype("int64")
 
     return (
